@@ -1,0 +1,64 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` payloads with a
+  * typed metadata struct, plus batch "decode / feature-extract" stages.
+  *
+  * The decode itself is STUBBED (this container has no image/audio
+  * libraries): `fakeDecode` derives deterministic pseudo-features from
+  * the raw bytes so the Spark-side contract — schema, Dataset encoders,
+  * partition-local batch processing via `mapPartitions`, feature vector
+  * shape — is real and testable. Swap `fakeDecode` for a real codec
+  * binding (e.g. JNI or an ONNX runtime) without touching the plan shape.
+  *
+  * Scale posture: payloads never pass through a shuffle here; decode is
+  * partition-local, and downstream joins carry only (id, features).
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+  case class MediaFeatures(
+      doc_id: Long, media_type: String, n_bytes: Long,
+      head_hash: Long, features: Array[Double])
+
+  /** Wrap a text corpus as a media table: payload = UTF-8 bytes, typed
+    * metadata columns. Stands in for an image/audio table whose bytes
+    * arrived from object storage.
+    */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      lit("text/plain").as("media_type"),
+      col("text").cast("binary").as("payload"))
+
+  /** STUB decode: deterministic fake feature extraction — 4 features =
+    * mean byte value per payload quarter. Replaces a real
+    * decode/resize/frame-sample kernel; batch shape (Iterator per
+    * partition) matches what a vectorized codec binding needs.
+    */
+  def fakeDecode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.map { r =>
+      val bytes = r.payload
+      val n = bytes.length
+      var h = 1125899906842597L
+      var i = 0
+      while (i < math.min(n, 64)) { h = 31 * h + bytes(i); i += 1 }
+      val features = Array.tabulate(4) { qi =>
+        val lo = qi * n / 4
+        val hi = math.max((qi + 1) * n / 4, lo + 1)
+        var s = 0L
+        var j = lo
+        while (j < math.min(hi, n)) { s += bytes(j) & 0xff; j += 1 }
+        if (hi > lo) s.toDouble / (math.min(hi, n) - lo) else 0.0
+      }
+      MediaFeatures(r.doc_id, r.media_type, n.toLong, h, features)
+    }
+
+  /** media table → features table, decode running partition-local. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(fakeDecode _).toDF()
+  }
+}

@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.cosine_similarity
+import graft.operators.Ranks
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`): brute-force cosine top-k as the correctness
+  * baseline, random-hyperplane LSH bucketing as the scale path.
+  *
+  * Scale posture: brute force broadcasts the (small) query set and scans
+  * the corpus once — fine for O(queries × corpus) flops when queries are
+  * few; the LSH variant turns candidate generation into an equi-join on a
+  * bucket id, which shuffles on the bucket key and never materializes the
+  * cross product — the shape to run at 10^9 vectors (buckets ≈ IVF cells).
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors of each query vector via one scan of
+    * the corpus; queries broadcast. Deterministic: double accumulation in
+    * array order, ties broken by neighbor id.
+    */
+  def knnBrute(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("qid"))
+      .withColumn("sim", cosine_similarity(col("qv"), col("nv")))
+    Ranks.topKPerGroup(scored, Seq("qid"), k, Seq(col("sim").desc, col("neighbor_id")))
+      .select(col("qid"), col("rank"), col("neighbor_id"))
+  }
+
+  val Planes = 8
+  val Dim = 64
+
+  /** Deterministic ±1 hyperplane matrix (splitmix64 of the flat index) —
+    * seeds are code, not data, so every run and every executor agrees.
+    */
+  private lazy val planeSigns: Array[Array[Double]] =
+    Array.tabulate(Planes, Dim) { (p, d) =>
+      if ((splitmix64(p * Dim + d + 1) & 1L) == 1L) 1.0 else -1.0
+    }
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Random-hyperplane LSH bucket id (0..2^Planes-1) of an embedding. */
+  def lshBucket(v: Column): Column =
+    (0 until Planes).map { p =>
+      val plane = array(planeSigns(p).map(lit): _*)
+      val dot = aggregate(
+        zip_with(v, plane, (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** ANN via LSH: candidates share the query's bucket; exact cosine rank
+    * within the bucket. Recall < 1 by construction; bucket count scales
+    * with `Planes`.
+    */
+  def knnLsh(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      lshBucket(col("embedding")).as("bucket"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+      lshBucket(col("embedding")).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .withColumn("sim", cosine_similarity(col("qv"), col("nv")))
+    Ranks.topKPerGroup(scored, Seq("qid"), k, Seq(col("sim").desc, col("neighbor_id")))
+      .select(col("qid"), col("rank"), col("neighbor_id"), col("bucket"))
+  }
+}

@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.word_shingles
+
+/** Large-scale text deduplication operators for training-data pipelines:
+  * exact (hash-groupBy), MinHash+LSH (shingle→minhash→band→bucket-join),
+  * SimHash, and exact n-gram Jaccard over candidate pairs.
+  *
+  * Scale posture: nothing here compares all pairs. Exact dedup is one
+  * hash aggregation; MinHash/LSH reduces near-dup search to an equi-join
+  * on (band, band_hash) buckets — the standard shape that holds at 100 TB
+  * because candidate generation is linear and the bucket join is a plain
+  * shuffled hash join (skewed buckets are split by AQE).
+  */
+object TextDedup {
+
+  /** Exact duplicate groups by content hash: one row per distinct text,
+    * the surviving doc (min id) and the multiplicity.
+    */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(min(col(idCol)).cast("long").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** MinHash signatures as an explode→min-aggregate dataflow:
+    * one row per (doc, distinct shingle), then `NumHashes` seeded
+    * xxhash64 min-aggregates per doc (permutation i = xxhash64(sh, i)).
+    *
+    * Deliberately NOT a nested array expression over a shingle array:
+    * Catalyst's CollapseProject would inline the shingle construction
+    * into every one of the 16 components (observed 60×+ recompute).
+    * The aggregate form computes shingles exactly once per doc, gets
+    * map-side partial aggregation, and shuffles only (doc_id, 16 longs)
+    * — the shape that holds at 100 TB.
+    *
+    * Output: doc_id, s0..s{NumHashes-1}. Docs with no shingle (< 3
+    * words) drop out (explode of an empty array).
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(word_shingles(col(textCol), 3)).as("shingle"))
+    val aggs = (0 until NumHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"s$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def bandStructs: Column = array((0 until Bands).map { b =>
+    val comps = (0 until RowsPerBand).map(r => col(s"s${b * RowsPerBand + r}"))
+    struct(lit(b).as("band"), xxhash64(comps: _*).as("band_hash"))
+  }: _*)
+
+  private def sigArray: Column = array((0 until NumHashes).map(i => col(s"s$i")): _*)
+
+  /** (doc_id, band, band_hash) rows: the LSH bucketing of the signature.
+    * Docs sharing a (band, band_hash) bucket are near-dup candidates.
+    */
+  def lshBands(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    minhashSignatures(docs, idCol, textCol)
+      .select(col("doc_id"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+
+  /** Near-duplicate candidate pairs via the LSH bucket equi-join, with
+    * the signature-estimated Jaccard (fraction of equal components).
+    * The self-join keys on (band, band_hash) — a plain shuffled hash
+    * join over buckets, never an all-pairs product.
+    */
+  def candidatePairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val banded = minhashSignatures(docs, idCol, textCol)
+      .select(col("doc_id"), sigArray.as("sig"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+    val a = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v
+        ).cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash over word unigrams: per word hash, each bit votes
+    * +1/-1; sign of the vote sum sets the output bit. Implemented as 64
+    * conditional-sum aggregates (partial map-side combine) + a bit-OR
+    * recombination — distributed, no per-doc state.
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("word"))
+      .withColumn("h", xxhash64(col("word")))
+    val votes = (0 until 64).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$bit")
+    }
+    val agg = words.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val sh = (0 until 64).map { bit =>
+      when(col(s"b$bit") >= 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col("doc_id"), sh.as("simhash"))
+  }
+
+  /** Exact word-n-gram Jaccard similarity for pairs grouped by a blocking
+    * column (here: same `lang`) — the verification stage downstream of
+    * LSH candidate generation.
+    */
+  def ngramJaccardPairs(docs: DataFrame, blockCol: String, n: Int): DataFrame = {
+    val s = docs
+      .select(col("doc_id"), col(blockCol).as("block"), word_shingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = s.select(col("block"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = s.select(col("block"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    a.join(b, Seq("block")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (inter / (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: quality scoring,
+  * token counting, language ID (stopword-marker heuristic), and document
+  * fingerprinting. All per-row expressions — embarrassingly parallel, no
+  * shuffle, fully codegen'd.
+  */
+object TextStats {
+
+  /** Quality metrics per document: char/token counts, average word
+    * length, stopword ratio. Mirrors the length/punct/stopword signals
+    * used by large-scale corpus filters.
+    */
+  def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = split(col(textCol), " ")
+    val nChars = length(col(textCol)).cast("long")
+    val nTokens = size(words).cast("long")
+    val nSpaces = (length(col(textCol)) - length(regexp_replace(col(textCol), " ", ""))).cast("long")
+    val stopHits = size(filter(words, w =>
+      w.isin(Stopwords.en.toSeq: _*))).cast("long")
+    docs.select(col("doc_id"),
+      nChars.as("n_chars_m"),
+      nTokens.as("n_tokens"),
+      ((nChars - nSpaces) / nTokens).as("avg_word_len"),
+      (stopHits / nTokens).as("stop_ratio"))
+  }
+
+  /** Token count under a BPE-ish lexer regex (letter runs / digit runs /
+    * punctuation runs), the usual cheap proxy for LLM token budgeting.
+    */
+  def bpeTokenCount(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      size(expr(s"regexp_extract_all($textCol, '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0)"))
+        .cast("long").as("n_bpe_tokens"))
+
+  /** Content fingerprint: md5 of the whitespace-normalized lowercase
+    * text — the key for fuzzy-exact dedup across formatting variants.
+    */
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ").cast("binary"))
+        .as("fingerprint"))
+
+  /** Stopword-marker language ID: score = |words ∩ markers(lang)|,
+    * argmax over languages (deterministic tie-break: higher score, then
+    * lexicographically larger language code wins via struct max).
+    */
+  def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = split(col(textCol), " ")
+    val scored = array(Stopwords.markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      struct(size(filter(words, w => w.isin(ms.toSeq: _*))).as("score"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    docs.select(col("doc_id"),
+      best.getField("lang").as("pred_lang"),
+      best.getField("score").cast("long").as("score"),
+      col("lang").as("actual_lang"))
+      .withColumn("correct", (col("pred_lang") === col("actual_lang")).cast("int"))
+  }
+}
+
+/** Marker word lists (tiny, code-embedded — public common stopwords). */
+object Stopwords {
+  val en: Set[String] = Set("the", "and", "of", "to", "in", "a", "is", "that")
+  val markers: Map[String, Set[String]] = Map(
+    "en" -> en,
+    "de" -> Set("der", "und", "die", "das", "nicht", "ist"),
+    "fr" -> Set("le", "la", "et", "les", "des", "est"),
+    "es" -> Set("el", "los", "y", "las", "que", "es"),
+    "zh" -> Set("的", "了", "是", "我", "不"))
+}

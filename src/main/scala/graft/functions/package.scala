@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Internal
+import org.apache.spark.sql.types._
+
+/** Column-level function library: every scalar the reference computes
+  * (SURVEY §2.3/§2.9), expressed as codegen-friendly Spark built-ins plus
+  * the one custom Catalyst expression ([[graft.functions.HexToDecimal]]).
+  */
+package object functions {
+
+  /** Hex string (optional 0x prefix) → Decimal(38,0); null on garbage.
+    * Reference: `int(x, 16)` at generate_report_dag.py:88,102.
+    */
+  def hex_to_decimal(c: Column): Column =
+    Internal.column(HexToDecimal(Internal.expression(c)))
+
+  /** Register graft SQL functions on an existing session (idempotent), so
+    * `spark.sql("SELECT hex_to_decimal(...)")` resolves.
+    */
+  def registerAll(spark: SparkSession): Unit = {
+    Internal.register(
+      spark,
+      "hex_to_decimal",
+      new ExpressionInfo(classOf[HexToDecimal].getName, "hex_to_decimal"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HexToDecimal(children.head))
+  }
+
+  /** Canonical order-insensitive pair key: `'/'.join(sorted([a, b]))`.
+    * Reference: generate_report_dag.py:106.
+    */
+  def pair_key(a: Column, b: Column): Column =
+    concat_ws("/", array_sort(array(a, b)))
+
+  /** Zero-pad a hex address to the canonical 66-char `0x` + 64 digits form.
+    * Reference: parse_data.py:9-18 (we canonicalize with lpad-to-64; the
+    * reference's `66 - len` pad math is an acknowledged, tested divergence).
+    */
+  def pad_address(c: Column): Column =
+    concat(lit("0x"), lpad(regexp_replace(c, "^0[xX]", ""), 64, "0"))
+
+  /** Parse a JSON-encoded array-of-strings payload column.
+    * Reference: `JSONExtract(data, 'Array(String)')`, generate_report_dag.py:46.
+    */
+  def json_string_array(c: Column): Column =
+    from_json(c, ArrayType(StringType))
+
+  /** Exact-sum projection of a double column: per-row cast to
+    * Decimal(38,6) so downstream SUM is order-independent (needed for
+    * bit-exact parity with any other engine; double sums are not
+    * associative).
+    */
+  def dec6(c: Column): Column = c.cast(DecimalType(38, 6))
+
+  /** Cosine similarity between two Array[Float]/Array[Double] columns,
+    * accumulated in Double in array order (deterministic). Pure built-ins
+    * (`zip_with` + `aggregate`) — stays inside whole-stage codegen.
+    */
+  def cosine_similarity(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(
+        zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
+        lit(0.0),
+        (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Word n-gram shingles of a text column (distinct), for Jaccard /
+    * MinHash dedup. Empty array when the text has fewer than `n` words.
+    */
+  def word_shingles(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    array_distinct(
+      when(size(words) >= n,
+        transform(
+          sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+        .otherwise(array().cast(ArrayType(StringType))))
+  }
+}

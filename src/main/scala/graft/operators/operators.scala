@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed last-write-wins deduplication — the Spark rendering of
+  * ClickHouse `ReplacingMergeTree` + `OPTIMIZE TABLE FINAL`
+  * (reference: clickhouse.py:41-46,59-60; SURVEY §2 O-21).
+  *
+  * Scale notes: one hash-partitioned shuffle on the key columns; the
+  * window is evaluated per key-group with no global sort. At 100 TB the
+  * shuffle is unavoidable (same as ClickHouse's merge), but AQE coalesces
+  * post-shuffle partitions and skewed keys split automatically.
+  */
+object Dedup {
+  /** Keep exactly one row per `keys`, the first under `ordering`
+    * (descending ingest sequence = "latest insert wins").
+    */
+  def lastWriteWins(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Any-winner dedup by key — cheaper (partial aggregation map-side)
+    * when which duplicate survives does not matter.
+    */
+  def anyWinner(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+}
+
+/** Top-K patterns (SURVEY §2 T-1/T-2). `orderBy(...).limit(k)` plans as
+  * `TakeOrderedAndProject`: per-partition heaps + driver merge, never a
+  * global sort — the shape that survives a 100× scale-up.
+  */
+object Ranks {
+  def topK(df: DataFrame, k: Int, ordering: Column*): DataFrame =
+    df.orderBy(ordering: _*).limit(k)
+
+  /** Top-K rows per group (row_number window), e.g. K nearest neighbors
+    * per query vector.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], k: Int,
+      ordering: Seq[Column], rankCol: String = "rank"): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(ordering: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+}
+
+/** Set/unpivot operators (SURVEY §2 U-1). */
+object SetOps {
+  /** UNION ALL of single-column projections (the reference's
+    * `token_0 UNION ALL token_1` unpivot, crawl_token_dag.py:41-45).
+    */
+  def unpivotUnion(df: DataFrame, outName: String, cols: String*): DataFrame =
+    cols.map(c => df.select(col(c).as(outName))).reduce(_ unionAll _)
+
+  /** Same unpivot as a generator (single scan instead of N): explode an
+    * array of the columns. Preferred at scale — one pass over the fact.
+    */
+  def unpivotExplode(df: DataFrame, outName: String, cols: String*): DataFrame =
+    df.select(explode(array(cols.map(col): _*)).as(outName))
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.ext.{Multimodal, Similarity, TextDedup, TextStats}
+import graft.sources.Tables
+
+/** North-star LLM-data-pipeline operators (BASELINE.json): dedup,
+  * similarity search, text analysis, multimodal plumbing — registered as
+  * first-class queries over the `documents`/`embeddings` tables.
+  */
+object ExtensionQueries {
+
+  val defs: Seq[Q] = Seq(
+
+    Q("x01_dedup_exact",
+      "Exact dedup groups by content hash (hash-groupBy; one shuffle).",
+      Some("""SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin),
+      (s, d) => TextDedup.exactGroups(Tables.documents(s, d))
+        .orderBy(col("text_hash"))),
+
+    Q("x02_minhash_bands",
+      "MinHash signatures → LSH band buckets (shingle→minhash→band). Engine-specific hashes: rows-only check.",
+      None,
+      (s, d) => TextDedup.lshBands(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("band"))),
+
+    Q("x03_minhash_pairs",
+      "Near-dup candidate pairs via LSH bucket equi-join + signature-estimated Jaccard. Rows-only check.",
+      None,
+      (s, d) => TextDedup.candidatePairs(Tables.documents(s, d))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    Q("x04_simhash",
+      "64-bit SimHash per document (distributed bit votes). Engine-specific hash: rows-only check.",
+      None,
+      (s, d) => TextDedup.simhash(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
+    Q("x05_ngram_jaccard",
+      "Exact word-3-gram Jaccard over blocked pairs (verification stage of near-dedup).",
+      Some("""WITH s AS (
+             |  SELECT doc_id, lang, list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)]) AS sh
+             |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents WHERE doc_id < 200) t
+             |  WHERE len(words) >= 3)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
+             |         / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS jaccard
+             |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin),
+      (s, d) => TextDedup.ngramJaccardPairs(
+          Tables.documents(s, d).filter(col("doc_id") < 200), "lang", 3)
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(100)),
+
+    Q("x06_knn_brute",
+      "Brute-force cosine top-5 neighbors for query vectors (rank-only output: fp-eval independent).",
+      Some("""SELECT qid, rank, neighbor_id FROM (
+             |  SELECT q.vec_id AS qid, e.vec_id AS neighbor_id,
+             |         row_number() OVER (PARTITION BY q.vec_id
+             |                            ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rank
+             |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+             |  WHERE q.vec_id < 10) t
+             |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.knnBrute(emb.filter(col("vec_id") < 10), emb, 5)
+          .orderBy(col("qid"), col("rank"))
+      }),
+
+    Q("x07_knn_lsh",
+      "ANN via random-hyperplane LSH buckets: equi-join candidate generation, exact rank in-bucket. Rows-only.",
+      None,
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.knnLsh(emb.filter(col("vec_id") < 10), emb, 3)
+          .orderBy(col("qid"), col("rank"))
+      }),
+
+    Q("x08_lang_id",
+      "Stopword-marker language ID heuristic (argmax over language scores). Heuristic: rows-only.",
+      None,
+      (s, d) => TextStats.languageId(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
+    Q("x09_text_quality",
+      "Quality scoring: char/token counts, avg word length, stopword ratio.",
+      Some("""SELECT doc_id,
+             |  CAST(length(text) AS BIGINT) AS n_chars_m,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces_x,
+             |  CAST(length(replace(text, ' ', '')) AS BIGINT)
+             |    / CAST(len(string_split(text, ' ')) AS BIGINT) AS avg_word_len,
+             |  CAST(len(list_filter(string_split(text, ' '),
+             |        w -> w IN ('the','and','of','to','in','a','is','that'))) AS BIGINT)
+             |    / CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ratio
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val words = split(col("text"), " ")
+        val nChars = length(col("text")).cast("long")
+        val nSpaces = (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).cast("long")
+        Tables.documents(s, d).select(col("doc_id"),
+          nChars.as("n_chars_m"),
+          size(words).cast("long").as("n_tokens"),
+          nSpaces.as("n_spaces_x"),
+          ((nChars - nSpaces) / size(words).cast("long")).as("avg_word_len"),
+          (size(filter(words, w => w.isin(graft.ext.Stopwords.en.toSeq: _*))).cast("long")
+            / size(words).cast("long")).as("stop_ratio"))
+          .orderBy(col("doc_id"))
+      }),
+
+    Q("x10_fingerprint",
+      "Document fingerprint: md5 of whitespace-normalized lowercase text.",
+      Some("""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => TextStats.fingerprint(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
+    Q("x11_token_count",
+      "BPE-ish lexer token count (letter/digit/punct runs).",
+      Some("""SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => TextStats.bpeTokenCount(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
+    Q("x12_multimodal_stub",
+      "Binary media column plumbing + partition-local (stubbed) decode/feature-extract. Rows-only.",
+      None,
+      (s, d) => Multimodal.extractFeatures(s, Multimodal.asMediaTable(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))))
+}

@@ -1,0 +1,314 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Q
+import graft.functions._
+import graft.operators.{Dedup, Ranks, SetOps}
+import graft.pipeline.Report
+import graft.sources.Tables
+
+/** The reference's relational operator surface (SURVEY §2), one registered
+  * query per operator row, each with a DuckDB oracle. Queries run over the
+  * driver corpus (TESTDATA.md): `orders⋈lineitem` plays `events⋈blocks`,
+  * `nation`/`customer` play the twice-joined `token` dimension.
+  */
+object RelationalQueries {
+
+  private def revenue: Column =
+    dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+
+  val defs: Seq[Q] = Seq(
+
+    Q("q01_scan_prune",
+      "S-4 scan + column pruning + predicate pushdown: both must reach the parquet reader.",
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |WHERE l_extendedprice > 5000 ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .filter($"l_extendedprice" > 5000)
+        .orderBy($"l_orderkey", $"l_linenumber")),
+
+    Q("q02_group_agg",
+      "O-17 grouped multi-aggregate (sum + count), partial+final hash agg.",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS revenue,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum(dec6($"l_quantity")).cast(DecimalType(38, 6)).as("sum_qty"),
+          sum(revenue).cast(DecimalType(38, 6)).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag", $"l_linestatus")),
+
+    Q("q03_join_fact",
+      "J-1 fact-to-fact inner equi-join (events⋈blocks shape) + rollup.",
+      Some("""SELECT o_orderstatus,
+             |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS revenue,
+             |  count(*) AS n
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderstatus")
+        .agg(
+          sum(revenue).cast(DecimalType(38, 6)).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")),
+
+    Q("q04_double_dim_join",
+      "J-2 same dimension joined twice under different keys (token t0/t1 shape); dims broadcast.",
+      Some("""SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+             |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS revenue,
+             |  count(*) AS n
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |GROUP BY n1.n_name, n2.n_name ORDER BY cust_nation, supp_nation""".stripMargin),
+      (s, d) => {
+        val n1 = Tables.nation(s, d).select(
+          $"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+        val n2 = Tables.nation(s, d).select(
+          $"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+          .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(n1), $"c_nationkey" === $"c_nk")
+          .join(broadcast(n2), $"s_nationkey" === $"s_nk")
+          .groupBy($"cust_nation", $"supp_nation")
+          .agg(
+            sum(revenue).cast(DecimalType(38, 6)).as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy($"cust_nation", $"supp_nation")
+      }),
+
+    Q("q05_topk",
+      "T-2 top-K by metric: plans as TakeOrderedAndProject (per-partition heaps, no global sort).",
+      Some("""SELECT l_partkey,
+             |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS revenue
+             |FROM lineitem GROUP BY l_partkey
+             |ORDER BY revenue DESC, l_partkey LIMIT 30""".stripMargin),
+      (s, d) => Ranks.topK(
+        Tables.lineitem(s, d)
+          .groupBy($"l_partkey")
+          .agg(sum(revenue).cast(DecimalType(38, 6)).as("revenue")),
+        30, col("revenue").desc, col("l_partkey"))),
+
+    Q("q06_distinct",
+      "O-19 DISTINCT projection (hash aggregate, partial map-side).",
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .select($"l_returnflag", $"l_linestatus").distinct()
+        .orderBy($"l_returnflag", $"l_linestatus")),
+
+    Q("q07_union_unpivot",
+      "U-1 UNION ALL unpivot of two key columns into one (token_0/token_1 shape).",
+      Some("""SELECT key, count(*) AS n FROM (
+             |  SELECT l_partkey AS key FROM lineitem
+             |  UNION ALL SELECT l_suppkey AS key FROM lineitem) t
+             |GROUP BY key ORDER BY key""".stripMargin),
+      (s, d) => SetOps.unpivotUnion(Tables.lineitem(s, d), "key", "l_partkey", "l_suppkey")
+        .groupBy($"key").agg(count(lit(1)).as("n")).orderBy($"key")),
+
+    Q("q08_dedup_last_write",
+      "O-21 ReplacingMergeTree + OPTIMIZE FINAL: keyed last-write-wins dedup via row_number window.",
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             |  FROM orders) t
+             |WHERE rn = 1 ORDER BY o_custkey""".stripMargin),
+      (s, d) => Dedup.lastWriteWins(
+          Tables.orders(s, d), Seq("o_custkey"),
+          Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+        .orderBy($"o_custkey")),
+
+    Q("q09_json_extract",
+      "P-1/P-2 JSON payload extraction (JSONExtract shape) + grouped sum.",
+      Some("""SELECT event_type,
+             |  CAST(SUM(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+             |  count(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, d) => Tables.events(s, d)
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(sum($"k").cast("long").as("sum_k"), count(lit(1)).as("n"))
+        .orderBy($"event_type")),
+
+    Q("q10_time_window",
+      "P-4 trailing-24h filter with 'now' pinned to max(ts) for determinism.",
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS val_24h
+             |FROM events
+             |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 DAY
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val mx = ev.agg(max($"ts").as("mx"))
+        ev.crossJoin(broadcast(mx))
+          .filter($"ts" >= $"mx" - expr("INTERVAL 1 DAY"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(dec6($"value")).cast(DecimalType(38, 6)).as("val_24h"))
+          .orderBy($"event_type")
+      }),
+
+    Q("q11_hex_to_decimal",
+      "P-5 uint256-range hex→decimal via the custom HexToDecimal Catalyst expression (>64-bit; conv() would saturate).",
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(CAST(l_orderkey AS HUGEINT) * CAST('18446744073709551616' AS HUGEINT)
+             |       + CAST(l_partkey AS HUGEINT) AS DECIMAL(38,0)) AS amount
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber",
+          hex_to_decimal(concat(lit("0x"), lower(hex($"l_orderkey")),
+            lpad(lower(hex($"l_partkey")), 16, "0"))).as("amount"))
+        .orderBy($"l_orderkey", $"l_linenumber")),
+
+    Q("q12_pair_key",
+      "P-9 canonical order-insensitive pair key ('/'.join(sorted([a,b]))).",
+      Some("""SELECT CASE WHEN l_returnflag <= l_linestatus
+             |            THEN l_returnflag || '/' || l_linestatus
+             |            ELSE l_linestatus || '/' || l_returnflag END AS pair,
+             |  count(*) AS n,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS amt
+             |FROM lineitem GROUP BY 1 ORDER BY pair""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .withColumn("pair", pair_key($"l_returnflag", $"l_linestatus"))
+        .groupBy($"pair")
+        .agg(count(lit(1)).as("n"),
+          sum(dec6($"l_extendedprice")).cast(DecimalType(38, 6)).as("amt"))
+        .orderBy($"pair")),
+
+    Q("q13_pad_address",
+      "P-10 zero-pad normalize to 0x + 64 hex digits.",
+      Some("""SELECT p_partkey, '0x' || lpad(lower(to_hex(p_partkey)), 64, '0') AS addr
+             |FROM part ORDER BY p_partkey""".stripMargin),
+      (s, d) => Tables.part(s, d)
+        .select($"p_partkey", pad_address(lower(hex($"p_partkey"))).as("addr"))
+        .orderBy($"p_partkey")),
+
+    Q("q14_conditional_fill",
+      "P-6 conditional column + P-11 null default fill + P-7 inequality filter.",
+      Some("""SELECT c_custkey,
+             |  CASE WHEN c_acctbal < 0 THEN CAST(0.0 AS DOUBLE) ELSE c_acctbal END AS bal,
+             |  coalesce(c_mktsegment, 'No Segment') AS segment
+             |FROM customer
+             |WHERE (CASE WHEN c_acctbal < 0 THEN CAST(0.0 AS DOUBLE) ELSE c_acctbal END) != 0.0
+             |ORDER BY c_custkey""".stripMargin),
+      (s, d) => Tables.customer(s, d)
+        .select($"c_custkey",
+          when($"c_acctbal" < 0, lit(0.0)).otherwise($"c_acctbal").as("bal"),
+          coalesce($"c_mktsegment", lit("No Segment")).as("segment"))
+        .filter($"bal" =!= 0.0)
+        .orderBy($"c_custkey")),
+
+    Q("q15_swap_steps",
+      "O-18 group→nested array-of-structs (parse_data.py swap_steps shape). Nested output: driver records rows-only.",
+      None,
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy($"l_orderkey")
+        .agg(
+          sort_array(collect_list(struct($"l_linenumber", $"l_partkey", $"l_quantity")))
+            .as("steps"),
+          count(lit(1)).as("n_steps"))
+        .select($"l_orderkey", $"n_steps", $"steps")
+        .orderBy($"l_orderkey")),
+
+    Q("q16_watermark",
+      "O-16 incremental watermark scalar: coalesce(max(offset), origin-1) + 1.",
+      Some("""SELECT CAST(coalesce(max(event_id), 999999) + 1 AS BIGINT) AS next_from
+             |FROM events""".stripMargin),
+      (s, d) => Tables.events(s, d)
+        .agg((coalesce(max($"event_id"), lit(999999L)) + 1).cast("long").as("next_from"))),
+
+    Q("q17_global_sort",
+      "T-1 global ORDER BY DESC (range-partitioned sort) with deterministic tie-break.",
+      Some("""SELECT event_id, value FROM events
+             |ORDER BY value DESC, event_id LIMIT 100""".stripMargin),
+      (s, d) => Tables.events(s, d)
+        .select($"event_id", $"value")
+        .orderBy($"value".desc, $"event_id")
+        .limit(100)),
+
+    Q("q18_report_pairs",
+      "Flagship §3.2 report: 24h window → JSON k → broadcast dim join → pair key → agg → top-30.",
+      Some("""WITH e AS (
+             |  SELECT event_type, value, user_id,
+             |         CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+             |  FROM events
+             |  WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 DAY),
+             |j AS (
+             |  SELECT CASE WHEN event_type <= seg THEN event_type || '/' || seg
+             |              ELSE seg || '/' || event_type END AS pair,
+             |         CAST(value * k AS DECIMAL(38,6)) AS vol
+             |  FROM (SELECT e.*, coalesce(c_mktsegment, 'No Segment') AS seg
+             |        FROM e LEFT JOIN customer ON user_id = c_custkey) t)
+             |SELECT pair, CAST(SUM(vol) AS DECIMAL(38,6)) AS vol_24h, count(*) AS txn_24h
+             |FROM j GROUP BY pair ORDER BY vol_24h DESC, pair LIMIT 30""".stripMargin),
+      (s, d) => Report.topPairs(s, d)),
+
+    Q("q19_reingest_dedup",
+      "K-2 at-least-once re-ingest collapsed by last-write-wins dedup; oracle = single clean copy.",
+      Some("""SELECT event_type, count(*) AS n FROM events
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val redelivered = ev.withColumn("ingest_seq", lit(1L))
+          .unionAll(ev.withColumn("ingest_seq", lit(2L)))
+        Dedup.lastWriteWins(redelivered, Seq("event_id"), Seq(col("ingest_seq").desc))
+          .groupBy($"event_type").agg(count(lit(1)).as("n"))
+          .orderBy($"event_type")
+      }),
+
+    Q("q20_anti_join",
+      "left_anti: keys missing from the dimension ('tokens not yet scraped' shape).",
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")),
+
+    Q("q21_semi_join",
+      "left_semi: EXISTS probe without row multiplication.",
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")),
+
+    Q("q22_hourly_rollup",
+      "Tumbling 1h event-time window (batch twin of the streaming agg in graft.streaming).",
+      Some("""SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS val
+             |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin),
+      (s, d) => Tables.events(s, d)
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec6($"value")).cast(DecimalType(38, 6)).as("val"))
+        // cast LTZ→NTZ (identity under the UTC session tz) so the parquet
+        // annotation matches the oracle's naive TIMESTAMP
+        .select($"window.start".cast("timestamp_ntz").as("hour_start"),
+          $"event_type", $"n", $"val")
+        .orderBy($"hour_start", $"event_type")))
+
+  // $"..." interpolator without a session-bound implicits import.
+  private implicit class Dollar(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}
