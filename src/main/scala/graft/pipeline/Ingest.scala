@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Incremental ingest semantics of the reference's hourly DAG
+  * (SURVEY §2.10, export_blocks_and_events_dag.py):
+  *
+  *   - watermark = max(offset in sink) + 1, defaulting to an origin on an
+  *     empty sink (`:30-37`); upper bound = head − 1 (`:39`);
+  *   - work planned in fixed-size slices (`:56-57`, 10k blocks);
+  *   - appends stamped with a monotonic `ingest_seq` (ClickHouse gets
+  *     insert order implicitly; Parquet needs it explicit — SURVEY §7.4);
+  *   - at-least-once delivery tolerated, collapsed by keyed
+  *     last-write-wins compaction (= ReplacingMergeTree + OPTIMIZE FINAL).
+  *
+  * Scale posture: the watermark is the only driver-side scalar; appends
+  * are partitioned writes; compaction shuffles once on the key.
+  */
+object Ingest {
+
+  final case class BlockRange(from: Long, to: Long)
+
+  val DefaultOrigin: Long = 1000000L
+
+  /** Next range to ingest: `[max(sink)+1, head-1]`, origin on empty sink;
+    * None when the sink is already caught up.
+    */
+  def nextRange(sinkMax: Option[Long], head: Long, origin: Long = DefaultOrigin): Option[BlockRange] = {
+    val from = sinkMax.map(_ + 1).getOrElse(origin)
+    val to = head - 1
+    if (from > to) None else Some(BlockRange(from, to))
+  }
+
+  /** Driver-side watermark scalar from the landed table (O-16). */
+  def sinkMax(df: DataFrame, offsetCol: String): Option[Long] = {
+    val row = df.agg(max(col(offsetCol)).cast("long")).first()
+    if (row.isNullAt(0)) None else Some(row.getLong(0))
+  }
+
+  /** Fixed-size slice plan over a range (10k-block batching shape). */
+  def slices(r: BlockRange, size: Long): Seq[BlockRange] =
+    (r.from to r.to by size).map(s => BlockRange(s, math.min(s + size - 1, r.to)))
+
+  /** Append a batch stamped with its ingest sequence (K-1/K-2 append). */
+  def appendWithSeq(df: DataFrame, path: String, seq: Long): Unit =
+    df.withColumn("ingest_seq", lit(seq))
+      .write.mode("append").parquet(path)
+
+  /** Compaction = ReplacingMergeTree `OPTIMIZE TABLE FINAL`: rewrite the
+    * table keeping the latest row per key. Writes to a scratch dir then
+    * atomically swaps (Spark cannot overwrite a path it is reading).
+    */
+  def compact(spark: SparkSession, path: String, keys: Seq[String], seqCol: String = "ingest_seq"): Unit = {
+    val tmp = path + ".compact-tmp"
+    Dedup.lastWriteWins(spark.read.parquet(path), keys, Seq(col(seqCol).desc))
+      .write.mode("overwrite").parquet(tmp)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(path), true)
+    fs.rename(new Path(tmp), new Path(path))
+  }
+
+  /** Dedup-on-read view of an append table (the cheap alternative when
+    * readers can afford the window; compaction amortizes it).
+    */
+  def latestView(df: DataFrame, keys: Seq[String], seqCol: String = "ingest_seq"): DataFrame =
+    Dedup.lastWriteWins(df, keys, Seq(col(seqCol).desc))
+
+  /** K-3 truncate-and-replace report publish. */
+  def publishReport(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming rendering of the reference's micro-batch ingest
+  * loop (SURVEY §2.10): the hourly cron + watermark + bounded slice
+  * pattern becomes `readStream` → event-time watermark → windowed agg →
+  * `writeStream`, with `Trigger.AvailableNow` standing in for the
+  * cron-with-catchup-off behavior.
+  */
+object StreamingIngest {
+
+  /** File-source stream over a parquet directory (schema required by
+    * Structured Streaming; see graft.sources.Tables.eventsSchema).
+    */
+  def eventsStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Tumbling 1h rollup per event_type with a 1h late-data watermark —
+    * the streaming twin of batch query q22_hourly_rollup.
+    */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("val"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("val"))
+
+  /** Run a streaming DataFrame to a named in-memory sink until all
+    * currently-available input is processed (local smoke path; a real
+    * deployment writes parquet with checkpointing).
+    */
+  def runToMemory(df: DataFrame, name: String, mode: String = "complete"): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Incremental append with dedup-within-watermark — the streaming
+    * answer to the reference's at-least-once redelivery (ReplacingMergeTree
+    * shape): duplicate event_ids arriving within the watermark collapse.
+    */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Multimodal, Similarity, TextDedup, TextStats}
+
+/** Behavior checks for the LLM-pipeline extension operators: planted
+  * duplicates must be found, planted neighbors must rank first.
+  */
+class ExtSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank", "en"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bend", "en"), // near-dup of 0
+    (2L, "completely different words about spark query engines and shuffles here", "en"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank", "en")  // exact dup of 0
+  ).toDF("doc_id", "text", "lang")
+
+  test("exactGroups collapses exact duplicates") {
+    val g = TextDedup.exactGroups(docs).collect()
+    assert(g.length == 3)
+    val dupGroup = g.find(_.getLong(2) == 2).get
+    assert(dupGroup.getLong(1) == 0L) // keep_id = min(doc_id)
+  }
+
+  test("minhash signatures: identical texts identical, near-dups mostly equal") {
+    val sigs = TextDedup.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> (1 to TextDedup.NumHashes).map(r.getLong(_)))
+      .toMap
+    assert(sigs(0L) == sigs(3L))
+    val matching = sigs(0L).zip(sigs(1L)).count { case (a, b) => a == b }
+    assert(matching >= TextDedup.NumHashes / 2, s"only $matching components match")
+    assert(sigs(0L) != sigs(2L))
+  }
+
+  test("candidatePairs surfaces the planted near/exact dups, not the unrelated doc") {
+    val pairs = TextDedup.candidatePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash: identical texts equal, near-dups close in hamming distance") {
+    val sh = TextDedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(3L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(1L)) < hamming(sh(0L), sh(2L)))
+  }
+
+  test("ngramJaccardPairs: exact dup = 1.0, near-dup high, unrelated low") {
+    val j = TextDedup.ngramJaccardPairs(docs, "lang", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 3L)) == 1.0)
+    assert(j((0L, 1L)) > 0.5)
+    assert(j((0L, 2L)) < 0.1)
+  }
+
+  test("knnBrute: planted identical vector ranks first") {
+    val base = Array.tabulate(64)(i => math.sin(i).toFloat)
+    val other = Array.tabulate(64)(i => math.cos(i * 2).toFloat)
+    val emb = Seq(
+      (0L, base), (1L, base.map(x => x * 2f)), // same direction as 0 → cos = 1
+      (2L, other), (3L, other.map(_ * -1f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.knnBrute(emb.filter(col("vec_id") === 0), emb, 2)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(got.head == 1L)
+  }
+
+  test("lshBucket deterministic and direction-sensitive") {
+    val base = Array.tabulate(64)(i => math.sin(i).toFloat)
+    val emb = Seq((0L, base), (1L, base), (2L, base.map(_ * -1f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.lshBucket(col("embedding")).as("bucket"))
+    val b = emb.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(b(0L) == b(1L))
+    assert(b(0L) != b(2L)) // antipodal vector flips every plane
+    assert(b(0L) + b(2L) == (1 << Similarity.Planes) - 1)
+  }
+
+  test("languageId picks the language whose markers dominate") {
+    val d = Seq(
+      (0L, "the cat and the dog sat in the house of the king", "en"),
+      (1L, "der hund und die katze das ist nicht gut und der baum", "de")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextStats.languageId(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "en")
+    assert(got(1L) == "de")
+  }
+
+  test("quality + fingerprint + token count are deterministic and sane") {
+    val q = TextStats.quality(docs).filter(col("doc_id") === 0).first()
+    assert(q.getLong(2) == 13L) // 13 tokens
+    val f1 = TextStats.fingerprint(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(f1(0L) == f1(3L))
+    assert(f1(0L) != f1(2L))
+    val t = TextStats.bpeTokenCount(docs).filter(col("doc_id") === 0).first()
+    assert(t.getLong(1) == 13L)
+  }
+
+  test("multimodal stub: payload bytes → deterministic features, schema stable") {
+    val media = Multimodal.asMediaTable(docs.select(col("doc_id"), col("text")))
+    val feats = Multimodal.extractFeatures(spark, media)
+    assert(feats.columns.toSeq ==
+      Seq("doc_id", "media_type", "n_bytes", "head_hash", "features"))
+    val r0 = feats.filter(col("doc_id") === 0).first()
+    val r3 = feats.filter(col("doc_id") === 3).first()
+    assert(r0.getLong(2) == 63L) // byte length of text 0
+    assert(r0.getLong(3) == r3.getLong(3)) // same bytes → same head hash
+    assert(r0.getSeq[Double](4) == r3.getSeq[Double](4))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** FIXTURES.md §B.2/3/7: pair-key commutativity, address padding,
+  * shingles, JSON round-trip.
+  */
+class FunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("pair_key is commutative and '/'-joined sorted (FIXTURES §B.3)") {
+    val df = Seq(("ETH", "USDC"), ("USDC", "ETH"), ("ETH", "ETH"), ("A/B", "A"))
+      .toDF("a", "b")
+      .select(pair_key(col("a"), col("b")).as("p"))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("ETH/USDC", "ETH/USDC", "ETH/ETH", "A/A/B"))
+  }
+
+  test("pair_key commutativity property over random symbol pairs") {
+    val rnd = new scala.util.Random(7)
+    val syms = Seq.fill(100)((rnd.alphanumeric.take(5).mkString, rnd.alphanumeric.take(5).mkString))
+    val fwd = syms.toDF("a", "b").select(pair_key(col("a"), col("b"))).collect().map(_.getString(0))
+    val rev = syms.map(_.swap).toDF("a", "b").select(pair_key(col("a"), col("b"))).collect().map(_.getString(0))
+    assert(fwd.sameElements(rev))
+  }
+
+  test("pad_address: short pads to 66 chars, 64-digit passthrough (FIXTURES §B.2)") {
+    val df = Seq("0x157abc", "157abc", "0x" + "a" * 64)
+      .toDF("a").select(pad_address(col("a")).as("p"))
+    val got = df.collect().map(_.getString(0))
+    assert(got.forall(_.length == 66))
+    assert(got(0) == "0x" + "0" * 58 + "157abc")
+    assert(got(1) == got(0))
+    assert(got(2) == "0x" + "a" * 64)
+  }
+
+  test("json_string_array round-trips to_json (FIXTURES §B.7)") {
+    val df = Seq(Seq("0xa", "0xb"), Seq.empty[String])
+      .toDF("arr")
+      .select(json_string_array(to_json(col("arr"))).as("back"), col("arr"))
+    df.collect().foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("word_shingles: n-grams in order, distinct, short text → empty") {
+    val got = Seq("a b c d", "a b", "x y x y x y")
+      .toDF("t").select(word_shingles(col("t"), 3).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq.empty)
+    assert(got(2) == Seq("x y x", "y x y"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Ingest
+
+/** FIXTURES.md §B.8 watermark defaulting + the append/compact
+  * (ReplacingMergeTree) write path end-to-end on a temp table.
+  */
+class IngestSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("nextRange: empty sink → origin; caught-up → None; else max+1..head-1") {
+    assert(Ingest.nextRange(None, 1000500) ==
+      Some(Ingest.BlockRange(1000000, 1000499)))
+    assert(Ingest.nextRange(Some(1000100L), 1000500) ==
+      Some(Ingest.BlockRange(1000101, 1000499)))
+    assert(Ingest.nextRange(Some(1000499L), 1000500).isEmpty)
+  }
+
+  test("slices: fixed-size batching covers the range exactly") {
+    val s = Ingest.slices(Ingest.BlockRange(0, 25), 10)
+    assert(s == Seq(Ingest.BlockRange(0, 9), Ingest.BlockRange(10, 19),
+      Ingest.BlockRange(20, 25)))
+  }
+
+  test("sinkMax reads the watermark scalar") {
+    assert(Ingest.sinkMax(Seq(1L, 5L, 3L).toDF("block_number"), "block_number")
+      .contains(5L))
+    assert(Ingest.sinkMax(Seq.empty[Long].toDF("block_number"), "block_number")
+      .isEmpty)
+  }
+
+  test("append twice + compact = last write wins on disk") {
+    val dir = Files.createTempDirectory("graft-ingest").toString + "/blocks"
+    val batch1 = Seq((1L, "h1-old"), (2L, "h2")).toDF("block_number", "block_hash")
+    val batch2 = Seq((1L, "h1-new"), (3L, "h3")).toDF("block_number", "block_hash")
+    Ingest.appendWithSeq(batch1, dir, seq = 1)
+    Ingest.appendWithSeq(batch2, dir, seq = 2)
+    assert(spark.read.parquet(dir).count() == 4)
+
+    // dedup-on-read view before compaction
+    val view = Ingest.latestView(spark.read.parquet(dir), Seq("block_number"))
+    assert(view.count() == 3)
+
+    Ingest.compact(spark, dir, Seq("block_number"))
+    val got = spark.read.parquet(dir).orderBy("block_number")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "h1-new"), (2L, "h2"), (3L, "h3")))
+
+    // idempotent: compacting again changes nothing
+    Ingest.compact(spark, dir, Seq("block_number"))
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
+  test("publishReport overwrites (truncate-and-replace K-3)") {
+    val dir = Files.createTempDirectory("graft-report").toString + "/report"
+    Ingest.publishReport(Seq(("A/B", 10.0)).toDF("pair", "vol"), dir)
+    Ingest.publishReport(Seq(("C/D", 20.0), ("E/F", 30.0)).toDF("pair", "vol"), dir)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+}
