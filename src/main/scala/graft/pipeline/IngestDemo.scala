@@ -31,11 +31,11 @@ object IngestDemo {
     println(s"[demo] first range: $r1")
     println(s"[demo] slices(2): ${Ingest.slices(r1.get, 2)}")
 
-    // two appends, the second redelivering block 1000001 with new payload
-    Ingest.appendWithSeq(
-      Seq((1000000L, "h0"), (1000001L, "h1-old")).toDF("block_number", "block_hash"), dir, seq = 1)
-    Ingest.appendWithSeq(
-      Seq((1000001L, "h1-new"), (1000002L, "h2")).toDF("block_number", "block_hash"), dir, seq = 2)
+    // sliced distributed fetch (fake RPC), then a redelivery of overlap
+    graft.sources.SlicedSource.ingestBlocks(
+      spark, r1.get, sliceSize = 2, dir, seq = 1)
+    graft.sources.SlicedSource.ingestBlocks(
+      spark, Ingest.BlockRange(1000003, 1000004), sliceSize = 2, dir, seq = 2)
     println(s"[demo] rows before compaction: ${spark.read.parquet(dir).count()}")
 
     Ingest.compact(spark, dir, Seq("block_number"))

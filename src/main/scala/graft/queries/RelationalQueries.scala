@@ -292,6 +292,20 @@ object RelationalQueries {
         .select($"c_custkey", $"c_name")
         .orderBy($"c_custkey")),
 
+    Q("q23_token_backfill",
+      "Entry-point-D shape (crawl_token): unpivot → distinct → anti-join dim → default fill.",
+      Some("""WITH toks AS (SELECT DISTINCT key FROM (
+             |  SELECT l_partkey AS key FROM lineitem
+             |  UNION ALL SELECT l_suppkey AS key FROM lineitem) t)
+             |SELECT key AS token, 'No Name' AS name, 'No Symbol' AS symbol, 0 AS decimals
+             |FROM toks WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = key)
+             |ORDER BY token""".stripMargin),
+      (s, d) => graft.pipeline.TokenBackfill.withDefaults(
+          graft.pipeline.TokenBackfill.missingKeys(
+            Tables.lineitem(s, d), Seq("l_partkey", "l_suppkey"),
+            Tables.supplier(s, d), "s_suppkey"))
+        .orderBy($"token")),
+
     Q("q22_hourly_rollup",
       "Tumbling 1h event-time window (batch twin of the streaming agg in graft.streaming).",
       Some("""SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n,
