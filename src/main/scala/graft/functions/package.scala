@@ -28,6 +28,12 @@ package object functions {
       new ExpressionInfo(classOf[HexToDecimal].getName, "hex_to_decimal"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HexToDecimal(children.head))
+    Internal.register(
+      spark,
+      "cosine_sim",
+      new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_sim"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarityExpr(children(0), children(1)))
   }
 
   /** Canonical order-insensitive pair key: `'/'.join(sorted([a, b]))`.
@@ -56,11 +62,19 @@ package object functions {
     */
   def dec6(c: Column): Column = c.cast(DecimalType(38, 6))
 
-  /** Cosine similarity between two Array[Float]/Array[Double] columns,
-    * accumulated in Double in array order (deterministic). Pure built-ins
-    * (`zip_with` + `aggregate`) — stays inside whole-stage codegen.
+  /** Cosine similarity between two Array[Float]/Array[Double] columns —
+    * the native fused-loop Catalyst expression ([[CosineSimilarityExpr]]).
+    * Accumulates in Double in array order; bit-identical to the
+    * composed-builtin form below but allocation-free.
     */
-  def cosine_similarity(a: Column, b: Column): Column = {
+  def cosine_similarity(a: Column, b: Column): Column =
+    Internal.column(CosineSimilarityExpr(Internal.expression(a), Internal.expression(b)))
+
+  /** Same semantics composed from built-ins (`zip_with` + `aggregate`);
+    * kept as the portable reference implementation the custom expression
+    * is property-tested against.
+    */
+  def cosine_similarity_builtin(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(
         zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),

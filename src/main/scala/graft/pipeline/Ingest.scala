@@ -51,6 +51,15 @@ object Ingest {
     df.withColumn("ingest_seq", lit(seq))
       .write.mode("append").parquet(path)
 
+  /** Same, hive-partitioned by derived columns (e.g. a date column off
+    * the block timestamp). At 100 TB this is what makes the reports'
+    * time-range predicates partition-prune instead of scanning the full
+    * fact history (SURVEY §4 partition pruning).
+    */
+  def appendPartitioned(df: DataFrame, path: String, seq: Long, partitionCols: Seq[String]): Unit =
+    df.withColumn("ingest_seq", lit(seq))
+      .write.mode("append").partitionBy(partitionCols: _*).parquet(path)
+
   /** Compaction = ReplacingMergeTree `OPTIMIZE TABLE FINAL`: rewrite the
     * table keeping the latest row per key. Writes to a scratch dir then
     * atomically swaps (Spark cannot overwrite a path it is reading).

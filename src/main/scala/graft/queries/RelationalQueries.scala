@@ -306,6 +306,15 @@ object RelationalQueries {
             Tables.supplier(s, d), "s_suppkey"))
         .orderBy($"token")),
 
+    Q("q24_json_stringify",
+      "K-4 JSON-stringify list column before load (to_json of a collected array).",
+      Some("""SELECT user_id, to_json(list_sort(list(DISTINCT event_type))) AS types_json
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, d) => Tables.events(s, d)
+        .groupBy($"user_id")
+        .agg(to_json(sort_array(collect_set($"event_type"))).as("types_json"))
+        .orderBy($"user_id")),
+
     Q("q22_hourly_rollup",
       "Tumbling 1h event-time window (batch twin of the streaming agg in graft.streaming).",
       Some("""SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n,

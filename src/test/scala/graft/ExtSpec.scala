@@ -68,6 +68,22 @@ class ExtSpec extends SparkSuite {
     assert(got.head == 1L)
   }
 
+  test("custom cosine_sim expression is bit-identical to the builtin composition") {
+    val emb = graft.sources.Tables.embeddings(spark, sf).limit(50)
+    val a = emb.select(col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+    val pairs = a.crossJoin(b).filter(col("ida") < col("idb"))
+    val diff = pairs.select(
+        graft.functions.cosine_similarity(col("va"), col("vb")).as("custom"),
+        graft.functions.cosine_similarity_builtin(col("va"), col("vb")).as("builtin"))
+      .filter(col("custom") =!= col("builtin"))
+    assert(diff.count() == 0)
+    // SQL registration path
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").first()
+    assert(r.getDouble(0) == 1.0)
+  }
+
   test("lshBucket deterministic and direction-sensitive") {
     val base = Array.tabulate(64)(i => math.sin(i).toFloat)
     val emb = Seq((0L, base), (1L, base), (2L, base.map(_ * -1f)))
