@@ -29,6 +29,21 @@ object Dedup {
     */
   def anyWinner(df: DataFrame, keys: Seq[String]): DataFrame =
     df.dropDuplicates(keys)
+
+  /** Last-write-wins as a hash aggregate (`max_by` of the full row under
+    * an ordering struct) instead of a row_number window. Same semantics
+    * when the ordering is total per key (an ingest sequence is); at scale
+    * this is the better plan — no per-partition sort, map-side partial
+    * aggregation shrinks the shuffle to one row per key per mapper.
+    */
+  def lastWriteWinsAgg(df: DataFrame, keys: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val others = df.columns.filterNot(keys.contains)
+    val payload = struct(others.map(col): _*)
+    val ordering = struct(orderCols: _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, ordering).as("__row"))
+      .select(keys.map(col) ++ others.map(c => col(s"__row.$c").as(c)): _*)
+  }
 }
 
 /** Top-K patterns (SURVEY §2 T-1/T-2). `orderBy(...).limit(k)` plans as

@@ -66,7 +66,7 @@ object Ingest {
     */
   def compact(spark: SparkSession, path: String, keys: Seq[String], seqCol: String = "ingest_seq"): Unit = {
     val tmp = path + ".compact-tmp"
-    Dedup.lastWriteWins(spark.read.parquet(path), keys, Seq(col(seqCol).desc))
+    Dedup.lastWriteWinsAgg(spark.read.parquet(path), keys, Seq(col(seqCol)))
       .write.mode("overwrite").parquet(tmp)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(path), true)
@@ -77,7 +77,7 @@ object Ingest {
     * readers can afford the window; compaction amortizes it).
     */
   def latestView(df: DataFrame, keys: Seq[String], seqCol: String = "ingest_seq"): DataFrame =
-    Dedup.lastWriteWins(df, keys, Seq(col(seqCol).desc))
+    Dedup.lastWriteWinsAgg(df, keys, Seq(col(seqCol)))
 
   /** K-3 truncate-and-replace report publish. */
   def publishReport(df: DataFrame, path: String): Unit =

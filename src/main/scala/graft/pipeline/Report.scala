@@ -28,6 +28,17 @@ object Report {
   def topPairsByTxn(spark: SparkSession, sfDir: String): DataFrame =
     rankedPairs(spark, sfDir).orderBy(col("txn_24h").desc, col("pair")).limit(30)
 
+  /** §3.3 serving layer: the published report parquet IS the API. The
+    * reference's FastAPI endpoints are `SELECT ... ORDER BY metric DESC`
+    * over the precomputed table (api/ekubo_api.py:29-33,50-54); here
+    * that is one pruned-scan + TakeOrderedAndProject read.
+    */
+  def serve(spark: SparkSession, reportPath: String, metric: String, topN: Int): DataFrame =
+    spark.read.parquet(reportPath)
+      .select(col("pair"), col("vol_24h"), col("txn_24h"))
+      .orderBy(col(metric).desc, col("pair"))
+      .limit(topN)
+
   /** The shared 24h pair aggregate feeding both rankings
     * (reference recomputes it twice; we share the plan).
     */

@@ -267,7 +267,8 @@ object RelationalQueries {
         val ev = Tables.events(s, d)
         val redelivered = ev.withColumn("ingest_seq", lit(1L))
           .unionAll(ev.withColumn("ingest_seq", lit(2L)))
-        Dedup.lastWriteWins(redelivered, Seq("event_id"), Seq(col("ingest_seq").desc))
+        // max_by aggregate plan (no window sort; map-side partials)
+        Dedup.lastWriteWinsAgg(redelivered, Seq("event_id"), Seq(col("ingest_seq")))
           .groupBy($"event_type").agg(count(lit(1)).as("n"))
           .orderBy($"event_type")
       }),

@@ -29,4 +29,12 @@ class DedupSpec extends SparkSuite {
   test("anyWinner keeps exactly one row per key") {
     assert(Dedup.anyWinner(table, Seq("key")).count() == 3)
   }
+
+  test("lastWriteWinsAgg (max_by plan) agrees with the window plan") {
+    val w = Dedup.lastWriteWins(table, Seq("key"), Seq(col("ingest_seq").desc))
+      .select("key", "payload", "ingest_seq").orderBy("key").collect()
+    val a = Dedup.lastWriteWinsAgg(table, Seq("key"), Seq(col("ingest_seq")))
+      .select("key", "payload", "ingest_seq").orderBy("key").collect()
+    assert(w.sameElements(a))
+  }
 }
