@@ -61,4 +61,39 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].mapPartitions(fakeDecode _).toDF()
   }
+
+  /** STUB resize: a real implementation decodes, scales to (w, h) and
+    * re-encodes; the stub deterministically truncates/pads the payload to
+    * w*h bytes so downstream schema and sizing logic are exercised.
+    */
+  def fakeResize(w: Int, h: Int)(rows: Iterator[MediaRow]): Iterator[MediaRow] =
+    rows.map { r =>
+      val target = w * h
+      val out = java.util.Arrays.copyOf(r.payload, target)
+      MediaRow(r.doc_id, r.media_type, out)
+    }
+
+  def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(fakeResize(w, h) _).toDF()
+  }
+
+  /** STUB frame sampling: a real implementation demuxes video and emits
+    * every `stride`-th frame; the stub slices the payload into fixed-size
+    * pseudo-frames and keeps every `stride`-th — one input row fanning
+    * out to N frame rows (the generator/UDTF shape).
+    */
+  case class Frame(doc_id: Long, frame_index: Int, frame_bytes: Array[Byte])
+
+  def fakeFrameSample(frameSize: Int, stride: Int)(rows: Iterator[MediaRow]): Iterator[Frame] =
+    rows.flatMap { r =>
+      r.payload.grouped(frameSize).zipWithIndex.collect {
+        case (bytes, i) if i % stride == 0 => Frame(r.doc_id, i, bytes)
+      }
+    }
+
+  def frameSample(spark: SparkSession, media: DataFrame, frameSize: Int, stride: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(fakeFrameSample(frameSize, stride) _).toDF()
+  }
 }

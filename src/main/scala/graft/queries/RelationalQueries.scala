@@ -307,6 +307,22 @@ object RelationalQueries {
             Tables.supplier(s, d), "s_suppkey"))
         .orderBy($"token")),
 
+    Q("q25_sessionize",
+      "Session windows (30-min inactivity gap) per user — gap-based stateful windowing, batch twin of the streaming sessionizer.",
+      Some("""WITH g AS (
+             |  SELECT user_id,
+             |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+             |  FROM events)
+             |SELECT user_id, CAST(1 + SUM(brk) AS BIGINT) AS n_sessions
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, d) => Tables.events(s, d)
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy($"user_id")),
+
     Q("q24_json_stringify",
       "K-4 JSON-stringify list column before load (to_json of a collected array).",
       Some("""SELECT user_id, to_json(list_sort(list(DISTINCT event_type))) AS types_json

@@ -52,4 +52,17 @@ object StreamingIngest {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Gap-based sessionization per user (30-min inactivity closes the
+    * session) — `session_window` keeps per-key state across micro-batches;
+    * the watermark bounds that state. Batch twin: q25_sessionize.
+    */
+  def sessionized(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("val"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("val"))
 }

@@ -115,6 +115,18 @@ class ExtSpec extends SparkSuite {
     assert(t.getLong(1) == 13L)
   }
 
+  test("multimodal resize + frame sampling plumbing") {
+    val media = Multimodal.asMediaTable(docs.select(col("doc_id"), col("text")))
+    val resized = Multimodal.resize(spark, media, 8, 4)
+    assert(resized.select(length(col("payload"))).distinct().first().getInt(0) == 32)
+    val frames = Multimodal.frameSample(spark, media, frameSize = 16, stride = 2)
+    assert(frames.columns.toSeq == Seq("doc_id", "frame_index", "frame_bytes"))
+    // doc 0 has 63 bytes → frames 0..3 (sizes 16,16,16,15), strided → idx 0,2
+    val f0 = frames.filter(col("doc_id") === 0).orderBy("frame_index")
+      .collect().map(_.getInt(1))
+    assert(f0.toSeq == Seq(0, 2))
+  }
+
   test("multimodal stub: payload bytes → deterministic features, schema stable") {
     val media = Multimodal.asMediaTable(docs.select(col("doc_id"), col("text")))
     val feats = Multimodal.extractFeatures(spark, media)

@@ -39,6 +39,30 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming sessionization emits finalized sessions that match batch session_window") {
+    val dir = Files.createTempDirectory("graft-stream3").toString + "/events"
+    val events = Tables.events(spark, sf)
+    events.write.parquet(dir)
+
+    val stream = StreamingIngest.eventsStream(spark, dir, events.schema)
+    StreamingIngest.runToMemory(
+      StreamingIngest.sessionized(stream), "sessions", mode = "append")
+
+    val streamed = spark.table("sessions")
+      .select(col("user_id"), col("session_start").cast("long"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty)
+
+    val batch = events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").cast("long"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // append mode withholds sessions still inside the watermark; everything
+    // emitted must agree with the batch computation
+    assert(streamed.subsetOf(batch), "streamed session not present in batch result")
+  }
+
   test("dedupedStream drops redelivered event_ids within the watermark") {
     val dir = Files.createTempDirectory("graft-stream2").toString + "/events"
     val events = Tables.events(spark, sf).limit(100)
