@@ -15,10 +15,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.registerAll(spark)
     // JVM/codegen warmup outside the timed region: one shuffle + one agg
-    // over synthetic data so the first timed query doesn't absorb session
-    // bring-up (~5s of JIT + codegen compiler init, not query cost).
+    // over synthetic data, plus one tiny parquet read to initialize the
+    // vectorized reader path, so the first timed query doesn't absorb
+    // session bring-up (JIT + codegen compiler + reader init, not query
+    // cost).
     spark.range(0, 100000, 1, 4).groupBy((org.apache.spark.sql.functions.col("id") % 7).as("k"))
       .count().count()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

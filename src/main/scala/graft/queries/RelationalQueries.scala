@@ -307,6 +307,24 @@ object RelationalQueries {
             Tables.supplier(s, d), "s_suppkey"))
         .orderBy($"token")),
 
+    Q("q26_count_distinct",
+      "Exact distinct-aggregate per group (beyond reference parity; expand-based two-phase plan).",
+      Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, count(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, d) => Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("n_users"), count(lit(1)).as("n"))
+        .orderBy($"event_type")),
+
+    Q("x13_approx_distinct",
+      "HLL++ approximate distinct (sketch aggregate — constant memory per group at any scale). Approximate: rows-only.",
+      None,
+      (s, d) => Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id", 0.01).as("n_users_approx"),
+          count(lit(1)).as("n"))
+        .orderBy($"event_type")),
+
     Q("q25_sessionize",
       "Session windows (30-min inactivity gap) per user — gap-based stateful windowing, batch twin of the streaming sessionizer.",
       Some("""WITH g AS (
