@@ -43,10 +43,14 @@ object TextDedup {
     * words) drop out (explode of an empty array).
     */
   def minhashSignatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      explode(word_shingles(col(textCol), 3)).as("shingle"))
+    // hash each shingle STRING once; the per-permutation hashes remix the
+    // resulting 8-byte long (xxhash64 over a long is ~free next to
+    // re-hashing the string 16×) — the standard one-hash MinHash trick
+    val sh = docs
+      .select(col(idCol).as("doc_id"), explode(word_shingles(col(textCol), 3)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
     val aggs = (0 until NumHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"s$i"))
+      min(xxhash64(col("h"), lit(i))).as(s"s$i"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 

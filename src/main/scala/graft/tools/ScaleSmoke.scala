@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up smoke: amplify the corpus N× (key-shifted copies, written
+  * once to a scratch dir) and time representative queries against it, to
+  * observe how the plans behave one order of magnitude past the bench
+  * scale — the "would this survive a 100× scale-up" check with measured
+  * numbers instead of intuition.
+  *
+  *   sbt 'runMain graft.tools.ScaleSmoke /root/testdata/sf0.1 /tmp/graft-scale 10'
+  */
+object ScaleSmoke {
+
+  def amplify(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
+    def write(name: String, shift: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$srcDir/$name.parquet")
+      val amplified = (0 until factor).map(i => shift(base, i)).reduce(_ unionAll _)
+      amplified.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+    val K = 1000000000L
+    write("lineitem", (df, i) => df.withColumn("l_orderkey", col("l_orderkey") + lit(i * K)))
+    write("orders", (df, i) => df.withColumn("o_orderkey", col("o_orderkey") + lit(i * K)))
+    write("events", (df, i) => df.withColumn("event_id", col("event_id") + lit(i * K)))
+    write("documents", (df, i) => df.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+    write("embeddings", (df, i) => df.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+    // dims copied as-is (stay broadcast-sized, as they would in production)
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
+  val Targets = Seq(
+    "q02_group_agg", "q04_double_dim_join", "q08_dedup_last_write",
+    "q19_reingest_dedup", "q18_report_pairs", "q25_sessionize",
+    "x01_dedup_exact", "x03_minhash_pairs", "x06_knn_brute")
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, factorS) = args.take(3)
+    val factor = factorS.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-smoke")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.registerAll(spark)
+
+    if (!new java.io.File(s"$outDir/lineitem.parquet").exists()) {
+      println(s"[scale] amplifying $srcDir x$factor -> $outDir")
+      amplify(spark, srcDir, outDir, factor)
+    }
+    Targets.foreach { name =>
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(name)(spark, outDir).count()
+      println(f"[scale] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
+    }
+    spark.stop()
+  }
+}
