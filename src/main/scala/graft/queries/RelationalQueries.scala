@@ -307,6 +307,46 @@ object RelationalQueries {
             Tables.supplier(s, d), "s_suppkey"))
         .orderBy($"token")),
 
+    Q("q27_asof_join",
+      "As-of backward join (operator Spark lacks; union+window composition, one shuffle). Oracle: DuckDB native ASOF JOIN.",
+      Some("""SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_date
+             |FROM events e ASOF JOIN orders o
+             |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+             |ORDER BY e.event_id""".stripMargin),
+      (s, d) => graft.operators.AsOf.joinInner(
+          Tables.events(s, d), Tables.orders(s, d),
+          "user_id", "o_custkey", "ts", "o_orderdate")
+        .select($"event_id", $"user_id", $"right_o_orderdate".as("last_order_date"))
+        .orderBy($"event_id")),
+
+    Q("q28_pivot",
+      "Pivot event_type counts per user (conditional-aggregate form both sides).",
+      Some("""SELECT user_id,
+             |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+             |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+             |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, d) => Tables.events(s, d)
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "view", "purchase"))
+        .select($"user_id", $"click".as("n_click"), $"view".as("n_view"),
+          $"purchase".as("n_purchase"))
+        .orderBy($"user_id")),
+
+    Q("q29_rollup",
+      "ROLLUP subtotal hierarchy over (returnflag, linestatus).",
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec6($"l_quantity")).cast(DecimalType(38, 6)).as("qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)),
+
     Q("q26_count_distinct",
       "Exact distinct-aggregate per group (beyond reference parity; expand-based two-phase plan).",
       Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, count(*) AS n
