@@ -21,14 +21,34 @@ object Similarity {
   /** Exact top-k cosine neighbors of each query vector via one scan of
     * the corpus; queries broadcast. Deterministic: double accumulation in
     * array order, ties broken by neighbor id.
+    *
+    * Top-K per query runs through the bounded-heap aggregate
+    * ([[graft.functions.TopKByScore]]): partial aggregation caps each
+    * mapper at k candidates per query, so the shuffle carries
+    * O(queries × k) rows — the window formulation (`knnBruteWindow`)
+    * shuffles the entire scored candidate set.
     */
-  def knnBrute(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  def knnBrute(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    scoredCandidates(queries, corpus)
+      .groupBy(col("qid"))
+      .agg(graft.functions.top_k_by(col("sim"), col("neighbor_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"))
+
+  /** Window-based formulation, kept as the reference implementation the
+    * aggregate is tested against.
+    */
+  def knnBruteWindow(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    Ranks.topKPerGroup(scoredCandidates(queries, corpus), Seq("qid"), k,
+        Seq(col("sim").desc, col("neighbor_id")))
+      .select(col("qid"), col("rank"), col("neighbor_id"))
+
+  private def scoredCandidates(queries: DataFrame, corpus: DataFrame): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
-    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("qid"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("qid"))
       .withColumn("sim", cosine_similarity(col("qv"), col("nv")))
-    Ranks.topKPerGroup(scored, Seq("qid"), k, Seq(col("sim").desc, col("neighbor_id")))
-      .select(col("qid"), col("rank"), col("neighbor_id"))
   }
 
   val Planes = 8

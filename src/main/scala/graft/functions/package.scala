@@ -83,6 +83,16 @@ package object functions {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** Grouped top-K aggregate: top-k (score, id) pairs ranked
+    * (score desc, id asc), O(k) state per group with map-side partials —
+    * see [[TopKByScore]]. Usage:
+    * `df.groupBy("g").agg(top_k_by(col("sim"), col("id"), 5).as("top"))`.
+    */
+  def top_k_by(score: Column, id: Column, k: Int): Column =
+    Internal.column(
+      TopKByScore(Internal.expression(score), Internal.expression(id), k)
+        .toAggregateExpression())
+
   /** Word n-gram shingles of a text column (distinct), for Jaccard /
     * MinHash dedup. Empty array when the text has fewer than `n` words.
     */

@@ -265,8 +265,11 @@ object RelationalQueries {
              |GROUP BY event_type ORDER BY event_type""".stripMargin),
       (s, d) => {
         val ev = Tables.events(s, d)
-        val redelivered = ev.withColumn("ingest_seq", lit(1L))
-          .unionAll(ev.withColumn("ingest_seq", lit(2L)))
+        // prune to the columns the downstream needs BEFORE the dedup
+        // shuffle — full-row dedup pays for every byte it carries
+        val slim = ev.select($"event_id", $"event_type")
+        val redelivered = slim.withColumn("ingest_seq", lit(1L))
+          .unionAll(slim.withColumn("ingest_seq", lit(2L)))
         // max_by aggregate plan (no window sort; map-side partials)
         Dedup.lastWriteWinsAgg(redelivered, Seq("event_id"), Seq(col("ingest_seq")))
           .groupBy($"event_type").agg(count(lit(1)).as("n"))

@@ -68,6 +68,28 @@ class ExtSpec extends SparkSuite {
     assert(got.head == 1L)
   }
 
+  test("top_k_by aggregate agrees with the window formulation on real embeddings") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 20)
+    val viaAgg = Similarity.knnBrute(q, emb, 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaWindow = Similarity.knnBruteWindow(q, emb, 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("top_k_by: bounded state, exact ranking, tie-break by id asc") {
+    import graft.functions.top_k_by
+    val df = Seq((1L, 5.0, 10L), (1L, 9.0, 11L), (1L, 9.0, 9L), (1L, 1.0, 12L),
+      (2L, 3.0, 20L)).toDF("g", "s", "id")
+    val got = df.groupBy(col("g")).agg(top_k_by(col("s"), col("id"), 2).as("top"))
+      .select(col("g"), col("top")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(e => (e.getDouble(0), e.getLong(1)))).toMap
+    assert(got(1L) == Seq((9.0, 9L), (9.0, 11L))) // ties rank by id asc
+    assert(got(2L) == Seq((3.0, 20L)))
+  }
+
   test("custom cosine_sim expression is bit-identical to the builtin composition") {
     val emb = graft.sources.Tables.embeddings(spark, sf).limit(50)
     val a = emb.select(col("vec_id").as("ida"), col("embedding").as("va"))
