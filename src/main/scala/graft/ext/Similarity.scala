@@ -79,6 +79,71 @@ object Similarity {
       when(dot >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** IVF-style ANN: partition the corpus into cells around C centroids
+    * (deterministic stride sample of the corpus itself — a kmeans init,
+    * not the iterated fit, which is enough for a cell structure), then
+    * restrict each query's candidates to its `nprobe` nearest cells.
+    *
+    * Scale path: centroids are broadcast-sized (C ≪ corpus); cell
+    * assignment is one broadcast join + argmax; candidate generation is
+    * an equi-join on cell id. At 10^9 vectors this is the inverted-file
+    * layout every vector store uses; recall grows with nprobe.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cells = centroids.select(col("vec_id").as("cell_id"), col("embedding").as("cv"))
+    corpus.join(broadcast(cells))
+      .withColumn("csim", cosine_similarity(col("embedding"), col("cv")))
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(graft.functions.top_k_by(col("csim"), col("cell_id"), 1).as("top"))
+      .select(col("vec_id"), col("embedding"), col("top").getItem(0).getField("id").as("cell_id"))
+  }
+
+  def strideCentroids(corpus: DataFrame, c: Int): DataFrame = {
+    // deterministic stride sample over vec_id as the centroid set
+    corpus.select(col("vec_id"), col("embedding"))
+      .filter(pmod(col("vec_id"), lit(math.max(1L, 1000L / c))) === 0)
+      .limit(c)
+  }
+
+  def knnIvf(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val indexed = ivfAssign(corpus, centroids)
+    val cells = centroids.select(col("vec_id").as("cell_id"), col("embedding").as("cv"))
+    // each query probes its nprobe nearest cells
+    val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .join(broadcast(cells))
+      .withColumn("csim", cosine_similarity(col("qv"), col("cv")))
+      .groupBy(col("qid"), col("qv"))
+      .agg(graft.functions.top_k_by(col("csim"), col("cell_id"), nprobe).as("top"))
+      .select(col("qid"), col("qv"), explode(col("top.id")).as("cell_id"))
+    val scored = indexed.select(col("cell_id"), col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .withColumn("sim", cosine_similarity(col("qv"), col("nv")))
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.top_k_by(col("sim"), col("neighbor_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: candidates from shared LSH
+    * buckets, kept when cosine ≥ threshold — the vector-space member of
+    * the dedup family (exact / MinHash / SimHash / embedding).
+    */
+  def embeddingNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val withBucket = corpus.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding")).as("bucket"))
+    val a = withBucket.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = withBucket.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine_similarity(col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .distinct()
+  }
+
   /** ANN via LSH: candidates share the query's bucket; exact cosine rank
     * within the bucket. Recall < 1 by construction; bucket count scales
     * with `Planes`.

@@ -125,6 +125,22 @@ object ExtensionQueries {
       (s, d) => TextStats.bpeTokenCount(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
 
+    Q("x14_knn_ivf",
+      "IVF-style ANN: centroid cells (broadcast) + nprobe probing + bounded-heap rank. Rows-only.",
+      None,
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = Similarity.strideCentroids(emb, 16)
+        Similarity.knnIvf(emb.filter(col("vec_id") < 10), emb, centroids, 5, 4)
+          .orderBy(col("qid"), col("rank"))
+      }),
+
+    Q("x15_embedding_neardup",
+      "Embedding-cosine near-dup pairs from shared LSH buckets. Threshold 0.35 is demonstrative: the synthetic corpus has no true near-dups (max pairwise cos ≈ 0.48); production dedup uses ~0.9. Rows-only.",
+      None,
+      (s, d) => Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), 0.35)
+        .orderBy(col("id_a"), col("id_b"))),
+
     Q("x12_multimodal_stub",
       "Binary media column plumbing + partition-local (stubbed) decode/feature-extract. Rows-only.",
       None,

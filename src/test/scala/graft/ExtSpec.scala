@@ -106,6 +106,32 @@ class ExtSpec extends SparkSuite {
     assert(r.getDouble(0) == 1.0)
   }
 
+  test("IVF knn finds a planted identical vector through its cell") {
+    val base = Array.tabulate(64)(i => math.sin(i * 0.37).toFloat)
+    val rnd = new scala.util.Random(11)
+    val noise = Seq.tabulate(60)(i =>
+      ((i + 2).toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val emb = (Seq((0L, base), (1L, base.map(_ * 3f))) ++ noise)
+      .toDF("vec_id", "embedding")
+    val centroids = Similarity.strideCentroids(emb, 8)
+    val got = Similarity.knnIvf(emb.filter(col("vec_id") === 0), emb, centroids, 3, 4)
+      .orderBy("rank").collect()
+    assert(got.nonEmpty)
+    assert(got.head.getLong(2) == 1L) // colinear vector is rank 1
+  }
+
+  test("embeddingNearDupPairs surfaces planted colinear vectors") {
+    val base = Array.tabulate(64)(i => math.cos(i * 0.73).toFloat)
+    val rnd = new scala.util.Random(13)
+    val noise = Seq.tabulate(40)(i =>
+      ((i + 2).toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val emb = (Seq((0L, base), (1L, base.map(_ * 2f))) ++ noise)
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairs(emb, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+  }
+
   test("lshBucket deterministic and direction-sensitive") {
     val base = Array.tabulate(64)(i => math.sin(i).toFloat)
     val emb = Seq((0L, base), (1L, base), (2L, base.map(_ * -1f)))
