@@ -73,6 +73,16 @@ object Ingest {
     fs.rename(new Path(tmp), new Path(path))
   }
 
+  /** Partition-scoped compaction: rewrite only one hive partition of a
+    * table written via [[appendPartitioned]]. At 100 TB compaction must
+    * be incremental — recent partitions churn, old ones are immutable —
+    * so the full-table [[compact]] is reserved for small dims and this
+    * form runs per partition behind the ingest frontier.
+    */
+  def compactPartition(spark: SparkSession, path: String, keys: Seq[String],
+      partCol: String, partValue: String, seqCol: String = "ingest_seq"): Unit =
+    compact(spark, s"$path/$partCol=$partValue", keys, seqCol)
+
   /** Dedup-on-read view of an append table (the cheap alternative when
     * readers can afford the window; compaction amortizes it).
     */

@@ -44,6 +44,23 @@ object StreamingIngest {
     q
   }
 
+  /** Production sink: checkpointed parquet append. The checkpoint dir
+    * carries the source offsets (the streaming rendering of the
+    * reference's max-block-number watermark) so a restarted query
+    * resumes exactly-once into the sink.
+    */
+  def runToParquet(df: DataFrame, sinkDir: String, checkpointDir: String): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Incremental append with dedup-within-watermark — the streaming
     * answer to the reference's at-least-once redelivery (ReplacingMergeTree
     * shape): duplicate event_ids arriving within the watermark collapse.

@@ -55,6 +55,26 @@ class IngestSpec extends SparkSuite {
     assert(spark.read.parquet(dir).count() == 3)
   }
 
+  test("compactPartition rewrites one hive partition, leaves the rest untouched") {
+    val dir = Files.createTempDirectory("graft-part").toString + "/events"
+    val day1 = Seq((1L, "a-old", "2024-01-01"), (2L, "b", "2024-01-01"))
+      .toDF("event_id", "payload", "day")
+    val day1b = Seq((1L, "a-new", "2024-01-01")).toDF("event_id", "payload", "day")
+    val day2 = Seq((3L, "c", "2024-01-02"), (3L, "c-dup", "2024-01-02"))
+      .toDF("event_id", "payload", "day")
+    Ingest.appendPartitioned(day1, dir, 1, Seq("day"))
+    Ingest.appendPartitioned(day1b, dir, 2, Seq("day"))
+    Ingest.appendPartitioned(day2, dir, 3, Seq("day"))
+
+    Ingest.compactPartition(spark, dir, Seq("event_id"), "day", "2024-01-01")
+
+    val d1 = spark.read.parquet(dir).filter(col("day") === "2024-01-01")
+      .orderBy("event_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(d1.toSeq == Seq((1L, "a-new"), (2L, "b")))
+    // day2 still has its duplicate — untouched by the scoped compaction
+    assert(spark.read.parquet(dir).filter(col("day") === "2024-01-02").count() == 2)
+  }
+
   test("publishReport overwrites (truncate-and-replace K-3)") {
     val dir = Files.createTempDirectory("graft-report").toString + "/report"
     Ingest.publishReport(Seq(("A/B", 10.0)).toDF("pair", "vol"), dir)

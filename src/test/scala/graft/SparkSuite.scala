@@ -8,7 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 trait SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = {
+    // keep catalog artifacts (derby metastore, warehouse) out of the repo
+    System.setProperty("derby.system.home", "/tmp/graft-derby")
     val s = SparkSession.builder()
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")

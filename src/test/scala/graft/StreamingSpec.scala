@@ -63,6 +63,22 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.subsetOf(batch), "streamed session not present in batch result")
   }
 
+  test("runToParquet: checkpointed sink is exactly-once across restarts") {
+    val base = Files.createTempDirectory("graft-stream4").toString
+    val src = s"$base/src"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    val events = Tables.events(spark, sf).limit(200)
+    events.write.parquet(src)
+
+    val run1 = StreamingIngest.eventsStream(spark, src, events.schema)
+    StreamingIngest.runToParquet(run1.select(col("event_id"), col("event_type")), sink, ckpt)
+    assert(spark.read.parquet(sink).count() == 200)
+
+    // restart with the same checkpoint and no new input: no duplicates
+    val run2 = StreamingIngest.eventsStream(spark, src, events.schema)
+    StreamingIngest.runToParquet(run2.select(col("event_id"), col("event_type")), sink, ckpt)
+    assert(spark.read.parquet(sink).count() == 200)
+  }
+
   test("dedupedStream drops redelivered event_ids within the watermark") {
     val dir = Files.createTempDirectory("graft-stream2").toString + "/events"
     val events = Tables.events(spark, sf).limit(100)
