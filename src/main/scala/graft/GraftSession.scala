@@ -40,15 +40,19 @@ object GraftSession {
       .appName("graft")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    // getOrCreate may have returned a pre-existing session whose builder
-    // ran without our extensions — make function registration unconditional
+    // getOrCreate may have returned a PRE-EXISTING session, in which case
+    // the builder's configs and extensions were silently ignored. All the
+    // load-bearing settings here are SQL runtime confs, so apply them
+    // unconditionally on the session we actually got — without
+    // nanosAsLong the corpus events table fails to read, and a non-UTC
+    // timezone silently shifts every windowed result.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     graft.functions.registerAll(s)
     s
   }

@@ -48,10 +48,11 @@ object Multimodal {
       val features = Array.tabulate(4) { qi =>
         val lo = qi * n / 4
         val hi = math.max((qi + 1) * n / 4, lo + 1)
+        val end = math.min(hi, n)
         var s = 0L
         var j = lo
-        while (j < math.min(hi, n)) { s += bytes(j) & 0xff; j += 1 }
-        if (hi > lo) s.toDouble / (math.min(hi, n) - lo) else 0.0
+        while (j < end) { s += bytes(j) & 0xff; j += 1 }
+        if (end > lo) s.toDouble / (end - lo) else 0.0
       }
       MediaFeatures(r.doc_id, r.media_type, n.toLong, h, features)
     }

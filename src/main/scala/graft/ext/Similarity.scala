@@ -54,12 +54,13 @@ object Similarity {
   val Planes = 8
   val Dim = 64
 
-  /** Deterministic ±1 hyperplane matrix (splitmix64 of the flat index) —
-    * seeds are code, not data, so every run and every executor agrees.
+  /** Deterministic ±1 hyperplane matrix for a given dimension (splitmix64
+    * of the flat index) — seeds are code, not data, so every run and
+    * every executor agrees.
     */
-  private lazy val planeSigns: Array[Array[Double]] =
-    Array.tabulate(Planes, Dim) { (p, d) =>
-      if ((splitmix64(p * Dim + d + 1) & 1L) == 1L) 1.0 else -1.0
+  private def planeSigns(dim: Int): Array[Array[Double]] =
+    Array.tabulate(Planes, dim) { (p, d) =>
+      if ((splitmix64(p * dim + d + 1) & 1L) == 1L) 1.0 else -1.0
     }
 
   private def splitmix64(seed: Long): Long = {
@@ -69,15 +70,24 @@ object Similarity {
     z ^ (z >>> 31)
   }
 
-  /** Random-hyperplane LSH bucket id (0..2^Planes-1) of an embedding. */
-  def lshBucket(v: Column): Column =
-    (0 until Planes).map { p =>
-      val plane = array(planeSigns(p).map(lit): _*)
+  /** Random-hyperplane LSH bucket id (0..2^Planes-1) of an embedding.
+    * Vectors whose length differs from `dim` fail loudly (raise_error)
+    * instead of silently collapsing into one bucket — a dimension
+    * mismatch would otherwise degrade every LSH consumer to an O(n²)
+    * single-bucket self-join.
+    */
+  def lshBucket(v: Column, dim: Int = Dim): Column = {
+    val signs = planeSigns(dim)
+    val bucket = (0 until Planes).map { p =>
+      val plane = array(signs(p).map(lit): _*)
       val dot = aggregate(
         zip_with(v, plane, (x, s) => x.cast("double") * s),
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
+    when(size(v) === dim, bucket).otherwise(raise_error(
+      concat(lit(s"lshBucket: expected $dim-dim embedding, got "), size(v).cast("string"))))
+  }
 
   /** IVF-style ANN: partition the corpus into cells around C centroids
     * (deterministic stride sample of the corpus itself — a kmeans init,
@@ -141,7 +151,8 @@ object Similarity {
       .withColumn("cos_sim", cosine_similarity(col("va"), col("vb")))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
-      .distinct()
+    // no distinct: each vector lives in exactly one bucket, so a pair can
+    // appear at most once (unlike the multi-band MinHash join)
   }
 
   /** ANN via LSH: candidates share the query's bucket; exact cosine rank

@@ -24,6 +24,7 @@ object TextStats {
     docs.select(col("doc_id"),
       nChars.as("n_chars_m"),
       nTokens.as("n_tokens"),
+      nSpaces.as("n_spaces_x"),
       ((nChars - nSpaces) / nTokens).as("avg_word_len"),
       (stopHits / nTokens).as("stop_ratio"))
   }

@@ -55,6 +55,17 @@ case class TopKByScore(
     StructField("score", DoubleType), StructField("id", LongType))))
   override def prettyName: String = "top_k_by"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (k <= 0) {
+      TypeCheckResult.TypeCheckFailure(s"top_k_by requires k >= 1, got $k")
+    } else (scoreExpr.dataType, idExpr.dataType) match {
+      case (DoubleType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (s, i) => TypeCheckResult.TypeCheckFailure(
+        s"top_k_by expects (double score, bigint id), got (${s.sql}, ${i.sql}) — cast explicitly")
+    }
+  }
+
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 
   override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {

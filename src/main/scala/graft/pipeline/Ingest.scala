@@ -61,16 +61,32 @@ object Ingest {
       .write.mode("append").partitionBy(partitionCols: _*).parquet(path)
 
   /** Compaction = ReplacingMergeTree `OPTIMIZE TABLE FINAL`: rewrite the
-    * table keeping the latest row per key. Writes to a scratch dir then
-    * atomically swaps (Spark cannot overwrite a path it is reading).
+    * table keeping the latest row per key (Spark cannot overwrite a path
+    * it is reading, hence the scratch-dir dance).
+    *
+    * The scratch and backup dirs are dot-prefixed SIBLINGS of the table
+    * path — never inside it — so partition discovery on a parent table
+    * can't mistake them for data. The swap is rename(old→backup),
+    * rename(new→live), delete(backup): a crash leaves either the old or
+    * the new table plus a recoverable dot-dir, never nothing. (True
+    * atomicity needs a table format with a commit log — Delta/Iceberg —
+    * or an HDFS-like FS with atomic rename; on object stores treat this
+    * as maintenance run under an external lock.)
     */
   def compact(spark: SparkSession, path: String, keys: Seq[String], seqCol: String = "ingest_seq"): Unit = {
-    val tmp = path + ".compact-tmp"
+    val live = new Path(path)
+    val tmp = new Path(live.getParent, "." + live.getName + ".compact-tmp")
+    val bak = new Path(live.getParent, "." + live.getName + ".compact-bak")
     Dedup.lastWriteWinsAgg(spark.read.parquet(path), keys, Seq(col(seqCol)))
-      .write.mode("overwrite").parquet(tmp)
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(path), true)
-    fs.rename(new Path(tmp), new Path(path))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(bak, true)
+    if (!fs.rename(live, bak)) sys.error(s"compact: cannot stage $live -> $bak")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(bak, live) // restore the old table; nothing was lost
+      sys.error(s"compact: cannot publish $tmp -> $live (old table restored)")
+    }
+    fs.delete(bak, true)
   }
 
   /** Partition-scoped compaction: rewrite only one hive partition of a

@@ -97,19 +97,8 @@ object ExtensionQueries {
              |        w -> w IN ('the','and','of','to','in','a','is','that'))) AS BIGINT)
              |    / CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ratio
              |FROM documents ORDER BY doc_id""".stripMargin),
-      (s, d) => {
-        val words = split(col("text"), " ")
-        val nChars = length(col("text")).cast("long")
-        val nSpaces = (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).cast("long")
-        Tables.documents(s, d).select(col("doc_id"),
-          nChars.as("n_chars_m"),
-          size(words).cast("long").as("n_tokens"),
-          nSpaces.as("n_spaces_x"),
-          ((nChars - nSpaces) / size(words).cast("long")).as("avg_word_len"),
-          (size(filter(words, w => w.isin(graft.ext.Stopwords.en.toSeq: _*))).cast("long")
-            / size(words).cast("long")).as("stop_ratio"))
-          .orderBy(col("doc_id"))
-      }),
+      (s, d) => TextStats.quality(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
 
     Q("x10_fingerprint",
       "Document fingerprint: md5 of whitespace-normalized lowercase text.",

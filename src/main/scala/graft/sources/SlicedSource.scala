@@ -20,13 +20,21 @@ import graft.pipeline.Ingest.BlockRange
   */
 object SlicedSource {
 
-  /** One row per block number in `range`, partitioned slice-per-partition
-    * (partition i covers slice i, preserving the reference's 10k batching).
+  /** One row per block number in `range`, partitioned slice-per-partition:
+    * partition i covers EXACTLY slice i of `Ingest.slices(range, size)`
+    * (a plain `spark.range(..., n)` would split evenly and misalign the
+    * last slices, so a fetcher could exceed the RPC batch limit).
+    * Built from `spark.range(0, n, 1, n)` — one slice index per
+    * partition — expanded to that slice's block numbers.
     */
   def blockNumbers(spark: SparkSession, range: BlockRange, sliceSize: Long): Dataset[java.lang.Long] = {
-    val n = ((range.to - range.from) / sliceSize + 1).toInt
-    spark.range(range.from, range.to + 1, 1, n)
-      .map(java.lang.Long.valueOf(_))(org.apache.spark.sql.Encoders.LONG)
+    val ss = graft.pipeline.Ingest.slices(range, sliceSize).toIndexedSeq
+    implicit val enc = org.apache.spark.sql.Encoders.LONG
+    spark.range(0, ss.size, 1, ss.size)
+      .flatMap { i =>
+        val s = ss(i.toInt)
+        (s.from to s.to).iterator.map(java.lang.Long.valueOf)
+      }
   }
 
   /** Distributed fetch: `fetch` runs once per partition over its block

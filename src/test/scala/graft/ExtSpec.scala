@@ -104,6 +104,13 @@ class ExtSpec extends SparkSuite {
     val r = spark.sql(
       "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").first()
     assert(r.getDouble(0) == 1.0)
+    // dirty data: length mismatch and in-array nulls → null, matching the
+    // builtin composition's null-padding behavior
+    val dirty = spark.sql(
+      """SELECT cosine_sim(array(1.0D, 2.0D), array(1.0D)) AS a,
+        |       cosine_sim(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS b""".stripMargin)
+      .first()
+    assert(dirty.isNullAt(0) && dirty.isNullAt(1))
   }
 
   test("IVF knn finds a planted identical vector through its cell") {

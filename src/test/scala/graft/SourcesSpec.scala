@@ -19,6 +19,11 @@ class SourcesSpec extends SparkSuite {
     assert(ds.rdd.getNumPartitions == 3)
     val nums = ds.collect().map(_.longValue()).sorted
     assert(nums.toSeq == (100L to 125L))
+    // partition i carries exactly slice i (10, 10, 6) — a fetcher must
+    // never see more than sliceSize blocks in one call
+    val sizes = ds.mapPartitions(it => Iterator(it.size))(
+      org.apache.spark.sql.Encoders.scalaInt).collect().toSeq
+    assert(sizes == Seq(10, 10, 6))
   }
 
   test("fetchBlocks runs the fetcher partition-locally and lands a full table") {
