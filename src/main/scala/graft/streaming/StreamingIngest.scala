@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming rendering of the reference's micro-batch ingest
@@ -69,6 +69,44 @@ object StreamingIngest {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Accumulated per-user state carried across micro-batches. */
+  case class UserState(n_events: Long, total_value: Double)
+
+  /** Custom arbitrary state via `mapGroupsWithState`: a running per-user
+    * (event count, value total) that survives across micro-batches — the
+    * KeyValueGroupedDataset state API for logic windowed aggregates can't
+    * express. Update-mode output: one refreshed row per user per batch.
+    * State lives in the state store (checkpointed, partitioned by key),
+    * so memory per executor is O(active users / partitions).
+    */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, (Long, Long, Double)](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.n_events
+          var t = prev.total_value
+          rows.foreach { case (_, v) => n += 1; t += v }
+          state.update(UserState(n, t))
+          (uid, n, t)
+      }
+      .toDF("user_id", "n_events", "total_value")
+  }
+
+  /** Run an update-mode stateful stream to a named memory sink. */
+  def runToMemoryUpdate(df: DataFrame, name: String): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
 
   /** Gap-based sessionization per user (30-min inactivity closes the
     * session) — `session_window` keeps per-key state across micro-batches;

@@ -63,6 +63,27 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.subsetOf(batch), "streamed session not present in batch result")
   }
 
+  test("mapGroupsWithState running totals converge to the batch aggregate") {
+    val dir = Files.createTempDirectory("graft-stream5").toString + "/events"
+    val events = Tables.events(spark, sf)
+    events.write.parquet(dir)
+
+    val stream = StreamingIngest.eventsStream(spark, dir, events.schema)
+    StreamingIngest.runToMemoryUpdate(
+      StreamingIngest.runningUserTotals(spark, stream), "running")
+
+    // update mode emits one row per user per batch; the LAST row per user
+    // is the converged state
+    val finalRows = spark.table("running")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val batch = events.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalRows == batch)
+  }
+
   test("runToParquet: checkpointed sink is exactly-once across restarts") {
     val base = Files.createTempDirectory("graft-stream4").toString
     val src = s"$base/src"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
