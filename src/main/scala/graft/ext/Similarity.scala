@@ -79,7 +79,7 @@ object Similarity {
   def lshBucket(v: Column, dim: Int = Dim): Column = {
     val signs = planeSigns(dim)
     val bucket = (0 until Planes).map { p =>
-      val plane = array(signs(p).map(lit): _*)
+      val plane = array(signs(p).toIndexedSeq.map(lit): _*)
       val dot = aggregate(
         zip_with(v, plane, (x, s) => x.cast("double") * s),
         lit(0.0), (acc, x) => acc + x)

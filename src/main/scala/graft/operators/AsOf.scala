@@ -37,7 +37,7 @@ object AsOf {
       col(leftKey).as("__k"),
       col(leftTs).cast("timestamp").as("__t"),
       lit(1).as("__side"),
-      struct(left.columns.map(col): _*).as("__l"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__l"),
       lit(null).cast(rightStruct).as("__r"))
 
     val rSide = right.select(
@@ -45,7 +45,7 @@ object AsOf {
       col(rightTs).cast("timestamp").as("__t"),
       lit(0).as("__side"),
       lit(null).cast(StructType(left.schema.fields)).as("__l"),
-      struct(right.columns.map(col): _*).as("__r"))
+      struct(right.columns.toIndexedSeq.map(col): _*).as("__r"))
 
     val ordering: Seq[Column] =
       Seq(col("__t").asc, col("__side").asc) ++
@@ -61,7 +61,7 @@ object AsOf {
 
     val leftCols = left.columns.map(c => col(s"__l.$c").as(c))
     val rightCols = right.columns.map(c => col(s"__match.$c").as(s"$rightPrefix$c"))
-    matched.select(leftCols ++ rightCols: _*)
+    matched.select((leftCols ++ rightCols).toIndexedSeq: _*)
   }
 
   /** Inner flavor: left rows with no matching right row are dropped. */

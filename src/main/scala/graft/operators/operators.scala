@@ -38,7 +38,7 @@ object Dedup {
     */
   def lastWriteWinsAgg(df: DataFrame, keys: Seq[String], orderCols: Seq[Column]): DataFrame = {
     val others = df.columns.filterNot(keys.contains)
-    val payload = struct(others.map(col): _*)
+    val payload = struct(others.toIndexedSeq.map(col): _*)
     val ordering = struct(orderCols: _*)
     df.groupBy(keys.map(col): _*)
       .agg(max_by(payload, ordering).as("__row"))

@@ -75,6 +75,24 @@ class IngestSpec extends SparkSuite {
     assert(spark.read.parquet(dir).filter(col("day") === "2024-01-02").count() == 2)
   }
 
+  test("hive-partitioned appends partition-prune time-range reads") {
+    val dir = Files.createTempDirectory("graft-prune").toString + "/events"
+    val rows = (1 to 100).map(i => (i.toLong, s"p$i", f"2024-01-${i % 4 + 1}%02d"))
+      .toDF("event_id", "payload", "day")
+    Ingest.appendPartitioned(rows, dir, 1, Seq("day"))
+
+    val q = spark.read.parquet(dir).filter(col("day") === "2024-01-02")
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    // the partition predicate must reach the file index, not a post-scan filter
+    assert(scan.partitionFilters.nonEmpty, "no partition filters on the scan")
+    // one of the four day= partition directories survives pruning
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil).size == 1,
+      "scan did not prune to a single partition")
+    assert(q.count() == 25)
+  }
+
   test("publishReport overwrites (truncate-and-replace K-3)") {
     val dir = Files.createTempDirectory("graft-report").toString + "/report"
     Ingest.publishReport(Seq(("A/B", 10.0)).toDF("pair", "vol"), dir)
