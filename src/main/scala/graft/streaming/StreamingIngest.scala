@@ -70,6 +70,29 @@ object StreamingIngest {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** §2.10 "downstream trigger": the reference's ingest DAG fires the
+    * report DAG on completion (export_blocks_and_events_dag.py:111-117).
+    * Streaming rendering: `foreachBatch` appends the micro-batch to the
+    * landing table and recomputes the downstream report in the same
+    * transaction scope — ingest and derived table stay in lockstep
+    * without an external scheduler.
+    */
+  def ingestThenReport(
+      events: DataFrame, landingDir: String, reportDir: String, checkpointDir: String)(
+      report: DataFrame => DataFrame): StreamingQuery = {
+    val q = events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.pipeline.Ingest.appendWithSeq(batch.toDF(), landingDir, batchId)
+        val landed = batch.sparkSession.read.parquet(landingDir)
+        graft.pipeline.Ingest.publishReport(report(landed), reportDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Accumulated per-user state carried across micro-batches. */
   case class UserState(n_events: Long, total_value: Double)
 

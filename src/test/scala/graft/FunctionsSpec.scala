@@ -43,6 +43,26 @@ class FunctionsSpec extends SparkSuite {
     df.collect().foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("element_at over a parsed JSON array is 1-based (arrayElement parity)") {
+    // the reference's arrayElement(parsed_data, 2) is 1-based; Spark's
+    // element_at matches, so positional payload access translates directly
+    val r = Seq(Seq("0xaa", "0xbb", "0xcc")).toDF("arr")
+      .select(element_at(json_string_array(to_json(col("arr"))), 2).as("second"))
+      .first()
+    assert(r.getString(0) == "0xbb")
+  }
+
+  test("pad_address divergence from the reference's pad-width quirk is canonical") {
+    // parse_data.py:9-18 computes the pad as '0'*(66-len(address)) BEFORE
+    // stripping the 0x prefix, so its output length depends on whether the
+    // input carried the prefix. We canonicalize to lpad(...,64,'0') — every
+    // output is exactly 66 chars regardless of input form (recorded,
+    // tested decision per FIXTURES §B.2).
+    val outs = Seq("0x157", "157").toDF("a")
+      .select(pad_address(col("a"))).collect().map(_.getString(0))
+    assert(outs.distinct.length == 1 && outs.head.length == 66)
+  }
+
   test("word_shingles: n-grams in order, distinct, short text → empty") {
     val got = Seq("a b c d", "a b", "x y x y x y")
       .toDF("t").select(word_shingles(col("t"), 3).as("s"))

@@ -100,6 +100,27 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(sink).count() == 200)
   }
 
+  test("foreachBatch chains ingest -> report recompute (downstream-trigger shape)") {
+    val base = Files.createTempDirectory("graft-stream6").toString
+    val src = s"$base/src"; val landing = s"$base/landing"
+    val report = s"$base/report"; val ckpt = s"$base/ckpt"
+    val events = Tables.events(spark, sf).limit(300)
+    events.write.parquet(src)
+
+    StreamingIngest.ingestThenReport(
+      StreamingIngest.eventsStream(spark, src, events.schema),
+      landing, report, ckpt) { landed =>
+      landed.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    }
+
+    assert(spark.read.parquet(landing).count() == 300)
+    val reported = spark.read.parquet(report)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reported == expected)
+  }
+
   test("dedupedStream drops redelivered event_ids within the watermark") {
     val dir = Files.createTempDirectory("graft-stream2").toString + "/events"
     val events = Tables.events(spark, sf).limit(100)
