@@ -60,6 +60,16 @@ object Ingest {
     df.withColumn("ingest_seq", lit(seq))
       .write.mode("append").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Append clustered by `sortCols` within each output file: parquet
+    * row-group min/max stats then let point/range predicates on those
+    * columns skip row groups entirely (the ClickHouse ORDER-BY-key
+    * read-pruning effect, without a custom format).
+    */
+  def appendSorted(df: DataFrame, path: String, seq: Long, sortCols: Seq[String]): Unit =
+    df.withColumn("ingest_seq", lit(seq))
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("append").parquet(path)
+
   /** Compaction = ReplacingMergeTree `OPTIMIZE TABLE FINAL`: rewrite the
     * table keeping the latest row per key (Spark cannot overwrite a path
     * it is reading, hence the scratch-dir dance).

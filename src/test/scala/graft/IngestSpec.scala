@@ -93,6 +93,20 @@ class IngestSpec extends SparkSuite {
     assert(q.count() == 25)
   }
 
+  test("schema evolution: later batches may add columns; mergeSchema surfaces them") {
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/blocks"
+    Ingest.appendWithSeq(Seq((1L, "h1")).toDF("block_number", "block_hash"), dir, 1)
+    // the auto-DDL reference derives schema from whatever arrives
+    // (clickhouse.py:13-48); parquet-side, new columns appear via mergeSchema
+    Ingest.appendWithSeq(
+      Seq((2L, "h2", 99L)).toDF("block_number", "block_hash", "gas_used"), dir, 2)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.contains("gas_used"))
+    val byBlock = merged.orderBy("block_number").collect()
+    assert(byBlock(0).isNullAt(byBlock(0).fieldIndex("gas_used"))) // old rows null-fill
+    assert(byBlock(1).getLong(byBlock(1).fieldIndex("gas_used")) == 99L)
+  }
+
   test("publishReport overwrites (truncate-and-replace K-3)") {
     val dir = Files.createTempDirectory("graft-report").toString + "/report"
     Ingest.publishReport(Seq(("A/B", 10.0)).toDF("pair", "vol"), dir)
