@@ -14,8 +14,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  // One analyzed DataFrame per (session, path): `spark.read.parquet`
+  // re-lists files and re-reads footers on every call, which across a
+  // 44-query bench pass is seconds of pure metadata work. DataFrames are
+  // immutable plans, so reuse within a session is safe; the file index
+  // inside the cached plan is what we want to keep warm.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cache.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),
+      spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Drop cached plans (tests that rewrite a path need a fresh listing). */
+  def invalidate(): Unit = cache.clear()
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
