@@ -92,20 +92,43 @@ object TextDedup {
       .distinct()
   }
 
-  /** 64-bit SimHash over word unigrams: per word hash, each bit votes
-    * +1/-1; sign of the vote sum sets the output bit. Implemented as 64
-    * conditional-sum aggregates (partial map-side combine) + a bit-OR
-    * recombination — distributed, no per-doc state.
+  /** Engine-portable 60-bit hash: the first 15 hex chars of md5 parsed
+    * as a long. Slower than xxhash64 (the production family) but
+    * reproducible in any engine with md5 — which is what lets the
+    * portable MinHash/SimHash variants carry a DuckDB oracle.
     */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def portableHash(c: Column, salt: String): Column =
+    conv(substring(md5(concat(c, lit(salt)).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  /** MinHash signatures under the portable md5 family (same dataflow as
+    * [[minhashSignatures]]; oracled as x16).
+    */
+  def minhashSignaturesPortable(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(word_shingles(col(textCol), 3)).as("shingle"))
+    val aggs = (0 until NumHashes).map(i =>
+      min(portableHash(col("shingle"), s"#$i")).as(s"s$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** SimHash over word unigrams: per word hash, each bit votes +1/-1;
+    * sign of the vote sum sets the output bit. Implemented as `bits`
+    * conditional-sum aggregates (partial map-side combine) + a bit-OR
+    * recombination — distributed, no per-doc state. The default family
+    * is xxhash64/64-bit; pass `portableHash(_, "")`/60 for the
+    * oracle-reproducible variant.
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      hashFn: Column => Column = xxhash64(_), bits: Int = 64): DataFrame = {
     val words = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("word"))
-      .withColumn("h", xxhash64(col("word")))
-    val votes = (0 until 64).map { bit =>
+      .withColumn("h", hashFn(col("word")))
+    val votes = (0 until bits).map { bit =>
       sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$bit")
     }
     val agg = words.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val sh = (0 until 64).map { bit =>
+    val sh = (0 until bits).map { bit =>
       when(col(s"b$bit") >= 0, lit(1L << bit)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
     agg.select(col("doc_id"), sh.as("simhash"))

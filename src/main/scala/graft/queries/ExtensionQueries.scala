@@ -12,7 +12,44 @@ import graft.sources.Tables
   */
 object ExtensionQueries {
 
+  // DuckDB renderings of the portable md5 hash family (TextDedup.portableHash)
+  private val minhashPortableOracle: String = {
+    val sigs = (0 until graft.ext.TextDedup.NumHashes).map(i =>
+      s"  CAST(min(('0x'||substr(md5(shingle||'#$i'),1,15))::BIGINT) AS BIGINT) AS s$i").mkString(",\n")
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)])) AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t
+       |  WHERE len(words) >= 3)
+       |SELECT doc_id,
+       |$sigs
+       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  private val simhashPortableOracle: String = {
+    val votes = (0 until 60).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+    val bits = (0 until 60).map(b =>
+      s"(CASE WHEN b$b >= 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |h AS (SELECT doc_id, ('0x'||substr(md5(word),1,15))::BIGINT AS h FROM w),
+       |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[Q] = Seq(
+
+    Q("x16_minhash_portable",
+      "MinHash signatures under the engine-portable md5 family — the oracled twin of x02's xxhash64 fast path.",
+      Some(minhashPortableOracle),
+      (s, d) => TextDedup.minhashSignaturesPortable(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
+    Q("x17_simhash_portable",
+      "60-bit SimHash under the portable md5 family — the oracled twin of x04.",
+      Some(simhashPortableOracle),
+      (s, d) => TextDedup.simhash(Tables.documents(s, d),
+          hashFn = TextDedup.portableHash(_, ""), bits = 60)
+        .orderBy(col("doc_id"))),
 
     Q("x01_dedup_exact",
       "Exact dedup groups by content hash (hash-groupBy; one shuffle).",
