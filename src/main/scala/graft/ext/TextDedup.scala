@@ -74,8 +74,14 @@ object TextDedup {
     * The self-join keys on (band, band_hash) — a plain shuffled hash
     * join over buckets, never an all-pairs product.
     */
-  def candidatePairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val banded = minhashSignatures(docs, idCol, textCol)
+  def candidatePairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    candidatePairsFrom(minhashSignatures(docs, idCol, textCol))
+
+  /** Candidate generation over any (doc_id, s0..s15) signature frame —
+    * shared by the xxhash64 fast path and the oracled portable family.
+    */
+  def candidatePairsFrom(signatures: DataFrame): DataFrame = {
+    val banded = signatures
       .select(col("doc_id"), sigArray.as("sig"), explode(bandStructs).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
     val a = banded.select(col("band"), col("band_hash"),

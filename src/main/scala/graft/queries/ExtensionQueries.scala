@@ -36,7 +36,39 @@ object ExtensionQueries {
        |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
   }
 
+  private val minhashPairsPortableOracle: String = {
+    val n = graft.ext.TextDedup.NumHashes
+    val rows = graft.ext.TextDedup.RowsPerBand
+    val sigCols = (0 until n).map(i =>
+      s"CAST(min(('0x'||substr(md5(shingle||'#$i'),1,15))::BIGINT) AS BIGINT) AS s$i").mkString(", ")
+    val bandKey = (0 until graft.ext.TextDedup.Bands).map { b =>
+      val comps = (0 until rows).map(r => s"s${b * rows + r}").mkString("||'_'||")
+      s"WHEN $b THEN $comps"
+    }.mkString(" ")
+    val eqCount = (0 until n).map(i =>
+      s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)])) AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t
+       |  WHERE len(words) >= 3),
+       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |banded AS (
+       |  SELECT sig.*, band, CASE band $bandKey END AS bkey
+       |  FROM sig, (VALUES (0),(1),(2),(3)) bs(band))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST($eqCount AS BIGINT) / CAST(16.0 AS DOUBLE) AS est_jaccard
+       |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val defs: Seq[Q] = Seq(
+
+    Q("x18_minhash_pairs_portable",
+      "Full MinHash+LSH candidate pipeline under the portable family — the oracled twin of x03.",
+      Some(minhashPairsPortableOracle),
+      (s, d) => TextDedup.candidatePairsFrom(
+          TextDedup.minhashSignaturesPortable(Tables.documents(s, d)))
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     Q("x16_minhash_portable",
       "MinHash signatures under the engine-portable md5 family — the oracled twin of x02's xxhash64 fast path.",
