@@ -107,14 +107,45 @@ object TextDedup {
     conv(substring(md5(concat(c, lit(salt)).cast("binary")), 1, 15), 16, 10)
       .cast("long")
 
+  val PortableMask: Long = (1L << 60) - 1
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Per-permutation constants for the portable remix, precomputed in
+    * Scala so neither engine multiplies (int64 overflow semantics differ:
+    * DuckDB raises, the JVM wraps).
+    */
+  def portableRemixConsts(i: Int): (Long, Long) =
+    (splitmix64(1000L + i) & PortableMask, splitmix64(2000L + i) & PortableMask)
+
+  /** Permutation i of a 60-bit portable hash using only xor / right-shift
+    * / add / mask — operations with identical non-negative int64
+    * semantics in Spark and DuckDB (the one-hash MinHash trick, kept
+    * oracle-expressible: md5 runs once per shingle, not NumHashes times).
+    */
+  def portableRemix(h0: Column, i: Int): Column = {
+    val (d, c) = portableRemixConsts(i)
+    val x = h0.bitwiseXOR(lit(d))
+    val y = x.bitwiseXOR(shiftright(x, 29))
+    val z = (y + lit(c)).bitwiseAND(lit(PortableMask))
+    z.bitwiseXOR(shiftright(z, 13))
+  }
+
   /** MinHash signatures under the portable md5 family (same dataflow as
-    * [[minhashSignatures]]; oracled as x16).
+    * [[minhashSignatures]], same one-hash-then-remix cost shape; oracled
+    * as x16/x18).
     */
   def minhashSignaturesPortable(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      explode(word_shingles(col(textCol), 3)).as("shingle"))
+    val sh = docs
+      .select(col(idCol).as("doc_id"), explode(word_shingles(col(textCol), 3)).as("shingle"))
+      .select(col("doc_id"), portableHash(col("shingle"), "").as("h0"))
     val aggs = (0 until NumHashes).map(i =>
-      min(portableHash(col("shingle"), s"#$i")).as(s"s$i"))
+      min(portableRemix(col("h0"), i)).as(s"s$i"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 

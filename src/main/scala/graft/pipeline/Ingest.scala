@@ -97,6 +97,8 @@ object Ingest {
       sys.error(s"compact: cannot publish $tmp -> $live (old table restored)")
     }
     fs.delete(bak, true)
+    // any cached plan for this path now lists deleted files
+    graft.sources.Tables.invalidate()
   }
 
   /** Partition-scoped compaction: rewrite only one hive partition of a

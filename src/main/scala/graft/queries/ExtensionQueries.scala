@@ -12,17 +12,33 @@ import graft.sources.Tables
   */
 object ExtensionQueries {
 
-  // DuckDB renderings of the portable md5 hash family (TextDedup.portableHash)
+  // DuckDB renderings of the portable md5 hash family (TextDedup.portableHash
+  // + portableRemix): md5 once per shingle, xor/shift/add remix per
+  // permutation — arithmetic chosen for identical int64 semantics in both
+  // engines (no multiplies: DuckDB raises on overflow, the JVM wraps).
+  private def remixSql(i: Int): String = {
+    val (d, c) = graft.ext.TextDedup.portableRemixConsts(i)
+    val m = graft.ext.TextDedup.PortableMask
+    val x = s"xor(h0, $d)"
+    val y = s"xor($x, ($x >> 29))"
+    val z = s"(($y + $c) & $m)"
+    s"xor($z, ($z >> 13))"
+  }
+
+  private val shingleHashCte: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)])) AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t
+      |  WHERE len(words) >= 3),
+      |h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT AS h0 FROM sh)""".stripMargin
+
   private val minhashPortableOracle: String = {
     val sigs = (0 until graft.ext.TextDedup.NumHashes).map(i =>
-      s"  CAST(min(('0x'||substr(md5(shingle||'#$i'),1,15))::BIGINT) AS BIGINT) AS s$i").mkString(",\n")
-    s"""WITH sh AS (
-       |  SELECT doc_id, unnest(list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)])) AS shingle
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t
-       |  WHERE len(words) >= 3)
+      s"  CAST(min(${remixSql(i)}) AS BIGINT) AS s$i").mkString(",\n")
+    s"""$shingleHashCte
        |SELECT doc_id,
        |$sigs
-       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   private val simhashPortableOracle: String = {
@@ -40,23 +56,21 @@ object ExtensionQueries {
     val n = graft.ext.TextDedup.NumHashes
     val rows = graft.ext.TextDedup.RowsPerBand
     val sigCols = (0 until n).map(i =>
-      s"CAST(min(('0x'||substr(md5(shingle||'#$i'),1,15))::BIGINT) AS BIGINT) AS s$i").mkString(", ")
+      s"CAST(min(${remixSql(i)}) AS BIGINT) AS s$i").mkString(", ")
     val bandKey = (0 until graft.ext.TextDedup.Bands).map { b =>
       val comps = (0 until rows).map(r => s"s${b * rows + r}").mkString("||'_'||")
       s"WHEN $b THEN $comps"
     }.mkString(" ")
+    val bandValues = (0 until graft.ext.TextDedup.Bands).map(b => s"($b)").mkString(",")
     val eqCount = (0 until n).map(i =>
       s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH sh AS (
-       |  SELECT doc_id, unnest(list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)])) AS shingle
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t
-       |  WHERE len(words) >= 3),
-       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+    s"""$shingleHashCte,
+       |sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
        |banded AS (
        |  SELECT sig.*, band, CASE band $bandKey END AS bkey
-       |  FROM sig, (VALUES (0),(1),(2),(3)) bs(band))
+       |  FROM sig, (VALUES $bandValues) bs(band))
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CAST($eqCount AS BIGINT) / CAST(16.0 AS DOUBLE) AS est_jaccard
+       |  CAST($eqCount AS BIGINT) / CAST($n.0 AS DOUBLE) AS est_jaccard
        |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
   }

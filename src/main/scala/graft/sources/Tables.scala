@@ -14,19 +14,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  // One analyzed DataFrame per (session, path): `spark.read.parquet`
+  // One analyzed DataFrame per (sessionUUID, path): `spark.read.parquet`
   // re-lists files and re-reads footers on every call, which across a
   // 44-query bench pass is seconds of pure metadata work. DataFrames are
   // immutable plans, so reuse within a session is safe; the file index
-  // inside the cached plan is what we want to keep warm.
+  // inside the cached plan is what we want to keep warm. Keyed by the
+  // session UUID (not the session object) and size-bounded so stopped
+  // sessions don't pin entries forever; Ingest.compact invalidates after
+  // rewriting files.
+  private val MaxCached = 128
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (cache.size > MaxCached) cache.clear()
+    cache.getOrElseUpdate((String.valueOf(System.identityHashCode(spark)), s"$sfDir/$name.parquet"),
       spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
-  /** Drop cached plans (tests that rewrite a path need a fresh listing). */
+  /** Drop cached plans — required after rewriting files under a cached
+    * path (compaction does this automatically).
+    */
   def invalidate(): Unit = cache.clear()
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")

@@ -83,8 +83,19 @@ object StreamingIngest {
     val q = events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.pipeline.Ingest.appendWithSeq(batch.toDF(), landingDir, batchId)
-        val landed = batch.sparkSession.read.parquet(landingDir)
+        val spark = batch.sparkSession
+        // foreachBatch is at-least-once: a crash after the append but
+        // before the epoch commit replays this batchId. The ingest_seq
+        // stamp doubles as the replay guard — if the sink already holds
+        // this batch, skip the append and only refresh the report.
+        val alreadyLanded =
+          scala.util.Try(spark.read.parquet(landingDir)
+            .filter(col("ingest_seq") === batchId).limit(1).count() > 0)
+            .getOrElse(false)
+        if (!alreadyLanded) {
+          graft.pipeline.Ingest.appendWithSeq(batch.toDF(), landingDir, batchId)
+        }
+        val landed = spark.read.parquet(landingDir)
         graft.pipeline.Ingest.publishReport(report(landed), reportDir)
       }
       .trigger(Trigger.AvailableNow())
@@ -105,7 +116,9 @@ object StreamingIngest {
     */
   def runningUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
-    events.select(col("user_id"), col("value")).as[(Long, Double)]
+    // drop nulls before the primitive-tuple encoder (a null user_id/value
+    // would fail the stream where the batch twin's sum would skip it)
+    events.select(col("user_id"), col("value")).na.drop().as[(Long, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState[UserState, (Long, Long, Double)](GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[UserState]) =>

@@ -93,6 +93,22 @@ class IngestSpec extends SparkSuite {
     assert(q.count() == 25)
   }
 
+  test("appendSorted clusters rows within each output file (row-group skipping layout)") {
+    val dir = Files.createTempDirectory("graft-sorted").toString + "/blocks"
+    val scrambled = new scala.util.Random(3).shuffle((1L to 2000L).toList)
+      .map(i => (i, s"h$i")).toDF("block_number", "block_hash").repartition(2)
+    Ingest.appendSorted(scrambled, dir, 1, Seq("block_number"))
+    val byFile = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col("block_number"))
+      .collect().groupBy(_.getString(0))
+    assert(byFile.size >= 2)
+    byFile.values.foreach { rows =>
+      val v = rows.map(_.getLong(1))
+      assert(v.sameElements(v.sorted), "rows not clustered within file")
+    }
+    assert(spark.read.parquet(dir).count() == 2000)
+  }
+
   test("schema evolution: later batches may add columns; mergeSchema surfaces them") {
     val dir = Files.createTempDirectory("graft-evolve").toString + "/blocks"
     Ingest.appendWithSeq(Seq((1L, "h1")).toDF("block_number", "block_hash"), dir, 1)
