@@ -350,6 +350,22 @@ object RelationalQueries {
           sum(dec6($"l_quantity")).cast(DecimalType(38, 6)).as("qty"))
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)),
 
+    Q("q30_except",
+      "EXCEPT (set difference, distinct semantics) over key domains.",
+      Some("""SELECT l_partkey AS key FROM lineitem
+             |EXCEPT SELECT l_suppkey FROM lineitem ORDER BY key""".stripMargin),
+      (s, d) => Tables.lineitem(s, d).select($"l_partkey".as("key"))
+        .except(Tables.lineitem(s, d).select($"l_suppkey".as("key")))
+        .orderBy($"key")),
+
+    Q("q31_intersect",
+      "INTERSECT (distinct semantics) over key domains.",
+      Some("""SELECT l_partkey AS key FROM lineitem
+             |INTERSECT SELECT l_suppkey FROM lineitem ORDER BY key""".stripMargin),
+      (s, d) => Tables.lineitem(s, d).select($"l_partkey".as("key"))
+        .intersect(Tables.lineitem(s, d).select($"l_suppkey".as("key")))
+        .orderBy($"key")),
+
     Q("q26_count_distinct",
       "Exact distinct-aggregate per group (beyond reference parity; expand-based two-phase plan).",
       Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, count(*) AS n
