@@ -226,6 +226,25 @@ object RelationalQueries {
         .select($"l_orderkey", $"n_steps", $"steps")
         .orderBy($"l_orderkey")),
 
+    Q("q32_swap_steps_flat",
+      "O-18 verified: build the nested swap_steps array, then re-flatten via posexplode — array ordering and completeness hash-checked against the window formulation.",
+      Some("""SELECT l_orderkey,
+             |  CAST(count(*) OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_steps,
+             |  CAST(row_number() OVER (PARTITION BY l_orderkey
+             |       ORDER BY l_linenumber, l_partkey, l_quantity) AS INT) AS step_pos,
+             |  l_linenumber, l_partkey, l_quantity
+             |FROM lineitem ORDER BY l_orderkey, step_pos""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_list(struct($"l_linenumber", $"l_partkey", $"l_quantity")))
+          .as("steps"))
+        .select($"l_orderkey", size($"steps").cast("long").as("n_steps"),
+          posexplode($"steps"))
+        .select($"l_orderkey", $"n_steps", ($"pos" + 1).cast("int").as("step_pos"),
+          $"col.l_linenumber".as("l_linenumber"), $"col.l_partkey".as("l_partkey"),
+          $"col.l_quantity".as("l_quantity"))
+        .orderBy($"l_orderkey", $"step_pos")),
+
     Q("q16_watermark",
       "O-16 incremental watermark scalar: coalesce(max(offset), origin-1) + 1.",
       Some("""SELECT CAST(coalesce(max(event_id), 999999) + 1 AS BIGINT) AS next_from
