@@ -155,6 +155,46 @@ object Similarity {
     // appear at most once (unlike the multi-band MinHash join)
   }
 
+  /** Multi-probe LSH: each query also probes the `Planes` buckets at
+    * Hamming distance 1 from its own (one hyperplane bit flipped) —
+    * the standard recall lever that costs (Planes+1)× candidates
+    * instead of another full hash table.
+    */
+  def knnLshMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      lshBucket(col("embedding")).as("bucket0"))
+    val probes = col("bucket0") +:
+      (0 until Planes).map(p => col("bucket0").bitwiseXOR(lit(1 << p)))
+    val probed = q.select(col("qid"), col("qv"),
+      explode(array(probes: _*)).as("bucket"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+      lshBucket(col("embedding")).as("bucket"))
+    val scored = c.join(broadcast(probed), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .withColumn("sim", cosine_similarity(col("qv"), col("nv")))
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.top_k_by(col("sim"), col("neighbor_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"))
+  }
+
+  /** recall@k of an approximate KNN result against the exact one: the
+    * fraction of each query's true top-k the approximation recovered,
+    * averaged over queries. Both inputs use the (qid, rank, neighbor_id)
+    * shape the knn* functions emit.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): Double = {
+    val a = approx.filter(col("rank") <= k)
+      .select(col("qid"), col("neighbor_id"))
+    val e = exact.filter(col("rank") <= k)
+      .select(col("qid"), col("neighbor_id"))
+    val nQueries = e.select(col("qid")).distinct().count()
+    if (nQueries == 0) return 0.0
+    val hits = e.join(a, Seq("qid", "neighbor_id"), "left_semi").count()
+    hits.toDouble / (nQueries * k)
+  }
+
   /** ANN via LSH: candidates share the query's bucket; exact cosine rank
     * within the bucket. Recall < 1 by construction; bucket count scales
     * with `Planes`.

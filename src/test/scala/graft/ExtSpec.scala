@@ -113,6 +113,22 @@ class ExtSpec extends SparkSuite {
     assert(dirty.isNullAt(0) && dirty.isNullAt(1))
   }
 
+  test("ANN recall ladder: multi-probe LSH beats single-probe; recall harness sane") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 25)
+    val k = 5
+    val exact = Similarity.knnBrute(q, emb, k)
+    // exact vs itself is perfect recall
+    assert(Similarity.recallAtK(exact, exact, k) == 1.0)
+    val single = Similarity.recallAtK(Similarity.knnLsh(q, emb, k), exact, k)
+    val multi = Similarity.recallAtK(Similarity.knnLshMultiProbe(q, emb, k), exact, k)
+    val ivf = Similarity.recallAtK(
+      Similarity.knnIvf(q, emb, Similarity.strideCentroids(emb, 16), k, 4), exact, k)
+    info(f"recall@$k: lsh-single=$single%.2f lsh-multiprobe=$multi%.2f ivf-nprobe4=$ivf%.2f")
+    assert(multi >= single, "multi-probe must not lose recall vs single-probe")
+    assert(multi > 0.0 && ivf > 0.0)
+  }
+
   test("IVF knn finds a planted identical vector through its cell") {
     val base = Array.tabulate(64)(i => math.sin(i * 0.37).toFloat)
     val rnd = new scala.util.Random(11)
