@@ -108,6 +108,29 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("top").getItem(0).getField("id").as("cell_id"))
   }
 
+  /** Lloyd refinement of an IVF centroid set: assign every vector to its
+    * nearest centroid, replace each centroid with the element-wise mean
+    * of its members. Each iteration is one broadcast join + one
+    * aggregation over (cell, dimension) — no all-pairs work, so iterating
+    * stays linear in the corpus. Cells that lose all members drop out
+    * (standard kmeans attrition; the stride init keeps that rare).
+    */
+  def kmeansIterate(corpus: DataFrame, centroids: DataFrame, iters: Int): DataFrame = {
+    var cents = centroids
+    for (_ <- 0 until iters) {
+      cents = ivfAssign(corpus, cents)
+        .select(col("cell_id"), posexplode(col("embedding")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(avg(col("col")).as("v"))
+        .groupBy(col("cell_id"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("v")))),
+          e => e.getField("v").cast("float")).as("embedding"))
+        .select(col("cell_id").as("vec_id"), col("embedding"))
+    }
+    cents
+  }
+
   def strideCentroids(corpus: DataFrame, c: Int): DataFrame = {
     // deterministic stride sample over vec_id as the centroid set
     corpus.select(col("vec_id"), col("embedding"))

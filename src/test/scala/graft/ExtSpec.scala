@@ -129,6 +129,22 @@ class ExtSpec extends SparkSuite {
     assert(multi > 0.0 && ivf > 0.0)
   }
 
+  test("kmeans-refined IVF centroids keep shape and competitive recall") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 25)
+    val init = Similarity.strideCentroids(emb, 16)
+    val refined = Similarity.kmeansIterate(emb, init, 2)
+    val rows = refined.collect()
+    assert(rows.length <= 16 && rows.length > 0)
+    assert(rows.forall(_.getSeq[Float](1).length == 64))
+
+    val exact = Similarity.knnBrute(q, emb, 5)
+    val base = Similarity.recallAtK(Similarity.knnIvf(q, emb, init, 5, 4), exact, 5)
+    val tuned = Similarity.recallAtK(Similarity.knnIvf(q, emb, refined, 5, 4), exact, 5)
+    info(f"ivf recall@5: stride-init=$base%.2f kmeans-2iter=$tuned%.2f")
+    assert(tuned > 0.0)
+  }
+
   test("IVF knn finds a planted identical vector through its cell") {
     val base = Array.tabulate(64)(i => math.sin(i * 0.37).toFloat)
     val rnd = new scala.util.Random(11)
