@@ -52,6 +52,28 @@ class PlanSpec extends SparkSuite {
     assert(collectAll(p) { case t: TakeOrderedAndProjectExec => t }.nonEmpty)
   }
 
+  test("custom expressions stay inside WholeStageCodegen (no fallback to interpreted eval)") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    // under AQE codegen stages materialize per query-stage at execution;
+    // disable it so the static plan shows them
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p11 = SparkEntry.queries("q11_hex_to_decimal")(spark, sf)
+        .queryExecution.executedPlan
+      val codegenned = collectAll(p11) { case w: WholeStageCodegenExec => w }
+      assert(codegenned.exists(_.toString.contains("hex_to_decimal")),
+        s"HexToDecimal not inside a codegen stage:\n$p11")
+
+      val emb = graft.sources.Tables.embeddings(spark, sf)
+      val pCos = graft.ext.Similarity.knnBrute(emb.filter(emb("vec_id") < 5), emb, 3)
+        .queryExecution.executedPlan
+      val cosStages = collectAll(pCos) { case w: WholeStageCodegenExec => w }
+      assert(cosStages.exists(_.toString.contains("cosine_sim")),
+        s"CosineSimilarityExpr not inside a codegen stage:\n$pCos")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("x06: bounded-heap knn has no window sort and only the agg shuffles") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val p = plan(graft.ext.Similarity.knnBrute(emb.filter(emb("vec_id") < 10), emb, 5))
