@@ -42,6 +42,14 @@ class AsOfSpec extends SparkSuite {
     assert(AsOf.joinInner(left, right, "k", "k", "t", "rt").count() == 3)
   }
 
+  test("string keys work (no numeric-key assumption)") {
+    val l = Seq((1L, "alice", ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
+    val r = Seq((9L, "alice", ts("2024-01-01 09:00:00"), "hit"),
+      (10L, "bob", ts("2024-01-01 09:00:00"), "miss")).toDF("rid", "k", "rt", "payload")
+    val got = AsOf.join(l, r, "k", "k", "t", "rt").select("right_payload").first()
+    assert(got.getString(0) == "hit")
+  }
+
   test("left rows earlier than every right row get no match") {
     val earlyLeft = Seq((9L, 10L, ts("2024-01-01 00:00:00"))).toDF("id", "k", "t")
     val got = AsOf.join(earlyLeft, right, "k", "k", "t", "rt")

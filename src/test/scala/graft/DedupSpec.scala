@@ -30,6 +30,18 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.anyWinner(table, Seq("key")).count() == 3)
   }
 
+  test("multi-column keys: dedup treats the key tuple jointly") {
+    val t = Seq(
+      ("a", 1L, "v1", 1L), ("a", 1L, "v2", 2L), // same (k1,k2) → collapse
+      ("a", 2L, "x", 1L), ("b", 1L, "y", 1L)    // distinct tuples survive
+    ).toDF("k1", "k2", "payload", "ingest_seq")
+    val w = Dedup.lastWriteWins(t, Seq("k1", "k2"), Seq(col("ingest_seq").desc))
+    val a = Dedup.lastWriteWinsAgg(t, Seq("k1", "k2"), Seq(col("ingest_seq")))
+    assert(w.count() == 3 && a.count() == 3)
+    val winner = a.filter(col("k1") === "a" && col("k2") === 1).first().getString(2)
+    assert(winner == "v2")
+  }
+
   test("lastWriteWinsAgg (max_by plan) agrees with the window plan") {
     val w = Dedup.lastWriteWins(table, Seq("key"), Seq(col("ingest_seq").desc))
       .select("key", "payload", "ingest_seq").orderBy("key").collect()

@@ -26,6 +26,16 @@ class FunctionsSpec extends SparkSuite {
     assert(fwd.sameElements(rev))
   }
 
+  test("pair_key null behavior is recorded: concat_ws drops the null side") {
+    // the reference would throw on sorted([None, 'b']); our engine keeps
+    // the non-null symbol (concat_ws skips nulls after array_sort puts
+    // them last) — a recorded divergence, upstream fills defaults first
+    // (P-11) so nulls never reach the pair key in the pipeline
+    val got = Seq((Option.empty[String], Some("ETH")))
+      .toDF("a", "b").select(pair_key(col("a"), col("b"))).first().getString(0)
+    assert(got == "ETH")
+  }
+
   test("pad_address: short pads to 66 chars, 64-digit passthrough (FIXTURES §B.2)") {
     val df = Seq("0x157abc", "157abc", "0x" + "a" * 64)
       .toDF("a").select(pad_address(col("a")).as("p"))
