@@ -27,6 +27,11 @@ object Tables {
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // the corpus's events.ts is parquet TIMESTAMP(NANOS), which Spark 4
+    // refuses unless this (runtime-settable) conf is on. Set it here so
+    // entry/queries work under ANY caller-built session, not only our
+    // mains — without it the driver's smoke session would fail the read.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if (cache.size > MaxCached) cache.clear()
     cache.getOrElseUpdate((String.valueOf(System.identityHashCode(spark)), s"$sfDir/$name.parquet"),
       spark.read.parquet(s"$sfDir/$name.parquet"))
