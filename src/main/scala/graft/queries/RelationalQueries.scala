@@ -245,6 +245,15 @@ object RelationalQueries {
           $"col.l_quantity".as("l_quantity"))
         .orderBy($"l_orderkey", $"step_pos")),
 
+    Q("q33_epoch_cast",
+      "P-3 epoch-seconds -> timestamp cast (toDateTime shape): round-trip through unix seconds = second-truncation.",
+      Some("""SELECT event_id, date_trunc('second', ts) AS ts_sec
+             |FROM events ORDER BY event_id""".stripMargin),
+      (s, d) => Tables.events(s, d)
+        .select($"event_id",
+          timestamp_seconds(unix_timestamp($"ts")).cast("timestamp_ntz").as("ts_sec"))
+        .orderBy($"event_id")),
+
     Q("q16_watermark",
       "O-16 incremental watermark scalar: coalesce(max(offset), origin-1) + 1.",
       Some("""SELECT CAST(coalesce(max(event_id), 999999) + 1 AS BIGINT) AS next_from
