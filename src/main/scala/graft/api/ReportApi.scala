@@ -1,0 +1,79 @@
+package graft.api
+
+import java.net.InetSocketAddress
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.Report
+
+/** Entry point C of the reference (SURVEY §3.3, api/ekubo_api.py): two
+  * GET endpoints serving the precomputed report table ranked by either
+  * metric. Implemented over the JDK's built-in HTTP server (zero extra
+  * dependencies) reading the published report parquet through
+  * [[Report.serve]] — same endpoints, same response shape:
+  *
+  *   GET /top_n_vol_token?top_n=30  →  {"top_tokens": [...]}
+  *   GET /top_n_txn_token?top_n=30
+  *
+  * Error behavior mirrors the reference: empty table → message body;
+  * failure → HTTP 500 (`ekubo_api.py:39-45,60-66`).
+  */
+object ReportApi {
+
+  def start(spark: SparkSession, reportPath: String, port: Int): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/top_n_vol_token", (ex: HttpExchange) => handle(ex, spark, reportPath, "vol_24h"))
+    server.createContext("/top_n_txn_token", (ex: HttpExchange) => handle(ex, spark, reportPath, "txn_24h"))
+    server.start()
+    server
+  }
+
+  private def handle(ex: HttpExchange, spark: SparkSession, reportPath: String, metric: String): Unit = {
+    val (code, body) =
+      try {
+        val topN = Option(ex.getRequestURI.getQuery)
+          .flatMap(_.split("&").collectFirst {
+            case kv if kv.startsWith("top_n=") => kv.stripPrefix("top_n=").toInt
+          })
+          .getOrElse(30)
+        val rows = Report.serve(spark, reportPath, metric, topN).collect()
+        if (rows.isEmpty) (200, """{"message": "no data"}""")
+        else {
+          val items = rows.map { r =>
+            s"""{"pair": ${jsonStr(r.getString(0))}, "vol_24h": ${r.getDecimal(1).toPlainString}, "txn_24h": ${r.getLong(2)}}"""
+          }
+          (200, items.mkString("""{"top_tokens": [""", ", ", "]}"))
+        }
+      } catch {
+        case e: Throwable => (500, s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}""")
+      }
+    val bytes = body.getBytes("UTF-8")
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Standalone: publish the flagship report from an sf dir, then serve.
+    *   sbt 'runMain graft.api.ReportApi /root/testdata/sf0.001 8080'
+    */
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val port = if (args.length > 1) args(1).toInt else 8080
+    val spark = graft.GraftSession.build("local[4]", 4)
+    val reportPath = java.nio.file.Files.createTempDirectory("graft-api").toString + "/report"
+    graft.pipeline.Ingest.publishReport(Report.rankedPairs(spark, sfDir), reportPath)
+    start(spark, reportPath, port)
+    println(s"[api] serving /top_n_vol_token and /top_n_txn_token on :$port")
+    Thread.currentThread().join()
+  }
+}
