@@ -23,32 +23,43 @@ import graft.pipeline.Report
 object ReportApi {
 
   def start(spark: SparkSession, reportPath: String, port: Int): HttpServer = {
+    // the report table is immutable until the next publish: read (list
+    // files + footers) once, serve every request off the cached plan —
+    // per-request spark.read would pay full metadata cost each GET
+    val report = spark.read.parquet(reportPath)
     val server = HttpServer.create(new InetSocketAddress(port), 0)
-    server.createContext("/top_n_vol_token", (ex: HttpExchange) => handle(ex, spark, reportPath, "vol_24h"))
-    server.createContext("/top_n_txn_token", (ex: HttpExchange) => handle(ex, spark, reportPath, "txn_24h"))
+    server.createContext("/top_n_vol_token", (ex: HttpExchange) => handle(ex, report, "vol_24h"))
+    server.createContext("/top_n_txn_token", (ex: HttpExchange) => handle(ex, report, "txn_24h"))
     server.start()
     server
   }
 
-  private def handle(ex: HttpExchange, spark: SparkSession, reportPath: String, metric: String): Unit = {
-    val (code, body) =
-      try {
-        val topN = Option(ex.getRequestURI.getQuery)
-          .flatMap(_.split("&").collectFirst {
-            case kv if kv.startsWith("top_n=") => kv.stripPrefix("top_n=").toInt
-          })
-          .getOrElse(30)
-        val rows = Report.serve(spark, reportPath, metric, topN).collect()
-        if (rows.isEmpty) (200, """{"message": "no data"}""")
-        else {
-          val items = rows.map { r =>
-            s"""{"pair": ${jsonStr(r.getString(0))}, "vol_24h": ${r.getDecimal(1).toPlainString}, "txn_24h": ${r.getLong(2)}}"""
+  private def handle(ex: HttpExchange, report: org.apache.spark.sql.DataFrame, metric: String): Unit = {
+    val topN: Either[String, Int] = Option(ex.getRequestURI.getQuery)
+      .flatMap(_.split("&").collectFirst {
+        case kv if kv.startsWith("top_n=") => kv.stripPrefix("top_n=")
+      }) match {
+      case None => Right(30)
+      case Some(raw) => raw.toIntOption.filter(_ > 0)
+        .toRight(s"invalid top_n: '$raw' (positive integer required)")
+    }
+    val (code, body) = topN match {
+      case Left(msg) => (400, s"""{"error": ${jsonStr(msg)}}""")
+      case Right(n) =>
+        try {
+          val rows = Report.serveFrom(report, metric, n).collect()
+          if (rows.isEmpty) (200, """{"message": "no data"}""")
+          else {
+            val items = rows.map { r =>
+              val vol = Option(r.getDecimal(1)).map(_.toPlainString).getOrElse("null")
+              s"""{"pair": ${jsonStr(r.getString(0))}, "vol_24h": $vol, "txn_24h": ${r.getLong(2)}}"""
+            }
+            (200, items.mkString("""{"top_tokens": [""", ", ", "]}"))
           }
-          (200, items.mkString("""{"top_tokens": [""", ", ", "]}"))
+        } catch {
+          case e: Throwable => (500, s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}""")
         }
-      } catch {
-        case e: Throwable => (500, s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}""")
-      }
+    }
     val bytes = body.getBytes("UTF-8")
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(code, bytes.length)

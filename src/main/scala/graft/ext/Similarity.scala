@@ -29,8 +29,13 @@ object Similarity {
     * shuffles the entire scored candidate set.
     */
   def knnBrute(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
-    scoredCandidates(queries, corpus)
-      .groupBy(col("qid"))
+    topKRanked(scoredCandidates(queries, corpus), k)
+
+  /** Shared rank tail of every knn* variant: bounded-heap top-k per qid,
+    * flattened to (qid, rank, neighbor_id).
+    */
+  private def topKRanked(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("qid"))
       .agg(graft.functions.top_k_by(col("sim"), col("neighbor_id"), k).as("top"))
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
@@ -153,11 +158,7 @@ object Similarity {
       .join(broadcast(probes), Seq("cell_id"))
       .filter(col("neighbor_id") =!= col("qid"))
       .withColumn("sim", cosine_similarity(col("qv"), col("nv")))
-    scored.groupBy(col("qid"))
-      .agg(graft.functions.top_k_by(col("sim"), col("neighbor_id"), k).as("top"))
-      .select(col("qid"), posexplode(col("top")))
-      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("neighbor_id"))
+    topKRanked(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: candidates from shared LSH
@@ -195,11 +196,7 @@ object Similarity {
     val scored = c.join(broadcast(probed), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("qid"))
       .withColumn("sim", cosine_similarity(col("qv"), col("nv")))
-    scored.groupBy(col("qid"))
-      .agg(graft.functions.top_k_by(col("sim"), col("neighbor_id"), k).as("top"))
-      .select(col("qid"), posexplode(col("top")))
-      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("neighbor_id"))
+    topKRanked(scored, k)
   }
 
   /** recall@k of an approximate KNN result against the exact one: the
@@ -212,10 +209,12 @@ object Similarity {
       .select(col("qid"), col("neighbor_id"))
     val e = exact.filter(col("rank") <= k)
       .select(col("qid"), col("neighbor_id"))
-    val nQueries = e.select(col("qid")).distinct().count()
-    if (nQueries == 0) return 0.0
+    // denominator = actual exact rows, not nQueries*k: a query whose true
+    // neighbor list is shorter than k must not depress recall
+    val denom = e.count()
+    if (denom == 0) return 0.0
     val hits = e.join(a, Seq("qid", "neighbor_id"), "left_semi").count()
-    hits.toDouble / (nQueries * k)
+    hits.toDouble / denom
   }
 
   /** ANN via LSH: candidates share the query's bucket; exact cosine rank

@@ -34,7 +34,13 @@ object Report {
     * that is one pruned-scan + TakeOrderedAndProject read.
     */
   def serve(spark: SparkSession, reportPath: String, metric: String, topN: Int): DataFrame =
-    spark.read.parquet(reportPath)
+    serveFrom(spark.read.parquet(reportPath), metric, topN)
+
+  /** Same ranking over an already-loaded report frame (lets a server
+    * cache the plan across requests).
+    */
+  def serveFrom(report: DataFrame, metric: String, topN: Int): DataFrame =
+    report
       .select(col("pair"), col("vol_24h"), col("txn_24h"))
       .orderBy(col(metric).desc, col("pair"))
       .limit(topN)

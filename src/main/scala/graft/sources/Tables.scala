@@ -14,26 +14,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  // One analyzed DataFrame per (sessionUUID, path): `spark.read.parquet`
+  // One analyzed DataFrame per (session, path): `spark.read.parquet`
   // re-lists files and re-reads footers on every call, which across a
-  // 44-query bench pass is seconds of pure metadata work. DataFrames are
-  // immutable plans, so reuse within a session is safe; the file index
-  // inside the cached plan is what we want to keep warm. Keyed by the
-  // session UUID (not the session object) and size-bounded so stopped
-  // sessions don't pin entries forever; Ingest.compact invalidates after
-  // rewriting files.
-  private val MaxCached = 128
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  // 50-query bench pass is seconds of pure metadata work. DataFrames are
+  // immutable plans, so per-session reuse is safe; the file index inside
+  // the cached plan is what we want to keep warm. Sessions are weak keys
+  // (identity-compared), so stopped, GC'd sessions evict their entries
+  // and no hash-collision can hand one session another's plans;
+  // Ingest.compact invalidates after rewriting files.
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]())
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // the corpus's events.ts is parquet TIMESTAMP(NANOS), which Spark 4
-    // refuses unless this (runtime-settable) conf is on. Set it here so
-    // entry/queries work under ANY caller-built session, not only our
-    // mains — without it the driver's smoke session would fail the read.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if (cache.size > MaxCached) cache.clear()
-    cache.getOrElseUpdate((String.valueOf(System.identityHashCode(spark)), s"$sfDir/$name.parquet"),
+    val perSession = cache.computeIfAbsent(spark,
+      _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+    perSession.getOrElseUpdate(s"$sfDir/$name.parquet",
       spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 
@@ -50,14 +46,24 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   /** The corpus stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-    * has no timestamp type for. Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true`; this loader then
-    * truncates ns→µs with integer division (`div`, not `/` — the ns
-    * epoch values exceed double's 2^53 exact range) and yields a proper
-    * TimestampType column. Truncation matches DuckDB's own ns→µs read.
+    * has no timestamp type for. The (runtime-settable) legacy conf makes
+    * the read yield long nanos; it is set only around THIS schema
+    * inference and restored, so a caller-built session keeps its own
+    * semantics for its own nanos data — entry/queries still work under
+    * any session (the driver's bare smoke session included). The loader
+    * then truncates ns→µs with integer division (`div`, not `/` — ns
+    * epoch values exceed double's 2^53 exact range), matching DuckDB's
+    * own ns→µs truncation.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
+    val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = s.conf.getOption(NanosConf)
+    val raw =
+      try { s.conf.set(NanosConf, "true"); load(s, d, "events") }
+      finally prior match {
+        case Some(v) => s.conf.set(NanosConf, v)
+        case None => s.conf.unset(NanosConf)
+      }
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(

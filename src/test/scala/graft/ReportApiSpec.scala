@@ -33,6 +33,12 @@ class ReportApiSpec extends SparkSuite {
       val txn = get(s"http://localhost:$port/top_n_txn_token")
       assert(txn.statusCode() == 200 && txn.body().contains("txn_24h"))
 
+      // client errors are 400 with a named reason, not 500
+      val bad = get(s"http://localhost:$port/top_n_vol_token?top_n=abc")
+      assert(bad.statusCode() == 400 && bad.body().contains("invalid top_n"))
+      val neg = get(s"http://localhost:$port/top_n_vol_token?top_n=-1")
+      assert(neg.statusCode() == 400)
+
       // empty-table behavior: point a server at an empty report
       val emptyPath = Files.createTempDirectory("graft-api-empty").toString + "/report"
       Ingest.publishReport(Report.rankedPairs(spark, sf).limit(0), emptyPath)
