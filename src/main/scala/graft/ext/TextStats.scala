@@ -45,6 +45,35 @@ object TextStats {
       md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ").cast("binary"))
         .as("fingerprint"))
 
+  /** C4/Gopher-style quality gate composed from the [[quality]] signals:
+    * keep a document only if it clears every rule; emit the first failed
+    * rule as the drop reason (null = kept). Rules are deterministic
+    * column expressions, so the whole gate is oracle-expressible and
+    * filter-pushdown-friendly.
+    */
+  def qualityFilter(docs: DataFrame, minTokens: Long, maxAvgWordLen: Double,
+      minStopRatio: Double, textCol: String = "text"): DataFrame = {
+    val q = quality(docs, textCol)
+    val reason = when(col("n_tokens") < minTokens, "too_few_tokens")
+      .when(col("avg_word_len") > maxAvgWordLen, "words_too_long")
+      .when(col("stop_ratio") < minStopRatio, "too_few_stopwords")
+      .otherwise(lit(null).cast("string"))
+    q.withColumn("drop_reason", reason)
+      .withColumn("keep", col("drop_reason").isNull.cast("int"))
+  }
+
+  /** Deterministic train/eval assignment by portable content-id hash:
+    * stable across runs, engines and partitionings (the md5-prefix hash
+    * from TextDedup.portableHash over the id), so re-running the
+    * pipeline never migrates a document between splits.
+    */
+  def hashSplit(docs: DataFrame, idCol: String, trainPct: Int): DataFrame = {
+    val h = graft.ext.TextDedup.portableHash(col(idCol).cast("string"), "")
+    docs.withColumn("bucket_100", pmod(h, lit(100L)).cast("long"))
+      .withColumn("split",
+        when(col("bucket_100") < trainPct, "train").otherwise("eval"))
+  }
+
   /** Stopword-marker language ID: score = |words ∩ markers(lang)|,
     * argmax over languages (deterministic tie-break: higher score, then
     * lexicographically larger language code wins via struct max).

@@ -222,6 +222,40 @@ object ExtensionQueries {
       (s, d) => Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), 0.35)
         .orderBy(col("id_a"), col("id_b"))),
 
+    Q("x20_quality_filter",
+      "Composable quality gate (C4/Gopher shape): every rule a deterministic column expr, first failure is the drop reason.",
+      Some("""WITH q AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(length(replace(text, ' ', '')) AS BIGINT)
+             |      / CAST(len(string_split(text, ' ')) AS BIGINT) AS avg_word_len,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |          w -> w IN ('the','and','of','to','in','a','is','that'))) AS BIGINT)
+             |      / CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ratio
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CASE WHEN n_tokens < 10 THEN 'too_few_tokens'
+             |       WHEN avg_word_len > 9.0 THEN 'words_too_long'
+             |       WHEN stop_ratio < 0.01 THEN 'too_few_stopwords' END AS drop_reason,
+             |  CAST(CASE WHEN n_tokens >= 10 AND avg_word_len <= 9.0 AND stop_ratio >= 0.01
+             |       THEN 1 ELSE 0 END AS INT) AS keep
+             |FROM q ORDER BY doc_id""".stripMargin),
+      (s, d) => TextStats.qualityFilter(Tables.documents(s, d),
+          minTokens = 10, maxAvgWordLen = 9.0, minStopRatio = 0.01)
+        .select(col("doc_id"), col("drop_reason"), col("keep"))
+        .orderBy(col("doc_id"))),
+
+    Q("x21_hash_split",
+      "Deterministic train/eval split by portable content-id hash (stable across runs/engines/partitionings).",
+      Some("""SELECT doc_id,
+             |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 AS bucket_100,
+             |  CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 < 80
+             |       THEN 'train' ELSE 'eval' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => TextStats.hashSplit(Tables.documents(s, d), "doc_id", trainPct = 80)
+        .select(col("doc_id"), col("bucket_100"), col("split"))
+        .orderBy(col("doc_id"))),
+
     Q("x12_multimodal_stub",
       "Binary media column plumbing + partition-local (stubbed) decode/feature-extract. Rows-only.",
       None,

@@ -182,6 +182,30 @@ class ExtSpec extends SparkSuite {
     assert(b(0L) + b(2L) == (1 << Similarity.Planes) - 1)
   }
 
+  test("qualityFilter drops on the first failing rule, keeps clean docs") {
+    val d = Seq(
+      (0L, "the quick brown fox and the lazy dog run to the hills again today", "en"),
+      (1L, "short text", "en"),                       // too few tokens
+      (2L, ("antidisestablishmentarianism " * 12).trim, "en") // avg word len
+    ).toDF("doc_id", "text", "lang")
+    val got = TextStats.qualityFilter(d, minTokens = 5, maxAvgWordLen = 10.0, minStopRatio = 0.05)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(r.fieldIndex("drop_reason")).asInstanceOf[String])).toMap
+    assert(got(0L).isEmpty)                      // kept
+    assert(got(1L).contains("too_few_tokens"))
+    assert(got(2L).contains("words_too_long"))
+  }
+
+  test("hashSplit is deterministic and roughly proportional") {
+    val d = graft.sources.Tables.documents(spark, sf)
+    val s1 = TextStats.hashSplit(d, "doc_id", 80)
+    val s2 = TextStats.hashSplit(d, "doc_id", 80)
+    assert(s1.select("doc_id", "split").collect().toSeq ==
+      s2.select("doc_id", "split").collect().toSeq)
+    val train = s1.filter(col("split") === "train").count().toDouble / s1.count()
+    assert(train > 0.7 && train < 0.9, s"train fraction $train far from 0.8")
+  }
+
   test("languageId picks the language whose markers dominate") {
     val d = Seq(
       (0L, "the cat and the dog sat in the house of the king", "en"),
