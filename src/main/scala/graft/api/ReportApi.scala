@@ -22,11 +22,27 @@ import graft.pipeline.Report
   */
 object ReportApi {
 
+  /** Cached read of the report table that survives truncate-and-replace
+    * publishes (round-2, ADVICE.md): the plan (file listing + footers) is
+    * resolved once and reused per request — per-request spark.read would
+    * pay full metadata cost each GET — but when a publish invalidates the
+    * listing (request throws FileNotFound), the handle refreshes the
+    * path's cached listing and retries once instead of 500-ing until
+    * restart. `refresh()` is also the publish hook: call it right after
+    * `Ingest.publishReport` for a zero-failed-request handover.
+    */
+  final class ReportHandle(spark: SparkSession, path: String) {
+    @volatile private var cached: org.apache.spark.sql.DataFrame = doLoad()
+    private def doLoad(): org.apache.spark.sql.DataFrame = {
+      spark.catalog.refreshByPath(path)
+      spark.read.parquet(path)
+    }
+    def df: org.apache.spark.sql.DataFrame = cached
+    def refresh(): org.apache.spark.sql.DataFrame = synchronized { cached = doLoad(); cached }
+  }
+
   def start(spark: SparkSession, reportPath: String, port: Int): HttpServer = {
-    // the report table is immutable until the next publish: read (list
-    // files + footers) once, serve every request off the cached plan —
-    // per-request spark.read would pay full metadata cost each GET
-    val report = spark.read.parquet(reportPath)
+    val report = new ReportHandle(spark, reportPath)
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/top_n_vol_token", (ex: HttpExchange) => handle(ex, report, "vol_24h"))
     server.createContext("/top_n_txn_token", (ex: HttpExchange) => handle(ex, report, "txn_24h"))
@@ -34,7 +50,7 @@ object ReportApi {
     server
   }
 
-  private def handle(ex: HttpExchange, report: org.apache.spark.sql.DataFrame, metric: String): Unit = {
+  private def handle(ex: HttpExchange, report: ReportHandle, metric: String): Unit = {
     val topN: Either[String, Int] = Option(ex.getRequestURI.getQuery)
       .flatMap(_.split("&").collectFirst {
         case kv if kv.startsWith("top_n=") => kv.stripPrefix("top_n=")
@@ -46,8 +62,8 @@ object ReportApi {
     val (code, body) = topN match {
       case Left(msg) => (400, s"""{"error": ${jsonStr(msg)}}""")
       case Right(n) =>
-        try {
-          val rows = Report.serveFrom(report, metric, n).collect()
+        def serveOnce(df: org.apache.spark.sql.DataFrame): (Int, String) = {
+          val rows = Report.serveFrom(df, metric, n).collect()
           if (rows.isEmpty) (200, """{"message": "no data"}""")
           else {
             val items = rows.map { r =>
@@ -56,8 +72,15 @@ object ReportApi {
             }
             (200, items.mkString("""{"top_tokens": [""", ", ", "]}"))
           }
-        } catch {
-          case e: Throwable => (500, s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}""")
+        }
+        try serveOnce(report.df)
+        catch {
+          case _: Throwable =>
+            // stale plan after a publish replaced the table: refresh + retry
+            try serveOnce(report.refresh())
+            catch {
+              case e: Throwable => (500, s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}""")
+            }
         }
     }
     val bytes = body.getBytes("UTF-8")

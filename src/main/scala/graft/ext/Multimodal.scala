@@ -33,29 +33,32 @@ object Multimodal {
       lit("text/plain").as("media_type"),
       col("text").cast("binary").as("payload"))
 
-  /** STUB decode: deterministic fake feature extraction — 4 features =
-    * mean byte value per payload quarter. Replaces a real
-    * decode/resize/frame-sample kernel; batch shape (Iterator per
-    * partition) matches what a vectorized codec binding needs.
+  /** STUB decode: deterministic fake feature extraction derived from the
+    * payload's md5 digest — `head_hash` is the first 60 bits of the
+    * digest (the same portable-hash convention as
+    * [[graft.ext.TextDedup.portableHash]]), and feature i is hex chars
+    * [8i, 8i+8) scaled by 2^-32 into [0, 1). md5-derived (round-2) so
+    * the whole stub is reproducible in any engine with md5 — which is
+    * what lets x12 carry a DuckDB oracle; division by 2^32 is exact in
+    * IEEE double, so the features are bit-identical cross-engine.
+    * Replaces a real decode/resize/frame-sample kernel; batch shape
+    * (Iterator per partition, one digest instance per batch) matches
+    * what a vectorized codec binding needs.
     */
-  def fakeDecode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+  def fakeDecode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     rows.map { r =>
-      val bytes = r.payload
-      val n = bytes.length
-      var h = 1125899906842597L
-      var i = 0
-      while (i < math.min(n, 64)) { h = 31 * h + bytes(i); i += 1 }
-      val features = Array.tabulate(4) { qi =>
-        val lo = qi * n / 4
-        val hi = math.max((qi + 1) * n / 4, lo + 1)
-        val end = math.min(hi, n)
-        var s = 0L
-        var j = lo
-        while (j < end) { s += bytes(j) & 0xff; j += 1 }
-        if (end > lo) s.toDouble / (end - lo) else 0.0
+      md.reset()
+      val digest = md.digest(r.payload)
+      val hex = digest.map(b => f"${b & 0xff}%02x").mkString
+      val headHash = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val features = Array.tabulate(4) { i =>
+        java.lang.Long.parseLong(hex.substring(8 * i, 8 * i + 8), 16)
+          .toDouble / 4294967296.0
       }
-      MediaFeatures(r.doc_id, r.media_type, n.toLong, h, features)
+      MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, headHash, features)
     }
+  }
 
   /** media table → features table, decode running partition-local. */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {

@@ -61,9 +61,10 @@ object Similarity {
 
   /** Deterministic ±1 hyperplane matrix for a given dimension (splitmix64
     * of the flat index) — seeds are code, not data, so every run and
-    * every executor agrees.
+    * every executor agrees. Public (round-2) so the DuckDB oracles can
+    * embed the literal sign matrix and reproduce buckets bit-exactly.
     */
-  private def planeSigns(dim: Int): Array[Array[Double]] =
+  def planeSigns(dim: Int): Array[Array[Double]] =
     Array.tabulate(Planes, dim) { (p, d) =>
       if ((splitmix64(p * dim + d + 1) & 1L) == 1L) 1.0 else -1.0
     }

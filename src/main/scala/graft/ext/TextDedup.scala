@@ -69,6 +69,23 @@ object TextDedup {
       .select(col("doc_id"), explode(bandStructs).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
 
+  /** Banding under the portable family, with a collision-free string
+    * band key (`s_i` components joined by '_') instead of a band hash —
+    * reproducible in any engine, which is what lets the band bucketing
+    * itself carry an oracle (x02). At scale the band_hash form is the
+    * production path (8-byte key vs a string); semantics are identical
+    * up to hash collisions.
+    */
+  def lshBandsPortable(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bandKeys = array((0 until Bands).map { b =>
+      val comps = (0 until RowsPerBand).map(r => col(s"s${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), concat_ws("_", comps: _*).as("band_key"))
+    }: _*)
+    minhashSignaturesPortable(docs, idCol, textCol)
+      .select(col("doc_id"), explode(bandKeys).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
+  }
+
   /** Near-duplicate candidate pairs via the LSH bucket equi-join, with
     * the signature-estimated Jaccard (fraction of equal components).
     * The self-join keys on (band, band_hash) — a plain shuffled hash

@@ -45,9 +45,16 @@ package object functions {
   /** Zero-pad a hex address to the canonical 66-char `0x` + 64 digits form.
     * Reference: parse_data.py:9-18 (we canonicalize with lpad-to-64; the
     * reference's `66 - len` pad math is an acknowledged, tested divergence).
+    * Inputs longer than 64 digits yield null (round-2, ADVICE.md): lpad
+    * would silently TRUNCATE an oversized/malformed address to its first
+    * 64 chars — corrupt-in-place is the one wrong answer; null routes it
+    * to the caller's dirty-data handling.
     */
-  def pad_address(c: Column): Column =
-    concat(lit("0x"), lpad(regexp_replace(c, "^0[xX]", ""), 64, "0"))
+  def pad_address(c: Column): Column = {
+    val stripped = regexp_replace(c, "^0[xX]", "")
+    when(length(stripped) <= 64, concat(lit("0x"), lpad(stripped, 64, "0")))
+      .otherwise(lit(null).cast(StringType))
+  }
 
   /** Parse a JSON-encoded array-of-strings payload column.
     * Reference: `JSONExtract(data, 'Array(String)')`, generate_report_dag.py:46.

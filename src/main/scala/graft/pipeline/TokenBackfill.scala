@@ -54,12 +54,24 @@ object TokenBackfill {
         coalesce(col("symbol"), lit("No Symbol")).as("symbol"),
         coalesce(col("decimals"), lit(0)).as("decimals"))
 
-  /** Full backfill: discover → enrich → upsert-append → compact. */
+  /** Full backfill: discover → enrich → upsert-append → compact.
+    *
+    * Single-writer contract (round-2, ADVICE.md): the trailing
+    * [[Ingest.compact]] swaps the table via rename(live→bak) then
+    * rename(tmp→live), so there is a window where `dimPath` does not
+    * exist — run() must not race concurrent readers in other JVMs (a
+    * ReportApi on this dim retries via its ReportHandle, but a plain
+    * spark.read fails mid-swap). Schedule like the reference schedules
+    * its token crawl: one writer, no overlap. Pass `doCompact = false`
+    * to defer compaction to a maintenance window; readers then see the
+    * appended rows through last-write-wins dedup instead.
+    */
   def run(spark: SparkSession, facts: DataFrame, keyCols: Seq[String],
-      dimPath: String, details: DataFrame, seq: Long): Unit = {
+      dimPath: String, details: DataFrame, seq: Long,
+      doCompact: Boolean = true): Unit = {
     val dim = spark.read.parquet(dimPath)
     val newRows = enrich(missingKeys(facts, keyCols, dim, "token"), details)
     Ingest.appendWithSeq(newRows, dimPath, seq)
-    Ingest.compact(spark, dimPath, Seq("token"))
+    if (doCompact) Ingest.compact(spark, dimPath, Seq("token"))
   }
 }

@@ -4,13 +4,27 @@ import org.apache.spark.sql.functions._
 
 import graft.Q
 import graft.ext.{Multimodal, Similarity, TextDedup, TextStats}
+import graft.ext.Stopwords
 import graft.sources.Tables
 
 /** North-star LLM-data-pipeline operators (BASELINE.json): dedup,
   * similarity search, text analysis, multimodal plumbing — registered as
   * first-class queries over the `documents`/`embeddings` tables.
+  *
+  * Round-2 posture: EVERY declared query carries a DuckDB oracle. Two
+  * mechanisms make the engine-specific ones expressible:
+  *   - hash families are "portable" (md5-prefix + xor/shift/add remixes —
+  *     identical int64 semantics in both engines); the xxhash64 fast
+  *     paths remain as library API covered by ScalaTest.
+  *   - float kernels (cosine, hyperplane dots) accumulate left-to-right
+  *     in double on the Spark side, and the oracles are GENERATED here as
+  *     explicit left-associated sums over the same literal constants —
+  *     bit-identical IEEE arithmetic, so even top-k ORDER BY on similarity
+  *     agrees exactly.
   */
 object ExtensionQueries {
+
+  // ---- portable minhash/simhash oracle fragments --------------------------
 
   // DuckDB renderings of the portable md5 hash family (TextDedup.portableHash
   // + portableRemix): md5 once per shingle, xor/shift/add remix per
@@ -32,14 +46,14 @@ object ExtensionQueries {
       |  WHERE len(words) >= 3),
       |h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT AS h0 FROM sh)""".stripMargin
 
-  private val minhashPortableOracle: String = {
-    val sigs = (0 until graft.ext.TextDedup.NumHashes).map(i =>
-      s"  CAST(min(${remixSql(i)}) AS BIGINT) AS s$i").mkString(",\n")
+  private def sigColsSql: String =
+    (0 until graft.ext.TextDedup.NumHashes).map(i =>
+      s"CAST(min(${remixSql(i)}) AS BIGINT) AS s$i").mkString(", ")
+
+  private val minhashPortableOracle: String =
     s"""$shingleHashCte
-       |SELECT doc_id,
-       |$sigs
+       |SELECT doc_id, $sigColsSql
        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
 
   private val simhashPortableOracle: String = {
     val votes = (0 until 60).map(b =>
@@ -52,22 +66,31 @@ object ExtensionQueries {
        |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
   }
 
-  private val minhashPairsPortableOracle: String = {
-    val n = graft.ext.TextDedup.NumHashes
-    val rows = graft.ext.TextDedup.RowsPerBand
-    val sigCols = (0 until n).map(i =>
-      s"CAST(min(${remixSql(i)}) AS BIGINT) AS s$i").mkString(", ")
-    val bandKey = (0 until graft.ext.TextDedup.Bands).map { b =>
-      val comps = (0 until rows).map(r => s"s${b * rows + r}").mkString("||'_'||")
+  private def bandKeyCases: String =
+    (0 until graft.ext.TextDedup.Bands).map { b =>
+      val comps = (0 until graft.ext.TextDedup.RowsPerBand)
+        .map(r => s"s${b * graft.ext.TextDedup.RowsPerBand + r}").mkString("||'_'||")
       s"WHEN $b THEN $comps"
     }.mkString(" ")
-    val bandValues = (0 until graft.ext.TextDedup.Bands).map(b => s"($b)").mkString(",")
+
+  private def bandValues: String =
+    (0 until graft.ext.TextDedup.Bands).map(b => s"($b)").mkString(",")
+
+  private val bandsPortableOracle: String =
+    s"""$shingleHashCte,
+       |sig AS (SELECT doc_id, $sigColsSql FROM h GROUP BY doc_id)
+       |SELECT doc_id, band, CASE band $bandKeyCases END AS band_key
+       |FROM sig, (VALUES $bandValues) bs(band)
+       |ORDER BY doc_id, band""".stripMargin
+
+  private val minhashPairsPortableOracle: String = {
+    val n = graft.ext.TextDedup.NumHashes
     val eqCount = (0 until n).map(i =>
       s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END").mkString(" + ")
     s"""$shingleHashCte,
-       |sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigColsSql FROM h GROUP BY doc_id),
        |banded AS (
-       |  SELECT sig.*, band, CASE band $bandKey END AS bkey
+       |  SELECT sig.*, band, CASE band $bandKeyCases END AS bkey
        |  FROM sig, (VALUES $bandValues) bs(band))
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST($eqCount AS BIGINT) / CAST($n.0 AS DOUBLE) AS est_jaccard
@@ -75,27 +98,132 @@ object ExtensionQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- vector-space oracle fragments --------------------------------------
+  // Bit-exact SQL twins of the Spark double kernels: explicit
+  // left-associated sums (the fold order of VectorKernels.cosineFloat and
+  // of aggregate(zip_with(...)) in Similarity.lshBucket), literal ±1 sign
+  // matrix from Similarity.planeSigns. DuckDB lists are 1-indexed.
+
+  private val Dim = Similarity.Dim
+  private val Planes = Similarity.Planes
+
+  private def dotSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
+      .mkString("(CAST(0.0 AS DOUBLE) + ", " + ", ")")
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  // x * (+1.0) == x and x * (-1.0) == -x bitwise, so the signed sum is
+  // exactly the Spark-side zip_with product fold
+  private def planeDotSql(e: String, p: Int): String = {
+    val signs = Similarity.planeSigns(Dim)
+    (0 until Dim).map { d =>
+      (if (signs(p)(d) > 0) " + " else " - ") + s"CAST($e[${d + 1}] AS DOUBLE)"
+    }.mkString("(CAST(0.0 AS DOUBLE)", "", ")")
+  }
+
+  private def bucketSql(e: String): String =
+    (0 until Planes).map(p =>
+      s"(CASE WHEN ${planeDotSql(e, p)} >= 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  private val knnLshOracle: String =
+    s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+       |s AS (SELECT q.vec_id AS qid, c.vec_id AS neighbor_id, q.bucket AS bucket,
+       |             ${cosSql("q.embedding", "c.embedding")} AS sim
+       |      FROM b q JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+       |      WHERE q.vec_id < 10)
+       |SELECT qid, rank, neighbor_id, bucket FROM (
+       |  SELECT qid, neighbor_id, bucket,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM s) t
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  private val knnLshMultiProbeOracle: String = {
+    val probeArms = (s"SELECT qid, qv, bucket0 AS bucket FROM q0" +:
+      (0 until Planes).map(p =>
+        s"SELECT qid, qv, xor(bucket0, ${1 << p}) AS bucket FROM q0"))
+      .mkString("\n  UNION ALL ")
+    s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+       |q0 AS (SELECT vec_id AS qid, embedding AS qv, bucket AS bucket0 FROM b WHERE vec_id < 10),
+       |probes AS (
+       |  $probeArms),
+       |s AS (SELECT probes.qid, c.vec_id AS neighbor_id,
+       |             ${cosSql("probes.qv", "c.embedding")} AS sim
+       |      FROM b c JOIN probes ON c.bucket = probes.bucket AND c.vec_id != probes.qid)
+       |SELECT qid, rank, neighbor_id FROM (
+       |  SELECT qid, neighbor_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM s) t
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
+  // strideCentroids(emb, 16): stride = max(1, 1000/16) = 62 over vec_id
+  private val knnIvfOracle: String =
+    s"""WITH cent AS (SELECT vec_id AS cell_id, embedding AS cv FROM embeddings WHERE vec_id % 62 = 0),
+       |assign AS (SELECT vec_id, embedding, cell_id FROM (
+       |  SELECT e.vec_id, e.embedding, c.cell_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cell_id) AS rn
+       |  FROM embeddings e, cent c) t WHERE rn = 1),
+       |probes AS (SELECT qid, cell_id FROM (
+       |  SELECT e.vec_id AS qid, c.cell_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cell_id) AS rn
+       |  FROM embeddings e, cent c WHERE e.vec_id < 10) t WHERE rn <= 4),
+       |s AS (SELECT p.qid, a.vec_id AS neighbor_id, ${cosSql("q.embedding", "a.embedding")} AS sim
+       |      FROM probes p JOIN assign a ON a.cell_id = p.cell_id
+       |      JOIN embeddings q ON q.vec_id = p.qid
+       |      WHERE a.vec_id != p.qid)
+       |SELECT qid, rank, neighbor_id FROM (
+       |  SELECT qid, neighbor_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM s) t
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  private val embeddingNearDupOracle: String =
+    s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+       |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       |             ${cosSql("a.embedding", "c.embedding")} AS cos_sim
+       |      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+       |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35 ORDER BY id_a, id_b""".stripMargin
+
+  // ---- language-ID oracle -------------------------------------------------
+
+  private val langIdOracle: String = {
+    val arms = Stopwords.markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      val inList = ms.toSeq.sorted.map(m => s"'$m'").mkString(", ")
+      s"""SELECT doc_id, actual_lang, '$lang' AS pred_lang,
+         |       CAST(len(list_filter(words, x -> x IN ($inList))) AS BIGINT) AS score FROM w""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH w AS (SELECT doc_id, lang AS actual_lang, string_split(text, ' ') AS words FROM documents),
+       |sc AS (
+       |  $arms),
+       |best AS (SELECT doc_id, actual_lang, pred_lang, score,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pred_lang DESC) AS rn
+       |         FROM sc)
+       |SELECT doc_id, pred_lang, score, actual_lang,
+       |       CAST(CASE WHEN pred_lang = actual_lang THEN 1 ELSE 0 END AS INT) AS correct
+       |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- multimodal-stub oracle ---------------------------------------------
+  // The stub features are md5-derived (Multimodal.fakeDecode): f_i = hex
+  // chars [8i, 8i+8) / 2^32 (exact in double), head_hash = first 60 bits.
+  // DuckDB's md5(VARCHAR) hashes the UTF-8 bytes — exactly the payload
+  // bytes asMediaTable wraps.
+  private val multimodalOracle: String = {
+    val fs = (0 until 4).map(i =>
+      s"('0x'||substr(md5(text),${8 * i + 1},8))::BIGINT / 4294967296.0 AS f$i").mkString(",\n  ")
+    s"""SELECT doc_id, 'text/plain' AS media_type,
+       |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+       |  ('0x'||substr(md5(text),1,15))::BIGINT AS head_hash,
+       |  $fs
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[Q] = Seq(
-
-    Q("x18_minhash_pairs_portable",
-      "Full MinHash+LSH candidate pipeline under the portable family — the oracled twin of x03.",
-      Some(minhashPairsPortableOracle),
-      (s, d) => TextDedup.candidatePairsFrom(
-          TextDedup.minhashSignaturesPortable(Tables.documents(s, d)))
-        .orderBy(col("doc_a"), col("doc_b"))),
-
-    Q("x16_minhash_portable",
-      "MinHash signatures under the engine-portable md5 family — the oracled twin of x02's xxhash64 fast path.",
-      Some(minhashPortableOracle),
-      (s, d) => TextDedup.minhashSignaturesPortable(Tables.documents(s, d))
-        .orderBy(col("doc_id"))),
-
-    Q("x17_simhash_portable",
-      "60-bit SimHash under the portable md5 family — the oracled twin of x04.",
-      Some(simhashPortableOracle),
-      (s, d) => TextDedup.simhash(Tables.documents(s, d),
-          hashFn = TextDedup.portableHash(_, ""), bits = 60)
-        .orderBy(col("doc_id"))),
 
     Q("x01_dedup_exact",
       "Exact dedup groups by content hash (hash-groupBy; one shuffle).",
@@ -104,22 +232,30 @@ object ExtensionQueries {
       (s, d) => TextDedup.exactGroups(Tables.documents(s, d))
         .orderBy(col("text_hash"))),
 
+    Q("x16_minhash_portable",
+      "MinHash signature stage under the engine-portable md5 family (the xxhash64 fast path stays library-side, ScalaTest-covered).",
+      Some(minhashPortableOracle),
+      (s, d) => TextDedup.minhashSignaturesPortable(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
     Q("x02_minhash_bands",
-      "MinHash signatures → LSH band buckets (shingle→minhash→band). Engine-specific hashes: rows-only check.",
-      None,
-      (s, d) => TextDedup.lshBands(Tables.documents(s, d))
+      "MinHash signatures → LSH band buckets (shingle→minhash→band), portable family with collision-free string band keys.",
+      Some(bandsPortableOracle),
+      (s, d) => TextDedup.lshBandsPortable(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("band"))),
 
     Q("x03_minhash_pairs",
-      "Near-dup candidate pairs via LSH bucket equi-join + signature-estimated Jaccard. Rows-only check.",
-      None,
-      (s, d) => TextDedup.candidatePairs(Tables.documents(s, d))
+      "Near-dup candidate pairs via the LSH bucket equi-join + signature-estimated Jaccard (portable family).",
+      Some(minhashPairsPortableOracle),
+      (s, d) => TextDedup.candidatePairsFrom(
+          TextDedup.minhashSignaturesPortable(Tables.documents(s, d)))
         .orderBy(col("doc_a"), col("doc_b"))),
 
     Q("x04_simhash",
-      "64-bit SimHash per document (distributed bit votes). Engine-specific hash: rows-only check.",
-      None,
-      (s, d) => TextDedup.simhash(Tables.documents(s, d))
+      "60-bit SimHash per document (distributed bit votes), portable family.",
+      Some(simhashPortableOracle),
+      (s, d) => TextDedup.simhash(Tables.documents(s, d),
+          hashFn = TextDedup.portableHash(_, ""), bits = 60)
         .orderBy(col("doc_id"))),
 
     Q("x05_ngram_jaccard",
@@ -154,8 +290,9 @@ object ExtensionQueries {
       }),
 
     Q("x07_knn_lsh",
-      "ANN via random-hyperplane LSH buckets: equi-join candidate generation, exact rank in-bucket. Rows-only.",
-      None,
+      "ANN via random-hyperplane LSH buckets: equi-join candidate generation, exact rank in-bucket. " +
+        "Oracle embeds the literal ±1 hyperplane matrix; cosine/bucket arithmetic is bit-identical.",
+      Some(knnLshOracle),
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         Similarity.knnLsh(emb.filter(col("vec_id") < 10), emb, 3)
@@ -163,8 +300,8 @@ object ExtensionQueries {
       }),
 
     Q("x19_knn_lsh_multiprobe",
-      "Multi-probe LSH ANN (Hamming-1 buckets probed too; measured recall@5 3x the single-probe x07). Rows-only.",
-      None,
+      "Multi-probe LSH ANN (Hamming-1 buckets probed too; measured recall@5 3x the single-probe x07).",
+      Some(knnLshMultiProbeOracle),
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         Similarity.knnLshMultiProbe(emb.filter(col("vec_id") < 10), emb, 3)
@@ -172,8 +309,8 @@ object ExtensionQueries {
       }),
 
     Q("x08_lang_id",
-      "Stopword-marker language ID heuristic (argmax over language scores). Heuristic: rows-only.",
-      None,
+      "Stopword-marker language ID heuristic (argmax over language scores; deterministic tie-break).",
+      Some(langIdOracle),
       (s, d) => TextStats.languageId(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
 
@@ -207,8 +344,8 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))),
 
     Q("x14_knn_ivf",
-      "IVF-style ANN: centroid cells (broadcast) + nprobe probing + bounded-heap rank. Rows-only.",
-      None,
+      "IVF-style ANN: centroid cells (broadcast) + nprobe probing + bounded-heap rank; oracle replays cell assignment bit-exactly.",
+      Some(knnIvfOracle),
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val centroids = Similarity.strideCentroids(emb, 16)
@@ -217,8 +354,8 @@ object ExtensionQueries {
       }),
 
     Q("x15_embedding_neardup",
-      "Embedding-cosine near-dup pairs from shared LSH buckets. Threshold 0.35 is demonstrative: the synthetic corpus has no true near-dups (max pairwise cos ≈ 0.48); production dedup uses ~0.9. Rows-only.",
-      None,
+      "Embedding-cosine near-dup pairs from shared LSH buckets. Threshold 0.35 is demonstrative: the synthetic corpus has no true near-dups (max pairwise cos ≈ 0.48); production dedup uses ~0.9.",
+      Some(embeddingNearDupOracle),
       (s, d) => Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), 0.35)
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -257,8 +394,11 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))),
 
     Q("x12_multimodal_stub",
-      "Binary media column plumbing + partition-local (stubbed) decode/feature-extract. Rows-only.",
-      None,
+      "Binary media column plumbing + partition-local (stubbed) decode/feature-extract; md5-derived stub features make the whole stage oracle-checkable.",
+      Some(multimodalOracle),
       (s, d) => Multimodal.extractFeatures(s, Multimodal.asMediaTable(Tables.documents(s, d)))
+        .select(col("doc_id"), col("media_type"), col("n_bytes"), col("head_hash"),
+          col("features")(0).as("f0"), col("features")(1).as("f1"),
+          col("features")(2).as("f2"), col("features")(3).as("f3"))
         .orderBy(col("doc_id"))))
 }

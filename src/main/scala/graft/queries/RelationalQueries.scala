@@ -20,6 +20,20 @@ object RelationalQueries {
   private def revenue: Column =
     dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
 
+  /** Driver-compare canonicalization of a final decimal column: the exact
+    * fixed-point string, identical in both engines. Rationale (round-2,
+    * ADVICE.md): the driver's hash gate reads our parquet through pandas
+    * (DECIMAL → Python Decimal) but the oracle through duckdb .df()
+    * (DECIMAL → float64), so a decimal-typed output can never hash-match;
+    * and DOUBLE is unsafe — DuckDB's decimal→double cast is off by 1 ulp
+    * from the correctly-rounded value past ~15 significant digits
+    * (measured). DECIMAL(38,6)→string is exact at any scale, on both
+    * sides ("123.456000", scale always rendered). Engine-facing APIs
+    * (graft.pipeline.Report etc.) stay decimal-typed; only the declared
+    * query's last projection canonicalizes.
+    */
+  private def decStr(c: Column): Column = c.cast(DecimalType(38, 6)).cast("string")
+
   val defs: Seq[Q] = Seq(
 
     Q("q01_scan_prune",
@@ -34,23 +48,23 @@ object RelationalQueries {
     Q("q02_group_agg",
       "O-17 grouped multi-aggregate (sum + count), partial+final hash agg.",
       Some("""SELECT l_returnflag, l_linestatus,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sum_qty,
-             |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS revenue,
+             |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_qty,
+             |  CAST(CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue,
              |  count(*) AS n
              |FROM lineitem GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin),
       (s, d) => Tables.lineitem(s, d)
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum(dec6($"l_quantity")).cast(DecimalType(38, 6)).as("sum_qty"),
-          sum(revenue).cast(DecimalType(38, 6)).as("revenue"),
+          decStr(sum(dec6($"l_quantity"))).as("sum_qty"),
+          decStr(sum(revenue)).as("revenue"),
           count(lit(1)).as("n"))
         .orderBy($"l_returnflag", $"l_linestatus")),
 
     Q("q03_join_fact",
       "J-1 fact-to-fact inner equi-join (events⋈blocks shape) + rollup.",
       Some("""SELECT o_orderstatus,
-             |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS revenue,
+             |  CAST(CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue,
              |  count(*) AS n
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
@@ -58,14 +72,14 @@ object RelationalQueries {
         .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
         .groupBy($"o_orderstatus")
         .agg(
-          sum(revenue).cast(DecimalType(38, 6)).as("revenue"),
+          decStr(sum(revenue)).as("revenue"),
           count(lit(1)).as("n"))
         .orderBy($"o_orderstatus")),
 
     Q("q04_double_dim_join",
       "J-2 same dimension joined twice under different keys (token t0/t1 shape); dims broadcast.",
       Some("""SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
-             |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS revenue,
+             |  CAST(CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue,
              |  count(*) AS n
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
@@ -87,22 +101,25 @@ object RelationalQueries {
           .join(broadcast(n2), $"s_nationkey" === $"s_nk")
           .groupBy($"cust_nation", $"supp_nation")
           .agg(
-            sum(revenue).cast(DecimalType(38, 6)).as("revenue"),
+            decStr(sum(revenue)).as("revenue"),
             count(lit(1)).as("n"))
           .orderBy($"cust_nation", $"supp_nation")
       }),
 
     Q("q05_topk",
       "T-2 top-K by metric: plans as TakeOrderedAndProject (per-partition heaps, no global sort).",
-      Some("""SELECT l_partkey,
-             |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS revenue
-             |FROM lineitem GROUP BY l_partkey
-             |ORDER BY revenue DESC, l_partkey LIMIT 30""".stripMargin),
+      Some("""SELECT l_partkey, CAST(revenue AS VARCHAR) AS revenue FROM (
+             |  SELECT l_partkey,
+             |    CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS revenue
+             |  FROM lineitem GROUP BY l_partkey
+             |  ORDER BY revenue DESC, l_partkey LIMIT 30) t""".stripMargin),
       (s, d) => Ranks.topK(
         Tables.lineitem(s, d)
           .groupBy($"l_partkey")
           .agg(sum(revenue).cast(DecimalType(38, 6)).as("revenue")),
-        30, col("revenue").desc, col("l_partkey"))),
+        30, col("revenue").desc, col("l_partkey"))
+        // rank on the decimal, canonicalize after the limit
+        .select($"l_partkey", decStr($"revenue").as("revenue"))),
 
     Q("q06_distinct",
       "O-19 DISTINCT projection (hash aggregate, partial map-side).",
@@ -149,7 +166,7 @@ object RelationalQueries {
     Q("q10_time_window",
       "P-4 trailing-24h filter with 'now' pinned to max(ts) for determinism.",
       Some("""SELECT event_type, count(*) AS n,
-             |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS val_24h
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS val_24h
              |FROM events
              |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 DAY
              |GROUP BY event_type ORDER BY event_type""".stripMargin),
@@ -160,20 +177,20 @@ object RelationalQueries {
           .filter($"ts" >= $"mx" - expr("INTERVAL 1 DAY"))
           .groupBy($"event_type")
           .agg(count(lit(1)).as("n"),
-            sum(dec6($"value")).cast(DecimalType(38, 6)).as("val_24h"))
+            decStr(sum(dec6($"value"))).as("val_24h"))
           .orderBy($"event_type")
       }),
 
     Q("q11_hex_to_decimal",
       "P-5 uint256-range hex→decimal via the custom HexToDecimal Catalyst expression (>64-bit; conv() would saturate).",
       Some("""SELECT l_orderkey, l_linenumber,
-             |  CAST(CAST(l_orderkey AS HUGEINT) * CAST('18446744073709551616' AS HUGEINT)
-             |       + CAST(l_partkey AS HUGEINT) AS DECIMAL(38,0)) AS amount
+             |  CAST(CAST(CAST(l_orderkey AS HUGEINT) * CAST('18446744073709551616' AS HUGEINT)
+             |       + CAST(l_partkey AS HUGEINT) AS DECIMAL(38,0)) AS VARCHAR) AS amount
              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
       (s, d) => Tables.lineitem(s, d)
         .select($"l_orderkey", $"l_linenumber",
           hex_to_decimal(concat(lit("0x"), lower(hex($"l_orderkey")),
-            lpad(lower(hex($"l_partkey")), 16, "0"))).as("amount"))
+            lpad(lower(hex($"l_partkey")), 16, "0"))).cast("string").as("amount"))
         .orderBy($"l_orderkey", $"l_linenumber")),
 
     Q("q12_pair_key",
@@ -182,13 +199,13 @@ object RelationalQueries {
              |            THEN l_returnflag || '/' || l_linestatus
              |            ELSE l_linestatus || '/' || l_returnflag END AS pair,
              |  count(*) AS n,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS amt
+             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS amt
              |FROM lineitem GROUP BY 1 ORDER BY pair""".stripMargin),
       (s, d) => Tables.lineitem(s, d)
         .withColumn("pair", pair_key($"l_returnflag", $"l_linestatus"))
         .groupBy($"pair")
         .agg(count(lit(1)).as("n"),
-          sum(dec6($"l_extendedprice")).cast(DecimalType(38, 6)).as("amt"))
+          decStr(sum(dec6($"l_extendedprice"))).as("amt"))
         .orderBy($"pair")),
 
     Q("q13_pad_address",
@@ -215,15 +232,25 @@ object RelationalQueries {
         .orderBy($"c_custkey")),
 
     Q("q15_swap_steps",
-      "O-18 group→nested array-of-structs (parse_data.py swap_steps shape). Nested output: driver records rows-only.",
-      None,
+      "O-18 group→nested array-of-structs (parse_data.py swap_steps shape), serialized to a canonical string " +
+        "in the last projection (round-2: the driver's row-sort dies on array cells, and the string form " +
+        "upgrades this from rows-only to a full hash check; q32 keeps the posexplode-verified flat twin).",
+      Some("""SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_steps,
+             |  string_agg(l_linenumber || ':' || l_partkey || ':' || CAST(l_quantity AS BIGINT), '|'
+             |             ORDER BY l_linenumber, l_partkey, l_quantity) AS steps
+             |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
       (s, d) => Tables.lineitem(s, d)
         .groupBy($"l_orderkey")
         .agg(
           sort_array(collect_list(struct($"l_linenumber", $"l_partkey", $"l_quantity")))
             .as("steps"),
           count(lit(1)).as("n_steps"))
-        .select($"l_orderkey", $"n_steps", $"steps")
+        .select($"l_orderkey", $"n_steps",
+          // l_quantity is integral-valued; BIGINT render avoids
+          // engine-specific double formatting in the canonical string
+          concat_ws("|", transform($"steps", st => concat_ws(":",
+            st.getField("l_linenumber"), st.getField("l_partkey"),
+            st.getField("l_quantity").cast("long")))).as("steps"))
         .orderBy($"l_orderkey")),
 
     Q("q32_swap_steps_flat",
@@ -283,9 +310,12 @@ object RelationalQueries {
              |         CAST(value * k AS DECIMAL(38,6)) AS vol
              |  FROM (SELECT e.*, coalesce(c_mktsegment, 'No Segment') AS seg
              |        FROM e LEFT JOIN customer ON user_id = c_custkey) t)
-             |SELECT pair, CAST(SUM(vol) AS DECIMAL(38,6)) AS vol_24h, count(*) AS txn_24h
-             |FROM j GROUP BY pair ORDER BY vol_24h DESC, pair LIMIT 30""".stripMargin),
-      (s, d) => Report.topPairs(s, d)),
+             |SELECT pair, CAST(vol_24h AS VARCHAR) AS vol_24h, txn_24h FROM (
+             |  SELECT pair, CAST(SUM(vol) AS DECIMAL(38,6)) AS vol_24h, count(*) AS txn_24h
+             |  FROM j GROUP BY pair ORDER BY vol_24h DESC, pair LIMIT 30) r""".stripMargin),
+      (s, d) => Report.topPairs(s, d)
+        // rank on the decimal inside topPairs, canonicalize after
+        .select($"pair", decStr($"vol_24h").as("vol_24h"), $"txn_24h")),
 
     Q("q19_reingest_dedup",
       "K-2 at-least-once re-ingest collapsed by last-write-wins dedup; oracle = single clean copy.",
@@ -369,13 +399,13 @@ object RelationalQueries {
     Q("q29_rollup",
       "ROLLUP subtotal hierarchy over (returnflag, linestatus).",
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS qty
+             |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS qty
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
       (s, d) => Tables.lineitem(s, d)
         .rollup($"l_returnflag", $"l_linestatus")
         .agg(count(lit(1)).as("n"),
-          sum(dec6($"l_quantity")).cast(DecimalType(38, 6)).as("qty"))
+          decStr(sum(dec6($"l_quantity"))).as("qty"))
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)),
 
     Q("q30_except",
@@ -404,12 +434,20 @@ object RelationalQueries {
         .orderBy($"event_type")),
 
     Q("x13_approx_distinct",
-      "HLL++ approximate distinct (sketch aggregate — constant memory per group at any scale). Approximate: rows-only.",
-      None,
+      "HLL++ approximate distinct (sketch aggregate — constant memory per group at any scale), oracled via its " +
+        "error contract: output carries the exact count plus hll_ok = |approx-exact| <= 5%*exact (rsd 0.01), " +
+        "so the hash check asserts the sketch actually met its bound.",
+      Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+             |  count(*) AS n, CAST(1 AS INT) AS hll_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       (s, d) => Tables.events(s, d)
         .groupBy($"event_type")
-        .agg(approx_count_distinct($"user_id", 0.01).as("n_users_approx"),
+        .agg(countDistinct($"user_id").as("n_users_exact"),
+          approx_count_distinct($"user_id", 0.01).as("approx"),
           count(lit(1)).as("n"))
+        .select($"event_type", $"n_users_exact", $"n",
+          (abs($"approx" - $"n_users_exact") <= $"n_users_exact" * 0.05)
+            .cast("int").as("hll_ok"))
         .orderBy($"event_type")),
 
     Q("q25_sessionize",
@@ -440,12 +478,12 @@ object RelationalQueries {
     Q("q22_hourly_rollup",
       "Tumbling 1h event-time window (batch twin of the streaming agg in graft.streaming).",
       Some("""SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n,
-             |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS val
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS val
              |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin),
       (s, d) => Tables.events(s, d)
         .groupBy(window($"ts", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n"),
-          sum(dec6($"value")).cast(DecimalType(38, 6)).as("val"))
+          decStr(sum(dec6($"value"))).as("val"))
         // cast LTZ→NTZ (identity under the UTC session tz) so the parquet
         // annotation matches the oracle's naive TIMESTAMP
         .select($"window.start".cast("timestamp_ntz").as("hour_start"),
