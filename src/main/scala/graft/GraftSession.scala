@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarityExpr, HexToDecimal}
+import graft.functions.{CosineSimilarityExpr, HexToDecimal, Md5Prefix60}
 
 /** `spark.sql.extensions`-style injection of the graft functions — the
   * idiomatic production path:
@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hex_to_decimal"),
       new ExpressionInfo(classOf[HexToDecimal].getName, "hex_to_decimal"),
       (children: Seq[Expression]) => HexToDecimal(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_prefix60"),
+      new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
+      (children: Seq[Expression]) => Md5Prefix60(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_sim"),

@@ -96,31 +96,59 @@ object TextDedup {
 
   /** Candidate generation over any (doc_id, s0..s15) signature frame —
     * shared by the xxhash64 fast path and the oracled portable family.
+    *
+    * Formulated as groupBy-bucket + in-bucket pair expansion rather than
+    * a bucket self-join (round-2): the self-join evaluated the signature
+    * subtree twice (no exchange reuse across differently-aliased sides)
+    * and paid two shuffles; this shape computes signatures once and
+    * shuffles once. In-bucket expansion is quadratic in bucket size on
+    * purpose — candidate pairs ARE that quadratic set (the join emitted
+    * the same rows); LSH's premise is that buckets stay small. At scale,
+    * cap pathological buckets (all-identical boilerplate docs) upstream
+    * by filtering `size(ms)` before the explode if needed.
     */
   def candidatePairsFrom(signatures: DataFrame): DataFrame = {
     val banded = signatures
       .select(col("doc_id"), sigArray.as("sig"), explode(bandStructs).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
-    val a = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (aggregate(
-          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v
-        ).cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
+      .select(col("bb.band").as("band"), col("bb.band_hash").as("band_hash"),
+        struct(col("doc_id"), col("sig")).as("ds"))
+    // sort_array orders by doc_id (unique), so j < i gives doc_a < doc_b
+    val buckets = banded.groupBy(col("band"), col("band_hash"))
+      .agg(sort_array(collect_list(col("ds"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    val pairStructs = flatten(transform(sequence(lit(1), size(col("ms")) - 1), i =>
+      transform(sequence(lit(0), i - 1), j => {
+        val a = element_at(col("ms"), j + 1)
+        val b = element_at(col("ms"), i + 1)
+        struct(
+          a.getField("doc_id").as("doc_a"),
+          b.getField("doc_id").as("doc_b"),
+          (aggregate(
+            zip_with(a.getField("sig"), b.getField("sig"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v
+          ).cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
+      })))
+    buckets.select(explode(pairStructs).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.est_jaccard"))
       .distinct()
   }
 
   /** Engine-portable 60-bit hash: the first 15 hex chars of md5 parsed
     * as a long. Slower than xxhash64 (the production family) but
     * reproducible in any engine with md5 — which is what lets the
-    * portable MinHash/SimHash variants carry a DuckDB oracle.
+    * portable MinHash/SimHash variants carry a DuckDB oracle. Computed
+    * by the codegen [[graft.functions.Md5Prefix60]] kernel (no hex
+    * string round-trip); [[portableHashBuiltin]] is the composed-builtin
+    * twin it is property-tested against.
     */
-  def portableHash(c: Column, salt: String): Column =
+  def portableHash(c: Column, salt: String): Column = {
+    val in = (if (salt.isEmpty) c else concat(c, lit(salt))).cast("binary")
+    graft.functions.md5_prefix60(in)
+  }
+
+  /** Same value from Spark built-ins only (md5 hex + conv reparse). */
+  def portableHashBuiltin(c: Column, salt: String): Column =
     conv(substring(md5(concat(c, lit(salt)).cast("binary")), 1, 15), 16, 10)
       .cast("long")
 

@@ -74,6 +74,46 @@ object TextStats {
         when(col("bucket_100") < trainPct, "train").otherwise("eval"))
   }
 
+  /** Regex redaction pass (PII-scrub shape): each rule is
+    * (name, pattern, replacement); emits per-rule match counts
+    * (`n_<name>`) and the text with every rule applied in order
+    * (`redacted`). Per-row codegen'd regexp work, no shuffle. Patterns
+    * should stay in the Java∩RE2-compatible subset when cross-engine
+    * (oracle) parity matters.
+    */
+  def redact(docs: DataFrame, rules: Seq[(String, String, String)],
+      textCol: String = "text"): DataFrame = {
+    val withCounts = rules.foldLeft(docs) { case (df, (name, pat, _)) =>
+      df.withColumn(s"n_$name",
+        size(expr(s"regexp_extract_all($textCol, '$pat', 0)")).cast("long"))
+    }
+    val redacted = rules.foldLeft(col(textCol)) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    withCounts.withColumn("redacted", redacted)
+  }
+
+  /** Gopher-style repetition signal: the fraction of a document's word
+    * n-grams that are duplicates of an earlier one. Documents with fewer
+    * than `n` words are dropped (no n-grams to measure).
+    */
+  def repeatedNgramRatio(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame = {
+    val grams = graft.functions.word_ngrams(col(textCol), n)
+    docs.filter(size(split(col(textCol), " ")) >= n)
+      .select(col("doc_id"),
+        size(grams).cast("long").as("n_grams"),
+        (size(grams) - size(array_distinct(grams))).cast("long").as("n_repeated"))
+      .withColumn("rep_ratio", col("n_repeated") / col("n_grams"))
+  }
+
+  /** Corpus-level n-gram frequencies: explode → count. Map-side partial
+    * aggregation shrinks the shuffle to distinct grams per mapper; the
+    * top-k plans as TakeOrderedAndProject.
+    */
+  def ngramCounts(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame =
+    docs.select(explode(graft.functions.word_ngrams(col(textCol), n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+
   /** Stopword-marker language ID: score = |words ∩ markers(lang)|,
     * argmax over languages (deterministic tie-break: higher score, then
     * lexicographically larger language code wins via struct max).

@@ -30,6 +30,12 @@ package object functions {
         HexToDecimal(children.head))
     Internal.register(
       spark,
+      "md5_prefix60",
+      new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5Prefix60(children.head))
+    Internal.register(
+      spark,
       "cosine_sim",
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_sim"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
@@ -69,6 +75,13 @@ package object functions {
     */
   def dec6(c: Column): Column = c.cast(DecimalType(38, 6))
 
+  /** Engine-portable 60-bit content hash (first 60 bits of md5) as a
+    * codegen-native long — see [[Md5Prefix60]]. The hot-path kernel of
+    * the portable MinHash/SimHash family and hash-based splits.
+    */
+  def md5_prefix60(c: Column): Column =
+    Internal.column(Md5Prefix60(Internal.expression(c)))
+
   /** Cosine similarity between two Array[Float]/Array[Double] columns —
     * the native fused-loop Catalyst expression ([[CosineSimilarityExpr]]).
     * Accumulates in Double in array order; bit-identical to the
@@ -100,10 +113,25 @@ package object functions {
       TopKByScore(Internal.expression(score), Internal.expression(id), k)
         .toAggregateExpression())
 
-  /** Word n-gram shingles of a text column (distinct), for Jaccard /
-    * MinHash dedup. Empty array when the text has fewer than `n` words.
+  /** Word n-gram shingles of a text column (distinct, first occurrence
+    * kept), for Jaccard / MinHash dedup. Empty array when the text has
+    * fewer than `n` words. Native codegen kernel — see [[WordNgrams]].
     */
-  def word_shingles(text: Column, n: Int): Column = {
+  def word_shingles(text: Column, n: Int): Column =
+    Internal.column(WordNgrams(Internal.expression(text), n, distinct = true))
+
+  /** All word n-grams in order, WITH duplicates — corpus frequency
+    * statistics and repetition signals need the multiplicities that
+    * [[word_shingles]] deliberately drops.
+    */
+  def word_ngrams(text: Column, n: Int): Column =
+    Internal.column(WordNgrams(Internal.expression(text), n, distinct = false))
+
+  /** The composed-builtin shingle form [[WordNgrams]] is property-tested
+    * against (interpreted higher-order chain — correct but ~10× slower;
+    * see the expression's scaladoc).
+    */
+  def word_shingles_builtin(text: Column, n: Int): Column = {
     val words = split(text, " ")
     array_distinct(
       when(size(words) >= n,

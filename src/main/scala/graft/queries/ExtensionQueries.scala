@@ -393,6 +393,44 @@ object ExtensionQueries {
         .select(col("doc_id"), col("bucket_100"), col("split"))
         .orderBy(col("doc_id"))),
 
+    Q("x22_ngram_counts",
+      "Corpus-level word-bigram frequencies, top-50 (explode → partial-agg count; top-k as TakeOrderedAndProject).",
+      Some("""SELECT gram, count(*) AS n FROM (
+             |  SELECT unnest([array_to_string(words[i:i+1], ' ') for i in range(1, len(words))]) AS gram
+             |  FROM (SELECT string_split(text, ' ') AS words FROM documents) t
+             |  WHERE len(words) >= 2)
+             |GROUP BY gram ORDER BY n DESC, gram LIMIT 50""".stripMargin),
+      (s, d) => TextStats.ngramCounts(Tables.documents(s, d), 2)
+        .orderBy(col("n").desc, col("gram")).limit(50)),
+
+    Q("x23_repeated_ngram_ratio",
+      "Gopher-style repetition signal: fraction of duplicate word bigrams per document.",
+      Some("""SELECT doc_id,
+             |  CAST(len(grams) AS BIGINT) AS n_grams,
+             |  CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_repeated,
+             |  CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) / CAST(len(grams) AS BIGINT) AS rep_ratio
+             |FROM (
+             |  SELECT doc_id, [array_to_string(words[i:i+1], ' ') for i in range(1, len(words))] AS grams
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t
+             |  WHERE len(words) >= 2)
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => TextStats.repeatedNgramRatio(Tables.documents(s, d), 2)
+        .orderBy(col("doc_id"))),
+
+    Q("x24_redact",
+      "PII-scrub pass: regex redaction of emails and long digit runs; per-rule counts + fingerprint of the redacted text.",
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS BIGINT) AS n_email,
+             |  CAST(len(regexp_extract_all(text, '[0-9]{3,}')) AS BIGINT) AS n_digits,
+             |  md5(regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]{3,}', '<NUM>', 'g')) AS redacted_hash
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => TextStats.redact(Tables.documents(s, d), Seq(
+          ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+", "<EMAIL>"),
+          ("digits", "[0-9]{3,}", "<NUM>")))
+        .select(col("doc_id"), col("n_email"), col("n_digits"),
+          md5(col("redacted").cast("binary")).as("redacted_hash"))
+        .orderBy(col("doc_id"))),
+
     Q("x12_multimodal_stub",
       "Binary media column plumbing + partition-local (stubbed) decode/feature-extract; md5-derived stub features make the whole stage oracle-checkable.",
       Some(multimodalOracle),

@@ -1,12 +1,13 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Q
 import graft.functions._
-import graft.operators.{Dedup, Ranks, SetOps}
+import graft.operators.{Dedup, RangeJoin, Ranks, Salt, SetOps}
 import graft.pipeline.Report
 import graft.sources.Tables
 
@@ -488,7 +489,72 @@ object RelationalQueries {
         // annotation matches the oracle's naive TIMESTAMP
         .select($"window.start".cast("timestamp_ntz").as("hour_start"),
           $"event_type", $"n", $"val")
-        .orderBy($"hour_start", $"event_type")))
+        .orderBy($"hour_start", $"event_type")),
+
+    Q("q34_window_funcs",
+      "Window-function family over per-user event streams: row_number / lag / lead / rank / ntile + " +
+        "running decimal sum (explicit ROWS frame; unique (ts, event_id) ordering keeps every rank deterministic).",
+      Some("""SELECT event_id, user_id,
+             |  CAST(row_number() OVER w AS INT) AS rn,
+             |  lag(event_id) OVER w AS prev_id,
+             |  lead(event_id) OVER w AS next_id,
+             |  CAST(rank() OVER (PARTITION BY user_id ORDER BY event_type) AS INT) AS type_rank,
+             |  CAST(ntile(4) OVER w AS INT) AS quartile,
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS VARCHAR) AS run_val
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY event_id""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val wt = Window.partitionBy($"user_id").orderBy($"event_type")
+        Tables.events(s, d).select(
+          $"event_id", $"user_id",
+          row_number().over(w).as("rn"),
+          lag($"event_id", 1).over(w).as("prev_id"),
+          lead($"event_id", 1).over(w).as("next_id"),
+          rank().over(wt).as("type_rank"),
+          ntile(4).over(w).as("quartile"),
+          decStr(sum(dec6($"value"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .as("run_val"))
+          .orderBy($"event_id")
+      }),
+
+    Q("q35_range_join",
+      "Range (interval) join via bucketed candidate generation + exact filter (operators.RangeJoin — " +
+        "no nested loop, one (key, bucket) hash shuffle): same-user orders in the trailing 7 days of each event.",
+      Some("""SELECT e.event_id, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders_7d
+             |FROM events e LEFT JOIN orders o
+             |  ON o.o_custkey = e.user_id
+             | AND CAST(o.o_orderdate AS DATE) BETWEEN CAST(e.ts AS DATE) - 7 AND CAST(e.ts AS DATE)
+             |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d).select($"event_id", $"user_id",
+          unix_date(to_date($"ts")).cast("long").as("day"))
+        val ords = Tables.orders(s, d).select($"o_custkey", $"o_orderkey",
+          unix_date(to_date($"o_orderdate")).cast("long").as("o_day"))
+          .withColumn("lo", $"o_day")
+          .withColumn("hi", $"o_day" + 7)
+        RangeJoin.countInRange(ev, ords, "event_id", "user_id", "o_custkey",
+            "day", "lo", "hi", bucketWidth = 8)
+          .select($"event_id", $"n_matches".as("n_orders_7d"))
+          .orderBy($"event_id")
+      }),
+
+    Q("q36_salted_join",
+      "Skew-remedy salted join (operators.Salt, 8 salts): q03's fact⋈fact aggregate with the hot keys " +
+        "split across 8 reducers — oracled against the plain join, proving row-identical results.",
+      Some("""SELECT o_orderstatus,
+             |  CAST(CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue,
+             |  count(*) AS n
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      (s, d) => Salt.saltedJoin(Tables.lineitem(s, d), Tables.orders(s, d),
+          "l_orderkey", "o_orderkey", col("l_linenumber"), 8)
+        .groupBy($"o_orderstatus")
+        .agg(decStr(sum(revenue)).as("revenue"), count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")))
 
   // $"..." interpolator without a session-bound implicits import.
   private implicit class Dollar(val sc: StringContext) {

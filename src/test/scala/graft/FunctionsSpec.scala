@@ -46,6 +46,55 @@ class FunctionsSpec extends SparkSuite {
     assert(got(2) == "0x" + "a" * 64)
   }
 
+  test("pad_address: >64-digit input yields null, not a truncated address") {
+    val df = Seq("0x" + "b" * 65, "c" * 70, "0x" + "a" * 64)
+      .toDF("a").select(pad_address(col("a")).as("p"))
+    val got = df.collect().map(r => Option(r.getString(0)))
+    assert(got(0).isEmpty && got(1).isEmpty)
+    assert(got(2).contains("0x" + "a" * 64))
+  }
+
+  test("md5_prefix60 kernel equals the composed-builtin conv form (property)") {
+    val rnd = new scala.util.Random(11)
+    val samples = Seq("", "a", "the quick brown fox", "0x1234", "多字节 текст ✓") ++
+      Seq.fill(200)(rnd.alphanumeric.take(rnd.nextInt(40)).mkString)
+    val df = samples.toDF("s")
+      .select(
+        graft.ext.TextDedup.portableHash(col("s"), "").as("fast"),
+        graft.ext.TextDedup.portableHashBuiltin(col("s"), "").as("ref"),
+        graft.ext.TextDedup.portableHash(col("s"), "|salt").as("fast_salt"),
+        graft.ext.TextDedup.portableHashBuiltin(col("s"), "|salt").as("ref_salt"))
+    df.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"unsalted mismatch for row $r")
+      assert(r.getLong(2) == r.getLong(3), s"salted mismatch for row $r")
+      assert(r.getLong(0) >= 0)
+    }
+  }
+
+  test("word_shingles kernel equals the composed-builtin form (property)") {
+    val rnd = new scala.util.Random(23)
+    val words = Seq("the", "a", "fox", "dog", "ran", "", "x")
+    val samples = Seq("", " ", "  ", "a", "a b", "a b c", " a b c ", "a  b c") ++
+      Seq.fill(200)(Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.size))).mkString(" "))
+    for (n <- Seq(2, 3)) {
+      val df = samples.toDF("s").select(
+        word_shingles(col("s"), n).as("fast"),
+        word_shingles_builtin(col("s"), n).as("ref"))
+      df.collect().foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n mismatch: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+      }
+    }
+  }
+
+  test("word_ngrams keeps duplicates in order; word_shingles drops them") {
+    val got = Seq("a b a b").toDF("s")
+      .select(word_ngrams(col("s"), 2).as("all"), word_shingles(col("s"), 2).as("dst"))
+      .first()
+    assert(got.getSeq[String](0) == Seq("a b", "b a", "a b"))
+    assert(got.getSeq[String](1) == Seq("a b", "b a"))
+  }
+
   test("json_string_array round-trips to_json (FIXTURES §B.7)") {
     val df = Seq(Seq("0xa", "0xb"), Seq.empty[String])
       .toDF("arr")

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{RangeJoin, Salt}
+
+/** RangeJoin and Salt equal their naive formulations — the candidate
+  * generation (bucketing, salting) must never change results, only the
+  * shuffle shape.
+  */
+class RangeJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("joinRange equals the theta-join on random intervals (property)") {
+    val rnd = new scala.util.Random(13)
+    val left = Seq.tabulate(300)(i => (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+      .toDF("l_id", "k", "p")
+    val right = Seq.tabulate(120) { j =>
+      val lo = rnd.nextInt(1000)
+      (j.toLong, rnd.nextInt(5).toLong, lo.toLong, (lo + rnd.nextInt(20)).toLong)
+    }.toDF("r_id", "rk", "lo", "hi")
+
+    val bucketed = RangeJoin.joinRange(left, right, "k", "rk", "p", "lo", "hi", bucketWidth = 16)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    val naive = left.join(right,
+        $"k" === $"rk" && $"p" >= $"lo" && $"p" <= $"hi")
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(bucketed == naive)
+    assert(naive.nonEmpty, "planted data must produce matches")
+    // exactly-once: no duplicate pairs from the bucket explode
+    val n = RangeJoin.joinRange(left, right, "k", "rk", "p", "lo", "hi", 16).count()
+    assert(n == bucketed.size)
+  }
+
+  test("joinRange is bucket-width invariant, including widths smaller than intervals") {
+    val left = Seq((1L, 1L, 10L), (2L, 1L, 25L), (3L, 2L, 10L)).toDF("l_id", "k", "p")
+    val right = Seq((1L, 1L, 5L, 30L), (2L, 2L, 11L, 12L)).toDF("r_id", "rk", "lo", "hi")
+    val expected = Set((1L, 1L), (2L, 1L))
+    for (w <- Seq(1L, 3L, 7L, 100L)) {
+      val got = RangeJoin.joinRange(left, right, "k", "rk", "p", "lo", "hi", w)
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"width $w")
+    }
+  }
+
+  test("countInRange keeps zero-match left rows with count 0") {
+    val left = Seq((1L, 1L, 10L), (2L, 1L, 999L)).toDF("l_id", "k", "p")
+    val right = Seq((1L, 1L, 5L, 30L)).toDF("r_id", "rk", "lo", "hi")
+    val got = RangeJoin.countInRange(left, right, "l_id", "k", "rk", "p", "lo", "hi", 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 0L))
+  }
+
+  test("saltedJoin equals the plain join (property)") {
+    val rnd = new scala.util.Random(17)
+    // skewed fact: 80% of rows on one hot key
+    val fact = Seq.tabulate(500) { i =>
+      val k = if (rnd.nextInt(5) > 0) 7L else rnd.nextInt(50).toLong
+      (i.toLong, k, rnd.nextInt(100))
+    }.toDF("row_id", "fk", "v")
+    val dim = Seq.tabulate(50)(j => (j.toLong, s"name_$j")).toDF("dk", "name")
+
+    val salted = Salt.saltedJoin(fact, dim, "fk", "dk", col("row_id"), nSalts = 8)
+      .select("row_id", "dk", "name").as[(Long, Long, String)].collect().toSet
+    val plain = fact.join(dim, $"fk" === $"dk")
+      .select("row_id", "dk", "name").as[(Long, Long, String)].collect().toSet
+    assert(salted == plain)
+    assert(plain.size > 300, "hot key must actually match")
+  }
+}
