@@ -431,6 +431,50 @@ object ExtensionQueries {
           md5(col("redacted").cast("binary")).as("redacted_hash"))
         .orderBy(col("doc_id"))),
 
+    Q("x25_approx_quantile",
+      "Quantile sketch (Greenwald-Khanna percentile_approx, accuracy 10000) oracled via its rank-error " +
+        "contract: the approx p50 must land between the exact p45 and p55; min/max/count pass through exactly.",
+      Some("""SELECT event_type, count(*) AS n, min(value) AS vmin, max(value) AS vmax, CAST(1 AS INT) AS q_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a"),
+          expr("percentile(value, 0.45)").as("p45"),
+          expr("percentile(value, 0.55)").as("p55"))
+        .select(col("event_type"), col("n"), col("vmin"), col("vmax"),
+          (col("p50a") >= col("p45") && col("p50a") <= col("p55")).cast("int").as("q_ok"))
+        .orderBy(col("event_type"))),
+
+    Q("x26_tfidf_top_terms",
+      "TF-IDF-shaped ranking: per-doc top-3 terms by tf/df (document-frequency-normalized; the single " +
+        "IEEE division of exact integers is bit-identical cross-engine, so the ranking itself is oracled).",
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+             |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM w GROUP BY 1),
+             |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             |             CAST(tf.tf AS DOUBLE) / df.df AS score
+             |      FROM tf JOIN df USING (term))
+             |SELECT doc_id, rank, term, tf, df, score FROM (
+             |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+             |  FROM s) t
+             |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf = words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        // df from tf's keys (identical aggregate subtree on both join
+        // sides → one compute via exchange reuse), not a second pass
+        // over the exploded words
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val scored = tf.join(dfreq, Seq("term"))
+          .withColumn("score", col("tf") / col("df"))
+        graft.operators.Ranks.topKPerGroup(scored, Seq("doc_id"), 3,
+            Seq(col("score").desc, col("term")))
+          .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+          .orderBy(col("doc_id"), col("rank"))
+      }),
+
     Q("x12_multimodal_stub",
       "Binary media column plumbing + partition-local (stubbed) decode/feature-extract; md5-derived stub features make the whole stage oracle-checkable.",
       Some(multimodalOracle),

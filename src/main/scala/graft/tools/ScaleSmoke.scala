@@ -35,7 +35,10 @@ object ScaleSmoke {
   val Targets = Seq(
     "q02_group_agg", "q04_double_dim_join", "q08_dedup_last_write",
     "q19_reingest_dedup", "q18_report_pairs", "q25_sessionize",
-    "x01_dedup_exact", "x03_minhash_pairs", "x06_knn_brute")
+    "x01_dedup_exact", "x03_minhash_pairs", "x06_knn_brute",
+    // round-2 operators
+    "q34_window_funcs", "q35_range_join", "q36_salted_join",
+    "x16_minhash_portable", "x22_ngram_counts", "x26_tfidf_top_terms")
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorS) = args.take(3)
@@ -57,9 +60,15 @@ object ScaleSmoke {
       amplify(spark, srcDir, outDir, factor)
     }
     Targets.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, outDir)
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, outDir).count()
-      println(f"[scale] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
+      // noop sink: full evaluation of every output column. count() would
+      // let Catalyst prune whole operators (a window/join whose columns
+      // the count never reads disappears from the plan) and report
+      // flattering non-numbers for exactly the operators under test.
+      df.write.mode("overwrite").format("noop").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name%-22s $secs%8.2fs  rows=${df.count()}")
     }
     spark.stop()
   }

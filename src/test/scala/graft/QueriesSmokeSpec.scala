@@ -23,6 +23,12 @@ class QueriesSmokeSpec extends SparkSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
 
+  test("every declared query carries an oracle (round-2 invariant)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty,
+      s"queries without a DuckDB oracle: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
   test("structural cardinalities") {
     assert(SparkEntry.queries("q05_topk")(spark, sf).count() == 30)
     assert(SparkEntry.queries("q16_watermark")(spark, sf).count() == 1)
