@@ -229,34 +229,29 @@ object ExtensionQueries {
       "Exact dedup groups by content hash (hash-groupBy; one shuffle).",
       Some("""SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies
              |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin),
-      (s, d) => TextDedup.exactGroups(Tables.documents(s, d))
-        .orderBy(col("text_hash"))),
+      (s, d) => TextDedup.exactGroups(Tables.documents(s, d))),
 
     Q("x16_minhash_portable",
       "MinHash signature stage under the engine-portable md5 family (the xxhash64 fast path stays library-side, ScalaTest-covered).",
       Some(minhashPortableOracle),
-      (s, d) => TextDedup.minhashSignaturesPortable(Tables.documents(s, d))
-        .orderBy(col("doc_id"))),
+      (s, d) => TextDedup.minhashSignaturesPortable(Tables.documents(s, d))),
 
     Q("x02_minhash_bands",
       "MinHash signatures → LSH band buckets (shingle→minhash→band), portable family with collision-free string band keys.",
       Some(bandsPortableOracle),
-      (s, d) => TextDedup.lshBandsPortable(Tables.documents(s, d))
-        .orderBy(col("doc_id"), col("band"))),
+      (s, d) => TextDedup.lshBandsPortable(Tables.documents(s, d))),
 
     Q("x03_minhash_pairs",
       "Near-dup candidate pairs via the LSH bucket equi-join + signature-estimated Jaccard (portable family).",
       Some(minhashPairsPortableOracle),
       (s, d) => TextDedup.candidatePairsFrom(
-          TextDedup.minhashSignaturesPortable(Tables.documents(s, d)))
-        .orderBy(col("doc_a"), col("doc_b"))),
+          TextDedup.minhashSignaturesPortable(Tables.documents(s, d)))),
 
     Q("x04_simhash",
       "60-bit SimHash per document (distributed bit votes), portable family.",
       Some(simhashPortableOracle),
       (s, d) => TextDedup.simhash(Tables.documents(s, d),
-          hashFn = TextDedup.portableHash(_, ""), bits = 60)
-        .orderBy(col("doc_id"))),
+          hashFn = TextDedup.portableHash(_, ""), bits = 60)),
 
     Q("x05_ngram_jaccard",
       "Exact word-3-gram Jaccard over blocked pairs (verification stage of near-dedup).",
@@ -286,7 +281,6 @@ object ExtensionQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         Similarity.knnBrute(emb.filter(col("vec_id") < 10), emb, 5)
-          .orderBy(col("qid"), col("rank"))
       }),
 
     Q("x07_knn_lsh",
@@ -296,7 +290,6 @@ object ExtensionQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         Similarity.knnLsh(emb.filter(col("vec_id") < 10), emb, 3)
-          .orderBy(col("qid"), col("rank"))
       }),
 
     Q("x19_knn_lsh_multiprobe",
@@ -305,14 +298,12 @@ object ExtensionQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         Similarity.knnLshMultiProbe(emb.filter(col("vec_id") < 10), emb, 3)
-          .orderBy(col("qid"), col("rank"))
       }),
 
     Q("x08_lang_id",
       "Stopword-marker language ID heuristic (argmax over language scores; deterministic tie-break).",
       Some(langIdOracle),
-      (s, d) => TextStats.languageId(Tables.documents(s, d))
-        .orderBy(col("doc_id"))),
+      (s, d) => TextStats.languageId(Tables.documents(s, d))),
 
     Q("x09_text_quality",
       "Quality scoring: char/token counts, avg word length, stopword ratio.",
@@ -326,22 +317,19 @@ object ExtensionQueries {
              |        w -> w IN ('the','and','of','to','in','a','is','that'))) AS BIGINT)
              |    / CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ratio
              |FROM documents ORDER BY doc_id""".stripMargin),
-      (s, d) => TextStats.quality(Tables.documents(s, d))
-        .orderBy(col("doc_id"))),
+      (s, d) => TextStats.quality(Tables.documents(s, d))),
 
     Q("x10_fingerprint",
       "Document fingerprint: md5 of whitespace-normalized lowercase text.",
       Some("""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
              |FROM documents ORDER BY doc_id""".stripMargin),
-      (s, d) => TextStats.fingerprint(Tables.documents(s, d))
-        .orderBy(col("doc_id"))),
+      (s, d) => TextStats.fingerprint(Tables.documents(s, d))),
 
     Q("x11_token_count",
       "BPE-ish lexer token count (letter/digit/punct runs).",
       Some("""SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens
              |FROM documents ORDER BY doc_id""".stripMargin),
-      (s, d) => TextStats.bpeTokenCount(Tables.documents(s, d))
-        .orderBy(col("doc_id"))),
+      (s, d) => TextStats.bpeTokenCount(Tables.documents(s, d))),
 
     Q("x14_knn_ivf",
       "IVF-style ANN: centroid cells (broadcast) + nprobe probing + bounded-heap rank; oracle replays cell assignment bit-exactly.",
@@ -350,14 +338,12 @@ object ExtensionQueries {
         val emb = Tables.embeddings(s, d)
         val centroids = Similarity.strideCentroids(emb, 16)
         Similarity.knnIvf(emb.filter(col("vec_id") < 10), emb, centroids, 5, 4)
-          .orderBy(col("qid"), col("rank"))
       }),
 
     Q("x15_embedding_neardup",
       "Embedding-cosine near-dup pairs from shared LSH buckets. Threshold 0.35 is demonstrative: the synthetic corpus has no true near-dups (max pairwise cos ≈ 0.48); production dedup uses ~0.9.",
       Some(embeddingNearDupOracle),
-      (s, d) => Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), 0.35)
-        .orderBy(col("id_a"), col("id_b"))),
+      (s, d) => Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), 0.35)),
 
     Q("x20_quality_filter",
       "Composable quality gate (C4/Gopher shape): every rule a deterministic column expr, first failure is the drop reason.",
@@ -379,8 +365,7 @@ object ExtensionQueries {
              |FROM q ORDER BY doc_id""".stripMargin),
       (s, d) => TextStats.qualityFilter(Tables.documents(s, d),
           minTokens = 10, maxAvgWordLen = 9.0, minStopRatio = 0.01)
-        .select(col("doc_id"), col("drop_reason"), col("keep"))
-        .orderBy(col("doc_id"))),
+        .select(col("doc_id"), col("drop_reason"), col("keep"))),
 
     Q("x21_hash_split",
       "Deterministic train/eval split by portable content-id hash (stable across runs/engines/partitionings).",
@@ -390,8 +375,7 @@ object ExtensionQueries {
              |       THEN 'train' ELSE 'eval' END AS split
              |FROM documents ORDER BY doc_id""".stripMargin),
       (s, d) => TextStats.hashSplit(Tables.documents(s, d), "doc_id", trainPct = 80)
-        .select(col("doc_id"), col("bucket_100"), col("split"))
-        .orderBy(col("doc_id"))),
+        .select(col("doc_id"), col("bucket_100"), col("split"))),
 
     Q("x22_ngram_counts",
       "Corpus-level word-bigram frequencies, top-50 (explode → partial-agg count; top-k as TakeOrderedAndProject).",
@@ -414,8 +398,7 @@ object ExtensionQueries {
              |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t
              |  WHERE len(words) >= 2)
              |ORDER BY doc_id""".stripMargin),
-      (s, d) => TextStats.repeatedNgramRatio(Tables.documents(s, d), 2)
-        .orderBy(col("doc_id"))),
+      (s, d) => TextStats.repeatedNgramRatio(Tables.documents(s, d), 2)),
 
     Q("x24_redact",
       "PII-scrub pass: regex redaction of emails and long digit runs; per-rule counts + fingerprint of the redacted text.",
@@ -428,8 +411,7 @@ object ExtensionQueries {
           ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+", "<EMAIL>"),
           ("digits", "[0-9]{3,}", "<NUM>")))
         .select(col("doc_id"), col("n_email"), col("n_digits"),
-          md5(col("redacted").cast("binary")).as("redacted_hash"))
-        .orderBy(col("doc_id"))),
+          md5(col("redacted").cast("binary")).as("redacted_hash"))),
 
     Q("x25_approx_quantile",
       "Quantile sketch (Greenwald-Khanna percentile_approx, accuracy 10000) oracled via its rank-error " +
@@ -443,8 +425,7 @@ object ExtensionQueries {
           expr("percentile(value, 0.45)").as("p45"),
           expr("percentile(value, 0.55)").as("p55"))
         .select(col("event_type"), col("n"), col("vmin"), col("vmax"),
-          (col("p50a") >= col("p45") && col("p50a") <= col("p55")).cast("int").as("q_ok"))
-        .orderBy(col("event_type"))),
+          (col("p50a") >= col("p45") && col("p50a") <= col("p55")).cast("int").as("q_ok"))),
 
     Q("x26_tfidf_top_terms",
       "TF-IDF-shaped ranking: per-doc top-3 terms by tf/df (document-frequency-normalized; the single " +
@@ -472,7 +453,6 @@ object ExtensionQueries {
         graft.operators.Ranks.topKPerGroup(scored, Seq("doc_id"), 3,
             Seq(col("score").desc, col("term")))
           .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
-          .orderBy(col("doc_id"), col("rank"))
       }),
 
     Q("x12_multimodal_stub",
@@ -481,6 +461,5 @@ object ExtensionQueries {
       (s, d) => Multimodal.extractFeatures(s, Multimodal.asMediaTable(Tables.documents(s, d)))
         .select(col("doc_id"), col("media_type"), col("n_bytes"), col("head_hash"),
           col("features")(0).as("f0"), col("features")(1).as("f1"),
-          col("features")(2).as("f2"), col("features")(3).as("f3"))
-        .orderBy(col("doc_id"))))
+          col("features")(2).as("f2"), col("features")(3).as("f3"))))
 }

@@ -43,8 +43,7 @@ object RelationalQueries {
              |WHERE l_extendedprice > 5000 ORDER BY l_orderkey, l_linenumber""".stripMargin),
       (s, d) => Tables.lineitem(s, d)
         .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
-        .filter($"l_extendedprice" > 5000)
-        .orderBy($"l_orderkey", $"l_linenumber")),
+        .filter($"l_extendedprice" > 5000)),
 
     Q("q02_group_agg",
       "O-17 grouped multi-aggregate (sum + count), partial+final hash agg.",
@@ -59,8 +58,7 @@ object RelationalQueries {
         .agg(
           decStr(sum(dec6($"l_quantity"))).as("sum_qty"),
           decStr(sum(revenue)).as("revenue"),
-          count(lit(1)).as("n"))
-        .orderBy($"l_returnflag", $"l_linestatus")),
+          count(lit(1)).as("n"))),
 
     Q("q03_join_fact",
       "J-1 fact-to-fact inner equi-join (events⋈blocks shape) + rollup.",
@@ -74,8 +72,7 @@ object RelationalQueries {
         .groupBy($"o_orderstatus")
         .agg(
           decStr(sum(revenue)).as("revenue"),
-          count(lit(1)).as("n"))
-        .orderBy($"o_orderstatus")),
+          count(lit(1)).as("n"))),
 
     Q("q04_double_dim_join",
       "J-2 same dimension joined twice under different keys (token t0/t1 shape); dims broadcast.",
@@ -104,7 +101,6 @@ object RelationalQueries {
           .agg(
             decStr(sum(revenue)).as("revenue"),
             count(lit(1)).as("n"))
-          .orderBy($"cust_nation", $"supp_nation")
       }),
 
     Q("q05_topk",
@@ -127,8 +123,7 @@ object RelationalQueries {
       Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
              |ORDER BY l_returnflag, l_linestatus""".stripMargin),
       (s, d) => Tables.lineitem(s, d)
-        .select($"l_returnflag", $"l_linestatus").distinct()
-        .orderBy($"l_returnflag", $"l_linestatus")),
+        .select($"l_returnflag", $"l_linestatus").distinct()),
 
     Q("q07_union_unpivot",
       "U-1 UNION ALL unpivot of two key columns into one (token_0/token_1 shape).",
@@ -137,7 +132,7 @@ object RelationalQueries {
              |  UNION ALL SELECT l_suppkey AS key FROM lineitem) t
              |GROUP BY key ORDER BY key""".stripMargin),
       (s, d) => SetOps.unpivotUnion(Tables.lineitem(s, d), "key", "l_partkey", "l_suppkey")
-        .groupBy($"key").agg(count(lit(1)).as("n")).orderBy($"key")),
+        .groupBy($"key").agg(count(lit(1)).as("n"))),
 
     Q("q08_dedup_last_write",
       "O-21 ReplacingMergeTree + OPTIMIZE FINAL: keyed last-write-wins dedup via row_number window.",
@@ -149,8 +144,7 @@ object RelationalQueries {
       (s, d) => Dedup.lastWriteWins(
           Tables.orders(s, d), Seq("o_custkey"),
           Seq(col("o_orderdate").desc, col("o_orderkey").desc))
-        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
-        .orderBy($"o_custkey")),
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")),
 
     Q("q09_json_extract",
       "P-1/P-2 JSON payload extraction (JSONExtract shape) + grouped sum.",
@@ -161,8 +155,7 @@ object RelationalQueries {
       (s, d) => Tables.events(s, d)
         .withColumn("k", get_json_object($"props", "$.k").cast("long"))
         .groupBy($"event_type")
-        .agg(sum($"k").cast("long").as("sum_k"), count(lit(1)).as("n"))
-        .orderBy($"event_type")),
+        .agg(sum($"k").cast("long").as("sum_k"), count(lit(1)).as("n"))),
 
     Q("q10_time_window",
       "P-4 trailing-24h filter with 'now' pinned to max(ts) for determinism.",
@@ -179,7 +172,6 @@ object RelationalQueries {
           .groupBy($"event_type")
           .agg(count(lit(1)).as("n"),
             decStr(sum(dec6($"value"))).as("val_24h"))
-          .orderBy($"event_type")
       }),
 
     Q("q11_hex_to_decimal",
@@ -191,8 +183,7 @@ object RelationalQueries {
       (s, d) => Tables.lineitem(s, d)
         .select($"l_orderkey", $"l_linenumber",
           hex_to_decimal(concat(lit("0x"), lower(hex($"l_orderkey")),
-            lpad(lower(hex($"l_partkey")), 16, "0"))).cast("string").as("amount"))
-        .orderBy($"l_orderkey", $"l_linenumber")),
+            lpad(lower(hex($"l_partkey")), 16, "0"))).cast("string").as("amount"))),
 
     Q("q12_pair_key",
       "P-9 canonical order-insensitive pair key ('/'.join(sorted([a,b]))).",
@@ -206,16 +197,14 @@ object RelationalQueries {
         .withColumn("pair", pair_key($"l_returnflag", $"l_linestatus"))
         .groupBy($"pair")
         .agg(count(lit(1)).as("n"),
-          decStr(sum(dec6($"l_extendedprice"))).as("amt"))
-        .orderBy($"pair")),
+          decStr(sum(dec6($"l_extendedprice"))).as("amt"))),
 
     Q("q13_pad_address",
       "P-10 zero-pad normalize to 0x + 64 hex digits.",
       Some("""SELECT p_partkey, '0x' || lpad(lower(to_hex(p_partkey)), 64, '0') AS addr
              |FROM part ORDER BY p_partkey""".stripMargin),
       (s, d) => Tables.part(s, d)
-        .select($"p_partkey", pad_address(lower(hex($"p_partkey"))).as("addr"))
-        .orderBy($"p_partkey")),
+        .select($"p_partkey", pad_address(lower(hex($"p_partkey"))).as("addr"))),
 
     Q("q14_conditional_fill",
       "P-6 conditional column + P-11 null default fill + P-7 inequality filter.",
@@ -229,8 +218,7 @@ object RelationalQueries {
         .select($"c_custkey",
           when($"c_acctbal" < 0, lit(0.0)).otherwise($"c_acctbal").as("bal"),
           coalesce($"c_mktsegment", lit("No Segment")).as("segment"))
-        .filter($"bal" =!= 0.0)
-        .orderBy($"c_custkey")),
+        .filter($"bal" =!= 0.0)),
 
     Q("q15_swap_steps",
       "O-18 group→nested array-of-structs (parse_data.py swap_steps shape), serialized to a canonical string " +
@@ -251,8 +239,7 @@ object RelationalQueries {
           // engine-specific double formatting in the canonical string
           concat_ws("|", transform($"steps", st => concat_ws(":",
             st.getField("l_linenumber"), st.getField("l_partkey"),
-            st.getField("l_quantity").cast("long")))).as("steps"))
-        .orderBy($"l_orderkey")),
+            st.getField("l_quantity").cast("long")))).as("steps"))),
 
     Q("q32_swap_steps_flat",
       "O-18 verified: build the nested swap_steps array, then re-flatten via posexplode — array ordering and completeness hash-checked against the window formulation.",
@@ -270,8 +257,7 @@ object RelationalQueries {
           posexplode($"steps"))
         .select($"l_orderkey", $"n_steps", ($"pos" + 1).cast("int").as("step_pos"),
           $"col.l_linenumber".as("l_linenumber"), $"col.l_partkey".as("l_partkey"),
-          $"col.l_quantity".as("l_quantity"))
-        .orderBy($"l_orderkey", $"step_pos")),
+          $"col.l_quantity".as("l_quantity"))),
 
     Q("q33_epoch_cast",
       "P-3 epoch-seconds -> timestamp cast (toDateTime shape): round-trip through unix seconds = second-truncation.",
@@ -279,8 +265,7 @@ object RelationalQueries {
              |FROM events ORDER BY event_id""".stripMargin),
       (s, d) => Tables.events(s, d)
         .select($"event_id",
-          timestamp_seconds(unix_timestamp($"ts")).cast("timestamp_ntz").as("ts_sec"))
-        .orderBy($"event_id")),
+          timestamp_seconds(unix_timestamp($"ts")).cast("timestamp_ntz").as("ts_sec"))),
 
     Q("q16_watermark",
       "O-16 incremental watermark scalar: coalesce(max(offset), origin-1) + 1.",
@@ -332,7 +317,6 @@ object RelationalQueries {
         // max_by aggregate plan (no window sort; map-side partials)
         Dedup.lastWriteWinsAgg(redelivered, Seq("event_id"), Seq(col("ingest_seq")))
           .groupBy($"event_type").agg(count(lit(1)).as("n"))
-          .orderBy($"event_type")
       }),
 
     Q("q20_anti_join",
@@ -342,8 +326,7 @@ object RelationalQueries {
              |ORDER BY c_custkey""".stripMargin),
       (s, d) => Tables.customer(s, d)
         .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
-        .select($"c_custkey", $"c_name")
-        .orderBy($"c_custkey")),
+        .select($"c_custkey", $"c_name")),
 
     Q("q21_semi_join",
       "left_semi: EXISTS probe without row multiplication.",
@@ -352,8 +335,7 @@ object RelationalQueries {
              |ORDER BY c_custkey""".stripMargin),
       (s, d) => Tables.customer(s, d)
         .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_semi")
-        .select($"c_custkey", $"c_name")
-        .orderBy($"c_custkey")),
+        .select($"c_custkey", $"c_name")),
 
     Q("q23_token_backfill",
       "Entry-point-D shape (crawl_token): unpivot → distinct → anti-join dim → default fill.",
@@ -366,8 +348,7 @@ object RelationalQueries {
       (s, d) => graft.pipeline.TokenBackfill.withDefaults(
           graft.pipeline.TokenBackfill.missingKeys(
             Tables.lineitem(s, d), Seq("l_partkey", "l_suppkey"),
-            Tables.supplier(s, d), "s_suppkey"))
-        .orderBy($"token")),
+            Tables.supplier(s, d), "s_suppkey"))),
 
     Q("q27_asof_join",
       "As-of backward join (operator Spark lacks; union+window composition, one shuffle). Oracle: DuckDB native ASOF JOIN.",
@@ -378,8 +359,7 @@ object RelationalQueries {
       (s, d) => graft.operators.AsOf.joinInner(
           Tables.events(s, d), Tables.orders(s, d),
           "user_id", "o_custkey", "ts", "o_orderdate")
-        .select($"event_id", $"user_id", $"right_o_orderdate".as("last_order_date"))
-        .orderBy($"event_id")),
+        .select($"event_id", $"user_id", $"right_o_orderdate".as("last_order_date"))),
 
     Q("q28_pivot",
       "Pivot event_type counts per user (conditional-aggregate form both sides).",
@@ -394,8 +374,7 @@ object RelationalQueries {
         .agg(count(lit(1)))
         .na.fill(0L, Seq("click", "view", "purchase"))
         .select($"user_id", $"click".as("n_click"), $"view".as("n_view"),
-          $"purchase".as("n_purchase"))
-        .orderBy($"user_id")),
+          $"purchase".as("n_purchase"))),
 
     Q("q29_rollup",
       "ROLLUP subtotal hierarchy over (returnflag, linestatus).",
@@ -406,24 +385,21 @@ object RelationalQueries {
       (s, d) => Tables.lineitem(s, d)
         .rollup($"l_returnflag", $"l_linestatus")
         .agg(count(lit(1)).as("n"),
-          decStr(sum(dec6($"l_quantity"))).as("qty"))
-        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)),
+          decStr(sum(dec6($"l_quantity"))).as("qty"))),
 
     Q("q30_except",
       "EXCEPT (set difference, distinct semantics) over key domains.",
       Some("""SELECT l_partkey AS key FROM lineitem
              |EXCEPT SELECT l_suppkey FROM lineitem ORDER BY key""".stripMargin),
       (s, d) => Tables.lineitem(s, d).select($"l_partkey".as("key"))
-        .except(Tables.lineitem(s, d).select($"l_suppkey".as("key")))
-        .orderBy($"key")),
+        .except(Tables.lineitem(s, d).select($"l_suppkey".as("key")))),
 
     Q("q31_intersect",
       "INTERSECT (distinct semantics) over key domains.",
       Some("""SELECT l_partkey AS key FROM lineitem
              |INTERSECT SELECT l_suppkey FROM lineitem ORDER BY key""".stripMargin),
       (s, d) => Tables.lineitem(s, d).select($"l_partkey".as("key"))
-        .intersect(Tables.lineitem(s, d).select($"l_suppkey".as("key")))
-        .orderBy($"key")),
+        .intersect(Tables.lineitem(s, d).select($"l_suppkey".as("key")))),
 
     Q("q26_count_distinct",
       "Exact distinct-aggregate per group (beyond reference parity; expand-based two-phase plan).",
@@ -431,8 +407,7 @@ object RelationalQueries {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       (s, d) => Tables.events(s, d)
         .groupBy($"event_type")
-        .agg(countDistinct($"user_id").as("n_users"), count(lit(1)).as("n"))
-        .orderBy($"event_type")),
+        .agg(countDistinct($"user_id").as("n_users"), count(lit(1)).as("n"))),
 
     Q("x13_approx_distinct",
       "HLL++ approximate distinct (sketch aggregate — constant memory per group at any scale), oracled via its " +
@@ -448,8 +423,7 @@ object RelationalQueries {
           count(lit(1)).as("n"))
         .select($"event_type", $"n_users_exact", $"n",
           (abs($"approx" - $"n_users_exact") <= $"n_users_exact" * 0.05)
-            .cast("int").as("hll_ok"))
-        .orderBy($"event_type")),
+            .cast("int").as("hll_ok"))),
 
     Q("q25_sessionize",
       "Session windows (30-min inactivity gap) per user — gap-based stateful windowing, batch twin of the streaming sessionizer.",
@@ -464,8 +438,7 @@ object RelationalQueries {
         .groupBy(session_window($"ts", "30 minutes"), $"user_id")
         .agg(count(lit(1)).as("n_events"))
         .groupBy($"user_id")
-        .agg(count(lit(1)).as("n_sessions"))
-        .orderBy($"user_id")),
+        .agg(count(lit(1)).as("n_sessions"))),
 
     Q("q24_json_stringify",
       "K-4 JSON-stringify list column before load (to_json of a collected array).",
@@ -473,8 +446,7 @@ object RelationalQueries {
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
       (s, d) => Tables.events(s, d)
         .groupBy($"user_id")
-        .agg(to_json(sort_array(collect_set($"event_type"))).as("types_json"))
-        .orderBy($"user_id")),
+        .agg(to_json(sort_array(collect_set($"event_type"))).as("types_json"))),
 
     Q("q22_hourly_rollup",
       "Tumbling 1h event-time window (batch twin of the streaming agg in graft.streaming).",
@@ -488,8 +460,7 @@ object RelationalQueries {
         // cast LTZ→NTZ (identity under the UTC session tz) so the parquet
         // annotation matches the oracle's naive TIMESTAMP
         .select($"window.start".cast("timestamp_ntz").as("hour_start"),
-          $"event_type", $"n", $"val")
-        .orderBy($"hour_start", $"event_type")),
+          $"event_type", $"n", $"val")),
 
     Q("q34_window_funcs",
       "Window-function family over per-user event streams: row_number / lag / lead / rank / ntile + " +
@@ -518,7 +489,6 @@ object RelationalQueries {
           decStr(sum(dec6($"value"))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
             .as("run_val"))
-          .orderBy($"event_id")
       }),
 
     Q("q35_range_join",
@@ -539,7 +509,6 @@ object RelationalQueries {
         RangeJoin.countInRange(ev, ords, "event_id", "user_id", "o_custkey",
             "day", "lo", "hi", bucketWidth = 8)
           .select($"event_id", $"n_matches".as("n_orders_7d"))
-          .orderBy($"event_id")
       }),
 
     Q("q36_salted_join",
@@ -553,8 +522,7 @@ object RelationalQueries {
       (s, d) => Salt.saltedJoin(Tables.lineitem(s, d), Tables.orders(s, d),
           "l_orderkey", "o_orderkey", col("l_linenumber"), 8)
         .groupBy($"o_orderstatus")
-        .agg(decStr(sum(revenue)).as("revenue"), count(lit(1)).as("n"))
-        .orderBy($"o_orderstatus")))
+        .agg(decStr(sum(revenue)).as("revenue"), count(lit(1)).as("n"))))
 
   // $"..." interpolator without a session-bound implicits import.
   private implicit class Dollar(val sc: StringContext) {

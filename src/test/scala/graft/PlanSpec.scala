@@ -36,13 +36,13 @@ class PlanSpec extends SparkSuite {
       s"expected TakeOrderedAndProject:\n$p")
   }
 
-  test("q04: all five dimension joins broadcast; exactly one agg shuffle pre-sort") {
+  test("q04: all five dimension joins broadcast; exactly one agg shuffle") {
     val p = plan(SparkEntry.queries("q04_double_dim_join")(spark, sf))
     val bcasts = collectAll(p) { case b: BroadcastExchangeLike => b }
     assert(bcasts.size == 5, s"expected 5 broadcast exchanges, got ${bcasts.size}")
     val shuffles = collectAll(p) { case s: ShuffleExchangeLike => s }
-    // one for the groupBy, one for the final orderBy — and nothing else
-    assert(shuffles.size == 2, s"expected 2 shuffles (agg + sort), got ${shuffles.size}")
+    // just the groupBy — no trailing cosmetic sort since round 2
+    assert(shuffles.size == 1, s"expected 1 shuffle (agg), got ${shuffles.size}")
   }
 
   test("q18: the max(ts) pin is a broadcast, not a collect, and the dim join broadcasts") {

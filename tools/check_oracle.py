@@ -50,7 +50,16 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             n_bad += 1
             continue
-        # exact value compare, row order as produced (both sides ORDER BY)
+        # order-insensitive compare, like the driver's gate (it row-sorts
+        # both sides before hashing): Spark-side queries only ORDER BY
+        # where it is semantic (top-k), so produced order may differ
+        try:
+            exp = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
+            got = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: sort crashed (array column?): {e}")
+            n_bad += 1
+            continue
         mism = []
         for c in exp.columns:
             ev, gv = exp[c].tolist(), got[c].tolist()
