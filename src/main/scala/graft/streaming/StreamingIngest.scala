@@ -156,4 +156,34 @@ object StreamingIngest {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("val"))
+
+  /** Streaming content dedup for a document ingest stream — the
+    * streaming member of the dedup family: fingerprint each arriving doc
+    * (md5 of whitespace-normalized lowercase text, the same key as batch
+    * x10) and keep only first-seen fingerprints within the watermark.
+    * State is one fingerprint per distinct doc, bounded by the watermark
+    * horizon — at ingest scale that horizon (not the corpus size) sizes
+    * the state store.
+    */
+  def dedupedDocs(docs: DataFrame, tsCol: String = "ingest_ts",
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fingerprint",
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Stream-static enrichment: each micro-batch joins the (small, slowly
+    * changing) dimension read as a plain batch table — the streaming
+    * rendering of the reference's token-metadata join. The static side
+    * re-resolves per micro-batch, so a republished dim is picked up
+    * without restarting the stream; broadcast keeps it off the shuffle
+    * path.
+    */
+  def enriched(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+        broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"), "left")
+      .withColumn("segment", coalesce(col("c_mktsegment"), lit("No Segment")))
+      .drop("c_custkey", "c_mktsegment")
 }

@@ -138,4 +138,67 @@ class StreamingSpec extends SparkSuite {
 
     assert(spark.table("deduped").first().getLong(0) == 100L)
   }
+
+  test("dedupedDocs keeps one row per distinct fingerprint (streaming doc dedup)") {
+    val dir = Files.createTempDirectory("graft-stream3").toString + "/docs"
+    val docs = Tables.documents(spark, sf).limit(50)
+      .withColumn("ingest_ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+    // formatting variants of the same content must collapse too
+    val variants = docs
+      .withColumn("text", upper(col("text")))  // different fingerprint
+      .withColumn("doc_id", col("doc_id") + 100000)
+    val dups = docs.unionAll(docs).unionAll(variants)
+    dups.write.parquet(dir)
+
+    val stream = StreamingIngest.eventsStream(spark, dir, dups.schema)
+    StreamingIngest.runToMemory(
+      StreamingIngest.dedupedDocs(stream).groupBy().agg(count(lit(1)).as("n")),
+      "doc_dedup", mode = "complete")
+
+    val expected = graft.ext.TextStats.fingerprint(spark.read.parquet(dir))
+      .select("fingerprint").distinct().count()
+    assert(spark.table("doc_dedup").first().getLong(0) == expected)
+  }
+
+  test("stream-static enrichment matches the batch broadcast join") {
+    val dir = Files.createTempDirectory("graft-stream4").toString + "/events"
+    val events = Tables.events(spark, sf).limit(500)
+    events.write.parquet(dir)
+    val dim = Tables.customer(spark, sf)
+
+    val stream = StreamingIngest.eventsStream(spark, dir, events.schema)
+    StreamingIngest.runToMemory(
+      StreamingIngest.enriched(stream, dim)
+        .groupBy(col("segment")).agg(count(lit(1)).as("n")),
+      "enriched_counts", mode = "complete")
+
+    val expected = StreamingIngest.enriched(spark.read.parquet(dir), dim)
+      .groupBy(col("segment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = spark.table("enriched_counts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("stateful streams run on the RocksDB state store (production backend)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("graft-stream5").toString + "/events"
+      val events = Tables.events(spark, sf).limit(1000)
+      events.write.parquet(dir)
+      val stream = StreamingIngest.eventsStream(spark, dir, events.schema)
+      StreamingIngest.runToMemory(
+        StreamingIngest.hourlyRollup(stream), "rocksdb_rollup", mode = "complete")
+      val n = spark.table("rocksdb_rollup").agg(sum(col("n"))).first().getLong(0)
+      assert(n == 1000L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
