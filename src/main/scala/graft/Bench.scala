@@ -22,15 +22,23 @@ object Bench {
     spark.range(0, 100000, 1, 4).groupBy((org.apache.spark.sql.functions.col("id") % 7).as("k"))
       .count().count()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink = full evaluation of every output column (count() would
-      // let Catalyst prune whole operators — a window/join whose columns
-      // the count never reads vanishes from the plan, timing nothing)
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // Two full passes, report the per-query minimum: single-pass numbers
+    // swing ±20% on this box (shared-host noise + first-evaluation JIT /
+    // codegen compilation), and the min of two passes is the stable
+    // estimate of the plan's actual cost (documented in BASELINE.md).
+    def pass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // noop sink = full evaluation of every output column (count()
+        // would let Catalyst prune whole operators — a window/join whose
+        // columns the count never reads vanishes from the plan, timing
+        // nothing)
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+        catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val p1 = pass().toMap
+    val results = pass().map { case (name, t2) => name -> math.min(p1(name), t2) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -522,7 +522,18 @@ object RelationalQueries {
       (s, d) => Salt.saltedJoin(Tables.lineitem(s, d), Tables.orders(s, d),
           "l_orderkey", "o_orderkey", col("l_linenumber"), 8)
         .groupBy($"o_orderstatus")
-        .agg(decStr(sum(revenue)).as("revenue"), count(lit(1)).as("n"))))
+        .agg(decStr(sum(revenue)).as("revenue"), count(lit(1)).as("n"))),
+
+    Q("q37_cube",
+      "CUBE grouping-set hierarchy over (returnflag, linestatus): all four grouping combinations in one " +
+        "Expand pass (completes the q29 ROLLUP family).",
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS qty
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          decStr(sum(dec6($"l_quantity"))).as("qty"))))
 
   // $"..." interpolator without a session-bound implicits import.
   private implicit class Dollar(val sc: StringContext) {

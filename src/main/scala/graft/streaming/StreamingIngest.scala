@@ -132,6 +132,38 @@ object StreamingIngest {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** [[runningUserTotals]] with a state TTL — the unbounded-key-space
+    * knob (ROADMAP): `GroupStateTimeout.ProcessingTimeTimeout` expires
+    * state for keys idle longer than `ttl`, so abandoned users stop
+    * occupying the state store forever. A timed-out key re-starts its
+    * totals from zero on next arrival (emit-and-forget; an exact
+    * continuation would persist the evicted total to a sink first).
+    */
+  def runningUserTotalsWithTtl(spark: SparkSession, events: DataFrame,
+      ttl: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).na.drop().as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, Option[(Long, Long, Double)]](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[UserState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            None
+          } else {
+            val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+            var n = prev.n_events
+            var t = prev.total_value
+            rows.foreach { case (_, v) => n += 1; t += v }
+            state.update(UserState(n, t))
+            state.setTimeoutDuration(ttl)
+            Some((uid, n, t))
+          }
+      }
+      .flatMap(_.toSeq)
+      .toDF("user_id", "n_events", "total_value")
+  }
+
   /** Run an update-mode stateful stream to a named memory sink. */
   def runToMemoryUpdate(df: DataFrame, name: String): StreamingQuery = {
     val q = df.writeStream

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.sources.Tables
 import graft.streaming.StreamingIngest
@@ -177,6 +178,34 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val got = spark.table("enriched_counts")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("TTL'd running totals agree with the untimed variant within the TTL window") {
+    val dir = Files.createTempDirectory("graft-stream6").toString + "/events"
+    val events = Tables.events(spark, sf).limit(500)
+    events.write.parquet(dir)
+    val stream = StreamingIngest.eventsStream(spark, dir, events.schema)
+    // a query with registered ProcessingTimeTimeouts never self-reports
+    // "all available processed" (both awaitTermination under AvailableNow
+    // and processAllAvailable block until the TTL fires) — bound the wait
+    // and stop explicitly; the 500-row batch completes in seconds
+    val q = StreamingIngest.runningUserTotalsWithTtl(spark, stream, ttl = "1 hour")
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("ttl_totals")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    q.stop()
+    // nothing times out inside one AvailableNow run, so the final row per
+    // user must equal the batch aggregate (same check as the untimed op)
+    val got = spark.table("ttl_totals")
+      .groupBy(col("user_id")).agg(max(col("n_events")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = spark.read.parquet(dir).na.drop(Seq("user_id", "value"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
   }
 
