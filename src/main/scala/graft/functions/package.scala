@@ -113,6 +113,15 @@ package object functions {
       TopKByScore(Internal.expression(score), Internal.expression(id), k)
         .toAggregateExpression())
 
+  /** Misra-Gries heavy-hitters sketch aggregate — O(capacity) state per
+    * group at any input size; every item with frequency > n/(capacity+1)
+    * is guaranteed in the output array<struct<item, min_count>> (counts
+    * are lower bounds). See [[FrequentItemsAgg]].
+    */
+  def frequent_items(item: Column, capacity: Int): Column =
+    Internal.column(
+      FrequentItemsAgg(Internal.expression(item), capacity).toAggregateExpression())
+
   /** Word n-gram shingles of a text column (distinct, first occurrence
     * kept), for Jaccard / MinHash dedup. Empty array when the text has
     * fewer than `n` words. Native codegen kernel — see [[WordNgrams]].

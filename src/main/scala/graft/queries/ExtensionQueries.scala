@@ -455,6 +455,26 @@ object ExtensionQueries {
           .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
       }),
 
+    Q("x27_heavy_hitters",
+      "Misra-Gries heavy hitters (custom TypedImperativeAggregate, O(capacity) state at any corpus size) " +
+        "oracled via its containment contract: every exact top-10 term — all far above the n/(capacity+1) " +
+        "guarantee threshold — must appear in the sketch's candidate set.",
+      Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+             |t AS (SELECT term, count(*) AS cnt FROM w GROUP BY term ORDER BY cnt DESC, term LIMIT 10)
+             |SELECT term, cnt, CAST(1 AS INT) AS in_sketch FROM t""".stripMargin),
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("term"))
+        val exactTop = words.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term")).limit(10)
+        val sketch = words.agg(graft.functions.frequent_items(col("term"), 256).as("mg"))
+          .select(explode(col("mg")).as("e"))
+          .select(col("e.item").as("term"), lit(1).as("hit"))
+        exactTop.join(broadcast(sketch), Seq("term"), "left")
+          .select(col("term"), col("cnt"),
+            coalesce(col("hit"), lit(0)).cast("int").as("in_sketch"))
+      }),
+
     Q("x12_multimodal_stub",
       "Binary media column plumbing + partition-local (stubbed) decode/feature-extract; md5-derived stub features make the whole stage oracle-checkable.",
       Some(multimodalOracle),

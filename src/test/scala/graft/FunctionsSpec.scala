@@ -95,6 +95,32 @@ class FunctionsSpec extends SparkSuite {
     assert(got.getSeq[String](1) == Seq("a b", "b a"))
   }
 
+  test("frequent_items: guaranteed heavy hitter survives with a valid lower bound") {
+    val rnd = new scala.util.Random(31)
+    // 2000 occurrences of "hot" in a stream of 6000 — frequency 1/3,
+    // far above the 1/(capacity+1) guarantee for capacity 8
+    val items = rnd.shuffle(
+      Seq.fill(2000)("hot") ++ Seq.fill(4000)(s"cold_${rnd.nextInt(500)}"))
+    val df = items.toDF("item").repartition(7)
+      .agg(frequent_items(col("item"), 8).as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.item"), col("e.min_count"))
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.contains("hot"), s"guaranteed heavy hitter evicted: $got")
+    // min_count is a lower bound of the true count, and the MG error
+    // bound says it is within n/(capacity+1) of it
+    assert(got("hot") <= 2000)
+    assert(got("hot") >= 2000 - 6000 / 9, s"lower bound too loose: ${got("hot")}")
+  }
+
+  test("frequent_items state stays bounded by capacity") {
+    val items = (0 until 10000).map(i => s"unique_$i")
+    val n = items.toDF("item").repartition(13)
+      .agg(frequent_items(col("item"), 16).as("mg"))
+      .select(size(col("mg"))).first().getInt(0)
+    assert(n <= 16, s"buffer exceeded capacity: $n")
+  }
+
   test("json_string_array round-trips to_json (FIXTURES §B.7)") {
     val df = Seq(Seq("0xa", "0xb"), Seq.empty[String])
       .toDF("arr")

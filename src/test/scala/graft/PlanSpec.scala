@@ -80,4 +80,42 @@ class PlanSpec extends SparkSuite {
     assert(collectAll(p) { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
       "knnBrute must not plan a window")
   }
+
+  test("q35: range join plans as equi-join candidate generation, never a nested loop") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val p = plan(SparkEntry.queries("q35_range_join")(spark, sf))
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"range join degenerated to BroadcastNestedLoopJoin:\n$p")
+    assert(collectAll(p) { case j: CartesianProductExec => j }.isEmpty,
+      s"range join degenerated to a cartesian product:\n$p")
+  }
+
+  test("x03: bucket-local pair generation — one signature aggregation, no self-join") {
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec}
+    val p = plan(SparkEntry.queries("x03_minhash_pairs")(spark, sf))
+    assert(collectAll(p) { case j: BaseJoinExec => j }.isEmpty,
+      s"candidate pairs should come from in-bucket expansion, not a join:\n$p")
+  }
+
+  test("x22: corpus top-k plans TakeOrderedAndProject over the gram aggregate") {
+    val p = plan(SparkEntry.queries("x22_ngram_counts")(spark, sf))
+    assert(collectAll(p) { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"expected TakeOrderedAndProject:\n$p")
+  }
+
+  test("only O(1)-row build sides ever nested-loop (scalar pins, query/centroid sets)") {
+    // the full-registry audit: any BroadcastNestedLoopJoin or cartesian
+    // in any declared query must build from a bounded tiny side — q10/q18
+    // (1-row max(ts) pin), x06 (10-row query set), x14 (9-row centroids)
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val allowed = Set("q10_time_window", "q18_report_pairs", "x06_knn_brute",
+      "x13_approx_distinct", "x14_knn_ivf", "x25_approx_quantile")
+    SparkEntry.registry.foreach { q =>
+      val p = plan(q.build(spark, sf))
+      val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
+      if (bnl.nonEmpty)
+        assert(allowed.contains(q.name),
+          s"${q.name} plans an unexpected BroadcastNestedLoopJoin:\n${bnl.head}")
+    }
+  }
 }
