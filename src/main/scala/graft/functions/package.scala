@@ -113,6 +113,13 @@ package object functions {
       TopKByScore(Internal.expression(score), Internal.expression(id), k)
         .toAggregateExpression())
 
+  /** Morton (Z-order) interleave of two int columns — the
+    * multi-dimensional clustering key for data-skipping layouts. See
+    * [[ZOrder2]].
+    */
+  def zorder_key(x: Column, y: Column): Column =
+    Internal.column(ZOrder2(Internal.expression(x), Internal.expression(y)))
+
   /** Misra-Gries heavy-hitters sketch aggregate — O(capacity) state per
     * group at any input size; every item with frequency > n/(capacity+1)
     * is guaranteed in the output array<struct<item, min_count>> (counts

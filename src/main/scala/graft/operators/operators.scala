@@ -77,4 +77,13 @@ object SetOps {
     */
   def unpivotExplode(df: DataFrame, outName: String, cols: String*): DataFrame =
     df.select(explode(array(cols.map(col): _*)).as(outName))
+
+  /** Spark's native unpivot (melt): id columns stay, value columns fold
+    * into (variable, value) rows — the generalized U-1 that also keeps
+    * the row identity. Plans as Expand (single scan), same cost class as
+    * [[unpivotExplode]] with the source column name preserved.
+    */
+  def melt(df: DataFrame, ids: Seq[String], values: Seq[String],
+      varName: String = "variable", valName: String = "value"): DataFrame =
+    df.unpivot(ids.map(col).toArray, values.map(col).toArray, varName, valName)
 }

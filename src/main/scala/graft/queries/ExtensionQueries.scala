@@ -208,6 +208,18 @@ object ExtensionQueries {
        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
 
+  // zorder_key as pure integer bit math, reproduced term-by-term in SQL
+  private val zorderOracle: String = {
+    val terms = (0 until 32).flatMap(b => Seq(
+      s"(((x >> $b) & 1) << ${2 * b})",
+      s"(((y >> $b) & 1) << ${2 * b + 1})")).mkString(" + ")
+    s"""WITH t AS (SELECT l_orderkey, l_linenumber,
+       |  CAST(l_partkey % 100000 AS BIGINT) AS x,
+       |  CAST(l_suppkey % 100000 AS BIGINT) AS y FROM lineitem)
+       |SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS zkey
+       |FROM t""".stripMargin
+  }
+
   // ---- multimodal-stub oracle ---------------------------------------------
   // The stub features are md5-derived (Multimodal.fakeDecode): f_i = hex
   // chars [8i, 8i+8) / 2^32 (exact in double), head_hash = first 60 bits.
@@ -474,6 +486,17 @@ object ExtensionQueries {
           .select(col("term"), col("cnt"),
             coalesce(col("hit"), lit(0)).cast("int").as("in_sketch"))
       }),
+
+    Q("x28_zorder_key",
+      "Morton (Z-order) clustering key over two join-key dimensions — sort by this before write " +
+        "(Ingest.appendSorted) and min/max footer stats prune files for range predicates on EITHER column; " +
+        "oracled bit-for-bit as a generated integer expression.",
+      Some(zorderOracle),
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.functions.zorder_key(
+            pmod(col("l_partkey"), lit(100000)).cast("int"),
+            pmod(col("l_suppkey"), lit(100000)).cast("int")).as("zkey"))),
 
     Q("x12_multimodal_stub",
       "Binary media column plumbing + partition-local (stubbed) decode/feature-extract; md5-derived stub features make the whole stage oracle-checkable.",

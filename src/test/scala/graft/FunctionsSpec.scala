@@ -121,6 +121,27 @@ class FunctionsSpec extends SparkSuite {
     assert(n <= 16, s"buffer exceeded capacity: $n")
   }
 
+  test("zorder_key matches the reference bit-interleave loop (property)") {
+    def slow(x: Int, y: Int): Long = {
+      var out = 0L
+      for (b <- 0 until 32) {
+        out |= ((x.toLong >> b) & 1L) << (2 * b)
+        out |= ((y.toLong >> b) & 1L) << (2 * b + 1)
+      }
+      out
+    }
+    val rnd = new scala.util.Random(37)
+    val pts = Seq((0, 0), (1, 0), (0, 1), (3, 5), (Int.MaxValue, Int.MaxValue)) ++
+      Seq.fill(200)((rnd.nextInt(Int.MaxValue), rnd.nextInt(Int.MaxValue)))
+    val got = pts.toDF("x", "y")
+      .select(zorder_key(col("x"), col("y")).as("z")).collect().map(_.getLong(0))
+    pts.zip(got).foreach { case ((x, y), z) =>
+      assert(z == slow(x, y), s"($x, $y)")
+    }
+    // the defining property: z(0,0)=0, z(1,0)=1, z(0,1)=2, z(1,1)=3
+    assert(slow(1, 1) == 3)
+  }
+
   test("json_string_array round-trips to_json (FIXTURES §B.7)") {
     val df = Seq(Seq("0xa", "0xb"), Seq.empty[String])
       .toDF("arr")

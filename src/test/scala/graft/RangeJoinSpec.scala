@@ -51,6 +51,21 @@ class RangeJoinSpec extends SparkSuite {
     assert(got == Map(1L -> 1L, 2L -> 0L))
   }
 
+  test("melt (native unpivot) agrees with the union and explode unpivot forms") {
+    val df = Seq((1L, 10L, 20L), (2L, 30L, 40L)).toDF("id", "a", "b")
+    val melted = graft.operators.SetOps.melt(df, Seq("id"), Seq("a", "b"))
+    assert(melted.columns.toSeq == Seq("id", "variable", "value"))
+    val got = melted.as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "a", 10L), (1L, "b", 20L), (2L, "a", 30L), (2L, "b", 40L)))
+    // value multiset must equal the single-column unpivot forms
+    val viaUnion = graft.operators.SetOps.unpivotUnion(df, "v", "a", "b")
+      .as[Long].collect().sorted.toSeq
+    val viaExplode = graft.operators.SetOps.unpivotExplode(df, "v", "a", "b")
+      .as[Long].collect().sorted.toSeq
+    assert(viaUnion == viaExplode)
+    assert(melted.select("value").as[Long].collect().sorted.toSeq == viaUnion)
+  }
+
   test("saltedJoin equals the plain join (property)") {
     val rnd = new scala.util.Random(17)
     // skewed fact: 80% of rows on one hot key
