@@ -524,6 +524,22 @@ object RelationalQueries {
         .groupBy($"o_orderstatus")
         .agg(decStr(sum(revenue)).as("revenue"), count(lit(1)).as("n"))),
 
+    Q("q38_full_outer",
+      "Full outer join over partially-overlapping key domains (customer-only / both / part-only rows all " +
+        "populated) — the join type snapshot reconciliation diffs use; completes the join-type inventory.",
+      Some("""SELECT coalesce(c_custkey, p_partkey) AS k,
+             |  CAST(CASE WHEN c_custkey IS NOT NULL THEN 1 ELSE 0 END AS INT) AS has_cust,
+             |  CAST(CASE WHEN p_partkey IS NOT NULL THEN 1 ELSE 0 END AS INT) AS has_part
+             |FROM customer FULL OUTER JOIN (SELECT p_partkey FROM part WHERE p_partkey % 2 = 0) p
+             |  ON c_custkey = p_partkey""".stripMargin),
+      (s, d) => Tables.customer(s, d).select($"c_custkey")
+        .join(Tables.part(s, d).select($"p_partkey")
+            .filter(pmod($"p_partkey", lit(2)) === 0),
+          $"c_custkey" === $"p_partkey", "full_outer")
+        .select(coalesce($"c_custkey", $"p_partkey").as("k"),
+          $"c_custkey".isNotNull.cast("int").as("has_cust"),
+          $"p_partkey".isNotNull.cast("int").as("has_part"))),
+
     Q("q37_cube",
       "CUBE grouping-set hierarchy over (returnflag, linestatus): all four grouping combinations in one " +
         "Expand pass (completes the q29 ROLLUP family).",
