@@ -41,13 +41,22 @@ object ReportApi {
     def refresh(): org.apache.spark.sql.DataFrame = synchronized { cached = doLoad(); cached }
   }
 
-  def start(spark: SparkSession, reportPath: String, port: Int): HttpServer = {
+  def start(spark: SparkSession, reportPath: String, port: Int): HttpServer =
+    startWithHandle(spark, reportPath, port)._1
+
+  /** Like [[start]] but also returns the [[ReportHandle]], so a publisher
+    * can call `handle.refresh()` right after `Ingest.publishReport` for a
+    * zero-failed-request handover (round-2 review: start() alone kept the
+    * handle unreachable, forcing the first post-publish request through
+    * the throw-refresh-retry path).
+    */
+  def startWithHandle(spark: SparkSession, reportPath: String, port: Int): (HttpServer, ReportHandle) = {
     val report = new ReportHandle(spark, reportPath)
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/top_n_vol_token", (ex: HttpExchange) => handle(ex, report, "vol_24h"))
     server.createContext("/top_n_txn_token", (ex: HttpExchange) => handle(ex, report, "txn_24h"))
     server.start()
-    server
+    (server, report)
   }
 
   private def handle(ex: HttpExchange, report: ReportHandle, metric: String): Unit = {

@@ -45,20 +45,17 @@ object Multimodal {
     * (Iterator per partition, one digest instance per batch) matches
     * what a vectorized codec binding needs.
     */
-  def fakeDecode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+  def fakeDecode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
     rows.map { r =>
-      md.reset()
-      val digest = md.digest(r.payload)
-      val hex = digest.map(b => f"${b & 0xff}%02x").mkString
-      val headHash = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-      val features = Array.tabulate(4) { i =>
-        java.lang.Long.parseLong(hex.substring(8 * i, 8 * i + 8), 16)
-          .toDouble / 4294967296.0
-      }
+      // one digest per payload, shared bit-math helpers from Md5Kernels —
+      // a single implementation of the portable 60-bit/word32 convention
+      // (no hex render/reparse; round-2 review finding)
+      val d = graft.functions.Md5Kernels.digest(r.payload)
+      val headHash = graft.functions.Md5Kernels.prefix60OfDigest(d)
+      val features = Array.tabulate(4)(i =>
+        graft.functions.Md5Kernels.word32OfDigest(d, i).toDouble / 4294967296.0)
       MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, headHash, features)
     }
-  }
 
   /** media table → features table, decode running partition-local. */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {

@@ -138,10 +138,14 @@ object Similarity {
   }
 
   def strideCentroids(corpus: DataFrame, c: Int): DataFrame = {
-    // deterministic stride sample over vec_id as the centroid set
+    // deterministic stride sample over vec_id as the centroid set: the
+    // first c stride hits BY ID (an unordered limit would pick an
+    // arbitrary, partitioning-dependent subset once the corpus has more
+    // than c stride hits — round-2 review finding)
+    val stride = math.max(1L, 1000L / c)
     corpus.select(col("vec_id"), col("embedding"))
-      .filter(pmod(col("vec_id"), lit(math.max(1L, 1000L / c))) === 0)
-      .limit(c)
+      .filter(pmod(col("vec_id"), lit(stride)) === 0 &&
+        col("vec_id") < lit(stride * c))
   }
 
   def knnIvf(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,

@@ -34,7 +34,7 @@ object TextStats {
     */
   def bpeTokenCount(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"),
-      size(expr(s"regexp_extract_all($textCol, '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0)"))
+      size(regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]+"), lit(0)))
         .cast("long").as("n_bpe_tokens"))
 
   /** Content fingerprint: md5 of the whitespace-normalized lowercase
@@ -83,9 +83,13 @@ object TextStats {
     */
   def redact(docs: DataFrame, rules: Seq[(String, String, String)],
       textCol: String = "text"): DataFrame = {
+    // Column API, not expr() splicing: a SQL string literal re-parses
+    // backslash escapes (\d would become d) and a quote in the pattern
+    // would be a ParseException — the count path must see the exact
+    // pattern the replace path applies
     val withCounts = rules.foldLeft(docs) { case (df, (name, pat, _)) =>
       df.withColumn(s"n_$name",
-        size(expr(s"regexp_extract_all($textCol, '$pat', 0)")).cast("long"))
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long"))
     }
     val redacted = rules.foldLeft(col(textCol)) { case (c, (_, pat, repl)) =>
       regexp_replace(c, pat, repl)

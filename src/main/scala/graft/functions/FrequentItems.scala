@@ -117,7 +117,15 @@ case class FrequentItemsAgg(
     val out = new DataOutputStream(bos)
     out.writeInt(buffer.capacity)
     out.writeInt(buffer.counters.size)
-    buffer.counters.foreach { case (k, v) => out.writeUTF(k); out.writeLong(v) }
+    buffer.counters.foreach { case (k, v) =>
+      // explicit length + raw bytes, NOT writeUTF: writeUTF throws past
+      // 64 KiB and a single unbroken >64 KiB token (base64 blob) would
+      // kill the whole aggregation at shuffle time
+      val kb = k.getBytes("UTF-8")
+      out.writeInt(kb.length)
+      out.write(kb)
+      out.writeLong(v)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -127,7 +135,12 @@ case class FrequentItemsAgg(
     val buf = new MGBuffer(in.readInt())
     val n = in.readInt()
     var j = 0
-    while (j < n) { buf.counters.update(in.readUTF(), in.readLong()); j += 1 }
+    while (j < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.counters.update(new String(kb, "UTF-8"), in.readLong())
+      j += 1
+    }
     buf
   }
 

@@ -15,15 +15,18 @@ object Md5Kernels {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** First 60 bits of md5(bytes) as a non-negative long — bit-identical
-    * to `('0x' || substr(md5(x), 1, 15))::BIGINT` (DuckDB) and to
-    * `conv(substring(md5(x), 1, 15), 16, 10)` (Spark built-ins): 15 hex
-    * chars = the top 7.5 digest bytes = (first 8 bytes big-endian) >>> 4.
-    */
-  def prefix60(bytes: Array[Byte]): Long = {
+  /** md5 digest of `bytes` on the thread-local instance. */
+  def digest(bytes: Array[Byte]): Array[Byte] = {
     val md = md5.get()
     md.reset()
-    val d = md.digest(bytes)
+    md.digest(bytes)
+  }
+
+  /** First 60 bits of a digest as a non-negative long — equal to parsing
+    * its first 15 hex chars: the top 7.5 bytes = (first 8 bytes
+    * big-endian) >>> 4.
+    */
+  def prefix60OfDigest(d: Array[Byte]): Long = {
     val hi =
       ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
       ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
@@ -31,6 +34,19 @@ object Md5Kernels {
       ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
     hi >>> 4
   }
+
+  /** Hex chars [8i, 8i+8) of a digest as an unsigned 32-bit value =
+    * big-endian word i (bytes 4i..4i+3).
+    */
+  def word32OfDigest(d: Array[Byte], i: Int): Long =
+    ((d(4 * i) & 0xffL) << 24) | ((d(4 * i + 1) & 0xffL) << 16) |
+    ((d(4 * i + 2) & 0xffL) << 8) | (d(4 * i + 3) & 0xffL)
+
+  /** First 60 bits of md5(bytes) as a non-negative long — bit-identical
+    * to `('0x' || substr(md5(x), 1, 15))::BIGINT` (DuckDB) and to
+    * `conv(substring(md5(x), 1, 15), 16, 10)` (Spark built-ins).
+    */
+  def prefix60(bytes: Array[Byte]): Long = prefix60OfDigest(digest(bytes))
 }
 
 /** `md5_prefix60(bytes)` — the engine-portable 60-bit content hash as a

@@ -59,9 +59,16 @@ object RangeJoin {
       .select(col(leftId), coalesce(col("n_matches"), lit(0L)).as("n_matches"))
   }
 
-  // integer floor division that stays correct for negative points and
-  // for 64-bit magnitudes (no double round-trip): subtract the
-  // non-negative remainder, then the division is exact
-  private def floorDiv(c: Column, w: Long): Column =
-    ((c.cast("long") - pmod(c.cast("long"), lit(w))) / w).cast("long")
+  // integer floor division correct for negative points and full 64-bit
+  // magnitudes: subtract the non-negative remainder, then divide with
+  // Catalyst's IntegralDivide (Column./ on longs is DOUBLE division,
+  // which silently coarsens buckets past 2^53 — epoch-nanos territory)
+  private def floorDiv(c: Column, w: Long): Column = {
+    val cl = c.cast("long")
+    val exact = cl - pmod(cl, lit(w))
+    org.apache.spark.sql.graft.Internal.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.Internal.expression(exact),
+        org.apache.spark.sql.graft.Internal.expression(lit(w))))
+  }
 }

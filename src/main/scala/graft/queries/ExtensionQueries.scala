@@ -159,9 +159,12 @@ object ExtensionQueries {
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
-  // strideCentroids(emb, 16): stride = max(1, 1000/16) = 62 over vec_id
+  // strideCentroids(emb, 16): stride = max(1, 1000/16) = 62 over vec_id,
+  // capped to the first 16 stride hits by id (62*16 = 992) — the cap
+  // matters once the corpus exceeds 992 ids (sf0.1 has 2000)
   private val knnIvfOracle: String =
-    s"""WITH cent AS (SELECT vec_id AS cell_id, embedding AS cv FROM embeddings WHERE vec_id % 62 = 0),
+    s"""WITH cent AS (SELECT vec_id AS cell_id, embedding AS cv FROM embeddings
+       |              WHERE vec_id % 62 = 0 AND vec_id < 992),
        |assign AS (SELECT vec_id, embedding, cell_id FROM (
        |  SELECT e.vec_id, e.embedding, c.cell_id,
        |         row_number() OVER (PARTITION BY e.vec_id

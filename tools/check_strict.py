@@ -36,6 +36,10 @@ def main(sf_dir, out_dir, only):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    unknown = (only or set()) - set(oracles)
+    if unknown:
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        return 1
     n_bad = 0
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
