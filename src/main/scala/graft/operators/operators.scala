@@ -64,6 +64,27 @@ object Ranks {
   }
 }
 
+/** Slowly-changing-dimension (type 2) versioning: turn a stream of keyed
+  * snapshots into validity intervals — the ETL pattern behind "what did
+  * this token's metadata say at the time of the swap" (pairs with
+  * [[AsOf]] for the temporal lookup). One window over (key, ts): cost
+  * class of a single hash-partitioned sort, O(1) state per row.
+  */
+object Scd {
+  /** Attach [valid_from, valid_to) to each version row: valid_from = its
+    * own timestamp, valid_to = the next version's (null = current, also
+    * flagged). `tieBreak` orders same-timestamp versions.
+    */
+  def intervals(df: DataFrame, keys: Seq[String], tsCol: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(c => col(c).asc): _*)
+    df.withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+  }
+}
+
 /** Set/unpivot operators (SURVEY §2 U-1). */
 object SetOps {
   /** UNION ALL of single-column projections (the reference's

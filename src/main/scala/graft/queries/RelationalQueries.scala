@@ -540,6 +540,19 @@ object RelationalQueries {
           $"c_custkey".isNotNull.cast("int").as("has_cust"),
           $"p_partkey".isNotNull.cast("int").as("has_part"))),
 
+    Q("q39_scd2_intervals",
+      "SCD-2 dimension versioning (operators.Scd): keyed snapshots → [valid_from, valid_to) intervals " +
+        "with a current-version flag; pairs with the as-of join for temporal lookups.",
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+             |  lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,
+             |  CAST(CASE WHEN lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |       IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+             |FROM orders""".stripMargin),
+      (s, d) => graft.operators.Scd.intervals(
+          Tables.orders(s, d).select($"o_custkey", $"o_orderkey", $"o_orderdate"),
+          Seq("o_custkey"), "o_orderdate", tieBreak = Seq("o_orderkey"))
+        .select($"o_custkey", $"o_orderkey", $"valid_from", $"valid_to", $"is_current")),
+
     Q("q37_cube",
       "CUBE grouping-set hierarchy over (returnflag, linestatus): all four grouping combinations in one " +
         "Expand pass (completes the q29 ROLLUP family).",

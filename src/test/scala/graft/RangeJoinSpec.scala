@@ -51,6 +51,22 @@ class RangeJoinSpec extends SparkSuite {
     assert(got == Map(1L -> 1L, 2L -> 0L))
   }
 
+  test("Scd.intervals chains versions with exactly one current row per key") {
+    val versions = Seq(
+      (7L, 100L, "2026-01-01"), (7L, 101L, "2026-02-01"), (7L, 102L, "2026-03-01"),
+      (9L, 200L, "2026-01-15")).toDF("key", "ver", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = graft.operators.Scd.intervals(versions, Seq("key"), "ts", Seq("ver"))
+      .select("key", "ver", "valid_to", "is_current")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.toString), r.getInt(3)))
+      .toSet
+    assert(got == Set(
+      (7L, 100L, Some("2026-02-01 00:00:00.0"), 0),
+      (7L, 101L, Some("2026-03-01 00:00:00.0"), 0),
+      (7L, 102L, None, 1),
+      (9L, 200L, None, 1)))
+  }
+
   test("melt (native unpivot) agrees with the union and explode unpivot forms") {
     val df = Seq((1L, 10L, 20L), (2L, 30L, 40L)).toDF("id", "a", "b")
     val melted = graft.operators.SetOps.melt(df, Seq("id"), Seq("a", "b"))
