@@ -1,0 +1,158 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest (commit-log) table layout — the transactional answer to
+  * [[Ingest.compact]]'s rename-swap window (ROADMAP item, ADVICE round
+  * 1): the table directory accumulates immutable data files plus
+  * numbered manifest files, and the CURRENT table state is defined by
+  * the highest-numbered complete manifest, never by directory listing.
+  *
+  *   table/
+  *     data/part-<uuid>.parquet      immutable, append-only
+  *     manifest/m-00000000000042.json  file list of version 42
+  *
+  * Commit protocol (object-store safe, no renames on data):
+  *   1. write new data files under data/ (invisible to readers — they
+  *      only read what a manifest names);
+  *   2. write manifest m-{v+1} naming the new complete file set.
+  *   A crash between 1 and 2 leaves orphan data files (GC'd later) and
+  *   readers still see version v. Readers NEVER observe a missing or
+  *   half-swapped table, so compaction needs no reader coordination —
+  *   the single remaining constraint is one writer at a time (two
+  *   concurrent committers could both write m-{v+1}; at 100 TB that is
+  *   the same single-committer rule Delta/Iceberg enforce via the
+  *   catalog or a lock service).
+  *
+  * This is the minimal home-grown form of the Delta/Iceberg idea, built
+  * only on "a completely-written small file wins" — manifests are
+  * written to a temp name and renamed into place, which is atomic on
+  * local/HDFS filesystems and on object stores reduces to a small-object
+  * PUT.
+  */
+object ManifestTable {
+
+  private val ManifestDir = "manifest"
+  private val DataDir = "data"
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(root: String, v: Long): Path =
+    new Path(s"$root/$ManifestDir/m-${"%020d".format(v)}.json")
+
+  /** Highest committed version, or None for an uninitialized table. */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
+    val dir = new Path(s"$root/$ManifestDir")
+    val f = fs(spark, root)
+    if (!f.exists(dir)) return None
+    val versions = f.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("m-") && n.endsWith(".json") =>
+        n.stripPrefix("m-").stripSuffix(".json").toLong
+      }
+    versions.sorted.lastOption
+  }
+
+  /** File list of a committed version (relative to the table root). */
+  def files(spark: SparkSession, root: String, v: Long): Seq[String] = {
+    val f = fs(spark, root)
+    val bytes = {
+      val in = f.open(manifestPath(root, v))
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally in.close()
+    }
+    // one relative path per line — no JSON parser needed on read
+    new String(bytes, StandardCharsets.UTF_8).split("\n").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Read the current table state; empty DataFrame (with `schema`) when
+    * uninitialized. Resolution is manifest-driven — concurrent commits
+    * or orphaned data files never affect what this returns.
+    */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val v = currentVersion(spark, root)
+      .getOrElse(sys.error(s"ManifestTable.read: no committed version under $root"))
+    val paths = files(spark, root, v).map(rel => s"$root/$rel")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Commit `df` as the NEXT version with file set = previous files ∪
+    * newly written ones (append), or = newly written only (replace —
+    * the compaction/publish path).
+    */
+  def commit(spark: SparkSession, root: String, df: DataFrame,
+      replace: Boolean): Long = {
+    val f = fs(spark, root)
+    val prev = currentVersion(spark, root)
+    val batchDir = s"$DataDir/b-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.parquet(s"$root/$batchDir")
+    val newFiles = f.listStatus(new Path(s"$root/$batchDir"))
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet"))
+      .map(n => s"$batchDir/$n").toSeq
+    val carried =
+      if (replace) Nil
+      else prev.map(v => files(spark, root, v)).getOrElse(Nil)
+    val next = prev.getOrElse(-1L) + 1L
+    val body = (carried ++ newFiles).mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8)
+    // temp-write + rename: the manifest appears complete or not at all
+    val tmp = new Path(s"$root/$ManifestDir/.m-$next.tmp")
+    val out = f.create(tmp, true)
+    try out.write(body) finally out.close()
+    if (!f.rename(tmp, manifestPath(root, next)))
+      sys.error(s"ManifestTable.commit: concurrent commit detected at version $next")
+    next
+  }
+
+  /** Append-commit (ingest path). */
+  def append(spark: SparkSession, root: String, df: DataFrame): Long =
+    commit(spark, root, df, replace = false)
+
+  /** Replace-commit with last-write-wins dedup — compaction without a
+    * reader-visible gap: new compacted files land first, the manifest
+    * flip is the only mutation, old files are garbage (collectable once
+    * no reader can hold the old version).
+    */
+  def compact(spark: SparkSession, root: String, keys: Seq[String],
+      seqCol: String = "ingest_seq"): Long = {
+    val current = read(spark, root)
+    val deduped = graft.operators.Dedup.lastWriteWinsAgg(
+      current, keys, Seq(org.apache.spark.sql.functions.col(seqCol)))
+    commit(spark, root, deduped, replace = true)
+  }
+
+  /** Delete data files no committed manifest references (crash orphans,
+    * compacted-away versions older than `keepVersions`).
+    */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2): Unit = {
+    val f = fs(spark, root)
+    val vOpt = currentVersion(spark, root)
+    if (vOpt.isEmpty) return
+    val v = vOpt.get
+    val keepFrom = math.max(0L, v - (keepVersions - 1))
+    val live = (keepFrom to v).flatMap(ver =>
+      scala.util.Try(files(spark, root, ver)).getOrElse(Nil)).toSet
+    val dataRoot = new Path(s"$root/$DataDir")
+    if (!f.exists(dataRoot)) return
+    f.listStatus(dataRoot).foreach { batch =>
+      f.listStatus(batch.getPath).foreach { file =>
+        val rel = s"$DataDir/${batch.getPath.getName}/${file.getPath.getName}"
+        if (file.getPath.getName.endsWith(".parquet") && !live.contains(rel))
+          f.delete(file.getPath, false)
+      }
+    }
+    // drop manifests older than the keep window
+    (0L until keepFrom).foreach(ver => f.delete(manifestPath(root, ver), false))
+  }
+}

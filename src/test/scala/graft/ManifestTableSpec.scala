@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.ManifestTable
+
+/** The commit-log table contract: readers always see a complete
+  * committed version — across appends, compaction, crash orphans, and
+  * vacuum.
+  */
+class ManifestTableSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-manifest").toString + "/t"
+
+  test("append commits are cumulative and versioned") {
+    val root = freshRoot()
+    val v0 = ManifestTable.append(spark, root,
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ingest_seq"))
+    assert(v0 == 0L)
+    val v1 = ManifestTable.append(spark, root,
+      Seq((3L, "c", 2L)).toDF("id", "v", "ingest_seq"))
+    assert(v1 == 1L)
+    assert(ManifestTable.read(spark, root).count() == 3)
+    assert(ManifestTable.currentVersion(spark, root).contains(1L))
+  }
+
+  test("compact collapses duplicates by last write and flips one version") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root,
+      Seq((1L, "old", 1L), (2L, "keep", 1L)).toDF("id", "v", "ingest_seq"))
+    ManifestTable.append(spark, root,
+      Seq((1L, "new", 2L)).toDF("id", "v", "ingest_seq"))
+    val v = ManifestTable.compact(spark, root, Seq("id"))
+    assert(v == 2L)
+    val got = ManifestTable.read(spark, root)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "new", 2L -> "keep"))
+  }
+
+  test("uncommitted data files are invisible (crash between write and commit)") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root, Seq((1L, "a", 1L)).toDF("id", "v", "ingest_seq"))
+    // simulate a crashed writer: data lands, no manifest follows
+    Seq((99L, "orphan", 9L)).toDF("id", "v", "ingest_seq")
+      .write.parquet(s"$root/data/b-orphan99")
+    assert(ManifestTable.read(spark, root).count() == 1)
+  }
+
+  test("vacuum removes orphans and stale versions but keeps live files readable") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root,
+      Seq((1L, "x", 1L), (2L, "y", 1L)).toDF("id", "v", "ingest_seq"))
+    ManifestTable.append(spark, root, Seq((1L, "z", 2L)).toDF("id", "v", "ingest_seq"))
+    ManifestTable.compact(spark, root, Seq("id"))
+    Seq((99L, "orphan", 9L)).toDF("id", "v", "ingest_seq")
+      .write.parquet(s"$root/data/b-orphan99")
+    ManifestTable.vacuum(spark, root, keepVersions = 1)
+    val got = ManifestTable.read(spark, root)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "z", 2L -> "y"))
+    // the orphan batch's parquet is gone
+    val orphan = new java.io.File(s"$root/data/b-orphan99")
+    assert(!orphan.exists() || orphan.listFiles().forall(f => !f.getName.endsWith(".parquet")))
+  }
+
+  test("table stays continuously readable across a compaction (no swap window)") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root,
+      (1L to 500L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ingest_seq"))
+    ManifestTable.append(spark, root,
+      (1L to 500L).map(i => (i, s"w$i", 2L)).toDF("id", "v", "ingest_seq"))
+    // reader resolved BEFORE the compaction keeps its version's files
+    val before = ManifestTable.read(spark, root)
+    ManifestTable.compact(spark, root, Seq("id"))
+    // old version still fully present (no vacuum yet): the pre-compaction
+    // plan still executes — the property Ingest.compact cannot give
+    assert(before.count() == 1000)
+    assert(ManifestTable.read(spark, root).count() == 500)
+  }
+}
