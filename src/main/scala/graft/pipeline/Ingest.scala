@@ -117,7 +117,19 @@ object Ingest {
   def latestView(df: DataFrame, keys: Seq[String], seqCol: String = "ingest_seq"): DataFrame =
     Dedup.lastWriteWinsAgg(df, keys, Seq(col(seqCol)))
 
-  /** K-3 truncate-and-replace report publish. */
+  /** K-3 truncate-and-replace report publish. Overwrite is momentarily
+    * non-atomic for concurrent readers (ReportApi's ReportHandle retries
+    * around it); [[publishReportManifested]] is the gap-free flavor.
+    */
   def publishReport(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Report publish as a [[ManifestTable]] replace-commit: the new
+    * report lands invisibly, one manifest flip makes it current, and a
+    * reader mid-request keeps its resolved version — no failed requests,
+    * no retry path needed. Serve it with
+    * `Report.serveFrom(ManifestTable.read(spark, path), ...)`.
+    */
+  def publishReportManifested(spark: SparkSession, df: DataFrame, path: String): Long =
+    ManifestTable.commit(spark, path, df, replace = true)
 }

@@ -67,6 +67,19 @@ class ManifestTableSpec extends SparkSuite {
     assert(!orphan.exists() || orphan.listFiles().forall(f => !f.getName.endsWith(".parquet")))
   }
 
+  test("manifested report publish: old version serves while the new one lands") {
+    val root = freshRoot()
+    val r1 = Seq(("A/B", BigDecimal("10.5"), 3L)).toDF("pair", "vol_24h", "txn_24h")
+    graft.pipeline.Ingest.publishReportManifested(spark, r1, root)
+    val served = ManifestTable.read(spark, root)
+    val r2 = Seq(("C/D", BigDecimal("99.0"), 7L)).toDF("pair", "vol_24h", "txn_24h")
+    graft.pipeline.Ingest.publishReportManifested(spark, r2, root)
+    // the pre-publish reader still sees version 0 in full; fresh reads see v1
+    assert(served.select("pair").as[String].collect().toSeq == Seq("A/B"))
+    assert(ManifestTable.read(spark, root)
+      .select("pair").as[String].collect().toSeq == Seq("C/D"))
+  }
+
   test("table stays continuously readable across a compaction (no swap window)") {
     val root = freshRoot()
     ManifestTable.append(spark, root,
