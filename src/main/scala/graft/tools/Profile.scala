@@ -40,6 +40,19 @@ object Profile {
     time("bigram explode count")(
       docs.select(explode(graft.functions.word_ngrams(col("text"), 2)).as("g"))
         .groupBy(col("g")).count().count())
+
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    def noopRun(df: org.apache.spark.sql.DataFrame): Long = {
+      df.write.mode("overwrite").format("noop").save(); 0L
+    }
+    time("x13 exact countDistinct only")(noopRun(
+      ev.groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("x"))))
+    time("x13 approx only (rsd 0.01)")(noopRun(
+      ev.groupBy(col("event_type")).agg(approx_count_distinct(col("user_id"), 0.01).as("x"))))
+    time("x13 approx only (rsd 0.05)")(noopRun(
+      ev.groupBy(col("event_type")).agg(approx_count_distinct(col("user_id"), 0.05).as("x"))))
+    time("x13 combined (as declared)")(noopRun(
+      graft.SparkEntry.queries("x13_approx_distinct")(spark, sfDir)))
     spark.stop()
   }
 }
