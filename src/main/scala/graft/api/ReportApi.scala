@@ -44,6 +44,50 @@ object ReportApi {
   def start(spark: SparkSession, reportPath: String, port: Int): HttpServer =
     startWithHandle(spark, reportPath, port)._1
 
+  /** Version-tracking handle over a [[graft.pipeline.ManifestTable]]
+    * report: each access does one cheap manifest-directory listing and
+    * re-resolves the DataFrame only when the committed version moved —
+    * so a long-lived server picks up every
+    * `Ingest.publishReportManifested` with zero failed requests and
+    * without paying parquet-footer metadata cost per GET.
+    */
+  final class ManifestedReportHandle(spark: SparkSession, root: String) {
+    @volatile private var state: (Long, org.apache.spark.sql.DataFrame) = load()
+    private def load(): (Long, org.apache.spark.sql.DataFrame) = {
+      val v = graft.pipeline.ManifestTable.currentVersion(spark, root)
+        .getOrElse(sys.error(s"no committed report at $root"))
+      (v, graft.pipeline.ManifestTable.read(spark, root))
+    }
+    def df: org.apache.spark.sql.DataFrame = {
+      val current = graft.pipeline.ManifestTable.currentVersion(spark, root)
+      if (!current.contains(state._1)) synchronized {
+        if (!current.contains(state._1)) state = load()
+      }
+      state._2
+    }
+  }
+
+  /** Serve a manifested report table (gap-free publishes, see
+    * [[ManifestedReportHandle]]).
+    */
+  def startManifested(spark: SparkSession, reportRoot: String, port: Int): HttpServer = {
+    val handle = new ManifestedReportHandle(spark, reportRoot)
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/top_n_vol_token",
+      (ex: HttpExchange) => handleManifested(ex, handle, "vol_24h"))
+    server.createContext("/top_n_txn_token",
+      (ex: HttpExchange) => handleManifested(ex, handle, "txn_24h"))
+    server.start()
+    server
+  }
+
+  private def handleManifested(ex: HttpExchange, h: ManifestedReportHandle,
+      metric: String): Unit = {
+    // the DataFrame is version-pinned for the whole request; "retry" is
+    // simply re-resolving the handle (a newer committed version)
+    handleWith(ex, metric, () => h.df, () => h.df)
+  }
+
   /** Like [[start]] but also returns the [[ReportHandle]], so a publisher
     * can call `handle.refresh()` right after `Ingest.publishReport` for a
     * zero-failed-request handover (round-2 review: start() alone kept the
@@ -59,7 +103,12 @@ object ReportApi {
     (server, report)
   }
 
-  private def handle(ex: HttpExchange, report: ReportHandle, metric: String): Unit = {
+  private def handle(ex: HttpExchange, report: ReportHandle, metric: String): Unit =
+    handleWith(ex, metric, () => report.df, () => report.refresh())
+
+  private def handleWith(ex: HttpExchange, metric: String,
+      get: () => org.apache.spark.sql.DataFrame,
+      onFailure: () => org.apache.spark.sql.DataFrame): Unit = {
     val topN: Either[String, Int] = Option(ex.getRequestURI.getQuery)
       .flatMap(_.split("&").collectFirst {
         case kv if kv.startsWith("top_n=") => kv.stripPrefix("top_n=")
@@ -82,11 +131,11 @@ object ReportApi {
             (200, items.mkString("""{"top_tokens": [""", ", ", "]}"))
           }
         }
-        try serveOnce(report.df)
+        try serveOnce(get())
         catch {
           case _: Throwable =>
             // stale plan after a publish replaced the table: refresh + retry
-            try serveOnce(report.refresh())
+            try serveOnce(onFailure())
             catch {
               case e: Throwable => (500, s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}""")
             }

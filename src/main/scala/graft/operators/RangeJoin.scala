@@ -59,10 +59,11 @@ object RangeJoin {
       .select(col(leftId), coalesce(col("n_matches"), lit(0L)).as("n_matches"))
   }
 
-  // integer floor division correct for negative points and full 64-bit
-  // magnitudes: subtract the non-negative remainder, then divide with
-  // Catalyst's IntegralDivide (Column./ on longs is DOUBLE division,
-  // which silently coarsens buckets past 2^53 — epoch-nanos territory)
+  // integer floor division: subtract the non-negative remainder, then
+  // divide with Catalyst's IntegralDivide (Column./ on longs is DOUBLE
+  // division, which silently coarsens buckets past 2^53 — epoch-nanos
+  // territory). Domain: points within w of Long.MinValue would overflow
+  // the subtraction — epoch-scale values are nowhere near it.
   private def floorDiv(c: Column, w: Long): Column = {
     val cl = c.cast("long")
     val exact = cl - pmod(cl, lit(w))

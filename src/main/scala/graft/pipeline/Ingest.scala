@@ -126,9 +126,10 @@ object Ingest {
 
   /** Report publish as a [[ManifestTable]] replace-commit: the new
     * report lands invisibly, one manifest flip makes it current, and a
-    * reader mid-request keeps its resolved version — no failed requests,
-    * no retry path needed. Serve it with
-    * `Report.serveFrom(ManifestTable.read(spark, path), ...)`.
+    * reader mid-request keeps its resolved version. Serve it with
+    * `ReportApi.startManifested` (its version-tracking handle re-resolves
+    * only when the committed version moves, so publishes are picked up
+    * with zero failed requests and no per-GET metadata cost).
     */
   def publishReportManifested(spark: SparkSession, df: DataFrame, path: String): Long =
     ManifestTable.commit(spark, path, df, replace = true)

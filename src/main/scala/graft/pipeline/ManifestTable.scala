@@ -57,27 +57,29 @@ object ManifestTable {
     versions.sorted.lastOption
   }
 
+  private def readBytes(f: org.apache.hadoop.fs.FileSystem, p: Path): Array[Byte] = {
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
   /** File list of a committed version (relative to the table root). */
   def files(spark: SparkSession, root: String, v: Long): Seq[String] = {
     val f = fs(spark, root)
-    val bytes = {
-      val in = f.open(manifestPath(root, v))
-      try {
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        out.toByteArray
-      } finally in.close()
-    }
     // one relative path per line — no JSON parser needed on read
-    new String(bytes, StandardCharsets.UTF_8).split("\n").toSeq
-      .map(_.trim).filter(_.nonEmpty)
+    new String(readBytes(f, manifestPath(root, v)), StandardCharsets.UTF_8)
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  /** Read the current table state; empty DataFrame (with `schema`) when
-    * uninitialized. Resolution is manifest-driven — concurrent commits
-    * or orphaned data files never affect what this returns.
+  /** Read the current table state (throws on an uninitialized table —
+    * probe with [[currentVersion]] first). Resolution is
+    * manifest-driven — concurrent commits or orphaned data files never
+    * affect what this returns.
     */
   def read(spark: SparkSession, root: String): DataFrame = {
     val v = currentVersion(spark, root)
@@ -94,7 +96,7 @@ object ManifestTable {
       replace: Boolean): Long = {
     val f = fs(spark, root)
     val prev = currentVersion(spark, root)
-    val batchDir = s"$DataDir/b-${java.util.UUID.randomUUID().toString.take(8)}"
+    val batchDir = s"$DataDir/b-${java.util.UUID.randomUUID().toString}"
     df.write.parquet(s"$root/$batchDir")
     val newFiles = f.listStatus(new Path(s"$root/$batchDir"))
       .map(_.getPath.getName)
@@ -106,12 +108,28 @@ object ManifestTable {
     val next = prev.getOrElse(-1L) + 1L
     val body = (carried ++ newFiles).mkString("", "\n", "\n")
       .getBytes(StandardCharsets.UTF_8)
-    // temp-write + rename: the manifest appears complete or not at all
-    val tmp = new Path(s"$root/$ManifestDir/.m-$next.tmp")
-    val out = f.create(tmp, true)
+    // temp-write + rename: the manifest appears complete or not at all.
+    // The tmp name is per-writer (a shared tmp would let a racer truncate
+    // ours mid-write), and we verify AFTER the rename that the committed
+    // bytes are ours — local-FS rename silently overwrites an existing
+    // destination, so "rename returned true" alone does not detect a
+    // lost race. This is best-effort detection, not a CAS: true
+    // multi-writer needs a lock service or catalog (see class doc).
+    val dest = manifestPath(root, next)
+    val tmp = new Path(
+      s"$root/$ManifestDir/.m-$next.${java.util.UUID.randomUUID().toString}.tmp")
+    val out = f.create(tmp, false)
     try out.write(body) finally out.close()
-    if (!f.rename(tmp, manifestPath(root, next)))
-      sys.error(s"ManifestTable.commit: concurrent commit detected at version $next")
+    if (f.exists(dest)) {
+      f.delete(tmp, false)
+      sys.error(s"ManifestTable.commit: version $next already committed (concurrent writer)")
+    }
+    if (!f.rename(tmp, dest))
+      sys.error(s"ManifestTable.commit: cannot publish manifest $next")
+    val committed = readBytes(f, dest)
+    if (!java.util.Arrays.equals(committed, body))
+      sys.error(s"ManifestTable.commit: lost a concurrent race at version $next " +
+        "(committed manifest is not ours — run with a single writer)")
     next
   }
 
@@ -132,10 +150,18 @@ object ManifestTable {
     commit(spark, root, deduped, replace = true)
   }
 
-  /** Delete data files no committed manifest references (crash orphans,
-    * compacted-away versions older than `keepVersions`).
+  /** Delete batch directories no kept manifest references (crash
+    * orphans, compacted-away versions older than `keepVersions`), plus
+    * manifests and stale commit temp files outside the keep window.
+    *
+    * `minAgeMs` is the in-flight-commit guard: a writer mid-commit has
+    * landed data that no manifest names YET — deleting it would corrupt
+    * the commit it is about to make. Only artifacts older than the age
+    * threshold are reclaimed (Delta/Iceberg's retention-window rule);
+    * pass 0 only when no writer can be active.
     */
-  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2): Unit = {
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2,
+      minAgeMs: Long = 60L * 60 * 1000): Unit = {
     val f = fs(spark, root)
     val vOpt = currentVersion(spark, root)
     if (vOpt.isEmpty) return
@@ -143,16 +169,29 @@ object ManifestTable {
     val keepFrom = math.max(0L, v - (keepVersions - 1))
     val live = (keepFrom to v).flatMap(ver =>
       scala.util.Try(files(spark, root, ver)).getOrElse(Nil)).toSet
+    val liveBatches = live.map(rel => rel.split("/")(1))
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val dataRoot = new Path(s"$root/$DataDir")
-    if (!f.exists(dataRoot)) return
-    f.listStatus(dataRoot).foreach { batch =>
-      f.listStatus(batch.getPath).foreach { file =>
-        val rel = s"$DataDir/${batch.getPath.getName}/${file.getPath.getName}"
-        if (file.getPath.getName.endsWith(".parquet") && !live.contains(rel))
-          f.delete(file.getPath, false)
+    if (f.exists(dataRoot)) {
+      // batch dirs are commit-atomic units: every file of a batch is
+      // referenced by the committing manifest or none is, so reclamation
+      // is whole-directory (which also removes _SUCCESS markers and
+      // leaves no empty prefixes behind)
+      f.listStatus(dataRoot).foreach { batch =>
+        if (!liveBatches.contains(batch.getPath.getName) &&
+            batch.getModificationTime < cutoff)
+          f.delete(batch.getPath, true)
       }
     }
-    // drop manifests older than the keep window
-    (0L until keepFrom).foreach(ver => f.delete(manifestPath(root, ver), false))
+    // drop manifests below the keep window and stale commit temp files —
+    // driven by a listing, not a 0-to-keepFrom loop of blind deletes
+    f.listStatus(new Path(s"$root/$ManifestDir")).foreach { m =>
+      val name = m.getPath.getName
+      val staleTmp = name.startsWith(".m-") && name.endsWith(".tmp") &&
+        m.getModificationTime < cutoff
+      val belowWindow = name.startsWith("m-") && name.endsWith(".json") &&
+        name.stripPrefix("m-").stripSuffix(".json").toLong < keepFrom
+      if (staleTmp || belowWindow) f.delete(m.getPath, false)
+    }
   }
 }

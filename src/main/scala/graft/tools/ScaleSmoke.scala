@@ -61,9 +61,6 @@ object ScaleSmoke {
     }
     Targets.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, outDir)
-      // row count BEFORE the timed region (pruned count plan, cheap) —
-      // counting after would re-execute the full query a second time
-      val rows = df.count()
       val t0 = System.nanoTime()
       // noop sink: full evaluation of every output column. count() would
       // let Catalyst prune whole operators (a window/join whose columns
@@ -71,7 +68,10 @@ object ScaleSmoke {
       // flattering non-numbers for exactly the operators under test.
       df.write.mode("overwrite").format("noop").save()
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] $name%-22s $secs%8.2fs  rows=$rows")
+      // count AFTER the timer on purpose: it re-executes (a pruned plan),
+      // but running it before would warm page cache/JIT for the timed
+      // region — the timed run must be the cold one
+      println(f"[scale] $name%-22s $secs%8.2fs  rows=${df.count()}")
     }
     spark.stop()
   }

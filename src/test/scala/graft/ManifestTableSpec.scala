@@ -58,13 +58,14 @@ class ManifestTableSpec extends SparkSuite {
     ManifestTable.compact(spark, root, Seq("id"))
     Seq((99L, "orphan", 9L)).toDF("id", "v", "ingest_seq")
       .write.parquet(s"$root/data/b-orphan99")
-    ManifestTable.vacuum(spark, root, keepVersions = 1)
+    // minAgeMs = 0: in tests no writer is in flight; the default 1h
+    // threshold is the production in-flight-commit guard
+    ManifestTable.vacuum(spark, root, keepVersions = 1, minAgeMs = 0L)
     val got = ManifestTable.read(spark, root)
       .select("id", "v").as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "z", 2L -> "y"))
-    // the orphan batch's parquet is gone
-    val orphan = new java.io.File(s"$root/data/b-orphan99")
-    assert(!orphan.exists() || orphan.listFiles().forall(f => !f.getName.endsWith(".parquet")))
+    // the orphan batch directory is gone entirely (no empty prefixes)
+    assert(!new java.io.File(s"$root/data/b-orphan99").exists())
   }
 
   test("manifested report publish: old version serves while the new one lands") {
@@ -78,6 +79,28 @@ class ManifestTableSpec extends SparkSuite {
     assert(served.select("pair").as[String].collect().toSeq == Seq("A/B"))
     assert(ManifestTable.read(spark, root)
       .select("pair").as[String].collect().toSeq == Seq("C/D"))
+  }
+
+  test("vacuum's age threshold protects an in-flight commit's fresh data") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root, Seq((1L, "a", 1L)).toDF("id", "v", "ingest_seq"))
+    // a writer mid-commit: data landed seconds ago, manifest not yet written
+    Seq((2L, "inflight", 2L)).toDF("id", "v", "ingest_seq")
+      .write.parquet(s"$root/data/b-inflight")
+    ManifestTable.vacuum(spark, root) // default 1h minAge
+    assert(new java.io.File(s"$root/data/b-inflight").exists(),
+      "vacuum deleted data a committing writer is about to reference")
+  }
+
+  test("ManifestedReportHandle picks up a new published version without a refresh call") {
+    val root = freshRoot()
+    val r1 = Seq(("A/B", BigDecimal("10.5"), 3L)).toDF("pair", "vol_24h", "txn_24h")
+    graft.pipeline.Ingest.publishReportManifested(spark, r1, root)
+    val handle = new graft.api.ReportApi.ManifestedReportHandle(spark, root)
+    assert(handle.df.select("pair").as[String].collect().toSeq == Seq("A/B"))
+    val r2 = Seq(("C/D", BigDecimal("99.0"), 7L)).toDF("pair", "vol_24h", "txn_24h")
+    graft.pipeline.Ingest.publishReportManifested(spark, r2, root)
+    assert(handle.df.select("pair").as[String].collect().toSeq == Seq("C/D"))
   }
 
   test("table stays continuously readable across a compaction (no swap window)") {
