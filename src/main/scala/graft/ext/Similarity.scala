@@ -118,13 +118,15 @@ object Similarity {
     * nearest centroid, replace each centroid with the element-wise mean
     * of its members. Each iteration is one broadcast join + one
     * aggregation over (cell, dimension) — no all-pairs work, so iterating
-    * stays linear in the corpus. Cells that lose all members drop out
-    * (standard kmeans attrition; the stride init keeps that rare).
+    * stays linear in the corpus. A cell that loses every member keeps its
+    * previous centroid (deterministic empty-cell retention, round-2:
+    * silent attrition shrank the cell structure and with it nprobe's
+    * effective coverage).
     */
   def kmeansIterate(corpus: DataFrame, centroids: DataFrame, iters: Int): DataFrame = {
     var cents = centroids
     for (_ <- 0 until iters) {
-      cents = ivfAssign(corpus, cents)
+      val updated = ivfAssign(corpus, cents)
         .select(col("cell_id"), posexplode(col("embedding")))
         .groupBy(col("cell_id"), col("pos"))
         .agg(avg(col("col")).as("v"))
@@ -132,7 +134,10 @@ object Similarity {
         .agg(transform(
           sort_array(collect_list(struct(col("pos"), col("v")))),
           e => e.getField("v").cast("float")).as("embedding"))
-        .select(col("cell_id").as("vec_id"), col("embedding"))
+        .select(col("cell_id").as("vec_id"), col("embedding").as("__new"))
+      cents = cents.select(col("vec_id"), col("embedding").as("__prev"))
+        .join(updated, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("__new"), col("__prev")).as("embedding"))
     }
     cents
   }
