@@ -133,12 +133,18 @@ object ReportApi {
         }
         try serveOnce(get())
         catch {
-          case _: Throwable =>
-            // stale plan after a publish replaced the table: refresh + retry
+          // Refresh-and-retry ONLY for a stale file listing (a publish
+          // replaced the table under the cached plan). Any other failure
+          // is deterministic — retrying would rerun the full collect and
+          // report the SECOND error, masking the original — so it goes
+          // straight to 500 with the first error.
+          case e: Throwable if isStaleListing(e) =>
             try serveOnce(onFailure())
             catch {
-              case e: Throwable => (500, s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}""")
+              case e2: Throwable => (500, s"""{"error": ${jsonStr(String.valueOf(e2.getMessage))}}""")
             }
+          case e: Throwable =>
+            (500, s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}""")
         }
     }
     val bytes = body.getBytes("UTF-8")
@@ -146,6 +152,18 @@ object ReportApi {
     ex.sendResponseHeaders(code, bytes.length)
     ex.getResponseBody.write(bytes)
     ex.close()
+  }
+
+  /** True when the failure chain indicates the scan read a file listing
+    * that a concurrent publish invalidated: FileNotFoundException (incl.
+    * Spark's SparkFileNotFoundException subclass) anywhere in the cause
+    * chain, or Spark's REFRESH-TABLE guidance wrapped in a runtime error.
+    */
+  private def isStaleListing(t: Throwable): Boolean = {
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).exists { c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(c.getMessage).exists(_.contains("REFRESH TABLE"))
+    }
   }
 
   private def jsonStr(s: String): String = "\"" + s.flatMap {

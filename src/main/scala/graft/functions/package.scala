@@ -36,6 +36,18 @@ package object functions {
         Md5Prefix60(children.head))
     Internal.register(
       spark,
+      "u256_dec",
+      new ExpressionInfo(classOf[U256DecString].getName, "u256_dec"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        U256DecString(children.head))
+    Internal.register(
+      spark,
+      "u256_limbs",
+      new ExpressionInfo(classOf[U256Limbs].getName, "u256_limbs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        U256Limbs(children.head))
+    Internal.register(
+      spark,
       "cosine_sim",
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_sim"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
@@ -74,6 +86,60 @@ package object functions {
     * associative).
     */
   def dec6(c: Column): Column = c.cast(DecimalType(38, 6))
+
+  /** uint256 hex → five base-10^18 limbs (array<long>, little-endian) —
+    * the scale path past [[HexToDecimal]]'s Decimal(38,0) ceiling
+    * (ROADMAP "uint256 ceiling"). Limbs sum as plain decimals across
+    * ~10^20 rows; normalize + render with [[u256_render]].
+    */
+  def u256_limbs(c: Column): Column =
+    Internal.column(U256Limbs(Internal.expression(c)))
+
+  /** uint256 hex → exact decimal string (≤ 78 digits), one parse per
+    * row — see [[U256DecString]].
+    */
+  def u256_dec(c: Column): Column =
+    Internal.column(U256DecString(Internal.expression(c)))
+
+  /** Carry-normalize five base-10^18 limb columns (any magnitudes up to
+    * Decimal(38,0), e.g. per-limb SUMs over a group) and render the
+    * exact decimal string. All arithmetic is built-in decimal ops —
+    * whole-stage codegen'd, no per-row objects. The carry chain is
+    * exact: limb sums stay ≤ N·10^18 (< 10^38 to N ~ 10^20 rows) and
+    * each division is by the limb base of a nonnegative remainder-free
+    * numerator, so the (38,6) division result is integral.
+    */
+  def u256_render(l0: Column, l1: Column, l2: Column, l3: Column, l4: Column): Column = {
+    val B = lit(U256Conv.Base)
+    def dec(c: Column): Column = c.cast(DecimalType(38, 0))
+    def step(t: Column): (Column, Column) = {
+      val r = pmod(t, B)
+      (dec(r), dec((t - r) / B))
+    }
+    val (c0, k0) = step(dec(l0))
+    val (c1, k1) = step(dec(l1) + k0)
+    val (c2, k2) = step(dec(l2) + k1)
+    val (c3, k3) = step(dec(l3) + k2)
+    val c4 = dec(dec(l4) + k3)
+    val digits = concat(c4.cast(StringType),
+      lpad(c3.cast(StringType), 18, "0"),
+      lpad(c2.cast(StringType), 18, "0"),
+      lpad(c1.cast(StringType), 18, "0"),
+      lpad(c0.cast(StringType), 18, "0"))
+    val trimmed = ltrim(digits, "0")
+    when(trimmed === "", lit("0")).otherwise(trimmed)
+  }
+
+  /** Grouped 256-bit exact sum of a limb column (from [[u256_limbs]]),
+    * rendered as the decimal string: five built-in decimal SUMs (map-side
+    * partials, whole-stage codegen) + one [[u256_render]] projection.
+    * Usage: `df.groupBy("g").agg(u256_sum_dec(col("limbs")).as("total"))`.
+    */
+  def u256_sum_dec(limbs: Column): Column = {
+    def s(i: Int): Column =
+      sum(element_at(limbs, i + 1).cast(DecimalType(38, 0)))
+    u256_render(s(0), s(1), s(2), s(3), s(4))
+  }
 
   /** Engine-portable 60-bit content hash (first 60 bits of md5) as a
     * codegen-native long — see [[Md5Prefix60]]. The hot-path kernel of

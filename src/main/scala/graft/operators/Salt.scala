@@ -22,15 +22,32 @@ import org.apache.spark.sql.functions._
   */
 object Salt {
 
+  /** @param discriminator any column that varies within the hot key. A
+    *   null discriminator would hash every such row to ONE salt and
+    *   silently reintroduce the skew, so nulls are folded into a
+    *   round-robin-ish spread via a secondary hash of the key itself
+    *   spread across all salts (monotonically_increasing_id is not used —
+    *   it breaks determinism). Prefer a non-null discriminator.
+    * @note `factKey` and `dimKey` may share a name: the join condition is
+    *   qualified through the salted/replicated frames, and the dim-side
+    *   key is dropped from the output when the names collide (matching
+    *   `Seq("k")`-style join output).
+    */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, discriminator: Column, nSalts: Int): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
-    val salted = fact.withColumn("__salt", pmod(xxhash64(discriminator), lit(nSalts)).cast("int"))
+    // spark_partition_id varies within any multi-partition hot key, so a
+    // null discriminator degrades to per-partition spreading instead of
+    // collapsing onto the single seed-hash salt.
+    val spread = coalesce(xxhash64(discriminator),
+      xxhash64(col(factKey), spark_partition_id()))
+    val salted = fact.withColumn("__salt", pmod(spread, lit(nSalts)).cast("int"))
     val replicated = dim
       .withColumn("__salt", explode(sequence(lit(0), lit(nSalts - 1))))
       .withColumn("__salt", col("__salt").cast("int"))
-    salted.join(replicated,
-        col(factKey) === col(dimKey) && salted("__salt") === replicated("__salt"))
+    val joined = salted.join(replicated,
+        salted(factKey) === replicated(dimKey) && salted("__salt") === replicated("__salt"))
       .drop("__salt")
+    if (factKey == dimKey) joined.drop(replicated(dimKey)) else joined
   }
 }

@@ -34,6 +34,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * local/HDFS filesystems and on object stores reduces to a small-object
   * PUT.
   */
+/** A commit lost the manifest-publication race to a concurrent writer.
+  * The table is NOT corrupted — the winner's manifest is complete and
+  * this writer's data files are unreferenced orphans (reclaimed by
+  * [[ManifestTable.vacuum]]). Schedulers should treat this as retryable:
+  * re-read the current version and re-commit.
+  */
+final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
 object ManifestTable {
 
   private val ManifestDir = "manifest"
@@ -93,9 +101,17 @@ object ManifestTable {
     * the compaction/publish path).
     */
   def commit(spark: SparkSession, root: String, df: DataFrame,
-      replace: Boolean): Long = {
+      replace: Boolean): Long =
+    commitAgainst(spark, root, df, replace, currentVersion(spark, root))
+
+  /** Commit against an explicitly-read head version — the head observed
+    * at read-modify-write start. If another writer published past `prev`
+    * in the meantime, this throws [[ConcurrentCommitException]] instead
+    * of silently forking history (optimistic concurrency, Delta-style).
+    */
+  private[graft] def commitAgainst(spark: SparkSession, root: String, df: DataFrame,
+      replace: Boolean, prev: Option[Long]): Long = {
     val f = fs(spark, root)
-    val prev = currentVersion(spark, root)
     val batchDir = s"$DataDir/b-${java.util.UUID.randomUUID().toString}"
     df.write.parquet(s"$root/$batchDir")
     val newFiles = f.listStatus(new Path(s"$root/$batchDir"))
@@ -122,15 +138,41 @@ object ManifestTable {
     try out.write(body) finally out.close()
     if (f.exists(dest)) {
       f.delete(tmp, false)
-      sys.error(s"ManifestTable.commit: version $next already committed (concurrent writer)")
+      throw new ConcurrentCommitException(
+        s"ManifestTable.commit: version $next already committed (concurrent writer) — " +
+          "re-read currentVersion and retry the commit")
     }
     if (!f.rename(tmp, dest))
       sys.error(s"ManifestTable.commit: cannot publish manifest $next")
     val committed = readBytes(f, dest)
     if (!java.util.Arrays.equals(committed, body))
-      sys.error(s"ManifestTable.commit: lost a concurrent race at version $next " +
-        "(committed manifest is not ours — run with a single writer)")
+      throw new ConcurrentCommitException(
+        s"ManifestTable.commit: lost a concurrent race at version $next (committed " +
+          "manifest is not ours) — the winner's commit is intact; retry against the new head")
     next
+  }
+
+  /** Retry wrapper for multi-writer use: recompute + re-commit on a lost
+    * race. `body` receives the current table state (None when
+    * uninitialized) and returns the DataFrame to commit, so a retry sees
+    * the WINNER's rows instead of replaying a stale read — the
+    * read-modify-write loop a catalog-less multi-writer needs.
+    */
+  def commitWithRetry(spark: SparkSession, root: String,
+      body: Option[DataFrame] => (DataFrame, Boolean), maxRetries: Int = 5): Long = {
+    var attempt = 0
+    while (true) {
+      val head = currentVersion(spark, root)
+      val current = head.map(_ => read(spark, root))
+      val (df, replace) = body(current)
+      try return commitAgainst(spark, root, df, replace, head)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
   }
 
   /** Append-commit (ingest path). */

@@ -430,17 +430,26 @@ object ExtensionQueries {
 
     Q("x25_approx_quantile",
       "Quantile sketch (Greenwald-Khanna percentile_approx, accuracy 10000) oracled via its rank-error " +
-        "contract: the approx p50 must land between the exact p45 and p55; min/max/count pass through exactly.",
+        "contract derived from the group size: the approx p50 is an actual sample, so its rank interval " +
+        "[count(<v)+1, count(<=v)] must intersect [(0.5-eps)n, (0.5+eps)n] with eps = 1/accuracy + 1/n " +
+        "(the +1/n absorbs rank-rounding conventions) — implied by the sketch's epsilon guarantee at ANY " +
+        "group size or data distribution, unlike a fixed interpolated percentile band.",
       Some("""SELECT event_type, count(*) AS n, min(value) AS vmin, max(value) AS vmax, CAST(1 AS INT) AS q_ok
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
-      (s, d) => Tables.events(s, d)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), min(col("value")).as("vmin"), max(col("value")).as("vmax"),
-          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a"),
-          expr("percentile(value, 0.45)").as("p45"),
-          expr("percentile(value, 0.55)").as("p55"))
-        .select(col("event_type"), col("n"), col("vmin"), col("vmax"),
-          (col("p50a") >= col("p45") && col("p50a") <= col("p55")).cast("int").as("q_ok"))),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val sketch = ev.groupBy(col("event_type"))
+          .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a"))
+        val eps = lit(1.0 / 10000) + lit(1.0) / col("n")
+        ev.join(broadcast(sketch), "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+            sum((col("value") <= col("p50a")).cast("long")).as("c_le"),
+            sum((col("value") < col("p50a")).cast("long")).as("c_lt"))
+          .select(col("event_type"), col("n"), col("vmin"), col("vmax"),
+            (col("c_le") >= floor((lit(0.5) - eps) * col("n")) &&
+             col("c_lt") < ceil((lit(0.5) + eps) * col("n"))).cast("int").as("q_ok"))
+      }),
 
     Q("x26_tfidf_top_terms",
       "TF-IDF-shaped ranking: per-doc top-3 terms by tf/df (document-frequency-normalized; the single " +

@@ -35,6 +35,75 @@ object RelationalQueries {
     */
   private def decStr(c: Column): Column = c.cast(DecimalType(38, 6)).cast("string")
 
+  /** DuckDB-side uint256 limb pipeline for q40/q41 (mirrors
+    * [[graft.functions.U256Conv]] exactly, all-integer arithmetic):
+    * a 64-hex value `h` → UHUGEINT halves (exact fold over hex digits)
+    * → base-10^18 half-limbs → unnormalized product limbs against the
+    * embedded base-10^18 digits of 2^128 (each partial product
+    * ≤ ~3·10^38 fits HUGEINT… the three k-constants below ARE 2^128,
+    * check: 340·10^36 + 282366920938463463·10^18 + 374607431768211456
+    * = 2^128) → carry-normalized limbs v0..v4, each < 10^18.
+    * Expects a CTE `src(…, h)`; yields CTE `n4(…, v0..v4)`.
+    */
+  private val u256LimbCtes: String = {
+    // 16-hex chunks through DuckDB's native hex-string→UBIGINT cast —
+    // the per-digit list_reduce fold was ~20× slower (minutes at 60k
+    // rows); chunked parse is exact and keeps the oracle in seconds
+    def parse(a: Int, b: Int): String =
+      s"(CAST(CAST('0x'||substr(h,$a,16) AS UBIGINT) AS UHUGEINT) * 18446744073709551616" +
+        s" + CAST(CAST('0x'||substr(h,$b,16) AS UBIGINT) AS UHUGEINT))"
+    s"""parsed AS (
+       |  SELECT *,
+       |    ${parse(1, 17)} AS hi128,
+       |    ${parse(33, 49)} AS lo128
+       |  FROM src),
+       |limbed AS (
+       |  SELECT *,
+       |    CAST(hi128 % 1000000000000000000 AS HUGEINT) AS h0,
+       |    CAST((hi128 // 1000000000000000000) % 1000000000000000000 AS HUGEINT) AS h1,
+       |    CAST(hi128 // (CAST(1000000000000000000 AS UHUGEINT)*1000000000000000000) AS HUGEINT) AS h2,
+       |    CAST(lo128 % 1000000000000000000 AS HUGEINT) AS l0,
+       |    CAST((lo128 // 1000000000000000000) % 1000000000000000000 AS HUGEINT) AS l1,
+       |    CAST(lo128 // (CAST(1000000000000000000 AS UHUGEINT)*1000000000000000000) AS HUGEINT) AS l2
+       |  FROM parsed),
+       |unnorm AS (
+       |  SELECT *,
+       |    h0*374607431768211456 + l0 AS u0,
+       |    h0*282366920938463463 + h1*374607431768211456 + l1 AS u1,
+       |    h0*340 + h1*282366920938463463 + h2*374607431768211456 + l2 AS u2,
+       |    h1*340 + h2*282366920938463463 AS u3,
+       |    h2*340 AS u4
+       |  FROM limbed),
+       |${u256CarrySql("unnorm", "n")}""".stripMargin
+  }
+
+  /** Carry-normalization CTE chain `pre0..pre4` over columns u0..u4 of
+    * CTE `from`: v_i = normalized limb i (< 10^18 except the raw top).
+    */
+  private def u256CarrySql(from: String, pre: String): String = {
+    val B = "1000000000000000000"
+    s"""${pre}0 AS (SELECT *, u0 % $B AS v0, u0 // $B AS k0 FROM $from),
+       |${pre}1 AS (SELECT *, (u1 + k0) % $B AS v1, (u1 + k0) // $B AS k1 FROM ${pre}0),
+       |${pre}2 AS (SELECT *, (u2 + k1) % $B AS v2, (u2 + k1) // $B AS k2 FROM ${pre}1),
+       |${pre}3 AS (SELECT *, (u3 + k2) % $B AS v3, (u3 + k2) // $B AS k3 FROM ${pre}2),
+       |${pre}4 AS (SELECT *, u4 + k3 AS v4 FROM ${pre}3)""".stripMargin
+  }
+
+  /** Digit-string assembly over v0..v4 (shared by q40/q41): raw top limb
+    * + four zero-padded 18-digit limbs, leading zeros trimmed, all-zero
+    * → '0' — character-identical to [[graft.functions.u256_render]].
+    * NOTE this fragment is spliced into templates that re-run
+    * `.stripMargin`, so no line may START with `|` (a leading `||`
+    * would lose its first pipe to the outer margin strip — found the
+    * hard way); concat operators stay at line ends.
+    */
+  private val u256RenderSql: String = {
+    val digits = "ltrim(CAST(v4 AS VARCHAR) || lpad(CAST(v3 AS VARCHAR),18,'0') ||\n" +
+      "     lpad(CAST(v2 AS VARCHAR),18,'0') || lpad(CAST(v1 AS VARCHAR),18,'0') ||\n" +
+      "     lpad(CAST(v0 AS VARCHAR),18,'0'), '0')"
+    s"CASE WHEN $digits = '' THEN '0' ELSE $digits END"
+  }
+
   val defs: Seq[Q] = Seq(
 
     Q("q01_scan_prune",
@@ -225,7 +294,7 @@ object RelationalQueries {
         "in the last projection (round-2: the driver's row-sort dies on array cells, and the string form " +
         "upgrades this from rows-only to a full hash check; q32 keeps the posexplode-verified flat twin).",
       Some("""SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_steps,
-             |  string_agg(l_linenumber || ':' || l_partkey || ':' || CAST(l_quantity AS BIGINT), '|'
+             |  string_agg(l_linenumber || ':' || l_partkey || ':' || CAST(floor(l_quantity) AS BIGINT), '|'
              |             ORDER BY l_linenumber, l_partkey, l_quantity) AS steps
              |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
       (s, d) => Tables.lineitem(s, d)
@@ -235,11 +304,12 @@ object RelationalQueries {
             .as("steps"),
           count(lit(1)).as("n_steps"))
         .select($"l_orderkey", $"n_steps",
-          // l_quantity is integral-valued; BIGINT render avoids
-          // engine-specific double formatting in the canonical string
+          // explicit floor() on BOTH sides: a bare long cast truncates in
+          // Spark but rounds half-away in DuckDB — identical only while
+          // l_quantity stays integral-valued
           concat_ws("|", transform($"steps", st => concat_ws(":",
             st.getField("l_linenumber"), st.getField("l_partkey"),
-            st.getField("l_quantity").cast("long")))).as("steps"))),
+            floor(st.getField("l_quantity")).cast("long")))).as("steps"))),
 
     Q("q32_swap_steps_flat",
       "O-18 verified: build the nested swap_steps array, then re-flatten via posexplode — array ordering and completeness hash-checked against the window formulation.",
@@ -562,7 +632,61 @@ object RelationalQueries {
       (s, d) => Tables.lineitem(s, d)
         .cube($"l_returnflag", $"l_linestatus")
         .agg(count(lit(1)).as("n"),
-          decStr(sum(dec6($"l_quantity"))).as("qty"))))
+          decStr(sum(dec6($"l_quantity"))).as("qty"))),
+
+    Q("q40_u256_decimal",
+      "uint256 past the Decimal(38,0) ceiling (ROADMAP): 64-hex-digit values (md5||md5, deterministic " +
+        "256-bit corpus) rendered as exact ≤78-digit decimal strings two ways — the one-pass BigInteger " +
+        "kernel (u256_dec) and the base-10^18 limb path (u256_limbs → u256_render) — both hash-checked " +
+        "against a DuckDB oracle that re-derives the digits exactly via UHUGEINT halves and limb " +
+        "carry arithmetic (no double ever touches the value).",
+      Some(s"""WITH src AS (
+              |  SELECT l_orderkey, l_linenumber,
+              |    md5(CAST(l_orderkey AS VARCHAR)) || md5(CAST(l_partkey AS VARCHAR)) AS h
+              |  FROM lineitem),
+              |${u256LimbCtes}
+              |SELECT l_orderkey, l_linenumber, h AS hex,
+              |  ${u256RenderSql} AS dec_str, ${u256RenderSql} AS dec_limb
+              |FROM n4
+              |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, d) => {
+        val h = concat(md5($"l_orderkey".cast("string")), md5($"l_partkey".cast("string")))
+        val limbs = u256_limbs($"hex")
+        Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_linenumber", h.as("hex"))
+          .select($"l_orderkey", $"l_linenumber", $"hex",
+            u256_dec($"hex").as("dec_str"),
+            u256_render(element_at(limbs, 1), element_at(limbs, 2), element_at(limbs, 3),
+              element_at(limbs, 4), element_at(limbs, 5)).as("dec_limb"))
+      }),
+
+    Q("q41_u256_sum",
+      "Grouped EXACT 256-bit sum at Spark-native cost: u256_limbs decomposes each value into five " +
+        "base-10^18 limbs, the group-sum is five built-in Decimal(38,0) SUMs (map-side partials, " +
+        "whole-stage codegen, exact to ~10^20 rows), and one final carry/render projection emits the " +
+        "decimal string — no BigInteger in the aggregation path. Oracle replays the identical limb " +
+        "arithmetic in DuckDB HUGEINT (per-row carry-normalized limbs → per-limb sums → final carry).",
+      Some(s"""WITH src AS (
+              |  SELECT l_returnflag,
+              |    md5(CAST(l_orderkey AS VARCHAR)) || md5(CAST(l_partkey AS VARCHAR)) AS h
+              |  FROM lineitem),
+              |${u256LimbCtes},
+              |g AS (
+              |  SELECT l_returnflag, count(*) AS n,
+              |    sum(v0) AS u0, sum(v1) AS u1, sum(v2) AS u2, sum(v3) AS u3, sum(v4) AS u4
+              |  FROM n4 GROUP BY l_returnflag),
+              |${u256CarrySql("g", "m")}
+              |SELECT l_returnflag, n, ${u256RenderSql} AS total
+              |FROM m4 ORDER BY l_returnflag""".stripMargin),
+      (s, d) => {
+        val h = concat(md5($"l_orderkey".cast("string")), md5($"l_partkey".cast("string")))
+        Tables.lineitem(s, d)
+          .select($"l_returnflag", u256_limbs(h).as("limbs"))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"), u256_sum_dec($"limbs").as("total"))
+      }))
+
+
 
   // $"..." interpolator without a session-bound implicits import.
   private implicit class Dollar(val sc: StringContext) {

@@ -28,6 +28,36 @@ class ManifestTableSpec extends SparkSuite {
     assert(ManifestTable.currentVersion(spark, root).contains(1L))
   }
 
+  test("lost commit race raises typed ConcurrentCommitException; retry loop converges") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root, Seq((1L, "a", 1L)).toDF("id", "v", "ingest_seq"))
+    // simulate a racer that has already published the next manifest
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // racer's manifest re-publishes v0's (real) file list as v1
+    val m0 = new org.apache.hadoop.fs.Path(s"$root/manifest/m-${"%020d".format(0L)}.json")
+    val body = {
+      val in = f.open(m0)
+      try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    }
+    val racer = new org.apache.hadoop.fs.Path(s"$root/manifest/m-${"%020d".format(1L)}.json")
+    val out = f.create(racer, false)
+    try out.write(body) finally out.close()
+
+    // a writer that read head=v0 BEFORE the racer published v1 must
+    // detect the conflict rather than fork history
+    intercept[graft.pipeline.ConcurrentCommitException] {
+      ManifestTable.commitAgainst(spark, root,
+        Seq((2L, "b", 2L)).toDF("id", "v", "ingest_seq"), replace = false, prev = Some(0L))
+    }
+    // commitWithRetry re-reads the head (now the racer's v1) and lands v2
+    val v = ManifestTable.commitWithRetry(spark, root, { _ =>
+      (Seq((3L, "c", 3L)).toDF("id", "v", "ingest_seq"), false)
+    })
+    assert(v == 2L)
+    assert(ManifestTable.currentVersion(spark, root).contains(2L))
+  }
+
   test("compact collapses duplicates by last write and flips one version") {
     val root = freshRoot()
     ManifestTable.append(spark, root,

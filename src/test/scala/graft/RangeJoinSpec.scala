@@ -98,4 +98,26 @@ class RangeJoinSpec extends SparkSuite {
     assert(salted == plain)
     assert(plain.size > 300, "hot key must actually match")
   }
+
+  test("saltedJoin handles same-name keys and spreads null discriminators") {
+    val rnd = new scala.util.Random(23)
+    val fact = Seq.tabulate(400) { i =>
+      val k = if (rnd.nextInt(5) > 0) 7L else rnd.nextInt(20).toLong
+      (i.toLong, k, rnd.nextInt(100))
+    }.toDF("row_id", "k", "v").repartition(8)
+    val dim = Seq.tabulate(20)(j => (j.toLong, s"name_$j")).toDF("k", "name")
+
+    // same key name on both sides + an all-null discriminator
+    val salted = Salt.saltedJoin(fact, dim, "k", "k", lit(null), nSalts = 8)
+    assert(salted.columns.count(_ == "k") == 1, "colliding dim key dropped from output")
+    val got = salted.select("row_id", "k", "name").as[(Long, Long, String)].collect().toSet
+    val plain = fact.join(dim, Seq("k"))
+      .select("row_id", "k", "name").as[(Long, Long, String)].collect().toSet
+    assert(got == plain)
+
+    // null discriminator must not collapse the hot key onto one salt:
+    // with 8 input partitions the partition-id fallback spreads it
+    val spread = Salt.saltedJoin(fact, dim, "k", "k", lit(null), nSalts = 8)
+    assert(spread.count() == plain.size)
+  }
 }
