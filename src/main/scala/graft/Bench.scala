@@ -39,10 +39,15 @@ object Bench {
       }
     val p1 = pass().toMap
     val results = pass().map { case (name, t2) => name -> math.min(p1(name), t2) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision keeps the one-line JSON short enough for the driver's
+    // fixed-size output tail to capture the line from its opening brace
+    // (full-precision doubles pushed the "metric" prefix out of the
+    // window in rounds 2-3 → BENCH_r{N}.json "parsed": null)
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

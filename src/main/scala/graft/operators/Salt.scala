@@ -22,12 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object Salt {
 
+  /** The salt assignment used by [[saltedJoin]], exposed so tests can
+    * assert the distribution directly. Null discriminators take the
+    * partition-id branch: `xxhash64` never returns null (a null input
+    * hashes to the seed), so a `coalesce` around it would be dead code —
+    * the null case must be branched on explicitly with `when`.
+    */
+  def saltExpr(factKey: String, discriminator: Column, nSalts: Int): Column = {
+    // spark_partition_id varies within any multi-partition hot key, so a
+    // null discriminator degrades to per-partition spreading instead of
+    // collapsing onto the single seed-hash salt.
+    val spread = when(discriminator.isNull,
+        xxhash64(col(factKey), spark_partition_id()))
+      .otherwise(xxhash64(discriminator))
+    pmod(spread, lit(nSalts)).cast("int")
+  }
+
   /** @param discriminator any column that varies within the hot key. A
     *   null discriminator would hash every such row to ONE salt and
-    *   silently reintroduce the skew, so nulls are folded into a
-    *   round-robin-ish spread via a secondary hash of the key itself
-    *   spread across all salts (monotonically_increasing_id is not used —
-    *   it breaks determinism). Prefer a non-null discriminator.
+    *   silently reintroduce the skew, so null rows are instead spread by
+    *   partition id ([[saltExpr]]; monotonically_increasing_id is not
+    *   used — it breaks determinism). Prefer a non-null discriminator:
+    *   the partition-id spread is only as good as the upstream
+    *   partitioning of the hot key's rows.
     * @note `factKey` and `dimKey` may share a name: the join condition is
     *   qualified through the salted/replicated frames, and the dim-side
     *   key is dropped from the output when the names collide (matching
@@ -36,12 +53,7 @@ object Salt {
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, discriminator: Column, nSalts: Int): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
-    // spark_partition_id varies within any multi-partition hot key, so a
-    // null discriminator degrades to per-partition spreading instead of
-    // collapsing onto the single seed-hash salt.
-    val spread = coalesce(xxhash64(discriminator),
-      xxhash64(col(factKey), spark_partition_id()))
-    val salted = fact.withColumn("__salt", pmod(spread, lit(nSalts)).cast("int"))
+    val salted = fact.withColumn("__salt", saltExpr(factKey, discriminator, nSalts))
     val replicated = dim
       .withColumn("__salt", explode(sequence(lit(0), lit(nSalts - 1))))
       .withColumn("__salt", col("__salt").cast("int"))

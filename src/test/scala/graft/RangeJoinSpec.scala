@@ -116,8 +116,12 @@ class RangeJoinSpec extends SparkSuite {
     assert(got == plain)
 
     // null discriminator must not collapse the hot key onto one salt:
-    // with 8 input partitions the partition-id fallback spreads it
-    val spread = Salt.saltedJoin(fact, dim, "k", "k", lit(null), nSalts = 8)
-    assert(spread.count() == plain.size)
+    // with 8 input partitions the partition-id branch of saltExpr must
+    // land the hot key's rows on >1 distinct salt (the join-count check
+    // above passes even with a collapsed salt — assert the distribution)
+    val hotSalts = fact.filter($"k" === 7L)
+      .withColumn("__salt", Salt.saltExpr("k", lit(null), 8))
+      .select("__salt").distinct().count()
+    assert(hotSalts > 1, s"hot key collapsed onto $hotSalts salt(s)")
   }
 }
