@@ -63,6 +63,30 @@ object U256Conv {
     new GenericArrayData(out)
   }
 
+  /** Render five carry-normalized base-10^18 limbs (little-endian, each
+    * < 10^18 except the raw top) to the exact decimal string — the fused
+    * per-row companion of the Column-level `u256_render`: one pass over
+    * long limbs with zero Decimal/BigInteger arithmetic. Null for a
+    * malformed array (wrong arity).
+    */
+  def render(a: ArrayData): UTF8String = {
+    if (a == null || a.numElements() != 5) return null
+    val sb = new java.lang.StringBuilder(96)
+    sb.append(a.getLong(4))
+    var i = 3
+    while (i >= 0) {
+      val s = java.lang.Long.toString(a.getLong(i))
+      var p = 18 - s.length
+      while (p > 0) { sb.append('0'); p -= 1 }
+      sb.append(s)
+      i -= 1
+    }
+    var start = 0
+    val last = sb.length - 1
+    while (start < last && sb.charAt(start) == '0') start += 1
+    UTF8String.fromString(sb.substring(start))
+  }
+
   /** Same validation as [[limbs]], rendered straight to the exact decimal
     * string (canonical BigInteger base-10, no leading zeros, "0" for 0).
     */
@@ -112,6 +136,41 @@ case class U256Limbs(child: Expression)
     """)
 
   override protected def withNewChildInternal(newChild: Expression): U256Limbs =
+    copy(child = newChild)
+}
+
+/** `u256_render_limbs(limbs)` — five carry-normalized base-10^18 limbs
+  * (the [[U256Limbs]] output, little-endian) → exact decimal string, in
+  * one fused codegen kernel.
+  *
+  * This exists because the alternative — five `element_at(u256_limbs(h),
+  * i)` children feeding the Column-level carry/render — evaluates the
+  * limb PARSE up to five times per row (subexpression elimination does
+  * not reliably fuse across the array accesses) and runs ~10
+  * Decimal(38,0) ops per row for a carry that normalized limbs don't
+  * need (measured 2.5 s of q40's 4.9 s at sf0.1). Taking the array
+  * keeps parse and render at exactly one evaluation each.
+  */
+case class U256RenderLimbs(child: Expression)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "u256_render_limbs"
+
+  override def nullSafeEval(input: Any): Any =
+    U256Conv.render(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.U256Conv.render($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): U256RenderLimbs =
     copy(child = newChild)
 }
 

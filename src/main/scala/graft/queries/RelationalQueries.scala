@@ -651,13 +651,13 @@ object RelationalQueries {
               |ORDER BY l_orderkey, l_linenumber""".stripMargin),
       (s, d) => {
         val h = concat(md5($"l_orderkey".cast("string")), md5($"l_partkey".cast("string")))
-        val limbs = u256_limbs($"hex")
-        Tables.lineitem(s, d)
+        // fanned-out scan: the BigInteger parse/render kernels dominate,
+        // and a row-group-bound scan would run them on one core
+        Tables.loadFanout(s, d, "lineitem")
           .select($"l_orderkey", $"l_linenumber", h.as("hex"))
           .select($"l_orderkey", $"l_linenumber", $"hex",
             u256_dec($"hex").as("dec_str"),
-            u256_render(element_at(limbs, 1), element_at(limbs, 2), element_at(limbs, 3),
-              element_at(limbs, 4), element_at(limbs, 5)).as("dec_limb"))
+            u256_render_limbs(u256_limbs($"hex")).as("dec_limb"))
       }),
 
     Q("q41_u256_sum",
@@ -680,7 +680,9 @@ object RelationalQueries {
               |FROM m4 ORDER BY l_returnflag""".stripMargin),
       (s, d) => {
         val h = concat(md5($"l_orderkey".cast("string")), md5($"l_partkey".cast("string")))
-        Tables.lineitem(s, d)
+        // fanned-out scan: limb parse + five decimal partial sums are the
+        // cost, all upstream of the 3-group exchange
+        Tables.loadFanout(s, d, "lineitem")
           .select($"l_returnflag", u256_limbs(h).as("limbs"))
           .groupBy($"l_returnflag")
           .agg(count(lit(1)).as("n"), u256_sum_dec($"limbs").as("total"))

@@ -26,11 +26,88 @@ object Tables {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, DataFrame]]())
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    loadImpl(spark, sfDir, name, fanout = false)
+
+  /** [[load]], but fanned out past the row-group parallelism bound when
+    * (and only when) that bound actually binds — see
+    * [[fanoutIfRowGroupBound]]. Opt-in per consumer: the round-robin
+    * shuffle costs a whole extra stage, which A/B measurement showed is
+    * a net LOSS for every scan whose downstream work is I/O- or
+    * shuffle-dominated (blanket fanout regressed the 67-query bench
+    * 37 s → 62 s), and a multiple-of-wall win only where a genuinely
+    * expensive per-row kernel sits between the scan and the first
+    * shuffle (q40: 5.0 s → 1.3 s). Use for scans feeding heavy per-row
+    * compute; use [[load]] everywhere else.
+    */
+  def loadFanout(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    loadImpl(spark, sfDir, name, fanout = true)
+
+  private def loadImpl(
+      spark: SparkSession, sfDir: String, name: String, fanout: Boolean): DataFrame = {
     val perSession = cache.computeIfAbsent(spark,
       _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
-    perSession.getOrElseUpdate(s"$sfDir/$name.parquet",
-      spark.read.parquet(s"$sfDir/$name.parquet"))
+    val path = s"$sfDir/$name.parquet"
+    perSession.getOrElseUpdate(s"$path#fanout=$fanout", {
+      val df = spark.read.parquet(path)
+      if (fanout) fanoutIfRowGroupBound(spark, path, df) else df
+    })
+  }
+
+  // ---- small-table scan fanout -------------------------------------------
+
+  private val FanoutMinBytes = 512L * 1024
+  private val FanoutMaxBytes = 1L << 30
+
+  /** Effective parquet scan parallelism is bounded by the ROW-GROUP count,
+    * not by split arithmetic: Spark plans byte-range splits over the file,
+    * but each row group is consumed whole by the single split containing
+    * its start offset, so a table written as one row group executes its
+    * scan — and every pre-shuffle projection above it — on ONE core, no
+    * matter how `spark.sql.files.*` is tuned (measured at sf0.1: 32
+    * planned splits, `spark_partition_id()` showed 1 data-bearing task,
+    * and the q40 u256 stage timed exactly its single-threaded kernel
+    * cost). When the row-group count is below the cluster parallelism and
+    * the table is small enough that one round-robin shuffle is cheap,
+    * fan the scan out explicitly. Filters and column pruning still push
+    * through the Repartition node to the scan, so pushdown is preserved
+    * and the shuffle carries only the pruned columns. At production scale
+    * the condition is inert twice over: a real table carries orders of
+    * magnitude more row groups than the cluster has cores, and the byte
+    * cap refuses the shuffle outright.
+    */
+  private def fanoutIfRowGroupBound(
+      spark: SparkSession, path: String, df: DataFrame): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    if (par <= 1) return df
+    val (groups, bytes) =
+      try rowGroupsAndBytes(spark, path)
+      catch { case scala.util.control.NonFatal(_) => (Int.MaxValue, 0L) }
+    if (groups < par && bytes >= FanoutMinBytes && bytes <= FanoutMaxBytes)
+      df.repartition(par)
+    else df
+  }
+
+  private def rowGroupsAndBytes(spark: SparkSession, path: String): (Int, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val root = fs.getFileStatus(p)
+    val files =
+      if (root.isDirectory)
+        fs.listStatus(p).toSeq.filter(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet"))
+      else Seq(root)
+    var groups = 0
+    var bytes = 0L
+    files.foreach { st =>
+      bytes += st.getLen
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try groups += rd.getRowGroups.size
+      finally rd.close()
+    }
+    (groups, bytes)
   }
 
   /** Drop cached plans — required after rewriting files under a cached

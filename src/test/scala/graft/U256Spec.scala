@@ -36,19 +36,22 @@ class U256Spec extends SparkSuite {
     val limbs = u256_limbs(col("h"))
     val got = df.select(col("i"), u256_dec(col("h")).as("d1"),
         u256_render(element_at(limbs, 1), element_at(limbs, 2), element_at(limbs, 3),
-          element_at(limbs, 4), element_at(limbs, 5)).as("d2"))
-      .as[(Int, String, String)].collect().sortBy(_._1)
-    got.zip(hexes).foreach { case ((_, d1, d2), h) =>
+          element_at(limbs, 4), element_at(limbs, 5)).as("d2"),
+        u256_render_limbs(u256_limbs(col("h"))).as("d3"))
+      .as[(Int, String, String, String)].collect().sortBy(_._1)
+    got.zip(hexes).foreach { case ((_, d1, d2, d3), h) =>
       assert(d1 == groundTruth(h), s"u256_dec($h)")
       assert(d2 == groundTruth(h), s"u256_render(limbs($h))")
+      assert(d3 == groundTruth(h), s"u256_render_limbs(limbs($h))")
     }
   }
 
   test("garbage contract: null/empty/non-hex/oversized all yield null, never corrupt") {
     val bad = Seq(null, "", "0x", "xyz", "12 34", "-ff", "f" * 65, "0x" + "f" * 65)
     val df = bad.zipWithIndex.map { case (h, i) => (i, h) }.toDF("i", "h")
-    val got = df.select(u256_dec(col("h")), u256_limbs(col("h"))).collect()
-    assert(got.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+    val got = df.select(u256_dec(col("h")), u256_limbs(col("h")),
+      u256_render_limbs(u256_limbs(col("h")))).collect()
+    assert(got.forall(r => r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2)))
   }
 
   test("grouped u256 sum is exact over values that overflow Decimal(38,0) thousands of times") {
@@ -79,11 +82,13 @@ class U256Spec extends SparkSuite {
     assert(df.as[String].head() == expected)
   }
 
-  test("SQL registration: u256_dec / u256_limbs resolve in spark.sql") {
+  test("SQL registration: u256_dec / u256_limbs / u256_render_limbs resolve in spark.sql") {
     graft.functions.registerAll(spark)
-    val r = spark.sql(s"SELECT u256_dec('0x${"f" * 64}') AS d, u256_limbs('ff')[0] AS l0")
-      .as[(String, Long)].head()
+    val r = spark.sql(s"SELECT u256_dec('0x${"f" * 64}') AS d, u256_limbs('ff')[0] AS l0, " +
+        "u256_render_limbs(u256_limbs('ff')) AS r")
+      .as[(String, Long, String)].head()
     assert(r._1 == groundTruth("f" * 64))
     assert(r._2 == 255L)
+    assert(r._3 == "255")
   }
 }
