@@ -486,14 +486,22 @@ object RelationalQueries {
       Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
              |  count(*) AS n, CAST(1 AS INT) AS hll_ok
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
-      (s, d) => Tables.events(s, d)
-        .groupBy($"event_type")
-        .agg(countDistinct($"user_id").as("n_users_exact"),
-          approx_count_distinct($"user_id", 0.01).as("approx"),
-          count(lit(1)).as("n"))
-        .select($"event_type", $"n_users_exact", $"n",
-          (abs($"approx" - $"n_users_exact") <= $"n_users_exact" * 0.05)
-            .cast("int").as("hll_ok"))),
+      (s, d) => {
+        // exact and sketch in SEPARATE aggregates joined on the tiny group
+        // key: mixing countDistinct with approx_count_distinct in one agg
+        // plans an Expand (every row duplicated per distinct-clause) and
+        // drags the 1%-rsd HLL buffers through the distinct shuffle —
+        // measured 1.8 s vs 0.8 s for this split at sf0.1
+        val ev = Tables.events(s, d)
+        val exact = ev.groupBy($"event_type")
+          .agg(countDistinct($"user_id").as("n_users_exact"), count(lit(1)).as("n"))
+        val approx = ev.groupBy($"event_type")
+          .agg(approx_count_distinct($"user_id", 0.01).as("approx"))
+        exact.join(approx, "event_type")
+          .select($"event_type", $"n_users_exact", $"n",
+            (abs($"approx" - $"n_users_exact") <= $"n_users_exact" * 0.05)
+              .cast("int").as("hll_ok"))
+      }),
 
     Q("q25_sessionize",
       "Session windows (30-min inactivity gap) per user — gap-based stateful windowing, batch twin of the streaming sessionizer.",
@@ -686,7 +694,20 @@ object RelationalQueries {
           .select($"l_returnflag", u256_limbs(h).as("limbs"))
           .groupBy($"l_returnflag")
           .agg(count(lit(1)).as("n"), u256_sum_dec($"limbs").as("total"))
-      }))
+      }),
+
+    Q("q42_block_source",
+      "DataSourceV2 block-range source (S-2/S-3 as a planner-visible connector): one InputPartition " +
+        "per 10k-block RPC slice, block_number bound predicates absorbed by pushFilters and PRUNING " +
+        "whole slices before planning (the reference pushing its key filter into the getEvents " +
+        "request), column pruning reaching the reader. Deterministic fake rows; oracle re-derives " +
+        "them from DuckDB range().",
+      Some("""SELECT r AS block_number, printf('0x%x', r * 2654435761) AS block_hash,
+             |  1700000000 + r AS block_timestamp
+             |FROM range(1005000, 1010000) t(r)""".stripMargin),
+      (s, d) => s.read.format("blockrange")
+        .option("from", 1000000).option("to", 1009999).option("slice", 2000).load()
+        .filter($"block_number" >= 1005000)))
 
 
 
