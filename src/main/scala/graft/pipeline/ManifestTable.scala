@@ -22,11 +22,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   2. write manifest m-{v+1} naming the new complete file set.
   *   A crash between 1 and 2 leaves orphan data files (GC'd later) and
   *   readers still see version v. Readers NEVER observe a missing or
-  *   half-swapped table, so compaction needs no reader coordination —
-  *   the single remaining constraint is one writer at a time (two
-  *   concurrent committers could both write m-{v+1}; at 100 TB that is
-  *   the same single-committer rule Delta/Iceberg enforce via the
-  *   catalog or a lock service).
+  *   half-swapped table, so compaction needs no reader coordination.
+  *
+  * Multi-writer commits are serialized per VERSION by a commit latch:
+  * `.c-{v}.latch` is created with atomic create-no-overwrite (an
+  * O_EXCL `createNewFile` on local filesystems, the namenode-atomic
+  * `create(overwrite=false)` on HDFS), and only the latch winner may
+  * publish manifest v — losers get [[ConcurrentCommitException]] and
+  * retry against the new head ([[ManifestTable.commitWithRetry]]).
+  * Plain rename-then-verify is NOT enough: POSIX rename overwrites, so
+  * two racers could each verify their own bytes in a window and both
+  * report success, silently dropping one commit. On object stores with
+  * no atomic create the latch degrades to best-effort and a catalog or
+  * lock service is still required — the same rule Delta (DynamoDB
+  * LogStore on S3) and Iceberg (catalog) apply.
   *
   * This is the minimal home-grown form of the Delta/Iceberg idea, built
   * only on "a completely-written small file wins" — manifests are
@@ -124,33 +133,47 @@ object ManifestTable {
     val next = prev.getOrElse(-1L) + 1L
     val body = (carried ++ newFiles).mkString("", "\n", "\n")
       .getBytes(StandardCharsets.UTF_8)
-    // temp-write + rename: the manifest appears complete or not at all.
-    // The tmp name is per-writer (a shared tmp would let a racer truncate
-    // ours mid-write), and we verify AFTER the rename that the committed
-    // bytes are ours — local-FS rename silently overwrites an existing
-    // destination, so "rename returned true" alone does not detect a
-    // lost race. This is best-effort detection, not a CAS: true
-    // multi-writer needs a lock service or catalog (see class doc).
+    // temp-write + latch + rename: the tmp write keeps a half-written
+    // manifest from ever sitting at the published name (a crash mid-write
+    // must leave version `next` unpublished, not truncated), and the
+    // atomic latch makes exactly one writer the publisher of `next` —
+    // rename-then-verify alone cannot do that, because POSIX rename
+    // overwrites and both racers can verify their own bytes in a window
+    // where each rename "succeeded".
     val dest = manifestPath(root, next)
+    f.mkdirs(new Path(s"$root/$ManifestDir"))
     val tmp = new Path(
       s"$root/$ManifestDir/.m-$next.${java.util.UUID.randomUUID().toString}.tmp")
     val out = f.create(tmp, false)
     try out.write(body) finally out.close()
-    if (f.exists(dest)) {
+    if (f.exists(dest) || !acquireLatch(f, latchPath(root, next))) {
       f.delete(tmp, false)
       throw new ConcurrentCommitException(
-        s"ManifestTable.commit: version $next already committed (concurrent writer) — " +
-          "re-read currentVersion and retry the commit")
+        s"ManifestTable.commit: version $next already committed or being committed " +
+          "(concurrent writer) — re-read currentVersion and retry the commit")
     }
+    // latch held: no other writer can publish `next`; the rename is ours
     if (!f.rename(tmp, dest))
       sys.error(s"ManifestTable.commit: cannot publish manifest $next")
-    val committed = readBytes(f, dest)
-    if (!java.util.Arrays.equals(committed, body))
-      throw new ConcurrentCommitException(
-        s"ManifestTable.commit: lost a concurrent race at version $next (committed " +
-          "manifest is not ours) — the winner's commit is intact; retry against the new head")
     next
   }
+
+  private def latchPath(root: String, v: Long): Path =
+    new Path(s"$root/$ManifestDir/.c-${"%020d".format(v)}.latch")
+
+  /** Atomic create-no-overwrite: returns true iff THIS caller created the
+    * file. `java.io.File.createNewFile` is O_CREAT|O_EXCL on local
+    * filesystems (Hadoop's RawLocalFileSystem `create(overwrite=false)`
+    * is an exists-then-open TOCTOU, so it cannot be the local-path CAS);
+    * on HDFS the namenode makes `create(overwrite=false)` atomic. Object
+    * stores without conditional PUT reduce this to best-effort — see the
+    * class doc.
+    */
+  private def acquireLatch(f: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
+    if (f.getScheme == "file") new java.io.File(p.toUri.getPath).createNewFile()
+    else
+      try { f.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
 
   /** Retry wrapper for multi-writer use: recompute + re-commit on a lost
     * race. `body` receives the current table state (None when
@@ -233,7 +256,17 @@ object ManifestTable {
         m.getModificationTime < cutoff
       val belowWindow = name.startsWith("m-") && name.endsWith(".json") &&
         name.stripPrefix("m-").stripSuffix(".json").toLong < keepFrom
-      if (staleTmp || belowWindow) f.delete(m.getPath, false)
+      // commit latches: below the keep window they are spent bookkeeping;
+      // at/above it, an old latch with NO published manifest is an
+      // abandoned commit (writer died between latch and rename) that
+      // would wedge its version forever — the age threshold is the same
+      // live-writer guard as for data files
+      val latchVer = if (name.startsWith(".c-") && name.endsWith(".latch"))
+        Some(name.stripPrefix(".c-").stripSuffix(".latch").toLong) else None
+      val staleLatch = latchVer.exists(ver =>
+        ver < keepFrom ||
+          (m.getModificationTime < cutoff && !f.exists(manifestPath(root, ver))))
+      if (staleTmp || belowWindow || staleLatch) f.delete(m.getPath, false)
     }
   }
 }

@@ -189,6 +189,77 @@ object StreamingIngest {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("val"))
 
+  /** One user's open session under [[customSessions]]: timestamps in
+    * epoch millis, value total running. One open session per user is the
+    * whole state — bounded by the watermark horizon.
+    */
+  case class OpenSession(start: Long, lastTs: Long, n: Long, total: Double)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` +
+    * `EventTimeTimeout` — the state-API rendering of [[sessionized]],
+    * for session logic `session_window` cannot express (custom
+    * per-session payloads, mid-session emission, cross-session
+    * carry-over). Completes the timeout-family inventory (ROADMAP):
+    * NoTimeout ([[runningUserTotals]]), ProcessingTimeTimeout
+    * ([[runningUserTotalsWithTtl]]), EventTimeTimeout (here).
+    *
+    * A session closes when a later event arrives ≥ gap after the last
+    * event (emitted immediately, append mode) or when the WATERMARK
+    * passes last_event + gap (the timeout fires on event time, so a
+    * replay of the same input produces identical output — the
+    * determinism ProcessingTimeTimeout cannot offer). Late rows beyond
+    * the watermark are dropped by the operator before the function runs,
+    * which is what makes `setTimeoutTimestamp(lastTs + gap)` always
+    * legal (≥ watermark).
+    */
+  def customSessions(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"), col("value")).na.drop()
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession,
+        (Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+            state: GroupState[OpenSession]) =>
+          def emit(s: OpenSession) = (uid, new java.sql.Timestamp(s.start),
+            new java.sql.Timestamp(s.lastTs + gapMs), s.n, s.total)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(emit(s))
+          } else {
+            // batch rows arrive unordered; the sort is bounded by one
+            // user's rows in one micro-batch
+            val sorted = rows.toArray.sortBy(_._2.getTime)
+            var closed = List.empty[OpenSession]
+            var open = state.getOption
+            sorted.foreach { case (_, ts, v) =>
+              val t = ts.getTime
+              open = open match {
+                case Some(s) if t - s.lastTs < gapMs =>
+                  Some(OpenSession(s.start, math.max(s.lastTs, t), s.n + 1, s.total + v))
+                case Some(s) =>
+                  closed ::= s
+                  Some(OpenSession(t, t, 1, v))
+                case None =>
+                  Some(OpenSession(t, t, 1, v))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.reverseIterator.map(emit)
+          }
+      }
+      .toDF("user_id", "session_start", "session_end", "n_events", "val")
+  }
+
   /** Streaming content dedup for a document ingest stream — the
     * streaming member of the dedup family: fingerprint each arriving doc
     * (md5 of whitespace-normalized lowercase text, the same key as batch

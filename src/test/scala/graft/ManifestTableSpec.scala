@@ -58,6 +58,49 @@ class ManifestTableSpec extends SparkSuite {
     assert(ManifestTable.currentVersion(spark, root).contains(2L))
   }
 
+  test("genuinely concurrent writers all land exactly once (latch serializes versions)") {
+    val root = freshRoot()
+    val writers = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val futures = (1 to writers).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = ManifestTable.commitWithRetry(spark, root, { _ =>
+            (Seq((w.toLong, s"w$w", w.toLong)).toDF("id", "v", "ingest_seq"), false)
+          }, maxRetries = 30)
+        })
+      }
+      val versions = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      // every writer got a DISTINCT version and the head is the last one
+      assert(versions.toSet.size == writers, versions.toString)
+      assert(versions.max == writers - 1L)
+    } finally pool.shutdown()
+    // no commit was silently dropped: all six rows are in the final state
+    val rows = ManifestTable.read(spark, root).select("id").as[Long].collect().sorted
+    assert(rows.toSeq == (1L to writers.toLong))
+    assert(ManifestTable.currentVersion(spark, root).contains(writers - 1L))
+  }
+
+  test("vacuum clears an abandoned commit latch so the version unwedges") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root, Seq((1L, "a", 1L)).toDF("id", "v", "ingest_seq"))
+    // simulate a writer that died between latch and rename of version 1
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latch = new org.apache.hadoop.fs.Path(
+      s"$root/manifest/.c-${"%020d".format(1L)}.latch")
+    f.create(latch, false).close()
+    // the wedged version: commits at head+1 keep losing to the dead latch
+    intercept[graft.pipeline.ConcurrentCommitException] {
+      ManifestTable.append(spark, root, Seq((2L, "b", 2L)).toDF("id", "v", "ingest_seq"))
+    }
+    // age-0 vacuum (no live writers in the test) reclaims it; commit lands
+    ManifestTable.vacuum(spark, root, keepVersions = 2, minAgeMs = 0L)
+    assert(!f.exists(latch))
+    val v = ManifestTable.append(spark, root, Seq((2L, "b", 2L)).toDF("id", "v", "ingest_seq"))
+    assert(v == 1L)
+  }
+
   test("compact collapses duplicates by last write and flips one version") {
     val root = freshRoot()
     ManifestTable.append(spark, root,

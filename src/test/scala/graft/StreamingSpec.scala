@@ -64,6 +64,33 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.subsetOf(batch), "streamed session not present in batch result")
   }
 
+  test("EventTimeTimeout custom sessions match batch session_window sessions") {
+    val dir = Files.createTempDirectory("graft-stream7").toString + "/events"
+    val events = Tables.events(spark, sf)
+    events.write.parquet(dir)
+
+    val stream = StreamingIngest.eventsStream(spark, dir, events.schema)
+    StreamingIngest.runToMemory(
+      StreamingIngest.customSessions(spark, stream), "custom_sessions", mode = "append")
+
+    val streamed = spark.table("custom_sessions")
+      .select(col("user_id"), col("session_start").cast("long"),
+        col("session_end").cast("long"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed.nonEmpty, "watermark must finalize at least the closed sessions")
+
+    // batch ground truth: session_window with identical gap/end semantics
+    // (end = last event + gap)
+    val batch = Tables.events(spark, sf).na.drop(Seq("user_id", "ts", "value"))
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").cast("long"),
+        col("session_window.end").cast("long"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed.subsetOf(batch),
+      s"custom session not in batch session_window result: ${streamed.diff(batch).take(3)}")
+  }
+
   test("mapGroupsWithState running totals converge to the batch aggregate") {
     val dir = Files.createTempDirectory("graft-stream5").toString + "/events"
     val events = Tables.events(spark, sf)
