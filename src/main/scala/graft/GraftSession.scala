@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarityExpr(children(0), children(1))))
+    // hoist repeated expensive graft kernels out of projections (runs in
+    // the operator-optimization batch; CollapseProject's non-cheap
+    // multi-reference guard keeps the split stable)
+    ext.injectOptimizerRule(_ => graft.plans.ExtractExpensiveSubexpressions)
   }
 }
 

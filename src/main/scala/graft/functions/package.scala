@@ -58,6 +58,9 @@ package object functions {
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_sim"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarityExpr(children(0), children(1)))
+    // sessions built without spark.sql.extensions still get the
+    // expensive-kernel CSE rule (post-main-optimizer batch, idempotent)
+    graft.plans.ExtractExpensiveSubexpressions.install(spark)
   }
 
   /** Canonical order-insensitive pair key: `'/'.join(sorted([a, b]))`.
