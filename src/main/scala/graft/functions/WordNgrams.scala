@@ -46,6 +46,19 @@ object NgramKernels {
     }
     new GenericArrayData(out.toArray())
   }
+
+  /** Overlapping character n-grams by Unicode codepoint — see [[CharNgrams]]. */
+  def charNgrams(s: UTF8String, n: Int): ArrayData = {
+    val m = s.numChars()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      out(i) = s.substringSQL(i + 1, n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `word_ngrams(text)` as a native codegen expression — one pass per row.
@@ -78,5 +91,37 @@ case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
     defineCodeGen(ctx, ev, c => s"graft.functions.NgramKernels.ngrams($c, $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+/** `char_ngrams(text, n)` — all overlapping character n-grams, in order,
+  * WITH duplicates (profile training and scoring need multiplicities).
+  *
+  * Positions are Unicode codepoints via `UTF8String.substringSQL`, so a
+  * CJK character counts as one position — bit-compatible with
+  * `substr(text, i, n)` in Spark SQL and DuckDB (both codepoint-based).
+  * Empty array when the text has fewer than `n` codepoints. Same
+  * codegen rationale as [[WordNgrams]]: the composed
+  * `transform(sequence(...), i -> substring(...))` form is an
+  * interpreted higher-order chain.
+  */
+case class CharNgrams(child: Expression, n: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+  require(n > 0, "n must be positive")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    NgramKernels.charNgrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NgramKernels.charNgrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
     copy(child = newChild)
 }

@@ -226,6 +226,13 @@ package object functions {
   def word_ngrams(text: Column, n: Int): Column =
     Internal.column(WordNgrams(Internal.expression(text), n, distinct = false))
 
+  /** All overlapping character n-grams (codepoint positions, with
+    * duplicates) — the unit of the n-gram-profile language-ID family.
+    * Native codegen kernel — see [[CharNgrams]].
+    */
+  def char_ngrams(text: Column, n: Int): Column =
+    Internal.column(CharNgrams(Internal.expression(text), n))
+
   /** The composed-builtin shingle form [[WordNgrams]] is property-tested
     * against (interpreted higher-order chain — correct but ~10× slower;
     * see the expression's scaladoc).

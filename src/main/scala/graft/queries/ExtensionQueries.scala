@@ -211,6 +211,44 @@ object ExtensionQueries {
        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
 
+  /** Replays [[TextStats.languageIdNgram]] stage by stage: bigram
+    * generation via substr over a position range (codepoint semantics
+    * match [[graft.functions.CharNgrams]]), profile training with the
+    * same (count DESC, gram ASC) total-order rank, weighted-hit
+    * scoring, zero-fill over the lang × doc grid, and the x08 argmax
+    * tie-break. All-integer arithmetic — no float drift.
+    */
+  private val langIdNgramOracle: String =
+    """WITH grams AS (
+      |  SELECT doc_id, lang, substr(text, CAST(i AS INT), 2) AS g
+      |  FROM documents, unnest(range(1, CAST(length(text) AS BIGINT))) AS t(i)
+      |),
+      |prof AS (
+      |  SELECT lang AS plang, g, count(*) AS cnt,
+      |         row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g ASC) AS rn
+      |  FROM grams GROUP BY lang, g
+      |),
+      |profile AS (SELECT plang, g, CAST(41 - rn AS BIGINT) AS w FROM prof WHERE rn <= 40),
+      |hits AS (
+      |  SELECT gr.doc_id, p.plang, SUM(p.w) AS score
+      |  FROM grams gr JOIN profile p ON gr.g = p.g
+      |  GROUP BY gr.doc_id, p.plang
+      |),
+      |langs AS (SELECT DISTINCT plang FROM profile),
+      |full_sc AS (
+      |  SELECT d.doc_id, d.lang AS actual_lang, l.plang, COALESCE(h.score, 0) AS score
+      |  FROM documents d CROSS JOIN langs l
+      |  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.plang = l.plang
+      |),
+      |best AS (
+      |  SELECT doc_id, actual_lang, plang, score,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang DESC) AS rn
+      |  FROM full_sc
+      |)
+      |SELECT doc_id, plang AS pred_lang, CAST(score AS BIGINT) AS score, actual_lang,
+      |       CAST(CASE WHEN plang = actual_lang THEN 1 ELSE 0 END AS INT) AS correct
+      |FROM best WHERE rn = 1""".stripMargin
+
   // zorder_key as pure integer bit math, reproduced term-by-term in SQL
   private val zorderOracle: String = {
     val terms = (0 until 32).flatMap(b => Seq(
@@ -319,6 +357,13 @@ object ExtensionQueries {
       "Stopword-marker language ID heuristic (argmax over language scores; deterministic tie-break).",
       Some(langIdOracle),
       (s, d) => TextStats.languageId(Tables.documents(s, d))),
+
+    Q("x29_lang_id_ngram",
+      "Char-bigram profile language ID (Cavnar–Trenkle shape): corpus-trained top-40 rank-weighted profiles, broadcast-join scoring, x08 argmax tie-break.",
+      Some(langIdNgramOracle),
+      // fanned-out scan: the bigram explode is a heavy per-row kernel
+      // ahead of the first shuffle (see Tables.loadFanout scaladoc)
+      (s, d) => TextStats.languageIdNgram(Tables.loadFanout(s, d, "documents"))),
 
     Q("x09_text_quality",
       "Quality scoring: char/token counts, avg word length, stopword ratio.",

@@ -217,6 +217,22 @@ class ExtSpec extends SparkSuite {
     assert(got(1L) == "de")
   }
 
+  test("languageIdNgram: corpus-trained bigram profiles separate distinct char distributions") {
+    val d = Seq(
+      (0L, "aaaaa", "aa"),
+      (1L, "bbbbb", "bb"),
+      (2L, "aaaab", "aa"), // mostly-a text must still score highest on "aa"
+      (3L, "x", "aa")      // single char: zero bigrams, zero score everywhere
+    ).toDF("doc_id", "text", "lang")
+    val got = TextStats.languageIdNgram(d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getInt(4)))).toMap
+    assert(got(0L)._1 == "aa" && got(0L)._3 == 1)
+    assert(got(1L)._1 == "bb" && got(1L)._3 == 1)
+    assert(got(2L)._1 == "aa")
+    // no bigrams → all-zero scores → tie broken to the largest lang code
+    assert(got(3L) == (("bb", 0L, 0)))
+  }
+
   test("quality + fingerprint + token count are deterministic and sane") {
     val q = TextStats.quality(docs).filter(col("doc_id") === 0).first()
     assert(q.getLong(2) == 13L) // 13 tokens

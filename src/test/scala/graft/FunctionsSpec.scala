@@ -87,6 +87,28 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("char_ngrams kernel equals the composed substring form; codepoint positions") {
+    val rnd = new scala.util.Random(29)
+    val alphabet = "ab 的是x"
+    val samples = Seq("", "a", "ab", "的是", "a的b", " a ") ++
+      Seq.fill(200)(Seq.fill(rnd.nextInt(20))(alphabet(rnd.nextInt(alphabet.size))).mkString)
+    for (n <- Seq(2, 3)) {
+      // composed reference: substring windows over codepoint positions
+      val ref = (s: String) => {
+        val cps = s.codePoints().toArray.toSeq
+        if (cps.size < n) Seq.empty[String]
+        else (0 to cps.size - n).map(i =>
+          cps.slice(i, i + n).map(Character.toChars(_).mkString).mkString)
+      }
+      val got = samples.toDF("s")
+        .select(col("s"), graft.functions.char_ngrams(col("s"), n).as("g"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      samples.distinct.foreach { s =>
+        assert(got(s) == ref(s), s"n=$n mismatch for '$s': ${got(s)} vs ${ref(s)}")
+      }
+    }
+  }
+
   test("word_ngrams keeps duplicates in order; word_shingles drops them") {
     val got = Seq("a b a b").toDF("s")
       .select(word_ngrams(col("s"), 2).as("all"), word_shingles(col("s"), 2).as("dst"))

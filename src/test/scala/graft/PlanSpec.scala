@@ -74,6 +74,22 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("x29: broadcast-sized profile joins broadcast; char_ngrams stays codegen") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = SparkEntry.queries("x29_lang_id_ngram")(spark, sf).queryExecution.executedPlan
+      val bcasts = collectAll(p) { case b: BroadcastExchangeLike => b }
+      assert(bcasts.size >= 2,
+        s"profile scoring + lang grid should both broadcast, got ${bcasts.size}:\n$p")
+      assert(collectAll(p) { case w: WholeStageCodegenExec => w }
+        .exists(_.toString.contains("char_ngrams")),
+        s"char_ngrams not inside a codegen stage:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("x06: bounded-heap knn has no window sort and only the agg shuffles") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val p = plan(graft.ext.Similarity.knnBrute(emb.filter(emb("vec_id") < 10), emb, 5))
@@ -106,10 +122,12 @@ class PlanSpec extends SparkSuite {
   test("only O(1)-row build sides ever nested-loop (scalar pins, query/centroid sets)") {
     // the full-registry audit: any BroadcastNestedLoopJoin or cartesian
     // in any declared query must build from a bounded tiny side — q10/q18
-    // (1-row max(ts) pin), x06 (10-row query set), x14 (9-row centroids)
+    // (1-row max(ts) pin), x06 (10-row query set), x14 (9-row centroids),
+    // x29 (langs-count-row score grid)
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     val allowed = Set("q10_time_window", "q18_report_pairs", "x06_knn_brute",
-      "x13_approx_distinct", "x14_knn_ivf", "x25_approx_quantile")
+      "x13_approx_distinct", "x14_knn_ivf", "x25_approx_quantile",
+      "x29_lang_id_ngram")
     SparkEntry.registry.foreach { q =>
       val p = plan(q.build(spark, sf))
       val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
