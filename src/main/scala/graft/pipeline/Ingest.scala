@@ -70,6 +70,49 @@ object Ingest {
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("append").parquet(path)
 
+  /** Append a micro-batch into a hash-BUCKETED managed table (same
+    * bucket count and column every call), stamped with `ingest_seq` and
+    * sorted by the key within each file. The layout is the full
+    * ClickHouse ReplacingMergeTree analog: hash clustering plays ORDER
+    * BY-key placement, the within-file sort gives row-group min/max
+    * pruning, and — the scale win — every row for a given key lands in
+    * the SAME bucket across every appended batch, so keyed dedup and
+    * compaction become bucket-local: Catalyst sees the scan's
+    * HashPartitioning(bucket key) already satisfies the aggregation's
+    * required distribution and plans ZERO shuffle exchanges
+    * (BucketingSpec proves it). A plain-path append table re-shuffles
+    * the whole history on every compaction instead — the dominant
+    * recurring cost of an append-mostly fact table at 100 TB
+    * (SCALING.md's ×100 q19 measurement: dedup cost is linear in
+    * shuffled bytes).
+    */
+  def appendBucketedWithSeq(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int, seq: Long): Unit =
+    df.withColumn("ingest_seq", lit(seq))
+      .write.mode("append")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /** Shuffle-free compaction of an [[appendBucketedWithSeq]] table:
+    * read (bucket-local tasks) → last-write-wins aggregate (no exchange,
+    * see above) → rewrite with the same bucket spec (output partitioning
+    * already matches, so the write shuffles nothing either), then swap
+    * via a catalog rename. Crash window: between DROP and RENAME the
+    * table name dangles — same maintenance-under-lock caveat as
+    * [[compact]]; [[ManifestTable]] is the gap-free layout.
+    */
+  def compactBucketed(spark: SparkSession, table: String, keys: Seq[String],
+      bucketCol: String, buckets: Int, seqCol: String = "ingest_seq"): Unit = {
+    val tmp = table + "_compact_tmp"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    Dedup.lastWriteWinsAgg(spark.table(table), keys, Seq(col(seqCol)))
+      .write.mode("overwrite")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
   /** Compaction = ReplacingMergeTree `OPTIMIZE TABLE FINAL`: rewrite the
     * table keeping the latest row per key (Spark cannot overwrite a path
     * it is reading, hence the scratch-dir dance).

@@ -38,4 +38,52 @@ class BucketingSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS b_events")
     }
   }
+
+  test("bucketed append table: keyed dedup and compaction plan zero shuffle exchanges") {
+    import graft.pipeline.Ingest
+    import graft.operators.Dedup
+
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.sql("DROP TABLE IF EXISTS b_append")
+      spark.sql("DROP TABLE IF EXISTS b_append_compact_tmp")
+
+      // three overlapping micro-batches: keys re-ingested with new values
+      def batch(lo: Long, hi: Long, tag: String) =
+        (lo to hi).map(i => (i, s"$tag$i")).toDF("block_number", "block_hash")
+      Ingest.appendBucketedWithSeq(batch(1, 3000, "a"), "b_append", "block_number", 4, seq = 1)
+      Ingest.appendBucketedWithSeq(batch(2000, 4000, "b"), "b_append", "block_number", 4, seq = 2)
+      Ingest.appendBucketedWithSeq(batch(3500, 5000, "c"), "b_append", "block_number", 4, seq = 3)
+
+      // dedup-on-read: bucket-local, no exchange
+      val latest = Ingest.latestView(spark.table("b_append"), Seq("block_number"))
+      assert(Bucketing.countExchanges(latest) == 0,
+        s"bucketed dedup should be shuffle-free:\n${latest.queryExecution.executedPlan}")
+      // contrast: identical rows through a plain parquet path shuffle
+      val plainDir = "/tmp/graft-bucket-contrast"
+      spark.table("b_append").write.mode("overwrite").parquet(plainDir)
+      val plainLatest = Ingest.latestView(spark.read.parquet(plainDir), Seq("block_number"))
+      assert(Bucketing.countExchanges(plainLatest) > 0)
+
+      // last-write-wins semantics across batches
+      val rows = latest.select("block_number", "block_hash").as[(Long, String)].collect().toMap
+      assert(rows.size == 5000)
+      assert(rows(1500L) == "a1500" && rows(2500L) == "b2500" && rows(3700L) == "c3700")
+
+      // compaction rewrites in place, stays bucketed, and the NEXT dedup
+      // over the compacted table is still shuffle-free
+      Ingest.compactBucketed(spark, "b_append", Seq("block_number"), "block_number", 4)
+      assert(spark.table("b_append").count() == 5000)
+      val again = Ingest.latestView(spark.table("b_append"), Seq("block_number"))
+      assert(Bucketing.countExchanges(again) == 0,
+        s"post-compaction table lost its bucketing:\n${again.queryExecution.executedPlan}")
+      assert(again.select("block_number", "block_hash").as[(Long, String)]
+        .collect().toMap.apply(2500L) == "b2500")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.sql("DROP TABLE IF EXISTS b_append")
+      spark.sql("DROP TABLE IF EXISTS b_append_compact_tmp")
+    }
+  }
 }
