@@ -47,15 +47,31 @@ object NgramKernels {
     new GenericArrayData(out.toArray())
   }
 
-  /** Overlapping character n-grams by Unicode codepoint — see [[CharNgrams]]. */
+  /** Overlapping character n-grams by Unicode codepoint — see
+    * [[CharNgrams]]. One forward pass records every codepoint's byte
+    * offset, then each gram is a zero-copy byte-range view — O(m·n)
+    * total. (A substringSQL-per-position loop is O(m²): every call
+    * rescans the variable-width bytes from offset 0 to find codepoint i
+    * — round-4 review finding.)
+    */
   def charNgrams(s: UTF8String, n: Int): ArrayData = {
-    val m = s.numChars()
+    val bytes = s.getBytes
+    val len = bytes.length
+    val offs = new Array[Int](len + 1)
+    var i = 0
+    var m = 0
+    while (i < len) {
+      offs(m) = i
+      m += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    offs(m) = len
     if (m < n) return new GenericArrayData(Array.empty[Any])
     val out = new Array[AnyRef](m - n + 1)
-    var i = 0
-    while (i <= m - n) {
-      out(i) = s.substringSQL(i + 1, n)
-      i += 1
+    var j = 0
+    while (j <= m - n) {
+      out(j) = UTF8String.fromBytes(bytes, offs(j), offs(j + n) - offs(j))
+      j += 1
     }
     new GenericArrayData(out)
   }

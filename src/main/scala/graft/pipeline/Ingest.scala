@@ -88,7 +88,15 @@ object Ingest {
     */
   def appendBucketedWithSeq(df: DataFrame, table: String, bucketCol: String,
       buckets: Int, seq: Long): Unit =
+    // repartition on the bucket column first: a bucketed write emits one
+    // file per (task, bucket-with-data) pair, so an unpartitioned P-task
+    // micro-batch appends up to P×buckets files per call and the table
+    // fragments until compaction. Hash-partitioning to `buckets` tasks
+    // (the same murmur3-pmod placement bucketBy uses) caps each append
+    // at exactly `buckets` files for the price of shuffling one
+    // micro-batch — the batch, not the table history (round-4 review).
     df.withColumn("ingest_seq", lit(seq))
+      .repartition(buckets, col(bucketCol))
       .write.mode("append")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)
@@ -99,11 +107,21 @@ object Ingest {
     * already matches, so the write shuffles nothing either), then swap
     * via a catalog rename. Crash window: between DROP and RENAME the
     * table name dangles — same maintenance-under-lock caveat as
-    * [[compact]]; [[ManifestTable]] is the gap-free layout.
+    * [[compact]]; [[ManifestTable]] is the gap-free layout. A re-run
+    * after a crash in that window RECOVERS instead of destroying the
+    * sole surviving copy: when the live name is gone but the tmp table
+    * exists, the tmp (a complete compacted rewrite) is renamed into
+    * place and the function returns — dropping it first would lose the
+    * table outright (round-4 review finding).
     */
   def compactBucketed(spark: SparkSession, table: String, keys: Seq[String],
       bucketCol: String, buckets: Int, seqCol: String = "ingest_seq"): Unit = {
     val tmp = table + "_compact_tmp"
+    val cat = spark.catalog
+    if (!cat.tableExists(table)) {
+      if (cat.tableExists(tmp)) { spark.sql(s"ALTER TABLE $tmp RENAME TO $table"); return }
+      sys.error(s"compactBucketed: neither $table nor $tmp exists")
+    }
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     Dedup.lastWriteWinsAgg(spark.table(table), keys, Seq(col(seqCol)))
       .write.mode("overwrite")

@@ -152,7 +152,21 @@ object ManifestTable {
         s"ManifestTable.commit: version $next already committed or being committed " +
           "(concurrent writer) — re-read currentVersion and retry the commit")
     }
-    // latch held: no other writer can publish `next`; the rename is ours
+    // latch held: no other writer can publish `next`; the rename is ours.
+    // Defense-in-depth re-check (round-4 review): vacuum reclaims latches
+    // of writers stalled past its age threshold, after which a second
+    // writer can legitimately own `next` — a stalled first writer waking
+    // up here would silently rename OVER the published manifest (POSIX
+    // rename overwrites). Re-verifying our latch still exists immediately
+    // before the rename shrinks that undetected window from "any stall
+    // longer than vacuum's minAgeMs" to the microseconds between this
+    // check and the rename syscall.
+    if (!f.exists(latchPath(root, next)) || f.exists(dest)) {
+      f.delete(tmp, false)
+      throw new ConcurrentCommitException(
+        s"ManifestTable.commit: latch for version $next was reclaimed (writer " +
+          "presumed dead) and the version may have been re-committed — retry")
+    }
     if (!f.rename(tmp, dest))
       sys.error(s"ManifestTable.commit: cannot publish manifest $next")
     next

@@ -3,7 +3,7 @@ package graft.plans
 import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, CaseWhen, Coalesce, Expression, If, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -53,17 +53,48 @@ object ExtractExpensiveSubexpressions extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projectList, child) =>
-      // count semantically-equal expensive kernels across the whole list
+      // Count semantically-equal expensive kernels across the whole list,
+      // tracking whether each has at least one ALWAYS-EVALUATED
+      // occurrence. Hoisting an expression that only appears inside
+      // If/CaseWhen branches (or non-first Coalesce arms) would force it
+      // to run for 100% of rows where the original plan ran it for the
+      // branch-taken fraction — a perf inversion for a rule whose only
+      // purpose is performance (round-4 review; Spark's own subexpression
+      // elimination applies the same conditional-position restriction).
+      // With ≥1 unconditional occurrence the kernel already runs every
+      // row, so extraction strictly reduces evaluations and replacing
+      // the conditional occurrences too is free.
       val counts = mutable.LinkedHashMap.empty[Expression, (Expression, Int)]
-      projectList.foreach(_.foreach {
-        case e if isExpensive(e) && e.deterministic &&
-            e.references.subsetOf(child.outputSet) =>
+      val unconditional = mutable.Set.empty[Expression]
+      def visit(e: Expression, conditional: Boolean): Unit = {
+        if (isExpensive(e) && e.deterministic &&
+            e.references.subsetOf(child.outputSet)) {
           val k = e.canonicalized
           counts.update(k, counts.get(k).map { case (i, n) => (i, n + 1) }.getOrElse((e, 1)))
-        case _ => ()
-      })
-      val dups = counts.collect { case (k, (inst, n)) if n >= 2 =>
-        k -> Alias(inst, s"_graft_cse_${counts.keys.toSeq.indexOf(k)}")()
+          if (!conditional) unconditional += k
+        }
+        e match {
+          case i: If =>
+            visit(i.predicate, conditional)
+            visit(i.trueValue, conditional = true)
+            visit(i.falseValue, conditional = true)
+          case cw: CaseWhen =>
+            cw.branches.zipWithIndex.foreach { case ((c, v), idx) =>
+              visit(c, conditional || idx > 0)
+              visit(v, conditional = true)
+            }
+            cw.elseValue.foreach(visit(_, conditional = true))
+          case c: Coalesce =>
+            c.children.zipWithIndex.foreach { case (ch, idx) =>
+              visit(ch, conditional || idx > 0)
+            }
+          case other => other.children.foreach(visit(_, conditional))
+        }
+      }
+      projectList.foreach(visit(_, conditional = false))
+      val dups = counts.collect {
+        case (k, (inst, n)) if n >= 2 && unconditional.contains(k) =>
+          k -> Alias(inst, s"_graft_cse_${counts.keys.toSeq.indexOf(k)}")()
       }
       if (dups.isEmpty) p
       else {

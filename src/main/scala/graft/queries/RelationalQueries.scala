@@ -495,9 +495,11 @@ object RelationalQueries {
         val ev = Tables.events(s, d)
         val exact = ev.groupBy($"event_type")
           .agg(countDistinct($"user_id").as("n_users_exact"), count(lit(1)).as("n"))
-        val approx = ev.groupBy($"event_type")
+        val approx = ev.groupBy($"event_type".as("event_type_a"))
           .agg(approx_count_distinct($"user_id", 0.01).as("approx"))
-        exact.join(approx, "event_type")
+        // null-safe equality: groupBy keeps a NULL group (both engines),
+        // and a plain equi-join would silently drop it (round-4 review)
+        exact.join(approx, $"event_type" <=> $"event_type_a")
           .select($"event_type", $"n_users_exact", $"n",
             (abs($"approx" - $"n_users_exact") <= $"n_users_exact" * 0.05)
               .cast("int").as("hll_ok"))

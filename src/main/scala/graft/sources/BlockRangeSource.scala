@@ -109,9 +109,18 @@ private[sources] class BlockRangeScanBuilder(from: Long, to: Long, slice: Long)
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (handled, residual) = filters.partition {
       case EqualTo("block_number", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v); true
-      case GreaterThan("block_number", v: Long) => lo = math.max(lo, v + 1); true
+      // saturating +-1: v+1 on Long.MaxValue would wrap negative and the
+      // claimed-as-pushed filter would silently widen the range instead
+      // of emptying it (round-4 review finding)
+      case GreaterThan("block_number", v: Long) =>
+        lo = math.max(lo, if (v == Long.MaxValue) v else v + 1)
+        if (v == Long.MaxValue) hi = math.min(hi, v - 1) // strict > max is empty
+        true
       case GreaterThanOrEqual("block_number", v: Long) => lo = math.max(lo, v); true
-      case LessThan("block_number", v: Long) => hi = math.min(hi, v - 1); true
+      case LessThan("block_number", v: Long) =>
+        hi = math.min(hi, if (v == Long.MinValue) v else v - 1)
+        if (v == Long.MinValue) lo = math.max(lo, v + 1) // strict < min is empty
+        true
       case LessThanOrEqual("block_number", v: Long) => hi = math.min(hi, v); true
       case _ => false
     }

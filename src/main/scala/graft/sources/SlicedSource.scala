@@ -54,9 +54,11 @@ object SlicedSource {
   case class FetchedBlock(block_number: Long, block_hash: String, block_timestamp: Long)
 
   def fakeBlockFetcher(nums: Iterator[Long]): Iterator[FetchedBlock] =
-    nums.map { n =>
-      FetchedBlock(n, f"0x${java.lang.Long.toHexString(n * 2654435761L)}%s", 1700000000L + n)
-    }
+    // single source of truth for the fake row content: BlockRangeSource
+    // defines the formulas, the q42 oracle replays them in SQL — a third
+    // inline copy here silently desynchronized all three (round-4 review)
+    nums.map(n => FetchedBlock(n,
+      BlockRangeSource.blockHash(n), BlockRangeSource.blockTimestamp(n)))
 
   /** End-to-end sliced ingest of a range into a parquet sink (the
     * etl_blocks task shape: plan → fetch → append).

@@ -195,22 +195,50 @@ object StreamingIngest {
     */
   case class OpenSession(start: Long, lastTs: Long, n: Long, total: Double)
 
+  /** All concurrently-open sessions of one key, unordered. */
+  case class OpenSessionSet(sessions: List[OpenSession])
+
+  /** Merge one event into a session set: every session whose gap
+    * interval `[start - gap, lastTs + gap]` covers `t` fuses with the
+    * event (and, transitively, with each other — a late event can
+    * BRIDGE two previously-separate sessions into one, exactly as
+    * batch `session_window` would). Events that overlap nothing open a
+    * new session. Interval union is commutative, so the result is
+    * independent of arrival order — the property that makes the
+    * streaming operator match its batch twin on out-of-order input.
+    */
+  private[graft] def mergeEvent(sessions: List[OpenSession], t: Long,
+      v: Double, gapMs: Long): List[OpenSession] = {
+    val (overlap, rest) = sessions.partition(s =>
+      t >= s.start - gapMs && t <= s.lastTs + gapMs)
+    overlap.foldLeft(OpenSession(t, t, 1, v)) { (a, s) =>
+      OpenSession(math.min(a.start, s.start), math.max(a.lastTs, s.lastTs),
+        a.n + s.n, a.total + s.total)
+    } :: rest
+  }
+
   /** Custom-state sessionization via `flatMapGroupsWithState` +
     * `EventTimeTimeout` — the state-API rendering of [[sessionized]],
     * for session logic `session_window` cannot express (custom
-    * per-session payloads, mid-session emission, cross-session
-    * carry-over). Completes the timeout-family inventory (ROADMAP):
-    * NoTimeout ([[runningUserTotals]]), ProcessingTimeTimeout
+    * per-session payloads, cross-session carry-over). Completes the
+    * timeout-family inventory (ROADMAP): NoTimeout
+    * ([[runningUserTotals]]), ProcessingTimeTimeout
     * ([[runningUserTotalsWithTtl]]), EventTimeTimeout (here).
     *
-    * A session closes when a later event arrives ≥ gap after the last
-    * event (emitted immediately, append mode) or when the WATERMARK
-    * passes last_event + gap (the timeout fires on event time, so a
-    * replay of the same input produces identical output — the
-    * determinism ProcessingTimeTimeout cannot offer). Late rows beyond
-    * the watermark are dropped by the operator before the function runs,
-    * which is what makes `setTimeoutTimestamp(lastTs + gap)` always
-    * legal (≥ watermark).
+    * Sessions are sealed and emitted only when the WATERMARK passes
+    * `last_event + gap` — the same finalization rule as the built-in
+    * streaming `session_window`, and the only sound one: any
+    * within-watermark late event may still extend a session backward
+    * (`start = min`), start an earlier separate session, or bridge two
+    * open sessions ([[mergeEvent]]). The round-3 version merged every
+    * out-of-order event into the single open session (a negative delta
+    * is always < gap) and never extended `start` — diverging from the
+    * batch semantics it claimed (round-4 review finding); state is now
+    * the SET of open sessions, bounded by the watermark horizon. The
+    * event-time timeout makes replay deterministic — the guarantee
+    * ProcessingTimeTimeout cannot offer. Rows beyond the watermark are
+    * dropped by the operator before the function runs, which is what
+    * keeps the timeout timestamp always ≥ watermark.
     */
   def customSessions(spark: SparkSession, events: DataFrame,
       gapMinutes: Int = 30): DataFrame = {
@@ -220,42 +248,27 @@ object StreamingIngest {
       .select(col("user_id"), col("ts"), col("value")).na.drop()
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[OpenSession,
+      .flatMapGroupsWithState[OpenSessionSet,
         (Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
-            state: GroupState[OpenSession]) =>
+            state: GroupState[OpenSessionSet]) =>
           def emit(s: OpenSession) = (uid, new java.sql.Timestamp(s.start),
             new java.sql.Timestamp(s.lastTs + gapMs), s.n, s.total)
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(emit(s))
-          } else {
-            // batch rows arrive unordered; the sort is bounded by one
-            // user's rows in one micro-batch
-            val sorted = rows.toArray.sortBy(_._2.getTime)
-            var closed = List.empty[OpenSession]
-            var open = state.getOption
-            sorted.foreach { case (_, ts, v) =>
-              val t = ts.getTime
-              open = open match {
-                case Some(s) if t - s.lastTs < gapMs =>
-                  Some(OpenSession(s.start, math.max(s.lastTs, t), s.n + 1, s.total + v))
-                case Some(s) =>
-                  closed ::= s
-                  Some(OpenSession(t, t, 1, v))
-                case None =>
-                  Some(OpenSession(t, t, 1, v))
-              }
-            }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(
-                math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
-            }
-            closed.reverseIterator.map(emit)
+          val wm = state.getCurrentWatermarkMs()
+          var sessions = state.getOption.map(_.sessions).getOrElse(Nil)
+          rows.foreach { case (_, ts, v) =>
+            sessions = mergeEvent(sessions, ts.getTime, v, gapMs)
           }
+          // a session the watermark has passed can never change again
+          val (finalized, open) = sessions.partition(_.lastTs + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(OpenSessionSet(open))
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.lastTs).min + gapMs, wm + 1))
+          }
+          finalized.sortBy(_.start).iterator.map(emit)
       }
       .toDF("user_id", "session_start", "session_end", "n_events", "val")
   }

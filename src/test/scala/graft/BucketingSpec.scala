@@ -86,4 +86,24 @@ class BucketingSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS b_append_compact_tmp")
     }
   }
+
+  test("compactBucketed re-run after a crash between DROP and RENAME recovers, not destroys") {
+    import graft.pipeline.Ingest
+    try {
+      val rows = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "payload")
+      Ingest.appendBucketedWithSeq(rows, "b_crash", "k", 2, seq = 1)
+      // simulate the crash window: the compacted rewrite exists under the
+      // tmp name and the live name has already been dropped
+      spark.table("b_crash").write.bucketBy(2, "k").sortBy("k")
+        .saveAsTable("b_crash_compact_tmp")
+      spark.sql("DROP TABLE b_crash")
+      // a naive re-run would DROP the tmp (the only copy) and then fail;
+      // the recovery path must complete the rename instead
+      Ingest.compactBucketed(spark, "b_crash", Seq("k"), "k", 2)
+      assert(spark.table("b_crash").count() == 100)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_crash")
+      spark.sql("DROP TABLE IF EXISTS b_crash_compact_tmp")
+    }
+  }
 }

@@ -66,6 +66,30 @@ class CseRuleSpec extends SparkSuite {
     assert(r.getString(2) == "255")
   }
 
+  test("conditional-only duplicates are NOT hoisted; one unconditional occurrence unlocks extraction") {
+    val df = hexDf(3)
+    val dec = u256_dec(col("h"))
+    // both occurrences live inside when() branches: hoisting would force
+    // the parse on 100% of rows where the plan runs it on the
+    // branch-taken fraction — the rule must leave this alone
+    val condOnly = df.select(
+      when(col("h") === "ff", dec).otherwise(lit(null)).as("a"),
+      when(col("h") === "100", dec).otherwise(lit(null)).as("b"))
+    assert(!condOnly.queryExecution.optimizedPlan.toString.contains("_graft_cse_"),
+      condOnly.queryExecution.optimizedPlan.toString)
+    // an unconditional third occurrence already pays the every-row cost,
+    // so extraction strictly wins and all three collapse to one
+    val mixed = df.select(dec.as("always"),
+      when(col("h") === "ff", dec).otherwise(lit(null)).as("a"),
+      when(col("h") === "100", dec).otherwise(lit(null)).as("b"))
+    val n = mixed.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.map(_.collect { case e: U256DecString => e }.size).sum
+    }.sum
+    assert(n == 1, mixed.queryExecution.optimizedPlan.toString)
+    assert(mixed.select(col("always")).as[String].collect().toSeq ==
+      Seq("255", "256", "257"))
+  }
+
   test("rule holds under the extensions-injected path too (GraftSession)") {
     // `spark` from SparkSuite is built via GraftSession.build → the rule
     // runs inside the operator-optimization fixed point alongside

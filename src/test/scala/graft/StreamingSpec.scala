@@ -91,6 +91,32 @@ class StreamingSpec extends SparkSuite {
       s"custom session not in batch session_window result: ${streamed.diff(batch).take(3)}")
   }
 
+  test("mergeEvent: order-independent, extends start backward, bridges open sessions") {
+    import StreamingIngest.{mergeEvent, OpenSession}
+    val gap = 30 * 60 * 1000L
+    def min(x: Long) = x * 60 * 1000L
+    def run(ts: Seq[Long]) = ts.foldLeft(List.empty[OpenSession])(
+      (ss, t) => mergeEvent(ss, t, 1.0, gap)).sortBy(_.start)
+
+    // 0min and 50min are separate sessions (gap 30); 25min bridges both
+    val separate = run(Seq(min(0), min(50)))
+    assert(separate.map(s => (s.start, s.lastTs, s.n)) ==
+      List((min(0), min(0), 1L), (min(50), min(50), 1L)))
+    val bridged = run(Seq(min(0), min(50), min(25)))
+    assert(bridged.map(s => (s.start, s.lastTs, s.n)) ==
+      List((min(0), min(50), 3L)))
+    // arrival order must not matter (the round-3 single-session state
+    // merged any out-of-order event and never extended start)
+    assert(run(Seq(min(25), min(50), min(0))) == bridged)
+    // a late event within gap BEFORE the open session extends its start
+    val backward = run(Seq(min(60), min(40)))
+    assert(backward.map(s => (s.start, s.lastTs, s.n)) ==
+      List((min(40), min(60), 2L)))
+    // a late event more than gap before the session opens its own
+    val distinct = run(Seq(min(60), min(10)))
+    assert(distinct.map(s => (s.start, s.n)) == List((min(10), 1L), (min(60), 1L)))
+  }
+
   test("mapGroupsWithState running totals converge to the batch aggregate") {
     val dir = Files.createTempDirectory("graft-stream5").toString + "/events"
     val events = Tables.events(spark, sf)
