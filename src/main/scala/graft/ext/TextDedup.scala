@@ -142,6 +142,32 @@ object TextDedup {
     * string round-trip); [[portableHashBuiltin]] is the composed-builtin
     * twin it is property-tested against.
     */
+  /** Benchmark decontamination: per training document, how many of its
+    * distinct word-`n`-gram shingles appear anywhere in the evaluation
+    * set (`isEval` rows) — the standard leakage check a training-data
+    * pipeline runs before a corpus ships. Scale shape: the eval side is
+    * a fixed benchmark suite (small by construction), so its distinct
+    * shingle set broadcasts; the training side is one map-side explode +
+    * broadcast probe + re-aggregation — shuffled bytes O(train docs),
+    * never O(train shingles). Docs too short to shingle survive with
+    * zero counts (explode_outer).
+    */
+  def contamination(docs: DataFrame, isEval: Column, n: Int = 5): DataFrame = {
+    val shingled = docs.select(col("doc_id"), isEval.as("is_eval"),
+      graft.functions.word_shingles(col("text"), n).as("sh"))
+    val evalGrams = shingled.filter(col("is_eval"))
+      .select(explode(col("sh")).as("g")).distinct()
+      .withColumn("hit", lit(1L))
+    shingled.filter(!col("is_eval"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        explode_outer(col("sh")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        (col("n_contaminated") > 0).cast("int").as("contaminated"))
+  }
+
   def portableHash(c: Column, salt: String): Column = {
     val in = (if (salt.isEmpty) c else concat(c, lit(salt))).cast("binary")
     graft.functions.md5_prefix60(in)

@@ -136,6 +136,29 @@ object TextStats {
       .withColumn("correct", (col("pred_lang") === col("actual_lang")).cast("int"))
   }
 
+  /** Deterministic per-group cap (data-mixing primitive): keep at most
+    * `cap` documents per `groupCol` value, chosen by portable content
+    * hash so the sample is stable across runs, engines, and
+    * partitionings — "cap every source at N docs" is how corpus mixing
+    * recipes bound a dominant crawl. The rank is a per-group window; at
+    * 100 TB the window shuffles once on the group key and each group
+    * streams through one sorted pass — acceptable because group count
+    * (sources) is small and the output is bounded at groups × cap. (A
+    * bounded-heap aggregate would cut the sort, but [[graft.functions
+    * .top_k_by]] scores doubles and a 2^60 hash does not fit one
+    * exactly — the window keeps rank order bit-identical to the
+    * md5-prefix oracle.)
+    */
+  def capPerGroup(docs: DataFrame, groupCol: String, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = TextDedup.portableHash(col("doc_id").cast("string"), "")
+    docs.select(col("doc_id"), col(groupCol), h.as("__h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("__h").asc, col("doc_id").asc)))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col(groupCol), col("rk").cast("long").as("rk"))
+  }
+
   /** Character-n-gram profile language ID (Cavnar–Trenkle shape):
     * train a per-language profile — the `topM` most frequent character
     * n-grams, rank-weighted `topM+1-rank` — from the labeled corpus

@@ -437,6 +437,33 @@ object ExtensionQueries {
       (s, d) => TextStats.hashSplit(Tables.documents(s, d), "doc_id", trainPct = 80)
         .select(col("doc_id"), col("bucket_100"), col("split"))),
 
+    Q("x30_decontaminate",
+      "Benchmark decontamination: per training doc, distinct word-5-gram overlap with the (broadcast-sized) eval set's shingles.",
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |    list_distinct([array_to_string(words[i:i+4], ' ')
+             |                   for i in range(1, len(words)-3)]) AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t),
+             |ev AS (SELECT list(DISTINCT g) AS gs
+             |       FROM (SELECT unnest(sh) AS g FROM s WHERE doc_id % 97 = 0))
+             |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+             |  CAST(len(list_intersect(sh, gs)) AS BIGINT) AS n_contaminated,
+             |  CAST(CASE WHEN len(list_intersect(sh, gs)) > 0
+             |       THEN 1 ELSE 0 END AS INT) AS contaminated
+             |FROM s CROSS JOIN ev WHERE doc_id % 97 <> 0""".stripMargin),
+      (s, d) => TextDedup.contamination(
+        Tables.loadFanout(s, d, "documents"), col("doc_id") % 97 === 0)),
+
+    Q("x31_source_cap",
+      "Data-mixing cap: at most 10 docs per source, picked by portable content hash (stable across runs/engines/partitionings).",
+      Some("""SELECT doc_id, source, rk FROM (
+             |  SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source
+             |    ORDER BY ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT ASC,
+             |             doc_id ASC) AS BIGINT) AS rk
+             |  FROM documents) t
+             |WHERE rk <= 10""".stripMargin),
+      (s, d) => TextStats.capPerGroup(Tables.documents(s, d), "source", cap = 10)),
+
     Q("x22_ngram_counts",
       "Corpus-level word-bigram frequencies, top-50 (explode → partial-agg count; top-k as TakeOrderedAndProject).",
       Some("""SELECT gram, count(*) AS n FROM (

@@ -233,6 +233,34 @@ class ExtSpec extends SparkSuite {
     assert(got(3L) == (("bb", 0L, 0)))
   }
 
+  test("contamination counts eval-shingle overlap; short docs survive with zero counts") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "x"),   // eval doc
+      (1L, "alpha beta gamma delta epsilon eta theta", "x"), // shares 2 of its 3 5-grams
+      (2L, "one two three four five six seven", "x"),     // clean
+      (3L, "tiny", "x")                                    // too short to shingle
+    ).toDF("doc_id", "text", "lang")
+    val got = TextDedup.contamination(d, col("doc_id") === 0, n = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((3L, 1L, 1)))  // "alpha beta gamma delta epsilon" matches
+    assert(got(2L) == ((3L, 0L, 0)))
+    assert(got(3L) == ((0L, 0L, 0)))
+  }
+
+  test("capPerGroup: bounded per group, deterministic across repartitionings") {
+    val d = (0L until 100L).map(i => (i, s"t$i", s"src${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val a = TextStats.capPerGroup(d, "source", 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(a.size == 20)
+    assert(a.groupBy(_._2).forall(_._2.size == 5))
+    assert(a.forall(_._3 <= 5))
+    val b = TextStats.capPerGroup(d.repartition(7), "source", 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(a == b, "sample must not depend on physical partitioning")
+  }
+
   test("quality + fingerprint + token count are deterministic and sane") {
     val q = TextStats.quality(docs).filter(col("doc_id") === 0).first()
     assert(q.getLong(2) == 13L) // 13 tokens
