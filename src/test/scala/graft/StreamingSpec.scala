@@ -91,6 +91,40 @@ class StreamingSpec extends SparkSuite {
       s"custom session not in batch session_window result: ${streamed.diff(batch).take(3)}")
   }
 
+  test("customSessions: a within-watermark late event extends an open session backward across micro-batches") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream8").toString
+    val src = s"$base/src"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    def write(rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("user_id", "s", "value")
+        .select(col("user_id"), to_timestamp(col("s")).as("ts"), col("value"))
+        .coalesce(1).write.mode("append").parquet(src)
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("user_id LONG, ts TIMESTAMP, value DOUBLE").parquet(src)
+      StreamingIngest.runToParquet(
+        StreamingIngest.customSessions(spark, stream), sink, ckpt)
+    }
+    // batch 1: one sealed-by-watermark session (10:00-10:10) and an open
+    // one at 13:00 (13:00 also drives the watermark to 12:00)
+    write(Seq((1L, "2026-01-01 10:00:00", 1.0), (1L, "2026-01-01 10:10:00", 1.0),
+      (1L, "2026-01-01 13:00:00", 1.0)))
+    run()
+    // batch 2 (restart from checkpoint): 12:30 is LATE but above the
+    // 12:00 watermark - it must extend the open 13:00 session BACKWARD
+    // (the pre-fix code kept start=13:00); 15:00 pushes the watermark to
+    // 14:00, sealing that session
+    write(Seq((1L, "2026-01-01 12:30:00", 1.0), (1L, "2026-01-01 15:00:00", 1.0)))
+    run()
+    val got = spark.read.parquet(sink)
+      .select(col("session_start").cast("string"), col("session_end").cast("string"),
+        col("n_events"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("2026-01-01 10:00:00", "2026-01-01 10:40:00", 2L),
+      ("2026-01-01 12:30:00", "2026-01-01 13:30:00", 2L)), got.toString)
+  }
+
   test("mergeEvent: order-independent, extends start backward, bridges open sessions") {
     import StreamingIngest.{mergeEvent, OpenSession}
     val gap = 30 * 60 * 1000L
