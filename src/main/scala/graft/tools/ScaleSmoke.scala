@@ -38,7 +38,10 @@ object ScaleSmoke {
     "x01_dedup_exact", "x03_minhash_pairs", "x06_knn_brute",
     // round-2 operators
     "q34_window_funcs", "q35_range_join", "q36_salted_join",
-    "x16_minhash_portable", "x22_ngram_counts", "x26_tfidf_top_terms")
+    "x16_minhash_portable", "x22_ngram_counts", "x26_tfidf_top_terms",
+    // round-3/4 operators
+    "q40_u256_decimal", "q41_u256_sum", "x29_lang_id_ngram",
+    "x30_decontaminate", "x31_source_cap")
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorS) = args.take(3)
