@@ -62,4 +62,40 @@ object Salt {
       .drop("__salt")
     if (factKey == dimKey) joined.drop(replicated(dimKey)) else joined
   }
+
+  /** Skew-AWARE salted join: [[saltedJoin]] pays nSalts× dim replication
+    * on EVERY key; this variant detects the hot keys first (one
+    * bounded-state Misra-Gries pass over the fact keys —
+    * [[graft.functions.frequent_items]], map-side partial state of
+    * `hotCapacity` entries, one tiny shuffle) and salts ONLY the hot
+    * slice; everything else takes the plain equi-join. Dim replication
+    * drops from nSalts × |dim| to nSalts × |dim ∩ hot| — at 100 TB the
+    * difference between "replicate the orders table 32×" and "replicate
+    * 16 rows 32×". Misra-Gries returns a guaranteed SUPERSET of keys
+    * with frequency > n/capacity (x27's containment contract); spurious
+    * candidates only cost harmless extra salting, and which keys are
+    * classified hot never changes the joined row set (property: both
+    * branches produce exactly the plain join's rows — q43's oracle).
+    * NULL fact keys match neither branch's condition, exactly like the
+    * plain join. Cost: the fact side is scanned three times (detect,
+    * hot-semi, cold-anti) — all map-side against a columnar scan of the
+    * key column; the join shuffles dominate at scale.
+    */
+  def skewAwareJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, discriminator: Column, nSalts: Int,
+      hotCapacity: Int = 16): DataFrame = {
+    val hotKeys = fact
+      .agg(graft.functions.frequent_items(col(factKey).cast("string"), hotCapacity).as("hh"))
+      .select(explode(col("hh").getField("item")).as("__hot"))
+    def hotSide(df: DataFrame, key: String, joinType: String) =
+      df.join(broadcast(hotKeys), col(key).cast("string") === col("__hot"), joinType)
+    val hotJoined = saltedJoin(hotSide(fact, factKey, "left_semi"),
+      hotSide(dim, dimKey, "left_semi"), factKey, dimKey, discriminator, nSalts)
+    val factCold = hotSide(fact, factKey, "left_anti")
+    val coldJoined = {
+      val j = factCold.join(dim, factCold(factKey) === dim(dimKey))
+      if (factKey == dimKey) j.drop(dim(dimKey)) else j
+    }
+    hotJoined.unionByName(coldJoined)
+  }
 }

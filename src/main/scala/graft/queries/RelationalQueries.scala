@@ -604,6 +604,19 @@ object RelationalQueries {
         .groupBy($"o_orderstatus")
         .agg(decStr(sum(revenue)).as("revenue"), count(lit(1)).as("n"))),
 
+    Q("q43_skew_join",
+      "Skew-AWARE salted join: Misra-Gries hot-key detection bounds dim replication to the hot slice; " +
+        "cold keys take the plain join. Row-identical to the plain join (same oracle as q36).",
+      Some("""SELECT o_orderstatus,
+             |  CAST(CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue,
+             |  count(*) AS n
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      (s, d) => Salt.skewAwareJoin(Tables.lineitem(s, d), Tables.orders(s, d),
+          "l_orderkey", "o_orderkey", col("l_linenumber"), 8)
+        .groupBy($"o_orderstatus")
+        .agg(decStr(sum(revenue)).as("revenue"), count(lit(1)).as("n"))),
+
     Q("q38_full_outer",
       "Full outer join over partially-overlapping key domains (customer-only / both / part-only rows all " +
         "populated) — the join type snapshot reconciliation diffs use; completes the join-type inventory.",

@@ -124,4 +124,27 @@ class RangeJoinSpec extends SparkSuite {
       .select("__salt").distinct().count()
     assert(hotSalts > 1, s"hot key collapsed onto $hotSalts salt(s)")
   }
+
+  test("skewAwareJoin equals the plain join; detection finds the planted hot key") {
+    val rnd = new scala.util.Random(31)
+    val fact = Seq.tabulate(600) { i =>
+      val k = if (rnd.nextInt(4) > 0) 7L else rnd.nextInt(50).toLong
+      (i.toLong, k, rnd.nextInt(100))
+    }.toDF("row_id", "fk", "v").repartition(8)
+    val dim = Seq.tabulate(50)(j => (j.toLong, s"name_$j")).toDF("dk", "name")
+
+    val aware = Salt.skewAwareJoin(fact, dim, "fk", "dk", col("row_id"), nSalts = 8)
+      .select("row_id", "dk", "name").as[(Long, Long, String)].collect().toSet
+    val plain = fact.join(dim, $"fk" === $"dk")
+      .select("row_id", "dk", "name").as[(Long, Long, String)].collect().toSet
+    assert(aware == plain)
+    assert(plain.size > 400, "hot key must actually match")
+
+    // the Misra-Gries pass must surface the 75%-share key (containment
+    // contract: any key above n/capacity survives)
+    val hot = fact.agg(graft.functions
+        .frequent_items($"fk".cast("string"), 16).as("hh"))
+      .select(explode($"hh.item")).as[String].collect()
+    assert(hot.contains("7"), s"planted hot key missing from $hot")
+  }
 }
