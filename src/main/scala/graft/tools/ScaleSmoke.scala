@@ -41,7 +41,7 @@ object ScaleSmoke {
     "x16_minhash_portable", "x22_ngram_counts", "x26_tfidf_top_terms",
     // round-3/4 operators
     "q40_u256_decimal", "q41_u256_sum", "x29_lang_id_ngram",
-    "x30_decontaminate", "x31_source_cap")
+    "x30_decontaminate", "x31_source_cap", "q43_skew_join")
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorS) = args.take(3)
