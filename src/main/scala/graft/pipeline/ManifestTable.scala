@@ -101,6 +101,17 @@ object ManifestTable {
   def read(spark: SparkSession, root: String): DataFrame = {
     val v = currentVersion(spark, root)
       .getOrElse(sys.error(s"ManifestTable.read: no committed version under $root"))
+    readVersion(spark, root, v)
+  }
+
+  /** Time-travel read: the table exactly as of version `v`. Valid while
+    * the version's manifest and data files survive [[vacuum]]'s keep
+    * window (`keepVersions` back from the head) — the same contract as
+    * Delta/Iceberg time travel bounded by their retention. Committed
+    * data files are immutable, so a historical version is simply its
+    * manifest's file list.
+    */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     val paths = files(spark, root, v).map(rel => s"$root/$rel")
     spark.read.parquet(paths: _*)
   }

@@ -28,6 +28,20 @@ class ManifestTableSpec extends SparkSuite {
     assert(ManifestTable.currentVersion(spark, root).contains(1L))
   }
 
+  test("time travel: every surviving version reads as its exact historical file set") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root, Seq((1L, "a", 1L)).toDF("id", "v", "ingest_seq"))
+    ManifestTable.append(spark, root, Seq((2L, "b", 2L)).toDF("id", "v", "ingest_seq"))
+    ManifestTable.compact(spark, root, Seq("id"))
+    ManifestTable.append(spark, root, Seq((1L, "a2", 3L)).toDF("id", "v", "ingest_seq"))
+    // v0: first append; v1: both; v2: compacted (same rows); v3: + re-ingest of id 1
+    assert(ManifestTable.readVersion(spark, root, 0).select("id").as[Long].collect().toSet == Set(1L))
+    assert(ManifestTable.readVersion(spark, root, 1).select("id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(ManifestTable.readVersion(spark, root, 2).count() == 2)
+    assert(ManifestTable.readVersion(spark, root, 3).count() == 3)
+    assert(ManifestTable.read(spark, root).count() == 3)
+  }
+
   test("lost commit race raises typed ConcurrentCommitException; retry loop converges") {
     val root = freshRoot()
     ManifestTable.append(spark, root, Seq((1L, "a", 1L)).toDF("id", "v", "ingest_seq"))
