@@ -136,6 +136,30 @@ object TextStats {
       .withColumn("correct", (col("pred_lang") === col("actual_lang")).cast("int"))
   }
 
+  /** Sequence packing (pretraining batch assembly): assign each doc to
+    * a token-budget bin, filling bins in deterministic (group, doc_id)
+    * order — bin = floor((running_tokens - own_tokens) / budget), the
+    * contiguous-fill scheme where a doc opens the bin its prefix sum
+    * lands in (bins may overflow by one doc, never undercount). One
+    * running-sum window per group; all-integer math, so the assignment
+    * replays bit-identically anywhere. At scale this shuffles once on
+    * the group key — the same cost class as any per-source pass — and
+    * the alternative greedy first-fit is inherently sequential (each
+    * placement depends on every bin's remaining room), which is why
+    * production packers use exactly this prefix-sum relaxation.
+    */
+  def packBins(docs: DataFrame, groupCol: String, budget: Int,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col(groupCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col(groupCol), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / budget).as("bin"))
+  }
+
   /** Deterministic per-group cap (data-mixing primitive): keep at most
     * `cap` documents per `groupCol` value, chosen by portable content
     * hash so the sample is stable across runs, engines, and

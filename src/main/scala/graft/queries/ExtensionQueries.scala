@@ -464,6 +464,17 @@ object ExtensionQueries {
              |WHERE rk <= 10""".stripMargin),
       (s, d) => TextStats.capPerGroup(Tables.documents(s, d), "source", cap = 10)),
 
+    Q("x32_pack_bins",
+      "Sequence packing: per-source token-budget bin assignment via prefix-sum (budget 512) - the pretraining batch-assembly primitive.",
+      Some("""SELECT doc_id, source,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |  CAST(floor((SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+             |      OVER (PARTITION BY source ORDER BY doc_id ASC
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    - len(string_split(text, ' '))) / 512) AS BIGINT) AS bin
+             |FROM documents""".stripMargin),
+      (s, d) => TextStats.packBins(Tables.documents(s, d), "source", budget = 512)),
+
     Q("x22_ngram_counts",
       "Corpus-level word-bigram frequencies, top-50 (explode → partial-agg count; top-k as TakeOrderedAndProject).",
       Some("""SELECT gram, count(*) AS n FROM (

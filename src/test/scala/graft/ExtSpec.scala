@@ -261,6 +261,19 @@ class ExtSpec extends SparkSuite {
     assert(a == b, "sample must not depend on physical partitioning")
   }
 
+  test("packBins: prefix-sum bin assignment fills to budget with bounded overflow") {
+    val d = Seq(
+      (1L, "a b c d", "s"),       // 4 tokens, prefix 0  -> bin 0
+      (2L, "a b c d", "s"),       // prefix 4            -> bin 0
+      (3L, "a b c d", "s"),       // prefix 8 (<10)      -> bin 0 (overflows to 12)
+      (4L, "a b c d", "s"),       // prefix 12           -> bin 1
+      (5L, "a", "t")              // other group restarts -> bin 0
+    ).toDF("doc_id", "text", "source")
+    val got = TextStats.packBins(d, "source", budget = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
+  }
+
   test("quality + fingerprint + token count are deterministic and sane") {
     val q = TextStats.quality(docs).filter(col("doc_id") === 0).first()
     assert(q.getLong(2) == 13L) // 13 tokens
