@@ -134,14 +134,6 @@ object TextDedup {
       .distinct()
   }
 
-  /** Engine-portable 60-bit hash: the first 15 hex chars of md5 parsed
-    * as a long. Slower than xxhash64 (the production family) but
-    * reproducible in any engine with md5 — which is what lets the
-    * portable MinHash/SimHash variants carry a DuckDB oracle. Computed
-    * by the codegen [[graft.functions.Md5Prefix60]] kernel (no hex
-    * string round-trip); [[portableHashBuiltin]] is the composed-builtin
-    * twin it is property-tested against.
-    */
   /** Benchmark decontamination: per training document, how many of its
     * distinct word-`n`-gram shingles appear anywhere in the evaluation
     * set (`isEval` rows) — the standard leakage check a training-data
@@ -168,6 +160,14 @@ object TextDedup {
         (col("n_contaminated") > 0).cast("int").as("contaminated"))
   }
 
+  /** Engine-portable 60-bit hash: the first 15 hex chars of md5 parsed
+    * as a long. Slower than xxhash64 (the production family) but
+    * reproducible in any engine with md5 — which is what lets the
+    * portable MinHash/SimHash variants carry a DuckDB oracle. Computed
+    * by the codegen [[graft.functions.Md5Prefix60]] kernel (no hex
+    * string round-trip); [[portableHashBuiltin]] is the composed-builtin
+    * twin it is property-tested against.
+    */
   def portableHash(c: Column, salt: String): Column = {
     val in = (if (salt.isEmpty) c else concat(c, lit(salt))).cast("binary")
     graft.functions.md5_prefix60(in)

@@ -141,8 +141,11 @@ object TextStats {
     * order — bin = floor((running_tokens - own_tokens) / budget), the
     * contiguous-fill scheme where a doc opens the bin its prefix sum
     * lands in (bins may overflow by one doc, never undercount). One
-    * running-sum window per group; all-integer math, so the assignment
-    * replays bit-identically anywhere. At scale this shuffles once on
+    * running-sum window per group; the token counts and prefix sums are
+    * integers and the `/ budget` is IEEE-double division in BOTH engines
+    * (Spark and DuckDB promote integer `/` to double), exact below 2^53
+    * prefix tokens per group — so the assignment replays bit-identically
+    * at any realistic group size. At scale this shuffles once on
     * the group key — the same cost class as any per-source pass — and
     * the alternative greedy first-fit is inherently sequential (each
     * placement depends on every bin's remaining room), which is why
@@ -161,10 +164,11 @@ object TextStats {
   }
 
   /** Deterministic per-group cap (data-mixing primitive): keep at most
-    * `cap` documents per `groupCol` value, chosen by portable content
-    * hash so the sample is stable across runs, engines, and
-    * partitionings — "cap every source at N docs" is how corpus mixing
-    * recipes bound a dominant crawl. The rank is a per-group window; at
+    * `cap` documents per `groupCol` value, chosen by a portable hash of
+    * the document ID so the sample is stable across runs, engines, and
+    * partitionings (id-keyed, not content-keyed: re-assigning ids picks
+    * a different sample) — "cap every source at N docs" is how corpus
+    * mixing recipes bound a dominant crawl. The rank is a per-group window; at
     * 100 TB the window shuffles once on the group key and each group
     * streams through one sorted pass — acceptable because group count
     * (sources) is small and the output is bounded at groups × cap. (A

@@ -76,22 +76,36 @@ object Salt {
     * candidates only cost harmless extra salting, and which keys are
     * classified hot never changes the joined row set (property: both
     * branches produce exactly the plain join's rows — q43's oracle).
-    * NULL fact keys match neither branch's condition, exactly like the
-    * plain join. Cost: the fact side is scanned three times (detect,
-    * hot-semi, cold-anti) — all map-side against a columnar scan of the
-    * key column; the join shuffles dominate at scale.
+    * NULL fact keys match neither branch's predicate, exactly like the
+    * plain join.
+    *
+    * The detected hot set is COLLECTED to the driver (≤ hotCapacity
+    * strings — the q18 broadcast-pin size class) and embedded as one
+    * literal predicate on purpose: Misra-Gries survivors depend on
+    * partial-merge order, so leaving the detection as a subplan
+    * referenced by the hot, cold, and dim branches would make row-level
+    * correctness hang on Spark's exchange reuse deduplicating the three
+    * evaluations — with reuse off, a key classified hot in one branch
+    * and cold in another is silently duplicated or dropped (round-4
+    * review finding). One eager evaluation makes the consistency
+    * explicit instead of config-dependent.
     */
   def skewAwareJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, discriminator: Column, nSalts: Int,
       hotCapacity: Int = 16): DataFrame = {
-    val hotKeys = fact
+    val hot: Seq[String] = fact
       .agg(graft.functions.frequent_items(col(factKey).cast("string"), hotCapacity).as("hh"))
       .select(explode(col("hh").getField("item")).as("__hot"))
-    def hotSide(df: DataFrame, key: String, joinType: String) =
-      df.join(broadcast(hotKeys), col(key).cast("string") === col("__hot"), joinType)
-    val hotJoined = saltedJoin(hotSide(fact, factKey, "left_semi"),
-      hotSide(dim, dimKey, "left_semi"), factKey, dimKey, discriminator, nSalts)
-    val factCold = hotSide(fact, factKey, "left_anti")
+      .collect().map(_.getString(0)).toSeq
+    if (hot.isEmpty) {
+      val j = fact.join(dim, fact(factKey) === dim(dimKey))
+      return if (factKey == dimKey) j.drop(dim(dimKey)) else j
+    }
+    val isHot = col(factKey).cast("string").isin(hot: _*)
+    val dimHot = dim.filter(col(dimKey).cast("string").isin(hot: _*))
+    val hotJoined = saltedJoin(fact.filter(isHot), dimHot,
+      factKey, dimKey, discriminator, nSalts)
+    val factCold = fact.filter(!coalesce(isHot, lit(false)))
     val coldJoined = {
       val j = factCold.join(dim, factCold(factKey) === dim(dimKey))
       if (factKey == dimKey) j.drop(dim(dimKey)) else j

@@ -455,7 +455,7 @@ object ExtensionQueries {
         Tables.loadFanout(s, d, "documents"), col("doc_id") % 97 === 0)),
 
     Q("x31_source_cap",
-      "Data-mixing cap: at most 10 docs per source, picked by portable content hash (stable across runs/engines/partitionings).",
+      "Data-mixing cap: at most 10 docs per source, picked by portable doc-id hash (stable across runs/engines/partitionings).",
       Some("""SELECT doc_id, source, rk FROM (
              |  SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source
              |    ORDER BY ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT ASC,

@@ -236,7 +236,7 @@ class ExtSpec extends SparkSuite {
   test("contamination counts eval-shingle overlap; short docs survive with zero counts") {
     val d = Seq(
       (0L, "alpha beta gamma delta epsilon zeta", "x"),   // eval doc
-      (1L, "alpha beta gamma delta epsilon eta theta", "x"), // shares 2 of its 3 5-grams
+      (1L, "alpha beta gamma delta epsilon eta theta", "x"), // shares 1 of its 3 5-grams
       (2L, "one two three four five six seven", "x"),     // clean
       (3L, "tiny", "x")                                    // too short to shingle
     ).toDF("doc_id", "text", "lang")
