@@ -242,6 +242,38 @@ object TextDedup {
     agg.select(col("doc_id"), sh.as("simhash"))
   }
 
+  /** Near-dup edge generation: document pairs sharing at least
+    * `minShared` distinct word-n-grams within a block. Built as an
+    * inverted index — explode shingles, equi-join posting lists on
+    * (block, shingle), count per pair — NOT a blocked all-pairs
+    * comparison: candidate work is proportional to Σ df(shingle)²
+    * over shingles, not to block-size². `maxDf` drops stop-shingles
+    * whose posting lists exceed it (a shingle in k docs contributes
+    * k·(k-1)/2 pairs — the standard df cap bounds the worst case;
+    * 0 = off for oracle-exact output).
+    *
+    * Output: doc_a < doc_b, n_shared.
+    */
+  def sharedShingleEdges(docs: DataFrame, blockCol: String, n: Int,
+      minShared: Long = 1, maxDf: Long = 0): DataFrame = {
+    val posts0 = docs.select(col("doc_id"), col(blockCol).as("block"),
+      explode(word_shingles(col("text"), n)).as("sh"))
+    val posts =
+      if (maxDf <= 0) posts0
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("block", "sh")
+        posts0.withColumn("df", count(lit(1)).over(w))
+          .filter(col("df") <= maxDf).drop("df")
+      }
+    val a = posts.select(col("block"), col("sh"), col("doc_id").as("doc_a"))
+    val b = posts.select(col("block"), col("sh"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("block", "sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact word-n-gram Jaccard similarity for pairs grouped by a blocking
     * column (here: same `lang`) — the verification stage downstream of
     * LSH candidate generation.

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Q
 import graft.ext.{Multimodal, Similarity, TextDedup, TextStats}
 import graft.ext.Stopwords
+import graft.operators.ConnectedComponents
 import graft.sources.Tables
 
 /** North-star LLM-data-pipeline operators (BASELINE.json): dedup,
@@ -474,6 +475,33 @@ object ExtensionQueries {
              |    - len(string_split(text, ' '))) / 512) AS BIGINT) AS bin
              |FROM documents""".stripMargin),
       (s, d) => TextStats.packBins(Tables.documents(s, d), "source", budget = 512)),
+
+    Q("x33_dup_clusters",
+      "Near-dup cluster collapse: connected components (iterative min-label propagation) over shared word-4-gram edges; component id = canonical doc (min id), plus cluster size.",
+      Some("""WITH RECURSIVE
+             |s AS (
+             |  SELECT doc_id, lang, list_distinct([array_to_string(words[i:i+3], ' ') for i in range(1, len(words)-2)]) AS sh
+             |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents WHERE doc_id < 300) t
+             |  WHERE len(words) >= 4),
+             |e0 AS (SELECT a.doc_id AS a, b.doc_id AS b
+             |       FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |       WHERE len(list_intersect(a.sh, b.sh)) >= 1),
+             |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+             |walk(node, lab) AS (
+             |  SELECT DISTINCT a, a FROM e
+             |  UNION
+             |  SELECT e.a, w.lab FROM e JOIN walk w ON e.b = w.node),
+             |comp AS (SELECT node, MIN(lab) AS component FROM walk GROUP BY node)
+             |SELECT s.doc_id, CAST(COALESCE(c.component, s.doc_id) AS BIGINT) AS component,
+             |       CAST(count(*) OVER (PARTITION BY COALESCE(c.component, s.doc_id)) AS BIGINT) AS cluster_size
+             |FROM s LEFT JOIN comp c ON s.doc_id = c.node""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+        val edges = TextDedup.sharedShingleEdges(docs, "lang", 4)
+        ConnectedComponents.assign(
+          docs.filter(size(graft.functions.word_shingles(col("text"), 4)) > 0),
+          edges, "doc_id", "doc_a", "doc_b")
+      }),
 
     Q("x22_ngram_counts",
       "Corpus-level word-bigram frequencies, top-50 (explode → partial-agg count; top-k as TakeOrderedAndProject).",
