@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Q
 import graft.functions._
-import graft.operators.{Dedup, RangeJoin, Ranks, Salt, SetOps}
+import graft.operators.{Dedup, Prefilter, RangeJoin, Ranks, Salt, SetOps}
 import graft.pipeline.Report
 import graft.sources.Tables
 
@@ -615,6 +615,23 @@ object RelationalQueries {
       (s, d) => Salt.skewAwareJoin(Tables.lineitem(s, d), Tables.orders(s, d),
           "l_orderkey", "o_orderkey", col("l_linenumber"), 8)
         .groupBy($"o_orderstatus")
+        .agg(decStr(sum(revenue)).as("revenue"), count(lit(1)).as("n"))),
+
+    Q("q44_bloom_join",
+      "Bloom semi-join reduction: fact rows probe a distributed-built bloom of the (predicate-filtered) " +
+        "dim key set before the shuffle — only (selectivity+fpp) of the fact table moves. Row-identical " +
+        "to the plain join (the join re-checks equality), so the oracle IS the plain join.",
+      Some("""SELECT o_orderpriority,
+             |  CAST(CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue,
+             |  count(*) AS n
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY o_orderpriority""".stripMargin),
+      (s, d) => Prefilter.bloomPrefilteredJoin(
+          Tables.lineitem(s, d),
+          Tables.orders(s, d).filter($"o_orderpriority" === "1-URGENT"),
+          "l_orderkey", "o_orderkey", expectedKeys = 100000)
+        .groupBy($"o_orderpriority")
         .agg(decStr(sum(revenue)).as("revenue"), count(lit(1)).as("n"))),
 
     Q("q38_full_outer",
