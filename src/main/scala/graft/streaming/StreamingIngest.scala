@@ -289,6 +289,32 @@ object StreamingIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Stream-stream interval join (conversion attribution shape): each
+    * purchase joins the same user's clicks from the preceding `horizon`.
+    * BOTH sides are event-time watermarked and the join predicate bounds
+    * purchase_ts to [click_ts, click_ts + horizon] — together these let
+    * the engine drop buffered rows once the watermark passes the
+    * interval, so join state is sized by rate × horizon, never by
+    * stream length (the unbounded-state trap of an unconstrained
+    * stream-stream join). Inner matches emit immediately; only state
+    * RETENTION waits for the watermark.
+    */
+  def attributedPurchases(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "30 minutes"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", horizon)
+    val p = purchases.select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", horizon)
+    p.join(c, expr(
+      s"""c_user = user_id AND
+         |purchase_ts >= click_ts AND
+         |purchase_ts <= click_ts + interval $horizon""".stripMargin))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Stream-static enrichment: each micro-batch joins the (small, slowly
     * changing) dimension read as a plain batch table — the streaming
     * rendering of the reference's token-metadata join. The static side

@@ -248,6 +248,29 @@ class StreamingSpec extends SparkSuite {
     assert(spark.table("doc_dedup").first().getLong(0) == expected)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val base = Files.createTempDirectory("graft-stream-ss").toString
+    val events = Tables.events(spark, sf).limit(2000)
+    events.filter(col("event_type") === "click").write.parquet(s"$base/clicks")
+    events.filter(col("event_type") === "purchase").write.parquet(s"$base/purchases")
+
+    val clicks = StreamingIngest.eventsStream(spark, s"$base/clicks", events.schema)
+    val purchases = StreamingIngest.eventsStream(spark, s"$base/purchases", events.schema)
+    StreamingIngest.runToMemory(
+      StreamingIngest.attributedPurchases(clicks, purchases), "attributed",
+      mode = "append")
+
+    val got = spark.table("attributed")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = StreamingIngest.attributedPurchases(
+        spark.read.parquet(s"$base/clicks"), spark.read.parquet(s"$base/purchases"))
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected && expected.nonEmpty,
+      s"stream ${got.size} pairs vs batch ${expected.size}")
+  }
+
   test("stream-static enrichment matches the batch broadcast join") {
     val dir = Files.createTempDirectory("graft-stream4").toString + "/events"
     val events = Tables.events(spark, sf).limit(500)
