@@ -74,6 +74,28 @@ object TextStats {
         when(col("bucket_100") < trainPct, "train").otherwise("eval"))
   }
 
+  /** Deterministic stratified Bernoulli sample — the data-mixing
+    * primitive: keep a row iff its portable id-hash bucket (of 10000)
+    * falls under its stratum's basis-point threshold. Pure map-side
+    * filter: no shuffle, no RNG, stable across runs / engines /
+    * partitionings / task retries — the reproducibility `df.sample()`
+    * cannot give (its Bernoulli draw is seeded per-partition, so a
+    * repartition or retry changes the sample). Rates are taken in basis
+    * points (exact integers) so both engines compare the same literals.
+    */
+  def stratifiedSample(docs: DataFrame, stratumCol: String,
+      ratesBp: Map[String, Int], defaultBp: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require((ratesBp.values.toSeq :+ defaultBp).forall(r => r >= 0 && r <= 10000),
+      "rates are basis points in [0, 10000]")
+    val h = TextDedup.portableHash(col(idCol).cast("string"), "strat")
+    val threshold = ratesBp.foldLeft(lit(defaultBp)) { case (acc, (k, bp)) =>
+      when(col(stratumCol) === k, lit(bp)).otherwise(acc)
+    }
+    docs.withColumn("bucket", pmod(h, lit(10000L)))
+      .filter(col("bucket") < threshold)
+  }
+
   /** Regex redaction pass (PII-scrub shape): each rule is
     * (name, pattern, replacement); emits per-rule match counts
     * (`n_<name>`) and the text with every rule applied in order

@@ -438,6 +438,17 @@ object ExtensionQueries {
       (s, d) => TextStats.hashSplit(Tables.documents(s, d), "doc_id", trainPct = 80)
         .select(col("doc_id"), col("bucket_100"), col("split"))),
 
+    Q("x34_stratified_sample",
+      "Deterministic stratified sample (data-mixing): keep iff portable id-hash bucket < the stratum's basis-point rate — map-side, RNG-free, stable across runs/engines/partitionings (en 50%, zh 20%, rest 5%).",
+      Some("""SELECT doc_id, lang,
+             |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'strat'),1,15))::BIGINT % 10000 AS bucket
+             |FROM documents
+             |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'strat'),1,15))::BIGINT % 10000
+             |  < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2000 ELSE 500 END""".stripMargin),
+      (s, d) => TextStats.stratifiedSample(Tables.documents(s, d), "lang",
+          Map("en" -> 5000, "zh" -> 2000), defaultBp = 500)
+        .select(col("doc_id"), col("lang"), col("bucket"))),
+
     Q("x30_decontaminate",
       "Benchmark decontamination: per training doc, distinct word-5-gram overlap with the (broadcast-sized) eval set's shingles.",
       Some("""WITH s AS (

@@ -207,6 +207,23 @@ class ExtSpec extends SparkSuite {
     assert(train > 0.7 && train < 0.9, s"train fraction $train far from 0.8")
   }
 
+  test("stratifiedSample: per-stratum rates honored, stable under repartitioning") {
+    val d = graft.sources.Tables.documents(spark, sf)
+    val rates = Map("en" -> 5000, "zh" -> 2000)
+    val s1 = TextStats.stratifiedSample(d, "lang", rates, defaultBp = 500)
+    // deterministic under a different physical partitioning
+    val s2 = TextStats.stratifiedSample(d.repartition(7), "lang", rates, defaultBp = 500)
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      s2.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // per-stratum keep fraction tracks the basis-point rate
+    val en = d.filter(col("lang") === "en").count().toDouble
+    val enKept = s1.filter(col("lang") === "en").count().toDouble
+    assert(enKept / en > 0.35 && enKept / en < 0.65, s"en fraction ${enKept / en}")
+    val rest = d.filter(!col("lang").isin("en", "zh")).count().toDouble
+    val restKept = s1.filter(!col("lang").isin("en", "zh")).count().toDouble
+    assert(restKept / rest < 0.15, s"default-rate fraction ${restKept / rest}")
+  }
+
   test("languageId picks the language whose markers dominate") {
     val d = Seq(
       (0L, "the cat and the dog sat in the house of the king", "en"),
