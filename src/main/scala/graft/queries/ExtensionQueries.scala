@@ -406,6 +406,28 @@ object ExtensionQueries {
       Some(embeddingNearDupOracle),
       (s, d) => Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), 0.35)),
 
+    Q("x35_semantic_dedup",
+      "SemDeDup-shape semantic dedup: embedding near-dup pairs (x15) collapsed to whole clusters by connected components (x33's operator) — canonical vector = component min; keep one per cluster.",
+      Some(s"""WITH RECURSIVE
+              |b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+              |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b
+              |      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+              |      WHERE ${cosSql("a.embedding", "c.embedding")} >= 0.35),
+              |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+              |walk(node, lab) AS (
+              |  SELECT DISTINCT src, src FROM e
+              |  UNION
+              |  SELECT e.src, w.lab FROM e JOIN walk w ON e.dst = w.node),
+              |comp AS (SELECT node, MIN(lab) AS component FROM walk GROUP BY node)
+              |SELECT v.vec_id, CAST(COALESCE(c.component, v.vec_id) AS BIGINT) AS component,
+              |       CAST(count(*) OVER (PARTITION BY COALESCE(c.component, v.vec_id)) AS BIGINT) AS cluster_size
+              |FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.node""".stripMargin),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        ConnectedComponents.assign(emb.select(col("vec_id")),
+          Similarity.embeddingNearDupPairs(emb, 0.35), "vec_id", "id_a", "id_b")
+      }),
+
     Q("x20_quality_filter",
       "Composable quality gate (C4/Gopher shape): every rule a deterministic column expr, first failure is the drop reason.",
       Some("""WITH q AS (
