@@ -49,28 +49,34 @@ object ConnectedComponents {
       .localCheckpoint(true)
 
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    var converged = false
+    while (!converged && iter < maxIter) {
       // min label among each node's neighbors (shuffle 1: by b, then by a)
       val nbrMin = sym
         .join(labs.select(col("node").as("b"), col("component")), Seq("b"))
         .groupBy(col("a").as("node"))
         .agg(min("component").as("nbr_min"))
-      // new label = min(own, neighbor min); isolated nodes keep their own
-      val next = labs
-        .join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
         .localCheckpoint(true)
-      changed = next
-        .join(labs.select(col("node"), col("component").as("prev")), Seq("node"))
-        .filter(col("component") =!= col("prev"))
+      // convergence test BEFORE building the next label set: when no
+      // neighbor offers a smaller label, labs already IS the fixpoint
+      // and the final materialization round is skipped entirely
+      val changed = nbrMin
+        .join(labs, Seq("node"))
+        .filter(col("nbr_min") < col("component"))
         .count()
-      labs = next
+      if (changed == 0) converged = true
+      else {
+        // new label = min(own, neighbor min); isolated nodes keep their own
+        labs = labs
+          .join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("component"), coalesce(col("nbr_min"), col("component")))
+              .as("component"))
+          .localCheckpoint(true)
+      }
       iter += 1
     }
-    require(changed == 0,
+    require(converged,
       s"connected components did not converge in $maxIter rounds — " +
         "raise maxIter (graph diameter exceeds the bound)")
     labs

@@ -315,6 +315,33 @@ object StreamingIngest {
         col("click_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** Left-outer variant of [[attributedPurchases]] (funnel drop-off as
+    * a stream): every click emits exactly once — converted clicks as
+    * soon as the purchase arrives, unconverted ones with null purchase
+    * columns only after the watermark passes click_ts + horizon (the
+    * earliest moment the engine can PROVE no match can still arrive;
+    * outer-null emission is inherently watermark-delayed). Same bounded
+    * state as the inner form.
+    */
+  def clickConversions(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "30 minutes"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", horizon)
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("event_id").as("purchase_id"),
+        col("value"))
+      .withWatermark("purchase_ts", horizon)
+    c.join(p, expr(
+        s"""c_user = p_user AND
+           |purchase_ts >= click_ts AND
+           |purchase_ts <= click_ts + interval $horizon""".stripMargin),
+        "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("value"),
+        col("purchase_id").isNotNull.as("converted"))
+  }
+
   /** Stream-static enrichment: each micro-batch joins the (small, slowly
     * changing) dimension read as a plain batch table — the streaming
     * rendering of the reference's token-metadata join. The static side

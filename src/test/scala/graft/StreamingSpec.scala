@@ -271,6 +271,45 @@ class StreamingSpec extends SparkSuite {
       s"stream ${got.size} pairs vs batch ${expected.size}")
   }
 
+  test("left-outer stream-stream join: unconverted clicks emit only after the watermark seals them") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream-sso").toString
+    val clicksDir = s"$base/clicks"; val purchDir = s"$base/purchases"
+    val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    def write(dir: String, rows: Seq[(Long, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "user_id", "s", "value")
+        .select(col("event_id"), col("user_id"),
+          to_timestamp(col("s")).as("ts"), col("value"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    def run(): Unit = {
+      def src(dir: String) = spark.readStream
+        .schema("event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE")
+        .parquet(dir)
+      StreamingIngest.runToParquet(
+        StreamingIngest.clickConversions(src(clicksDir), src(purchDir)), sink, ckpt)
+    }
+    // batch 1: user 1 converts within the horizon; user 2's click has no
+    // purchase — its outer null may NOT emit yet (watermark still behind)
+    write(clicksDir, Seq((100L, 1L, "2026-01-01 10:00:00", 0.0),
+      (101L, 2L, "2026-01-01 10:05:00", 0.0)))
+    write(purchDir, Seq((200L, 1L, "2026-01-01 10:10:00", 9.99)))
+    run()
+    val afterB1 = spark.read.parquet(sink)
+      .filter(!col("converted")).count()
+    assert(afterB1 == 0, s"outer null emitted before watermark sealed it")
+    // batch 2: late traffic on BOTH sides pushes the global watermark past
+    // 10:05 + 30min, sealing user 2's click as unconverted
+    write(clicksDir, Seq((102L, 9L, "2026-01-01 15:00:00", 0.0)))
+    write(purchDir, Seq((201L, 9L, "2026-01-01 15:00:01", 1.0)))
+    run()
+    val rows = spark.read.parquet(sink)
+      .select(col("click_id"), col("purchase_id"), col("converted"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getBoolean(2))).toSet
+    assert(rows.contains((100L, 200L, true)), s"converted click missing: $rows")
+    assert(rows.contains((101L, -1L, false)), s"sealed unconverted click missing: $rows")
+  }
+
   test("stream-static enrichment matches the batch broadcast join") {
     val dir = Files.createTempDirectory("graft-stream4").toString + "/events"
     val events = Tables.events(spark, sf).limit(500)
