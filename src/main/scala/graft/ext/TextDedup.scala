@@ -274,6 +274,50 @@ object TextDedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Exact-substring-dedup signal at word-n-gram granularity (the
+    * deduplicate-training-data shape: find spans that repeat across
+    * documents, not just near-identical whole documents): per document,
+    * the fraction of token positions covered by at least one word-`n`-gram
+    * that also occurs in ANOTHER document. High coverage = boilerplate /
+    * mirrored content that whole-doc MinHash misses because the rest of
+    * the page differs.
+    *
+    * Dataflow: posexplode all n-grams (position-preserving
+    * [[graft.functions.word_ngrams]], not the distinct shingle set) →
+    * cross-document grams by `min(doc) != max(doc)` per gram (one hash
+    * aggregate — no count-distinct expand) → semi-join back the postings
+    * → explode each surviving occurrence into its `n` covered positions →
+    * distinct-count per doc. Work is linear in corpus tokens plus n× the
+    * duplicated occurrences; nothing is ever pairwise.
+    *
+    * `hashGrams` (the 100 TB default) shuffles 8-byte
+    * [[graft.functions.md5_prefix60]] keys instead of the gram strings —
+    * identical output up to 2^-60 hash collisions. The oracled query
+    * (x36) runs with raw strings so the hash check is exact; ExtSpec
+    * asserts both variants agree.
+    */
+  def dupSpanCoverage(docs: DataFrame, n: Int = 8, hashGrams: Boolean = true): DataFrame = {
+    val gramKey: Column => Column =
+      if (hashGrams) g => graft.functions.md5_prefix60(g.cast("binary")) else g => g
+    val grams = docs
+      .select(col("doc_id"), posexplode(graft.functions.word_ngrams(col("text"), n)))
+      .select(col("doc_id"), col("pos"), gramKey(col("col")).as("gram"))
+    val crossDocGrams = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1"))
+      .select(col("gram"))
+    val covered = grams.join(crossDocGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("cp"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("cp")).as("n_covered"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        (coalesce(col("n_covered"), lit(0L)).cast("double") / col("n_tokens").cast("double"))
+          .as("coverage"))
+  }
+
   /** Exact word-n-gram Jaccard similarity for pairs grouped by a blocking
     * column (here: same `lang`) — the verification stage downstream of
     * LSH candidate generation.

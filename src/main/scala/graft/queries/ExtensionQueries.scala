@@ -262,6 +262,38 @@ object ExtensionQueries {
        |FROM t""".stripMargin
   }
 
+  // x37: the 64 per-component floor terms, generated like dotSql —
+  // single IEEE double ops (one cast, one multiply, one floor each), so
+  // the integer codes are bit-identical cross-engine
+  private val quantizeCodeTerms: Seq[String] =
+    (1 to Dim).map(i => s"floor(CAST(embedding[$i] AS DOUBLE) * scale)")
+
+  private val quantizeInt8Oracle: String =
+    s"""WITH m AS (SELECT vec_id, embedding,
+       |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS max_abs
+       |  FROM embeddings),
+       |s AS (SELECT vec_id, embedding, max_abs,
+       |    CASE WHEN max_abs = 0 THEN CAST(0.0 AS DOUBLE) ELSE 127.0 / max_abs END AS scale
+       |  FROM m)
+       |SELECT vec_id, max_abs, scale,
+       |  CAST(${quantizeCodeTerms.mkString(" + ")} AS BIGINT) AS code_sum,
+       |  ${(0 until 4).map(i => s"CAST(${quantizeCodeTerms(i)} AS BIGINT) AS q$i").mkString(",\n  ")}
+       |FROM s ORDER BY vec_id""".stripMargin
+
+  private val dupSpanOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |             array_to_string(words[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS gram
+      |      FROM w, unnest(range(1, len(words) - 6)) t(i)),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+      |cov AS (SELECT DISTINCT g.doc_id, cp
+      |        FROM g JOIN dup USING (gram), unnest(range(g.pos, g.pos + 8)) u(cp)),
+      |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_covered FROM cov GROUP BY doc_id)
+      |SELECT w.doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+      |  COALESCE(c.n_covered, 0) AS n_covered,
+      |  CAST(COALESCE(c.n_covered, 0) AS DOUBLE) / CAST(len(words) AS DOUBLE) AS coverage
+      |FROM w LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // ---- multimodal-stub oracle ---------------------------------------------
   // The stub features are md5-derived (Multimodal.fakeDecode): f_i = hex
   // chars [8i, 8i+8) / 2^32 (exact in double), head_hash = first 60 bits.
@@ -535,6 +567,27 @@ object ExtensionQueries {
           docs.filter(size(graft.functions.word_shingles(col("text"), 4)) > 0),
           edges, "doc_id", "doc_a", "doc_b")
       }),
+
+    Q("x36_dup_span_coverage",
+      "Exact-substring-dedup signal (deduplicate-training-data shape): fraction of each doc's token " +
+        "positions covered by a word-8-gram that also occurs in another document — catches repeated " +
+        "boilerplate spans whole-doc MinHash misses. Linear dataflow: posexplode grams, cross-doc test " +
+        "by min(doc)!=max(doc), semi-join postings, explode covered positions, distinct-count per doc.",
+      Some(dupSpanOracle),
+      // raw gram strings so the oracle is exact; hashGrams=true is the
+      // production path (8-byte keys through the shuffle), ExtSpec-checked
+      (s, d) => TextDedup.dupSpanCoverage(
+        Tables.loadFanout(s, d, "documents"), n = 8, hashGrams = false)),
+
+    Q("x37_quantize_int8",
+      "Scalar int8 embedding quantization (symmetric max-abs, faiss-SQ8 shape): scale = 127/max|v|, " +
+        "code = floor(v*scale) — the 4x memory cut and int8-SIMD prerequisite ahead of IVF at 1B-vector " +
+        "scale. Map-side only. floor (not round) keeps the codes bit-identical cross-engine.",
+      Some(quantizeInt8Oracle),
+      (s, d) => Similarity.quantizeInt8(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("max_abs"), col("scale"), col("code_sum"),
+          element_at(col("codes"), 1).as("q0"), element_at(col("codes"), 2).as("q1"),
+          element_at(col("codes"), 3).as("q2"), element_at(col("codes"), 4).as("q3"))),
 
     Q("x22_ngram_counts",
       "Corpus-level word-bigram frequencies, top-50 (explode → partial-agg count; top-k as TakeOrderedAndProject).",

@@ -674,6 +674,23 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           decStr(sum(dec6($"l_quantity"))).as("qty"))),
 
+    Q("q45_grouping_sets",
+      "Explicit GROUPING SETS ((flag,status),(flag),(status)) — the general Expand form that q29 " +
+        "ROLLUP and q37 CUBE specialize, with grouping_id() disambiguating aggregated-away nulls " +
+        "from data nulls (same bitmask convention both engines: leftmost column = high bit).",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             |  count(*) AS n,
+             |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"), Seq($"l_linestatus")),
+          $"l_returnflag", $"l_linestatus")
+        .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"),
+          decStr(sum(dec6($"l_quantity"))).as("qty"))),
+
     Q("q40_u256_decimal",
       "uint256 past the Decimal(38,0) ceiling (ROADMAP): 64-hex-digit values (md5||md5, deterministic " +
         "256-bit corpus) rendered as exact ≤78-digit decimal strings two ways — the one-pass BigInteger " +

@@ -301,6 +301,42 @@ class ExtSpec extends SparkSuite {
     assert(t.getLong(1) == 13L)
   }
 
+  test("dupSpanCoverage: duplicated spans covered, unique docs zero, hashed = raw") {
+    // docs 0/1 share the 12-word prefix "the quick ... the river"; with
+    // n=8 that prefix holds five cross-doc 8-grams covering positions
+    // 0..11 (12 tokens); docs 0/3 are identical (13 tokens fully covered)
+    val cov = TextDedup.dupSpanCoverage(docs, n = 8, hashGrams = false).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(cov(0L) == ((13L, 13L, 1.0))) // exact dup of 3 → fully covered
+    assert(cov(3L) == ((13L, 13L, 1.0)))
+    assert(cov(1L)._2 == 12L) // shared prefix spans, not the full doc
+    assert(cov(2L) == ((10L, 0L, 0.0))) // unique doc → zero coverage
+    val hashed = TextDedup.dupSpanCoverage(docs, n = 8, hashGrams = true).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(hashed == cov, "hashed-gram production path must agree with raw strings")
+  }
+
+  test("quantizeInt8: codes bounded, reconstruction within one step, zero vector safe") {
+    val emb = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(-2.0f, 1.0f, 0.5f, -0.125f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getSeq[Long](3)))).toMap
+    // |codes| ≤ 127, and the max-|v| component hits ±127 exactly
+    q.foreach { case (_, (_, _, codes)) => assert(codes.forall(c => c >= -127 && c <= 127)) }
+    assert(q(0L)._3(1) == -127L)
+    assert(q(2L)._3(0) == -127L)
+    // zero vector: scale 0, all-zero codes, no NaN poisoning
+    assert(q(1L) == ((0.0, 0.0, Seq(0L, 0L, 0L, 0L))))
+    // dequantized value within one quantization step of the original
+    val (_, scale0, codes0) = q(0L)
+    Seq(0.5, -1.0, 0.25, 0.0).zip(codes0).foreach { case (v, c) =>
+      assert(math.abs(c / scale0 - v) <= 1.0 / scale0 + 1e-12)
+    }
+  }
+
   test("multimodal resize + frame sampling plumbing") {
     val media = Multimodal.asMediaTable(docs.select(col("doc_id"), col("text")))
     val resized = Multimodal.resize(spark, media, 8, 4)
