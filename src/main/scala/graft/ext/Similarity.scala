@@ -239,6 +239,77 @@ object Similarity {
       .drop("embedding")
   }
 
+  val PqM = 8 // subspaces
+  val PqK = 16 // codewords per subspace
+
+  /** Product-quantization codebooks derived deterministically from the
+    * corpus: codeword `k` of subspace `j` is the j-th subvector of the
+    * k-th stride-sampled corpus vector ([[strideCentroids]] — the same
+    * "sample IS the init" move as the IVF cells; a k-means-refined
+    * codebook would drop in without changing the encode shape). Output:
+    * (subspace, code 0..k-1, codeword array<float>) — m·k rows, always
+    * broadcast-sized (PQ codebooks are kilobytes at any corpus scale).
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int = PqM, k: Int = PqK, dim: Int = Dim): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    // single-partition window over k rows — dense deterministic code ids
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    strideCentroids(corpus, k)
+      .withColumn("code", (row_number().over(w) - 1).cast("long"))
+      .select(col("code"), explode(sequence(lit(0), lit(m - 1))).as("subspace"), col("embedding"))
+      .select(col("subspace"), col("code"),
+        slice(col("embedding"), col("subspace") * subDim + 1, lit(subDim)).as("codeword"))
+  }
+
+  /** PQ encode (faiss-PQ shape, the 10^9-vector memory layout: m log2(k)
+    * bits per vector instead of 4·dim bytes): each vector splits into `m`
+    * subvectors; each subvector takes the code of its L2-nearest codeword
+    * in that subspace. One broadcast join + a bounded-heap argmin — no
+    * shuffle wider than (vec_id, subspace). Deterministic: squared
+    * distances accumulate left-to-right in double, ties break to the
+    * smallest code (x38's oracle replays both). Output: vec_id, c0..c{m-1}.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int = PqM, dim: Int = Dim): DataFrame = {
+    val subDim = dim / m
+    val sub = corpus
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("subspace"), col("embedding"))
+      .select(col("vec_id"), col("subspace"),
+        slice(col("embedding"), col("subspace") * subDim + 1, lit(subDim)).as("sub"))
+    val d2 = aggregate(
+      zip_with(col("sub"), col("codeword"),
+        (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    // top_k_by ranks (score desc, id asc): score = -d2 → min distance,
+    // ties to the smallest code
+    val best = sub.join(broadcast(codebooks), Seq("subspace"))
+      .withColumn("d2", d2)
+      .groupBy(col("vec_id"), col("subspace"))
+      .agg(graft.functions.top_k_by(-col("d2"), col("code"), 1).as("top"))
+      .select(col("vec_id"), col("subspace"), col("top").getItem(0).getField("id").as("code"))
+    val wide = (0 until m).map(j =>
+      max(when(col("subspace") === j, col("code"))).as(s"c$j"))
+    best.groupBy(col("vec_id")).agg(wide.head, wide.tail: _*)
+  }
+
+  /** PQ decode: rebuild the quantized approximation of each vector by
+    * concatenating its m codewords — `m` broadcast joins against the
+    * (kilobyte-sized) codebooks, one per subspace. Ranking against the
+    * reconstruction computes exactly what an ADC scan computes
+    * (distance decomposes over subspaces), so [[pqDecode]] + a brute
+    * rank IS the PQ ANN search path, just without the LUT constant-factor
+    * trick a SIMD kernel would add.
+    */
+  def pqDecode(codes: DataFrame, codebooks: DataFrame, m: Int = PqM): DataFrame = {
+    val joined = (0 until m).foldLeft(codes) { (df, j) =>
+      val cbj = codebooks.filter(col("subspace") === j)
+        .select(col("code").as(s"c$j"), col("codeword").as(s"cw$j"))
+      df.join(broadcast(cbj), Seq(s"c$j"))
+    }
+    joined.select(col("vec_id"),
+      concat((0 until m).map(j => col(s"cw$j")): _*).as("embedding"))
+  }
+
   /** recall@k of an approximate KNN result against the exact one: the
     * fraction of each query's true top-k the approximation recovered,
     * averaged over queries. Both inputs use the (qid, rank, neighbor_id)

@@ -280,6 +280,70 @@ object ExtensionQueries {
        |  ${(0 until 4).map(i => s"CAST(${quantizeCodeTerms(i)} AS BIGINT) AS q$i").mkString(",\n  ")}
        |FROM s ORDER BY vec_id""".stripMargin
 
+  // x38: PQ encode replayed in SQL. Codebooks re-derive from the same
+  // stride sample as the Spark side (strideCentroids semantics: stride
+  // 62, first 16 hits by id); per-subspace squared L2 distances are
+  // left-associated double sums over full-vector positions (slicing and
+  // comparing subvectors is positionally identical), argmin ties to the
+  // smallest code — the exact (score desc, id asc) contract of top_k_by.
+  private val PqM = Similarity.PqM
+  private val PqSubDim = Dim / PqM
+
+  /** Shared x38/x39 CTE chain ending in `wide(vec_id, c0..c7)`. */
+  private val pqCtes: String = {
+    def d2Sql(j: Int): String =
+      (1 to PqSubDim).map { i =>
+        val idx = j * PqSubDim + i
+        val diff = s"(CAST(e.embedding[$idx] AS DOUBLE) - CAST(c.embedding[$idx] AS DOUBLE))"
+        s"($diff * $diff)"
+      }.mkString("(CAST(0.0 AS DOUBLE) + ", " + ", ")")
+    val arms = (0 until PqM).map(j =>
+      s"SELECT e.vec_id, $j AS subspace, c.code, ${d2Sql(j)} AS d2 FROM embeddings e, cb c")
+      .mkString("\n  UNION ALL ")
+    val wideCols = (0 until PqM).map(j =>
+      s"MAX(CASE WHEN subspace = $j THEN code END) AS c$j").mkString(",\n  ")
+    s"""WITH sample AS (SELECT vec_id, embedding FROM embeddings
+       |               WHERE vec_id % 62 = 0 AND vec_id < 992),
+       |cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code, embedding
+       |       FROM sample),
+       |sub AS (
+       |  $arms),
+       |best AS (SELECT vec_id, subspace, code FROM (
+       |  SELECT vec_id, subspace, code,
+       |         row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d2 ASC, code ASC) AS rn
+       |  FROM sub) t WHERE rn = 1),
+       |wide AS (SELECT vec_id,
+       |  $wideCols
+       |  FROM best GROUP BY vec_id)""".stripMargin
+  }
+
+  private val pqCodesOracle: String =
+    s"""$pqCtes
+       |SELECT vec_id, ${(0 until PqM).map(j => s"c$j").mkString(", ")}
+       |FROM wide ORDER BY vec_id""".stripMargin
+
+  private val pqReconKnnOracle: String = {
+    val reconList = (0 until PqM).map { j =>
+      s"c$j.embedding[${j * PqSubDim + 1}:${(j + 1) * PqSubDim}]"
+    }.mkString(" || ")
+    val joins = (0 until PqM).map(j =>
+      s"JOIN cb c$j ON c$j.code = w.c$j").mkString("\n  ")
+    s"""$pqCtes,
+       |recon AS (
+       |  SELECT w.vec_id, $reconList AS emb
+       |  FROM wide w
+       |  $joins),
+       |s AS (SELECT q.vec_id AS qid, r.vec_id AS neighbor_id,
+       |             ${cosSql("q.embedding", "r.emb")} AS sim
+       |      FROM embeddings q, recon r
+       |      WHERE q.vec_id < 10 AND r.vec_id != q.vec_id)
+       |SELECT qid, rank, neighbor_id FROM (
+       |  SELECT qid, neighbor_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM s) t
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
   private val dupSpanOracle: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
       |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
@@ -588,6 +652,29 @@ object ExtensionQueries {
         .select(col("vec_id"), col("max_abs"), col("scale"), col("code_sum"),
           element_at(col("codes"), 1).as("q0"), element_at(col("codes"), 2).as("q1"),
           element_at(col("codes"), 3).as("q2"), element_at(col("codes"), 4).as("q3"))),
+
+    Q("x38_pq_codes",
+      "Product-quantization encode (faiss-PQ shape): 8 subspaces x 16 codewords from a deterministic " +
+        "corpus stride sample; each subvector takes its L2-argmin code — m*log2(k) bits per vector, the " +
+        "memory layout ANN runs at 1B vectors. Broadcast codebooks + bounded-heap argmin; no wide shuffle.",
+      Some(pqCodesOracle),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.pqEncode(emb, Similarity.pqCodebooks(emb))
+      }),
+
+    Q("x39_pq_recon_knn",
+      "PQ ANN search path: rank the PQ-RECONSTRUCTED corpus by cosine against the original query " +
+        "vectors — mathematically what an ADC scan computes (distance decomposes over subspaces), " +
+        "demonstrated end-to-end: encode (x38) -> decode (m broadcast joins) -> brute rank. Memory side " +
+        "of the ANN trade: 8 bytes/vector instead of 256.",
+      Some(pqReconKnnOracle),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cb = Similarity.pqCodebooks(emb)
+        val recon = Similarity.pqDecode(Similarity.pqEncode(emb, cb), cb)
+        Similarity.knnBrute(emb.filter(col("vec_id") < 10), recon, 5)
+      }),
 
     Q("x22_ngram_counts",
       "Corpus-level word-bigram frequencies, top-50 (explode → partial-agg count; top-k as TakeOrderedAndProject).",

@@ -337,6 +337,49 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("pqEncode: sampled vectors take their own codes; near-copies follow them") {
+    // strideCentroids(corpus, 2) picks vec_id 0 and 500 (stride 500) as
+    // codeword sources; dim 4, m 2 → 2 codewords per 2-dim subspace
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (500L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.1f, 0.9f)), // near vec 0 in both subspaces
+      (2L, Array(0.1f, 0.9f, 1.1f, -0.1f)) // near vec 500 in both subspaces
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(emb, m = 2, k = 2, dim = 4)
+    assert(cb.count() == 4) // 2 subspaces × 2 codes
+    val codes = Similarity.pqEncode(emb, cb, m = 2, dim = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(codes(0L) == ((0L, 0L))) // zero distance to its own codewords
+    assert(codes(500L) == ((1L, 1L)))
+    assert(codes(1L) == ((0L, 0L)))
+    assert(codes(2L) == ((1L, 1L)))
+  }
+
+  test("pqDecode round-trips sampled vectors exactly; recon knn recall is sane") {
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cb = Similarity.pqCodebooks(emb)
+    val recon = Similarity.pqDecode(Similarity.pqEncode(emb, cb), cb)
+    // a stride-sampled vector is its own codeword in every subspace →
+    // exact reconstruction
+    val sampledIds = Similarity.strideCentroids(emb, Similarity.PqK)
+      .select("vec_id").as[Long].collect().toSet
+    assert(sampledIds.nonEmpty)
+    val origByid = emb.filter(col("vec_id").isin(sampledIds.toSeq: _*))
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    val reconById = recon.filter(col("vec_id").isin(sampledIds.toSeq: _*))
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    assert(reconById == origByid)
+    // PQ ANN recall against exact: better than chance, below perfect —
+    // 16 codewords/subspace on a random corpus is a coarse quantizer
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.knnBrute(queries, emb, 5)
+    val approx = Similarity.knnBrute(queries, recon, 5)
+    val recall = Similarity.recallAtK(approx, exact, 5)
+    assert(recall > 0.0, s"PQ recon recall $recall")
+  }
+
   test("multimodal resize + frame sampling plumbing") {
     val media = Multimodal.asMediaTable(docs.select(col("doc_id"), col("text")))
     val resized = Multimodal.resize(spark, media, 8, 4)
