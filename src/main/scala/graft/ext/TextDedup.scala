@@ -290,15 +290,15 @@ object TextDedup {
     * distinct-count per doc. Work is linear in corpus tokens plus n× the
     * duplicated occurrences; nothing is ever pairwise.
     *
-    * `hashGrams` (the 100 TB default) shuffles 8-byte
-    * [[graft.functions.md5_prefix60]] keys instead of the gram strings —
-    * identical output up to 2^-60 hash collisions. The oracled query
-    * (x36) runs with raw strings so the hash check is exact; ExtSpec
-    * asserts both variants agree.
+    * `hashGrams` (the 100 TB default) shuffles 8-byte xxhash64 keys
+    * instead of the gram strings — identical output up to 2^-64 hash
+    * collisions, 2.8× less shuffle (tools.DupSpanBench / SCALING.md).
+    * The oracled query (x36) runs with raw strings so the hash check is
+    * exact; ExtSpec asserts both variants agree.
     */
   def dupSpanCoverage(docs: DataFrame, n: Int = 8, hashGrams: Boolean = true): DataFrame = {
     val gramKey: Column => Column =
-      if (hashGrams) g => graft.functions.md5_prefix60(g.cast("binary")) else g => g
+      if (hashGrams) g => xxhash64(g) else g => g
     val grams = docs
       .select(col("doc_id"), posexplode(graft.functions.word_ngrams(col("text"), n)))
       .select(col("doc_id"), col("pos"), gramKey(col("col")).as("gram"))

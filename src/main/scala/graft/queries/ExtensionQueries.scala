@@ -783,6 +783,34 @@ object ExtensionQueries {
             coalesce(col("hit"), lit(0)).cast("int").as("in_sketch"))
       }),
 
+    Q("x40_count_min",
+      "Count-Min sketch point-frequency estimates (built-in count_min_sketch aggregate, eps 1e-4, fixed " +
+        "seed) oracled via the CM contract on the exact top-10 terms: est >= true and est <= true + " +
+        "eps*N. O(1/eps) state at any corpus size — the mergeable frequency-table companion to x27's " +
+        "Misra-Gries candidate set.",
+      Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+             |t AS (SELECT term, count(*) AS cnt FROM w GROUP BY term ORDER BY cnt DESC, term LIMIT 10)
+             |SELECT term, cnt, CAST(1 AS INT) AS in_bound FROM t""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val words = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("term"))
+        val eps = 1e-4
+        val sketchBytes = words
+          .agg(count_min_sketch(col("term"), lit(eps), lit(0.99), lit(42)).as("sk"))
+          .head.getAs[Array[Byte]](0)
+        val sk = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+        val total = sk.totalCount()
+        val top = words.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term")).limit(10)
+          .as[(String, Long)].collect()
+        top.toSeq.map { case (term, cnt) =>
+          val est = sk.estimateCount(term)
+          (term, cnt, if (est >= cnt && est <= cnt + (eps * total).ceil.toLong) 1 else 0)
+        }.toDF("term", "cnt", "in_bound")
+      }),
+
     Q("x28_zorder_key",
       "Morton (Z-order) clustering key over two join-key dimensions — sort by this before write " +
         "(Ingest.appendSorted) and min/max footer stats prune files for range predicates on EITHER column; " +

@@ -542,6 +542,25 @@ object RelationalQueries {
         .select($"window.start".cast("timestamp_ntz").as("hour_start"),
           $"event_type", $"n", $"val")),
 
+    Q("q46_sliding_window",
+      "Sliding event-time window (2h duration, 1h slide): each event lands in exactly two overlapping " +
+        "windows — completes the window family (q22 tumbling, q25 session). Spark plans one Expand " +
+        "(2 rows/event) + hash agg; the oracle replays the window-grid membership as a 2-arm UNION ALL.",
+      Some("""WITH arms AS (
+             |  SELECT date_trunc('hour', ts) AS w_start, event_type, value FROM events
+             |  UNION ALL
+             |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events)
+             |SELECT w_start, w_start + INTERVAL 2 HOUR AS w_end, event_type, count(*) AS n,
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS val
+             |FROM arms GROUP BY 1, 2, 3""".stripMargin),
+      (s, d) => Tables.events(s, d)
+        .groupBy(window($"ts", "2 hours", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          decStr(sum(dec6($"value"))).as("val"))
+        .select($"window.start".cast("timestamp_ntz").as("w_start"),
+          $"window.end".cast("timestamp_ntz").as("w_end"),
+          $"event_type", $"n", $"val")),
+
     Q("q34_window_funcs",
       "Window-function family over per-user event streams: row_number / lag / lead / rank / ntile + " +
         "running decimal sum (explicit ROWS frame; unique (ts, event_id) ordering keeps every rank deterministic).",
