@@ -710,6 +710,27 @@ object RelationalQueries {
         .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"),
           decStr(sum(dec6($"l_quantity"))).as("qty"))),
 
+    Q("q47_correlated_subquery",
+      "Correlated scalar subqueries through the SQL surface (orders above their customer's average): " +
+        "Catalyst decorrelates both subqueries into aggregate + equi-joins — no per-row re-execution. " +
+        "The predicate is exact decimal (price*count > sum), so it is aggregation-order-independent; " +
+        "oracle = the identical SQL text in DuckDB.",
+      Some("""SELECT o_orderkey, o_custkey,
+             |       CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR) AS total
+             |FROM orders o
+             |WHERE CAST(o_totalprice AS DECIMAL(38,6)) *
+             |      (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+             |    > (SELECT SUM(CAST(o_totalprice AS DECIMAL(38,6))) FROM orders o3 WHERE o3.o_custkey = o.o_custkey)""".stripMargin),
+      (s, d) => {
+        graft.GraftSession.registerTables(s, d)
+        s.sql("""SELECT o_orderkey, o_custkey,
+                |       CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS STRING) AS total
+                |FROM orders o
+                |WHERE CAST(o_totalprice AS DECIMAL(38,6)) *
+                |      (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+                |    > (SELECT SUM(CAST(o_totalprice AS DECIMAL(38,6))) FROM orders o3 WHERE o3.o_custkey = o.o_custkey)""".stripMargin)
+      }),
+
     Q("q40_u256_decimal",
       "uint256 past the Decimal(38,0) ceiling (ROADMAP): 64-hex-digit values (md5||md5, deterministic " +
         "256-bit corpus) rendered as exact ≤78-digit decimal strings two ways — the one-pass BigInteger " +

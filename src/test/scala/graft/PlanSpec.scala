@@ -119,6 +119,37 @@ class PlanSpec extends SparkSuite {
       s"expected TakeOrderedAndProject:\n$p")
   }
 
+  test("x37: scalar quantization is map-side only — zero exchanges") {
+    val p = plan(SparkEntry.queries("x37_quantize_int8")(spark, sf))
+    assert(collectAll(p) { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"quantization must not shuffle:\n$p")
+  }
+
+  test("x38: PQ encode joins only broadcast codebooks; shuffle keys stay (vec_id, subspace)") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val p = plan(SparkEntry.queries("x38_pq_codes")(spark, sf))
+    assert(collectAll(p) { case j: SortMergeJoinExec => j }.isEmpty,
+      s"codebooks must broadcast, never sort-merge:\n$p")
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.nonEmpty)
+    // every exchange is either the bounded argmin/regroup aggregate
+    // keyed by (vec_id[, subspace]) or the k-row codebook-id window's
+    // SinglePartition — never a codeword-payload shuffle on another key
+    val keyed = collectAll(p) { case e: ShuffleExchangeLike => e.outputPartitioning }
+    assert(keyed.nonEmpty && keyed.forall(pt =>
+      pt.toString.contains("vec_id") || pt.numPartitions == 1),
+      s"unexpected shuffle keys:\n$keyed")
+  }
+
+  test("q46: sliding window plans a single Expand + hash aggregate, no join") {
+    import org.apache.spark.sql.execution.ExpandExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val p = plan(SparkEntry.queries("q46_sliding_window")(spark, sf))
+    assert(collectAll(p) { case e: ExpandExec => e }.size == 1,
+      s"expected exactly one Expand for the 2-window membership:\n$p")
+    assert(collectAll(p) { case j: BaseJoinExec => j }.isEmpty,
+      s"sliding windows must not join:\n$p")
+  }
+
   test("only O(1)-row build sides ever nested-loop (scalar pins, query/centroid sets)") {
     // the full-registry audit: any BroadcastNestedLoopJoin or cartesian
     // in any declared query must build from a bounded tiny side — q10/q18
