@@ -132,6 +132,42 @@ object TextStats {
       .withColumn("rep_ratio", col("n_repeated") / col("n_grams"))
   }
 
+  /** Corpus-LM next-word-probability score (the CCNet/KenLM-shape LM
+    * quality filter, with the corpus itself as the model): per document,
+    * sum over its word bigrams of P(w_i | w_{i-1}) = C(w_{i-1} w_i) /
+    * C(w_{i-1} ·) under the corpus bigram counts. Boilerplate and
+    * natural text score high per gram; gibberish scores near zero —
+    * rank/threshold on `score_sum / n_bigrams` downstream.
+    *
+    * Determinism (what lets x41 carry an oracle where true log-space
+    * perplexity cannot): each probability is ONE IEEE division of exact
+    * integers, and the per-doc aggregate sums those as Decimal(38,6) —
+    * order-independent, unlike a double sum; `log()` would also hang
+    * cross-engine parity on libm rounding. Scale shape: bigram counts
+    * are one hash aggregate; scoring joins each positional bigram to its
+    * count on the gram key (shuffle ∝ corpus tokens, map-side partials
+    * on the re-aggregation; the count table broadcasts only if tiny, so
+    * the plan stays a plain shuffled equi-join at 100 TB).
+    */
+  def lmScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(graft.functions.word_ngrams(col(textCol), 2)).as("gram"))
+    val c2 = grams.groupBy(col("gram")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.select(substring_index(col("gram"), " ", 1).as("prefix"), col("c2"))
+      .groupBy(col("prefix")).agg(sum(col("c2")).as("c1"))
+    grams
+      .join(c2, Seq("gram"))
+      .withColumn("prefix", substring_index(col("gram"), " ", 1))
+      .join(c1, Seq("prefix"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum((col("c2") / col("c1")).cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .as("p_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        col("p_sum").cast(org.apache.spark.sql.types.DecimalType(38, 6))
+          .cast("string").as("score_sum"))
+  }
+
   /** Corpus-level n-gram frequencies: explode → count. Map-side partial
     * aggregation shrinks the shuffle to distinct grams per mapper; the
     * top-k plans as TakeOrderedAndProject.

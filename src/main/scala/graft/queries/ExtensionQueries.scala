@@ -783,6 +783,24 @@ object ExtensionQueries {
             coalesce(col("hit"), lit(0)).cast("int").as("in_sketch"))
       }),
 
+    Q("x41_lm_score",
+      "Corpus-LM next-word-probability score (CCNet/KenLM-shape quality filter): per doc, sum of " +
+        "P(w_i|w_{i-1}) under corpus bigram counts. Each probability is one IEEE division of exact " +
+        "integers and the per-doc sum runs in Decimal(38,6) — order-independent, so the whole score is " +
+        "oracle-exact where log-space perplexity could never be.",
+      Some("""WITH g AS (
+             |  SELECT doc_id, array_to_string(words[CAST(i AS INT):CAST(i + 1 AS INT)], ' ') AS gram
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t,
+             |       unnest(range(1, len(words))) u(i)),
+             |c2 AS (SELECT gram, count(*) AS c2 FROM g GROUP BY gram),
+             |c1 AS (SELECT split_part(gram, ' ', 1) AS prefix, SUM(c2) AS c1 FROM c2 GROUP BY 1)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  CAST(CAST(SUM(CAST(c2.c2 / c1.c1 AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS score_sum
+             |FROM g JOIN c2 USING (gram)
+             |JOIN c1 ON split_part(g.gram, ' ', 1) = c1.prefix
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => TextStats.lmScore(Tables.loadFanout(s, d, "documents"))),
+
     Q("x40_count_min",
       "Count-Min sketch point-frequency estimates (built-in count_min_sketch aggregate, eps 1e-4, fixed " +
         "seed) oracled via the CM contract on the exact top-10 terms: est >= true and est <= true + " +

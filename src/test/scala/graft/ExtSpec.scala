@@ -380,6 +380,29 @@ class ExtSpec extends SparkSuite {
     assert(recall > 0.0, s"PQ recon recall $recall")
   }
 
+  test("lmScore: repeated phrasing scores high, unique phrasing low, short docs drop") {
+    val corpus = Seq(
+      (0L, "the cat sat"), (1L, "the cat sat"), (2L, "the cat sat"),
+      (3L, "a dog ran away quickly"), // every bigram unique in the corpus
+      (4L, "word") // < 2 words → no bigrams → absent from output
+    ).toDF("doc_id", "text")
+    val scored = TextStats.lmScore(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), BigDecimal(r.getString(2))))).toMap
+    assert(!scored.contains(4L))
+    // docs 0-2: "the cat"=3/3, "cat sat"=3/3 → sum 2.0
+    Seq(0L, 1L, 2L).foreach(id => assert(scored(id) == ((2L, BigDecimal("2.000000")))))
+    // doc 3: each of its 4 bigrams is the only continuation of its prefix
+    // in this corpus → each P=1; a corpus with alternative continuations
+    // would push these below 1 — the discriminative case:
+    assert(scored(3L)._1 == 4L)
+    val corpus2 = corpus.union(Seq((5L, "a dog barked loudly today")).toDF("doc_id", "text"))
+    val scored2 = TextStats.lmScore(corpus2).collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getString(2))).toMap
+    // "a dog" now continues two ways → doc 3's sum drops below doc 0's per-gram 1.0 rate
+    assert(scored2(3L) < BigDecimal("4.000000"))
+    assert(scored2(3L) > scored2(5L) - BigDecimal("0.000001")) // symmetric alternatives
+  }
+
   test("multimodal resize + frame sampling plumbing") {
     val media = Multimodal.asMediaTable(docs.select(col("doc_id"), col("text")))
     val resized = Multimodal.resize(spark, media, 8, 4)
