@@ -561,6 +561,23 @@ object RelationalQueries {
           $"window.end".cast("timestamp_ntz").as("w_end"),
           $"event_type", $"n", $"val")),
 
+    Q("q48_range_frame",
+      "RANGE interval window frame — rolling trailing-24h sum per user (SURVEY §2.8's rolling-volume " +
+        "example; the frame type q34's ROWS family does not cover). Ordered on exact integer " +
+        "microseconds and summed in decimal, so every running value hash-matches; value-defined frames " +
+        "make equal-timestamp peers share a frame deterministically.",
+      Some("""SELECT event_id, user_id,
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+             |    PARTITION BY user_id ORDER BY epoch_us(ts)
+             |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS VARCHAR) AS vol_24h
+             |FROM events""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+          .rangeBetween(-86400000000L, Window.currentRow)
+        Tables.events(s, d).select($"event_id", $"user_id",
+          decStr(sum(dec6($"value")).over(w)).as("vol_24h"))
+      }),
+
     Q("q34_window_funcs",
       "Window-function family over per-user event streams: row_number / lag / lead / rank / ntile + " +
         "running decimal sum (explicit ROWS frame; unique (ts, event_id) ordering keeps every rank deterministic).",
