@@ -41,7 +41,11 @@ object ScaleSmoke {
     "x16_minhash_portable", "x22_ngram_counts", "x26_tfidf_top_terms",
     // round-3/4 operators
     "q40_u256_decimal", "q41_u256_sum", "x29_lang_id_ngram",
-    "x30_decontaminate", "x31_source_cap", "q43_skew_join")
+    "x30_decontaminate", "x31_source_cap", "q43_skew_join",
+    // round-4 closing-session operators
+    "x36_dup_span_coverage", "x37_quantize_int8", "x38_pq_codes",
+    "x41_lm_score", "q46_sliding_window", "q47_correlated_subquery",
+    "q48_range_frame")
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorS) = args.take(3)
