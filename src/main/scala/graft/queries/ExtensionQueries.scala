@@ -676,6 +676,41 @@ object ExtensionQueries {
         Similarity.knnBrute(emb.filter(col("vec_id") < 10), recon, 5)
       }),
 
+    Q("x42_edit_distance_verify",
+      "Edit-distance verification of near-dup candidates — the last rung of the dedup ladder " +
+        "(LSH candidates -> estimated Jaccard -> exact Jaccard -> levenshtein): candidates from the " +
+        "shared-4-gram inverted index (never all-pairs), then exact + relative edit distance per pair. " +
+        "Scoped to the ASCII 'en' slice because DuckDB's levenshtein is byte-based while Spark's is " +
+        "codepoint-based — they agree exactly on ASCII (the library operator has no such restriction).",
+      Some("""WITH s AS (
+             |  SELECT doc_id, text,
+             |         list_distinct([array_to_string(words[i:i+3], ' ') for i in range(1, len(words)-2)]) AS sh
+             |  FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
+             |        WHERE doc_id < 300 AND lang = 'en') t
+             |  WHERE len(words) >= 4),
+             |e AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |             CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_shared,
+             |             CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+             |             CAST(greatest(length(a.text), length(b.text)) AS BIGINT) AS max_len
+             |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |      WHERE len(list_intersect(a.sh, b.sh)) >= 1)
+             |SELECT doc_a, doc_b, n_shared, edit_dist,
+             |  CAST(edit_dist AS DOUBLE) / CAST(max_len AS DOUBLE) AS rel_dist
+             |FROM e ORDER BY doc_a, doc_b""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .filter(col("doc_id") < 300 && col("lang") === "en")
+        val edges = TextDedup.sharedShingleEdges(docs, "lang", 4)
+        val a = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+        val b = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+        edges.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+          .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
+          .select(col("doc_a"), col("doc_b"), col("n_shared"), col("edit_dist"),
+            (col("edit_dist").cast("double") /
+              greatest(length(col("text_a")), length(col("text_b"))).cast("double"))
+              .as("rel_dist"))
+      }),
+
     Q("x22_ngram_counts",
       "Corpus-level word-bigram frequencies, top-50 (explode → partial-agg count; top-k as TakeOrderedAndProject).",
       Some("""SELECT gram, count(*) AS n FROM (
