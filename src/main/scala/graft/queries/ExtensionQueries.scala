@@ -711,6 +711,63 @@ object ExtensionQueries {
               .as("rel_dist"))
       }),
 
+    Q("x43_curation_pipeline",
+      "The full corpus-curation flow as ONE oracled dataflow — exact dedup (keep min id per content " +
+        "hash) -> quality gate (x20 rules) -> near-dup cluster collapse to canonical docs (x33's " +
+        "connected components over shared-4-gram edges) -> deterministic stratified sample (x34 rates). " +
+        "Every stage is the already-oracled operator; this query proves they compose end-to-end " +
+        "(doc_id < 300 bounds the recursive-CTE oracle, like x33).",
+      Some("""WITH RECURSIVE
+             |d0 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id < 300),
+             |k1 AS (SELECT min(doc_id) AS doc_id FROM d0 GROUP BY md5(text)),
+             |d1 AS (SELECT d0.* FROM d0 JOIN k1 USING (doc_id)),
+             |q AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(length(replace(text, ' ', '')) AS BIGINT)
+             |      / CAST(len(string_split(text, ' ')) AS BIGINT) AS avg_word_len,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |          w -> w IN ('the','and','of','to','in','a','is','that'))) AS BIGINT)
+             |      / CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ratio
+             |  FROM d1),
+             |d2 AS (SELECT d1.* FROM d1 JOIN q USING (doc_id)
+             |       WHERE q.n_tokens >= 10 AND q.avg_word_len <= 9.0 AND q.stop_ratio >= 0.01),
+             |s AS (
+             |  SELECT doc_id, lang,
+             |         list_distinct([array_to_string(words[i:i+3], ' ') for i in range(1, len(words)-2)]) AS sh
+             |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM d2) t
+             |  WHERE len(words) >= 4),
+             |e0 AS (SELECT a.doc_id AS a, b.doc_id AS b
+             |       FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |       WHERE len(list_intersect(a.sh, b.sh)) >= 1),
+             |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+             |walk(node, lab) AS (
+             |  SELECT DISTINCT a, a FROM e
+             |  UNION
+             |  SELECT e.a, w.lab FROM e JOIN walk w ON e.b = w.node),
+             |comp AS (SELECT node, MIN(lab) AS component FROM walk GROUP BY node),
+             |d3 AS (SELECT d2.* FROM d2 LEFT JOIN comp ON d2.doc_id = comp.node
+             |       WHERE COALESCE(comp.component, d2.doc_id) = d2.doc_id)
+             |SELECT doc_id, lang,
+             |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'strat'),1,15))::BIGINT % 10000 AS bucket
+             |FROM d3
+             |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'strat'),1,15))::BIGINT % 10000
+             |  < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2000 ELSE 500 END""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+        val keep1 = TextDedup.exactGroups(docs).select(col("keep_id").as("doc_id"))
+        val d1 = docs.join(keep1, Seq("doc_id"), "left_semi")
+        val passed = TextStats.qualityFilter(d1, minTokens = 10, maxAvgWordLen = 9.0,
+            minStopRatio = 0.01).filter(col("keep") === 1).select(col("doc_id"))
+        val d2 = d1.join(passed, Seq("doc_id"), "left_semi")
+        val cc = ConnectedComponents.assign(d2.select(col("doc_id")),
+          TextDedup.sharedShingleEdges(d2, "lang", 4), "doc_id", "doc_a", "doc_b")
+        val canonical = cc.filter(col("doc_id") === col("component")).select(col("doc_id"))
+        val d3 = d2.join(canonical, Seq("doc_id"), "left_semi")
+        TextStats.stratifiedSample(d3, "lang", Map("en" -> 5000, "zh" -> 2000), defaultBp = 500)
+          .select(col("doc_id"), col("lang"), col("bucket"))
+      }),
+
     Q("x22_ngram_counts",
       "Corpus-level word-bigram frequencies, top-50 (explode → partial-agg count; top-k as TakeOrderedAndProject).",
       Some("""SELECT gram, count(*) AS n FROM (
