@@ -760,10 +760,14 @@ object ExtensionQueries {
         val passed = TextStats.qualityFilter(d1, minTokens = 10, maxAvgWordLen = 9.0,
             minStopRatio = 0.01).filter(col("keep") === 1).select(col("doc_id"))
         val d2 = d1.join(passed, Seq("doc_id"), "left_semi")
-        val cc = ConnectedComponents.assign(d2.select(col("doc_id")),
-          TextDedup.sharedShingleEdges(d2, "lang", 4), "doc_id", "doc_a", "doc_b")
-        val canonical = cc.filter(col("doc_id") === col("component")).select(col("doc_id"))
-        val d3 = d2.join(canonical, Seq("doc_id"), "left_semi")
+        // labels (not assign): the pipeline only drops non-canonical
+        // cluster members, so the cluster-size aggregate is dead weight —
+        // docs outside the edge graph are their own canonical by default
+        val labs = ConnectedComponents.labels(
+          TextDedup.sharedShingleEdges(d2, "lang", 4), "doc_a", "doc_b")
+        val dropIds = labs.filter(col("node") =!= col("component"))
+          .select(col("node").as("doc_id"))
+        val d3 = d2.join(dropIds, Seq("doc_id"), "left_anti")
         TextStats.stratifiedSample(d3, "lang", Map("en" -> 5000, "zh" -> 2000), defaultBp = 500)
           .select(col("doc_id"), col("lang"), col("bucket"))
       }),
