@@ -748,6 +748,27 @@ object RelationalQueries {
                 |    > (SELECT SUM(CAST(o_totalprice AS DECIMAL(38,6))) FROM orders o3 WHERE o3.o_custkey = o.o_custkey)""".stripMargin)
       }),
 
+    Q("q49_nullsafe_join",
+      "Null-safe equi-join (<=> / IS NOT DISTINCT FROM): null keys match each other instead of " +
+        "dropping — the reconciliation-diff semantics plain equality silently loses. EqualNullSafe is " +
+        "a first-class hash-join key in Catalyst, so the plan stays a shuffled/broadcast hash join " +
+        "(registry-wide nested-loop audit applies).",
+      Some("""WITH a AS (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+             |          FROM orders),
+             |b AS (SELECT CASE WHEN c_custkey % 89 = 0 THEN NULL ELSE c_custkey END AS k
+             |      FROM customer)
+             |SELECT a.k, count(*) AS n_pairs
+             |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+             |GROUP BY a.k""".stripMargin),
+      (s, d) => {
+        val a = Tables.orders(s, d).select(
+          when(pmod($"o_orderkey", lit(97)) === 0, lit(null)).otherwise($"o_custkey").as("k"))
+        val b = Tables.customer(s, d).select(
+          when(pmod($"c_custkey", lit(89)) === 0, lit(null)).otherwise($"c_custkey").as("kb"))
+        a.join(b, $"k" <=> $"kb")
+          .groupBy($"k").agg(count(lit(1)).as("n_pairs"))
+      }),
+
     Q("q40_u256_decimal",
       "uint256 past the Decimal(38,0) ceiling (ROADMAP): 64-hex-digit values (md5||md5, deterministic " +
         "256-bit corpus) rendered as exact ≤78-digit decimal strings two ways — the one-pass BigInteger " +
