@@ -156,7 +156,7 @@ class PlanSpec extends SparkSuite {
     // (1-row max(ts) pin), x06 (10-row query set), x14 (9-row centroids),
     // x29 (langs-count-row score grid), x39 (x06's query set vs the PQ
     // reconstruction)
-    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     val allowed = Set("q10_time_window", "q18_report_pairs", "x06_knn_brute",
       "x13_approx_distinct", "x14_knn_ivf", "x25_approx_quantile",
       "x29_lang_id_ngram", "x39_pq_recon_knn")
@@ -166,6 +166,10 @@ class PlanSpec extends SparkSuite {
       if (bnl.nonEmpty)
         assert(allowed.contains(q.name),
           s"${q.name} plans an unexpected BroadcastNestedLoopJoin:\n${bnl.head}")
+      // a full cartesian is never acceptable in any declared query — the
+      // O(1)-build-side shapes above all broadcast, they never CP
+      val cp = collectAll(p) { case j: CartesianProductExec => j }
+      assert(cp.isEmpty, s"${q.name} plans a CartesianProduct:\n${cp.headOption.getOrElse("")}")
     }
   }
 }
