@@ -22,6 +22,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - integer aggregates are cast to BIGINT on the oracle side (DuckDB
   *     promotes integer SUM to HUGEINT);
   *   - column names are aliased identically on both sides.
+  *
+  * Cross-engine scalar pitfalls catalogued while writing oracles (each
+  * cost a would-be hash mismatch):
+  *   - `round()` ties: Spark HALF_UP vs engine-specific — use `floor`
+  *     when the code itself is the output (x37 quantization);
+  *   - `epoch()` in DuckDB returns fractional DOUBLE seconds; order on
+  *     exact integer `unix_micros`/`epoch_us` instead (q48);
+  *   - `levenshtein` counts bytes in DuckDB, codepoints in Spark — they
+  *     agree only on ASCII (x42 scopes its oracled slice accordingly);
+  *   - `log()`/libm functions are not correctly-rounded identically
+  *     across engines — reformulate in rational arithmetic (x41 sums
+  *     one-division probabilities as decimals instead of log-probs);
+  *   - single IEEE double ops (one divide, one multiply) ARE
+  *     bit-portable; chains are, too, when both sides use the same
+  *     literal association (generated left-associated sums — x06 etc).
   */
 final case class Q(
     name: String,
