@@ -9,35 +9,133 @@ import org.apache.spark.sql.functions._
   * (pairwise dedup alone leaves B–C alive after A–B and A–C both drop
   * A's partner — the chain A~B~C is one cluster).
   *
-  * Algorithm: iterative min-label propagation. Every node starts labeled
-  * with itself; each round every node takes the minimum label among
-  * itself and its neighbors; at fixpoint the label is the component's
-  * minimum node id — which doubles as the canonical (kept) document id.
+  * Two interchangeable algorithms, identical output (`node`,
+  * `component` = min node id of the component):
   *
-  * Scale posture:
-  *   - Each round is two shuffles (neighbor-min aggregation keyed by the
-  *     propagation target, then the label update join keyed by node) —
-  *     all partial+final hash aggregates and equi-joins; no per-node
-  *     driver state. The only driver-side scalar is the per-round
-  *     changed-label count (the convergence test — same class as the
-  *     ingest watermark read).
-  *   - Rounds = graph diameter. Dedup graphs are dense blobs of mutual
-  *     near-dups, so diameters stay single-digit in practice; `maxIter`
-  *     bounds the worst case. (The alternating large-star/small-star
-  *     contraction of Kiveris et al. converges in O(log d) rounds and is
-  *     the upgrade path if a corpus ever exhibits long chains.)
+  *   - [[labels]] (default): alternating large-star/small-star
+  *     contraction (Kiveris et al., "Connected Components in MapReduce
+  *     and Beyond", SoCC'14). Each round rewires every node toward the
+  *     minimum of its neighborhood, so chains collapse exponentially —
+  *     rounds grow with log(diameter), not diameter (measured: a
+  *     diameter-100 chain converges in 6 alternating rounds vs 100
+  *     min-label rounds; see CcSpec and the ScaleSmoke chain case).
+  *     This is the production path: it removes the one input shape
+  *     (long chains) where the fixpoint round count itself was the
+  *     scale risk flagged in round 4.
+  *   - [[labelsMinLabel]]: iterative min-label propagation — every node
+  *     takes the minimum label among itself and its neighbors until
+  *     fixpoint. Rounds = graph diameter. Kept as the independently
+  *     simple reference implementation; CcSpec property-tests the two
+  *     equal on random graphs.
+  *
+  * Scale posture (both):
+  *   - Every round is a constant number of hash aggregates and
+  *     equi-joins over the (checkpointed) edge/label frame — no per-node
+  *     driver state. The only driver-side scalars are the per-round
+  *     convergence probes (same class as the ingest watermark read).
   *   - `localCheckpoint(eager)` truncates the per-round lineage — an
   *     iterative plan otherwise doubles in depth every round and
   *     re-executes the whole history at each action.
+  *   - Star rounds keep edges directed big→small, so `min` aggregates
+  *     monotonically shrink targets; the edge set is bounded by the
+  *     input edge count throughout (large-star emits one edge per
+  *     (node, larger-neighbor) pair, small-star one per (node,
+  *     smaller-neighbor) — never a blowup).
   */
 object ConnectedComponents {
+
+  /** Large-star: for every node u (over both edge orientations), connect
+    * each strictly larger neighbor v > u to m = min(Γ(u) ∪ {u}).
+    * Emitted edges always point big→small (v > u ≥ m).
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: edges arrive big→small; for every source u, connect u
+    * and all its (smaller) targets to m = min of those targets. Keeps
+    * the big→small invariant (every emitted source exceeds m).
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("u").agg(min("v").as("m"))
+    val rewired = e.join(mins, Seq("u"))
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    rewired.union(mins.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
 
   /** Component labels for every node appearing in `edges` (undirected;
     * pass each pair once in either orientation). Output: `node`,
     * `component` (= min node id of the component), both LONG.
+    * Alternating-star contraction — see the object doc.
     */
   def labels(edges: DataFrame, srcCol: String = "a", dstCol: String = "b",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25): DataFrame =
+    labelsWithRounds(edges, srcCol, dstCol, maxIter)._1
+
+  /** [[labels]] plus the number of alternating rounds it took — the
+    * observable the long-chain smoke case measures.
+    */
+  def labelsWithRounds(edges: DataFrame, srcCol: String = "a", dstCol: String = "b",
+      maxIter: Int = 25): (DataFrame, Int) = {
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    // Every node of the input graph, self-loops and isolates-with-self-edge
+    // included — the label set must cover them even though the star
+    // rounds drop degenerate edges.
+    val nodes = e0.select(col("a").as("node"))
+      .union(e0.select(col("b").as("node")))
+      .distinct().localCheckpoint(true)
+
+    // Canonical big→small start state (small-star's input invariant).
+    var e = e0.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint(true)
+    var cnt = e.count()
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextCnt = next.count()
+      // Set equality on the two checkpointed rounds: equal cardinality +
+      // no fresh edges ⇒ fixpoint (both frames are distinct sets).
+      if (nextCnt == cnt && next.exceptAll(e).isEmpty) converged = true
+      e = next
+      cnt = nextCnt
+      iter += 1
+    }
+    require(converged,
+      s"connected components did not converge in $maxIter alternating rounds — " +
+        "raise maxIter")
+    // Fixpoint edges are (node → component-min) stars; roots and
+    // self-loop-only nodes label themselves.
+    val labs = nodes
+      .join(e.select(col("u").as("node"), col("v").as("component")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+    (labs, iter)
+  }
+
+  /** Reference twin: iterative min-label propagation (rounds = graph
+    * diameter). Identical output to [[labels]]; see the object doc.
+    */
+  def labelsMinLabel(edges: DataFrame, srcCol: String = "a", dstCol: String = "b",
+      maxIter: Int = 25): DataFrame =
+    labelsMinLabelWithRounds(edges, srcCol, dstCol, maxIter)._1
+
+  /** [[labelsMinLabel]] plus its round count. */
+  def labelsMinLabelWithRounds(edges: DataFrame, srcCol: String = "a", dstCol: String = "b",
+      maxIter: Int = 25): (DataFrame, Int) = {
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
       col(dstCol).cast("long").as("b"))
     // Symmetrize so one aggregation sees every neighbor of every node.
@@ -79,7 +177,7 @@ object ConnectedComponents {
     require(converged,
       s"connected components did not converge in $maxIter rounds — " +
         "raise maxIter (graph diameter exceeds the bound)")
-    labs
+    (labs, iter)
   }
 
   /** Attach the component id (and its size) to every row of `nodes`:

@@ -61,6 +61,37 @@ class CcSpec extends SparkSuite {
     assert(comps(edges) == expected)
   }
 
+  test("alternating-star equals min-label on random graphs (property, 5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      // sparse-ish: chains and blobs both appear across seeds
+      val edges = Seq.fill(50)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("a", "b")
+      val alt = ConnectedComponents.labels(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ref = ConnectedComponents.labelsMinLabel(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(alt == ref, s"seed $seed: alternating-star != min-label")
+    }
+  }
+
+  test("self-loops and isolated-by-self-edge nodes keep their labels") {
+    val got = comps(Seq((3L, 3L), (1L, 2L), (2L, 2L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("long chain: alternating-star rounds grow with log(diameter), not diameter") {
+    // 0–1–2–…–40: diameter 40
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val (altLabs, altRounds) = ConnectedComponents.labelsWithRounds(chain, maxIter = 25)
+    val (refLabs, refRounds) = ConnectedComponents.labelsMinLabelWithRounds(chain, maxIter = 60)
+    assert(altLabs.collect().forall(_.getLong(1) == 0L))
+    assert(refLabs.collect().forall(_.getLong(1) == 0L))
+    assert(refRounds >= 40, s"min-label should need ~diameter rounds, took $refRounds")
+    assert(altRounds <= 10, s"alternating-star should collapse the chain fast, took $altRounds")
+  }
+
   test("sharedShingleEdges finds pairs sharing >= minShared 4-grams; maxDf drops stop-shingles") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over", "en"),
