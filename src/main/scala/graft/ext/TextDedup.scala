@@ -91,8 +91,21 @@ object TextDedup {
     * The self-join keys on (band, band_hash) — a plain shuffled hash
     * join over buckets, never an all-pairs product.
     */
-  def candidatePairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    candidatePairsFrom(minhashSignatures(docs, idCol, textCol))
+  def candidatePairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    candidatePairsFrom(minhashSignatures(docs, idCol, textCol), maxBucket)
+
+  /** Default per-(band, band_hash) bucket cap for candidate generation.
+    * A bucket of k docs expands to k·(k-1)/2 pairs — the ONE measured
+    * superlinear path in the engine (SCALING.md: 27.3M pairs / 59.6 s at
+    * ×100 dup saturation, C(100,2) per bucket). Buckets past the cap are
+    * near-certain exact-duplicate / boilerplate groups that belong to
+    * exact dedup (x01) upstream, not to pairwise near-dup scoring; 256
+    * bounds any one bucket at C(256,2) ≈ 33k pairs while sitting far
+    * above what honest near-dup buckets reach (LSH's premise is small
+    * buckets). `maxBucket = 0` disables the cap (exact output).
+    */
+  val DefaultMaxBucket = 256
 
   /** Candidate generation over any (doc_id, s0..s15) signature frame —
     * shared by the xxhash64 fast path and the oracled portable family.
@@ -103,19 +116,23 @@ object TextDedup {
     * and paid two shuffles; this shape computes signatures once and
     * shuffles once. In-bucket expansion is quadratic in bucket size on
     * purpose — candidate pairs ARE that quadratic set (the join emitted
-    * the same rows); LSH's premise is that buckets stay small. At scale,
-    * cap pathological buckets (all-identical boilerplate docs) upstream
-    * by filtering `size(ms)` before the explode if needed.
+    * the same rows); LSH's premise is that buckets stay small. Buckets
+    * larger than `maxBucket` are dropped (defaulted on — see
+    * [[DefaultMaxBucket]]); [[oversizedBuckets]] reports what a given
+    * cap discards so the drop is observable, not silent.
     */
-  def candidatePairsFrom(signatures: DataFrame): DataFrame = {
+  def candidatePairsFrom(signatures: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val banded = signatures
       .select(col("doc_id"), sigArray.as("sig"), explode(bandStructs).as("bb"))
       .select(col("bb.band").as("band"), col("bb.band_hash").as("band_hash"),
         struct(col("doc_id"), col("sig")).as("ds"))
     // sort_array orders by doc_id (unique), so j < i gives doc_a < doc_b
+    val sizeOk =
+      if (maxBucket > 0) size(col("ms")) > 1 && size(col("ms")) <= maxBucket
+      else size(col("ms")) > 1
     val buckets = banded.groupBy(col("band"), col("band_hash"))
       .agg(sort_array(collect_list(col("ds"))).as("ms"))
-      .filter(size(col("ms")) > 1)
+      .filter(sizeOk)
     val pairStructs = flatten(transform(sequence(lit(1), size(col("ms")) - 1), i =>
       transform(sequence(lit(0), i - 1), j => {
         val a = element_at(col("ms"), j + 1)
@@ -133,6 +150,22 @@ object TextDedup {
       .select(col("p.doc_a"), col("p.doc_b"), col("p.est_jaccard"))
       .distinct()
   }
+
+  /** The buckets a given `maxBucket` cap would discard, with their sizes
+    * and the pair count each would have expanded to — the observability
+    * half of the cap: run it next to [[candidatePairsFrom]] (same
+    * signature frame, same single-shuffle shape) to log what was dropped
+    * instead of dropping silently. Empty output ⇒ the cap was inert and
+    * the capped result is exact.
+    */
+  def oversizedBuckets(signatures: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    signatures
+      .select(col("doc_id"), explode(bandStructs).as("bb"))
+      .groupBy(col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+      .select(col("band"), col("band_hash"), col("bucket_size"),
+        (col("bucket_size") * (col("bucket_size") - 1) / 2).cast("long").as("pairs_dropped"))
 
   /** Benchmark decontamination: per training document, how many of its
     * distinct word-`n`-gram shingles appear anywhere in the evaluation

@@ -36,6 +36,12 @@ package object functions {
         Md5Prefix60(children.head))
     Internal.register(
       spark,
+      "cm_estimate",
+      new ExpressionInfo(classOf[CmEstimate].getName, "cm_estimate"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CmEstimate(children(0), children(1)))
+    Internal.register(
+      spark,
       "u256_dec",
       new ExpressionInfo(classOf[U256DecString].getName, "u256_dec"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
@@ -164,6 +170,13 @@ package object functions {
     */
   def md5_prefix60(c: Column): Column =
     Internal.column(Md5Prefix60(Internal.expression(c)))
+
+  /** Point-frequency probe of a serialized Count-Min sketch — keeps
+    * sketch queries pure plans (broadcast the 1-row sketch aggregate,
+    * probe per row); see [[CmEstimate]].
+    */
+  def cm_estimate(sketch: Column, term: Column): Column =
+    Internal.column(CmEstimate(Internal.expression(sketch), Internal.expression(term)))
 
   /** Cosine similarity between two Array[Float]/Array[Double] columns —
     * the native fused-loop Catalyst expression ([[CosineSimilarityExpr]]).

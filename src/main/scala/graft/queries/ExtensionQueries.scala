@@ -88,14 +88,20 @@ object ExtensionQueries {
     val n = graft.ext.TextDedup.NumHashes
     val eqCount = (0 until n).map(i =>
       s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END").mkString(" + ")
+    // `ok` mirrors candidatePairsFrom's default bucket cap (DefaultMaxBucket):
+    // the oracled path IS the capped production default, so the gate would
+    // catch a cap regression. Inert at sf0.01 (no bucket near the cap).
     s"""$shingleHashCte,
        |sig AS (SELECT doc_id, $sigColsSql FROM h GROUP BY doc_id),
        |banded AS (
        |  SELECT sig.*, band, CASE band $bandKeyCases END AS bkey
-       |  FROM sig, (VALUES $bandValues) bs(band))
+       |  FROM sig, (VALUES $bandValues) bs(band)),
+       |ok AS (SELECT band, bkey FROM banded GROUP BY band, bkey
+       |       HAVING count(*) <= ${graft.ext.TextDedup.DefaultMaxBucket})
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST($eqCount AS BIGINT) / CAST($n.0 AS DOUBLE) AS est_jaccard
        |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |JOIN ok ON a.band = ok.band AND a.bkey = ok.bkey
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
@@ -901,28 +907,29 @@ object ExtensionQueries {
       "Count-Min sketch point-frequency estimates (built-in count_min_sketch aggregate, eps 1e-4, fixed " +
         "seed) oracled via the CM contract on the exact top-10 terms: est >= true and est <= true + " +
         "eps*N. O(1/eps) state at any corpus size — the mergeable frequency-table companion to x27's " +
-        "Misra-Gries candidate set.",
+        "Misra-Gries candidate set. Pure plan (round-5): the 1-row sketch aggregate is broadcast onto " +
+        "the top-10 frame and probed by the cm_estimate codegen expression — no driver-side collect. " +
+        "NOTE the upper bound holds with confidence 0.99 PER QUERY; with the fixed seed it is " +
+        "deterministic for this corpus, but regenerated test data could legitimately show in_bound=0 " +
+        "without an engine bug (round-4 ADVICE) — that reads as a sketch-contract miss, not a hash bug.",
       Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
              |t AS (SELECT term, count(*) AS cnt FROM w GROUP BY term ORDER BY cnt DESC, term LIMIT 10)
              |SELECT term, cnt, CAST(1 AS INT) AS in_bound FROM t""".stripMargin),
       (s, d) => {
-        import s.implicits._
         val words = Tables.documents(s, d)
           .select(explode(split(col("text"), " ")).as("term"))
         val eps = 1e-4
-        val sketchBytes = words
-          .agg(count_min_sketch(col("term"), lit(eps), lit(0.99), lit(42)).as("sk"))
-          .head.getAs[Array[Byte]](0)
-        val sk = org.apache.spark.util.sketch.CountMinSketch
-          .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
-        val total = sk.totalCount()
+        val sketch = words.agg(
+          count_min_sketch(col("term"), lit(eps), lit(0.99), lit(42)).as("sk"),
+          count(lit(1)).as("total"))
         val top = words.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("term")).limit(10)
-          .as[(String, Long)].collect()
-        top.toSeq.map { case (term, cnt) =>
-          val est = sk.estimateCount(term)
-          (term, cnt, if (est >= cnt && est <= cnt + (eps * total).ceil.toLong) 1 else 0)
-        }.toDF("term", "cnt", "in_bound")
+        val est = graft.functions.cm_estimate(col("sk"), col("term"))
+        top.crossJoin(broadcast(sketch))
+          .select(col("term"), col("cnt"),
+            (est >= col("cnt") &&
+              est <= col("cnt") + ceil(lit(eps) * col("total")).cast("long"))
+              .cast("int").as("in_bound"))
       }),
 
     Q("x28_zorder_key",

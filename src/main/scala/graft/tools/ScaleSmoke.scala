@@ -37,7 +37,7 @@ object ScaleSmoke {
     "q19_reingest_dedup", "q18_report_pairs", "q25_sessionize",
     "x01_dedup_exact", "x03_minhash_pairs", "x06_knn_brute",
     // round-2 operators
-    "q34_window_funcs", "q35_range_join", "q36_salted_join",
+    "q34_window_funcs", "q35_range_join",
     "x16_minhash_portable", "x22_ngram_counts", "x26_tfidf_top_terms",
     // round-3/4 operators
     "q40_u256_decimal", "q41_u256_sum", "x29_lang_id_ngram",
@@ -79,6 +79,45 @@ object ScaleSmoke {
       // but running it before would warm page cache/JIT for the timed
       // region — the timed run must be the cold one
       println(f"[scale] $name%-22s $secs%8.2fs  rows=${df.count()}")
+    }
+
+    // LSH cap contrast: the registered x03 above runs with the default
+    // per-bucket cap (TextDedup.DefaultMaxBucket). Measure the uncapped
+    // variant next to it — the pre-round-5 superlinear behavior — and
+    // report what the cap discarded, so "bounded pair growth" is a
+    // measured row, not a claim.
+    {
+      import graft.ext.TextDedup
+      val docs = spark.read.parquet(s"$outDir/documents.parquet")
+      val sigs = TextDedup.minhashSignaturesPortable(docs)
+      val t0 = System.nanoTime()
+      val uncapped = TextDedup.candidatePairsFrom(sigs, maxBucket = 0)
+      uncapped.write.mode("overwrite").format("noop").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] x03_uncapped          $secs%8.2fs  rows=${uncapped.count()}")
+      val dropped = TextDedup.oversizedBuckets(sigs).collect() // O(oversized buckets), tiny
+      println(s"[scale] x03 cap=${TextDedup.DefaultMaxBucket}: " +
+        s"buckets_dropped=${dropped.length} pairs_dropped=${dropped.map(_.getLong(3)).sum}")
+    }
+
+    // CC round-count contrast on a long-chain graph: 1000 disjoint
+    // diameter-99 chains (100k nodes). Min-label needs ~diameter rounds;
+    // alternating-star collapses in ~log(diameter) — the round-4 flagged
+    // scale risk, now measured side by side.
+    {
+      import graft.operators.ConnectedComponents
+      val edges = spark.range(100000L).filter(col("id") % 100 =!= 99)
+        .selectExpr("id AS a", "id + 1 AS b")
+      val t0 = System.nanoTime()
+      val (labsAlt, roundsAlt) = ConnectedComponents.labelsWithRounds(edges, maxIter = 30)
+      val compsAlt = labsAlt.select("component").distinct().count()
+      println(f"[scale] cc_chain_altstar     ${(System.nanoTime() - t0) / 1e9}%8.2fs  " +
+        s"rounds=$roundsAlt comps=$compsAlt")
+      val t1 = System.nanoTime()
+      val (labsMin, roundsMin) = ConnectedComponents.labelsMinLabelWithRounds(edges, maxIter = 150)
+      val compsMin = labsMin.select("component").distinct().count()
+      println(f"[scale] cc_chain_minlabel    ${(System.nanoTime() - t1) / 1e9}%8.2fs  " +
+        s"rounds=$roundsMin comps=$compsMin")
     }
     spark.stop()
   }

@@ -41,6 +41,31 @@ class ExtSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("bucket cap drops only the saturated group; oversizedBuckets reports it") {
+    // 40 identical boilerplate docs (one saturated bucket per band) next
+    // to the small near-dup pair — the dup-heavy shape that made x03
+    // quadratic at ×100 in SCALING.md.
+    val boiler = (100L until 140L).map(i =>
+      (i, "identical boilerplate footer text repeated across every mirrored page of the site", "en"))
+    val corpus = docs.unionAll(boiler.toDF("doc_id", "text", "lang"))
+    val sigs = TextDedup.minhashSignatures(corpus)
+
+    val capped = TextDedup.candidatePairsFrom(sigs, maxBucket = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((0L, 3L)), "cap must keep small-bucket pairs")
+    assert(!capped.exists(p => p._1 >= 100L), "saturated bucket must be dropped")
+
+    val uncapped = TextDedup.candidatePairsFrom(sigs, maxBucket = 0).collect()
+    assert(uncapped.length == capped.size + 40 * 39 / 2, "uncapped = capped + C(40,2) boiler pairs")
+
+    val over = TextDedup.oversizedBuckets(sigs, maxBucket = 10).collect()
+    assert(over.nonEmpty && over.forall(_.getLong(2) == 40L))
+    assert(over.forall(_.getLong(3) == 40L * 39 / 2))
+    // default cap (256) is inert on this corpus: exact output
+    assert(TextDedup.oversizedBuckets(sigs).collect().isEmpty)
+    assert(TextDedup.candidatePairsFrom(sigs).collect().length == uncapped.length)
+  }
+
   test("simhash: identical texts equal, near-dups close in hamming distance") {
     val sh = TextDedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(0L) == sh(3L))

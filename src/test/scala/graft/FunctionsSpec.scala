@@ -135,6 +135,30 @@ class FunctionsSpec extends SparkSuite {
     assert(got("hot") >= 2000 - 6000 / 9, s"lower bound too loose: ${got("hot")}")
   }
 
+  test("cm_estimate: in-plan probe equals the driver-side CountMinSketch probe") {
+    val rnd = new scala.util.Random(17)
+    val items = Seq.fill(3000)(s"t${rnd.nextInt(50)}")
+    val df = items.toDF("term").repartition(5)
+    val sketch = df.agg(
+      org.apache.spark.sql.functions.count_min_sketch(
+        col("term"), lit(1e-3), lit(0.99), lit(42)).as("sk"))
+    val probes = Seq("t0", "t7", "t49", "absent").toDF("term")
+    val got = probes.crossJoin(broadcast(sketch))
+      .select(col("term"), cm_estimate(col("sk"), col("term")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // reference: deserialize on the driver and probe directly
+    val bytes = sketch.first().getAs[Array[Byte]](0)
+    val sk = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    got.foreach { case (term, est) =>
+      assert(est == sk.estimateCount(term), s"$term: plan=$est driver=${sk.estimateCount(term)}")
+    }
+    val trueCounts = items.groupBy(identity).view.mapValues(_.size).toMap
+    got.filterNot(_._1 == "absent").foreach { case (term, est) =>
+      assert(est >= trueCounts(term).toLong, s"CM underestimated $term")
+    }
+  }
+
   test("frequent_items state stays bounded by capacity") {
     val items = (0 until 10000).map(i => s"unique_$i")
     val n = items.toDF("item").repartition(13)
