@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   * once per salt value. Joining on (key, salt) splits each hot key's
   * rows across nSalts reducers at the cost of replicating the dim side
   * — the standard trade. Result is row-identical to the plain join
-  * (property-tested in SaltSpec, oracled as q36).
+  * (property-tested row-identical to the plain join in RangeJoinSpec;
+  * library-only since round 5 — the registered skew query is q43's
+  * skew-aware path, which uses this as its hot-slice primitive).
   *
   * AQE's skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`)
   * handles moderate skew without this; explicit salting remains the tool

@@ -627,22 +627,18 @@ object RelationalQueries {
           .select($"event_id", $"n_matches".as("n_orders_7d"))
       }),
 
-    Q("q36_salted_join",
-      "Skew-remedy salted join (operators.Salt, 8 salts): q03's fact⋈fact aggregate with the hot keys " +
-        "split across 8 reducers — oracled against the plain join, proving row-identical results.",
-      Some("""SELECT o_orderstatus,
-             |  CAST(CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue,
-             |  count(*) AS n
-             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
-      (s, d) => Salt.saltedJoin(Tables.lineitem(s, d), Tables.orders(s, d),
-          "l_orderkey", "o_orderkey", col("l_linenumber"), 8)
-        .groupBy($"o_orderstatus")
-        .agg(decStr(sum(revenue)).as("revenue"), count(lit(1)).as("n"))),
+    // q36_salted_join (blanket salt, every key split across 8 reducers)
+    // was registered through round 4 as the measured contrast for q43;
+    // demoted to library-only in round 5 (round-4 VERDICT: the registry
+    // should hold plans you would ship, and blanket salting pays nSalts×
+    // dim replication on EVERY key — SCALING.md keeps the 13.1s-vs-2.7s
+    // ×10 contrast). The operator (Salt.saltedJoin) remains: it is the
+    // hot-slice primitive inside skewAwareJoin and is property-tested
+    // row-identical to the plain join in RangeJoinSpec.
 
     Q("q43_skew_join",
       "Skew-AWARE salted join: Misra-Gries hot-key detection bounds dim replication to the hot slice; " +
-        "cold keys take the plain join. Row-identical to the plain join (same oracle as q36).",
+        "cold keys take the plain join. Row-identical to the plain join, so the oracle IS the plain join.",
       Some("""SELECT o_orderstatus,
              |  CAST(CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue,
              |  count(*) AS n
@@ -731,21 +727,23 @@ object RelationalQueries {
       "Correlated scalar subqueries through the SQL surface (orders above their customer's average): " +
         "Catalyst decorrelates both subqueries into aggregate + equi-joins — no per-row re-execution. " +
         "The predicate is exact decimal (price*count > sum), so it is aggregation-order-independent; " +
-        "oracle = the identical SQL text in DuckDB.",
+        "oracle = the identical SQL text in DuckDB. Widths chosen so the product (18,6)×(19,0) stays " +
+        "inside 38 digits in BOTH engines — DECIMAL(38,6)*BIGINT would overflow 38 in DuckDB and " +
+        "silently fall back to DOUBLE there while Spark stayed exact (round-4 ADVICE).",
       Some("""SELECT o_orderkey, o_custkey,
              |       CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR) AS total
              |FROM orders o
-             |WHERE CAST(o_totalprice AS DECIMAL(38,6)) *
-             |      (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
-             |    > (SELECT SUM(CAST(o_totalprice AS DECIMAL(38,6))) FROM orders o3 WHERE o3.o_custkey = o.o_custkey)""".stripMargin),
+             |WHERE CAST(o_totalprice AS DECIMAL(18,6)) *
+             |      CAST((SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS DECIMAL(19,0))
+             |    > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,6))) FROM orders o3 WHERE o3.o_custkey = o.o_custkey)""".stripMargin),
       (s, d) => {
         graft.GraftSession.registerTables(s, d)
         s.sql("""SELECT o_orderkey, o_custkey,
                 |       CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS STRING) AS total
                 |FROM orders o
-                |WHERE CAST(o_totalprice AS DECIMAL(38,6)) *
-                |      (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
-                |    > (SELECT SUM(CAST(o_totalprice AS DECIMAL(38,6))) FROM orders o3 WHERE o3.o_custkey = o.o_custkey)""".stripMargin)
+                |WHERE CAST(o_totalprice AS DECIMAL(18,6)) *
+                |      CAST((SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS DECIMAL(19,0))
+                |    > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,6))) FROM orders o3 WHERE o3.o_custkey = o.o_custkey)""".stripMargin)
       }),
 
     Q("q49_nullsafe_join",

@@ -6,7 +6,7 @@ import graft.ext.TextDedup
 
 /** Measured contrast for the x36 duplicate-span operator's two gram
   * keys: raw 8-gram strings (what the oracle checks) vs the 8-byte
-  * md5-prefix hash (`hashGrams = true`, the production default). The
+  * xxhash64 gram key (`hashGrams = true`, the production default). The
   * dataflow is identical — explode positional grams, find cross-doc
   * grams, semi-join postings, count covered positions — so the contrast
   * isolates what the gram KEY costs through the two aggregation/join
