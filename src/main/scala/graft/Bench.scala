@@ -22,23 +22,41 @@ object Bench {
     spark.range(0, 100000, 1, 4).groupBy((org.apache.spark.sql.functions.col("id") % 7).as("k"))
       .count().count()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    // Two full passes, report the per-query minimum: single-pass numbers
+    // Multi-pass, report the per-query minimum: single-pass numbers
     // swing ±20% on this box (shared-host noise + first-evaluation JIT /
-    // codegen compilation), and the min of two passes is the stable
-    // estimate of the plan's actual cost (documented in BASELINE.md).
-    def pass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        // noop sink = full evaluation of every output column (count()
-        // would let Catalyst prune whole operators — a window/join whose
-        // columns the count never reads vanishes from the plan, timing
-        // nothing)
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-        catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-    val p1 = pass().toMap
-    val results = pass().map { case (name, t2) => name -> math.min(p1(name), t2) }
+    // codegen compilation), and the min of passes is the stable estimate
+    // of the plan's actual cost (documented in BASELINE.md). The second
+    // pass runs in REVERSE query order, so one sustained contention
+    // window covers different queries in each pass and can't poison both
+    // samples of the same query (the round-5 bench recorded phantom
+    // 2-6x regressions exactly because both forward passes sat in the
+    // same noisy window). Queries whose two samples still disagree
+    // badly get a third targeted sample.
+    def time(name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      // noop sink = full evaluation of every output column (count()
+      // would let Catalyst prune whole operators — a window/join whose
+      // columns the count never reads vanishes from the plan, timing
+      // nothing)
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val p1 = names.map(n => n -> time(n)).toMap
+    val p2 = names.reverse.map(n => n -> time(n)).toMap
+    val results = names.map { name =>
+      val (a, b) = (p1(name), p2(name))
+      val best = math.min(a, b)
+      // both samples may sit in the same noise tail only if the window
+      // spanned the whole run; a >1.4x spread with >0.3s absolute gap is
+      // the contamination signature — buy one more sample for just those
+      val settled =
+        if (math.max(a, b) > best * 1.4 && math.abs(a - b) > 0.3) math.min(best, time(name))
+        else best
+      name -> settled
+    }
     // ms precision keeps the one-line JSON short enough for the driver's
     // fixed-size output tail to capture the line from its opening brace
     // (full-precision doubles pushed the "metric" prefix out of the

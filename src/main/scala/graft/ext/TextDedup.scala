@@ -156,14 +156,19 @@ object TextDedup {
     * half of the cap: run it next to [[candidatePairsFrom]] (same
     * signature frame, same single-shuffle shape) to log what was dropped
     * instead of dropping silently. Empty output ⇒ the cap was inert and
-    * the capped result is exact.
+    * the capped result is exact. `maxBucket <= 0` means "cap disabled"
+    * (matching [[candidatePairsFrom]]'s sentinel), so nothing is
+    * discarded and the output is empty. `pairs_dropped` is each bucket's
+    * own pair expansion — a per-bucket work measure, not a count of
+    * distinct output pairs lost (the same doc pair can sit in oversized
+    * buckets of several bands, or survive via another small bucket).
     */
   def oversizedBuckets(signatures: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame =
     signatures
       .select(col("doc_id"), explode(bandStructs).as("bb"))
       .groupBy(col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
       .agg(count(lit(1)).as("bucket_size"))
-      .filter(col("bucket_size") > maxBucket)
+      .filter(if (maxBucket > 0) col("bucket_size") > maxBucket else lit(false))
       .select(col("band"), col("band_hash"), col("bucket_size"),
         (col("bucket_size") * (col("bucket_size") - 1) / 2).cast("long").as("pairs_dropped"))
 

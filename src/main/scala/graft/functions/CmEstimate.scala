@@ -15,16 +15,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * because unsafe-row reads may copy the byte array per row.
   */
 object CmKernels {
-  private val cache =
-    new ThreadLocal[(Array[Byte], org.apache.spark.util.sketch.CountMinSketch)]
+  // SoftReference so the GC can reclaim the last sketch (serialized bytes
+  // + ~1MB deserialized table at tight eps) once the query is done —
+  // pooled executor threads outlive any one query, so a hard ThreadLocal
+  // would pin the pair for the JVM lifetime.
+  private val cache = new ThreadLocal[
+    java.lang.ref.SoftReference[(Array[Byte], org.apache.spark.util.sketch.CountMinSketch)]]
 
   def estimate(bytes: Array[Byte], term: UTF8String): Long = {
-    var c = cache.get()
+    val ref = cache.get()
+    var c = if (ref == null) null else ref.get()
     if (c == null || !java.util.Arrays.equals(c._1, bytes)) {
       val sk = org.apache.spark.util.sketch.CountMinSketch
         .readFrom(new java.io.ByteArrayInputStream(bytes))
       c = (bytes, sk)
-      cache.set(c)
+      cache.set(new java.lang.ref.SoftReference(c))
     }
     // String probe: CountMinSketchImpl hashes a String via its UTF-8
     // bytes — the same path count_min_sketch's aggregate used to add

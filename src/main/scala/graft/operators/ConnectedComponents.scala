@@ -53,11 +53,13 @@ object ConnectedComponents {
       .union(e.select(col("v").as("u"), col("u").as("v")))
     val mins = sym.groupBy("u").agg(min("v").as("mn"))
       .select(col("u"), least(col("u"), col("mn")).as("m"))
+    // No distinct here: smallStar's terminal distinct canonicalizes the
+    // round's output, so dedup-ing the intermediate frame would only add
+    // an exchange (CcSpec's 5-seed equality property covers this).
     sym.join(mins, Seq("u"))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
   }
 
   /** Small-star: edges arrive big→small; for every source u, connect u
@@ -88,36 +90,62 @@ object ConnectedComponents {
     */
   def labelsWithRounds(edges: DataFrame, srcCol: String = "a", dstCol: String = "b",
       maxIter: Int = 25): (DataFrame, Int) = {
+    // Lazy checkpoint of the raw edge frame: the first action below
+    // materializes (caches + lineage-truncates) it, so the upstream edge
+    // producer — typically a whole LSH candidate pipeline — runs exactly
+    // once, and both derivations (canonical edges now, the node universe
+    // at the end) read cached blocks.
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
-      col(dstCol).cast("long").as("b"))
+      col(dstCol).cast("long").as("b")).localCheckpoint(false)
     // Every node of the input graph, self-loops and isolates-with-self-edge
     // included — the label set must cover them even though the star
     // rounds drop degenerate edges.
     val nodes = e0.select(col("a").as("node"))
       .union(e0.select(col("b").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct()
 
     // Canonical big→small start state (small-star's input invariant).
     var e = e0.filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-      .distinct().localCheckpoint(true)
-    var cnt = e.count()
+      .distinct().localCheckpoint(false)
+
+    // Fixpoint fingerprint: (row count, sum of per-edge xxhash64). Both
+    // round frames are distinct sets, so equal (count, checksum) ⇒ set
+    // equality (up to a 64-bit hash-sum collision) — replacing the former
+    // count() + exceptAll() pair of convergence jobs. The frames are
+    // LAZY-checkpointed, so this aggregate doubles as the materializing
+    // action: ONE Spark job per round computes the round, caches its
+    // blocks, truncates lineage, and reads off the convergence scalars.
+    // The hash is summed as decimal: a long sum would overflow (an ANSI
+    // error) after a few billion-magnitude hashes.
+    def fingerprint(df: DataFrame): (Long, Option[java.math.BigDecimal]) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(20,0)"))).first()
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDecimal(1)))
+    }
+    var state = fingerprint(e)
 
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      val nextCnt = next.count()
-      // Set equality on the two checkpointed rounds: equal cardinality +
-      // no fresh edges ⇒ fixpoint (both frames are distinct sets).
-      if (nextCnt == cnt && next.exceptAll(e).isEmpty) converged = true
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val nextState = fingerprint(next)
+      if (nextState == state) converged = true
       e = next
-      cnt = nextCnt
+      state = nextState
       iter += 1
     }
     require(converged,
       s"connected components did not converge in $maxIter alternating rounds — " +
         "raise maxIter")
+    // Star invariant at the detected fixpoint: at most one outgoing edge
+    // per node, so the label join below cannot fan out. One aggregate on
+    // the final (small) frame — cheap insurance against a non-star
+    // fixpoint slipping through the fingerprint equality.
+    val maxOut = e.groupBy("u").agg(count(lit(1)).as("c")).agg(max("c")).first()
+    require(maxOut.isNullAt(0) || maxOut.getLong(0) == 1L,
+      "connected components fixpoint is not a star forest — " +
+        s"a node has ${maxOut.getLong(0)} outgoing edges")
     // Fixpoint edges are (node → component-min) stars; roots and
     // self-loop-only nodes label themselves.
     val labs = nodes

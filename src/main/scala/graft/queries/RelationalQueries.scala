@@ -832,7 +832,26 @@ object RelationalQueries {
              |FROM range(1005000, 1010000) t(r)""".stripMargin),
       (s, d) => s.read.format("blockrange")
         .option("from", 1000000).option("to", 1009999).option("slice", 2000).load()
-        .filter($"block_number" >= 1005000)))
+        .filter($"block_number" >= 1005000)),
+
+    Q("q50_partition_prune",
+      "SURVEY §4 date-partition pruning over a hive-partitioned fact (events re-laid out by " +
+        "event_date via Ingest.appendPartitioned — the reference's daily slice landing, " +
+        "export_blocks_and_events_dag.py:56-57): a one-week calendar predicate prunes 23 of 30 " +
+        "date partitions at planning time (locked in PlanSpec) instead of scanning the fact " +
+        "history. Oracle re-derives the same week from the flat events table.",
+      Some("""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date, event_type,
+             |  count(*) AS n,
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_value
+             |FROM events
+             |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, d) => graft.pipeline.Derived.eventsByDate(s, d)
+        .filter($"event_date".between(
+          lit(java.sql.Date.valueOf("2024-01-08")), lit(java.sql.Date.valueOf("2024-01-14"))))
+        .groupBy($"event_date".cast("string").as("event_date"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          decStr(sum(dec6($"value"))).as("total_value"))))
 
 
 

@@ -150,6 +150,20 @@ class PlanSpec extends SparkSuite {
       s"sliding windows must not join:\n$p")
   }
 
+  test("q50: calendar predicate prunes date partitions at planning time") {
+    val p = plan(SparkEntry.queries("q50_partition_prune")(spark, sf))
+    val scan = collectAll(p) { case f: FileSourceScanExec => f }.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"calendar predicate did not become a partition filter:\n$scan")
+    val selected = scan.selectedPartitions.partitionCount
+    assert(selected == 7, s"expected the 7-day week to read 7 date partitions, read $selected")
+    // the unfiltered layout really does carry more partitions than the scan read
+    val all = plan(graft.pipeline.Derived.eventsByDate(spark, sf).groupBy("event_type").count())
+    val allScan = collectAll(all) { case f: FileSourceScanExec => f }.head
+    assert(allScan.selectedPartitions.partitionCount == 30,
+      s"fixture should carry 30 date partitions, has ${allScan.selectedPartitions.partitionCount}")
+  }
+
   test("only O(1)-row build sides ever nested-loop (scalar pins, query/centroid sets)") {
     // the full-registry audit: any BroadcastNestedLoopJoin or cartesian
     // in any declared query must build from a bounded tiny side — q10/q18
