@@ -204,4 +204,43 @@ class ManifestTableSpec extends SparkSuite {
     assert(before.count() == 1000)
     assert(ManifestTable.read(spark, root).count() == 500)
   }
+
+  test("two writer JVMs racing commitWithRetry produce a linear version chain, no lost commits") {
+    // real process boundaries (round-4 item 6): the latch's O_EXCL
+    // createNewFile is only proven multi-writer-safe by crossing JVMs —
+    // in-process races share one filesystem view and can't catch a
+    // broken CAS
+    val root = java.nio.file.Files.createTempDirectory("graft-manifest-mproc").toString
+    val perWriter = 4
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+      .sliding(2).collect { case Array("--add-opens", v) => Seq("--add-opens", v) }
+      .flatten.toSeq
+    def launch(id: String) = new ProcessBuilder(
+      (Seq(javaBin, "-Xmx1g", "-cp", sys.props("java.class.path")) ++ addOpens ++
+        Seq("graft.tools.ManifestStress", root, id, perWriter.toString)): _*)
+      .inheritIO().start()
+    val (p1, p2) = (launch("w1"), launch("w2"))
+    assert(p1.waitFor() == 0, "writer 1 JVM failed")
+    assert(p2.waitFor() == 0, "writer 2 JVM failed")
+
+    // linear chain: versions 0..2n-1, each version's file set a strict
+    // superset of its parent's (append-only history, no forks)
+    val head = ManifestTable.currentVersion(spark, root).get
+    assert(head == 2L * perWriter - 1, s"expected ${2 * perWriter} commits, head=$head")
+    (0L to head).sliding(2).foreach { case Seq(a, b) =>
+      val (fa, fb) = (ManifestTable.files(spark, root, a).toSet,
+        ManifestTable.files(spark, root, b).toSet)
+      assert(fa.subsetOf(fb) && fb.size > fa.size,
+        s"version $b is not an append descendant of $a")
+    case _ => ()
+    }
+    // no lost or duplicated commit: exactly one row per (writer, i)
+    val rows = ManifestTable.read(spark, root)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(rows.size == 2 * perWriter, s"row count ${rows.size}")
+    assert(rows.toSet == (for (w <- Set("w1", "w2"); i <- 0 until perWriter) yield (w, i)),
+      s"commit set mismatch: $rows")
+  }
 }

@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingIngest
+
+/** Streaming↔batch equivalence for the stream-stream interval joins
+  * (round-4 item 5): a deterministic corpus is replayed file-by-file
+  * (maxFilesPerTrigger=1, so join state genuinely crosses micro-batch
+  * boundaries and survives in the state store), and the emitted rows must
+  * equal an INDEPENDENTLY formulated batch interval join — written here
+  * as a plain DataFrame join, not by re-running the streaming operator on
+  * batch frames (which would compare the code with itself).
+  */
+class StreamBatchEquivalenceSpec extends SparkSuite {
+
+  private val Horizon = "30 minutes"
+
+  /** Deterministic corpus. Per user 0..9: clicks at 10:00/11:00/12:00
+    * (+user minutes). Purchases exercise every attribution shape:
+    * in-horizon match (users 0-4), out-of-horizon gap (5-7, 45 min —
+    * misses its click), exact horizon boundary (8, +30:00 inclusive),
+    * purchase with no click user (42), and users 9's clicks with no
+    * purchase at all (pure outer-null rows).
+    */
+  private def corpus: (Seq[(Long, Long, String, Double)], Seq[(Long, Long, String, Double)]) = {
+    def ts(h: Int, m: Int, s: Int = 0) = f"2026-01-01 $h%02d:$m%02d:$s%02d"
+    val clicks = for {
+      u <- 0L until 10L
+      (h, i) <- Seq(10, 11, 12).zipWithIndex
+    } yield (1000L + u * 10 + i, u, ts(h, u.toInt), 0.0)
+    val purchases =
+      (for (u <- 0L until 5L) yield (2000L + u, u, ts(10, u.toInt + 10), 5.0 + u)) ++
+      (for (u <- 5L until 8L) yield (2100L + u, u, ts(10, u.toInt + 45), 7.0)) ++
+      Seq((2200L, 8L, ts(10, 38), 9.0), // click at 10:08, +30:00 exactly
+          (2300L, 42L, ts(10, 0), 1.0))
+    (clicks, purchases)
+  }
+
+  private def writeFiles(dir: String, rows: Seq[(Long, Long, String, Double)], files: Int): Unit = {
+    import spark.implicits._
+    // time-ordered file chunks: within a source no event regresses past
+    // the watermark horizon, so replay drops nothing and equivalence is exact
+    val sorted = rows.sortBy(_._3)
+    val per = math.max(1, (sorted.size + files - 1) / files)
+    sorted.grouped(per).foreach { chunk =>
+      chunk.toDF("event_id", "user_id", "s", "value")
+        .select(col("event_id"), col("user_id"),
+          to_timestamp(col("s")).as("ts"), col("value"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+  }
+
+  private def src(dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+
+  private def batchFrames(base: String): (DataFrame, DataFrame) = {
+    val c = spark.read.parquet(s"$base/clicks")
+      .select(col("user_id").as("bc_user"), col("ts").as("bc_ts"), col("event_id").as("bc_id"))
+    val p = spark.read.parquet(s"$base/purchases")
+      .select(col("user_id").as("bp_user"), col("ts").as("bp_ts"),
+        col("event_id").as("bp_id"), col("value").as("bp_value"))
+    (c, p)
+  }
+
+  private val joinCond =
+    expr(s"bc_user = bp_user AND bp_ts >= bc_ts AND bp_ts <= bc_ts + interval $Horizon")
+
+  test("attributedPurchases replayed file-by-file equals an independent batch interval join") {
+    val base = Files.createTempDirectory("graft-equiv-inner").toString
+    val (clicks, purchases) = corpus
+    writeFiles(s"$base/clicks", clicks, files = 3)
+    writeFiles(s"$base/purchases", purchases, files = 3)
+
+    StreamingIngest.runToParquet(
+      StreamingIngest.attributedPurchases(src(s"$base/clicks"), src(s"$base/purchases"), Horizon),
+      s"$base/sink", s"$base/ckpt")
+
+    val got = spark.read.parquet(s"$base/sink")
+      .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts", "value")
+      .collect().map(_.toSeq).toSet
+
+    val (c, p) = batchFrames(base)
+    val expected = p.join(c, joinCond)
+      .select(col("bp_user"), col("bc_id"), col("bp_id"),
+        col("bc_ts"), col("bp_ts"), col("bp_value"))
+      .collect().map(_.toSeq).toSet
+
+    assert(expected.nonEmpty, "corpus produced no attributed purchases — test is vacuous")
+    assert(got == expected,
+      s"stream != batch: only-stream=${(got -- expected).take(3)} only-batch=${(expected -- got).take(3)}")
+  }
+
+  test("clickConversions replayed + watermark flush equals an independent batch left-outer join") {
+    val base = Files.createTempDirectory("graft-equiv-outer").toString
+    val (clicks, purchases) = corpus
+    writeFiles(s"$base/clicks", clicks, files = 3)
+    writeFiles(s"$base/purchases", purchases, files = 3)
+
+    def run(): Unit = StreamingIngest.runToParquet(
+      StreamingIngest.clickConversions(src(s"$base/clicks"), src(s"$base/purchases"), Horizon),
+      s"$base/sink", s"$base/ckpt")
+
+    run()
+    // flush: far-future traffic on BOTH sides pushes the global watermark
+    // past every real click's seal point, forcing the outer nulls out; a
+    // second run from the same checkpoint picks it up (outer-null emission
+    // is inherently one-trigger delayed)
+    writeFiles(s"$base/clicks", Seq((9000L, 999L, "2026-01-02 10:00:00", 0.0)), 1)
+    writeFiles(s"$base/purchases", Seq((9001L, 999L, "2026-01-02 10:00:01", 0.0)), 1)
+    run()
+
+    val got = spark.read.parquet(s"$base/sink")
+      .filter(col("user_id") =!= 999L)
+      .select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts", "value", "converted")
+      .collect().map(_.toSeq).toSet
+
+    val (c, p) = batchFrames(base)
+    val expected = c.filter(col("bc_user") =!= 999L).join(p, joinCond, "left_outer")
+      .select(col("bc_user"), col("bc_id"), col("bc_ts"),
+        col("bp_id"), col("bp_ts"), col("bp_value"),
+        col("bp_id").isNotNull)
+      .collect().map(_.toSeq).toSet
+
+    assert(expected.exists(r => r.last == false), "corpus has no unconverted clicks — vacuous")
+    assert(got == expected,
+      s"stream != batch: only-stream=${(got -- expected).take(3)} only-batch=${(expected -- got).take(3)}")
+  }
+}
