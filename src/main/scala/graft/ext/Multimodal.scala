@@ -33,6 +33,28 @@ object Multimodal {
       lit("text/plain").as("media_type"),
       col("text").cast("binary").as("payload"))
 
+  /** Real-file ingestion into the same media-table schema: a directory of
+    * media files read through Spark's `binaryFile` source (one row per
+    * file: path, modificationTime, length, content). doc_id is the
+    * xxhash64 of the file path (stable across re-reads, no driver-side
+    * enumeration), media_type is derived from the extension, payload is
+    * the raw bytes. Every downstream stage ([[extractFeatures]],
+    * [[resize]], [[frameSample]]) runs unchanged on this frame — the
+    * decode stub is the ONLY fake part; the ingest plumbing is the real
+    * path a 100 TB object-store image corpus would take (binaryFile
+    * splits by file, so partition-local decode parallelizes per file
+    * with payloads never entering a shuffle).
+    */
+  def mediaTableFromFiles(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("doc_id"),
+        concat(lit("image/"),
+          lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))).as("media_type"),
+        col("content").as("payload"))
+
   /** STUB decode: deterministic fake feature extraction derived from the
     * payload's md5 digest — `head_hash` is the first 60 bits of the
     * digest (the same portable-hash convention as

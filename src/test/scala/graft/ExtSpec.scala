@@ -489,4 +489,35 @@ class ExtSpec extends SparkSuite {
     assert(r0.getLong(3) == r3.getLong(3)) // same bytes → same head hash
     assert(r0.getSeq[Double](4) == r3.getSeq[Double](4))
   }
+
+  test("multimodal binaryFile path: real PNG bytes flow through the media schema unchanged") {
+    // real image fixture (round-4 item 8) without external libs: the JDK's
+    // ImageIO encodes genuine PNGs; only the decode STAGE stays stubbed
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toFile
+    (1 to 3).foreach { i =>
+      val img = new java.awt.image.BufferedImage(
+        4 * i, 4 * i, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until img.getWidth).foreach(x => (0 until img.getHeight)
+        .foreach(y => img.setRGB(x, y, x * 31 + y * 17 + i * 1000)))
+      javax.imageio.ImageIO.write(img, "png", new java.io.File(dir, s"img$i.png"))
+    }
+    new java.io.File(dir, "notes.txt").createNewFile() // must be glob-filtered out
+
+    val media = Multimodal.mediaTableFromFiles(spark, dir.toString, glob = "*.png")
+    assert(media.columns.toSeq == Seq("doc_id", "media_type", "payload"))
+    val rows = media.collect()
+    assert(rows.length == 3, s"glob should keep only the 3 PNGs, got ${rows.length}")
+    assert(rows.forall(_.getString(1) == "image/png"))
+    assert(rows.map(_.getLong(0)).distinct.length == 3, "path-hash doc_ids must be unique")
+    // every payload is a REAL PNG: 8-byte magic \x89PNG\r\n\x1a\n
+    val magic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    rows.foreach(r => assert(
+      r.getAs[Array[Byte]](2).take(8).sameElements(magic), "payload is not a PNG"))
+
+    // the downstream stages run unchanged on the real-file frame
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.length == 3 && feats.forall(_.getSeq[Double](4).length == 4))
+    val frames = Multimodal.frameSample(spark, media, frameSize = 32, stride = 2)
+    assert(frames.count() > 0)
+  }
 }
