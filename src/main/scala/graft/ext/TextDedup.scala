@@ -97,13 +97,16 @@ object TextDedup {
 
   /** Default per-(band, band_hash) bucket cap for candidate generation.
     * A bucket of k docs expands to k·(k-1)/2 pairs — the ONE measured
-    * superlinear path in the engine (SCALING.md: 27.3M pairs / 59.6 s at
-    * ×100 dup saturation, C(100,2) per bucket). Buckets past the cap are
-    * near-certain exact-duplicate / boilerplate groups that belong to
-    * exact dedup (x01) upstream, not to pairwise near-dup scoring; 256
-    * bounds any one bucket at C(256,2) ≈ 33k pairs while sitting far
-    * above what honest near-dup buckets reach (LSH's premise is small
-    * buckets). `maxBucket = 0` disables the cap (exact output).
+    * superlinear path in the engine (SCALING.md: 27.3M pairs at ×100 dup
+    * saturation, C(100,2) per bucket). What the cap does and does NOT
+    * guard (measured, SCALING.md round 6): buckets past 256 are runaway
+    * boilerplate/stop-shingle collisions and get clipped (35 such
+    * buckets at ×100, 1.67M avoided expansions, 1.3% output delta); a
+    * merely dup-saturated corpus (~100 docs per bucket) stays UNDER the
+    * default, so global saturation is intentionally not capped away —
+    * the mitigation for that is pipeline order, exact dedup (x01)
+    * before LSH. 256 bounds any one bucket at C(256,2) ≈ 33k pairs.
+    * `maxBucket = 0` disables the cap (exact output).
     */
   val DefaultMaxBucket = 256
 

@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   *     contraction (Kiveris et al., "Connected Components in MapReduce
   *     and Beyond", SoCC'14). Each round rewires every node toward the
   *     minimum of its neighborhood, so chains collapse exponentially —
-  *     rounds grow with log(diameter), not diameter (measured: a
-  *     diameter-100 chain converges in 6 alternating rounds vs 100
-  *     min-label rounds; see CcSpec and the ScaleSmoke chain case).
+  *     rounds grow with log(diameter), not diameter (measured, SCALING.md
+  *     round 6: 1000 diameter-99 chains converge in 8 alternating rounds
+  *     / 48.7s vs 100 min-label rounds / 152.7s; CcSpec locks the shape
+  *     at diameter 40).
   *     This is the production path: it removes the one input shape
   *     (long chains) where the fixpoint round count itself was the
   *     scale risk flagged in round 4.

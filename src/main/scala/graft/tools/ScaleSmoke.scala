@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
 
-  def amplify(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
-    def write(name: String, shift: (DataFrame, Int) => DataFrame): Unit = {
+  def amplify(spark: SparkSession, srcDir: String, outDir: String, factor: Int,
+      only: Option[Set[String]] = None): Unit = {
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
+    def write(name: String, shift: (DataFrame, Int) => DataFrame): Unit = if (wanted(name)) {
       val base = spark.read.parquet(s"$srcDir/$name.parquet")
       val amplified = (0 until factor).map(i => shift(base, i)).reduce(_ unionAll _)
       amplified.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
@@ -27,8 +29,9 @@ object ScaleSmoke {
     write("embeddings", (df, i) => df.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
     // dims copied as-is (stay broadcast-sized, as they would in production)
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
-      spark.read.parquet(s"$srcDir/$t.parquet")
-        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      if (wanted(t))
+        spark.read.parquet(s"$srcDir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
   }
 
@@ -62,11 +65,18 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.registerAll(spark)
 
-    if (!new java.io.File(s"$outDir/lineitem.parquet").exists()) {
-      println(s"[scale] amplifying $srcDir x$factor -> $outDir")
-      amplify(spark, srcDir, outDir, factor)
+    // --contrast-only: run just the cap/CC contrast cases below (their
+    // only corpus need is documents), skipping the 27-query sweep — the
+    // mode that makes the ×100 contrast measurement affordable to rerun.
+    val contrastOnly = args.contains("--contrast-only")
+    val needed = if (contrastOnly) Some(Set("documents")) else None
+    if (!new java.io.File(
+        s"$outDir/${if (contrastOnly) "documents" else "lineitem"}.parquet").exists()) {
+      println(s"[scale] amplifying $srcDir x$factor -> $outDir" +
+        (if (contrastOnly) " (documents only)" else ""))
+      amplify(spark, srcDir, outDir, factor, needed)
     }
-    Targets.foreach { name =>
+    (if (contrastOnly) Seq.empty else Targets).foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, outDir)
       val t0 = System.nanoTime()
       // noop sink: full evaluation of every output column. count() would
