@@ -9,25 +9,32 @@ import org.apache.spark.sql.functions._
   * (pairwise dedup alone leaves B–C alive after A–B and A–C both drop
   * A's partner — the chain A~B~C is one cluster).
   *
-  * Two interchangeable algorithms, identical output (`node`,
-  * `component` = min node id of the component):
+  * Interchangeable algorithms, identical output (`node`, `component` =
+  * min node id of the component):
   *
-  *   - [[labels]] (default): alternating large-star/small-star
-  *     contraction (Kiveris et al., "Connected Components in MapReduce
-  *     and Beyond", SoCC'14). Each round rewires every node toward the
-  *     minimum of its neighborhood, so chains collapse exponentially —
-  *     rounds grow with log(diameter), not diameter (measured, SCALING.md
-  *     round 6: 1000 diameter-99 chains converge in 8 alternating rounds
-  *     / 48.7s vs 100 min-label rounds / 152.7s; CcSpec locks the shape
-  *     at diameter 40).
-  *     This is the production path: it removes the one input shape
-  *     (long chains) where the fixpoint round count itself was the
-  *     scale risk flagged in round 4.
-  *   - [[labelsMinLabel]]: iterative min-label propagation — every node
-  *     takes the minimum label among itself and its neighbors until
-  *     fixpoint. Rounds = graph diameter. Kept as the independently
-  *     simple reference implementation; CcSpec property-tests the two
-  *     equal on random graphs.
+  *   - [[labels]] (default) = [[labelsAdaptive]]: min-label rounds (the
+  *     cheapest per round) until fixpoint or a switch threshold, then
+  *     contract by the current labels and finish with alternating-star.
+  *     Chosen by measurement (SCALING.md round 6, `tools.CcBench`): real
+  *     near-dup graphs are dense and SHALLOW — min-label converges in
+  *     4-10 rounds and beats alternating-star's heavier rounds there
+  *     (x35 graph: 0.99s vs 1.57s) — while the star phase caps the
+  *     worst case at threshold + log(diameter) rounds on deep chains
+  *     (the round-4-flagged risk; pure min-label pays full diameter,
+  *     46.6s vs 7.3s on 1000 diameter-99 chains).
+  *   - [[labelsWithRounds]] / star phase: alternating large-star/
+  *     small-star contraction (Kiveris et al., "Connected Components in
+  *     MapReduce and Beyond", SoCC'14). Rounds grow with log(diameter):
+  *     1000 diameter-99 chains converge in 8 alternating rounds vs 100
+  *     min-label rounds (measured; CcSpec locks the shape at
+  *     diameter 40).
+  *   - [[labelsMinLabel]]: iterative min-label propagation to fixpoint —
+  *     rounds = graph diameter. The independently simple reference
+  *     implementation; CcSpec property-tests all variants equal on
+  *     random graphs.
+  *   - [[labelsHybrid]]: one min-label contraction then stars — measured
+  *     slower than both specialists on their home turf (CcBench); kept
+  *     as a library variant, not the default.
   *
   * Scale posture (both):
   *   - Every round is a constant number of hash aggregates and
@@ -80,14 +87,16 @@ object ConnectedComponents {
   /** Component labels for every node appearing in `edges` (undirected;
     * pass each pair once in either orientation). Output: `node`,
     * `component` (= min node id of the component), both LONG.
-    * Alternating-star contraction — see the object doc.
+    * Adaptive min-label→star strategy — see the object doc and
+    * [[labelsAdaptiveWithRounds]].
     */
   def labels(edges: DataFrame, srcCol: String = "a", dstCol: String = "b",
       maxIter: Int = 25): DataFrame =
-    labelsWithRounds(edges, srcCol, dstCol, maxIter)._1
+    labelsAdaptiveWithRounds(edges, srcCol, dstCol, maxIter)._1
 
-  /** [[labels]] plus the number of alternating rounds it took — the
-    * observable the long-chain smoke case measures.
+  /** Pure alternating-star labels plus the number of alternating rounds
+    * it took — the observable the long-chain smoke case measures, and
+    * the finishing phase of [[labelsAdaptiveWithRounds]].
     */
   def labelsWithRounds(edges: DataFrame, srcCol: String = "a", dstCol: String = "b",
       maxIter: Int = 25): (DataFrame, Int) = {
@@ -155,6 +164,59 @@ object ConnectedComponents {
     (labs, iter)
   }
 
+  /** Hybrid: ONE min-label contraction round, then alternating-star on
+    * the contracted graph (round-5 stretch item). Rationale: dedup blob
+    * graphs are dense and shallow — a single cheap pass mapping every
+    * node to the min of its closed neighborhood collapses most of each
+    * blob to its minimum immediately, so the (per-round more expensive)
+    * star rounds run on a much smaller edge set; long chains still
+    * finish in log rounds because the star phase takes over. Output is
+    * identical to [[labels]] (CcSpec property-tests the three variants
+    * equal on seeded random graphs).
+    *
+    * Correctness of the composition: m(u) = min(Γ(u) ∪ {u}) is in u's
+    * component, and the global component minimum c has m(c) = c, so
+    * contracting (a,b) → (m(a), m(b)) preserves components and keeps
+    * each component's minimum as a contracted node; the star phase then
+    * labels m(u) with c, and label(u) = label(m(u)) — with u itself (or
+    * m(u)) as the fallback for nodes the contraction already isolated.
+    */
+  def labelsHybrid(edges: DataFrame, srcCol: String = "a", dstCol: String = "b",
+      maxIter: Int = 25): DataFrame =
+    labelsHybridWithRounds(edges, srcCol, dstCol, maxIter)._1
+
+  /** [[labelsHybrid]] plus total rounds (contraction round included). */
+  def labelsHybridWithRounds(edges: DataFrame, srcCol: String = "a", dstCol: String = "b",
+      maxIter: Int = 25): (DataFrame, Int) = {
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b")).localCheckpoint(false)
+    val nodes = e0.select(col("a").as("node"))
+      .union(e0.select(col("b").as("node")))
+      .distinct()
+    // m(u) over the symmetrized graph; nodes with no proper neighbor
+    // (isolates, pure self-loops) simply don't appear and fall through
+    // the coalesce below.
+    val sym = e0.filter(col("a") =!= col("b"))
+    val m = sym.select(col("a"), col("b"))
+      .union(sym.select(col("b").as("a"), col("a").as("b")))
+      .groupBy("a").agg(min("b").as("mn"))
+      .select(col("a").as("node"), least(col("a"), col("mn")).as("m"))
+      .localCheckpoint(false)
+    // contract edges through m on both endpoints; self-loops vanish
+    val contracted = sym
+      .join(m.select(col("node").as("a"), col("m").as("ma")), Seq("a"))
+      .join(m.select(col("node").as("b"), col("m").as("mb")), Seq("b"))
+      .filter(col("ma") =!= col("mb"))
+      .select(col("ma"), col("mb"))
+    val (inner, starRounds) = labelsWithRounds(contracted, "ma", "mb", maxIter)
+    val labs = nodes
+      .join(m, Seq("node"), "left")
+      .select(col("node"), coalesce(col("m"), col("node")).as("mu"))
+      .join(inner.select(col("node").as("mu"), col("component")), Seq("mu"), "left")
+      .select(col("node"), coalesce(col("component"), col("mu")).as("component"))
+    (labs, starRounds + 1)
+  }
+
   /** Reference twin: iterative min-label propagation (rounds = graph
     * diameter). Identical output to [[labels]]; see the object doc.
     */
@@ -166,18 +228,34 @@ object ConnectedComponents {
   def labelsMinLabelWithRounds(edges: DataFrame, srcCol: String = "a", dstCol: String = "b",
       maxIter: Int = 25): (DataFrame, Int) = {
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
-      col(dstCol).cast("long").as("b"))
+      col(dstCol).cast("long").as("b")).localCheckpoint(false)
+    val (_, labs, iter, converged) = minLabelRounds(e0, maxIter)
+    require(converged,
+      s"connected components did not converge in $maxIter rounds — " +
+        "raise maxIter (graph diameter exceeds the bound)")
+    (labs, iter)
+  }
+
+  /** Shared min-label machinery: symmetrized graph + up to `cap`
+    * propagation rounds. Returns (sym, labels, rounds, converged) — the
+    * caller decides whether non-convergence is an error
+    * ([[labelsMinLabelWithRounds]]) or the signal to switch strategies
+    * ([[labelsAdaptiveWithRounds]]). All checkpoints are lazy: each
+    * round's convergence count doubles as the job that materializes,
+    * caches, and lineage-truncates the round's label frame.
+    */
+  private def minLabelRounds(e0: DataFrame, cap: Int): (DataFrame, DataFrame, Int, Boolean) = {
     // Symmetrize so one aggregation sees every neighbor of every node.
     val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
 
     var labs = sym.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("component"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
+    while (!converged && iter < cap) {
       // min label among each node's neighbors (shuffle 1: by b, then by a)
       val nbrMin = sym
         .join(labs.select(col("node").as("b"), col("component")), Seq("b"))
@@ -185,7 +263,7 @@ object ConnectedComponents {
         .agg(min("component").as("nbr_min"))
       // ONE materialization per round: the updated labels carry a
       // per-row changed flag, so the convergence count is a scan of the
-      // just-checkpointed blocks — not a separate join job re-deriving
+      // just-cached blocks — not a separate join job re-deriving
       // nbrMin × labs (measured: one fewer Spark job per round, which is
       // what fixpoint wall-time is made of at bounded input sizes).
       // New label = min(own, neighbor min); every node in `sym` has a
@@ -197,16 +275,60 @@ object ConnectedComponents {
             .as("component"),
           (coalesce(col("nbr_min"), col("component")) < col("component"))
             .cast("int").as("__changed"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val changed = updated.filter(col("__changed") === 1).count()
       labs = updated.drop("__changed")
       if (changed == 0) converged = true
       iter += 1
     }
-    require(converged,
-      s"connected components did not converge in $maxIter rounds — " +
-        "raise maxIter (graph diameter exceeds the bound)")
-    (labs, iter)
+    (sym, labs, iter, converged)
+  }
+
+  /** The default strategy ([[labels]]): min-label rounds until fixpoint
+    * or `switchAfter` rounds, then contract the graph by the current
+    * labels and finish with alternating-star. Composition correctness:
+    * after k rounds lab(u) = min of u's k-hop neighborhood, which is in
+    * u's component, and the component minimum c always has lab(c) = c —
+    * so contracting (a,b) → (lab(a), lab(b)) preserves components, keeps
+    * each component's min as a contracted node, and the star phase's
+    * label of lab(u) IS u's component min.
+    *
+    * Why this split wins (measured, `tools.CcBench` / SCALING.md round
+    * 6): real near-dup graphs converge in ≤10 cheap min-label rounds
+    * (x35: 0.99s min-label vs 1.57s alternating-star — at small sizes
+    * wall time is per-round job overhead, and a min-label round is one
+    * join+agg vs the star round's two transforms + distinct); deep
+    * chains — where pure min-label pays full diameter (46.6s vs 7.3s at
+    * diameter 99) — hit the switch and finish in log rounds on a graph
+    * the first `switchAfter` rounds already shrank by that factor.
+    * Worst-case rounds: switchAfter + O(log diameter).
+    */
+  def labelsAdaptive(edges: DataFrame, srcCol: String = "a", dstCol: String = "b",
+      maxIter: Int = 25, switchAfter: Int = 12): DataFrame =
+    labelsAdaptiveWithRounds(edges, srcCol, dstCol, maxIter, switchAfter)._1
+
+  /** [[labelsAdaptive]] plus total rounds across both phases. `maxIter`
+    * bounds each phase, not their sum.
+    */
+  def labelsAdaptiveWithRounds(edges: DataFrame, srcCol: String = "a", dstCol: String = "b",
+      maxIter: Int = 25, switchAfter: Int = 12): (DataFrame, Int) = {
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b")).localCheckpoint(false)
+    val (sym, labs, iter, converged) = minLabelRounds(e0, math.min(switchAfter, maxIter))
+    if (converged) (labs, iter)
+    else {
+      val contracted = sym.filter(col("a") =!= col("b"))
+        .join(labs.select(col("node").as("a"), col("component").as("la")), Seq("a"))
+        .join(labs.select(col("node").as("b"), col("component").as("lb")), Seq("b"))
+        .filter(col("la") =!= col("lb"))
+        .select(col("la"), col("lb"))
+      val (inner, starRounds) = labelsWithRounds(contracted, "la", "lb", maxIter)
+      val out = labs
+        .join(inner.select(col("node").as("component"), col("component").as("__final")),
+          Seq("component"), "left")
+        .select(col("node"), coalesce(col("__final"), col("component")).as("component"))
+      (out, iter + starRounds)
+    }
   }
 
   /** Attach the component id (and its size) to every row of `nodes`:

@@ -612,7 +612,7 @@ object ExtensionQueries {
       (s, d) => TextStats.packBins(Tables.documents(s, d), "source", budget = 512)),
 
     Q("x33_dup_clusters",
-      "Near-dup cluster collapse: connected components (iterative min-label propagation) over shared word-4-gram edges; component id = canonical doc (min id), plus cluster size.",
+      "Near-dup cluster collapse: connected components (adaptive min-label-then-star strategy) over shared word-4-gram edges; component id = canonical doc (min id), plus cluster size.",
       Some("""WITH RECURSIVE
              |s AS (
              |  SELECT doc_id, lang, list_distinct([array_to_string(words[i:i+3], ' ') for i in range(1, len(words)-2)]) AS sh
