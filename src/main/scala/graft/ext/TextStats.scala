@@ -74,6 +74,53 @@ object TextStats {
         when(col("bucket_100") < trainPct, "train").otherwise("eval"))
   }
 
+  /** Deterministic training-shard assignment: shard = portable id-hash
+    * mod `nShards`, position = rank of the hash within the shard — the
+    * seed-stable global shuffle + sharding step that turns a curated
+    * corpus into training shards. Unlike `df.repartition(n).sortWithin…`
+    * (partitioner- and retry-dependent) or RNG shuffles (seed-per-
+    * partition), the (shard, pos) of every document is a pure function
+    * of its id: re-running the pipeline, changing parallelism, or
+    * retrying a task reproduces byte-identical shards, and two engines
+    * agree on the layout. Scale shape: one hash-shuffle on shard with a
+    * within-shard sort — exactly the write path of a sharded training
+    * corpus (shards ≫ cores at 100 TB, so per-shard sorts are small and
+    * parallel); the salt gives independent epoch reshuffles.
+    */
+  def shardAssign(docs: DataFrame, idCol: String = "doc_id", nShards: Int = 16,
+      salt: String = "shard"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val h = TextDedup.portableHash(col(idCol).cast("string"), salt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col(idCol))
+    docs.select(col(idCol), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Vocabulary coverage / OOV rate (tokenizer-prep shape): build the
+    * top-`vocabSize` corpus vocabulary (count desc, word asc — the
+    * deterministic tie-break), then score every document's
+    * out-of-vocabulary token fraction against it. The corpus-wide pass
+    * and the per-doc pass share one exploded-words subtree; the vocab
+    * side is LIMIT-bounded so it broadcasts at any corpus size (the
+    * vocabulary is a model artifact, small by construction). oov_ratio
+    * is a single IEEE double division — bit-portable cross-engine.
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 16): DataFrame = {
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(vocabSize)
+      .select(col("word"), lit(1).as("in_vocab"))
+    words.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_ratio"))
+  }
+
   /** Deterministic stratified Bernoulli sample — the data-mixing
     * primitive: keep a row iff its portable id-hash bucket (of 10000)
     * falls under its stratum's basis-point threshold. Pure map-side

@@ -949,5 +949,36 @@ object ExtensionQueries {
       (s, d) => Multimodal.extractFeatures(s, Multimodal.asMediaTable(Tables.documents(s, d)))
         .select(col("doc_id"), col("media_type"), col("n_bytes"), col("head_hash"),
           col("features")(0).as("f0"), col("features")(1).as("f1"),
-          col("features")(2).as("f2"), col("features")(3).as("f3"))))
+          col("features")(2).as("f2"), col("features")(3).as("f3"))),
+
+    Q("x44_shard_assign",
+      "Deterministic training-shard assignment (seed-stable global shuffle): shard = portable " +
+        "id-hash mod 16, position = hash rank within the shard — (shard, pos) is a pure function " +
+        "of the document id, so re-runs, retries, and parallelism changes reproduce byte-identical " +
+        "training shards. One hash-shuffle + within-shard sort (the shard-write path; at 100 TB " +
+        "shards outnumber cores so per-shard sorts stay small and parallel).",
+      Some("""SELECT doc_id, shard,
+             |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+             |FROM (SELECT doc_id,
+             |        ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'shard'),1,15))::BIGINT AS h,
+             |        ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'shard'),1,15))::BIGINT % 16 AS shard
+             |      FROM documents) t
+             |ORDER BY shard, pos""".stripMargin),
+      (s, d) => TextStats.shardAssign(Tables.documents(s, d), "doc_id", nShards = 16)),
+
+    Q("x45_vocab_oov",
+      "Vocabulary coverage / OOV rate (tokenizer-prep): top-16 corpus vocabulary (count desc, " +
+        "word asc tie-break) broadcast back over the same exploded-words subtree; per-doc " +
+        "out-of-vocabulary token fraction as one bit-portable double division. The vocab side is " +
+        "LIMIT-bounded — a model artifact, broadcast-sized at any corpus scale.",
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+             |v AS (SELECT word FROM (
+             |  SELECT word, count(*) AS cnt FROM w GROUP BY word
+             |  ORDER BY cnt DESC, word LIMIT 16) t)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(count(*) FILTER (WHERE word NOT IN (SELECT word FROM v)) AS BIGINT) AS n_oov,
+             |  CAST(count(*) FILTER (WHERE word NOT IN (SELECT word FROM v)) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) AS oov_ratio
+             |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => TextStats.vocabCoverage(Tables.documents(s, d), vocabSize = 16)))
 }
