@@ -45,15 +45,26 @@ object Multimodal {
     * splits by file, so partition-local decode parallelizes per file
     * with payloads never entering a shuffle).
     */
-  def mediaTableFromFiles(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+  def mediaTableFromFiles(spark: SparkSession, dir: String, glob: String = "*"): DataFrame = {
+    val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+    // extension → content-type class; unknown/missing extensions get the
+    // opaque-bytes type instead of a fabricated image/* subtype, so a
+    // downstream media_type dispatch never misroutes non-image payloads
+    val mediaType =
+      when(ext.isin("png", "jpg", "jpeg", "gif", "bmp", "webp", "tiff"),
+        concat(lit("image/"), ext))
+        .when(ext.isin("wav", "mp3", "flac", "ogg", "aac"), concat(lit("audio/"), ext))
+        .when(ext.isin("mp4", "mkv", "webm", "avi", "mov"), concat(lit("video/"), ext))
+        .when(ext === "txt", lit("text/plain"))
+        .otherwise(lit("application/octet-stream"))
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
       .select(
         xxhash64(col("path")).as("doc_id"),
-        concat(lit("image/"),
-          lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))).as("media_type"),
+        mediaType.as("media_type"),
         col("content").as("payload"))
+  }
 
   /** STUB decode: deterministic fake feature extraction derived from the
     * payload's md5 digest — `head_hash` is the first 60 bits of the

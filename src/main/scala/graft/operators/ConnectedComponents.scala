@@ -148,14 +148,28 @@ object ConnectedComponents {
     require(converged,
       s"connected components did not converge in $maxIter alternating rounds — " +
         "raise maxIter")
-    // Star invariant at the detected fixpoint: at most one outgoing edge
-    // per node, so the label join below cannot fan out. One aggregate on
-    // the final (small) frame — cheap insurance against a non-star
-    // fixpoint slipping through the fingerprint equality.
-    val maxOut = e.groupBy("u").agg(count(lit(1)).as("c")).agg(max("c")).first()
-    require(maxOut.isNullAt(0) || maxOut.getLong(0) == 1L,
+    // Star-forest invariant at the detected fixpoint — insurance against
+    // a false fixpoint slipping through the probabilistic fingerprint
+    // equality (a ~2^-64 hash-sum collision). Two conditions TOGETHER
+    // define a star forest: (1) at most one outgoing edge per node (the
+    // label join below cannot fan out), and (2) no edge target is itself
+    // an edge source (out-degree alone would accept a chain like
+    // 3→2→1, which labels node 3 with 2 instead of 1). Both checked in
+    // ONE job / one shuffle: per-node (out-degree, in-degree) via a
+    // union-tagged aggregate, then a single-row rollup — a separate
+    // semi-join probe for (2) measurably slowed the CC family ~15%.
+    val inv = e.select(col("u").as("n"), lit(1L).as("out"), lit(0L).as("in"))
+      .unionAll(e.select(col("v").as("n"), lit(0L).as("out"), lit(1L).as("in")))
+      .groupBy("n").agg(sum("out").as("o"), sum("in").as("i"))
+      .agg(max("o").as("max_out"),
+        count_if(col("o") > 0 && col("i") > 0).as("chained"))
+      .first()
+    require(inv.isNullAt(0) || inv.getLong(0) == 1L,
       "connected components fixpoint is not a star forest — " +
-        s"a node has ${maxOut.getLong(0)} outgoing edges")
+        s"a node has ${inv.getLong(0)} outgoing edges")
+    require(inv.isNullAt(0) || inv.getLong(1) == 0L,
+      s"connected components fixpoint is not a star forest — ${inv.getLong(1)} nodes are " +
+        "both edge source and target (chained state; raise maxIter or report a fingerprint collision)")
     // Fixpoint edges are (node → component-min) stars; roots and
     // self-loop-only nodes label themselves.
     val labs = nodes

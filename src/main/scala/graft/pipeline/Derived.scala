@@ -32,7 +32,12 @@ object Derived {
   def eventsByDate(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = new File(derivedRoot(sfDir), "events_by_date")
     this.synchronized {
-      if (!new File(dir, "_SUCCESS").exists()) {
+      // stale-fixture guard: a cached copy older than the source corpus
+      // (regenerated test data) would silently diverge from the oracle's
+      // flat events table — rebuild whenever the source is newer
+      val success = new File(dir, "_SUCCESS")
+      val srcMtime = latestMtime(new File(s"$sfDir/events.parquet"))
+      if (!success.exists() || success.lastModified() < srcMtime) {
         deleteRecursively(dir)
         Ingest.appendPartitioned(
           Tables.events(spark, sfDir).withColumn("event_date", to_date(col("ts"))),
@@ -41,6 +46,10 @@ object Derived {
     }
     spark.read.parquet(dir.toString)
   }
+
+  private def latestMtime(f: File): Long =
+    if (f.isDirectory) (f.lastModified() +: f.listFiles().map(latestMtime).toSeq).max
+    else f.lastModified()
 
   /** Per-corpus scratch root, keyed by the corpus path so sf0.01 and
     * sf0.1 fixtures never collide.

@@ -48,7 +48,14 @@ object ScaleSmoke {
     // round-4 closing-session operators
     "x36_dup_span_coverage", "x37_quantize_int8", "x38_pq_codes",
     "x41_lm_score", "q46_sliding_window", "q47_correlated_subquery",
-    "q48_range_frame")
+    "q48_range_frame",
+    // round-6 operators: date-partition pruning (30 partitions, 10x rows
+    // per partition), deterministic sharding, vocab coverage, and x35 —
+    // the one CC query whose INPUT actually scales with amplification
+    // (x33 bounds itself to doc_id < 300 for its oracle, so amplifying
+    // the corpus would only time the enlarged scan, not CC)
+    "q50_partition_prune", "x44_shard_assign", "x45_vocab_oov",
+    "x35_semantic_dedup")
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorS) = args.take(3)
@@ -66,19 +73,39 @@ object ScaleSmoke {
     graft.functions.registerAll(spark)
 
     // --contrast-only: run just the cap/CC contrast cases below (their
-    // only corpus need is documents), skipping the 27-query sweep — the
+    // only corpus need is documents), skipping the query sweep — the
     // mode that makes the ×100 contrast measurement affordable to rerun.
     val contrastOnly = args.contains("--contrast-only")
     val needed = if (contrastOnly) Some(Set("documents")) else None
-    if (!new java.io.File(
-        s"$outDir/${if (contrastOnly) "documents" else "lineitem"}.parquet").exists()) {
+    // a "factor scope" marker guards against silently measuring a stale
+    // scale: an outDir amplified at ×10 must not satisfy a ×100 run just
+    // because its files exist, and a documents-only (contrast) refresh
+    // must not certify the whole dir for a later full sweep
+    val wantScope = if (contrastOnly) "documents" else "full"
+    val marker = new java.io.File(s"$outDir/.amplify-marker")
+    val (markedFactor, markedScope) =
+      scala.util.Try {
+        val Array(f, sc) = java.nio.file.Files.readString(marker.toPath).trim.split(" ")
+        (f.toInt, sc)
+      }.getOrElse((-1, ""))
+    val fresh = markedFactor == factor &&
+      (markedScope == "full" || markedScope == wantScope)
+    if (!fresh) {
+      if (marker.exists())
+        println(s"[scale] outDir is x$markedFactor/$markedScope, need x$factor/$wantScope — re-amplifying")
       println(s"[scale] amplifying $srcDir x$factor -> $outDir" +
         (if (contrastOnly) " (documents only)" else ""))
       amplify(spark, srcDir, outDir, factor, needed)
+      new java.io.File(outDir).mkdirs()
+      java.nio.file.Files.writeString(marker.toPath, s"$factor $wantScope")
     }
     (if (contrastOnly) Seq.empty else Targets).foreach { name =>
-      val df = graft.SparkEntry.queries(name)(spark, outDir)
+      // the BUILD is inside the timed region: queries with driver-side
+      // fixpoint loops (x33/x35's connected components) do their real
+      // work during construction, and timing only the final frame's
+      // evaluation reported a misleading 0.2s for exactly those
       val t0 = System.nanoTime()
+      val df = graft.SparkEntry.queries(name)(spark, outDir)
       // noop sink: full evaluation of every output column. count() would
       // let Catalyst prune whole operators (a window/join whose columns
       // the count never reads disappears from the plan) and report
