@@ -359,6 +359,79 @@ object TextDedup {
           .as("coverage"))
   }
 
+  /** Split-contamination matrix: for every pair of corpus splits (train/
+    * eval/test…), the number of distinct word-`n`-gram shingles the two
+    * splits share, plus per-split totals and the shingle-set Jaccard —
+    * the aggregate leakage dashboard a pipeline checks after splitting
+    * (x30's `contamination` is the per-document drill-down; this is the
+    * corpus-level view across ALL split pairs at once).
+    *
+    * Scale shape: distinct (split, gram) pairs — one explode + distinct
+    * shuffle — then a self equi-join on the gram. Each gram appears in at
+    * most |splits| rows, so the join fans out ≤ |splits|² per gram with
+    * |splits| a small constant (2–5); output is |splits|² rows. Nothing
+    * depends on corpus size beyond the linear shingle pass.
+    */
+  def splitOverlap(docs: DataFrame, splitCol: String, n: Int = 5): DataFrame = {
+    val grams = docs
+      .select(col(splitCol).as("split"), explode(word_shingles(col("text"), n)).as("g"))
+      .distinct()
+    val totals = grams.groupBy("split").agg(count(lit(1)).as("n_grams"))
+    val a = grams.select(col("split").as("split_a"), col("g"))
+    val b = grams.select(col("split").as("split_b"), col("g"))
+    a.join(b, Seq("g")).filter(col("split_a") < col("split_b"))
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals.select(col("split").as("split_a"), col("n_grams").as("n_a"))),
+        Seq("split_a"))
+      .join(broadcast(totals.select(col("split").as("split_b"), col("n_grams").as("n_b"))),
+        Seq("split_b"))
+      .select(col("split_a"), col("split_b"), col("n_shared"), col("n_a"), col("n_b"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double")).as("jaccard"))
+  }
+
+  /** Cross-document duplicated-span REMOVAL (the active sibling of
+    * [[dupSpanCoverage]]'s metric): drop every token position covered by
+    * a word-`n`-gram that also occurs in another document, and rebuild
+    * the surviving text in original token order — the "remove duplicated
+    * passages, keep the unique remainder" step (exact-substring dedup à
+    * la deduplicating-training-data) rather than whole-document removal.
+    *
+    * Dataflow: the same linear posting shape as the coverage metric
+    * (posexplode grams → cross-doc grams by min(doc)≠max(doc) → semi-join
+    * → explode covered positions) plus one anti-join of the token stream
+    * against covered positions and a per-doc ordered reassembly
+    * (sort by position inside a bounded per-doc group — document length,
+    * not corpus size). Docs shorter than `n` tokens have no grams and
+    * survive verbatim; fully-covered docs come back with empty text.
+    */
+  def stripDupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").as("tpos"), col("col").as("tok"))
+    val grams = docs
+      .select(col("doc_id"), posexplode(graft.functions.word_ngrams(col("text"), n)))
+      .select(col("doc_id"), col("pos"), col("col").as("gram"))
+    val crossDocGrams = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1"))
+      .select(col("gram"))
+    val covered = grams.join(crossDocGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("tpos"))
+      .distinct()
+    val rebuilt = toks.join(covered, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
+            x => x.getField("tok")), " ").as("cleaned"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Exact word-n-gram Jaccard similarity for pairs grouped by a blocking
     * column (here: same `lang`) — the verification stage downstream of
     * LSH candidate generation.

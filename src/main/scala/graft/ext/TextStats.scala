@@ -143,6 +143,41 @@ object TextStats {
       .filter(col("bucket") < threshold)
   }
 
+  /** Domain-mix rebalancing: subsample each source so the kept corpus
+    * matches target proportions (`weightsBp`, basis points) — the "80%
+    * web / 15% code / 5% books" recipe step. The binding source (largest
+    * count/weight deficit) is kept whole and every other source is
+    * hash-sampled DOWN to proportion, so the mix is achieved without
+    * upsampling. Sources absent from `weightsBp` are dropped (weight 0).
+    *
+    * All thresholds are derived in INTEGER arithmetic (floor division on
+    * counts and basis points) so two engines agree exactly:
+    * T = min_s(c_s·10⁴ div w_s) is the achievable total, k_s = w_s·T
+    * div 10⁴ the per-source quota, and a row survives iff its portable
+    * id-hash bucket (of 10⁴) < k_s·10⁴ div c_s. Same determinism contract
+    * as [[stratifiedSample]] (no RNG, stable across runs/engines/
+    * partitionings); rates are data-dependent but exact, computed from a
+    * per-source count aggregate that broadcasts (|sources| rows).
+    */
+  def domainMix(docs: DataFrame, weightsBp: Map[String, Int],
+      sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(weightsBp.nonEmpty && weightsBp.values.forall(w => w > 0 && w <= 10000),
+      "weights are positive basis points")
+    val wExpr = weightsBp.foldLeft(lit(null).cast("long")) { case (acc, (k, bp)) =>
+      when(col(sourceCol) === k, lit(bp.toLong)).otherwise(acc)
+    }
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("c"))
+      .withColumn("w", wExpr).filter(col("w").isNotNull)
+    val cap = counts.agg(min(expr("c * 10000 div w")).as("t"))
+    val thresholds = counts.crossJoin(broadcast(cap))
+      .select(col(sourceCol), expr("((w * t div 10000) * 10000) div c").as("bp"))
+    val h = TextDedup.portableHash(col(idCol).cast("string"), "mix")
+    docs.join(broadcast(thresholds), Seq(sourceCol))
+      .withColumn("bucket", pmod(h, lit(10000L)))
+      .filter(col("bucket") < col("bp"))
+      .select(col(idCol), col(sourceCol), col("bucket"))
+  }
+
   /** Regex redaction pass (PII-scrub shape): each rule is
     * (name, pattern, replacement); emits per-rule match counts
     * (`n_<name>`) and the text with every rule applied in order

@@ -980,5 +980,73 @@ object ExtensionQueries {
              |  CAST(count(*) FILTER (WHERE word NOT IN (SELECT word FROM v)) AS DOUBLE)
              |    / CAST(count(*) AS DOUBLE) AS oov_ratio
              |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      (s, d) => TextStats.vocabCoverage(Tables.documents(s, d), vocabSize = 16)))
+      (s, d) => TextStats.vocabCoverage(Tables.documents(s, d), vocabSize = 16)),
+
+    Q("x46_split_overlap",
+      "Split-contamination matrix: distinct word-5-gram shingles shared between every pair of " +
+        "hash splits (train/eval), with per-split totals and shingle-set Jaccard — the corpus-level " +
+        "leakage dashboard (x30 is the per-doc drill-down). One explode+distinct pass then a self " +
+        "equi-join on the gram; each gram fans out at most |splits| ways, output |splits|^2 rows.",
+      Some("""WITH s AS (SELECT
+             |    CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 < 80
+             |         THEN 'train' ELSE 'eval' END AS split,
+             |    string_split(text, ' ') AS words FROM documents),
+             |g AS (SELECT DISTINCT split, g FROM (
+             |  SELECT split, unnest([array_to_string(words[i:i+4], ' ')
+             |                        for i in range(1, len(words)-3)]) AS g
+             |  FROM s) t),
+             |t AS (SELECT split, count(*) AS n FROM g GROUP BY split),
+             |p AS (SELECT a.split AS split_a, b.split AS split_b, count(*) AS n_shared
+             |      FROM g a JOIN g b USING (g) WHERE a.split < b.split GROUP BY 1, 2)
+             |SELECT p.split_a, p.split_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+             |  CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+             |  CAST(p.n_shared AS DOUBLE) / CAST(ta.n + tb.n - p.n_shared AS DOUBLE) AS jaccard
+             |FROM p JOIN t ta ON p.split_a = ta.split JOIN t tb ON p.split_b = tb.split""".stripMargin),
+      (s, d) => TextDedup.splitOverlap(
+        TextStats.hashSplit(Tables.loadFanout(s, d, "documents"), "doc_id", trainPct = 80),
+        "split", n = 5)),
+
+    Q("x47_strip_dup_spans",
+      "Cross-document duplicated-span REMOVAL (x36's active sibling): drop every token position " +
+        "covered by a word-8-gram occurring in another document and rebuild the surviving text in " +
+        "order — remove-duplicated-passages, keep the unique remainder. Linear posting dataflow + " +
+        "one anti-join + per-doc bounded reassembly; docs under 8 tokens survive verbatim, " +
+        "fully-covered docs come back empty.",
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             |toks AS (SELECT doc_id, i AS tpos, words[i] AS tok
+             |         FROM w, unnest(range(1, len(words)+1)) AS r(i)),
+             |g AS (SELECT doc_id, i AS pos, array_to_string(words[i:i+7], ' ') AS gram
+             |      FROM w, unnest(range(1, len(words)-6)) AS r(i)),
+             |cd AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+             |cov AS (SELECT DISTINCT g.doc_id, g.pos + k AS tpos
+             |        FROM g JOIN cd USING (gram), unnest(range(0, 8)) AS r(k)),
+             |kept AS (SELECT t.doc_id, count(*) AS n_kept,
+             |           string_agg(t.tok, ' ' ORDER BY t.tpos) AS cleaned
+             |         FROM toks t ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+             |         GROUP BY t.doc_id)
+             |SELECT w.doc_id, CAST(len(w.words) AS BIGINT) AS n_tokens,
+             |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+             |  COALESCE(k.cleaned, '') AS cleaned
+             |FROM w LEFT JOIN kept k USING (doc_id) ORDER BY doc_id""".stripMargin),
+      (s, d) => TextDedup.stripDupSpans(Tables.loadFanout(s, d, "documents"), n = 8)),
+
+    Q("x48_domain_mix",
+      "Domain-mix rebalancing: hash-subsample each source down to target proportions " +
+        "(src0:src1:src2 = 5:3:2, unlisted sources dropped) without upsampling — the binding " +
+        "source keeps everything, the rest thin to match. Thresholds derived in pure integer " +
+        "arithmetic from per-source counts so both engines agree exactly; same RNG-free " +
+        "portable-hash determinism as x34.",
+      Some("""WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+             |w AS (SELECT * FROM (VALUES ('src0', 5000), ('src1', 3000), ('src2', 2000))
+             |      AS t(source, wbp)),
+             |cap AS (SELECT min(c.c * 10000 // w.wbp) AS t FROM c JOIN w USING (source)),
+             |th AS (SELECT c.source, ((w.wbp * cap.t // 10000) * 10000) // c.c AS bp
+             |       FROM c JOIN w USING (source) CROSS JOIN cap)
+             |SELECT d.doc_id, d.source,
+             |  ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)||'mix'),1,15))::BIGINT % 10000 AS bucket
+             |FROM documents d JOIN th USING (source)
+             |WHERE ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)||'mix'),1,15))::BIGINT % 10000 < th.bp
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => TextStats.domainMix(Tables.documents(s, d),
+        Map("src0" -> 5000, "src1" -> 3000, "src2" -> 2000))))
 }

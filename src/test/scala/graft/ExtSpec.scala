@@ -551,4 +551,50 @@ class ExtSpec extends SparkSuite {
     val frames = Multimodal.frameSample(spark, media, frameSize = 32, stride = 2)
     assert(frames.count() > 0)
   }
+
+  test("splitOverlap: shared shingles counted distinct-once, totals and jaccard exact") {
+    // train = doc 0; eval = exact dup of 0 (shares all nine 5-grams) +
+    // unique doc 2 (six unrelated 5-grams) → shared 9, train 9, eval 15
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank", "train"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank", "eval"),
+      (2L, "completely different words about spark query engines and shuffles here", "eval")
+    ).toDF("doc_id", "text", "split")
+    val got = TextDedup.splitOverlap(corpus, "split", n = 5).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getString(0), r.getString(1)) == (("eval", "train")))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((9L, 15L, 9L)))
+    assert(math.abs(r.getDouble(5) - 9.0 / 15.0) < 1e-15)
+  }
+
+  test("stripDupSpans: covered positions removed in order, unique docs verbatim") {
+    // docs 0/3 identical → fully covered, come back empty; doc 1 shares
+    // the 12-token prefix (coverage test above) → only "bend" survives;
+    // doc 2 unique → verbatim
+    val got = TextDedup.stripDupSpans(docs, n = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(0L) == ((13L, 0L, "")))
+    assert(got(3L) == ((13L, 0L, "")))
+    assert(got(1L) == ((13L, 1L, "bend")))
+    assert(got(2L) == ((10L, 10L,
+      "completely different words about spark query engines and shuffles here")))
+  }
+
+  test("domainMix: binding source kept whole, others thinned, unlisted dropped, stable") {
+    // a:4 docs, b:2 docs, weights 50/50 → T = min(8, 4) = 4: b is binding
+    // (threshold 10000, kept whole), a thins toward 2; c is unlisted → out
+    val corpus = (1L to 4L).map(i => (i, "a")) ++ Seq((10L, "b"), (11L, "b"), (20L, "c"))
+    val df = corpus.toDF("doc_id", "source")
+    val w = Map("a" -> 5000, "b" -> 5000)
+    val got = TextStats.domainMix(df, w, idCol = "doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.filter(_._2 == "b") == Set((10L, "b"), (11L, "b")), "binding source kept whole")
+    assert(!got.exists(_._2 == "c"), "unlisted source must be dropped")
+    assert(got.count(_._2 == "a") <= 4)
+    // deterministic: repartitioning must not change the kept set
+    val again = TextStats.domainMix(df.repartition(5), w, idCol = "doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == got)
+  }
 }
