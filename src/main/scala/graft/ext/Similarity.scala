@@ -343,4 +343,27 @@ object Similarity {
     Ranks.topKPerGroup(scored, Seq("qid"), k, Seq(col("sim").desc, col("neighbor_id")))
       .select(col("qid"), col("rank"), col("neighbor_id"), col("bucket"))
   }
+
+  /** Per-group embedding centroids over the first `dims` dimensions —
+    * the class-mean primitive behind SemDeDup cluster centers, quality-
+    * classifier prototypes, and IVF cell refinement. Sums run on FIXED-
+    * POINT integers (floor(v·10⁶), the x37 idiom): integer addition is
+    * commutative, so the aggregate is partition-order-independent and
+    * engine-exact where a naive double sum is neither; the mean is one
+    * final double division of exact longs. One hash aggregate with
+    * map-side combine; output is |groups| rows.
+    */
+  def groupCentroids(emb: DataFrame, groupCol: String = "label",
+      dims: Int = 4): DataFrame = {
+    val scale = 1000000L
+    val sums = (1 to dims).map(i =>
+      sum(floor(element_at(col("embedding"), i).cast("double") * scale).cast("long"))
+        .as(s"s$i"))
+    val means = (1 to dims).map(i =>
+      (col(s"s$i").cast("double") / (col("n_vecs") * lit(scale)).cast("double"))
+        .as(s"c${i - 1}"))
+    emb.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_vecs"), sums: _*)
+      .select(col(groupCol) +: col("n_vecs") +: means: _*)
+  }
 }

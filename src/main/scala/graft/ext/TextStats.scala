@@ -143,6 +143,30 @@ object TextStats {
       .filter(col("bucket") < threshold)
   }
 
+  /** Per-group quality-percentile gate: drop the bottom `dropBottomPct`
+    * percent of each group (source/domain) by quality score instead of a
+    * fixed global threshold — the curation recipe that survives
+    * heterogeneous domains (a threshold tuned on web text would gut a
+    * code or reference domain; a within-domain percentile adapts). Score
+    * here is the stopword ratio (one portable double division); rank is
+    * `percent_rank` with doc_id as the deterministic tie-break, so the
+    * kept set is exact and engine-portable. One window shuffle on the
+    * group key — partitions are per-domain slices, the same cardinality
+    * the mixing ops already shuffle.
+    */
+  def qualityPercentileGate(docs: DataFrame, groupCol: String,
+      dropBottomPct: Int): DataFrame = {
+    require(dropBottomPct >= 0 && dropBottomPct < 100, "dropBottomPct in [0, 100)")
+    val words = split(col("text"), " ")
+    val stopHits = size(filter(words, w => w.isin(Stopwords.en.toSeq: _*))).cast("long")
+    val score = stopHits / size(words).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("score"), col("doc_id"))
+    docs.select(col("doc_id"), col(groupCol), score.as("score"))
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= lit(dropBottomPct / 100.0))
+  }
+
   /** Domain-mix rebalancing: subsample each source so the kept corpus
     * matches target proportions (`weightsBp`, basis points) — the "80%
     * web / 15% code / 5% books" recipe step. The binding source (largest

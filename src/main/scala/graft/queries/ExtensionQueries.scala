@@ -1048,5 +1048,40 @@ object ExtensionQueries {
              |WHERE ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)||'mix'),1,15))::BIGINT % 10000 < th.bp
              |ORDER BY doc_id""".stripMargin),
       (s, d) => TextStats.domainMix(Tables.documents(s, d),
-        Map("src0" -> 5000, "src1" -> 3000, "src2" -> 2000))))
+        Map("src0" -> 5000, "src1" -> 3000, "src2" -> 2000))),
+
+    Q("x49_quality_pctl_gate",
+      "Per-domain quality-percentile gate: drop the bottom 20% of each source by stopword-ratio " +
+        "score (percent_rank, doc_id tie-break) — the threshold-free curation rule that adapts to " +
+        "heterogeneous domains where one global cutoff guts whole sources. One window shuffle on " +
+        "the group key.",
+      Some("""WITH s AS (SELECT doc_id, source,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |          w -> w IN ('the','and','of','to','in','a','is','that'))) AS BIGINT)
+             |      / CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+             |  FROM documents),
+             |r AS (SELECT doc_id, source, score,
+             |    percent_rank() OVER (PARTITION BY source ORDER BY score, doc_id) AS pr
+             |  FROM s)
+             |SELECT doc_id, source, score, pr FROM r
+             |WHERE pr >= CAST(0.2 AS DOUBLE) ORDER BY doc_id""".stripMargin),
+      (s, d) => TextStats.qualityPercentileGate(Tables.documents(s, d),
+        "source", dropBottomPct = 20)),
+
+    Q("x50_group_centroids",
+      "Per-label embedding centroids (SemDeDup cluster centers / classifier prototypes) over the " +
+        "first 4 dims: sums on fixed-point integers (floor(v*1e6), the x37 idiom) so the aggregate " +
+        "is partition-order-independent and engine-exact — a naive float sum is neither; mean is " +
+        "one double division of exact longs. Single hash aggregate with map-side combine.",
+      Some("""SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             |  CAST(SUM(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+             |    / CAST(count(*) * 1000000 AS BIGINT) AS c0,
+             |  CAST(SUM(CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+             |    / CAST(count(*) * 1000000 AS BIGINT) AS c1,
+             |  CAST(SUM(CAST(floor(CAST(embedding[3] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+             |    / CAST(count(*) * 1000000 AS BIGINT) AS c2,
+             |  CAST(SUM(CAST(floor(CAST(embedding[4] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+             |    / CAST(count(*) * 1000000 AS BIGINT) AS c3
+             |FROM embeddings GROUP BY label ORDER BY label""".stripMargin),
+      (s, d) => Similarity.groupCentroids(Tables.embeddings(s, d), "label", dims = 4)))
 }

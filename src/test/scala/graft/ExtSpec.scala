@@ -597,4 +597,35 @@ class ExtSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(again == got)
   }
+
+  test("qualityPercentileGate: bottom of each group dropped, tie-break deterministic") {
+    // group g1: scores 0 ("zzz yyy"), 0.5 ("the zzz"), 1.0 ("the a") →
+    // drop bottom 40% = percent_rank < 0.4 drops only the 0-score doc;
+    // group g2: both docs tie at score 0 → pr(1)=0 dropped, pr(2)=1 kept
+    // purely by the doc_id tie-break (determinism, not quality)
+    val corpus = Seq(
+      (1L, "zzz yyy", "g1"), (2L, "the zzz", "g1"), (3L, "the a", "g1"),
+      (10L, "xxx yyy", "g2"), (11L, "yyy xxx", "g2")
+    ).toDF("doc_id", "text", "source")
+    val kept = TextStats.qualityPercentileGate(corpus, "source", dropBottomPct = 40)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 11L))
+  }
+
+  test("groupCentroids: fixed-point sums give the exact mean, order-independent") {
+    val emb = Seq(
+      (0L, Array(1.0f, -1.0f, 0.5f, 0.0f), 7),
+      (1L, Array(0.0f, 1.0f, 0.5f, 1.0f), 7),
+      (2L, Array(0.25f, 0.25f, 0.25f, 0.25f), 8)
+    ).toDF("vec_id", "embedding", "label")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.groupCentroids(df, "label", dims = 4).collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    val got = run(emb)
+    // exact: these floats are powers of two, so floor(v*1e6) loses nothing
+    assert(got(7) == ((2L, 0.5, 0.0, 0.5, 0.5)))
+    assert(got(8) == ((1L, 0.25, 0.25, 0.25, 0.25)))
+    assert(run(emb.repartition(3)) == got, "centroids must not depend on partitioning")
+  }
 }
