@@ -379,15 +379,26 @@ object TextDedup {
     val totals = grams.groupBy("split").agg(count(lit(1)).as("n_grams"))
     val a = grams.select(col("split").as("split_a"), col("g"))
     val b = grams.select(col("split").as("split_b"), col("g"))
-    a.join(b, Seq("g")).filter(col("split_a") < col("split_b"))
+    val shared = a.join(b, Seq("g")).filter(col("split_a") < col("split_b"))
       .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_shared"))
+    // every split pair appears even at zero overlap — a dashboard whose
+    // healthy no-leak outcome is a MISSING row can't distinguish "clean"
+    // from "never computed"; the pair frame is |splits|² rows, driven by
+    // the broadcast-sized totals
+    val splits = totals.select(col("split"))
+    val pairs = splits.select(col("split").as("split_a"))
+      .crossJoin(splits.select(col("split").as("split_b")))
+      .filter(col("split_a") < col("split_b"))
+    pairs.join(shared, Seq("split_a", "split_b"), "left")
       .join(broadcast(totals.select(col("split").as("split_a"), col("n_grams").as("n_a"))),
         Seq("split_a"))
       .join(broadcast(totals.select(col("split").as("split_b"), col("n_grams").as("n_b"))),
         Seq("split_b"))
-      .select(col("split_a"), col("split_b"), col("n_shared"), col("n_a"), col("n_b"),
-        (col("n_shared").cast("double") /
-          (col("n_a") + col("n_b") - col("n_shared")).cast("double")).as("jaccard"))
+      .select(col("split_a"), col("split_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"), col("n_a"), col("n_b"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_shared"), lit(0L))).cast("double"))
+          .as("jaccard"))
   }
 
   /** Cross-document duplicated-span REMOVAL (the active sibling of

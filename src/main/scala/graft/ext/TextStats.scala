@@ -19,14 +19,23 @@ object TextStats {
     val nChars = length(col(textCol)).cast("long")
     val nTokens = size(words).cast("long")
     val nSpaces = (length(col(textCol)) - length(regexp_replace(col(textCol), " ", ""))).cast("long")
-    val stopHits = size(filter(words, w =>
-      w.isin(Stopwords.en.toSeq: _*))).cast("long")
     docs.select(col("doc_id"),
       nChars.as("n_chars_m"),
       nTokens.as("n_tokens"),
       nSpaces.as("n_spaces_x"),
       ((nChars - nSpaces) / nTokens).as("avg_word_len"),
-      (stopHits / nTokens).as("stop_ratio"))
+      stopRatio(textCol).as("stop_ratio"))
+  }
+
+  /** Stopword-ratio score shared by [[quality]] and
+    * [[qualityPercentileGate]] — one definition so the gate and the
+    * quality report can never silently diverge on tokenization or the
+    * stopword list.
+    */
+  private def stopRatio(textCol: String): Column = {
+    val words = split(col(textCol), " ")
+    size(filter(words, w => w.isin(Stopwords.en.toSeq: _*))).cast("long") /
+      size(words).cast("long")
   }
 
   /** Token count under a BPE-ish lexer regex (letter runs / digit runs /
@@ -148,23 +157,26 @@ object TextStats {
     * fixed global threshold — the curation recipe that survives
     * heterogeneous domains (a threshold tuned on web text would gut a
     * code or reference domain; a within-domain percentile adapts). Score
-    * here is the stopword ratio (one portable double division); rank is
-    * `percent_rank` with doc_id as the deterministic tie-break, so the
-    * kept set is exact and engine-portable. One window shuffle on the
-    * group key — partitions are per-domain slices, the same cardinality
-    * the mixing ops already shuffle.
+    * is the shared [[stopRatio]]; the drop quota is the INTEGER
+    * `floor(n·pct/100)` lowest-ranked docs (row_number with doc_id
+    * tie-break), not a percent_rank cutoff — percent_rank pins the
+    * lowest row of EVERY group at 0.0, so a `pr >= t` filter deletes
+    * 100% of single-doc groups and always at least one doc per group,
+    * gutting exactly the small domains this operator exists to protect.
+    * A 1-doc group drops floor(0.2) = 0. One window shuffle on the group
+    * key; all-integer quota arithmetic is engine-exact.
     */
   def qualityPercentileGate(docs: DataFrame, groupCol: String,
       dropBottomPct: Int): DataFrame = {
     require(dropBottomPct >= 0 && dropBottomPct < 100, "dropBottomPct in [0, 100)")
-    val words = split(col("text"), " ")
-    val stopHits = size(filter(words, w => w.isin(Stopwords.en.toSeq: _*))).cast("long")
-    val score = stopHits / size(words).cast("long")
-    val w = org.apache.spark.sql.expressions.Window
+    val byScore = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("score"), col("doc_id"))
-    docs.select(col("doc_id"), col(groupCol), score.as("score"))
-      .withColumn("pr", percent_rank().over(w))
-      .filter(col("pr") >= lit(dropBottomPct / 100.0))
+    val grp = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    docs.select(col("doc_id"), col(groupCol), stopRatio("text").as("score"))
+      .withColumn("rn", row_number().over(byScore).cast("long"))
+      .withColumn("n_docs", count(lit(1)).over(grp))
+      .filter(col("rn") > expr(s"(n_docs * $dropBottomPct) div 100"))
+      .select(col("doc_id"), col(groupCol), col("score"))
   }
 
   /** Domain-mix rebalancing: subsample each source so the kept corpus
@@ -175,11 +187,14 @@ object TextStats {
     * upsampling. Sources absent from `weightsBp` are dropped (weight 0).
     *
     * All thresholds are derived in INTEGER arithmetic (floor division on
-    * counts and basis points) so two engines agree exactly:
-    * T = min_s(c_s·10⁴ div w_s) is the achievable total, k_s = w_s·T
-    * div 10⁴ the per-source quota, and a row survives iff its portable
-    * id-hash bucket (of 10⁴) < k_s·10⁴ div c_s. Same determinism contract
-    * as [[stratifiedSample]] (no RNG, stable across runs/engines/
+    * counts and basis points) so two engines agree exactly. The binding
+    * source b minimizes c_s·10⁴ div w_s (deterministic source-name
+    * tie-break) and anchors the mix: its threshold is exactly 10⁴ (kept
+    * whole BY CONSTRUCTION — an earlier total-then-quota formulation
+    * double-floored and could thin the binding source itself), and every
+    * other source keeps bucket < (w_s·c_b·10⁴) div (w_b·c_s), its
+    * proportional rate against the anchor. Same determinism contract as
+    * [[stratifiedSample]] (no RNG, stable across runs/engines/
     * partitionings); rates are data-dependent but exact, computed from a
     * per-source count aggregate that broadcasts (|sources| rows).
     */
@@ -192,9 +207,11 @@ object TextStats {
     }
     val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("c"))
       .withColumn("w", wExpr).filter(col("w").isNotNull)
-    val cap = counts.agg(min(expr("c * 10000 div w")).as("t"))
-    val thresholds = counts.crossJoin(broadcast(cap))
-      .select(col(sourceCol), expr("((w * t div 10000) * 10000) div c").as("bp"))
+    val binding = counts.orderBy(expr("c * 10000 div w"), col(sourceCol)).limit(1)
+      .select(col("c").as("cb"), col("w").as("wb"))
+    val thresholds = counts.crossJoin(broadcast(binding))
+      .select(col(sourceCol),
+        least(lit(10000L), expr("(w * cb * 10000) div (wb * c)")).as("bp"))
     val h = TextDedup.portableHash(col(idCol).cast("string"), "mix")
     docs.join(broadcast(thresholds), Seq(sourceCol))
       .withColumn("bucket", pmod(h, lit(10000L)))

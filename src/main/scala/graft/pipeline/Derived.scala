@@ -48,7 +48,11 @@ object Derived {
   }
 
   private def latestMtime(f: File): Long =
-    if (f.isDirectory) (f.lastModified() +: f.listFiles().map(latestMtime).toSeq).max
+    // listFiles is null on I/O error or concurrent removal (the
+    // synchronized block above is JVM-local) — treat as empty, not NPE
+    if (f.isDirectory)
+      (f.lastModified() +:
+        Option(f.listFiles()).getOrElse(Array.empty).map(latestMtime).toSeq).max
     else f.lastModified()
 
   /** Per-corpus scratch root, keyed by the corpus path so sf0.01 and

@@ -996,12 +996,17 @@ object ExtensionQueries {
              |                        for i in range(1, len(words)-3)]) AS g
              |  FROM s) t),
              |t AS (SELECT split, count(*) AS n FROM g GROUP BY split),
+             |pr AS (SELECT a.split AS split_a, b.split AS split_b
+             |       FROM (SELECT DISTINCT split FROM g) a
+             |       JOIN (SELECT DISTINCT split FROM g) b ON a.split < b.split),
              |p AS (SELECT a.split AS split_a, b.split AS split_b, count(*) AS n_shared
              |      FROM g a JOIN g b USING (g) WHERE a.split < b.split GROUP BY 1, 2)
-             |SELECT p.split_a, p.split_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+             |SELECT pr.split_a, pr.split_b, CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared,
              |  CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
-             |  CAST(p.n_shared AS DOUBLE) / CAST(ta.n + tb.n - p.n_shared AS DOUBLE) AS jaccard
-             |FROM p JOIN t ta ON p.split_a = ta.split JOIN t tb ON p.split_b = tb.split""".stripMargin),
+             |  CAST(COALESCE(p.n_shared, 0) AS DOUBLE)
+             |    / CAST(ta.n + tb.n - COALESCE(p.n_shared, 0) AS DOUBLE) AS jaccard
+             |FROM pr LEFT JOIN p ON pr.split_a = p.split_a AND pr.split_b = p.split_b
+             |JOIN t ta ON pr.split_a = ta.split JOIN t tb ON pr.split_b = tb.split""".stripMargin),
       (s, d) => TextDedup.splitOverlap(
         TextStats.hashSplit(Tables.loadFanout(s, d, "documents"), "doc_id", trainPct = 80),
         "split", n = 5)),
@@ -1039,9 +1044,10 @@ object ExtensionQueries {
       Some("""WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
              |w AS (SELECT * FROM (VALUES ('src0', 5000), ('src1', 3000), ('src2', 2000))
              |      AS t(source, wbp)),
-             |cap AS (SELECT min(c.c * 10000 // w.wbp) AS t FROM c JOIN w USING (source)),
-             |th AS (SELECT c.source, ((w.wbp * cap.t // 10000) * 10000) // c.c AS bp
-             |       FROM c JOIN w USING (source) CROSS JOIN cap)
+             |j AS (SELECT c.source, c.c, w.wbp FROM c JOIN w USING (source)),
+             |b AS (SELECT c AS cb, wbp AS wb FROM j ORDER BY c * 10000 // wbp, source LIMIT 1),
+             |th AS (SELECT j.source, least(10000, (j.wbp * b.cb * 10000) // (b.wb * j.c)) AS bp
+             |       FROM j CROSS JOIN b)
              |SELECT d.doc_id, d.source,
              |  ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)||'mix'),1,15))::BIGINT % 10000 AS bucket
              |FROM documents d JOIN th USING (source)
@@ -1051,20 +1057,22 @@ object ExtensionQueries {
         Map("src0" -> 5000, "src1" -> 3000, "src2" -> 2000))),
 
     Q("x49_quality_pctl_gate",
-      "Per-domain quality-percentile gate: drop the bottom 20% of each source by stopword-ratio " +
-        "score (percent_rank, doc_id tie-break) — the threshold-free curation rule that adapts to " +
-        "heterogeneous domains where one global cutoff guts whole sources. One window shuffle on " +
-        "the group key.",
+      "Per-domain quality-percentile gate: drop the floor(n*20/100) lowest-scored docs of each " +
+        "source by stopword ratio (row_number, doc_id tie-break; integer quota so a 1-doc group " +
+        "drops zero — a percent_rank cutoff would gut it) — the threshold-free curation rule that " +
+        "adapts to heterogeneous domains where one global cutoff guts whole sources. One window " +
+        "shuffle on the group key.",
       Some("""WITH s AS (SELECT doc_id, source,
              |    CAST(len(list_filter(string_split(text, ' '),
              |          w -> w IN ('the','and','of','to','in','a','is','that'))) AS BIGINT)
              |      / CAST(len(string_split(text, ' ')) AS BIGINT) AS score
              |  FROM documents),
              |r AS (SELECT doc_id, source, score,
-             |    percent_rank() OVER (PARTITION BY source ORDER BY score, doc_id) AS pr
+             |    CAST(row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS BIGINT) AS rn,
+             |    count(*) OVER (PARTITION BY source) AS n_docs
              |  FROM s)
-             |SELECT doc_id, source, score, pr FROM r
-             |WHERE pr >= CAST(0.2 AS DOUBLE) ORDER BY doc_id""".stripMargin),
+             |SELECT doc_id, source, score FROM r
+             |WHERE rn > (n_docs * 20) // 100 ORDER BY doc_id""".stripMargin),
       (s, d) => TextStats.qualityPercentileGate(Tables.documents(s, d),
         "source", dropBottomPct = 20)),
 

@@ -55,7 +55,11 @@ object ScaleSmoke {
     // (x33 bounds itself to doc_id < 300 for its oracle, so amplifying
     // the corpus would only time the enlarged scan, not CC)
     "q50_partition_prune", "x44_shard_assign", "x45_vocab_oov",
-    "x35_semantic_dedup")
+    "x35_semantic_dedup",
+    // round-6 closing-session operators: x47 is the gram-heavy one (its
+    // posting pass is linear in corpus tokens); x46's distinct
+    // (split, gram) set also grows with the corpus
+    "x46_split_overlap", "x47_strip_dup_spans")
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorS) = args.take(3)
@@ -77,27 +81,36 @@ object ScaleSmoke {
     // mode that makes the ×100 contrast measurement affordable to rerun.
     val contrastOnly = args.contains("--contrast-only")
     val needed = if (contrastOnly) Some(Set("documents")) else None
-    // a "factor scope" marker guards against silently measuring a stale
-    // scale: an outDir amplified at ×10 must not satisfy a ×100 run just
-    // because its files exist, and a documents-only (contrast) refresh
-    // must not certify the whole dir for a later full sweep
+    // a "factor scope srcMtime" marker guards against silently measuring
+    // a stale scale: an outDir amplified at ×10 must not satisfy a ×100
+    // run just because its files exist, a documents-only (contrast)
+    // refresh must not certify the whole dir for a later full sweep, and
+    // a REGENERATED source corpus must not be served from amplified
+    // copies of the old one (the Derived.eventsByDate staleness class)
     val wantScope = if (contrastOnly) "documents" else "full"
+    def latestMtime(f: java.io.File): Long =
+      if (f.isDirectory)
+        (f.lastModified() +:
+          Option(f.listFiles()).getOrElse(Array.empty).map(latestMtime).toSeq).max
+      else f.lastModified()
+    val srcMtime = latestMtime(new java.io.File(srcDir))
     val marker = new java.io.File(s"$outDir/.amplify-marker")
-    val (markedFactor, markedScope) =
+    val (markedFactor, markedScope, markedSrc) =
       scala.util.Try {
-        val Array(f, sc) = java.nio.file.Files.readString(marker.toPath).trim.split(" ")
-        (f.toInt, sc)
-      }.getOrElse((-1, ""))
-    val fresh = markedFactor == factor &&
+        val Array(f, sc, sm) = java.nio.file.Files.readString(marker.toPath).trim.split(" ")
+        (f.toInt, sc, sm.toLong)
+      }.getOrElse((-1, "", -1L))
+    val fresh = markedFactor == factor && markedSrc == srcMtime &&
       (markedScope == "full" || markedScope == wantScope)
     if (!fresh) {
       if (marker.exists())
-        println(s"[scale] outDir is x$markedFactor/$markedScope, need x$factor/$wantScope — re-amplifying")
+        println(s"[scale] outDir is x$markedFactor/$markedScope/src@$markedSrc, " +
+          s"need x$factor/$wantScope/src@$srcMtime — re-amplifying")
       println(s"[scale] amplifying $srcDir x$factor -> $outDir" +
         (if (contrastOnly) " (documents only)" else ""))
       amplify(spark, srcDir, outDir, factor, needed)
       new java.io.File(outDir).mkdirs()
-      java.nio.file.Files.writeString(marker.toPath, s"$factor $wantScope")
+      java.nio.file.Files.writeString(marker.toPath, s"$factor $wantScope $srcMtime")
     }
     (if (contrastOnly) Seq.empty else Targets).foreach { name =>
       // the BUILD is inside the timed region: queries with driver-side

@@ -552,20 +552,25 @@ class ExtSpec extends SparkSuite {
     assert(frames.count() > 0)
   }
 
-  test("splitOverlap: shared shingles counted distinct-once, totals and jaccard exact") {
+  test("splitOverlap: shared shingles counted distinct-once; zero-overlap pairs still appear") {
     // train = doc 0; eval = exact dup of 0 (shares all nine 5-grams) +
-    // unique doc 2 (six unrelated 5-grams) → shared 9, train 9, eval 15
+    // unique doc 2 (six unrelated 5-grams) → shared 9, train 9, eval 15;
+    // test = fully disjoint split → its pairs must report n_shared = 0
+    // (a leakage dashboard whose healthy outcome is a MISSING row is
+    // useless), giving all C(3,2) = 3 pairs
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog near the river bank", "train"),
       (3L, "the quick brown fox jumps over the lazy dog near the river bank", "eval"),
-      (2L, "completely different words about spark query engines and shuffles here", "eval")
+      (2L, "completely different words about spark query engines and shuffles here", "eval"),
+      (9L, "held out benchmark sentences share no five gram with anything else", "test")
     ).toDF("doc_id", "text", "split")
     val got = TextDedup.splitOverlap(corpus, "split", n = 5).collect()
-    assert(got.length == 1)
-    val r = got.head
-    assert((r.getString(0), r.getString(1)) == (("eval", "train")))
-    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((9L, 15L, 9L)))
-    assert(math.abs(r.getDouble(5) - 9.0 / 15.0) < 1e-15)
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.size == 3)
+    assert(got(("eval", "train")) == ((9L, 15L, 9L, 9.0 / 15.0)))
+    assert(got(("eval", "test")) == ((0L, 15L, 7L, 0.0)))
+    assert(got(("test", "train")) == ((0L, 7L, 9L, 0.0)))
   }
 
   test("stripDupSpans: covered positions removed in order, unique docs verbatim") {
@@ -596,20 +601,32 @@ class ExtSpec extends SparkSuite {
     val again = TextStats.domainMix(df.repartition(5), w, idCol = "doc_id").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(again == got)
+    // binding-source invariant survives inexact division (the old
+    // total-then-quota arithmetic double-floored and kept only 2/3 of
+    // the binding source here): a:3 @7000bp binds against b:100 @3000bp
+    val skew = ((1L to 3L).map(i => (i, "a")) ++ (101L to 200L).map(i => (i, "b")))
+      .toDF("doc_id", "source")
+    val keptSkew = TextStats.domainMix(skew, Map("a" -> 7000, "b" -> 3000), idCol = "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(keptSkew.count(_._2 == "a") == 3, "binding source must be kept whole")
+    // b thins to rate (3000·3·10⁴) div (7000·100) = 128bp ⇒ a small tail
+    assert(keptSkew.count(_._2 == "b") <= 5)
   }
 
-  test("qualityPercentileGate: bottom of each group dropped, tie-break deterministic") {
-    // group g1: scores 0 ("zzz yyy"), 0.5 ("the zzz"), 1.0 ("the a") →
-    // drop bottom 40% = percent_rank < 0.4 drops only the 0-score doc;
-    // group g2: both docs tie at score 0 → pr(1)=0 dropped, pr(2)=1 kept
-    // purely by the doc_id tie-break (determinism, not quality)
+  test("qualityPercentileGate: integer quota per group; small groups never gutted") {
+    // g1 (3 docs): quota = floor(3·40/100) = 1 → only the 0-score doc
+    // drops; g2 (2 docs): quota = floor(0.8) = 0 → BOTH kept (the old
+    // percent_rank formulation always dropped at least one per group);
+    // g3 (1 doc): quota 0 → the singleton survives — the small-domain
+    // protection this operator exists for
     val corpus = Seq(
       (1L, "zzz yyy", "g1"), (2L, "the zzz", "g1"), (3L, "the a", "g1"),
-      (10L, "xxx yyy", "g2"), (11L, "yyy xxx", "g2")
+      (10L, "xxx yyy", "g2"), (11L, "yyy xxx", "g2"),
+      (20L, "qqq www", "g3")
     ).toDF("doc_id", "text", "source")
     val kept = TextStats.qualityPercentileGate(corpus, "source", dropBottomPct = 40)
       .collect().map(_.getLong(0)).toSet
-    assert(kept == Set(2L, 3L, 11L))
+    assert(kept == Set(2L, 3L, 10L, 11L, 20L))
   }
 
   test("groupCentroids: fixed-point sums give the exact mean, order-independent") {
