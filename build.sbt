@@ -11,6 +11,24 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// One forked JVM per suite, up to 6 at once: the suite wall is
+// dominated by a handful of iterative-fixpoint suites (CC property /
+// chain contrasts) that are pure per-round job overhead at local[4] —
+// running suites sequentially in one JVM serialized ~25 minutes of
+// that; parallel forks cut the wall to roughly the slowest suite.
+// SparkSuite gives each JVM its own warehouse/derby scratch dir, and
+// the one cross-JVM shared fixture (Derived.eventsByDate) takes an
+// OS file lock, so concurrent suites can't corrupt shared state.
+Test / testGrouping := {
+  val opts = (Test / forkOptions).value
+  (Test / definedTests).value.map { t =>
+    Tests.Group(t.name, Seq(t), Tests.SubProcess(opts))
+  }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 6),
+  Tags.limitAll(24),
+)
 // Pass forked-run output through verbatim (no [info]/[error] log
 // prefixes): Bench's contract is ONE bare JSON line on stdout, and the
 // sbt logger prefix broke the driver's parse in round 1

@@ -373,8 +373,14 @@ object TextDedup {
     * depends on corpus size beyond the linear shingle pass.
     */
   def splitOverlap(docs: DataFrame, splitCol: String, n: Int = 5): DataFrame = {
+    // Shingles reduce to 64-bit xxhash64 keys BEFORE the distinct, so
+    // the distinct, the per-split totals, and the self-join all move
+    // longs instead of ~n-word strings (the dominant exchanges here —
+    // same idiom as [[dupSpanCoverage]]/[[stripDupSpans]]). A collision
+    // (~n_shingles^2 / 2^65) could merge two shingles across splits.
     val grams = docs
-      .select(col(splitCol).as("split"), explode(word_shingles(col("text"), n)).as("g"))
+      .select(col(splitCol).as("split"), explode(word_shingles(col("text"), n)).as("gs"))
+      .select(col("split"), xxhash64(col("gs")).as("g"))
       .distinct()
     val totals = grams.groupBy("split").agg(count(lit(1)).as("n_grams"))
     val a = grams.select(col("split").as("split_a"), col("g"))
@@ -420,9 +426,14 @@ object TextDedup {
     val toks = docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .select(col("doc_id"), col("pos").as("tpos"), col("col").as("tok"))
+    // Grams shuffle as 64-bit xxhash64 keys, never as n-word strings —
+    // the [[dupSpanCoverage]] idiom: the cross-doc aggregate and the
+    // semi-join below are the two big exchanges here, and hashing cuts
+    // their shuffle bytes ~8x (an 8-gram averages ~50 chars). A hash
+    // collision (~n_grams^2 / 2^65) could only over-remove one span.
     val grams = docs
       .select(col("doc_id"), posexplode(graft.functions.word_ngrams(col("text"), n)))
-      .select(col("doc_id"), col("pos"), col("col").as("gram"))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("gram"))
     val crossDocGrams = grams.groupBy(col("gram"))
       .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
       .filter(col("d0") =!= col("d1"))

@@ -26,11 +26,11 @@ import org.apache.spark.sql.functions._
   *     small-star contraction (Kiveris et al., "Connected Components in
   *     MapReduce and Beyond", SoCC'14). Rounds grow with log(diameter):
   *     1000 diameter-99 chains converge in 8 alternating rounds vs 100
-  *     min-label rounds (measured; CcSpec locks the shape at
+  *     min-label rounds (measured; CcChainSpec locks the shape at
   *     diameter 40).
   *   - [[labelsMinLabel]]: iterative min-label propagation to fixpoint —
   *     rounds = graph diameter. The independently simple reference
-  *     implementation; CcSpec property-tests all variants equal on
+  *     implementation; CcPropertySpec property-tests all variants equal on
   *     random graphs.
   *   - [[labelsHybrid]]: one min-label contraction then stars — measured
   *     slower than both specialists on their home turf (CcBench); kept
@@ -63,7 +63,7 @@ object ConnectedComponents {
       .select(col("u"), least(col("u"), col("mn")).as("m"))
     // No distinct here: smallStar's terminal distinct canonicalizes the
     // round's output, so dedup-ing the intermediate frame would only add
-    // an exchange (CcSpec's 5-seed equality property covers this).
+    // an exchange (CcPropertySpec's 5-seed equality property covers this).
     sym.join(mins, Seq("u"))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
@@ -185,7 +185,7 @@ object ConnectedComponents {
     * blob to its minimum immediately, so the (per-round more expensive)
     * star rounds run on a much smaller edge set; long chains still
     * finish in log rounds because the star phase takes over. Output is
-    * identical to [[labels]] (CcSpec property-tests the three variants
+    * identical to [[labels]] (CcPropertySpec property-tests the three variants
     * equal on seeded random graphs).
     *
     * Correctness of the composition: m(u) = min(Γ(u) ∪ {u}) is in u's

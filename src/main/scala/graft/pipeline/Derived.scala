@@ -32,16 +32,35 @@ object Derived {
   def eventsByDate(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = new File(derivedRoot(sfDir), "events_by_date")
     this.synchronized {
-      // stale-fixture guard: a cached copy older than the source corpus
-      // (regenerated test data) would silently diverge from the oracle's
-      // flat events table — rebuild whenever the source is newer
-      val success = new File(dir, "_SUCCESS")
-      val srcMtime = latestMtime(new File(s"$sfDir/events.parquet"))
-      if (!success.exists() || success.lastModified() < srcMtime) {
-        deleteRecursively(dir)
-        Ingest.appendPartitioned(
-          Tables.events(spark, sfDir).withColumn("event_date", to_date(col("ts"))),
-          dir.toString, seq = 1L, partitionCols = Seq("event_date"))
+      // Cross-PROCESS exclusion on top of the JVM-local synchronized:
+      // parallel test JVMs (and concurrent driver runs) may race the
+      // first build after a corpus refresh, and a half-written fixture
+      // read by the other process fails or silently under-counts. An
+      // OS-level advisory lock on a sibling lockfile serializes builds;
+      // the post-acquire re-check makes the losers find the winner's
+      // _SUCCESS and skip their own rebuild.
+      val root = derivedRoot(sfDir)
+      root.mkdirs()
+      val lockCh = java.nio.channels.FileChannel.open(
+        new File(root, "events_by_date.lock").toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = lockCh.lock()
+      try {
+        // stale-fixture guard: a cached copy older than the source corpus
+        // (regenerated test data) would silently diverge from the oracle's
+        // flat events table — rebuild whenever the source is newer
+        val success = new File(dir, "_SUCCESS")
+        val srcMtime = latestMtime(new File(s"$sfDir/events.parquet"))
+        if (!success.exists() || success.lastModified() < srcMtime) {
+          deleteRecursively(dir)
+          Ingest.appendPartitioned(
+            Tables.events(spark, sfDir).withColumn("event_date", to_date(col("ts"))),
+            dir.toString, seq = 1L, partitionCols = Seq("event_date"))
+        }
+      } finally {
+        lock.release()
+        lockCh.close()
       }
     }
     spark.read.parquet(dir.toString)

@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.ConnectedComponents
+
+/** Equality property across all four CC variants on seeded random
+  * graphs — split from CcSpec so the (deliberately heavy: 25 full
+  * fixpoint runs) property suite can run in its own forked JVM in
+  * parallel with the rest of the test wall.
+  */
+class CcPropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("alternating-star, hybrid, and min-label all agree on random graphs (property, 5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      // sparse-ish: chains and blobs both appear across seeds
+      val edges = Seq.fill(50)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("a", "b")
+      val alt = ConnectedComponents.labels(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ref = ConnectedComponents.labelsMinLabel(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hyb = ConnectedComponents.labelsHybrid(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // default path, plus a switchAfter=1 run that FORCES the
+      // contract-then-star composition even on these shallow graphs
+      val ada = ConnectedComponents.labelsAdaptive(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val adaForced = ConnectedComponents.labelsAdaptive(df, switchAfter = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(alt == ref, s"seed $seed: alternating-star != min-label")
+      assert(hyb == ref, s"seed $seed: hybrid != min-label")
+      assert(ada == ref, s"seed $seed: adaptive != min-label")
+      assert(adaForced == ref, s"seed $seed: adaptive(switchAfter=1) != min-label")
+    }
+  }
+}

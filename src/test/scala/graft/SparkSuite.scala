@@ -8,10 +8,14 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 trait SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = {
-    // keep catalog artifacts (derby metastore, warehouse) out of the repo
-    System.setProperty("derby.system.home", "/tmp/graft-derby")
+    // keep catalog artifacts (derby metastore, warehouse) out of the
+    // repo — and UNIQUE per JVM: suites run as parallel forked JVMs
+    // (build.sbt testGrouping), and two catalogs writing one warehouse
+    // dir corrupt each other's saveAsTable output
+    val scratch = java.nio.file.Files.createTempDirectory("graft-suite").toString
+    System.setProperty("derby.system.home", s"$scratch/derby")
     val s = SparkSession.builder()
-      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      .config("spark.sql.warehouse.dir", s"$scratch/warehouse")
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
