@@ -175,6 +175,109 @@ object TextDedup {
       .select(col("band"), col("band_hash"), col("bucket_size"),
         (col("bucket_size") * (col("bucket_size") - 1) / 2).cast("long").as("pairs_dropped"))
 
+  /** Signature frame → one row per (band, band_hash) membership, sig
+    * carried for the pair-level Jaccard estimate: the INDEX layout of
+    * incremental dedup. At corpus scale this frame is what gets stored
+    * — bucketed on `band_hash` (`Bucketing.writeBucketed` /
+    * `Ingest.compactBucketed`) so every batch probe is a co-located
+    * join with ZERO index-side shuffle (HashPartitioning(band_hash)
+    * satisfies the probe's (band, band_hash) clustering;
+    * IncrementalDedupSpec locks the plan shape).
+    */
+  def signatureBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), sigArray.as("sig"), explode(bandStructs).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.band_hash").as("band_hash"),
+        col("doc_id"), col("sig"))
+
+  private def estJaccard(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / lit(NumHashes.toDouble)
+
+  /** Incremental near-dup candidates: which docs of a NEW batch collide
+    * with a standing corpus signature INDEX, and with each other. This
+    * is the production shape of dedup at corpus scale — signatures for
+    * the standing corpus are computed ONCE at ingest and kept as an
+    * index table; arriving batches shingle/hash only themselves and
+    * probe the index by band bucket. The corpus is never re-shingled,
+    * so per-batch cost is O(batch), not O(corpus).
+    *
+    * Output: one row per candidate, `new_id` (the batch doc whose
+    * survival is in question), `match_id`, `est_jaccard` (fraction of
+    * equal signature components), `origin` ('corpus' = match_id is an
+    * index doc; 'batch' = an in-batch rival with SMALLER id — the
+    * orientation the keep-min-id rule consumes). Index and batch must
+    * carry disjoint doc ids.
+    *
+    * Scale shape: batch band keys semi-join the index (AQE broadcasts
+    * the key set when the batch is small; a bucketed index makes the
+    * probe co-located), per-bucket INDEX size is capped at `maxBucket`
+    * exactly like [[candidatePairsFrom]] caps in-batch buckets — a
+    * boilerplate bucket with 100k index docs must not fan every batch
+    * doc out 100k ways. In-batch pairs reuse [[candidatePairsFrom]].
+    */
+  def incrementalCandidates(indexSigs: DataFrame, batchSigs: DataFrame,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    incrementalCandidatesBanded(signatureBands(indexSigs), batchSigs, maxBucket)
+
+  /** [[incrementalCandidates]] over a PRE-BANDED index — the frame
+    * [[signatureBands]] produces, typically read back from the stored
+    * (bucketed-on-band_hash) index table so the probe plans no
+    * index-side exchange. This is the entry point a production ingest
+    * loop calls per batch.
+    */
+  def incrementalCandidatesBanded(indexBands: DataFrame, batchSigs: DataFrame,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val ib = indexBands
+    val nb = signatureBands(batchSigs)
+    val keys = nb.select(col("band"), col("band_hash")).distinct()
+    // index rows in buckets the batch touches — the only index slice
+    // this batch's dedup ever reads
+    val touched = ib.join(keys, Seq("band", "band_hash"), "left_semi")
+    val capped =
+      if (maxBucket > 0) {
+        val ok = touched.groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("n_idx"))
+          .filter(col("n_idx") <= maxBucket)
+          .select(col("band"), col("band_hash"))
+        touched.join(ok, Seq("band", "band_hash"), "left_semi")
+      } else touched
+    val newOld = capped
+      .join(nb.select(col("band"), col("band_hash"),
+        col("doc_id").as("new_id"), col("sig").as("nsig")), Seq("band", "band_hash"))
+      .select(col("new_id"), col("doc_id").as("match_id"),
+        estJaccard(col("nsig"), col("sig")).as("est_jaccard"),
+        lit("corpus").as("origin"))
+      .distinct()
+    val newNew = candidatePairsFrom(batchSigs, maxBucket)
+      .select(col("doc_b").as("new_id"), col("doc_a").as("match_id"),
+        col("est_jaccard"), lit("batch").as("origin"))
+    newOld.unionAll(newNew)
+  }
+
+  /** Incremental dedup verdicts: for every SIGNED batch doc (the
+    * signature frame is the universe — docs too short to shingle have
+    * no signature and no verdict), how many corpus docs and how many
+    * smaller-id batch rivals it matches at `threshold`, and whether it
+    * survives (`keep` = no hit of either kind — new-vs-corpus dedup
+    * plus keep-min-id within the batch, in one pass over
+    * [[incrementalCandidates]]).
+    */
+  def incrementalDedup(indexSigs: DataFrame, batchSigs: DataFrame,
+      threshold: Double = 0.5, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val hits = incrementalCandidates(indexSigs, batchSigs, maxBucket)
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(count_if(col("origin") === "corpus").as("n_corpus_hits"),
+        count_if(col("origin") === "batch").as("n_batch_rivals"))
+    batchSigs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_corpus_hits"), lit(0L)).as("n_corpus_hits"),
+        coalesce(col("n_batch_rivals"), lit(0L)).as("n_batch_rivals"))
+      .withColumn("keep",
+        (col("n_corpus_hits") === 0 && col("n_batch_rivals") === 0).cast("int"))
+  }
+
   /** Benchmark decontamination: per training document, how many of its
     * distinct word-`n`-gram shingles appear anywhere in the evaluation
     * set (`isEval` rows) — the standard leakage check a training-data

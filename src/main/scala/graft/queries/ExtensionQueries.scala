@@ -105,6 +105,49 @@ object ExtensionQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  private def eqCountSql(a: String, b: String): String =
+    (0 until graft.ext.TextDedup.NumHashes).map(i =>
+      s"CASE WHEN $a.s$i = $b.s$i THEN 1 ELSE 0 END").mkString(" + ")
+
+  private val incrementalDedupOracle: String = {
+    val cap = graft.ext.TextDedup.DefaultMaxBucket
+    // est_jaccard >= 0.5 over 16 components == at least 8 equal
+    val minEq = math.ceil(0.5 * graft.ext.TextDedup.NumHashes).toInt
+    s"""WITH sp AS (SELECT doc_id, text,
+       |    CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 < 80
+       |         THEN 'train' ELSE 'eval' END AS split
+       |  FROM documents),
+       |sh AS (SELECT doc_id, split,
+       |    unnest(list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)])) AS shingle
+       |  FROM (SELECT doc_id, split, string_split(text, ' ') AS words FROM sp) t
+       |  WHERE len(words) >= 3),
+       |h AS (SELECT doc_id, split, ('0x'||substr(md5(shingle),1,15))::BIGINT AS h0 FROM sh),
+       |sig AS (SELECT doc_id, split, $sigColsSql FROM h GROUP BY doc_id, split),
+       |banded AS (SELECT sig.*, band, CASE band $bandKeyCases END AS bkey
+       |           FROM sig, (VALUES $bandValues) bs(band)),
+       |cb AS (SELECT * FROM banded WHERE split = 'train'),
+       |nb AS (SELECT * FROM banded WHERE split = 'eval'),
+       |cok AS (SELECT band, bkey FROM cb GROUP BY band, bkey HAVING count(*) <= $cap),
+       |nok AS (SELECT band, bkey FROM nb GROUP BY band, bkey HAVING count(*) <= $cap),
+       |co AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS match_id
+       |       FROM nb n JOIN cb c ON n.band = c.band AND n.bkey = c.bkey
+       |       JOIN cok k ON n.band = k.band AND n.bkey = k.bkey
+       |       WHERE ${eqCountSql("n", "c")} >= $minEq),
+       |bp AS (SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS match_id
+       |       FROM nb a JOIN nb b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |       JOIN nok k ON a.band = k.band AND a.bkey = k.bkey
+       |       WHERE ${eqCountSql("a", "b")} >= $minEq)
+       |SELECT s.doc_id,
+       |  CAST(COALESCE(ch.n, 0) AS BIGINT) AS n_corpus_hits,
+       |  CAST(COALESCE(bh.n, 0) AS BIGINT) AS n_batch_rivals,
+       |  CAST(CASE WHEN COALESCE(ch.n, 0) = 0 AND COALESCE(bh.n, 0) = 0
+       |       THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM (SELECT DISTINCT doc_id FROM nb) s
+       |LEFT JOIN (SELECT new_id, count(*) AS n FROM co GROUP BY new_id) ch ON s.doc_id = ch.new_id
+       |LEFT JOIN (SELECT new_id, count(*) AS n FROM bp GROUP BY new_id) bh ON s.doc_id = bh.new_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- vector-space oracle fragments --------------------------------------
   // Bit-exact SQL twins of the Spark double kernels: explicit
   // left-associated sums (the fold order of VectorKernels.cosineFloat and
@@ -1091,5 +1134,22 @@ object ExtensionQueries {
              |  CAST(SUM(CAST(floor(CAST(embedding[4] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
              |    / CAST(count(*) * 1000000 AS BIGINT) AS c3
              |FROM embeddings GROUP BY label ORDER BY label""".stripMargin),
-      (s, d) => Similarity.groupCentroids(Tables.embeddings(s, d), "label", dims = 4)))
+      (s, d) => Similarity.groupCentroids(Tables.embeddings(s, d), "label", dims = 4)),
+
+    Q("x51_incremental_dedup",
+      "Incremental near-dup dedup of a NEW batch against a standing corpus signature index — the " +
+        "production shape at corpus scale: the corpus (hash-split 'train' side) is signed ONCE and " +
+        "kept as an index; the arriving batch ('eval' side) signs only itself and probes the index " +
+        "by LSH band bucket, so per-batch cost is O(batch), never O(corpus). Per batch doc: corpus " +
+        "hits and smaller-id in-batch rivals at est_jaccard >= 0.5, and the keep verdict " +
+        "(new-vs-corpus drop + keep-min-id within the batch). Index-side buckets capped at 256 " +
+        "like candidatePairsFrom's in-batch cap, so a boilerplate bucket can't fan every batch " +
+        "doc out by its full index population.",
+      Some(incrementalDedupOracle),
+      (s, d) => {
+        val split = TextStats.hashSplit(Tables.documents(s, d), "doc_id", trainPct = 80)
+        TextDedup.incrementalDedup(
+          TextDedup.minhashSignaturesPortable(split.filter(col("split") === "train")),
+          TextDedup.minhashSignaturesPortable(split.filter(col("split") === "eval")))
+      }))
 }
