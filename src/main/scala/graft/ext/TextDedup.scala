@@ -263,8 +263,17 @@ object TextDedup {
     * [[incrementalCandidates]]).
     */
   def incrementalDedup(indexSigs: DataFrame, batchSigs: DataFrame,
+      threshold: Double = 0.5, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    incrementalDedupBanded(signatureBands(indexSigs), batchSigs, threshold, maxBucket)
+
+  /** [[incrementalDedup]] over a PRE-BANDED index (the
+    * [[signatureBands]] layout, typically read back from the stored
+    * index table) — the verdict entry point a production ingest loop
+    * calls per batch; see [[incrementalCandidatesBanded]].
+    */
+  def incrementalDedupBanded(indexBands: DataFrame, batchSigs: DataFrame,
       threshold: Double = 0.5, maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val hits = incrementalCandidates(indexSigs, batchSigs, maxBucket)
+    val hits = incrementalCandidatesBanded(indexBands, batchSigs, maxBucket)
       .filter(col("est_jaccard") >= threshold)
       .groupBy(col("new_id").as("doc_id"))
       .agg(count_if(col("origin") === "corpus").as("n_corpus_hits"),

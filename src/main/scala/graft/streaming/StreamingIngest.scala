@@ -342,6 +342,77 @@ object StreamingIngest {
         col("purchase_id").isNotNull.as("converted"))
   }
 
+  /** Streaming corpus dedup with a self-maintaining LSH signature index —
+    * the continuous-ingest rendering of batch x51
+    * (`TextDedup.incrementalDedup`). Each micro-batch of documents is
+    * MinHash-signed (only the batch — the standing corpus is never
+    * re-shingled), deduped against the index built by all PRIOR batches
+    * plus itself (keep-min-id within the batch), and the survivors'
+    * signature bands are appended back to the index, so per-batch cost
+    * stays O(batch · touched index buckets) forever. Docs too short to
+    * shingle carry no signature and pass through unjudged (nothing to
+    * near-dup-match). Greedy arrival-order semantics: a document
+    * survives iff nothing in any earlier batch (nor a smaller-id rival
+    * in its own batch) matched it at `threshold`.
+    *
+    * Exactly-once under foreachBatch's at-least-once replay: both sinks
+    * are stamped via `Ingest.appendWithSeq`, verdicts are computed
+    * against the index restricted to `ingest_seq < batchId` (a replay
+    * must not probe rows the crashed attempt already appended — every
+    * batch doc would match itself and the replay would emit zero
+    * survivors), and each append is skipped independently when its
+    * directory already holds this batchId. The recomputation is
+    * deterministic, so a half-committed batch heals to identical bytes.
+    *
+    * At 100 TB the index table is the bucketed-on-`band_hash` layout
+    * (`Bucketing.writeBucketed` / `Ingest.compactBucketed`) so the
+    * per-batch probe plans no index-side shuffle — IncrementalDedupSpec
+    * locks that plan shape; this loop writes plain stamped appends and
+    * leaves compaction cadence to the table owner.
+    */
+  def dedupedCorpusStream(docs: DataFrame, indexDir: String, survivorsDir: String,
+      checkpointDir: String, threshold: Double = 0.5,
+      maxBucket: Int = graft.ext.TextDedup.DefaultMaxBucket): StreamingQuery = {
+    import graft.ext.TextDedup
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        def landed(dir: String): Boolean =
+          scala.util.Try(spark.read.parquet(dir)
+            .filter(col("ingest_seq") === batchId).limit(1).count() > 0)
+            .getOrElse(false)
+        val b = batch.toDF().localCheckpoint(false)
+        // sign ONLY the batch; lazy-checkpoint so verdicts + index append
+        // share one shingle/minhash computation
+        val sigs = TextDedup.minhashSignatures(b).localCheckpoint(false)
+        val index = scala.util.Try(
+            spark.read.parquet(indexDir).filter(col("ingest_seq") < batchId))
+          .getOrElse(TextDedup.signatureBands(sigs).limit(0))
+        val verdicts = TextDedup.incrementalDedupBanded(index, sigs, threshold, maxBucket)
+        // unsigned docs have no verdict row (keep is null after the left
+        // join) and pass through
+        val survivors = b
+          .join(verdicts.select(col("doc_id"), col("keep")), Seq("doc_id"), "left")
+          .filter(col("keep").isNull || col("keep") === 1)
+          .drop("keep")
+          .localCheckpoint(false)
+        if (!landed(indexDir)) {
+          graft.pipeline.Ingest.appendWithSeq(
+            TextDedup.signatureBands(
+              sigs.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")),
+            indexDir, batchId)
+        }
+        if (!landed(survivorsDir)) {
+          graft.pipeline.Ingest.appendWithSeq(survivors, survivorsDir, batchId)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Stream-static enrichment: each micro-batch joins the (small, slowly
     * changing) dimension read as a plain batch table — the streaming
     * rendering of the reference's token-metadata join. The static side
