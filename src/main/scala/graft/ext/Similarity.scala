@@ -344,6 +344,63 @@ object Similarity {
       .select(col("qid"), col("rank"), col("neighbor_id"), col("bucket"))
   }
 
+  /** Exact-arithmetic k-means fit (the published SemDeDup clustering
+    * shape): `iters` Lloyd iterations from the deterministic
+    * [[strideCentroids]] init, then each vector's cell under the FINAL
+    * centroids plus that cell's population. Output: `vec_id`, `cell_id`,
+    * `cell_size`.
+    *
+    * Engine-exact by construction, unlike [[kmeansIterate]]'s float
+    * means: centroid updates sum FIXED-POINT longs (floor(v·10⁶), the
+    * x50/x37 idiom — integer addition commutes, so the fit is
+    * partition-order-independent) and divide once into a double;
+    * assignment is cosine over doubles accumulated in array order with
+    * (sim desc, cell_id asc) tie-breaks ([[graft.functions.TopKByScore]]).
+    * A cell that loses every member keeps its previous centroid (same
+    * retention rule as [[kmeansIterate]]).
+    *
+    * Scale shape: centroids are broadcast-sized (c ≪ corpus) so each
+    * iteration is one broadcast join + one (cell, dim) hash aggregate
+    * with map-side combine — no all-pairs work, linear in the corpus per
+    * iteration; the cell_size join at the end reuses the final
+    * assignment's shuffle.
+    */
+  def kmeansFitExact(emb: DataFrame, c: Int = 8, iters: Int = 2): DataFrame = {
+    val scale = 1000000L
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("ev"))
+    def nearest(cents: DataFrame): DataFrame =
+      e.join(broadcast(cents))
+        .withColumn("csim", cosine_similarity(col("ev"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(graft.functions.top_k_by(col("csim"), col("cell_id"), 1).as("top"))
+        .select(col("vec_id"),
+          col("top").getItem(0).getField("id").as("cell_id"))
+    var cents = strideCentroids(emb, c)
+      .select(col("vec_id").as("cell_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cv"))
+    for (_ <- 0 until iters) {
+      val means = nearest(cents).join(e, Seq("vec_id"))
+        .select(col("cell_id"), posexplode(col("ev")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(sum(floor(col("col") * scale).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cell_id"), col("pos"),
+          (col("s").cast("double") / (col("n") * lit(scale)).cast("double")).as("v"))
+        .groupBy(col("cell_id"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("v")))),
+          x => x.getField("v")).as("__new"))
+      cents = cents.select(col("cell_id"), col("cv").as("__prev"))
+        .join(means, Seq("cell_id"), "left")
+        .select(col("cell_id"), coalesce(col("__new"), col("__prev")).as("cv"))
+        .localCheckpoint(false)
+    }
+    val fin = nearest(cents)
+    val sizes = fin.groupBy(col("cell_id")).agg(count(lit(1)).as("cell_size"))
+    fin.join(sizes, Seq("cell_id"))
+      .select(col("vec_id"), col("cell_id"), col("cell_size"))
+  }
+
   /** Per-group embedding centroids over the first `dims` dimensions —
     * the class-mean primitive behind SemDeDup cluster centers, quality-
     * classifier prototypes, and IVF cell refinement. Sums run on FIXED-

@@ -235,6 +235,45 @@ object ExtensionQueries {
        |  FROM s) t
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // kmeansFitExact(emb, 8, 2): stride init (125 over vec_id, first 8
+  // hits), two Lloyd iterations with fixed-point centroid means (the x50
+  // division shape), final assignment + cell sizes. Every arithmetic step
+  // is the bit-exact twin of the Spark side: CAST AS DOUBLE widening,
+  // left-associated cosine sums, floor(v*1e6) long sums, one double
+  // division, (sim DESC, cell_id) tie-breaks.
+  private val kmeansOracle: String = {
+    val (c, scale) = (8, 1000000L)
+    val stride = math.max(1L, 1000L / c)
+    val evList = (1 to Dim).map(i => s"CAST(embedding[$i] AS DOUBLE)").mkString("[", ", ", "]")
+    def assignSql(cents: String, out: String): String =
+      s"""$out AS (SELECT vec_id, cell_id FROM (
+         |  SELECT e.vec_id, c.cell_id,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY ${cosSql("e.ev", "c.cv")} DESC, c.cell_id) AS rn
+         |  FROM e, $cents c) t WHERE rn = 1)""".stripMargin
+    def meansSql(assign: String, out: String): String = {
+      val dims = (1 to Dim).map(i =>
+        s"CAST(SUM(CAST(floor(ev[$i] * $scale.0) AS BIGINT)) AS DOUBLE) / CAST(count(*) * $scale AS BIGINT)")
+        .mkString("[", ", ", "]")
+      s"$out AS (SELECT cell_id, $dims AS cv FROM $assign JOIN e USING (vec_id) GROUP BY cell_id)"
+    }
+    def stepSql(prev: String, means: String, out: String): String =
+      s"$out AS (SELECT p.cell_id, COALESCE(m.cv, p.cv) AS cv FROM $prev p LEFT JOIN $means m USING (cell_id))"
+    s"""WITH e AS (SELECT vec_id, $evList AS ev FROM embeddings),
+       |c0 AS (SELECT vec_id AS cell_id, ev AS cv FROM e
+       |       WHERE vec_id % $stride = 0 AND vec_id < ${stride * c}),
+       |${assignSql("c0", "a1")},
+       |${meansSql("a1", "m1")},
+       |${stepSql("c0", "m1", "c1")},
+       |${assignSql("c1", "a2")},
+       |${meansSql("a2", "m2")},
+       |${stepSql("c1", "m2", "c2")},
+       |${assignSql("c2", "af")}
+       |SELECT a.vec_id, a.cell_id, s.cell_size
+       |FROM af a JOIN (SELECT cell_id, count(*) AS cell_size FROM af GROUP BY cell_id) s
+       |USING (cell_id) ORDER BY vec_id""".stripMargin
+  }
+
   private val embeddingNearDupOracle: String =
     s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
        |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
@@ -1151,5 +1190,17 @@ object ExtensionQueries {
         TextDedup.incrementalDedup(
           TextDedup.minhashSignaturesPortable(split.filter(col("split") === "train")),
           TextDedup.minhashSignaturesPortable(split.filter(col("split") === "eval")))
-      }))
+      }),
+
+    Q("x52_kmeans_fit",
+      "Exact-arithmetic k-means fit (the published SemDeDup clustering shape): 8 cells from the " +
+        "deterministic stride init, two Lloyd iterations, then each vector's cell under the final " +
+        "centroids plus the cell population. Centroid means sum fixed-point longs (floor(v*1e6), " +
+        "the x50 idiom) so the fit is partition-order-independent and engine-exact — a float-mean " +
+        "fit is neither; assignment is cosine over doubles with (sim desc, cell_id) tie-breaks. " +
+        "Per iteration: one broadcast join (centroids are always broadcast-sized) + one " +
+        "(cell, dim) hash aggregate with map-side combine — linear in the corpus, no all-pairs " +
+        "work, the coarse-quantizer training loop an IVF index needs at 10^9 vectors.",
+      Some(kmeansOracle),
+      (s, d) => Similarity.kmeansFitExact(Tables.embeddings(s, d), c = 8, iters = 2)))
 }

@@ -171,6 +171,26 @@ class ExtSpec extends SparkSuite {
     assert(tuned > 0.0)
   }
 
+  test("kmeansFitExact partitions the corpus; assignment is repartition-invariant") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val fit = Similarity.kmeansFitExact(emb, c = 8, iters = 2)
+    val rows = fit.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every vector assigned exactly once; sizes are consistent with the
+    // assignment itself
+    assert(rows.length == emb.count())
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val byCell = rows.groupBy(_._2)
+    assert(rows.forall(r => byCell(r._2).length == r._3))
+    // cells come from the stride init id space
+    val stride = math.max(1L, 1000L / 8)
+    assert(byCell.keySet.forall(id => id % stride == 0 && id < stride * 8))
+    // fixed-point means make the fit partition-order-independent: a
+    // reshuffled corpus yields the identical assignment
+    val shuffled = Similarity.kmeansFitExact(emb.repartition(7, col("vec_id")), 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(shuffled.sorted.sameElements(rows.sorted))
+  }
+
   test("IVF knn finds a planted identical vector through its cell") {
     val base = Array.tabulate(64)(i => math.sin(i * 0.37).toFloat)
     val rnd = new scala.util.Random(11)
