@@ -401,6 +401,37 @@ object Similarity {
       .select(col("vec_id"), col("cell_id"), col("cell_size"))
   }
 
+  /** SemDeDup as published (Abbas et al. 2023): cluster the corpus with
+    * k-means ([[kmeansFitExact]]), generate near-dup candidate pairs only
+    * WITHIN each cell (cosine ≥ `threshold`), and collapse pair chains to
+    * whole components (component = min vec_id — keep one per cluster).
+    * Output matches x35's LSH-bucketed variant: `vec_id`, `component`,
+    * `cluster_size` — the two differ only in candidate generation
+    * (trained cells vs random hyperplane buckets).
+    *
+    * Scale posture: within-cell pairing is an equi-join on `cell_id`,
+    * never all-pairs across the corpus; per-cell pair work is bounded by
+    * choosing c ∝ corpus/target-cell-size (SemDeDup's own recipe —
+    * k grows with n), exactly the bucket-population argument behind the
+    * LSH cap. The kmeans fit itself is linear per iteration (broadcast
+    * centroids), and the component collapse is the log-diameter CC
+    * operator.
+    */
+  def semDedupKmeans(emb: DataFrame, c: Int = 8, iters: Int = 2,
+      threshold: Double = 0.35): DataFrame = {
+    val cells = kmeansFitExact(emb, c, iters)
+      .select(col("vec_id"), col("cell_id"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val pairs = cells.select(col("cell_id"), col("vec_id").as("id_a"), col("embedding").as("va"))
+      .join(cells.select(col("cell_id"), col("vec_id").as("id_b"), col("embedding").as("vb")),
+        Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine_similarity(col("va"), col("vb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    graft.operators.ConnectedComponents.assign(
+      emb.select(col("vec_id")), pairs, "vec_id", "id_a", "id_b")
+  }
+
   /** Per-group embedding centroids over the first `dims` dimensions —
     * the class-mean primitive behind SemDeDup cluster centers, quality-
     * classifier prototypes, and IVF cell refinement. Sums run on FIXED-

@@ -241,12 +241,16 @@ object ExtensionQueries {
   // is the bit-exact twin of the Spark side: CAST AS DOUBLE widening,
   // left-associated cosine sums, floor(v*1e6) long sums, one double
   // division, (sim DESC, cell_id) tie-breaks.
-  private val kmeansOracle: String = {
+  /** The k-means CTE chain (e widen → stride init c0 → assign/means/step
+    * ×2 → final assignment `af`) — shared by the x52 fit oracle and the
+    * x53 SemDeDup composition.
+    */
+  private def kmeansCtes: String = {
     val (c, scale) = (8, 1000000L)
     val stride = math.max(1L, 1000L / c)
     val evList = (1 to Dim).map(i => s"CAST(embedding[$i] AS DOUBLE)").mkString("[", ", ", "]")
     def assignSql(cents: String, out: String): String =
-      s"""$out AS (SELECT vec_id, cell_id FROM (
+      s"""$out AS MATERIALIZED (SELECT vec_id, cell_id FROM (
          |  SELECT e.vec_id, c.cell_id,
          |         row_number() OVER (PARTITION BY e.vec_id
          |                            ORDER BY ${cosSql("e.ev", "c.cv")} DESC, c.cell_id) AS rn
@@ -255,12 +259,12 @@ object ExtensionQueries {
       val dims = (1 to Dim).map(i =>
         s"CAST(SUM(CAST(floor(ev[$i] * $scale.0) AS BIGINT)) AS DOUBLE) / CAST(count(*) * $scale AS BIGINT)")
         .mkString("[", ", ", "]")
-      s"$out AS (SELECT cell_id, $dims AS cv FROM $assign JOIN e USING (vec_id) GROUP BY cell_id)"
+      s"$out AS MATERIALIZED (SELECT cell_id, $dims AS cv FROM $assign JOIN e USING (vec_id) GROUP BY cell_id)"
     }
     def stepSql(prev: String, means: String, out: String): String =
-      s"$out AS (SELECT p.cell_id, COALESCE(m.cv, p.cv) AS cv FROM $prev p LEFT JOIN $means m USING (cell_id))"
-    s"""WITH e AS (SELECT vec_id, $evList AS ev FROM embeddings),
-       |c0 AS (SELECT vec_id AS cell_id, ev AS cv FROM e
+      s"$out AS MATERIALIZED (SELECT p.cell_id, COALESCE(m.cv, p.cv) AS cv FROM $prev p LEFT JOIN $means m USING (cell_id))"
+    s"""e AS MATERIALIZED (SELECT vec_id, $evList AS ev FROM embeddings),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cell_id, ev AS cv FROM e
        |       WHERE vec_id % $stride = 0 AND vec_id < ${stride * c}),
        |${assignSql("c0", "a1")},
        |${meansSql("a1", "m1")},
@@ -268,11 +272,30 @@ object ExtensionQueries {
        |${assignSql("c1", "a2")},
        |${meansSql("a2", "m2")},
        |${stepSql("c1", "m2", "c2")},
-       |${assignSql("c2", "af")}
+       |${assignSql("c2", "af")}""".stripMargin
+  }
+
+  private val kmeansOracle: String =
+    s"""WITH $kmeansCtes
        |SELECT a.vec_id, a.cell_id, s.cell_size
        |FROM af a JOIN (SELECT cell_id, count(*) AS cell_size FROM af GROUP BY cell_id) s
        |USING (cell_id) ORDER BY vec_id""".stripMargin
-  }
+
+  private val semDedupKmeansOracle: String =
+    s"""WITH RECURSIVE $kmeansCtes,
+       |wv AS MATERIALIZED (SELECT a.vec_id, a.cell_id, v.embedding FROM af a JOIN embeddings v USING (vec_id)),
+       |p AS MATERIALIZED (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |      FROM wv a JOIN wv b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+       |      WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35),
+       |eg AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+       |walk(node, lab) AS (
+       |  SELECT DISTINCT src, src FROM eg
+       |  UNION
+       |  SELECT eg.src, w.lab FROM eg JOIN walk w ON eg.dst = w.node),
+       |comp AS (SELECT node, MIN(lab) AS component FROM walk GROUP BY node)
+       |SELECT v.vec_id, CAST(COALESCE(c.component, v.vec_id) AS BIGINT) AS component,
+       |       CAST(count(*) OVER (PARTITION BY COALESCE(c.component, v.vec_id)) AS BIGINT) AS cluster_size
+       |FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.node""".stripMargin
 
   private val embeddingNearDupOracle: String =
     s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
@@ -1202,5 +1225,16 @@ object ExtensionQueries {
         "(cell, dim) hash aggregate with map-side combine — linear in the corpus, no all-pairs " +
         "work, the coarse-quantizer training loop an IVF index needs at 10^9 vectors.",
       Some(kmeansOracle),
-      (s, d) => Similarity.kmeansFitExact(Tables.embeddings(s, d), c = 8, iters = 2)))
+      (s, d) => Similarity.kmeansFitExact(Tables.embeddings(s, d), c = 8, iters = 2)),
+
+    Q("x53_semdedup_kmeans",
+      "SemDeDup as published (Abbas et al. 2023): k-means cells from the exact-arithmetic fit " +
+        "(x52), cosine near-dup pairs generated only WITHIN each cell, pair chains collapsed to " +
+        "whole components (keep min vec_id per cluster) — same output contract as x35, which " +
+        "buckets by random hyperplanes instead of trained cells. Within-cell pairing is an " +
+        "equi-join on cell_id, never corpus-wide all-pairs; per-cell work is bounded by scaling " +
+        "c with the corpus (SemDeDup's own k ~ n recipe, the same population argument as the " +
+        "LSH bucket cap).",
+      Some(semDedupKmeansOracle),
+      (s, d) => Similarity.semDedupKmeans(Tables.embeddings(s, d))))
 }

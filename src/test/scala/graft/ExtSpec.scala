@@ -191,6 +191,24 @@ class ExtSpec extends SparkSuite {
     assert(shuffled.sorted.sameElements(rows.sorted))
   }
 
+  test("semDedupKmeans collapses planted colinear vectors into one component") {
+    // colinear vectors share a cosine of 1.0, so whatever cell the fit
+    // puts them in, they land there together and the pair must collapse
+    val base = Array.tabulate(64)(i => math.sin(i * 0.53).toFloat)
+    val rnd = new scala.util.Random(17)
+    val noise = Seq.tabulate(60)(i =>
+      ((i + 3).toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val emb = (Seq((0L, base), (1L, base.map(_ * 2f)), (2L, base.map(_ * 5f))) ++ noise)
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semDedupKmeans(emb, c = 4, iters = 1, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(got.length == 63)
+    assert(byId(0L)._2 == 0L && byId(1L)._2 == 0L && byId(2L)._2 == 0L,
+      "colinear trio must share component 0")
+    assert(byId(0L)._3 >= 3L)
+  }
+
   test("IVF knn finds a planted identical vector through its cell") {
     val base = Array.tabulate(64)(i => math.sin(i * 0.37).toFloat)
     val rnd = new scala.util.Random(11)
