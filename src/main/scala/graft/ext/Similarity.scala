@@ -419,9 +419,13 @@ object Similarity {
     */
   def semDedupKmeans(emb: DataFrame, c: Int = 8, iters: Int = 2,
       threshold: Double = 0.35): DataFrame = {
+    // lazy checkpoint: the self-join below would otherwise evaluate the
+    // whole iterative fit TWICE (once per side), and the CC collapse's
+    // first action triggers it — measured 4.35s → ~2s at sf0.1
     val cells = kmeansFitExact(emb, c, iters)
       .select(col("vec_id"), col("cell_id"))
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .localCheckpoint(false)
     val pairs = cells.select(col("cell_id"), col("vec_id").as("id_a"), col("embedding").as("va"))
       .join(cells.select(col("cell_id"), col("vec_id").as("id_b"), col("embedding").as("vb")),
         Seq("cell_id"))

@@ -258,7 +258,8 @@ object ConnectedComponents {
     * round's convergence count doubles as the job that materializes,
     * caches, and lineage-truncates the round's label frame.
     */
-  private def minLabelRounds(e0: DataFrame, cap: Int): (DataFrame, DataFrame, Int, Boolean) = {
+  private def minLabelRounds(e0: DataFrame, cap: Int,
+      bailOnStall: Boolean = false): (DataFrame, DataFrame, Int, Boolean) = {
     // Symmetrize so one aggregation sees every neighbor of every node.
     val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint(false)
@@ -269,7 +270,9 @@ object ConnectedComponents {
 
     var iter = 0
     var converged = false
-    while (!converged && iter < cap) {
+    var stalled = false
+    var prevChanged = Long.MaxValue
+    while (!converged && !stalled && iter < cap) {
       // min label among each node's neighbors (shuffle 1: by b, then by a)
       val nbrMin = sym
         .join(labs.select(col("node").as("b"), col("component")), Seq("b"))
@@ -293,12 +296,32 @@ object ConnectedComponents {
       val changed = updated.filter(col("__changed") === 1).count()
       labs = updated.drop("__changed")
       if (changed == 0) converged = true
+      // Stall detection (adaptive callers only): on blob graphs — the
+      // shape this phase exists for — the changed-count collapses
+      // geometrically (a clique settles in one round); on chain-y graphs
+      // it stays ~flat (propagation moves a frontier, it doesn't shrink
+      // one), and every further min-label round is a wasted diameter
+      // step. Bail to the star phase once a round retires < 30% of the
+      // previous round's changes (after 3 full rounds, so blobs with a
+      // slow first step aren't misread — measured on x53's
+      // within-cell similarity graph: 12 capped rounds + 3 star → 3
+      // stalled rounds + star, 15 → ~9 total rounds).
+      // the >= 64 floor keeps endgame noise (a blob graph's last few
+      // stragglers, where 5→4 changes reads as a 0.8 ratio) from
+      // triggering a pointless strategy switch two rounds before natural
+      // convergence
+      else if (bailOnStall && iter >= 2 && changed >= 64L &&
+          changed * 10L > prevChanged * 7L)
+        stalled = true
+      prevChanged = changed
       iter += 1
     }
     (sym, labs, iter, converged)
   }
 
-  /** The default strategy ([[labels]]): min-label rounds until fixpoint
+  /** The default strategy ([[labels]]): min-label rounds until fixpoint,
+    * a progress stall (changed-count no longer collapsing geometrically —
+    * the chain-graph signature; see the stall note in `minLabelRounds`),
     * or `switchAfter` rounds, then contract the graph by the current
     * labels and finish with alternating-star. Composition correctness:
     * after k rounds lab(u) = min of u's k-hop neighborhood, which is in
@@ -328,7 +351,8 @@ object ConnectedComponents {
       maxIter: Int = 25, switchAfter: Int = 12): (DataFrame, Int) = {
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
       col(dstCol).cast("long").as("b")).localCheckpoint(false)
-    val (sym, labs, iter, converged) = minLabelRounds(e0, math.min(switchAfter, maxIter))
+    val (sym, labs, iter, converged) =
+      minLabelRounds(e0, math.min(switchAfter, maxIter), bailOnStall = true)
     if (converged) (labs, iter)
     else {
       val contracted = sym.filter(col("a") =!= col("b"))
