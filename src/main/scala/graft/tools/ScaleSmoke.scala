@@ -188,6 +188,47 @@ object ScaleSmoke {
       println(f"[scale] cc_chain_minlabel    ${(System.nanoTime() - t1) / 1e9}%8.2fs  " +
         s"rounds=$roundsMin comps=$compsMin")
     }
+
+    // Incremental-dedup cost-shape contrast (x51 / dedupedCorpusStream's
+    // claim): replay the corpus in 5 arrival batches. The incremental
+    // path signs ONLY the batch and probes the standing band index, so
+    // per-batch cost should stay ~flat; the naive alternative re-signs
+    // and re-pairs the whole accumulated corpus every arrival, so its
+    // per-batch cost grows with the corpus. Both timed per batch, side
+    // by side — "O(batch), not O(corpus)" as measured rows.
+    {
+      import graft.ext.TextDedup
+      val docs = spark.read.parquet(s"$outDir/documents.parquet")
+      val B = 5
+      val batches = (0 until B).map(i =>
+        docs.filter(pmod(col("doc_id"), lit(B)) === i))
+      var index: DataFrame = null
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val t0 = System.nanoTime()
+        val sigs = TextDedup.minhashSignatures(b).localCheckpoint(false)
+        val verdicts =
+          if (index == null)
+            TextDedup.incrementalDedupBanded(TextDedup.signatureBands(sigs).limit(0), sigs)
+          else TextDedup.incrementalDedupBanded(index, sigs)
+        val kept = verdicts.filter(col("keep") === 1).select("doc_id")
+        val newBands = TextDedup.signatureBands(
+          sigs.join(kept, Seq("doc_id"), "left_semi"))
+        // eager checkpoint = the batch's index append, inside the timer;
+        // it also truncates lineage so batch k+1 never recomputes k
+        index = (if (index == null) newBands else index.unionAll(newBands))
+          .localCheckpoint(true)
+        println(f"[scale] incdedup_batch$i      ${(System.nanoTime() - t0) / 1e9}%8.2fs  " +
+          s"index_bands=${index.count()}")
+      }
+      var acc: DataFrame = null
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val t0 = System.nanoTime()
+        acc = if (acc == null) b else acc.unionAll(b)
+        val pairs = TextDedup.candidatePairs(acc).count()
+        println(f"[scale] rededup_batch$i       ${(System.nanoTime() - t0) / 1e9}%8.2fs  " +
+          s"corpus_pairs=$pairs")
+      }
+    }
     spark.stop()
   }
 }

@@ -25,6 +25,22 @@ class CcChainSpec extends SparkSuite {
     assert(rounds <= 18, s"adaptive should switch to stars on the chain, took $rounds rounds")
   }
 
+  test("adaptive stall-bail: flat changed-counts switch to stars before the round budget") {
+    // 20 parallel chains of diameter 20 (420 nodes): min-label's
+    // changed-count stays ~flat (~300/round — a moving frontier, well
+    // above the 64-change noise floor), so the stall detector must hand
+    // over to the star phase around round 3 instead of burning the full
+    // 12-round switchAfter budget the way a single sub-floor chain does
+    val chains = (0L until 20L).flatMap(c =>
+      (0L until 20L).map(i => (c * 100 + i, c * 100 + i + 1))).toDF("a", "b")
+    val (labs, rounds) = ConnectedComponents.labelsAdaptiveWithRounds(chains)
+    val got = labs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 20L).forall(c =>
+      (0L to 20L).forall(i => got(c * 100 + i) == c * 100)))
+    assert(rounds <= 10,
+      s"stall-bail should beat the 12-round min-label budget, took $rounds")
+  }
+
   test("hybrid handles self-loops, pairs, and long chains like the default") {
     val pairsAndLoops = Seq((3L, 3L), (1L, 2L), (2L, 2L), (7L, 9L)).toDF("a", "b")
     val got = ConnectedComponents.labelsHybrid(pairsAndLoops)
