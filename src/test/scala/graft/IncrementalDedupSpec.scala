@@ -81,6 +81,45 @@ class IncrementalDedupSpec extends SparkSuite {
     }
   }
 
+  test("seeded random corpora: verdicts equal an independent sequential greedy reference") {
+    // reference semantics, computed driver-side from collected
+    // signatures with no operator code: a batch doc survives iff NO
+    // index doc and NO smaller-id batch doc shares an LSH band with it
+    // AND agrees on >= half its signature components (the drop counts
+    // any smaller-id rival, surviving or not — x51's declared rule)
+    def bandKeys(sig: Seq[Long]): Seq[Seq[Long]] =
+      (0 until TextDedup.Bands).map(b =>
+        sig.slice(b * TextDedup.RowsPerBand, (b + 1) * TextDedup.RowsPerBand))
+    def matches(a: Seq[Long], b: Seq[Long]): Boolean = {
+      val shareBand = bandKeys(a).zip(bandKeys(b)).exists { case (x, y) => x == y }
+      shareBand && a.zip(b).count { case (x, y) => x == y } * 2 >= TextDedup.NumHashes
+    }
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      // ~40 docs of 6-10 words over a tiny vocabulary → plenty of near-dups
+      val docs = (0L until 40L).map { id =>
+        id -> Seq.fill(6 + rnd.nextInt(5))(words(rnd.nextInt(words.size))).mkString(" ")
+      }
+      val (corpus, batch) = docs.splitAt(25)
+      val indexSigs = sigs(corpus: _*)
+      val batchSigs = sigs(batch: _*)
+      def collectSigs(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+        TextDedup.signatureBands(df).select(col("doc_id"), col("sig")).distinct()
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      val si = collectSigs(indexSigs)
+      val sb = collectSigs(batchSigs).toSeq.sortBy(_._1)
+      val expect = sb.map { case (id, s) =>
+        val corpusHit = si.values.exists(ks => matches(s, ks))
+        val rival = sb.exists { case (rid, rs) => rid < id && matches(s, rs) }
+        id -> (if (corpusHit || rival) 0 else 1)
+      }.toMap
+      val got = TextDedup.incrementalDedup(indexSigs, batchSigs, maxBucket = 0)
+        .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+      assert(got == expect, s"seed $seed: greedy reference disagrees")
+    }
+  }
+
   test("index bucket cap suppresses corpus matches but leaves in-batch pairs") {
     // 5 identical corpus docs overflow a cap of 4 in every band bucket
     val index = sigs((1L to 5L).map(_ -> long): _*)
