@@ -360,12 +360,17 @@ object Similarity {
     * retention rule as [[kmeansIterate]]).
     *
     * Scale shape: centroids are broadcast-sized (c ≪ corpus) so each
-    * iteration is one broadcast join + one (cell, dim) hash aggregate
-    * with map-side combine — no all-pairs work, linear in the corpus per
-    * iteration; the cell_size join at the end reuses the final
-    * assignment's shuffle.
+    * iteration is one broadcast join + ONE cell-keyed hash aggregate
+    * carrying `dims` fixed-point sums (map-side combine; one shuffle per
+    * iteration, no row explosion) — no all-pairs work, linear in the
+    * corpus per iteration; the cell_size join at the end reuses the final
+    * assignment's shuffle. At very wide embeddings (≥ several hundred
+    * dims) a per-dim aggregate column list stresses codegen — there the
+    * posexplode → (cell, pos) aggregate shape [[kmeansIterate]] uses
+    * trades one extra shuffle for bounded expression width.
     */
-  def kmeansFitExact(emb: DataFrame, c: Int = 8, iters: Int = 2): DataFrame = {
+  def kmeansFitExact(emb: DataFrame, c: Int = 8, iters: Int = 2,
+      dims: Int = Dim): DataFrame = {
     val scale = 1000000L
     val e = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("ev"))
@@ -379,17 +384,15 @@ object Similarity {
     var cents = strideCentroids(emb, c)
       .select(col("vec_id").as("cell_id"),
         transform(col("embedding"), x => x.cast("double")).as("cv"))
+    val dimSums = (1 to dims).map(i =>
+      sum(floor(element_at(col("ev"), i) * scale).cast("long")).as(s"__s$i"))
+    val dimMeans = array((1 to dims).map(i =>
+      col(s"__s$i").cast("double") / (col("n") * lit(scale)).cast("double")): _*)
     for (_ <- 0 until iters) {
       val means = nearest(cents).join(e, Seq("vec_id"))
-        .select(col("cell_id"), posexplode(col("ev")))
-        .groupBy(col("cell_id"), col("pos"))
-        .agg(sum(floor(col("col") * scale).cast("long")).as("s"),
-          count(lit(1)).as("n"))
-        .select(col("cell_id"), col("pos"),
-          (col("s").cast("double") / (col("n") * lit(scale)).cast("double")).as("v"))
         .groupBy(col("cell_id"))
-        .agg(transform(sort_array(collect_list(struct(col("pos"), col("v")))),
-          x => x.getField("v")).as("__new"))
+        .agg(count(lit(1)).as("n"), dimSums: _*)
+        .select(col("cell_id"), dimMeans.as("__new"))
       cents = cents.select(col("cell_id"), col("cv").as("__prev"))
         .join(means, Seq("cell_id"), "left")
         .select(col("cell_id"), coalesce(col("__new"), col("__prev")).as("cv"))
