@@ -1,0 +1,136 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.Ranks
+
+/** BM25 ranked retrieval over a distributed inverted index — the
+  * retrieval primitive behind retrieval-based decontamination ("which
+  * training docs does this eval question retrieve?"), targeted data
+  * selection, and relevance-filtered corpus slices.
+  *
+  * Index layout is the classic posting-list factoring, computed as one
+  * dataflow: `tf` (doc, term, tf, dl) from a single explode-aggregate
+  * (the per-doc length rides along the explode, so no second join
+  * against a doc-length table), `df` per term re-aggregated FROM `tf`
+  * (identical subtree on both sides of the final join → Spark computes
+  * it once via exchange reuse, the x26 shape), and the corpus totals
+  * (N docs, total tokens) as a 1-row broadcast. Queries are a tiny
+  * (query_id, term) frame: `df` is semi-joined down to the query
+  * vocabulary and BROADCAST into the posting lists, so scoring touches
+  * only postings of query terms — one shuffle for `tf`, one for the
+  * per-(query, doc) sum, a bounded-heap top-k; nothing corpus-wide ever
+  * sits on the driver.
+  *
+  * Two IDF modes:
+  *   - `lnIdf = true`: the standard Robertson/Sparck-Jones BM25+
+  *     `ln(1 + (N - df + 0.5)/(df + 0.5))` (the Lucene form — always
+  *     positive, unlike the raw RSJ log which can go negative for
+  *     df > N/2).
+  *   - `lnIdf = false` (default): the RATIONAL idf
+  *     `(N - df + 0.5)/(df + 0.5)` — the same quantity without the log.
+  *     Per term it is a monotone transform of the ln form (so
+  *     single-term rankings agree exactly); across a multi-term sum it
+  *     weights rare terms more aggressively. The point of the rational
+  *     form is cross-engine EXACTNESS: every operation is an IEEE
+  *     multiply/divide of values derived from exact integers, and `ln`
+  *     is the one piece of BM25 that libm does not round identically
+  *     across engines (see `graft.Q`'s determinism contract — the x41
+  *     idiom). The per-term score is rounded once to Decimal(38,6) and
+  *     summed in decimal, so the per-doc total is partition-order
+  *     independent and oracle-checkable bit-for-bit.
+  *
+  * Reference behavior anchor: the reference pipeline has no retrieval
+  * operator; this extends the curation surface the way SURVEY §2's
+  * LLM-pipeline extensions do (dedup/contamination live in
+  * [[TextDedup]], ranking lives here).
+  */
+object TextRank {
+
+  /** Score `queries` (columns `query_id`, `term`) against `docs` and
+    * return the top `k` docs per query: `query_id, rank, doc_id, score`
+    * (score as a canonical Decimal(38,6) string — exact in rational-idf
+    * mode). Docs with no query term never enter the join.
+    */
+  def bm25(docs: DataFrame, queries: DataFrame, k: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75, lnIdf: Boolean = false,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = postings(docs, idCol, textCol)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col(textCol), " "))).as("n_tokens"))
+    // df restricted to the query vocabulary: |queries| rows, broadcast
+    val qdf = dfreq.join(broadcast(queries), Seq("term"))
+    val scored = tf.join(broadcast(qdf), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__s", termScore(k1, b, lnIdf).cast(DecimalType(38, 6)))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__s")).as("__sum"))
+      .select(col("query_id"), col(idCol),
+        col("__sum").cast(DecimalType(38, 6)).as("__score"))
+    Ranks.topKPerGroup(scored, Seq("query_id"), k,
+        Seq(col("__score").desc, col(idCol)))
+      .select(col("query_id"), col("rank"), col(idCol),
+        col("__score").cast("string").as("score"))
+  }
+
+  /** Posting lists with the per-doc length riding along: one explode →
+    * one (doc, term) aggregate; `dl` is constant within a doc so
+    * `min(dl)` recovers it without a join.
+    */
+  def postings(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), size(split(col(textCol), " ")).as("__dl"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), min(col("__dl")).as("dl"))
+
+  /** Mid-frequency probe queries derived from the corpus itself: terms
+    * at df-rank `lo..hi` (df DESC, term ASC — a deterministic total
+    * order), paired off into (hi-lo+1)/2 two-term queries. Rank 1 terms
+    * are stopword-like (idf ~ 0) and tail terms retrieve nothing, so the
+    * mid-band is where ranking is non-trivial. `limit(hi)` plans as
+    * TakeOrderedAndProject (bounded heap), then the window runs on `hi`
+    * rows — never a corpus-wide sort.
+    */
+  def midFrequencyQueries(docs: DataFrame, lo: Int = 11, hi: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dfreq = postings(docs, idCol, textCol)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val top = Ranks.topK(dfreq, hi, col("df").desc, col("term"))
+    Ranks.topKPerGroup(top, Seq.empty, hi, Seq(col("df").desc, col("term")),
+        rankCol = "__rnk")
+      .filter(col("__rnk").between(lo, hi))
+      .select(expr(s"CAST((__rnk - $lo) DIV 2 AS BIGINT)").as("query_id"),
+        col("term"))
+  }
+
+  // The per-term BM25 score with every float step mirrored verbatim in
+  // the oracle SQL (bm25TermScoreSql): exact-integer-derived doubles,
+  // explicit association, literals round-tripped through Double.toString
+  // so both engines parse the identical bit pattern.
+  private def termScore(k1: Double, b: Double, lnIdf: Boolean): Column = {
+    val idfRational =
+      ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))
+    val idf = if (lnIdf) log(lit(1.0) + idfRational) else idfRational
+    val avgdl = col("n_tokens").cast("double") / col("n_docs").cast("double")
+    val den = col("tf").cast("double") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl))
+    (idf * (col("tf").cast("double") * lit(k1 + 1))) / den
+  }
+
+  /** The rational-mode per-term score as DuckDB SQL over columns
+    * `n_docs, df, tf, dl, n_tokens` — the exact expression-tree twin of
+    * [[termScore]] for oracle generation.
+    */
+  def bm25TermScoreSql(k1: Double = 1.2, b: Double = 0.75): String = {
+    val idf = "((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+    val avgdl = "(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    val den = s"(CAST(tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl AS DOUBLE) / $avgdl)))"
+    s"(($idf * (CAST(tf AS DOUBLE) * ${k1 + 1})) / $den)"
+  }
+}

@@ -105,6 +105,32 @@ object ExtensionQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // BM25 (rational idf) — the per-term float expression is generated by
+  // TextRank.bm25TermScoreSql so the oracle's expression tree is the
+  // verbatim twin of TextRank.termScore; decimal rounding + decimal sum
+  // make the per-doc totals order-independent (x41 idiom). Query terms
+  // are the df-rank-11..16 band paired into 3 two-term queries, same
+  // derivation as TextRank.midFrequencyQueries.
+  private val bm25Oracle: String =
+    s"""WITH w AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |            unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf, MIN(dl) AS dl FROM w GROUP BY doc_id, term),
+       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens FROM documents),
+       |qt AS (SELECT CAST((rnk - 11) // 2 AS BIGINT) AS query_id, term, df FROM (
+       |   SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rnk FROM dfq) t
+       |   WHERE rnk BETWEEN 11 AND 16),
+       |sc AS (SELECT qt.query_id, tf.doc_id,
+       |   CAST(${graft.ext.TextRank.bm25TermScoreSql()} AS DECIMAL(38,6)) AS s
+       |   FROM tf JOIN qt USING (term), st),
+       |agg AS (SELECT query_id, doc_id, CAST(SUM(s) AS DECIMAL(38,6)) AS score FROM sc GROUP BY query_id, doc_id)
+       |SELECT query_id, rank, doc_id, CAST(score AS VARCHAR) AS score FROM (
+       |  SELECT query_id, doc_id, score,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+       |  FROM agg) t
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private def eqCountSql(a: String, b: String): String =
     (0 until graft.ext.TextDedup.NumHashes).map(i =>
       s"CASE WHEN $a.s$i = $b.s$i THEN 1 ELSE 0 END").mkString(" + ")
@@ -1236,5 +1262,23 @@ object ExtensionQueries {
         "c with the corpus (SemDeDup's own k ~ n recipe, the same population argument as the " +
         "LSH bucket cap).",
       Some(semDedupKmeansOracle),
-      (s, d) => Similarity.semDedupKmeans(Tables.embeddings(s, d))))
+      (s, d) => Similarity.semDedupKmeans(Tables.embeddings(s, d))),
+
+    Q("x54_bm25_retrieval",
+      "BM25 ranked retrieval over a distributed inverted index — the primitive behind " +
+        "retrieval-based decontamination and targeted data selection. Posting lists from one " +
+        "explode-aggregate (per-doc length rides along, no doc-length join), df re-aggregated " +
+        "from the postings (exchange reuse, the x26 shape), corpus totals a 1-row broadcast; " +
+        "query terms (self-derived mid-df band: ranks 11-16 paired into 3 two-term queries) " +
+        "broadcast into the postings so scoring touches only query-term postings. RATIONAL idf " +
+        "(N - df + 0.5)/(df + 0.5) — every step an IEEE op on exact-integer-derived doubles " +
+        "(ln is the one BM25 piece libm rounds differently across engines; the standard ln form " +
+        "ships as TextRank.bm25(lnIdf = true), spec-tested); per-term scores rounded once to " +
+        "Decimal(38,6) and summed in decimal (the x41 idiom) keep the doc totals " +
+        "partition-order-independent and oracle-exact. Top-5 per query by bounded-heap window.",
+      Some(bm25Oracle),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.ext.TextRank.bm25(docs, graft.ext.TextRank.midFrequencyQueries(docs))
+      }))
 }
