@@ -49,6 +49,36 @@ object Similarity {
         Seq(col("sim").desc, col("neighbor_id")))
       .select(col("qid"), col("rank"), col("neighbor_id"))
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * anchor vector, the top-k most-similar corpus vectors with a
+    * DIFFERENT label — maximally confusable non-matches, the negatives
+    * that actually move a contrastive loss. Same cost shape as
+    * [[knnBrute]] (anchors broadcast, bounded-heap top-k); the label
+    * inequality rides the join condition so the heap never sees
+    * positives. At corpus scale swap the scored-candidates side for the
+    * LSH/IVF candidate generators exactly as the knn* family does.
+    * Output: `qid, rank, neighbor_id, neg_label`.
+    */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = anchors.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      col("label").as("q_label"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+      col("label").as("neg_label"))
+    val scored = c.join(broadcast(q),
+        col("neighbor_id") =!= col("qid") && col("neg_label") =!= col("q_label"))
+      .withColumn("sim", cosine_similarity(col("qv"), col("nv")))
+    val ranked = scored.groupBy(col("qid"))
+      .agg(graft.functions.top_k_by(col("sim"), col("neighbor_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"))
+    // labels ride back via one map-side join: the O(anchors × k) ranked
+    // frame broadcasts over the corpus, never the other way around
+    c.select(col("neighbor_id"), col("neg_label"))
+      .join(broadcast(ranked), Seq("neighbor_id"))
+      .select(col("qid"), col("rank"), col("neighbor_id"), col("neg_label"))
+  }
+
   private def scoredCandidates(queries: DataFrame, corpus: DataFrame): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))

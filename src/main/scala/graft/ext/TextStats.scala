@@ -219,6 +219,39 @@ object TextStats {
       .select(col(idCol), col(sourceCol), col("bucket"))
   }
 
+  /** Temperature-scaled (α = 1/2) domain resampling — the multilingual-
+    * training mixture rule (sample p_i^α / Σ p_j^α) specialized to the
+    * one α where it is oracle-exact: p^0.5 is `sqrt`, which IEEE 754
+    * requires correctly rounded (unlike `pow`/`exp`, which libm rounds
+    * differently across engines — the same boundary that pins x41 to
+    * rational arithmetic). Downsampling only (no doc is duplicated): the
+    * binding source under α = 1/2 is simply the SMALLEST (c/√c = √c), it
+    * keeps everything, and source i thins to √(c_i·c_b) docs — the
+    * closed form of "final proportions ∝ √c_i". Thresholds are basis
+    * points from one mirrored float expression (product of two exact
+    * longs → one sqrt → one divide → floor); the keep-gate is the same
+    * RNG-free portable-hash bucket as [[domainMix]]/x34, so re-runs and
+    * parallelism changes reproduce the exact sample. Per-source counts
+    * must stay below 2^53/c_b for the product to be float-exact — at
+    * larger corpora scale the basis-point space, not the doc counts.
+    */
+  def temperatureMix(docs: DataFrame, sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("c"))
+    val binding = counts.orderBy(col("c"), col(sourceCol)).limit(1)
+      .select(col("c").as("cb"))
+    val thresholds = counts.crossJoin(broadcast(binding))
+      .select(col(sourceCol),
+        least(lit(10000L),
+          floor((lit(10000.0) * sqrt((col("c") * col("cb")).cast("double"))) /
+            col("c").cast("double")).cast("long")).as("bp"))
+    val h = TextDedup.portableHash(col(idCol).cast("string"), "mix")
+    docs.join(broadcast(thresholds), Seq(sourceCol))
+      .withColumn("bucket", pmod(h, lit(10000L)))
+      .filter(col("bucket") < col("bp"))
+      .select(col(idCol), col(sourceCol), col("bucket"))
+  }
+
   /** Regex redaction pass (PII-scrub shape): each rule is
     * (name, pattern, replacement); emits per-rule match counts
     * (`n_<name>`) and the text with every rule applied in order

@@ -1280,5 +1280,44 @@ object ExtensionQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
         graft.ext.TextRank.bm25(docs, graft.ext.TextRank.midFrequencyQueries(docs))
+      }),
+
+    Q("x55_temperature_mix",
+      "Temperature-scaled (alpha = 1/2) domain resampling — the multilingual-training mixture " +
+        "rule at the one alpha where it is oracle-exact: p^0.5 is sqrt, which IEEE 754 requires " +
+        "correctly rounded, where pow/exp are libm-divergent cross-engine (the x41 boundary). " +
+        "Downsample-only closed form: the binding source is the smallest (c/sqrt(c) = sqrt(c)), " +
+        "and source i thins to sqrt(c_i * c_b) docs via one mirrored float expression (exact " +
+        "long product, one sqrt, one divide, floor to basis points) gated by the x48 " +
+        "portable-hash bucket — RNG-free, so re-runs reproduce the exact sample.",
+      Some("""WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+             |b AS (SELECT c AS cb FROM c ORDER BY c, source LIMIT 1),
+             |th AS (SELECT c.source,
+             |       least(10000, CAST(floor((10000.0 * sqrt(CAST(c.c * b.cb AS DOUBLE))) / CAST(c.c AS DOUBLE)) AS BIGINT)) AS bp
+             |       FROM c CROSS JOIN b)
+             |SELECT d.doc_id, d.source,
+             |  ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)||'mix'),1,15))::BIGINT % 10000 AS bucket
+             |FROM documents d JOIN th USING (source)
+             |WHERE ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)||'mix'),1,15))::BIGINT % 10000 < th.bp
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => TextStats.temperatureMix(Tables.documents(s, d))),
+
+    Q("x56_hard_negatives",
+      "Hard-negative mining for contrastive/embedding training: per anchor vector, the top-5 " +
+        "most-similar corpus vectors with a DIFFERENT label — the maximally-confusable " +
+        "non-matches that actually move a contrastive loss. x06's cost shape (broadcast anchors, " +
+        "bounded-heap top-k, rank-only fp-independence) with the label inequality riding the " +
+        "join condition; labels rejoin the O(anchors x k) result map-side.",
+      Some("""SELECT qid, rank, neighbor_id, neg_label FROM (
+             |  SELECT q.vec_id AS qid, e.vec_id AS neighbor_id, e.label AS neg_label,
+             |         row_number() OVER (PARTITION BY q.vec_id
+             |                            ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rank
+             |  FROM embeddings q JOIN embeddings e
+             |    ON e.vec_id != q.vec_id AND e.label != q.label
+             |  WHERE q.vec_id < 10) t
+             |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.hardNegatives(emb.filter(col("vec_id") < 10), emb, 5)
       }))
 }

@@ -667,6 +667,59 @@ class ExtSpec extends SparkSuite {
     assert(kept == Set(2L, 3L, 10L, 11L, 20L))
   }
 
+  test("temperatureMix: smallest source binds whole, larger sources thin to ~sqrt(c*cb), stable") {
+    // a:100 docs, b:4 docs → b binds (bp 10000, kept whole); a's
+    // threshold is floor(10000·sqrt(400)/100) = 2000bp → a keeps the
+    // docs whose mix-hash bucket lands under 2000 (exact, RNG-free)
+    val corpus = ((1L to 100L).map(i => (i, "a")) ++ Seq((200L, "b"), (201L, "b"),
+      (202L, "b"), (203L, "b"))).toDF("doc_id", "source")
+    val got = TextStats.temperatureMix(corpus).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.count(_._2 == "b") == 4, "binding (smallest) source kept whole")
+    val aKept = got.filter(_._2 == "a")
+    assert(aKept.forall(_._3 < 2000L), "a's gate is exactly floor(10000*sqrt(400)/100)")
+    assert(aKept.nonEmpty && aKept.length < 100)
+    // exhaustive twin of the gate: every a-doc under the threshold is kept
+    val expectA = corpus.filter(col("source") === "a")
+      .withColumn("bucket",
+        pmod(graft.ext.TextDedup.portableHash(col("doc_id").cast("string"), "mix"), lit(10000L)))
+      .filter(col("bucket") < 2000).collect().map(_.getLong(0)).toSet
+    assert(aKept.map(_._1).toSet == expectA)
+    // deterministic under repartitioning
+    val again = TextStats.temperatureMix(corpus.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSet == got.toSet)
+  }
+
+  test("hardNegatives: same-label vectors never returned; planted confusable negative ranks first") {
+    // anchor 0 (label 1): its exact duplicate 1 shares the label (must be
+    // excluded); 2 is the planted near-identical different-label vector
+    // (must rank 1); 3 is an orthogonal different-label vector (rank 2)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f), 2),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 2),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(emb.filter(col("vec_id") === 0), emb, 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(got.map(_._2).toSeq == Seq(2L, 3L), "same-label 1 and 4 excluded; 2 most confusable")
+    assert(got.forall(_._3 == 2), "neg_label is the negative's own label")
+    // all-distinct labels degenerate to plain knnBrute ranking
+    val distinct = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (1L, Array(0.8f, 0.2f, 0.0f, 0.0f), 2),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val hn = Similarity.hardNegatives(distinct.filter(col("vec_id") === 0), distinct, 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).sorted.toSeq
+    val knn = Similarity.knnBrute(distinct.filter(col("vec_id") === 0), distinct, 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(hn == knn)
+  }
+
   test("groupCentroids: fixed-point sums give the exact mean, order-independent") {
     val emb = Seq(
       (0L, Array(1.0f, -1.0f, 0.5f, 0.0f), 7),

@@ -174,13 +174,16 @@ class PlanSpec extends SparkSuite {
     // source pin crossed onto the |sources|-row count frame), x46 (the
     // |splits|×|splits| pair frame — both sides O(1) distinct splits),
     // x52/x53 (8-row k-means centroid set broadcast onto the corpus),
-    // x54 (1-row corpus-totals frame crossed onto query-term postings)
+    // x54 (1-row corpus-totals frame crossed onto query-term postings),
+    // x55 (1-row binding-source pin, the x48 shape), x56 (10-row anchor
+    // set non-equi broadcast, the x06 shape)
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     val allowed = Set("q10_time_window", "q18_report_pairs", "x06_knn_brute",
       "x13_approx_distinct", "x14_knn_ivf", "x25_approx_quantile",
       "x29_lang_id_ngram", "x39_pq_recon_knn", "x40_count_min",
       "x48_domain_mix", "x46_split_overlap", "x52_kmeans_fit",
-      "x53_semdedup_kmeans", "x54_bm25_retrieval")
+      "x53_semdedup_kmeans", "x54_bm25_retrieval", "x55_temperature_mix",
+      "x56_hard_negatives")
     SparkEntry.registry.foreach { q =>
       val p = plan(q.build(spark, sf))
       val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
