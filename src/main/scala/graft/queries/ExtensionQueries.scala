@@ -105,6 +105,55 @@ object ExtensionQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // BPE fit — the per-iteration CTE chain (pair counts over the current
+  // vocab -> deterministic top-1 -> replace-based merge application),
+  // generated so the oracle is the verbatim twin of Bpe.fit's loop.
+  // chr(1) is Bpe.D; replace() is leftmost-non-overlapping in both
+  // engines, which IS the BPE greedy semantics; everything is strings +
+  // integer counts, so the chain is exact with no float idioms needed.
+  private def bpeCtes(iters: Int): String = {
+    val d = "chr(1)"
+    val dd = s"$d||$d"
+    val v0 =
+      s"""v0 AS MATERIALIZED (SELECT word, n,
+         |  $d || array_to_string([word[j:j] for j in range(1, len(word)+1)] || ['</w>'], $dd) || $d AS w
+         |  FROM (SELECT word, count(*) AS n
+         |        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+         |        WHERE len(word) > 0 GROUP BY word))""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS (SELECT s[j] AS left_sym, s[j+1] AS right_sym, CAST(SUM(n) AS BIGINT) AS pair_count
+         |  FROM (SELECT n, [trim(x, $d) for x in string_split(w, $dd)] AS s FROM v${i - 1}) t,
+         |       unnest(range(1, len(s))) u(j)
+         |  GROUP BY left_sym, right_sym),
+         |t$i AS MATERIALIZED (SELECT left_sym, right_sym, pair_count FROM p$i
+         |  ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1),
+         |v$i AS MATERIALIZED (SELECT word, n,
+         |  replace(w, $d||left_sym||$dd||right_sym||$d, $d||left_sym||right_sym||$d) AS w
+         |  FROM v${i - 1}, t$i)""".stripMargin
+    }
+    (v0 +: steps).mkString(",\n")
+  }
+
+  private val bpeFitOracle: String = {
+    val iters = 4
+    val rows = (1 to iters).map(i =>
+      s"SELECT CAST($i AS INT) AS rank, left_sym, right_sym, left_sym||right_sym AS merged, pair_count FROM t$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${bpeCtes(iters)}
+       |  $rows
+       |ORDER BY rank""".stripMargin
+  }
+
+  private val bpeEncodeOracle: String =
+    s"""WITH ${bpeCtes(4)},
+       |tok AS (SELECT word, CAST(len(string_split(w, chr(1)||chr(1))) AS BIGINT) AS t FROM v4),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |SELECT dw.doc_id, CAST(SUM(tok.t) AS BIGINT) AS n_tokens_bpe,
+       |       CAST(count(*) AS BIGINT) AS n_words
+       |FROM dw JOIN tok USING (word)
+       |WHERE len(word) > 0
+       |GROUP BY dw.doc_id ORDER BY doc_id""".stripMargin
+
   // BM25 (rational idf) — the per-term float expression is generated by
   // TextRank.bm25TermScoreSql so the oracle's expression tree is the
   // verbatim twin of TextRank.termScore; decimal rounding + decimal sum
@@ -1319,5 +1368,27 @@ object ExtensionQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         Similarity.hardNegatives(emb.filter(col("vec_id") < 10), emb, 5)
-      }))
+      }),
+
+    Q("x57_bpe_fit",
+      "BPE tokenizer training (Sennrich et al. 2016) — the corpus-scale count-merge loop: 4 " +
+        "learned merges as the model artifact (rank, pair, merged symbol, weighted count). " +
+        "Trains on the word-count VOCABULARY (one corpus pass, then corpus-size-independent " +
+        "iterations); each iteration is one weighted pair aggregate + a TakeOrdered top-1 kept " +
+        "as a 1-row broadcast (no driver collect) + a merge application that is a BUILTIN " +
+        "string replace: symbols ride delimiter-wrapped in one string, so replacing the wrapped " +
+        "pair IS the leftmost-greedy BPE merge step, identically in both engines — strings and " +
+        "integer counts only, oracle-exact with no float idioms. Ties break (count desc, left, " +
+        "right).",
+      Some(bpeFitOracle),
+      (s, d) => graft.ext.Bpe.fit(Tables.documents(s, d), 4)),
+
+    Q("x58_bpe_encode",
+      "BPE tokenization under the x57 fit: per-document token count after 4 merges plus the " +
+        "word count — the corpus re-tokenization that follows tokenizer training (token budgets, " +
+        "packing inputs, compression-ratio quality signals). Per-word token counts live on the " +
+        "vocab-sized frame and docs join it by word; the fit chain is shared lazily, so the " +
+        "merge loop runs once.",
+      Some(bpeEncodeOracle),
+      (s, d) => graft.ext.Bpe.encode(Tables.documents(s, d), 4)))
 }

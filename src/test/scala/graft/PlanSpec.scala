@@ -183,7 +183,7 @@ class PlanSpec extends SparkSuite {
       "x29_lang_id_ngram", "x39_pq_recon_knn", "x40_count_min",
       "x48_domain_mix", "x46_split_overlap", "x52_kmeans_fit",
       "x53_semdedup_kmeans", "x54_bm25_retrieval", "x55_temperature_mix",
-      "x56_hard_negatives")
+      "x56_hard_negatives", "x57_bpe_fit", "x58_bpe_encode")
     SparkEntry.registry.foreach { q =>
       val p = plan(q.build(spark, sf))
       val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
