@@ -252,6 +252,69 @@ object TextStats {
       .select(col(idCol), col(sourceCol), col("bucket"))
   }
 
+  /** DSIR-shaped data selection (Xie et al., NeurIPS 2023 — Data
+    * Selection via Importance Resampling): score every raw-corpus doc by
+    * how target-like its hashed-n-gram profile is, then keep the top-k.
+    * Features are word unigrams + bigrams hashed into `buckets` buckets
+    * (the paper's hashed bag-of-n-grams); the target model is the docs
+    * of `targetSource`, the raw model is everything else, both
+    * Laplace-smoothed (+1 per bucket, +`buckets` on the totals). The
+    * paper's per-doc log-importance Σ c_g·log(p_g/q_g) is libm-bound
+    * (`ln` rounds differently across engines), so — the same boundary
+    * that moves x41 off log-perplexity and x54 off ln-idf — the score
+    * ships as the RATIONAL likelihood-ratio sum Σ c_g·(p_g/q_g): each
+    * bucket ratio is one IEEE division of exact-integer-derived doubles
+    * (bit-identical cross-engine), each doc term one IEEE multiply
+    * rounded once to Decimal(38,6), and the per-doc sum runs in decimal
+    * (partition-order-independent). Same argsort character as the paper
+    * on peaked profiles — a doc heavy in target-distinctive buckets
+    * dominates both scores — and oracle-exact where log-space cannot be.
+    * Selection is the deterministic top-k (the paper's top-k variant);
+    * pair with [[hashSplit]]'s portable-hash gate for the sampled form.
+    *
+    * Cost shape: one explode→(doc,bucket) aggregate (the only
+    * corpus-sized shuffle, pre-aggregated to ≤`buckets` rows per doc),
+    * two `buckets`-row models from the SAME frame (exchange reuse), a
+    * broadcast of the `buckets`-row ratio table, and a TakeOrdered
+    * top-k — no all-pairs, nothing driver-side. Integer products
+    * (cp+1)·(Tq+B) must stay below 2^53 for the double cast to be exact
+    * (at larger corpora, downsample the models, not the corpus — the
+    * estimator only needs bucket frequencies).
+    */
+  def dsirSelect(docs: DataFrame, targetSource: String, buckets: Int = 64,
+      k: Int = 20, textCol: String = "text", sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(buckets > 0 && k > 0, "buckets and k are positive")
+    import graft.functions.word_ngrams
+    val grams = docs.select(col(idCol), col(sourceCol),
+      explode(concat(split(col(textCol), " "), word_ngrams(col(textCol), 2)))
+        .as("gram"))
+    val perDocBucket = grams
+      .select(col(idCol), col(sourceCol),
+        pmod(TextDedup.portableHash(col("gram"), "dsir"), lit(buckets.toLong))
+          .as("bucket"))
+      .groupBy(col(idCol), col(sourceCol), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val models = perDocBucket.groupBy(col("bucket")).agg(
+      sum(when(col(sourceCol) === targetSource, col("c")).otherwise(lit(0L)))
+        .as("cp"),
+      sum(when(col(sourceCol) =!= targetSource, col("c")).otherwise(lit(0L)))
+        .as("cq"))
+    val totals = models.agg(sum(col("cp")).as("tp"), sum(col("cq")).as("tq"))
+    val ratios = models.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (((col("cp") + lit(1L)) * (col("tq") + lit(buckets.toLong)))
+          .cast("double") /
+         ((col("cq") + lit(1L)) * (col("tp") + lit(buckets.toLong)))
+          .cast("double")).as("ratio"))
+    val scored = perDocBucket.filter(col(sourceCol) =!= targetSource)
+      .join(broadcast(ratios), Seq("bucket"))
+      .groupBy(col(idCol), col(sourceCol))
+      .agg(sum((col("c") * col("ratio")).cast("decimal(38,6)")).as("score"))
+    graft.operators.Ranks.topK(scored, k, Seq(col("score").desc, col(idCol)): _*)
+      .select(col(idCol), col(sourceCol), col("score").cast("string").as("score"))
+  }
+
   /** Regex redaction pass (PII-scrub shape): each rule is
     * (name, pattern, replacement); emits per-rule match counts
     * (`n_<name>`) and the text with every rule applied in order

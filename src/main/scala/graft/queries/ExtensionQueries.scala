@@ -1390,5 +1390,38 @@ object ExtensionQueries {
         "vocab-sized frame and docs join it by word; the fit chain is shared lazily, so the " +
         "merge loop runs once.",
       Some(bpeEncodeOracle),
-      (s, d) => graft.ext.Bpe.encode(Tables.documents(s, d), 4)))
+      (s, d) => graft.ext.Bpe.encode(Tables.documents(s, d), 4)),
+
+    Q("x59_dsir_select",
+      "DSIR-shaped data selection (Xie et al. 2023): raw-corpus docs scored by target-likeness " +
+        "under hashed unigram+bigram models (64 buckets, Laplace-smoothed; target = src0, raw = " +
+        "rest), top-20 kept. The paper's log-ratio sum is libm-bound, so the score is the " +
+        "RATIONAL likelihood-ratio sum (the x41/x54 boundary): per-bucket ratio one IEEE " +
+        "division of exact-integer-derived doubles, per-doc terms rounded once to Decimal(38,6) " +
+        "and summed in decimal. One corpus-sized explode->aggregate, 64-row broadcast models, " +
+        "TakeOrdered top-k.",
+      Some("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+             |g AS (
+             |  SELECT doc_id, source, unnest(words) AS gram FROM w
+             |  UNION ALL
+             |  SELECT doc_id, source, array_to_string(words[CAST(i AS INT):CAST(i + 1 AS INT)], ' ') AS gram
+             |  FROM w, unnest(range(1, len(words))) u(i)),
+             |db AS (SELECT doc_id, source,
+             |         ('0x'||substr(md5(gram||'dsir'),1,15))::BIGINT % 64 AS bucket,
+             |         count(*) AS c
+             |       FROM g GROUP BY 1, 2, 3),
+             |m AS (SELECT bucket,
+             |        SUM(CASE WHEN source = 'src0' THEN c ELSE 0 END) AS cp,
+             |        SUM(CASE WHEN source <> 'src0' THEN c ELSE 0 END) AS cq
+             |      FROM db GROUP BY 1),
+             |t AS (SELECT SUM(cp) AS tp, SUM(cq) AS tq FROM m),
+             |r AS (SELECT bucket,
+             |        CAST((cp + 1) * (tq + 64) AS DOUBLE) / CAST((cq + 1) * (tp + 64) AS DOUBLE) AS ratio
+             |      FROM m CROSS JOIN t),
+             |s AS (SELECT db.doc_id, db.source,
+             |        CAST(SUM(CAST(db.c * r.ratio AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sc
+             |      FROM db JOIN r USING (bucket) WHERE db.source <> 'src0' GROUP BY 1, 2)
+             |SELECT doc_id, source, CAST(sc AS VARCHAR) AS score
+             |FROM s ORDER BY sc DESC, doc_id LIMIT 20""".stripMargin),
+      (s, d) => TextStats.dsirSelect(Tables.documents(s, d), "src0")))
 }

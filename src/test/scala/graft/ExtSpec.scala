@@ -691,6 +691,31 @@ class ExtSpec extends SparkSuite {
     assert(again.toSet == got.toSet)
   }
 
+  test("dsirSelect: target-vocab raw docs outscore off-profile ones; target docs excluded; stable") {
+    // target speaks alpha..delta; raw doc 10 is pure target-vocab, 12 is
+    // half, 11 entirely off-profile — the importance order must be
+    // 10 > 12 > 11, and no target doc may appear in the selection
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta alpha beta gamma delta", "tgt"),
+      (1L, "alpha beta gamma delta epsilon alpha beta gamma", "tgt"),
+      (10L, "alpha beta gamma delta alpha beta gamma delta", "raw"),
+      (11L, "zebra yak xylophone walrus quagga vole marmot stoat", "raw"),
+      (12L, "alpha beta zebra yak alpha beta zebra yak", "raw")
+    ).toDF("doc_id", "text", "source")
+    val got = TextStats.dsirSelect(corpus, "tgt", k = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), BigDecimal(r.getString(2))))
+    assert(got.map(_._1).toSet == Set(10L, 11L, 12L), "exactly the raw docs selected")
+    val score = got.map(t => t._1 -> t._3).toMap
+    assert(score(10L) > score(12L) && score(12L) > score(11L),
+      s"importance must track target-vocab share: $score")
+    // selection order is the score order
+    assert(got.map(_._1).toSeq == Seq(10L, 12L, 11L))
+    // deterministic under repartitioning (decimal sum is order-independent)
+    val again = TextStats.dsirSelect(corpus.repartition(5), "tgt", k = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), BigDecimal(r.getString(2))))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("hardNegatives: same-label vectors never returned; planted confusable negative ranks first") {
     // anchor 0 (label 1): its exact duplicate 1 shares the label (must be
     // excluded); 2 is the planted near-identical different-label vector
