@@ -108,6 +108,65 @@ object TextStats {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Fixed-size overlapping token-window chunking — the RAG/retrieval
+    * ingest shape (and the context-window packing precursor): every
+    * document becomes ceil-strided windows of `sizeTokens` words, each
+    * window starting `sizeTokens - overlap` tokens after the previous,
+    * so consecutive chunks share `overlap` tokens of context. Emits
+    * (doc, chunk_idx, chunk_text, n_tokens); the tail chunk is short
+    * (never empty — a start position exists iff it is < the word count).
+    *
+    * Cost shape: scan → generate → project, zero shuffles; the chunk
+    * index sequence is computed from the word count alone, and each
+    * output row materializes only its own window (`slice`), so total
+    * work is the expected sizeTokens/stride expansion of the corpus and
+    * nothing more. Chunk rows inherit the scan's partitioning —
+    * downstream embed/index stages start from an already-parallel frame.
+    */
+  def chunk(docs: DataFrame, sizeTokens: Int, overlap: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(sizeTokens > 0 && overlap >= 0 && overlap < sizeTokens,
+      "need sizeTokens > overlap >= 0")
+    val stride = sizeTokens - overlap
+    val words = split(col(textCol), " ")
+    docs.select(col(idCol), words.as("words"))
+      .select(col(idCol), col("words"),
+        explode(sequence(lit(0L),
+          floor((size(col("words")) - 1) / lit(stride)).cast("long")))
+          .as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("words"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(sizeTokens)), " ").as("chunk_text"),
+        least(lit(sizeTokens.toLong),
+          size(col("words")) - col("chunk_idx") * stride).cast("long")
+          .as("n_tokens"))
+  }
+
+  /** Deterministic global training order for one epoch WITHOUT a global
+    * window: extends [[shardAssign]]'s (shard, pos) to an exact global
+    * permutation 1..N by adding each shard's prefix count. The only
+    * ordering windows are per-shard (bounded: corpus/nShards rows per
+    * task) plus one nShards-row cumulative sum on the counts frame —
+    * a kilobyte-scale artifact broadcast back onto the docs. This is the
+    * block-shuffle every at-scale training loader uses (a single global
+    * sort/row_number would serialize 100 TB through one task); the salt
+    * varies the permutation per epoch while keeping it a pure function
+    * of (doc id, salt) — retries and parallelism changes reproduce it.
+    */
+  def epochOrder(docs: DataFrame, idCol: String = "doc_id", nShards: Int = 16,
+      salt: String = "epoch0"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = shardAssign(docs, idCol, nShards, salt)
+    val offsets = assigned.groupBy(col("shard")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(
+        Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("off"))
+    assigned.join(broadcast(offsets), Seq("shard"))
+      .select(col(idCol), col("shard"),
+        (col("off") + col("pos")).cast("long").as("epoch_pos"))
+  }
+
   /** Vocabulary coverage / OOV rate (tokenizer-prep shape): build the
     * top-`vocabSize` corpus vocabulary (count desc, word asc — the
     * deterministic tie-break), then score every document's

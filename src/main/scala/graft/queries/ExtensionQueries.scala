@@ -1423,5 +1423,42 @@ object ExtensionQueries {
              |      FROM db JOIN r USING (bucket) WHERE db.source <> 'src0' GROUP BY 1, 2)
              |SELECT doc_id, source, CAST(sc AS VARCHAR) AS score
              |FROM s ORDER BY sc DESC, doc_id LIMIT 20""".stripMargin),
-      (s, d) => TextStats.dsirSelect(Tables.documents(s, d), "src0")))
+      (s, d) => TextStats.dsirSelect(Tables.documents(s, d), "src0")),
+
+    Q("x60_chunk_overlap",
+      "Fixed-size overlapping token-window chunking (RAG/retrieval ingest): 32-token windows " +
+        "every 24 tokens, so consecutive chunks share 8 tokens of context; tail chunks run short, " +
+        "never empty. Scan->generate->project with ZERO shuffles — each output row materializes " +
+        "only its own window slice, so total work is the expected size/stride corpus expansion, " +
+        "and chunk rows inherit the scan's partitioning for downstream embed/index stages.",
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             |c AS (SELECT doc_id, words, CAST(i AS BIGINT) AS chunk_idx
+             |      FROM w, unnest(range(0, ((len(words) - 1) // 24) + 1)) u(i))
+             |SELECT doc_id, chunk_idx,
+             |  array_to_string(words[CAST(chunk_idx*24 + 1 AS INT):CAST(chunk_idx*24 + 32 AS INT)], ' ')
+             |    AS chunk_text,
+             |  CAST(least(32, len(words) - chunk_idx*24) AS BIGINT) AS n_tokens
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
+      (s, d) => TextStats.chunk(Tables.documents(s, d), 32, 8)),
+
+    Q("x61_epoch_order",
+      "Deterministic global training order for one epoch WITHOUT a global sort: x44's (shard, " +
+        "within-shard hash rank) plus the shard's prefix count gives an exact permutation 1..N. " +
+        "Ordering windows are per-shard (bounded tasks) plus one 16-row cumulative sum broadcast " +
+        "back — the block-shuffle every at-scale training loader uses; a global row_number would " +
+        "serialize 100 TB through one task. Salt-keyed, so re-runs and retries reproduce the epoch " +
+        "byte-identically and the next epoch is just a new salt.",
+      Some("""WITH h AS (SELECT doc_id,
+             |        ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'epoch0'),1,15))::BIGINT AS h
+             |      FROM documents),
+             |s AS (SELECT doc_id, h, h % 16 AS shard FROM h),
+             |r AS (SELECT doc_id, shard,
+             |        CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+             |      FROM s),
+             |c AS (SELECT shard, count(*) AS n FROM s GROUP BY 1),
+             |o AS (SELECT shard, COALESCE(SUM(n) OVER (ORDER BY shard
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM c)
+             |SELECT r.doc_id, r.shard, CAST(o.off + r.pos AS BIGINT) AS epoch_pos
+             |FROM r JOIN o USING (shard) ORDER BY epoch_pos""".stripMargin),
+      (s, d) => TextStats.epochOrder(Tables.documents(s, d))))
 }

@@ -716,6 +716,47 @@ class ExtSpec extends SparkSuite {
     assert(again.toSeq == got.toSeq)
   }
 
+  test("chunk: stride/overlap boundaries, short tail, reassembly covers the doc exactly") {
+    // 10 words, size=4, overlap=1 (stride 3): starts 0,3,6,9 — consecutive
+    // chunks share exactly one word; the last chunk is the single tail word
+    val doc = Seq((1L, (0 until 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val got = TextStats.chunk(doc, 4, 1).orderBy("chunk_idx").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, "w0 w1 w2 w3", 4L), (1L, "w3 w4 w5 w6", 4L),
+      (2L, "w6 w7 w8 w9", 4L), (3L, "w9", 1L)))
+    // overlap invariant: chunk i's last `overlap` words open chunk i+1
+    got.sliding(2).foreach { case Array((_, a, _), (_, b, _)) =>
+      assert(b.split(" ").head == a.split(" ").last, s"overlap broken: '$a' -> '$b'") }
+    // exact-multiple edge: 6 words, stride 3 — no empty trailing chunk
+    val even = Seq((2L, "a b c d e f")).toDF("doc_id", "text")
+    assert(TextStats.chunk(even, 4, 1).count() == 2)
+    // stable under repartitioning
+    val again = TextStats.chunk(doc.repartition(4), 4, 1).orderBy("chunk_idx").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(again.toSeq == got.toSeq)
+  }
+
+  test("epochOrder: exact permutation 1..N, shard-contiguous, salt-independent reshuffle") {
+    val docs = (0L until 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val got = TextStats.epochOrder(docs, nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._3).sorted.toSeq == (1L to 200L), "positions are a permutation 1..N")
+    // each shard owns one contiguous position block (the prefix-count contract)
+    val byShard = got.groupBy(_._2).view.mapValues(_.map(_._3).sorted)
+    byShard.foreach { case (s, ps) =>
+      assert(ps.last - ps.head + 1 == ps.length, s"shard $s positions not contiguous: $ps") }
+    // deterministic under repartitioning
+    val again = TextStats.epochOrder(docs.repartition(7), nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+    // a different salt is a genuinely different epoch permutation
+    val next = TextStats.epochOrder(docs, nShards = 8, salt = "epoch1").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val same = got.count(t => next(t._1) == t._3)
+    assert(same < 50, s"epoch1 order too close to epoch0 ($same/200 fixed points)")
+  }
+
   test("hardNegatives: same-label vectors never returned; planted confusable negative ranks first") {
     // anchor 0 (label 1): its exact duplicate 1 shares the label (must be
     // excluded); 2 is the planted near-identical different-label vector

@@ -140,6 +140,32 @@ class PlanSpec extends SparkSuite {
       s"unexpected shuffle keys:\n$keyed")
   }
 
+  test("x60: chunking is scan->generate->project — zero exchanges, no window") {
+    val p = plan(SparkEntry.queries("x60_chunk_overlap")(spark, sf))
+    assert(collectAll(p) { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"chunking must not shuffle:\n$p")
+    assert(collectAll(p) { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      s"chunking must not plan a window:\n$p")
+  }
+
+  test("x61: epoch order joins only the broadcast offsets; the sole global window is nShards-row") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan(SparkEntry.queries("x61_epoch_order")(spark, sf))
+    assert(collectAll(p) { case j: SortMergeJoinExec => j }.isEmpty,
+      s"offsets must broadcast, never sort-merge:\n$p")
+    // two windows: the per-shard rank (partitioned) and the offsets
+    // cumulative sum (single-partition but bounded at nShards rows)
+    val wins = collectAll(p) { case w: WindowExec => w }
+    val global = wins.filterNot(_.partitionSpec.nonEmpty)
+    assert(global.size <= 1, s"at most one single-partition window (the counts frame):\n$p")
+    global.foreach { w =>
+      // it must sit above the shard-count aggregate, not the corpus
+      assert(collectAll(w) { case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }.nonEmpty,
+        s"the global window must order the aggregated counts frame, not doc rows:\n$w")
+    }
+  }
+
   test("q46: sliding window plans a single Expand + hash aggregate, no join") {
     import org.apache.spark.sql.execution.ExpandExec
     import org.apache.spark.sql.execution.joins.BaseJoinExec
