@@ -344,6 +344,57 @@ object TextDedup {
     * Scala so neither engine multiplies (int64 overflow semantics differ:
     * DuckDB raises, the JVM wraps).
     */
+  /** Corpus-pair overlap matrix: for every pair of sources, the shingle-
+    * set Jaccard similarity BOTH as a per-source MinHash sketch estimate
+    * (agreeing components / NumHashes) and exactly (hash-set
+    * intersection over union) — the "which corpora duplicate each
+    * other" signal that prioritizes cross-corpus dedup before mixing.
+    *
+    * Scale posture: the sketch is the 100 TB artifact — one distinct +
+    * one min-aggregate collapse the corpus to NumHashes longs per
+    * source, and the pair expansion runs on that source-count-sized
+    * frame (never corpus rows). The exact companion costs one keyed
+    * equi-join on the distinct shingle hashes (linear, one shuffle;
+    * emitted here because pair count is bounded by source cardinality —
+    * at petabyte scale run the sketch alone and reserve the exact join
+    * for the pairs the sketch flags). Both ratios are single IEEE
+    * divisions of exact integers: the estimate k/NumHashes is a dyadic
+    * rational, bit-identical cross-engine.
+    */
+  def sourceOverlap(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(sourceCol).as("source"),
+        explode(graft.functions.word_shingles(col(textCol), 3)).as("shingle"))
+      .select(col("source"), portableHash(col("shingle"), "").as("h0"))
+      .distinct()
+    val aggs = (0 until NumHashes).map(i => min(portableRemix(col("h0"), i)).as(s"s$i"))
+    val sigs = sh.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.h0") === col("b.h0") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val agree = (0 until NumHashes)
+      .map(i => when(col(s"x.s$i") === col(s"y.s$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = sigs.as("x")
+      .join(sigs.as("y"), col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+        (agree.cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
+    est
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .join(broadcast(sizes.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n", "n_a")), Seq("source_a"))
+      .join(broadcast(sizes.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n", "n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("est_jaccard"),
+        coalesce(col("n_inter"), lit(0L)).cast("long").as("n_inter"),
+        (coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))).cast("double"))
+          .as("exact_jaccard"))
+  }
+
   def portableRemixConsts(i: Int): (Long, Long) =
     (splitmix64(1000L + i) & PortableMask, splitmix64(2000L + i) & PortableMask)
 

@@ -1460,5 +1460,39 @@ object ExtensionQueries {
              |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM c)
              |SELECT r.doc_id, r.shard, CAST(o.off + r.pos AS BIGINT) AS epoch_pos
              |FROM r JOIN o USING (shard) ORDER BY epoch_pos""".stripMargin),
-      (s, d) => TextStats.epochOrder(Tables.documents(s, d))))
+      (s, d) => TextStats.epochOrder(Tables.documents(s, d))),
+
+    Q("x62_source_overlap",
+      "Corpus-pair overlap matrix: shingle-set Jaccard for every source pair, BOTH as the " +
+        "per-source MinHash sketch estimate (agreeing components / 16 — a dyadic rational, " +
+        "bit-identical cross-engine) and exactly (hash-set intersection / union, one IEEE " +
+        "division of exact integers). The sketch collapses the corpus to 16 longs per source " +
+        "before any pairing — the 100 TB artifact; the exact companion is one keyed equi-join " +
+        "on distinct shingle hashes, emitted because pair count is source-bounded. The " +
+        "cross-corpus-dedup prioritization signal before mixing.",
+      Some {
+        val agree = (0 until graft.ext.TextDedup.NumHashes)
+          .map(i => s"(CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH sh AS (
+           |  SELECT DISTINCT source, ('0x'||substr(md5(shingle),1,15))::BIGINT AS h0
+           |  FROM (SELECT source, unnest([array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)]) AS shingle
+           |        FROM (SELECT source, string_split(text, ' ') AS words FROM documents) t
+           |        WHERE len(words) >= 3) u),
+           |sig AS (SELECT source, $sigColsSql FROM sh GROUP BY source),
+           |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+           |iv AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS ni
+           |       FROM sh a JOIN sh b ON a.h0 = b.h0 AND a.source < b.source GROUP BY 1, 2),
+           |p AS (SELECT x.source AS source_a, y.source AS source_b,
+           |        CAST($agree AS DOUBLE) / 16.0 AS est_jaccard
+           |      FROM sig x JOIN sig y ON x.source < y.source)
+           |SELECT p.source_a, p.source_b, p.est_jaccard,
+           |  CAST(COALESCE(iv.ni, 0) AS BIGINT) AS n_inter,
+           |  CAST(COALESCE(iv.ni, 0) AS DOUBLE)
+           |    / CAST(za.n + zb.n - COALESCE(iv.ni, 0) AS DOUBLE) AS exact_jaccard
+           |FROM p LEFT JOIN iv ON p.source_a = iv.source_a AND p.source_b = iv.source_b
+           |JOIN sz za ON za.source = p.source_a
+           |JOIN sz zb ON zb.source = p.source_b
+           |ORDER BY p.source_a, p.source_b""".stripMargin
+      },
+      (s, d) => graft.ext.TextDedup.sourceOverlap(Tables.documents(s, d))))
 }

@@ -757,6 +757,35 @@ class ExtSpec extends SparkSuite {
     assert(same < 50, s"epoch1 order too close to epoch0 ($same/200 fixed points)")
   }
 
+  test("sourceOverlap: identical sources hit 1.0 on both paths; disjoint hit 0; est bounded") {
+    // a and b are identical corpora (jaccard 1), c is disjoint (jaccard 0
+    // against both); every estimate must be a multiple of 1/16 in [0,1]
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", "a"),
+      (2L, "pack my box with five dozen liquor jugs again", "a"),
+      (3L, "the quick brown fox jumps over the lazy dog today", "b"),
+      (4L, "pack my box with five dozen liquor jugs again", "b"),
+      (5L, "zeta eta theta iota kappa lambda mu nu xi omicron", "c")
+    ).toDF("doc_id", "text", "source")
+    val got = graft.ext.TextDedup.sourceOverlap(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // 8 + 7 distinct shingles (10- and 9-word docs) shared in full
+    assert(got(("a", "b")) == ((1.0, 15L, 1.0)), s"identical sources: ${got(("a", "b"))}")
+    assert(got(("a", "c"))._3 == 0.0 && got(("a", "c"))._2 == 0L)
+    assert(got(("b", "c"))._3 == 0.0)
+    got.values.foreach { case (est, _, ex) =>
+      assert(est >= 0.0 && est <= 1.0 && (est * 16).isWhole, s"est not k/16: $est")
+      assert(ex >= 0.0 && ex <= 1.0)
+    }
+    // deterministic under repartitioning
+    val again = graft.ext.TextDedup.sourceOverlap(docs.repartition(4)).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(again == got)
+  }
+
   test("hardNegatives: same-label vectors never returned; planted confusable negative ranks first") {
     // anchor 0 (label 1): its exact duplicate 1 shares the label (must be
     // excluded); 2 is the planted near-identical different-label vector

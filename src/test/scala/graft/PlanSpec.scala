@@ -203,7 +203,9 @@ class PlanSpec extends SparkSuite {
     // x54 (1-row corpus-totals frame crossed onto query-term postings),
     // x55 (1-row binding-source pin, the x48 shape), x56 (10-row anchor
     // set non-equi broadcast, the x06 shape), x59 (1-row model-totals
-    // pin crossed onto the 64-row bucket-model frame)
+    // pin crossed onto the 64-row bucket-model frame), x62 (source-count-
+    // sized signature frame paired with itself — model artifact, never
+    // corpus rows)
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     val allowed = Set("q10_time_window", "q18_report_pairs", "x06_knn_brute",
       "x13_approx_distinct", "x14_knn_ivf", "x25_approx_quantile",
@@ -211,7 +213,7 @@ class PlanSpec extends SparkSuite {
       "x48_domain_mix", "x46_split_overlap", "x52_kmeans_fit",
       "x53_semdedup_kmeans", "x54_bm25_retrieval", "x55_temperature_mix",
       "x56_hard_negatives", "x57_bpe_fit", "x58_bpe_encode",
-      "x59_dsir_select")
+      "x59_dsir_select", "x62_source_overlap")
     SparkEntry.registry.foreach { q =>
       val p = plan(q.build(spark, sf))
       val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
