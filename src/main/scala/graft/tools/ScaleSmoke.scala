@@ -76,6 +76,11 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.registerAll(spark)
 
+    // --epoch-contrast: run ONLY the synthetic epoch-order contrast
+    // (needs no corpus at all) and exit.
+    if (args.contains("--epoch-contrast")) {
+      epochOrderContrast(spark); spark.stop(); return
+    }
     // --contrast-only: run just the cap/CC contrast cases below (their
     // only corpus need is documents), skipping the query sweep — the
     // mode that makes the ×100 contrast measurement affordable to rerun.
@@ -229,6 +234,36 @@ object ScaleSmoke {
           s"corpus_pairs=$pairs")
       }
     }
+
+    epochOrderContrast(spark)
     spark.stop()
+  }
+
+  /** Epoch-order contrast (x61's claim): a deterministic global training
+    * permutation via per-shard ranks + broadcast prefix counts vs the
+    * naive global row_number, which serializes the whole corpus through
+    * ONE window task. Same task class (emit doc_id -> position), 10M
+    * synthetic ids, both fully evaluated through a noop write. The
+    * permutations differ by construction (shard-major vs hash-major);
+    * the contrast is throughput of the ordering mechanism itself.
+    * Standalone via `--epoch-contrast` (needs no amplified corpus).
+    */
+  def epochOrderContrast(spark: SparkSession): Unit = {
+    import graft.ext.{TextDedup, TextStats}
+    import org.apache.spark.sql.expressions.Window
+    val n = sys.env.getOrElse("SCALE_EPOCH_N", "10000000").toLong
+    val ids = spark.range(n).select(col("id").as("doc_id"))
+    val t0 = System.nanoTime()
+    TextStats.epochOrder(ids, nShards = 64)
+      .write.mode("overwrite").format("noop").save()
+    println(f"[scale] epoch_order_sharded  ${(System.nanoTime() - t0) / 1e9}%8.2fs  " +
+      s"n=$n shards=64")
+    val t1 = System.nanoTime()
+    val h = TextDedup.portableHash(col("doc_id").cast("string"), "epoch0")
+    ids.select(col("doc_id"), h.as("h"))
+      .withColumn("epoch_pos", row_number().over(Window.orderBy(col("h"), col("doc_id"))))
+      .write.mode("overwrite").format("noop").save()
+    println(f"[scale] epoch_order_global   ${(System.nanoTime() - t1) / 1e9}%8.2fs  " +
+      s"n=$n (single window task)")
   }
 }
