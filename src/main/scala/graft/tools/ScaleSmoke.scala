@@ -59,7 +59,12 @@ object ScaleSmoke {
     // round-6 closing-session operators: x47 is the gram-heavy one (its
     // posting pass is linear in corpus tokens); x46's distinct
     // (split, gram) set also grows with the corpus
-    "x46_split_overlap", "x47_strip_dup_spans")
+    "x46_split_overlap", "x47_strip_dup_spans",
+    // post-close-out operators whose cost grows with the corpus: BM25's
+    // posting build, DSIR's gram aggregate, chunking's generate
+    // expansion, the source-overlap distinct + pair join
+    "x54_bm25_retrieval", "x59_dsir_select", "x60_chunk_overlap",
+    "x62_source_overlap")
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorS) = args.take(3)
@@ -117,7 +122,11 @@ object ScaleSmoke {
       new java.io.File(outDir).mkdirs()
       java.nio.file.Files.writeString(marker.toPath, s"$factor $wantScope $srcMtime")
     }
-    (if (contrastOnly) Seq.empty else Targets).foreach { name =>
+    // SCALE_ONLY=x60_chunk_overlap,x62_source_overlap runs a subset of
+    // the sweep (fresh amplify rules above still apply)
+    val onlyTargets = sys.env.get("SCALE_ONLY").map(_.split(",").map(_.trim).toSet)
+    (if (contrastOnly) Seq.empty
+     else Targets.filter(t => onlyTargets.forall(_.contains(t)))).foreach { name =>
       // the BUILD is inside the timed region: queries with driver-side
       // fixpoint loops (x33/x35's connected components) do their real
       // work during construction, and timing only the final frame's
@@ -141,7 +150,7 @@ object ScaleSmoke {
     // variant next to it — the pre-round-5 superlinear behavior — and
     // report what the cap discarded, so "bounded pair growth" is a
     // measured row, not a claim.
-    {
+    if (onlyTargets.isEmpty) {
       import graft.ext.TextDedup
       val docs = spark.read.parquet(s"$outDir/documents.parquet")
       val sigs = TextDedup.minhashSignaturesPortable(docs)
@@ -178,7 +187,7 @@ object ScaleSmoke {
     // diameter-99 chains (100k nodes). Min-label needs ~diameter rounds;
     // alternating-star collapses in ~log(diameter) — the round-4 flagged
     // scale risk, now measured side by side.
-    {
+    if (onlyTargets.isEmpty) {
       import graft.operators.ConnectedComponents
       val edges = spark.range(100000L).filter(col("id") % 100 =!= 99)
         .selectExpr("id AS a", "id + 1 AS b")
@@ -201,7 +210,7 @@ object ScaleSmoke {
     // and re-pairs the whole accumulated corpus every arrival, so its
     // per-batch cost grows with the corpus. Both timed per batch, side
     // by side — "O(batch), not O(corpus)" as measured rows.
-    {
+    if (onlyTargets.isEmpty) {
       import graft.ext.TextDedup
       val docs = spark.read.parquet(s"$outDir/documents.parquet")
       val B = 5
@@ -235,7 +244,7 @@ object ScaleSmoke {
       }
     }
 
-    epochOrderContrast(spark)
+    if (onlyTargets.isEmpty) epochOrderContrast(spark)
     spark.stop()
   }
 

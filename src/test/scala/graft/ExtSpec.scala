@@ -757,6 +757,28 @@ class ExtSpec extends SparkSuite {
     assert(same < 50, s"epoch1 order too close to epoch0 ($same/200 fixed points)")
   }
 
+  test("chunk: dropping each chunk's leading overlap reconstructs any doc exactly") {
+    // property over varied lengths incl. the stride-boundary cases:
+    // concatenating chunk 0 plus every later chunk minus its first
+    // `overlap` tokens must be the original token stream
+    val rng = new scala.util.Random(42)
+    val docs = (1L to 20L).map { i =>
+      val n = 1 + rng.nextInt(40)
+      (i, (0 until n).map(j => s"t${i}_$j").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for ((size, overlap) <- Seq((4, 1), (8, 3), (5, 0), (3, 2))) {
+      val byDoc = TextStats.chunk(df, size, overlap).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      docs.foreach { case (id, text) =>
+        val rebuilt = (byDoc(id).head +: byDoc(id).tail.map(
+          _.split(" ").drop(overlap).mkString(" "))).filter(_.nonEmpty).mkString(" ")
+        assert(rebuilt == text, s"doc $id size=$size overlap=$overlap:\n$rebuilt\n$text")
+      }
+    }
+  }
+
   test("sourceOverlap: identical sources hit 1.0 on both paths; disjoint hit 0; est bounded") {
     // a and b are identical corpora (jaccard 1), c is disjoint (jaccard 0
     // against both); every estimate must be a multiple of 1/16 in [0,1]
