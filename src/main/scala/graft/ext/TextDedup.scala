@@ -617,6 +617,30 @@ object TextDedup {
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /** Quality-aware dedup representative selection: given a cluster
+    * assignment (doc → component, e.g. [[ConnectedComponents.assign]]'s
+    * output) and a per-doc score, keep the BEST document of each
+    * cluster rather than the first — the keep-rule real dedup pipelines
+    * want (the longest / highest-quality copy survives, boilerplate
+    * truncations drop). Tie-break is deterministic: (score, id)
+    * lexicographic max, so equal scores keep the larger id.
+    *
+    * One aggregate: the argmax rides a struct max (no window, no
+    * per-cluster sort) — a single component-keyed shuffle with map-side
+    * partial aggregation, the cheapest possible cost class for the job.
+    */
+  def keepBestPerCluster(assigned: DataFrame, scored: DataFrame,
+      idCol: String = "doc_id", scoreCol: String = "score"): DataFrame =
+    assigned.select(col(idCol), col("component"))
+      .join(scored.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col(scoreCol), col(idCol))).as("best"))
+      .select(col("component").cast("long").as("component"),
+        col("best")(idCol).cast("long").as("keep_id"),
+        col("best")(scoreCol).cast("long").as("keep_score"),
+        col("cluster_size"))
+
   /** Exact word-n-gram Jaccard similarity for pairs grouped by a blocking
     * column (here: same `lang`) — the verification stage downstream of
     * LSH candidate generation.

@@ -1494,5 +1494,47 @@ object ExtensionQueries {
            |JOIN sz zb ON zb.source = p.source_b
            |ORDER BY p.source_a, p.source_b""".stripMargin
       },
-      (s, d) => graft.ext.TextDedup.sourceOverlap(Tables.documents(s, d))))
+      (s, d) => graft.ext.TextDedup.sourceOverlap(Tables.documents(s, d))),
+
+    Q("x63_dedup_keep_best",
+      "Quality-aware dedup keep-rule: x33's near-dup clusters, but the surviving representative " +
+        "is the BEST copy (longest, ties to the larger id), not the first — the keep-rule real " +
+        "pipelines want. The argmax is a struct max inside ONE component-keyed aggregate (no " +
+        "window, no per-cluster sort, map-side partials) — the cheapest cost class for the job.",
+      Some("""WITH RECURSIVE
+             |s AS (
+             |  SELECT doc_id, lang, len(words) AS n_tokens,
+             |         list_distinct([array_to_string(words[i:i+3], ' ') for i in range(1, len(words)-2)]) AS sh
+             |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents WHERE doc_id < 300) t
+             |  WHERE len(words) >= 4),
+             |e0 AS (SELECT a.doc_id AS a, b.doc_id AS b
+             |       FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |       WHERE len(list_intersect(a.sh, b.sh)) >= 1),
+             |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+             |walk(node, lab) AS (
+             |  SELECT DISTINCT a, a FROM e
+             |  UNION
+             |  SELECT e.a, w.lab FROM e JOIN walk w ON e.b = w.node),
+             |comp AS (SELECT node, MIN(lab) AS component FROM walk GROUP BY node),
+             |r AS (SELECT s.doc_id, COALESCE(c.component, s.doc_id) AS component, s.n_tokens
+             |      FROM s LEFT JOIN comp c ON s.doc_id = c.node),
+             |sel AS (SELECT component, doc_id, n_tokens,
+             |          count(*) OVER (PARTITION BY component) AS cluster_size,
+             |          row_number() OVER (PARTITION BY component
+             |            ORDER BY n_tokens DESC, doc_id DESC) AS rn
+             |        FROM r)
+             |SELECT CAST(component AS BIGINT) AS component, doc_id AS keep_id,
+             |       CAST(n_tokens AS BIGINT) AS keep_score,
+             |       CAST(cluster_size AS BIGINT) AS cluster_size
+             |FROM sel WHERE rn = 1 ORDER BY component""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+        val edges = TextDedup.sharedShingleEdges(docs, "lang", 4)
+        val assigned = graft.operators.ConnectedComponents.assign(
+          docs.filter(size(graft.functions.word_shingles(col("text"), 4)) > 0),
+          edges, "doc_id", "doc_a", "doc_b")
+        TextDedup.keepBestPerCluster(assigned,
+          docs.select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("score")))
+      }))
 }

@@ -808,6 +808,30 @@ class ExtSpec extends SparkSuite {
     assert(again == got)
   }
 
+  test("keepBestPerCluster: highest score survives, ties keep the larger id, singletons pass") {
+    val assigned = Seq(
+      (1L, 100L), (2L, 100L), (3L, 100L), // cluster of three
+      (4L, 200L), (5L, 200L),             // tied cluster
+      (6L, 300L)                          // singleton
+    ).toDF("doc_id", "component")
+    val scored = Seq(
+      (1L, 10L), (2L, 30L), (3L, 20L),
+      (4L, 7L), (5L, 7L),
+      (6L, 1L)
+    ).toDF("doc_id", "score")
+    val got = graft.ext.TextDedup.keepBestPerCluster(assigned, scored).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (100L, 2L, 30L, 3L),  // best score wins
+      (200L, 5L, 7L, 2L),   // tie -> larger id
+      (300L, 6L, 1L, 1L)))
+    // deterministic under repartitioning (struct max is order-independent)
+    val again = graft.ext.TextDedup.keepBestPerCluster(
+      assigned.repartition(5), scored.repartition(3)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("hardNegatives: same-label vectors never returned; planted confusable negative ranks first") {
     // anchor 0 (label 1): its exact duplicate 1 shares the label (must be
     // excluded); 2 is the planted near-identical different-label vector
