@@ -360,6 +360,12 @@ object TextDedup {
     * for the pairs the sketch flags). Both ratios are single IEEE
     * divisions of exact integers: the estimate k/NumHashes is a dyadic
     * rational, bit-identical cross-engine.
+    *
+    * Contract: a source whose every doc has fewer than 3 words
+    * contributes no shingles, has no shingle SET, and appears in no
+    * output pair (absent row, not a 0.0 row) — callers iterating the
+    * matrix should treat absence as "nothing to compare", and a corpus
+    * where that matters should pre-filter such sources explicitly.
     */
   def sourceOverlap(docs: DataFrame, sourceCol: String = "source",
       textCol: String = "text"): DataFrame = {
@@ -628,17 +634,27 @@ object TextDedup {
     * One aggregate: the argmax rides a struct max (no window, no
     * per-cluster sort) — a single component-keyed shuffle with map-side
     * partial aggregation, the cheapest possible cost class for the job.
+    *
+    * `scored` may be partial: docs missing from it never win the argmax
+    * (max ignores null structs) but still count toward `cluster_size`,
+    * and a fully-unscored cluster falls back to keeping its max id
+    * (keep_score null) rather than vanishing — a dropped keeper would
+    * make a keep-only filter delete every copy of that cluster.
+    * `keep_score` preserves the score column's own type (no long cast —
+    * a double quality score must not silently truncate to 0).
     */
   def keepBestPerCluster(assigned: DataFrame, scored: DataFrame,
       idCol: String = "doc_id", scoreCol: String = "score"): DataFrame =
     assigned.select(col(idCol), col("component"))
-      .join(scored.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .join(scored.select(col(idCol), col(scoreCol)), Seq(idCol), "left")
       .groupBy(col("component"))
       .agg(count(lit(1)).as("cluster_size"),
-        max(struct(col(scoreCol), col(idCol))).as("best"))
+        max(when(col(scoreCol).isNotNull, struct(col(scoreCol), col(idCol))))
+          .as("best"),
+        max(col(idCol)).as("fallback_id"))
       .select(col("component").cast("long").as("component"),
-        col("best")(idCol).cast("long").as("keep_id"),
-        col("best")(scoreCol).cast("long").as("keep_score"),
+        coalesce(col("best")(idCol), col("fallback_id")).cast("long").as("keep_id"),
+        col("best")(scoreCol).as("keep_score"),
         col("cluster_size"))
 
   /** Exact word-n-gram Jaccard similarity for pairs grouped by a blocking

@@ -114,7 +114,11 @@ object TextStats {
     * window starting `sizeTokens - overlap` tokens after the previous,
     * so consecutive chunks share `overlap` tokens of context. Emits
     * (doc, chunk_idx, chunk_text, n_tokens); the tail chunk is short
-    * (never empty — a start position exists iff it is < the word count).
+    * but never empty and never fully contained in its predecessor — a
+    * start position past 0 exists iff it contributes at least one token
+    * beyond the shared overlap (start + overlap < word count), so no
+    * chunk is a duplicate of earlier content (duplicate chunks would
+    * become duplicate embeddings/retrieval hits downstream).
     *
     * Cost shape: scan → generate → project, zero shuffles; the chunk
     * index sequence is computed from the word count alone, and each
@@ -132,7 +136,8 @@ object TextStats {
     docs.select(col(idCol), words.as("words"))
       .select(col(idCol), col("words"),
         explode(sequence(lit(0L),
-          floor((size(col("words")) - 1) / lit(stride)).cast("long")))
+          floor((greatest(size(col("words")) - overlap, lit(1)) - 1) / lit(stride))
+            .cast("long")))
           .as("chunk_idx"))
       .select(col(idCol), col("chunk_idx"),
         array_join(slice(col("words"), (col("chunk_idx") * stride + 1).cast("int"),

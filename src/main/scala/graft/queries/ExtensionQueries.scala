@@ -1427,13 +1427,15 @@ object ExtensionQueries {
 
     Q("x60_chunk_overlap",
       "Fixed-size overlapping token-window chunking (RAG/retrieval ingest): 32-token windows " +
-        "every 24 tokens, so consecutive chunks share 8 tokens of context; tail chunks run short, " +
-        "never empty. Scan->generate->project with ZERO shuffles — each output row materializes " +
+        "every 24 tokens, so consecutive chunks share 8 tokens of context; tail chunks run short " +
+        "but are never empty and never fully contained in their predecessor (a start past 0 must " +
+        "contribute tokens beyond the overlap — duplicate chunks would be duplicate embeddings " +
+        "downstream). Scan->generate->project with ZERO shuffles — each output row materializes " +
         "only its own window slice, so total work is the expected size/stride corpus expansion, " +
         "and chunk rows inherit the scan's partitioning for downstream embed/index stages.",
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
              |c AS (SELECT doc_id, words, CAST(i AS BIGINT) AS chunk_idx
-             |      FROM w, unnest(range(0, ((len(words) - 1) // 24) + 1)) u(i))
+             |      FROM w, unnest(range(0, ((greatest(len(words) - 8, 1) - 1) // 24) + 1)) u(i))
              |SELECT doc_id, chunk_idx,
              |  array_to_string(words[CAST(chunk_idx*24 + 1 AS INT):CAST(chunk_idx*24 + 32 AS INT)], ' ')
              |    AS chunk_text,
@@ -1483,7 +1485,7 @@ object ExtensionQueries {
            |iv AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS ni
            |       FROM sh a JOIN sh b ON a.h0 = b.h0 AND a.source < b.source GROUP BY 1, 2),
            |p AS (SELECT x.source AS source_a, y.source AS source_b,
-           |        CAST($agree AS DOUBLE) / 16.0 AS est_jaccard
+           |        CAST($agree AS DOUBLE) / ${graft.ext.TextDedup.NumHashes}.0 AS est_jaccard
            |      FROM sig x JOIN sig y ON x.source < y.source)
            |SELECT p.source_a, p.source_b, p.est_jaccard,
            |  CAST(COALESCE(iv.ni, 0) AS BIGINT) AS n_inter,

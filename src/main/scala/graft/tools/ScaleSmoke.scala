@@ -67,8 +67,6 @@ object ScaleSmoke {
     "x62_source_overlap")
 
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, outDir, factorS) = args.take(3)
-    val factor = factorS.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -82,10 +80,12 @@ object ScaleSmoke {
     graft.functions.registerAll(spark)
 
     // --epoch-contrast: run ONLY the synthetic epoch-order contrast
-    // (needs no corpus at all) and exit.
+    // (needs no corpus, no srcDir/outDir/factor args) and exit.
     if (args.contains("--epoch-contrast")) {
       epochOrderContrast(spark); spark.stop(); return
     }
+    val Array(srcDir, outDir, factorS) = args.take(3)
+    val factor = factorS.toInt
     // --contrast-only: run just the cap/CC contrast cases below (their
     // only corpus need is documents), skipping the query sweep — the
     // mode that makes the ×100 contrast measurement affordable to rerun.
@@ -123,8 +123,13 @@ object ScaleSmoke {
       java.nio.file.Files.writeString(marker.toPath, s"$factor $wantScope $srcMtime")
     }
     // SCALE_ONLY=x60_chunk_overlap,x62_source_overlap runs a subset of
-    // the sweep (fresh amplify rules above still apply)
+    // the sweep (fresh amplify rules above still apply); unknown names
+    // fail loudly — a typo must not read as a successful empty sweep
     val onlyTargets = sys.env.get("SCALE_ONLY").map(_.split(",").map(_.trim).toSet)
+    onlyTargets.foreach { names =>
+      val unknown = names.diff(Targets.toSet)
+      require(unknown.isEmpty, s"SCALE_ONLY names not in Targets: ${unknown.mkString(", ")}")
+    }
     (if (contrastOnly) Seq.empty
      else Targets.filter(t => onlyTargets.forall(_.contains(t)))).foreach { name =>
       // the BUILD is inside the timed region: queries with driver-side

@@ -717,14 +717,16 @@ class ExtSpec extends SparkSuite {
   }
 
   test("chunk: stride/overlap boundaries, short tail, reassembly covers the doc exactly") {
-    // 10 words, size=4, overlap=1 (stride 3): starts 0,3,6,9 — consecutive
-    // chunks share exactly one word; the last chunk is the single tail word
+    // 10 words, size=4, overlap=1 (stride 3): starts 0,3,6 — consecutive
+    // chunks share exactly one word; start 9 is NOT emitted (its window
+    // [w9] is fully contained in chunk 2 — a duplicate chunk would be a
+    // duplicate embedding downstream)
     val doc = Seq((1L, (0 until 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
     val got = TextStats.chunk(doc, 4, 1).orderBy("chunk_idx").collect()
       .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
     assert(got.toSeq == Seq(
       (0L, "w0 w1 w2 w3", 4L), (1L, "w3 w4 w5 w6", 4L),
-      (2L, "w6 w7 w8 w9", 4L), (3L, "w9", 1L)))
+      (2L, "w6 w7 w8 w9", 4L)))
     // overlap invariant: chunk i's last `overlap` words open chunk i+1
     got.sliding(2).foreach { case Array((_, a, _), (_, b, _)) =>
       assert(b.split(" ").head == a.split(" ").last, s"overlap broken: '$a' -> '$b'") }
