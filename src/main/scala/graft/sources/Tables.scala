@@ -145,6 +145,15 @@ object Tables {
       case LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      // A µs-precision corpus (isAdjustedToUTC=false) reads as
+      // TIMESTAMP_NTZ under Spark 4's NTZ inference. Normalize to the
+      // session-zone TimestampType the rest of the engine was written
+      // against (every session here pins UTC, so the cast is
+      // value-preserving and matches DuckDB's naive-timestamp reading) —
+      // otherwise instant functions like unix_micros reject the column.
+      case TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
       case _ => raw
     }
   }
