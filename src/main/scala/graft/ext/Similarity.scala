@@ -106,6 +106,64 @@ object Similarity {
     z ^ (z >>> 31)
   }
 
+  val JlDim = 16
+
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (Achlioptas
+    * 2003: ±1 entries preserve pairwise distances in expectation exactly
+    * like Gaussian projections, at integer-multiply cost), `JlDim × dim`.
+    * Seed stream is offset from [[planeSigns]]'s so the two matrices are
+    * independent; seeds are code, not data, so every executor and the
+    * DuckDB oracle agree on the literal matrix.
+    */
+  def jlSigns(dim: Int): Array[Array[Double]] =
+    Array.tabulate(JlDim, dim) { (p, d) =>
+      if ((splitmix64(0x51000000L + p * dim + d) & 1L) == 1L) 1.0 else -1.0
+    }
+
+  /** JL projection R^dim → R^JlDim: component p = Σ_d sign(p,d)·v_d,
+    * computed as the same left-associated zip_with fold as [[lshBucket]]
+    * (±1 multiplies are exact, so the oracle mirrors the sum as signed
+    * adds bit-for-bit). Dimension mismatch fails loudly, as lshBucket.
+    */
+  def jlProject(v: Column, dim: Int = Dim): Column = {
+    val signs = jlSigns(dim)
+    val proj = array((0 until JlDim).map { p =>
+      val plane = array(signs(p).toIndexedSeq.map(lit): _*)
+      aggregate(zip_with(v, plane, (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+    when(size(v) === dim, proj).otherwise(raise_error(
+      concat(lit(s"jlProject: expected $dim-dim embedding, got "), size(v).cast("string"))))
+  }
+
+  /** KNN in the JL-projected space: the dimensionality-reduction scale
+    * path for brute-force ANN — at 100 TB the projected corpus is
+    * dim/JlDim (4×) smaller in bytes and every distance costs JlDim
+    * multiplies instead of dim, while JL's distance-preservation bound
+    * keeps top-k recall high (measured against exact x06 in
+    * SimilaritySpec). Projection is map-side; per-vector norms are
+    * computed once at projection time; candidate scoring is the x06
+    * broadcast + bounded-heap shape, so shuffles carry O(queries × k).
+    * Rank-only output (fp-eval-independent: both engines run the same
+    * IEEE sums — see the oracle's mirrored fold order).
+    */
+  def knnJl(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def projectedWithNorm(df: DataFrame, id: String, p: String, n: String): DataFrame =
+      df.select(col("vec_id").as(id), jlProject(col("embedding")).as(p))
+        .withColumn(n, sqrt(dot(col(p), col(p))))
+    val q = projectedWithNorm(queries, "qid", "qp", "qn")
+    val c = projectedWithNorm(corpus, "neighbor_id", "np", "nn")
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("qid"))
+      .withColumn("sim", dot(col("qp"), col("np")) / (col("qn") * col("nn")))
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.top_k_by(col("sim"), col("neighbor_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"))
+  }
+
   /** Random-hyperplane LSH bucket id (0..2^Planes-1) of an embedding.
     * Vectors whose length differs from `dim` fail loudly (raise_error)
     * instead of silently collapsing into one bucket — a dimension

@@ -77,6 +77,78 @@ object TextRank {
         col("__score").cast("string").as("score"))
   }
 
+  /** TF-IDF ranked retrieval over the same inverted index — the classic
+    * second ranker of a hybrid retrieval stack. Score per (query, doc) =
+    * Σ_terms (tf/dl) · idf with the RATIONAL idf of [[bm25]] (exactness
+    * rationale there): length-normalized term frequency times inverse
+    * document frequency, no BM25 saturation — so its ranking genuinely
+    * differs from BM25's on long documents and high-tf terms, which is
+    * what makes fusing the two lists informative. Same cost shape as
+    * [[bm25]]: the `tf`/`df` subtrees are IDENTICAL to bm25's, so when
+    * both rankers run in one plan (see [[hybridRrf]]) Spark computes the
+    * postings exchange once and reuses it.
+    */
+  def tfidf(docs: DataFrame, queries: DataFrame, k: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = postings(docs, idCol, textCol)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col(textCol), " "))).as("n_tokens"))
+    val qdf = dfreq.join(broadcast(queries), Seq("term"))
+    val scored = tf.join(broadcast(qdf), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__s", tfidfTermScore().cast(DecimalType(38, 6)))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__s")).as("__sum"))
+      .select(col("query_id"), col(idCol),
+        col("__sum").cast(DecimalType(38, 6)).as("__score"))
+    Ranks.topKPerGroup(scored, Seq("query_id"), k,
+        Seq(col("__score").desc, col(idCol)))
+      .select(col("query_id"), col("rank"), col(idCol),
+        col("__score").cast("string").as("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of truncated
+    * ranked lists: fused score per (query, doc) = Σ_lists 1/(c + rank),
+    * summed over the lists the doc appears in. The standard c = 60
+    * damps the head so a doc ranked well by EVERY ranker beats a doc
+    * ranked first by one and absent from the rest — the property that
+    * makes RRF the default fusion for hybrid (sparse + dense / second
+    * ranker) retrieval, robust to incomparable score scales since only
+    * RANKS enter. Arithmetic is oracle-exact: 1/(c + rank) is one IEEE
+    * division of exact-integer-derived doubles, rounded once to
+    * Decimal(38,6), summed in decimal (the x41 idiom). Each input is a
+    * small top-k frame (O(queries × k)), so the fusion itself is a
+    * cheap aggregate — the cost lives in the rankers.
+    * Output: `query_id, rank, <idCol>, score, n_lists`.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 5, c: Int = 60,
+      idCol: String = "doc_id"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val terms = rankings.map(_.select(col("query_id"), col(idCol),
+      (lit(1.0) / (lit(c.toDouble) + col("rank").cast("double")))
+        .cast(DecimalType(38, 6)).as("__t")))
+    val fused = terms.reduce(_.unionByName(_))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__t")).as("__sum"), count(lit(1)).cast("int").as("n_lists"))
+      .select(col("query_id"), col(idCol),
+        col("__sum").cast(DecimalType(38, 6)).as("__score"), col("n_lists"))
+    Ranks.topKPerGroup(fused, Seq("query_id"), k,
+        Seq(col("__score").desc, col(idCol)))
+      .select(col("query_id"), col("rank"), col(idCol),
+        col("__score").cast("string").as("score"), col("n_lists"))
+  }
+
+  /** Hybrid retrieval: BM25 and TF-IDF top-`kPerList` lists fused by
+    * RRF, top `k` kept. One plan: the two rankers' posting/df subtrees
+    * are identical, so the expensive explode-aggregate runs once
+    * (exchange reuse) and only the scoring tails differ.
+    */
+  def hybridRrf(docs: DataFrame, queries: DataFrame, kPerList: Int = 20,
+      k: Int = 5): DataFrame =
+    rrfFuse(Seq(bm25(docs, queries, kPerList), tfidf(docs, queries, kPerList)), k)
+
   /** Posting lists with the per-doc length riding along: one explode →
     * one (doc, term) aggregate; `dl` is constant within a doc so
     * `min(dl)` recovers it without a join.
@@ -121,6 +193,23 @@ object TextRank {
     val den = col("tf").cast("double") +
       lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl))
     (idf * (col("tf").cast("double") * lit(k1 + 1))) / den
+  }
+
+  // The per-term TF-IDF score, float-mirrored in tfidfTermScoreSql the
+  // same way termScore is in bm25TermScoreSql.
+  private def tfidfTermScore(): Column = {
+    val idfRational =
+      ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))
+    (col("tf").cast("double") / col("dl").cast("double")) * idfRational
+  }
+
+  /** The TF-IDF per-term score as DuckDB SQL over columns
+    * `n_docs, df, tf, dl` — expression-tree twin of `tfidfTermScore`.
+    */
+  def tfidfTermScoreSql: String = {
+    val idf = "((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+    s"((CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)) * $idf)"
   }
 
   /** The rational-mode per-term score as DuckDB SQL over columns

@@ -459,6 +459,37 @@ object TextStats {
     docs.select(explode(graft.functions.word_ngrams(col(textCol), n)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
 
+  /** Add-one-smoothed bigram language-model FIT — the training-side
+    * artifact that [[lmScore]]-style scorers consume: the conditional
+    * probability table P(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V) over
+    * the corpus, top-`topK` bigrams by count as the model head. Three
+    * aggregates, all shrinking: pair counts from one explode (map-side
+    * partials), the w1 marginal RE-AGGREGATED from the pair counts
+    * (vocab-sized input, never the corpus — and c(w1,·) summed over
+    * continuations is the exact denominator the conditional needs), and
+    * the continuation-vocabulary size V as a 1-row broadcast. The
+    * probability is one IEEE division of exact-integer-derived doubles
+    * rounded once to Decimal(38,6) — oracle-exact (x41 idiom). At 100 TB
+    * the model table is vocab-bounded, not corpus-bounded.
+    */
+  def bigramLmFit(docs: DataFrame, topK: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    val pairs = ngramCounts(docs, 2, textCol)
+      .select(substring_index(col("gram"), " ", 1).as("w1"),
+        substring_index(col("gram"), " ", -1).as("w2"),
+        col("n").as("pair_n"))
+    val marginal = pairs.groupBy(col("w1")).agg(sum(col("pair_n")).as("w1_n"))
+    val vocab = pairs.agg(count_distinct(col("w2")).as("v"))
+    val top = graft.operators.Ranks.topK(pairs, topK,
+      col("pair_n").desc, col("w1"), col("w2"))
+    top.join(marginal, Seq("w1")).crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"), col("pair_n"),
+        ((col("pair_n") + lit(1L)).cast("double") /
+          (col("w1_n") + col("v")).cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6))
+          .cast("string").as("cond_p"))
+  }
+
   /** Stopword-marker language ID: score = |words ∩ markers(lang)|,
     * argmax over languages (deterministic tie-break: higher score, then
     * lexicographically larger language code wins via struct max).

@@ -180,6 +180,46 @@ object ExtensionQueries {
        |  FROM agg) t
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // Hybrid retrieval: BM25 and TF-IDF top-20 lists (shared posting/df
+  // CTEs, per-term float expressions generated by the TextRank twins)
+  // fused by reciprocal-rank fusion — 1/(60 + rank) is one IEEE division
+  // of exact-integer-derived doubles, rounded to Decimal(38,6), summed
+  // in decimal; only RANKS cross between the two score spaces.
+  private val hybridRrfOracle: String =
+    s"""WITH w AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |            unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf, MIN(dl) AS dl FROM w GROUP BY doc_id, term),
+       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens FROM documents),
+       |qt AS (SELECT CAST((rnk - 11) // 2 AS BIGINT) AS query_id, term, df FROM (
+       |   SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rnk FROM dfq) t
+       |   WHERE rnk BETWEEN 11 AND 16),
+       |bsc AS (SELECT qt.query_id, tf.doc_id,
+       |   CAST(${graft.ext.TextRank.bm25TermScoreSql()} AS DECIMAL(38,6)) AS s
+       |   FROM tf JOIN qt USING (term), st),
+       |bagg AS (SELECT query_id, doc_id, CAST(SUM(s) AS DECIMAL(38,6)) AS score FROM bsc GROUP BY query_id, doc_id),
+       |b20 AS (SELECT query_id, doc_id, rank FROM (
+       |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |  FROM bagg) t WHERE rank <= 20),
+       |tsc AS (SELECT qt.query_id, tf.doc_id,
+       |   CAST(${graft.ext.TextRank.tfidfTermScoreSql} AS DECIMAL(38,6)) AS s
+       |   FROM tf JOIN qt USING (term), st),
+       |tagg AS (SELECT query_id, doc_id, CAST(SUM(s) AS DECIMAL(38,6)) AS score FROM tsc GROUP BY query_id, doc_id),
+       |t20 AS (SELECT query_id, doc_id, rank FROM (
+       |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |  FROM tagg) t WHERE rank <= 20),
+       |u AS (SELECT query_id, doc_id, CAST(1.0 / (60.0 + CAST(rank AS DOUBLE)) AS DECIMAL(38,6)) AS t FROM b20
+       |      UNION ALL
+       |      SELECT query_id, doc_id, CAST(1.0 / (60.0 + CAST(rank AS DOUBLE)) AS DECIMAL(38,6)) AS t FROM t20),
+       |f AS (SELECT query_id, doc_id, CAST(SUM(t) AS DECIMAL(38,6)) AS score,
+       |             CAST(count(*) AS INT) AS n_lists FROM u GROUP BY query_id, doc_id)
+       |SELECT query_id, rank, doc_id, CAST(score AS VARCHAR) AS score, n_lists FROM (
+       |  SELECT query_id, doc_id, score, n_lists,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+       |  FROM f) t
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private def eqCountSql(a: String, b: String): String =
     (0 until graft.ext.TextDedup.NumHashes).map(i =>
       s"CASE WHEN $a.s$i = $b.s$i THEN 1 ELSE 0 END").mkString(" + ")
@@ -252,6 +292,37 @@ object ExtensionQueries {
     (0 until Planes).map(p =>
       s"(CASE WHEN ${planeDotSql(e, p)} >= 0 THEN ${1 << p} ELSE 0 END)")
       .mkString("(", " + ", ")")
+
+  // JL projection: the literal ±1 matrix from Similarity.jlSigns; each
+  // projected component is the signed left-associated sum (± CAST(e[i])
+  // mirrors the zip_with ±1-multiply fold exactly, the planeDotSql
+  // argument); norms and the projected-space cosine are the same
+  // explicit left-associated folds the Spark side runs.
+  private def jlProjSql(e: String): String = {
+    val signs = Similarity.jlSigns(Dim)
+    (0 until Similarity.JlDim).map { p =>
+      (0 until Dim).map { d =>
+        (if (signs(p)(d) > 0) " + " else " - ") + s"CAST($e[${d + 1}] AS DOUBLE)"
+      }.mkString("(CAST(0.0 AS DOUBLE)", "", ")")
+    }.mkString("[", ", ", "]")
+  }
+
+  private def jlDotSql(a: String, b: String): String =
+    (1 to Similarity.JlDim).map(i => s"$a[$i]*$b[$i]")
+      .mkString("(CAST(0.0 AS DOUBLE) + ", " + ", ")")
+
+  private val knnJlOracle: String =
+    s"""WITH pr AS (SELECT vec_id, ${jlProjSql("embedding")} AS p FROM embeddings),
+       |n AS (SELECT vec_id, p, sqrt(${jlDotSql("p", "p")}) AS nr FROM pr),
+       |s AS (SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+       |             (${jlDotSql("q.p", "c.p")} / (q.nr * c.nr)) AS sim
+       |      FROM n q JOIN n c ON c.vec_id != q.vec_id
+       |      WHERE q.vec_id < 10)
+       |SELECT qid, rank, neighbor_id FROM (
+       |  SELECT qid, neighbor_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM s) t
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   private val knnLshOracle: String =
     s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
@@ -1538,5 +1609,59 @@ object ExtensionQueries {
         TextDedup.keepBestPerCluster(assigned,
           docs.select(col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("score")))
+      }),
+
+    Q("x64_hybrid_rrf",
+      "Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009): BM25 and TF-IDF top-20 " +
+        "lists per query fused by score = sum of 1/(60 + rank), top-5 kept — the standard " +
+        "robust fusion for multi-ranker retrieval stacks (only RANKS cross between score " +
+        "spaces, so incomparable scales can't dominate). The two rankers share their " +
+        "posting-list and df subtrees verbatim, so the corpus-wide explode-aggregate is " +
+        "computed ONCE per plan (exchange reuse, the x26/x54 shape); the fusion itself " +
+        "aggregates O(queries x 40) rows. 1/(60 + rank) is one IEEE division of " +
+        "exact-integer-derived doubles rounded once to Decimal(38,6) and summed in decimal " +
+        "(the x41 idiom) — oracle-exact.",
+      Some(hybridRrfOracle),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.ext.TextRank.hybridRrf(docs, graft.ext.TextRank.midFrequencyQueries(docs))
+      }),
+
+    Q("x65_bigram_lm_fit",
+      "Add-one-smoothed bigram LM training — the model artifact x41-style scorers consume: " +
+        "P(w2|w1) = (c(w1,w2)+1)/(c(w1,.)+V) over the corpus, top-50 bigrams by count as the " +
+        "model head. Three shrinking aggregates: pair counts from one explode (map-side " +
+        "partials), the w1 marginal re-aggregated from the PAIR COUNTS (vocab-sized input, " +
+        "never the corpus), V as a 1-row broadcast; top-50 plans as TakeOrderedAndProject. " +
+        "The probability is one IEEE division of exact-integer-derived doubles rounded once " +
+        "to Decimal(38,6) — oracle-exact. Model size is vocab-bounded, not corpus-bounded.",
+      Some("""WITH g AS (SELECT words[i] AS w1, words[i+1] AS w2
+             |           FROM (SELECT string_split(text, ' ') AS words FROM documents) t,
+             |                unnest(range(1, len(words))) u(i)
+             |           WHERE len(words) >= 2),
+             |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_n FROM g GROUP BY w1, w2),
+             |m AS (SELECT w1, CAST(SUM(pair_n) AS BIGINT) AS w1_n FROM pc GROUP BY w1),
+             |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM pc),
+             |top AS (SELECT * FROM pc ORDER BY pair_n DESC, w1, w2 LIMIT 50)
+             |SELECT top.w1, top.w2, top.pair_n,
+             |  CAST(CAST(CAST(top.pair_n + 1 AS DOUBLE) / CAST(m.w1_n + v.v AS DOUBLE)
+             |       AS DECIMAL(38,6)) AS VARCHAR) AS cond_p
+             |FROM top JOIN m USING (w1), v
+             |ORDER BY pair_n DESC, w1, w2""".stripMargin),
+      (s, d) => TextStats.bigramLmFit(Tables.documents(s, d))),
+
+    Q("x66_knn_jl_project",
+      "KNN under Johnson-Lindenstrauss ±1 projection (Achlioptas 2003): embeddings projected " +
+        "64-d float -> 16-d double by a literal sign matrix, cosine top-5 in the projected " +
+        "space — the dimensionality-reduction scale path for ANN: 4x fewer bytes per vector, " +
+        "4x fewer multiplies per distance, JL's distance-preservation bound keeping recall " +
+        "(measured vs exact x06 in SimilaritySpec). Projection and per-vector norms are " +
+        "map-side, computed once; scoring is the x06 broadcast + bounded-heap shape " +
+        "(shuffle carries O(queries x k)). Rank-only output; the oracle replays projection, " +
+        "norm, and cosine as the same left-associated IEEE folds bit-for-bit.",
+      Some(knnJlOracle),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.knnJl(emb.filter(col("vec_id") < 10), emb, 5)
       }))
 }

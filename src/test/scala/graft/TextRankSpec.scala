@@ -72,6 +72,49 @@ class TextRankSpec extends SparkSuite {
     assert(tied == Seq(5L, 7L))
   }
 
+  test("tfidf scores match the hand computation and differ from BM25's saturation") {
+    // "fish": df=2 -> idf=(4-2+0.5)/(2+0.5)=1.0
+    //   doc0: tf=2, dl=4 -> (2/4)*1.0 = 0.5
+    //   doc3: tf=1, dl=6 -> (1/6)*1.0 = 0.166667
+    val out = TextRank.tfidf(corpus, q((0L, "fish")), k = 5)
+      .orderBy(col("rank")).collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 3L))
+    assert(out(0).getString(3) == "0.500000")
+    assert(out(1).getString(3) == "0.166667")
+  }
+
+  test("rrfFuse sums 1/(c+rank) over the lists a doc appears in; tie-break by doc_id") {
+    val listA = Seq((0L, 1, 10L), (0L, 2, 20L), (0L, 3, 30L))
+      .toDF("query_id", "rank", "doc_id")
+    val listB = Seq((0L, 1, 20L), (0L, 2, 30L)) // doc 10 absent
+      .toDF("query_id", "rank", "doc_id")
+    val out = TextRank.rrfFuse(Seq(listA, listB), k = 5)
+      .orderBy(col("rank")).collect()
+    // 1/61=0.016393  1/62=0.016129  1/63=0.015873 (rounded at 6dp)
+    // doc20 = 0.016129+0.016393 = 0.032522 (2 lists)
+    // doc30 = 0.015873+0.016129 = 0.032002 (2 lists)
+    // doc10 = 0.016393 (1 list)
+    assert(out.map(_.getLong(2)).toSeq == Seq(20L, 30L, 10L))
+    assert(out.map(_.getString(3)).toSeq ==
+      Seq("0.032522", "0.032002", "0.016393"))
+    assert(out.map(_.getInt(4)).toSeq == Seq(2, 2, 1))
+  }
+
+  test("hybridRrf fuses BM25 and TF-IDF heads over the corpus queries") {
+    val docs = Tables.documents(spark, sf)
+    val qs = TextRank.midFrequencyQueries(docs)
+    val fused = TextRank.hybridRrf(docs, qs, kPerList = 20, k = 5)
+      .orderBy("query_id", "rank").collect()
+    assert(fused.length == 15) // 3 queries x top-5
+    // a doc both rankers like carries n_lists = 2 at the head
+    assert(fused.filter(_.getInt(1) == 1).forall(_.getInt(4) == 2))
+    // deterministic re-derivation
+    val again = TextRank.hybridRrf(docs, qs, kPerList = 20, k = 5)
+      .orderBy("query_id", "rank").collect()
+    assert(fused.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3))).toSeq ==
+      again.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3))).toSeq)
+  }
+
   test("midFrequencyQueries pairs the df-rank band deterministically") {
     val docs = Tables.documents(spark, sf)
     val qs = TextRank.midFrequencyQueries(docs).orderBy("query_id", "term").collect()
