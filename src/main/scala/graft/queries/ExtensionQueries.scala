@@ -220,6 +220,44 @@ object ExtensionQueries {
        |  FROM f) t
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // PageRank over the x63 shared-shingle near-dup graph, 3 iterations
+  // unrolled as CTEs. Per-edge contributions pr/deg rounded to
+  // Decimal(38,6) and summed in decimal (partition-order-independent);
+  // damping constants injected via Double.toString round-trip — note
+  // (1.0 - 0.85) is NOT the double nearest 0.15, so the literal must be
+  // the round-tripped Scala value, not "0.15".
+  private val pagerankOracle: String = {
+    val iters = 3
+    val (base, damp) = graft.operators.PageRank.baseSql()
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.b AS id,
+         |  CAST(SUM(CAST(CAST(p.pr AS DOUBLE) / CAST(d.deg AS DOUBLE) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS s
+         |  FROM e JOIN p${i - 1} p ON e.a = p.id JOIN deg d ON e.a = d.id GROUP BY e.b),
+         |p$i AS (SELECT p0.id,
+         |  CAST(CAST($base AS DOUBLE) / CAST(nn.n AS DOUBLE) +
+         |       CAST($damp AS DOUBLE) * COALESCE(CAST(c$i.s AS DOUBLE), CAST(0.0 AS DOUBLE)) AS DECIMAL(38,6)) AS pr
+         |  FROM p0 LEFT JOIN c$i ON p0.id = c$i.id, nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |         list_distinct([array_to_string(words[i:i+3], ' ') for i in range(1, len(words)-2)]) AS sh
+       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents WHERE doc_id < 300) t
+       |  WHERE len(words) >= 4),
+       |e0 AS (SELECT a.doc_id AS a, b.doc_id AS b
+       |       FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |       WHERE len(list_intersect(a.sh, b.sh)) >= 1),
+       |e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+       |deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY a),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+       |p0 AS (SELECT doc_id AS id,
+       |  CAST(CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS DECIMAL(38,6)) AS pr FROM s, nn),
+       |$steps
+       |SELECT p$iters.id AS doc_id, CAST(COALESCE(deg.deg, 0) AS BIGINT) AS degree,
+       |       CAST(p$iters.pr AS VARCHAR) AS pagerank
+       |FROM p$iters LEFT JOIN deg ON p$iters.id = deg.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private def eqCountSql(a: String, b: String): String =
     (0 until graft.ext.TextDedup.NumHashes).map(i =>
       s"CASE WHEN $a.s$i = $b.s$i THEN 1 ELSE 0 END").mkString(" + ")
@@ -1663,5 +1701,26 @@ object ExtensionQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         Similarity.knnJl(emb.filter(col("vec_id") < 10), emb, 5)
+      }),
+
+    Q("x67_pagerank_dup",
+      "PageRank (3 iterations, damping 0.85) over the x63 shared-shingle near-dup graph — " +
+        "the iterative-graph family beyond CC's reachability: within a near-dup cluster the " +
+        "highest-PR doc is the most-CENTRAL copy (shares content with the most copies, " +
+        "weighted by their promiscuity), a keep-rule signal complementary to x63's quality " +
+        "argmax. Each iteration is one edge-list join on the source endpoint + one " +
+        "contribution aggregate on the destination (the canonical distributed formulation; " +
+        "state is only the O(nodes) rank vector). Naive double PR is partition-order-" +
+        "DEPENDENT; per-edge contributions pr/deg are rounded once to Decimal(38,6) and " +
+        "summed in decimal, damping constants Double.toString round-tripped — oracle-exact " +
+        "((1.0 - 0.85) is not the double nearest 0.15).",
+      Some(pagerankOracle),
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+        val nodes = docs
+          .filter(size(graft.functions.word_shingles(col("text"), 4)) > 0)
+          .select(col("doc_id"))
+        val edges = TextDedup.sharedShingleEdges(docs, "lang", 4)
+        graft.operators.PageRank.run(nodes, edges, "doc_id", "doc_a", "doc_b")
       }))
 }
