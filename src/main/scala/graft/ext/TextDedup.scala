@@ -657,6 +657,62 @@ object TextDedup {
         col("best")(scoreCol).as("keep_score"),
         col("cluster_size"))
 
+  /** Content-defined chunking (the Rabin/FastCDC shape with a fixed-width
+    * rolling window): a cut is declared after position `i` whenever the
+    * portable hash of the `window` chars ending at `i` divides `divisor`,
+    * so boundaries move WITH the content — an insertion early in a
+    * document shifts every byte offset but leaves all downstream window
+    * hashes (hence chunks) identical, which is why CDC chunk stores
+    * deduplicate shifted content where fixed-size blocking cannot.
+    * Expected chunk length ≈ `divisor` chars. The per-position hashing is
+    * entirely map-side inside one `transform` over the scan (the heavy
+    * per-row kernel class — pair with [[graft.sources.Tables.loadFanout]]
+    * when row-group parallelism binds); nothing shuffles until the
+    * chunk-hash aggregate. Cut positions range over [window, len-1]: a
+    * divide at `len` would end the final chunk where it already ends.
+    * Output: one row per chunk — `idCol`, `chunk_idx` (1-based), `start`,
+    * `clen`, `h` (md5 of the chunk text).
+    */
+  def cdcChunks(docs: DataFrame, window: Int = 8, divisor: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hashAt =
+      s"CAST(conv(substring(md5(CAST(substring($textCol, CAST(i - ${window - 1} AS INT), $window) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+    val cutsSql =
+      s"""CASE WHEN length($textCol) >= ${window + 1}
+         | THEN filter(transform(sequence(CAST($window AS BIGINT), CAST(length($textCol) - 1 AS BIGINT)),
+         |   i -> CASE WHEN $hashAt % $divisor = 0 THEN i ELSE CAST(NULL AS BIGINT) END), x -> x IS NOT NULL)
+         | ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
+    val segsSql =
+      """transform(concat(array(CAST(1 AS BIGINT)), transform(cuts, c -> c + 1)),
+        |  (s, idx) -> named_struct('s', s, 'e', element_at(concat(cuts, array(len)), idx + 1)))""".stripMargin
+    docs.select(col(idCol), col(textCol),
+        length(col(textCol)).cast("long").as("len"), expr(cutsSql).as("cuts"))
+      .select(col(idCol), col(textCol), posexplode(expr(segsSql)))
+      .select(col(idCol), (col("pos") + 1).cast("int").as("chunk_idx"),
+        col("col.s").as("start"), (col("col.e") - col("col.s") + lit(1L)).as("clen"),
+        md5(expr(s"CAST(substring($textCol, CAST(col.s AS INT), CAST(col.e - col.s + 1 AS INT)) AS BINARY)")).as("h"))
+  }
+
+  /** Per-document CDC dedup accounting over [[cdcChunks]]: how many of a
+    * doc's chunks (and chars) also occur — by chunk hash — in at least
+    * one OTHER document. One hash-keyed aggregate for the per-chunk doc
+    * frequency, one join back (same key: exchange reuse), one doc-keyed
+    * aggregate; chunk payloads never shuffle twice. The storage-dedup /
+    * shifted-near-dup signal summarized per doc:
+    * `idCol, n_chunks, n_shared_chunks, shared_chars`.
+    */
+  def cdcDedupStats(docs: DataFrame, window: Int = 8, divisor: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ch = cdcChunks(docs, window, divisor, idCol, textCol)
+    val freq = ch.groupBy(col("h"))
+      .agg(count_distinct(col(idCol)).as("nd"))
+    ch.join(freq, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared_chunks"),
+        sum(when(col("nd") > 1, col("clen")).otherwise(0L)).as("shared_chars"))
+  }
+
   /** Exact word-n-gram Jaccard similarity for pairs grouped by a blocking
     * column (here: same `lang`) — the verification stage downstream of
     * LSH candidate generation.

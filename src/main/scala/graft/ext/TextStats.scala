@@ -459,6 +459,41 @@ object TextStats {
     docs.select(explode(graft.functions.word_ngrams(col(textCol), n)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
 
+  /** Vocabulary-growth (Heaps'-law) curve: the corpus in `buckets`
+    * doc-id ranges, per bucket the token count, the count of words FIRST
+    * seen there, and the cumulative vocabulary/token totals — the
+    * dataset-card curve that tells you whether more data is still buying
+    * new vocabulary (sub-linear growth is Heaps' law; a flat tail means
+    * the source is exhausted). Bucketing is pure map-side integer
+    * arithmetic against a broadcast 1-row max (no global sort/ntile);
+    * first-seen is one min-aggregate on the exploded words; everything
+    * downstream is bucket-sized. The final cumulative window orders
+    * `buckets` rows — constant, never corpus-scale.
+    */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 10,
+      textCol: String = "text"): DataFrame = {
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val db = docs.crossJoin(broadcast(mx))
+      .select(col("doc_id"), col(textCol),
+        expr(s"CAST((doc_id * $buckets) DIV (mx + 1) AS BIGINT)").as("bucket"))
+    val words = db.select(col("bucket"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val firstSeen = words.groupBy(col("word")).agg(min(col("bucket")).as("bucket"))
+    val newWords = firstSeen.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_new_words"))
+    val tokens = words.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    tokens.join(newWords, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("n_new_words"), lit(0L)).as("n_new_words"))
+      .select(col("bucket"), col("n_tokens"), col("n_new_words"),
+        sum(col("n_new_words")).over(w).as("vocab_size"),
+        sum(col("n_tokens")).over(w).as("tokens_cum"))
+  }
+
   /** Add-one-smoothed bigram language-model FIT — the training-side
     * artifact that [[lmScore]]-style scorers consume: the conditional
     * probability table P(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V) over

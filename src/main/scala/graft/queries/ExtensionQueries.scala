@@ -1722,5 +1722,55 @@ object ExtensionQueries {
           .select(col("doc_id"))
         val edges = TextDedup.sharedShingleEdges(docs, "lang", 4)
         graft.operators.PageRank.run(nodes, edges, "doc_id", "doc_a", "doc_b")
-      }))
+      }),
+
+    Q("x68_cdc_chunks",
+      "Content-defined chunking (the Rabin/FastCDC shape, window 8 / divisor 64) + per-doc " +
+        "chunk-dedup accounting: a cut lands wherever the windowed portable hash divides, so " +
+        "boundaries move WITH the content — shifted/edited copies still share every downstream " +
+        "chunk, which fixed-size blocking can never see. Per-position hashing is map-side " +
+        "inside one transform over the scan; the chunk-hash doc-frequency aggregate and the " +
+        "join back share their exchange; one doc-keyed aggregate summarizes. Output per doc: " +
+        "chunk count, chunks also present in ANOTHER doc, and the dedupable chars they cover.",
+      Some("""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM documents),
+             |c AS (SELECT doc_id, text, len,
+             |        CASE WHEN len >= 9
+             |             THEN [i for i in range(8, len) if ('0x'||substr(md5(substr(text, CAST(i - 7 AS INT), 8)),1,15))::BIGINT % 64 = 0]
+             |             ELSE CAST([] AS BIGINT[]) END AS cuts
+             |      FROM d),
+             |seg AS (SELECT doc_id, text, len,
+             |        list_prepend(CAST(1 AS BIGINT), [x + 1 for x in cuts]) AS starts,
+             |        list_append(cuts, len) AS ends FROM c),
+             |ch AS (SELECT doc_id, ends[u.i] - starts[u.i] + 1 AS clen,
+             |              md5(substr(text, CAST(starts[u.i] AS INT), CAST(ends[u.i] - starts[u.i] + 1 AS INT))) AS h
+             |       FROM seg, unnest(range(1, len(starts) + 1)) u(i)),
+             |hc AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ch GROUP BY h)
+             |SELECT ch.doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_chunks,
+             |  CAST(SUM(CASE WHEN hc.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+             |  CAST(SUM(CASE WHEN hc.nd > 1 THEN ch.clen ELSE 0 END) AS BIGINT) AS shared_chars
+             |FROM ch JOIN hc USING (h)
+             |GROUP BY ch.doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => TextDedup.cdcDedupStats(Tables.loadFanout(s, d, "documents"))),
+
+    Q("x69_vocab_growth",
+      "Vocabulary-growth (Heaps'-law) curve over 10 doc-id buckets: per-bucket tokens, words " +
+        "FIRST seen there, cumulative vocabulary and token totals — the dataset-card curve " +
+        "that says whether more data still buys new vocabulary. Bucketing is map-side integer " +
+        "arithmetic against a broadcast 1-row max (no global sort); first-seen is one " +
+        "min-aggregate on the exploded words; the cumulative window orders 10 rows, never the " +
+        "corpus.",
+      Some("""WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+             |db AS (SELECT doc_id, text, CAST((doc_id * 10) // (mx + 1) AS BIGINT) AS bucket FROM documents, mx),
+             |w AS (SELECT bucket, unnest(string_split(text, ' ')) AS word FROM db),
+             |wf AS (SELECT word, MIN(bucket) AS bucket FROM w WHERE len(word) > 0 GROUP BY word),
+             |nw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new_words FROM wf GROUP BY bucket),
+             |tk AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens FROM w WHERE len(word) > 0 GROUP BY bucket)
+             |SELECT tk.bucket, tk.n_tokens,
+             |  CAST(COALESCE(nw.n_new_words, 0) AS BIGINT) AS n_new_words,
+             |  CAST(SUM(COALESCE(nw.n_new_words, 0)) OVER (ORDER BY tk.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size,
+             |  CAST(SUM(tk.n_tokens) OVER (ORDER BY tk.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tokens_cum
+             |FROM tk LEFT JOIN nw ON tk.bucket = nw.bucket
+             |ORDER BY tk.bucket""".stripMargin),
+      (s, d) => TextStats.vocabGrowth(Tables.documents(s, d))))
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** [[graft.ext.TextDedup.cdcChunks]]: chunks tile the document exactly,
+  * and — the property that defines content-defined chunking — a prefix
+  * insertion shifts every byte offset yet preserves all downstream
+  * chunks, so shifted copies still deduplicate where fixed-size blocking
+  * would share nothing.
+  */
+class CdcSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.ext.TextDedup
+
+  // deterministic "random" text: long enough for several divisor-64 cuts
+  private def synth(seed: Int, n: Int): String = {
+    val sb = new StringBuilder
+    var z = seed
+    for (_ <- 0 until n) {
+      z = z * 1103515245 + 12345
+      sb += ('a' + math.floorMod(z >> 16, 26)).toChar
+    }
+    sb.toString
+  }
+
+  test("chunks tile the document: contiguous 1-based segments covering every char") {
+    val text = synth(7, 400)
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val ch = TextDedup.cdcChunks(docs).orderBy("chunk_idx").collect()
+    assert(ch.length >= 3, s"expected several cuts in 400 chars, got ${ch.length} chunk(s)")
+    // starts/lengths tile [1, len]
+    var expectStart = 1L
+    ch.foreach { r =>
+      assert(r.getLong(2) == expectStart)
+      expectStart += r.getLong(3)
+    }
+    assert(expectStart == text.length + 1)
+    // chunk hashes are the md5 of the tiled substrings
+    val h0 = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.substring(0, ch(0).getLong(3).toInt).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(ch(0).getString(4) == h0)
+  }
+
+  test("shift invariance: a prefix insertion preserves every chunk after the first cut") {
+    val base = synth(11, 500)
+    val docs = Seq((1L, base), (2L, "INSERTED-PREFIX " + base))
+      .toDF("doc_id", "text")
+    val ch = TextDedup.cdcChunks(docs).collect()
+    val a = ch.filter(_.getLong(0) == 1L).sortBy(_.getInt(1)).map(_.getString(4))
+    val b = ch.filter(_.getLong(0) == 2L).map(_.getString(4)).toSet
+    assert(a.length >= 3)
+    // every chunk of the original except the first (whose start the
+    // prefix shifts into a different window stream) survives verbatim
+    a.drop(1).foreach(h => assert(b.contains(h), "downstream chunk lost after shift"))
+    // and the shared-chunk accounting sees exactly that overlap
+    val stats = TextDedup.cdcDedupStats(docs).orderBy("doc_id").collect()
+    assert(stats(0).getLong(2) >= a.length - 1) // n_shared_chunks for doc 1
+  }
+
+  test("fixed-size blocking shares nothing under the same shift (the contrast)") {
+    val base = synth(13, 512)
+    val shifted = "x" + base // 1-char insertion: every 64-byte block differs
+    val blocks = (s: String) => s.grouped(64).toSeq
+    assert(blocks(base).toSet.intersect(blocks(shifted).toSet).isEmpty)
+  }
+}

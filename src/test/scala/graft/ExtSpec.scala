@@ -193,6 +193,19 @@ class ExtSpec extends SparkSuite {
     assert(top1.length == 1 && top1(0).getString(0) == "x" && top1(0).getString(1) == "y")
   }
 
+  test("vocabGrowth: first-seen accounting and cumulative curve, hand-computed") {
+    import spark.implicits._
+    // mx=2 -> bucket = doc_id*10 DIV 3: ids 0,1,2 -> buckets 0,3,6
+    val docs = Seq((0L, "a b"), (1L, "a c"), (2L, "b c d"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextStats.vocabGrowth(docs).orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 2L, 2L, 2L),   // "a b": both new
+      (3L, 2L, 1L, 3L, 4L),   // "a c": c new
+      (6L, 3L, 1L, 4L, 7L)))  // "b c d": d new
+  }
+
   test("kmeans-refined IVF centroids keep shape and competitive recall") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 25)
