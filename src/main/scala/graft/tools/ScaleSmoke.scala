@@ -64,7 +64,14 @@ object ScaleSmoke {
     // posting build, DSIR's gram aggregate, chunking's generate
     // expansion, the source-overlap distinct + pair join
     "x54_bm25_retrieval", "x59_dsir_select", "x60_chunk_overlap",
-    "x62_source_overlap")
+    "x62_source_overlap",
+    // round-7 operators whose cost grows with the corpus: hybrid RRF's
+    // shared posting build, the bigram-LM pair aggregate, CDC's
+    // per-position hashing + chunk-hash aggregate, vocab-growth's word
+    // explode. (x66 runs on the constant-size embeddings table and
+    // x67 bounds itself to doc_id < 300 for its oracle, the x33 note.)
+    "x64_hybrid_rrf", "x65_bigram_lm_fit", "x68_cdc_chunks",
+    "x69_vocab_growth")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
