@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
   * Interchangeable algorithms, identical output (`node`, `component` =
   * min node id of the component):
   *
-  *   - [[labels]] (default) = [[labelsAdaptive]]: min-label rounds (the
-  *     cheapest per round) until fixpoint or a switch threshold, then
+  *   - [[labels]] (default) = [[labelsAdaptive]]: below
+  *     [[LocalEdgeThreshold]] edges, ONE single-task union-find
+  *     ([[labelsLocal]] — at bounded sizes fixpoint wall-time is job
+  *     scheduling, not compute; the same size-adaptive strategy switch
+  *     as Spark's broadcast-join threshold); above it, min-label rounds
+  *     (the cheapest per round) until fixpoint or a switch threshold, then
   *     contract by the current labels and finish with alternating-star.
   *     Chosen by measurement (SCALING.md round 6, `tools.CcBench`): real
   *     near-dup graphs are dense and SHALLOW — min-label converges in
@@ -319,6 +323,67 @@ object ConnectedComponents {
     (sym, labs, iter, converged)
   }
 
+  /** Edge-count bound under which [[labelsAdaptiveWithRounds]] runs the
+    * whole fixpoint as ONE single-task union-find instead of distributed
+    * rounds — the same size-adaptive physical-strategy switch Spark
+    * itself makes at the broadcast-join threshold. Rationale: at bounded
+    * sizes fixpoint wall-time is per-round JOB SCHEDULING, not compute —
+    * x53's 1,215-pair cell graph spent ~4.5 s on 8 distributed rounds
+    * that a local union-find retires in one task — while 2^18 edges are
+    * ~4 MB of longs, a fraction of one task's memory. Post-blocking
+    * dedup graphs are usually this small even at corpus scale (blocking
+    * exists precisely to bound them); when they are not, the count gate
+    * sends them down the distributed log-diameter path unchanged.
+    */
+  val LocalEdgeThreshold: Long = 1L << 18
+
+  /** Single-task union-find (union by rank + path compression, then a
+    * min-member sweep per root): output contract identical to [[labels]]
+    * — every node appearing in `edges` labeled with its component's min
+    * node id. CcPropertySpec property-tests it equal to the distributed
+    * variants on seeded random graphs.
+    */
+  def labelsLocal(edges: DataFrame, srcCol: String = "a",
+      dstCol: String = "b"): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+      .as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        val rank = new scala.collection.mutable.LongMap[Int]()
+        def add(x: Long): Unit =
+          if (!parent.contains(x)) { parent(x) = x; rank(x) = 0 }
+        def find(x0: Long): Long = {
+          var r = x0
+          while (parent(r) != r) r = parent(r)
+          var c = x0
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          add(a); add(b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            val (hi, lo) = if (rank(ra) < rank(rb)) (rb, ra) else (ra, rb)
+            parent(lo) = hi
+            if (rank(hi) == rank(lo)) rank(hi) += 1
+          }
+        }
+        // snapshot before the sweep: find()'s path compression mutates
+        // `parent` and LongMap iteration is not mutation-safe
+        val ks = parent.keysIterator.toArray
+        val minOf = new scala.collection.mutable.LongMap[Long]()
+        ks.foreach { n =>
+          val r = find(n)
+          if (n < minOf.getOrElse(r, Long.MaxValue)) minOf(r) = n
+        }
+        ks.iterator.map(n => (n, minOf(find(n))))
+      }
+      .toDF("node", "component")
+  }
+
   /** The default strategy ([[labels]]): min-label rounds until fixpoint,
     * a progress stall (changed-count no longer collapsing geometrically —
     * the chain-graph signature; see the stall note in `minLabelRounds`),
@@ -341,16 +406,25 @@ object ConnectedComponents {
     * Worst-case rounds: switchAfter + O(log diameter).
     */
   def labelsAdaptive(edges: DataFrame, srcCol: String = "a", dstCol: String = "b",
-      maxIter: Int = 25, switchAfter: Int = 12): DataFrame =
-    labelsAdaptiveWithRounds(edges, srcCol, dstCol, maxIter, switchAfter)._1
+      maxIter: Int = 25, switchAfter: Int = 12,
+      localThreshold: Long = LocalEdgeThreshold): DataFrame =
+    labelsAdaptiveWithRounds(edges, srcCol, dstCol, maxIter, switchAfter,
+      localThreshold)._1
 
   /** [[labelsAdaptive]] plus total rounds across both phases. `maxIter`
-    * bounds each phase, not their sum.
+    * bounds each phase, not their sum. `localThreshold` is the
+    * [[LocalEdgeThreshold]] size gate (0 disables it — the round-count
+    * specs pin the distributed machinery that way); the gating count
+    * doubles as the job that materializes the lazily-checkpointed edge
+    * frame, which the first distributed round needed anyway.
     */
   def labelsAdaptiveWithRounds(edges: DataFrame, srcCol: String = "a", dstCol: String = "b",
-      maxIter: Int = 25, switchAfter: Int = 12): (DataFrame, Int) = {
+      maxIter: Int = 25, switchAfter: Int = 12,
+      localThreshold: Long = LocalEdgeThreshold): (DataFrame, Int) = {
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
       col(dstCol).cast("long").as("b")).localCheckpoint(false)
+    if (localThreshold > 0 && e0.count() <= localThreshold)
+      return (labelsLocal(e0, "a", "b"), 1)
     val (sym, labs, iter, converged) =
       minLabelRounds(e0, math.min(switchAfter, maxIter), bailOnStall = true)
     if (converged) (labs, iter)

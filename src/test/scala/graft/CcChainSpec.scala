@@ -14,13 +14,13 @@ class CcChainSpec extends SparkSuite {
   test("adaptive: shallow graphs finish in the min-label phase; chains switch to stars") {
     // blob: star of 6 nodes — diameter 2, converges in min-label rounds
     val blob = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L)).toDF("a", "b")
-    val (blobLabs, blobRounds) = ConnectedComponents.labelsAdaptiveWithRounds(blob)
+    val (blobLabs, blobRounds) = ConnectedComponents.labelsAdaptiveWithRounds(blob, localThreshold = 0)
     assert(blobLabs.collect().forall(_.getLong(1) == 1L))
     assert(blobRounds <= 3, s"shallow blob should converge without switching, took $blobRounds")
     // chain of diameter 40: min-label alone needs 40 rounds; adaptive
     // must stay within switchAfter + log-rounds
     val chain = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
-    val (labs, rounds) = ConnectedComponents.labelsAdaptiveWithRounds(chain, maxIter = 25)
+    val (labs, rounds) = ConnectedComponents.labelsAdaptiveWithRounds(chain, maxIter = 25, localThreshold = 0)
     assert(labs.collect().forall(_.getLong(1) == 0L))
     assert(rounds <= 18, s"adaptive should switch to stars on the chain, took $rounds rounds")
   }
@@ -33,7 +33,7 @@ class CcChainSpec extends SparkSuite {
     // 12-round switchAfter budget the way a single sub-floor chain does
     val chains = (0L until 20L).flatMap(c =>
       (0L until 20L).map(i => (c * 100 + i, c * 100 + i + 1))).toDF("a", "b")
-    val (labs, rounds) = ConnectedComponents.labelsAdaptiveWithRounds(chains)
+    val (labs, rounds) = ConnectedComponents.labelsAdaptiveWithRounds(chains, localThreshold = 0)
     val got = labs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L until 20L).forall(c =>
       (0L to 20L).forall(i => got(c * 100 + i) == c * 100)))

@@ -27,12 +27,15 @@ class CcPropertySpec extends SparkSuite {
       // contract-then-star composition even on these shallow graphs
       val ada = ConnectedComponents.labelsAdaptive(df)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val adaForced = ConnectedComponents.labelsAdaptive(df, switchAfter = 1)
+      val adaForced = ConnectedComponents.labelsAdaptive(df, switchAfter = 1, localThreshold = 0)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(alt == ref, s"seed $seed: alternating-star != min-label")
       assert(hyb == ref, s"seed $seed: hybrid != min-label")
       assert(ada == ref, s"seed $seed: adaptive != min-label")
       assert(adaForced == ref, s"seed $seed: adaptive(switchAfter=1) != min-label")
+      val loc = ConnectedComponents.labelsLocal(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(loc == ref, s"seed $seed: local union-find != min-label")
     }
   }
 }

@@ -213,7 +213,17 @@ class PlanSpec extends SparkSuite {
       "x48_domain_mix", "x46_split_overlap", "x52_kmeans_fit",
       "x53_semdedup_kmeans", "x54_bm25_retrieval", "x55_temperature_mix",
       "x56_hard_negatives", "x57_bpe_fit", "x58_bpe_encode",
-      "x59_dsir_select", "x62_source_overlap")
+      "x59_dsir_select", "x62_source_overlap",
+      // round-7: 1-row broadcast pins — x64 crossJoins the corpus-totals
+      // scalar into both rankers (the x54 shape), x65 the vocabulary-size
+      // scalar into the smoothed conditional, x67 the node-count scalar
+      // into each PageRank update, x69 the max-doc-id scalar into the
+      // bucket projection
+      "x64_hybrid_rrf", "x65_bigram_lm_fit", "x67_pagerank_dup",
+      "x69_vocab_growth",
+      // x66: broadcast bounded query set joined on an inequality only —
+      // the x06_knn_brute shape
+      "x66_knn_jl_project")
     SparkEntry.registry.foreach { q =>
       val p = plan(q.build(spark, sf))
       val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
