@@ -114,4 +114,30 @@ object Salt {
     }
     hotJoined.unionByName(coldJoined)
   }
+
+  /** Key-skew diagnostics — the measurement that decides between the
+    * plain join, AQE's skew splitting, and [[saltedJoin]], and sizes the
+    * salt count when salting wins. One key-count aggregate (map-side
+    * partials), a 1-row global rollup broadcast back, a bounded-heap
+    * top-K: nothing beyond the key cardinality ever shuffles. All
+    * arithmetic is exact-integer: `share_bp` = key's row share in basis
+    * points, `suggested_salts` = ceil(max_count / mean_count) computed
+    * as (max·n_keys + n_rows − 1) DIV n_rows — the replication factor
+    * that splits the hottest key into mean-sized slices.
+    * Output: `rank, key, cnt, share_bp, suggested_salts, n_keys, n_rows`.
+    */
+  def skewDiagnostics(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val globals = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"), max(col("cnt")).as("max_cnt"))
+    Ranks.topKPerGroup(Ranks.topK(counts, topK, col("cnt").desc, col("key")),
+        Seq.empty, topK, Seq(col("cnt").desc, col("key")))
+      .crossJoin(broadcast(globals))
+      .select(col("rank"), col("key"), col("cnt"),
+        expr("CAST(cnt * 10000 DIV n_rows AS BIGINT)").as("share_bp"),
+        expr("CAST((max_cnt * n_keys + n_rows - 1) DIV n_rows AS BIGINT)")
+          .as("suggested_salts"),
+        col("n_keys"), col("n_rows"))
+  }
 }

@@ -1772,5 +1772,24 @@ object ExtensionQueries {
              |  CAST(SUM(tk.n_tokens) OVER (ORDER BY tk.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tokens_cum
              |FROM tk LEFT JOIN nw ON tk.bucket = nw.bucket
              |ORDER BY tk.bucket""".stripMargin),
-      (s, d) => TextStats.vocabGrowth(Tables.documents(s, d))))
+      (s, d) => TextStats.vocabGrowth(Tables.documents(s, d))),
+
+    Q("x70_skew_diagnostics",
+      "Key-skew diagnostics over the events fact's type key — the measurement that decides " +
+        "between the plain join, AQE skew splitting, and Salt.saltedJoin, and sizes the salt " +
+        "count when salting wins: per-key share in basis points and suggested_salts = " +
+        "ceil(max/mean) in exact integer arithmetic ((max*n_keys + n_rows - 1) DIV n_rows). " +
+        "One key-count aggregate with map-side partials, a 1-row global rollup broadcast " +
+        "back, a bounded-heap top-10 — nothing beyond key cardinality shuffles.",
+      Some("""WITH c AS (SELECT event_type AS key, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY event_type),
+             |g AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             |             CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM c),
+             |t AS (SELECT key, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, key) AS INT) AS rank FROM c)
+             |SELECT rank, key, cnt,
+             |  CAST(cnt * 10000 // n_rows AS BIGINT) AS share_bp,
+             |  CAST((max_cnt * n_keys + n_rows - 1) // n_rows AS BIGINT) AS suggested_salts,
+             |  n_keys, n_rows
+             |FROM t, g WHERE rank <= 10 ORDER BY rank""".stripMargin),
+      (s, d) => graft.operators.Salt.skewDiagnostics(
+        Tables.events(s, d), "event_type")))
 }

@@ -99,6 +99,20 @@ class RangeJoinSpec extends SparkSuite {
     assert(plain.size > 300, "hot key must actually match")
   }
 
+  test("skewDiagnostics: exact-integer shares and ceil(max/mean) salt sizing") {
+    // keys: a x6, b x2, c x1 -> n_keys=3, n_rows=9, max=6, mean=3
+    // suggested_salts = ceil(6/3) = (6*3 + 9 - 1) DIV 9 = 2
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c")).toDF("k")
+    val out = Salt.skewDiagnostics(df, "k").orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1, "a", 6L, 6666L, 2L), (2, "b", 2L, 2222L, 2L), (3, "c", 1L, 1111L, 2L)))
+    // a uniform key set suggests no salting
+    val uniform = Seq("x", "y", "z").toDF("k")
+    assert(Salt.skewDiagnostics(uniform, "k").collect()
+      .forall(_.getLong(4) == 1L))
+  }
+
   test("saltedJoin handles same-name keys and spreads null discriminators") {
     val rnd = new scala.util.Random(23)
     val fact = Seq.tabulate(400) { i =>
