@@ -713,6 +713,31 @@ object TextDedup {
         sum(when(col("nd") > 1, col("clen")).otherwise(0L)).as("shared_chars"))
   }
 
+  /** Incremental CDC dedup against a STANDING chunk-hash index — the
+    * chunk-level rendering of [[incrementalDedup]]'s arrival pattern: the
+    * corpus's distinct chunk hashes form the index (it grows with
+    * DISTINCT content, not arrivals — the x51 property), and each new
+    * batch is chunked and probed by one hash equi-join, so per-batch
+    * cost is O(batch), never O(corpus). Because chunks are
+    * content-defined, a new document that EMBEDS or SHIFTS corpus
+    * content still hits the index on every preserved chunk (CdcSpec's
+    * shift-invariance) — byte-offset-robust novelty accounting that
+    * exact whole-doc hashing cannot see. Output per batch doc:
+    * `idCol, n_chunks, n_corpus_hits, novel_chars`.
+    */
+  def cdcIncremental(corpus: DataFrame, batch: DataFrame, window: Int = 8,
+      divisor: Int = 64, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val index = cdcChunks(corpus, window, divisor, idCol, textCol)
+      .select(col("h")).distinct()
+    cdcChunks(batch, window, divisor, idCol, textCol)
+      .join(index.withColumn("__hit", lit(1)), Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_corpus_hits"),
+        sum(when(col("__hit").isNull, col("clen")).otherwise(0L)).as("novel_chars"))
+  }
+
   /** Exact word-n-gram Jaccard similarity for pairs grouped by a blocking
     * column (here: same `lang`) — the verification stage downstream of
     * LSH candidate generation.

@@ -1791,5 +1791,42 @@ object ExtensionQueries {
              |  n_keys, n_rows
              |FROM t, g WHERE rank <= 10 ORDER BY rank""".stripMargin),
       (s, d) => graft.operators.Salt.skewDiagnostics(
-        Tables.events(s, d), "event_type")))
+        Tables.events(s, d), "event_type")),
+
+    Q("x71_cdc_incremental",
+      "Incremental CDC dedup against a STANDING chunk-hash index — x51's arrival pattern at " +
+        "chunk granularity: the corpus split (portable-hash 80%) contributes its distinct " +
+        "chunk hashes as the index (grows with DISTINCT content, not arrivals), each new-batch " +
+        "doc is chunked and probed by ONE hash equi-join — per-batch cost O(batch), never " +
+        "O(corpus). Content-defined boundaries make the probe byte-offset-robust: a new doc " +
+        "embedding shifted corpus content still hits on every preserved chunk (CdcSpec), " +
+        "which whole-doc hashing cannot see. Per new doc: chunks, corpus hits, novel chars.",
+      Some("""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+             |            (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 < 80) AS is_corpus
+             |           FROM documents),
+             |c AS (SELECT doc_id, is_corpus, text, len,
+             |        CASE WHEN len >= 9
+             |             THEN [i for i in range(8, len) if ('0x'||substr(md5(substr(text, CAST(i - 7 AS INT), 8)),1,15))::BIGINT % 64 = 0]
+             |             ELSE CAST([] AS BIGINT[]) END AS cuts
+             |      FROM d),
+             |seg AS (SELECT doc_id, is_corpus, text, len,
+             |        list_prepend(CAST(1 AS BIGINT), [x + 1 for x in cuts]) AS starts,
+             |        list_append(cuts, len) AS ends FROM c),
+             |ch AS (SELECT doc_id, is_corpus, ends[u.i] - starts[u.i] + 1 AS clen,
+             |              md5(substr(text, CAST(starts[u.i] AS INT), CAST(ends[u.i] - starts[u.i] + 1 AS INT))) AS h
+             |       FROM seg, unnest(range(1, len(starts) + 1)) u(i)),
+             |idx AS (SELECT DISTINCT h FROM ch WHERE is_corpus),
+             |nb AS (SELECT doc_id, clen, h FROM ch WHERE NOT is_corpus)
+             |SELECT nb.doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_chunks,
+             |  CAST(SUM(CASE WHEN idx.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus_hits,
+             |  CAST(SUM(CASE WHEN idx.h IS NULL THEN nb.clen ELSE 0 END) AS BIGINT) AS novel_chars
+             |FROM nb LEFT JOIN idx ON nb.h = idx.h
+             |GROUP BY nb.doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val docs = Tables.loadFanout(s, d, "documents")
+        val isCorpus = pmod(TextDedup.portableHashBuiltin(
+          col("doc_id").cast("string"), ""), lit(100)) < 80
+        TextDedup.cdcIncremental(docs.filter(isCorpus), docs.filter(!isCorpus))
+      }))
 }

@@ -58,6 +58,24 @@ class CdcSpec extends SparkSuite {
     assert(stats(0).getLong(2) >= a.length - 1) // n_shared_chunks for doc 1
   }
 
+  test("cdcIncremental: embedded/shifted corpus content hits the index; novel content doesn't") {
+    val a = synth(19, 600)
+    val corpus = Seq((1L, a)).toDF("doc_id", "text")
+    // batch: doc 10 embeds a shifted slice of corpus content behind a
+    // novel prefix; doc 11 is entirely novel
+    val batch = Seq(
+      (10L, "ENTIRELY NOVEL PREFIX " + a.substring(100, 550)),
+      (11L, synth(23, 300))
+    ).toDF("doc_id", "text")
+    val out = TextDedup.cdcIncremental(corpus, batch).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (n10, hits10, novel10) = out(10L)
+    val (n11, hits11, novel11) = out(11L)
+    assert(hits10 >= 2, s"shifted embedded content must hit the chunk index, got $hits10/$n10")
+    assert(novel10 < 22 + 450, "hit chunks must not count as novel chars")
+    assert(hits11 == 0 && novel11 == 300, s"novel doc must miss entirely: $hits11 hits")
+  }
+
   test("fixed-size blocking shares nothing under the same shift (the contrast)") {
     val base = synth(13, 512)
     val shifted = "x" + base // 1-char insertion: every 64-byte block differs
