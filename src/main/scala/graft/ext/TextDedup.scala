@@ -682,15 +682,44 @@ object TextDedup {
          | THEN filter(transform(sequence(CAST($window AS BIGINT), CAST(length($textCol) - 1 AS BIGINT)),
          |   i -> CASE WHEN $hashAt % $divisor = 0 THEN i ELSE CAST(NULL AS BIGINT) END), x -> x IS NOT NULL)
          | ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
+    val base = docs.select(col(idCol), col(textCol),
+      length(col(textCol)).cast("long").as("len"), expr(cutsSql).as("cuts"))
+    explodeSegments(base, idCol, textCol,
+      sub => md5(expr(s"CAST($sub AS BINARY)")))
+  }
+
+  /** The production fast path of the CDC pair: gear-hash boundaries via
+    * the [[graft.functions.CdcCuts]] codegen expression — O(1) per
+    * position (table load + shift + add) where [[cdcChunks]]'s
+    * oracle-portable form pays a full md5 of the window at EVERY
+    * position (measured ~5× on the chunking stage, `tools.CdcBench` /
+    * SCALING.md) — and xxhash64 chunk ids instead of md5 strings (8-byte
+    * longs, not 32-char hex, through every downstream shuffle). Same
+    * dual-path pattern as MinHash portable/xxhash64. Boundaries differ
+    * from the md5 twin (different hash family) but both are
+    * content-defined; CdcSpec proves shift invariance for each.
+    * Output: `idCol, chunk_idx, start, clen, h` (LONG).
+    */
+  def cdcChunksFast(docs: DataFrame, maskBits: Int = 6, minChunk: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol),
+      length(col(textCol)).cast("long").as("len"),
+      graft.functions.cdc_cuts(col(textCol), maskBits, minChunk).as("cuts"))
+    explodeSegments(base, idCol, textCol, sub => xxhash64(expr(sub)))
+  }
+
+  // Shared CDC tail: cuts array -> (start, end) segments -> one chunk row
+  // per segment with the caller's hash of the chunk substring.
+  private def explodeSegments(base: DataFrame, idCol: String, textCol: String,
+      chunkHash: String => Column): DataFrame = {
     val segsSql =
       """transform(concat(array(CAST(1 AS BIGINT)), transform(cuts, c -> c + 1)),
         |  (s, idx) -> named_struct('s', s, 'e', element_at(concat(cuts, array(len)), idx + 1)))""".stripMargin
-    docs.select(col(idCol), col(textCol),
-        length(col(textCol)).cast("long").as("len"), expr(cutsSql).as("cuts"))
-      .select(col(idCol), col(textCol), posexplode(expr(segsSql)))
+    val sub = s"substring($textCol, CAST(col.s AS INT), CAST(col.e - col.s + 1 AS INT))"
+    base.select(col(idCol), col(textCol), posexplode(expr(segsSql)))
       .select(col(idCol), (col("pos") + 1).cast("int").as("chunk_idx"),
         col("col.s").as("start"), (col("col.e") - col("col.s") + lit(1L)).as("clen"),
-        md5(expr(s"CAST(substring($textCol, CAST(col.s AS INT), CAST(col.e - col.s + 1 AS INT)) AS BINARY)")).as("h"))
+        chunkHash(sub).as("h"))
   }
 
   /** Per-document CDC dedup accounting over [[cdcChunks]]: how many of a

@@ -246,6 +246,13 @@ package object functions {
   def char_ngrams(text: Column, n: Int): Column =
     Internal.column(CharNgrams(Internal.expression(text), n))
 
+  /** Gear-hash content-defined chunk boundaries — the production fast
+    * path of the CDC pair (the portable windowed-md5 twin lives in
+    * `TextDedup.cdcChunks`); expected chunk length 2^maskBits + minChunk.
+    */
+  def cdc_cuts(text: Column, maskBits: Int = 6, minChunk: Int = 16): Column =
+    Internal.column(CdcCuts(Internal.expression(text), maskBits, minChunk))
+
   /** The composed-builtin shingle form [[WordNgrams]] is property-tested
     * against (interpreted higher-order chain — correct but ~10× slower;
     * see the expression's scaladoc).

@@ -76,6 +76,35 @@ class CdcSpec extends SparkSuite {
     assert(hits11 == 0 && novel11 == 300, s"novel doc must miss entirely: $hits11 hits")
   }
 
+  test("fast path (gear codegen): tiles the document and preserves shifted chunks") {
+    val base = synth(29, 900)
+    val docs = Seq((1L, base), (2L, "SHIFTING-PREFIX-123 " + base))
+      .toDF("doc_id", "text")
+    val ch = TextDedup.cdcChunksFast(docs).collect()
+    // tiling per doc
+    for (id <- Seq(1L, 2L)) {
+      val rows = ch.filter(_.getLong(0) == id).sortBy(_.getInt(1))
+      var expectStart = 1L
+      rows.foreach { r =>
+        assert(r.getLong(2) == expectStart); expectStart += r.getLong(3)
+      }
+    }
+    val a = ch.filter(_.getLong(0) == 1L).sortBy(_.getInt(1))
+    val b = ch.filter(_.getLong(0) == 2L).map(_.getLong(4)).toSet
+    assert(a.length >= 4, s"expected several gear cuts in 900 chars, got ${a.length}")
+    // gear hash horizon is ~64 codepoints + one shared cut to re-sync:
+    // every chunk of the original starting beyond that must survive the
+    // prefix shift verbatim
+    val resync = a.filter(_.getLong(2) > 64 + 20)
+    assert(resync.length >= 2, "need chunks beyond the re-sync horizon to assert on")
+    resync.dropRight(0).drop(1).foreach(r =>
+      assert(b.contains(r.getLong(4)), s"chunk at ${r.getLong(2)} lost after shift"))
+    // deterministic
+    val again = TextDedup.cdcChunksFast(docs).collect()
+    assert(ch.map(r => (r.getLong(0), r.getInt(1), r.getLong(4))).toSet ==
+      again.map(r => (r.getLong(0), r.getInt(1), r.getLong(4))).toSet)
+  }
+
   test("fixed-size blocking shares nothing under the same shift (the contrast)") {
     val base = synth(13, 512)
     val shifted = "x" + base // 1-char insertion: every 64-byte block differs
