@@ -459,6 +459,48 @@ object TextStats {
     docs.select(explode(graft.functions.word_ngrams(col(textCol), n)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
 
+  /** Pairwise distributional distance between sources: total variation
+    * over `buckets` hashed unigram buckets — TV(a,b) = ½·Σ|p_i − q_i|,
+    * the mixture-design signal (how DIFFERENT two domains' token
+    * distributions are — DSIR/domain-weighting adjacent) complementary
+    * to x62's near-dup overlap matrix (how much content they SHARE). TV
+    * is chosen over KL exactly because it is libm-free: per-bucket terms
+    * 0.5·|c_a/n_a − c_b/n_b| are IEEE ops on exact-integer-derived
+    * doubles (×0.5 is exact), rounded once to Decimal(38,6) and summed
+    * in decimal (the x41 idiom) — oracle-exact where log-based
+    * divergences are not. Dataflow: one explode → (source, bucket)
+    * count (map-side partials), totals re-aggregated FROM the counts,
+    * the full source×bucket grid from a generate (missing buckets are
+    * REAL zeros — dropping them understates the distance), then a
+    * bucket-keyed self-join over a frame of |sources|·buckets rows —
+    * corpus-size-independent past the first aggregate.
+    */
+  def sourceTvDistance(docs: DataFrame, buckets: Int = 64,
+      textCol: String = "text"): DataFrame = {
+    val words = docs.select(col("source"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val counts = words.groupBy(col("source"),
+        pmod(graft.ext.TextDedup.portableHashBuiltin(col("word"), ""),
+          lit(buckets.toLong)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val grid = totals.select(col("source"), col("n"),
+      explode(sequence(lit(0), lit(buckets - 1))).as("bucket"))
+    val prof = grid.join(counts, Seq("source", "bucket"), "left")
+      .select(col("source"), col("bucket"),
+        (coalesce(col("c"), lit(0L)).cast("double") / col("n").cast("double")).as("p"))
+    val a = prof.select(col("source").as("source_a"), col("bucket"), col("p").as("pa"))
+    val b = prof.select(col("source").as("source_b"), col("bucket"), col("p").as("pb"))
+    a.join(b, Seq("bucket")).filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        (lit(0.5) * abs(col("pa") - col("pb")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6)).as("t"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("t")).cast(org.apache.spark.sql.types.DecimalType(38, 6))
+        .cast("string").as("tv_distance"))
+  }
+
   /** Vocabulary-growth (Heaps'-law) curve: the corpus in `buckets`
     * doc-id ranges, per bucket the token count, the count of words FIRST
     * seen there, and the cumulative vocabulary/token totals — the

@@ -1828,5 +1828,29 @@ object ExtensionQueries {
         val isCorpus = pmod(TextDedup.portableHashBuiltin(
           col("doc_id").cast("string"), ""), lit(100)) < 80
         TextDedup.cdcIncremental(docs.filter(isCorpus), docs.filter(!isCorpus))
-      }))
+      }),
+
+    Q("x72_source_tv_distance",
+      "Pairwise source distributional distance: total variation over 64 hashed unigram " +
+        "buckets — the mixture-design signal (how DIFFERENT two domains' token distributions " +
+        "are, DSIR/domain-weighting adjacent), complementary to x62's overlap matrix (how much " +
+        "content they SHARE). TV over KL precisely because it is libm-free: per-bucket " +
+        "0.5*|p-q| terms are IEEE ops on exact-integer-derived doubles rounded once to " +
+        "Decimal(38,6) and summed in decimal. One explode -> (source,bucket) count, totals " +
+        "re-aggregated from the counts, the full grid from a generate (missing buckets are " +
+        "REAL zeros), then a bucket-keyed self-join over |sources|x64 rows — " +
+        "corpus-size-independent past the first aggregate.",
+      Some("""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+             |c AS (SELECT source, CAST(('0x'||substr(md5(word),1,15))::BIGINT % 64 AS INT) AS bucket,
+             |             CAST(count(*) AS BIGINT) AS c
+             |      FROM w WHERE len(word) > 0 GROUP BY source, bucket),
+             |n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY source),
+             |g AS (SELECT n.source, n.n, CAST(u.b AS INT) AS bucket FROM n, unnest(range(0, 64)) u(b)),
+             |p AS (SELECT g.source, g.bucket, CAST(COALESCE(c.c, 0) AS DOUBLE) / CAST(g.n AS DOUBLE) AS p
+             |      FROM g LEFT JOIN c ON g.source = c.source AND g.bucket = c.bucket)
+             |SELECT a.source AS source_a, b.source AS source_b,
+             |  CAST(CAST(SUM(CAST(0.5 * abs(a.p - b.p) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS tv_distance
+             |FROM p a JOIN p b ON a.bucket = b.bucket AND a.source < b.source
+             |GROUP BY a.source, b.source ORDER BY source_a, source_b""".stripMargin),
+      (s, d) => TextStats.sourceTvDistance(Tables.documents(s, d))))
 }

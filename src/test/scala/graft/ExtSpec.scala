@@ -206,6 +206,22 @@ class ExtSpec extends SparkSuite {
       (6L, 3L, 1L, 4L, 7L)))  // "b c d": d new
   }
 
+  test("sourceTvDistance: identical distributions measure 0, disjoint ones near 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d", "s1"), (2L, "a b c d", "s2"),   // identical distributions
+      (3L, "w x y z", "s3")                            // disjoint vocabulary
+    ).toDF("doc_id", "text", "source")
+    val out = graft.ext.TextStats.sourceTvDistance(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(out(("s1", "s2")) == "0.000000")
+    // disjoint vocabularies: TV = 1 unless hash buckets collide, which
+    // can only LOWER it; it must stay far above the identical pair
+    assert(BigDecimal(out(("s1", "s3"))) > BigDecimal("0.5"))
+    assert(BigDecimal(out(("s1", "s3"))) <= BigDecimal(1))
+    assert(out(("s1", "s3")) == out(("s2", "s3")), "same distribution, same distance")
+  }
+
   test("kmeans-refined IVF centroids keep shape and competitive recall") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 25)
