@@ -222,8 +222,8 @@ class PlanSpec extends SparkSuite {
       "x64_hybrid_rrf", "x65_bigram_lm_fit", "x67_pagerank_dup",
       "x69_vocab_growth",
       // x66: broadcast bounded query set joined on an inequality only —
-      // the x06_knn_brute shape
-      "x66_knn_jl_project")
+      // the x06_knn_brute shape; x70: the 1-row global-rollup pin
+      "x66_knn_jl_project", "x70_skew_diagnostics")
     SparkEntry.registry.foreach { q =>
       val p = plan(q.build(spark, sf))
       val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
