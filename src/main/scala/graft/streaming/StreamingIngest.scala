@@ -413,6 +413,68 @@ object StreamingIngest {
     q
   }
 
+  /** Streaming CDC novelty accounting with a self-maintaining chunk-hash
+    * index — the continuous-ingest rendering of batch x71
+    * (`TextDedup.cdcIncremental`), on the gear fast path
+    * (`cdcChunksFast`). Each micro-batch is chunked (only the batch —
+    * the standing corpus is never re-chunked), every chunk probes the
+    * index built by all PRIOR batches (one hash equi-join), per-doc
+    * novelty stats (`n_chunks, n_corpus_hits, novel_chars`) land in
+    * `statsDir`, and the batch's previously-unseen distinct chunk
+    * hashes are appended to the index — which therefore grows with
+    * DISTINCT content, not with arrivals (the x51 index property, at
+    * chunk granularity). Content-defined boundaries make the probe
+    * byte-offset-robust: an arriving doc embedding shifted corpus
+    * content still hits on every preserved chunk.
+    *
+    * Exactly-once under foreachBatch's at-least-once replay, by the
+    * `dedupedCorpusStream` idiom: probes are restricted to
+    * `ingest_seq < batchId` (a replay must not see the crashed
+    * attempt's own appends), both appends are stamped and skipped
+    * independently once their directory holds this batchId, and the
+    * recomputation is deterministic — a half-committed batch heals to
+    * identical bytes.
+    */
+  def cdcNoveltyStream(docs: DataFrame, indexDir: String, statsDir: String,
+      checkpointDir: String, maskBits: Int = 6, minChunk: Int = 16): StreamingQuery = {
+    import graft.ext.TextDedup
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        def landed(dir: String): Boolean =
+          scala.util.Try(spark.read.parquet(dir)
+            .filter(col("ingest_seq") === batchId).limit(1).count() > 0)
+            .getOrElse(false)
+        val b = batch.toDF().localCheckpoint(false)
+        val chunks = TextDedup.cdcChunksFast(b, maskBits, minChunk)
+          .localCheckpoint(false)
+        val index = scala.util.Try(
+            spark.read.parquet(indexDir)
+              .filter(col("ingest_seq") < batchId).select(col("h")))
+          .getOrElse(chunks.select(col("h")).limit(0))
+        val probed = chunks.join(
+            index.distinct().withColumn("__hit", lit(1)), Seq("h"), "left")
+          .localCheckpoint(false)
+        val stats = probed.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_corpus_hits"),
+            sum(when(col("__hit").isNull, col("clen")).otherwise(0L)).as("novel_chars"))
+        if (!landed(statsDir)) {
+          graft.pipeline.Ingest.appendWithSeq(stats, statsDir, batchId)
+        }
+        if (!landed(indexDir)) {
+          graft.pipeline.Ingest.appendWithSeq(
+            probed.filter(col("__hit").isNull).select(col("h")).distinct(),
+            indexDir, batchId)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Stream-static enrichment: each micro-batch joins the (small, slowly
     * changing) dimension read as a plain batch table — the streaming
     * rendering of the reference's token-metadata join. The static side
