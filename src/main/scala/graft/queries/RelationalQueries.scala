@@ -851,7 +851,38 @@ object RelationalQueries {
           lit(java.sql.Date.valueOf("2024-01-08")), lit(java.sql.Date.valueOf("2024-01-14"))))
         .groupBy($"event_date".cast("string").as("event_date"), $"event_type")
         .agg(count(lit(1)).as("n"),
-          decStr(sum(dec6($"value"))).as("total_value"))))
+          decStr(sum(dec6($"value"))).as("total_value"))),
+
+    Q("q51_exact_median",
+      "EXACT per-group median by rank arithmetic — percentile_cont's float interpolation is " +
+        "engine-ambiguous (the interpolation formula is unspecified IEEE association), so the " +
+        "median ships as the two middle ORDER STATISTICS: values at ranks (n+1) DIV 2 and " +
+        "(n+2) DIV 2 under a deterministic (value, event_id) total order, in Decimal(38,6) — " +
+        "equal for odd n, the exact bracketing pair for even n, no division anywhere. One " +
+        "window pass (row_number and count share the partition sort) + one group aggregate.",
+      Some("""WITH v AS (SELECT user_id, CAST(value AS DECIMAL(38,6)) AS v, event_id FROM events),
+             |r AS (SELECT user_id, v,
+             |        row_number() OVER (PARTITION BY user_id ORDER BY v, event_id) AS rn,
+             |        count(*) OVER (PARTITION BY user_id) AS n FROM v)
+             |SELECT user_id, CAST(n AS BIGINT) AS n,
+             |  CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN v END) AS VARCHAR) AS median_lo,
+             |  CAST(MIN(CASE WHEN rn = (n + 2) // 2 THEN v END) AS VARCHAR) AS median_hi
+             |FROM r GROUP BY user_id, n ORDER BY user_id""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy($"user_id").orderBy($"v", $"event_id")
+        val wc = Window.partitionBy($"user_id")
+        Tables.events(s, d)
+          .select($"user_id", dec6($"value").as("v"), $"event_id")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wc))
+          .groupBy($"user_id", $"n")
+          .agg(
+            min(when($"rn" === expr("(n + 1) DIV 2"), $"v"))
+              .cast("string").as("median_lo"),
+            min(when($"rn" === expr("(n + 2) DIV 2"), $"v"))
+              .cast("string").as("median_hi"))
+          .select($"user_id", $"n", $"median_lo", $"median_hi")
+      }))
 
 
 
