@@ -882,6 +882,49 @@ object RelationalQueries {
             min(when($"rn" === expr("(n + 2) DIV 2"), $"v"))
               .cast("string").as("median_hi"))
           .select($"user_id", $"n", $"median_lo", $"median_hi")
+      }),
+
+    Q("q52_funnel",
+      "Ordered funnel analysis (view -> click -> purchase): per user, the first view, the " +
+        "first click STRICTLY AFTER it, the first purchase strictly after that — the " +
+        "product-analytics sequence-match operator. Formulated as three filtered min-aggregates " +
+        "chained by user-keyed equi-joins (each stage's scan pushes its event_type filter; " +
+        "partial min-aggregation shrinks every shuffle to one row per user) — no per-user " +
+        "sort, no window, so it scales as three hash aggregates. Exact-microsecond " +
+        "timestamps make every MIN deterministic.",
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |v AS (SELECT user_id, MIN(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+             |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+             |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+             |SELECT u.user_id,
+             |  CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3 WHEN c.t_click IS NOT NULL THEN 2
+             |            WHEN v.t_view IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage_reached,
+             |  v.t_view, c.t_click, p.t_purchase
+             |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+             |ORDER BY user_id""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val v = ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"ts").as("t_view"))
+        val c = ev.filter($"event_type" === "click").join(v, Seq("user_id"))
+          .filter($"ts" > $"t_view")
+          .groupBy($"user_id").agg(min($"ts").as("t_click"))
+        val p = ev.filter($"event_type" === "purchase").join(c, Seq("user_id"))
+          .filter($"ts" > $"t_click")
+          .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+        ev.select($"user_id").distinct()
+          .join(v, Seq("user_id"), "left")
+          .join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .select($"user_id",
+            when($"t_purchase".isNotNull, 3).when($"t_click".isNotNull, 2)
+              .when($"t_view".isNotNull, 1).otherwise(0)
+              .cast("int").as("stage_reached"),
+            $"t_view".cast("timestamp_ntz").as("t_view"),
+            $"t_click".cast("timestamp_ntz").as("t_click"),
+            $"t_purchase".cast("timestamp_ntz").as("t_purchase"))
       }))
 
 
