@@ -329,13 +329,18 @@ object ConnectedComponents {
     * itself makes at the broadcast-join threshold. Rationale: at bounded
     * sizes fixpoint wall-time is per-round JOB SCHEDULING, not compute —
     * x53's 1,215-pair cell graph spent ~4.5 s on 8 distributed rounds
-    * that a local union-find retires in one task — while 2^18 edges are
-    * ~4 MB of longs, a fraction of one task's memory. Post-blocking
-    * dedup graphs are usually this small even at corpus scale (blocking
-    * exists precisely to bound them); when they are not, the count gate
-    * sends them down the distributed log-diameter path unchanged.
+    * that a local union-find retires in one task. The crossover is far
+    * above the threshold: a 999k-edge chain forest measures 1.37 s
+    * local (shuffle-to-one-task included) vs 25.6 s / 14 rounds
+    * distributed (`tools.CcBench --big`, SCALING.md round 7). 2^20
+    * edges bound the single task at ~100 MB of union-find state
+    * (LongMap keys + boxed values for ≤2·edges nodes) — a fraction of
+    * executor task memory. Post-blocking dedup graphs are usually this
+    * small even at corpus scale (blocking exists precisely to bound
+    * them); when they are not, the count gate sends them down the
+    * distributed log-diameter path unchanged.
     */
-  val LocalEdgeThreshold: Long = 1L << 18
+  val LocalEdgeThreshold: Long = 1L << 20
 
   /** Single-task union-find (union by rank + path compression, then a
     * min-member sweep per root): output contract identical to [[labels]]

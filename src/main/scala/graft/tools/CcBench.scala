@@ -72,6 +72,26 @@ object CcBench {
         println(f"[cc] $caseName%-22s $varName%-9s ${secs}%7.2fs  rounds=$rounds comps=$comps")
       }
     }
+
+    // `--big`: a 1M-edge chain forest — ABOVE LocalEdgeThreshold, so the
+    // adaptive default must take the distributed min-label→star path
+    // (rounds > 1 proves the gate handed over); local union-find timed
+    // next to it for the crossover picture.
+    if (args.contains("--big")) {
+      val big = frozen(spark.range(1000000L).filter(col("id") % 1000 =!= 999)
+        .selectExpr("id AS a", "id + 1 AS b"))
+      println(s"[cc] -- big_chain_1M (${big.count()} edges, above gate) --")
+      for ((varName, run) <- Seq(
+          ("adaptive", (e: DataFrame, s: String, d: String) =>
+            ConnectedComponents.labelsAdaptiveWithRounds(e, s, d, 150)),
+          ("local", (e: DataFrame, s: String, d: String) =>
+            (ConnectedComponents.labelsLocal(e, s, d), 1)))) {
+        val t0 = System.nanoTime()
+        val (labs, rounds) = run(big, "a", "b")
+        val comps = labs.select("component").distinct().count()
+        println(f"[cc] big_chain_1M           $varName%-9s ${(System.nanoTime() - t0) / 1e9}%7.2fs  rounds=$rounds comps=$comps")
+      }
+    }
     spark.stop()
   }
 }
