@@ -273,6 +273,88 @@ object StreamingIngest {
       .toDF("user_id", "session_start", "session_end", "n_events", "val")
   }
 
+  /** Per-user ordered-funnel window state ([[streamingFunnel]]):
+    * view/click/purchase timestamps in MICROS (millis would erase the
+    * sub-millisecond ordering the batch twin resolves ties with) seen
+    * inside the current activity window, resolution deferred to seal
+    * time — a late-but-within-watermark view can lower the first-view
+    * time and retroactively qualify earlier clicks, so eager resolution
+    * would diverge from the batch semantics on out-of-order input. The
+    * lists are bounded by the watermark horizon (the operator drops
+    * older rows before the function runs), the same state-size argument
+    * as [[OpenSessionSet]].
+    */
+  case class FunnelWindow(views: List[Long], clicks: List[Long],
+      purchases: List[Long], lastTs: Long)
+
+  /** Streaming ordered-funnel analysis via `flatMapGroupsWithState` +
+    * `EventTimeTimeout` — the continuous rendering of batch q52
+    * (view → click-after-it → purchase-after-that): per user, one
+    * funnel row per ACTIVITY WINDOW (sealed when the watermark passes
+    * `last_event + gap`, the session-sealing rule), carrying the stage
+    * reached and the three resolved first-times. With `gap` wider than
+    * the corpus span this is exactly q52 — the equivalence
+    * StreamBatchEquivalenceSpec replays. Completes the custom-state
+    * family with an ordered-PATTERN state machine next to
+    * [[customSessions]]' interval-union state.
+    */
+  def streamingFunnel(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 60): DataFrame = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    def fromMicros(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
+    events.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .na.drop(Seq("user_id", "ts"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelWindow,
+        (Long, Int, Option[java.sql.Timestamp], Option[java.sql.Timestamp],
+          Option[java.sql.Timestamp])](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
+            state: GroupState[FunnelWindow]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            // the q52 resolution, run once on sealed state
+            val tv = s.views.minOption
+            val tc = tv.flatMap(v => s.clicks.filter(_ > v).minOption)
+            val tp = tc.flatMap(c => s.purchases.filter(_ > c).minOption)
+            val stage =
+              if (tp.isDefined) 3 else if (tc.isDefined) 2
+              else if (tv.isDefined) 1 else 0
+            Iterator.single((uid, stage, tv.map(fromMicros),
+              tc.map(fromMicros), tp.map(fromMicros)))
+          } else {
+            var s = state.getOption.getOrElse(
+              FunnelWindow(Nil, Nil, Nil, Long.MinValue))
+            rows.foreach { case (_, t, et) =>
+              val us = micros(t)
+              val bumped = math.max(s.lastTs, us)
+              s = et match {
+                case "view" => s.copy(views = us :: s.views, lastTs = bumped)
+                case "click" => s.copy(clicks = us :: s.clicks, lastTs = bumped)
+                case "purchase" =>
+                  s.copy(purchases = us :: s.purchases, lastTs = bumped)
+                case _ => s.copy(lastTs = bumped)
+              }
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(math.max(s.lastTs / 1000L + gapMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+      .toDF("user_id", "stage_reached", "t_view", "t_click", "t_purchase")
+  }
+
   /** Streaming content dedup for a document ingest stream — the
     * streaming member of the dedup family: fingerprint each arriving doc
     * (md5 of whitespace-normalized lowercase text, the same key as batch

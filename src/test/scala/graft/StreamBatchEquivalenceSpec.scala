@@ -132,4 +132,62 @@ class StreamBatchEquivalenceSpec extends SparkSuite {
     assert(got == expected,
       s"stream != batch: only-stream=${(got -- expected).take(3)} only-batch=${(expected -- got).take(3)}")
   }
+
+  test("streamingFunnel replayed over the real events corpus equals batch q52") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-equiv-funnel").toString
+    // the REAL events table, time-ordered into 3 file chunks so funnel
+    // state genuinely crosses micro-batch boundaries
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .orderBy("ts").collect()
+    val per = math.max(1, (rows.length + 2) / 3)
+    rows.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+      val f = new java.io.File(s"$base/src", f"chunk$i%03d.parquet")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(chunk.toIndexedSeq, 1),
+          rows.head.schema)
+        .coalesce(1).write.mode("overwrite").parquet(f.toString)
+      val ts = 1700000000000L + i * 60000L
+      f.listFiles().foreach(_.setLastModified(ts)); f.setLastModified(ts)
+    }
+    def sentinel(name: String, s: String, mtime: Long): Unit = {
+      val f = new java.io.File(s"$base/src", name)
+      Seq((999999L, 999999L, s, "noop"))
+        .toDF("event_id", "user_id", "s", "event_type")
+        .select(col("event_id"), col("user_id"),
+          to_timestamp(col("s")).as("ts"), col("event_type"))
+        .coalesce(1).write.mode("overwrite").parquet(f.toString)
+      f.listFiles().foreach(_.setLastModified(mtime)); f.setLastModified(mtime)
+    }
+    def src() = spark.readStream
+      .schema("event_id LONG, user_id LONG, ts TIMESTAMP, event_type STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/src/*")
+    // gap wider than the corpus span -> one activity window per user,
+    // which is exactly q52's whole-history semantics
+    def run(): Unit = StreamingIngest.runToParquet(
+      StreamingIngest.streamingFunnel(spark, src(), gapMinutes = 90 * 24 * 60),
+      s"$base/sink", s"$base/ckpt")
+    run()
+    // flush: far-future traffic pushes the watermark past every real
+    // user's last_event + gap; timeout emission is one-trigger delayed,
+    // so two sentinel batches across two runs
+    sentinel("z1.parquet", "2024-12-31 00:00:00", 1700009000000L)
+    run()
+    sentinel("z2.parquet", "2025-06-01 00:00:00", 1700010000000L)
+    run()
+
+    val got = spark.read.parquet(s"$base/sink")
+      .filter(col("user_id") =!= 999999L)
+      .select(col("user_id"), col("stage_reached"),
+        col("t_view").cast("timestamp_ntz"), col("t_click").cast("timestamp_ntz"),
+        col("t_purchase").cast("timestamp_ntz"))
+      .collect().map(_.toSeq).toSet
+    val expected = graft.SparkEntry.queries("q52_funnel")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(expected.exists(_(1).asInstanceOf[Int] == 3), "no stage-3 users — vacuous")
+    assert(got == expected,
+      s"funnel stream != batch: only-stream=${(got -- expected).take(3)} only-batch=${(expected -- got).take(3)}")
+  }
 }
