@@ -767,6 +767,38 @@ object TextDedup {
         sum(when(col("__hit").isNull, col("clen")).otherwise(0L)).as("novel_chars"))
   }
 
+  /** LSH S-curve planning table — the measurement that justifies a
+    * bands×rows split before anyone runs it: for every factorization
+    * b·r = `nHashes` and a grid of true Jaccard similarities s, the
+    * candidate probability P = 1 − (1 − s^r)^b. More bands catch lower
+    * similarities (higher recall, more junk pairs); more rows sharpen
+    * the threshold. The engine's own 4×4 split puts the curve's steep
+    * section around the 0.5 dedup threshold — this table is that
+    * justification as data. Exactness: s^r and (1 − s^r)^b are INTEGER
+    * exponents, computed as unrolled left-associated multiply chains
+    * (no pow — libm-divergent cross-engine, the x41 boundary), each
+    * frame constant-(b,r) so the chains unroll at plan time; the
+    * parameter grid is config, not data (the literal-matrix class).
+    * Output: `b, r, s_bp, p_candidate` (Decimal(38,6) string).
+    */
+  def lshSCurve(spark: org.apache.spark.sql.SparkSession, nHashes: Int = 16,
+      sSteps: Int = 19): DataFrame = {
+    import spark.implicits._
+    val frames = (1 to nHashes).filter(nHashes % _ == 0).map { b =>
+      val r = nHashes / b
+      val grid = (1 to sSteps).map(k => (b, r, k.toLong * 10000L / (sSteps + 1)))
+        .toDF("b", "r", "s_bp")
+      val s = col("s_bp").cast("double") / lit(10000.0)
+      val sr = (1 to r).map(_ => s).reduce(_ * _)
+      val q = lit(1.0) - sr
+      val qb = (1 to b).map(_ => q).reduce(_ * _)
+      grid.select(col("b"), col("r"), col("s_bp"),
+        (lit(1.0) - qb).cast(org.apache.spark.sql.types.DecimalType(38, 6))
+          .cast("string").as("p_candidate"))
+    }
+    frames.reduce(_.unionByName(_))
+  }
+
   /** Exact word-n-gram Jaccard similarity for pairs grouped by a blocking
     * column (here: same `lang`) — the verification stage downstream of
     * LSH candidate generation.

@@ -258,6 +258,26 @@ object ExtensionQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // LSH S-curve: per-(b,r) SELECTs with the exponent chains unrolled as
+  // left-associated multiplications, verbatim twins of lshSCurve's
+  // Column reduces.
+  private val lshSCurveOracle: String = {
+    val nHashes = 16
+    val sSteps = 19
+    val selects = (1 to nHashes).filter(nHashes % _ == 0).map { b =>
+      val r = nHashes / b
+      val sExpr = "(CAST(s_bp AS DOUBLE) / 10000.0)"
+      val sr = Seq.fill(r)(sExpr).mkString("(", " * ", ")")
+      val q = s"(1.0 - $sr)"
+      val qb = Seq.fill(b)(q).mkString("(", " * ", ")")
+      s"""SELECT CAST($b AS INT) AS b, CAST($r AS INT) AS r, s_bp,
+         |  CAST(CAST(1.0 - $qb AS DECIMAL(38,6)) AS VARCHAR) AS p_candidate
+         |FROM (SELECT CAST(u.k * 10000 // ${sSteps + 1} AS BIGINT) AS s_bp
+         |      FROM unnest(range(1, ${sSteps + 1})) u(k))""".stripMargin
+    }
+    selects.mkString("\n  UNION ALL\n") + "\nORDER BY b, s_bp"
+  }
+
   private def eqCountSql(a: String, b: String): String =
     (0 until graft.ext.TextDedup.NumHashes).map(i =>
       s"CASE WHEN $a.s$i = $b.s$i THEN 1 ELSE 0 END").mkString(" + ")
@@ -1852,5 +1872,15 @@ object ExtensionQueries {
              |  CAST(CAST(SUM(CAST(0.5 * abs(a.p - b.p) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS tv_distance
              |FROM p a JOIN p b ON a.bucket = b.bucket AND a.source < b.source
              |GROUP BY a.source, b.source ORDER BY source_a, source_b""".stripMargin),
-      (s, d) => TextStats.sourceTvDistance(Tables.documents(s, d))))
+      (s, d) => TextStats.sourceTvDistance(Tables.documents(s, d))),
+
+    Q("x73_lsh_s_curve",
+      "LSH S-curve planning table: for every bands x rows factorization of the 16-hash MinHash " +
+        "signature and a 19-point similarity grid, the candidate probability 1 - (1 - s^r)^b — " +
+        "the justification-as-data for the engine's own 4x4 split (steep section at the 0.5 " +
+        "dedup threshold). Integer exponents as unrolled left-associated multiply chains (no " +
+        "pow — libm-divergent cross-engine); each unioned frame is constant-(b,r) so the " +
+        "chains unroll at plan time; the grid is config, not data (the literal-matrix class).",
+      Some(lshSCurveOracle),
+      (s, d) => TextDedup.lshSCurve(s)))
 }

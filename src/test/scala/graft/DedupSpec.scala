@@ -6,6 +6,23 @@ import graft.operators.Dedup
 
 /** FIXTURES.md §B.5: ReplacingMergeTree last-write-wins semantics. */
 class DedupSpec extends SparkSuite {
+
+  test("lshSCurve: hand values at s=0.5, monotone in s, bands trade recall for junk") {
+    val rows = graft.ext.TextDedup.lshSCurve(spark).collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getLong(2)), BigDecimal(r.getString(3)))).toMap
+    // s = 0.5 exactly (5000 bp): 16 bands of 1 row -> 1 - 0.5^16;
+    // 1 band of 16 rows -> 0.5^16
+    assert(rows((16, 1, 5000L)) == BigDecimal("0.999985"))
+    assert(rows((1, 16, 5000L)) == BigDecimal("0.000015"))
+    // P is monotone in s for every factorization
+    for (b <- Seq(1, 2, 4, 8, 16)) {
+      val curve = rows.toSeq.collect { case ((`b`, _, s), p) => (s, p) }.sortBy(_._1)
+      assert(curve.sliding(2).forall { case Seq((_, p1), (_, p2)) => p2 >= p1 })
+    }
+    // at low similarity, more bands catch more (the recall/junk trade)
+    assert(rows((16, 1, 1500L)) > rows((4, 4, 1500L)))
+    assert(rows((4, 4, 1500L)) > rows((1, 16, 1500L)))
+  }
   import spark.implicits._
 
   private def table = Seq(
