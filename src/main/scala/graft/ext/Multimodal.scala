@@ -126,6 +126,24 @@ object Multimodal {
       }
     }
 
+  /** Exact media dedup by payload content hash — the storage-dedup
+    * accounting every large media corpus runs first (identical bytes
+    * under different paths/ids are the dominant waste): one hash
+    * aggregate on md5(payload) with map-side partials; payloads
+    * themselves never shuffle (only the 16-byte hash and the byte
+    * count do). Per distinct payload: copy count, the min-id keeper,
+    * and the bytes deduplication reclaims. Near-dup (perceptual) media
+    * dedup would swap the hash for a decoded-feature signature through
+    * the same dataflow — the decode stub is [[fakeDecode]]'s seam.
+    * Output: `payload_hash, n_bytes, n_copies, keep_id, bytes_saved`.
+    */
+  def dedupExact(media: DataFrame): DataFrame =
+    media.select(col("doc_id"), md5(col("payload")).as("payload_hash"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy(col("payload_hash"), col("n_bytes"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"),
+        ((count(lit(1)) - lit(1L)) * col("n_bytes")).as("bytes_saved"))
+
   def frameSample(spark: SparkSession, media: DataFrame, frameSize: Int, stride: Int): DataFrame = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions(fakeFrameSample(frameSize, stride) _).toDF()

@@ -1882,5 +1882,22 @@ object ExtensionQueries {
         "pow — libm-divergent cross-engine); each unioned frame is constant-(b,r) so the " +
         "chains unroll at plan time; the grid is config, not data (the literal-matrix class).",
       Some(lshSCurveOracle),
-      (s, d) => TextDedup.lshSCurve(s)))
+      (s, d) => TextDedup.lshSCurve(s)),
+
+    Q("x74_media_dedup",
+      "Exact media dedup by payload content hash over the binary media table — the storage " +
+        "accounting every large media corpus runs first: one md5(payload) hash aggregate with " +
+        "map-side partials; payloads never shuffle (only the 16-byte hash and byte count do). " +
+        "Per distinct payload: copy count, min-id keeper, and the bytes dedup reclaims. " +
+        "Perceptual near-dup would swap the hash for decoded features through the same " +
+        "dataflow (the fakeDecode seam).",
+      Some("""SELECT md5(text) AS payload_hash,
+             |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+             |  CAST(count(*) AS BIGINT) AS n_copies,
+             |  MIN(doc_id) AS keep_id,
+             |  CAST((count(*) - 1) * strlen(text) AS BIGINT) AS bytes_saved
+             |FROM documents
+             |GROUP BY md5(text), strlen(text)
+             |ORDER BY payload_hash""".stripMargin),
+      (s, d) => Multimodal.dedupExact(Multimodal.asMediaTable(Tables.documents(s, d)))))
 }

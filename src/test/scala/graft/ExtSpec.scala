@@ -206,6 +206,18 @@ class ExtSpec extends SparkSuite {
       (6L, 3L, 1L, 4L, 7L)))  // "b c d": d new
   }
 
+  test("media dedupExact: planted byte-identical payloads collapse with correct savings") {
+    import spark.implicits._
+    val docs = Seq((5L, "same bytes here"), (3L, "same bytes here"),
+      (9L, "same bytes here"), (7L, "unique content")).toDF("doc_id", "text")
+    val out = graft.ext.Multimodal.dedupExact(graft.ext.Multimodal.asMediaTable(docs))
+      .collect().map(r => r.getLong(3) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    // keeper = min id; 2 redundant copies of 15 bytes reclaim 30
+    assert(out(3L) == (15L, 3L, 30L))
+    assert(out(7L) == (14L, 1L, 0L))
+  }
+
   test("sourceTvDistance: identical distributions measure 0, disjoint ones near 1") {
     import spark.implicits._
     val docs = Seq(
