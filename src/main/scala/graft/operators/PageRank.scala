@@ -46,8 +46,11 @@ object PageRank {
       .localCheckpoint(false)
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(false)
-    val n = nodes.agg(count(lit(1)).as("n"))
-    val ids = nodes.select(col(idCol).as("id"))
+    // the node-id frame is referenced by p0, every iteration's left join,
+    // and the count scalar — checkpoint once so an expensive upstream
+    // node derivation (x67's shingle filter) runs once, not 2+iters times
+    val ids = nodes.select(col(idCol).as("id")).localCheckpoint(false)
+    val n = ids.agg(count(lit(1)).as("n"))
     def dec(c: Column): Column = c.cast(DecimalType(38, 6))
     var pr = ids.crossJoin(broadcast(n))
       .select(col("id"), dec(lit(1.0) / col("n").cast("double")).as("pr"))
