@@ -132,6 +132,53 @@ object StreamingIngest {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** [[runningUserTotals]] on Spark 4's `transformWithState` — the
+    * successor state API (SPARK-46815, "arbitrary stateful processing
+    * v2") the engine should be ready for as `mapGroupsWithState`
+    * freezes: typed named state handles (`ValueState` here; List/Map
+    * state and per-key timers are the new capabilities), lifecycle
+    * `init`/`close`, and first-class TTL via `TTLConfig` instead of a
+    * timeout channel multiplexed through the row path. Semantics are
+    * identical to [[runningUserTotals]] — StreamingSpec asserts the two
+    * renderings emit the same totals on the same replay. Requires the
+    * RocksDB state store provider (the only backend implementing the
+    * v2 state schema), which the engine already exercises.
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), (Long, Long, Double)] {
+    @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[UserState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[UserState]("totals",
+        org.apache.spark.sql.Encoders.product[UserState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[(Long, Long, Double)] = {
+      val prev = Option(totals.get()).getOrElse(UserState(0L, 0.0))
+      var n = prev.n_events
+      var t = prev.total_value
+      rows.foreach { case (_, v) => n += 1; t += v }
+      totals.update(UserState(n, t))
+      Iterator.single((uid, n, t))
+    }
+  }
+
+  /** [[runningUserTotals]] rendered on the v2 state API — see
+    * [[RunningTotalsProcessor]].
+    */
+  def runningUserTotalsTws(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).na.drop().as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .toDF("user_id", "n_events", "total_value")
+  }
+
   /** [[runningUserTotals]] with a state TTL — the unbounded-key-space
     * knob (ROADMAP): `GroupStateTimeout.ProcessingTimeTimeout` expires
     * state for keys idle longer than `ttl`, so abandoned users stop

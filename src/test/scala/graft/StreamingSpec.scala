@@ -358,6 +358,41 @@ class StreamingSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("transformWithState (v2 state API) totals equal the mapGroupsWithState rendering") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    // transformWithState requires the RocksDB provider (the only backend
+    // implementing the v2 state schema)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("graft-tws").toString + "/events"
+      val events = Tables.events(spark, sf).limit(1000)
+      events.write.parquet(dir)
+      def converged(table: String): Map[Long, (Long, Double)] =
+        spark.table(table).groupBy(col("user_id"))
+          .agg(max(col("n_events")).as("n"), max(col("total_value")).as("t"))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      StreamingIngest.runToMemoryUpdate(
+        StreamingIngest.runningUserTotalsTws(spark,
+          StreamingIngest.eventsStream(spark, dir, events.schema)), "tws_totals")
+      StreamingIngest.runToMemoryUpdate(
+        StreamingIngest.runningUserTotals(spark,
+          StreamingIngest.eventsStream(spark, dir, events.schema)), "v1_totals")
+      val tws = converged("tws_totals")
+      assert(tws == converged("v1_totals"))
+      val batchN = events.na.drop(Seq("user_id", "value"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(tws.view.mapValues(_._1).toMap == batchN)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stateful streams run on the RocksDB state store (production backend)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
