@@ -96,15 +96,8 @@ object Similarity {
     */
   def planeSigns(dim: Int): Array[Array[Double]] =
     Array.tabulate(Planes, dim) { (p, d) =>
-      if ((splitmix64(p * dim + d + 1) & 1L) == 1L) 1.0 else -1.0
+      if ((graft.functions.splitmix64(p * dim + d + 1) & 1L) == 1L) 1.0 else -1.0
     }
-
-  private def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
 
   val JlDim = 16
 
@@ -117,7 +110,7 @@ object Similarity {
     */
   def jlSigns(dim: Int): Array[Array[Double]] =
     Array.tabulate(JlDim, dim) { (p, d) =>
-      if ((splitmix64(0x51000000L + p * dim + d) & 1L) == 1L) 1.0 else -1.0
+      if ((graft.functions.splitmix64(0x51000000L + p * dim + d) & 1L) == 1L) 1.0 else -1.0
     }
 
   /** JL projection R^dim → R^JlDim: component p = Σ_d sign(p,d)·v_d,

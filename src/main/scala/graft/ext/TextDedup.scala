@@ -333,13 +333,6 @@ object TextDedup {
 
   val PortableMask: Long = (1L << 60) - 1
 
-  private def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
   /** Per-permutation constants for the portable remix, precomputed in
     * Scala so neither engine multiplies (int64 overflow semantics differ:
     * DuckDB raises, the JVM wraps).
@@ -402,7 +395,7 @@ object TextDedup {
   }
 
   def portableRemixConsts(i: Int): (Long, Long) =
-    (splitmix64(1000L + i) & PortableMask, splitmix64(2000L + i) & PortableMask)
+    (graft.functions.splitmix64(1000L + i) & PortableMask, graft.functions.splitmix64(2000L + i) & PortableMask)
 
   /** Permutation i of a 60-bit portable hash using only xor / right-shift
     * / add / mask — operations with identical non-negative int64

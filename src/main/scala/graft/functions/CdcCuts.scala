@@ -13,14 +13,7 @@ object CdcKernels {
   // shift + add per position. Seeds are code, not data — every executor
   // and every run agree.
   private val gear: Array[Long] =
-    Array.tabulate(256)(i => splitmix64(0x51ca4cdcL + i))
-
-  private def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+    Array.tabulate(256)(i => graft.functions.splitmix64(0x51ca4cdcL + i))
 
   /** Gear-hash content-defined cut positions (1-based codepoint
     * positions; a cut lands AFTER the position). The hash is a pure

@@ -102,6 +102,20 @@ package object functions {
     */
   def dec6(c: Column): Column = c.cast(DecimalType(38, 6))
 
+  /** The ONE splitmix64 behind every deterministic seed matrix (LSH
+    * planes, JL signs, gear table, MinHash remix constants): seeds are
+    * code, not data — every executor and every generated DuckDB oracle
+    * must agree — so the mixer is shared, not copied per call site (a
+    * constant tweak to one private copy would silently fork a hash
+    * family).
+    */
+  private[graft] def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   /** uint256 hex → five base-10^18 limbs (array<long>, little-endian) —
     * the scale path past [[HexToDecimal]]'s Decimal(38,0) ceiling
     * (ROADMAP "uint256 ceiling"). Limbs sum as plain decimals across

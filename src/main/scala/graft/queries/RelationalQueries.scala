@@ -862,14 +862,18 @@ object RelationalQueries {
         "window pass (row_number and count share the partition sort) + one group aggregate.",
       Some("""WITH v AS (SELECT user_id, CAST(value AS DECIMAL(38,6)) AS v, event_id FROM events),
              |r AS (SELECT user_id, v,
-             |        row_number() OVER (PARTITION BY user_id ORDER BY v, event_id) AS rn,
+             |        row_number() OVER (PARTITION BY user_id ORDER BY v ASC NULLS LAST, event_id) AS rn,
              |        count(*) OVER (PARTITION BY user_id) AS n FROM v)
              |SELECT user_id, CAST(n AS BIGINT) AS n,
              |  CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN v END) AS VARCHAR) AS median_lo,
              |  CAST(MIN(CASE WHEN rn = (n + 2) // 2 THEN v END) AS VARCHAR) AS median_hi
              |FROM r GROUP BY user_id, n ORDER BY user_id""".stripMargin),
       (s, d) => {
-        val w = Window.partitionBy($"user_id").orderBy($"v", $"event_id")
+        // NULLS LAST pinned on BOTH sides: Spark windows default NULLs
+        // first ascending, DuckDB defaults them last — a NULL value
+        // would silently shift which rows sit at the median ranks
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"v".asc_nulls_last, $"event_id")
         val wc = Window.partitionBy($"user_id")
         Tables.events(s, d)
           .select($"user_id", dec6($"value").as("v"), $"event_id")

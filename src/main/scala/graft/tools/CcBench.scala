@@ -73,12 +73,12 @@ object CcBench {
       }
     }
 
-    // `--big`: a 1M-edge chain forest — ABOVE LocalEdgeThreshold, so the
-    // adaptive default must take the distributed min-label→star path
-    // (rounds > 1 proves the gate handed over); local union-find timed
-    // next to it for the crossover picture.
+    // `--big`: a 2M-edge chain forest — ABOVE LocalEdgeThreshold (2^20),
+    // so the adaptive default must take the distributed min-label→star
+    // path (rounds > 1 proves the gate handed over); local union-find
+    // timed next to it for the crossover picture.
     if (args.contains("--big")) {
-      val big = frozen(spark.range(1000000L).filter(col("id") % 1000 =!= 999)
+      val big = frozen(spark.range(2000000L).filter(col("id") % 1000 =!= 999)
         .selectExpr("id AS a", "id + 1 AS b"))
       println(s"[cc] -- big_chain_1M (${big.count()} edges, above gate) --")
       for ((varName, run) <- Seq(
