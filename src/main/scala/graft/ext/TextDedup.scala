@@ -760,6 +760,38 @@ object TextDedup {
         sum(when(col("__hit").isNull, col("clen")).otherwise(0L)).as("novel_chars"))
   }
 
+  /** Quality↔duplication calibration: score deciles × near-dup
+    * incidence — the dataset-card table that answers "is quality
+    * predictive of duplication?" (if low-quality deciles carry most of
+    * the dup mass, dedup-then-filter and filter-then-dedup give very
+    * different corpora, and the cheaper filter should run first).
+    * `scored`: (idCol, score); `edges`: near-dup candidate pairs — a doc
+    * is dup-incident iff it appears on ANY edge (cluster membership
+    * needs no CC here: an edge endpoint is by definition in a ≥2
+    * cluster). Deciles by ntile over the deterministic (score, id)
+    * order; all outputs exact integers (dup rate in basis points). The
+    * ntile window is global by construction — run on the bounded
+    * profiling sample this is for, not the raw corpus.
+    */
+  def dupCalibration(scored: DataFrame, edges: DataFrame, buckets: Int = 10,
+      idCol: String = "doc_id", srcCol: String = "doc_a",
+      dstCol: String = "doc_b"): DataFrame = {
+    val dup = edges.select(col(srcCol).as(idCol))
+      .union(edges.select(col(dstCol).as(idCol))).distinct()
+      .withColumn("__dup", lit(1))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score"), col(idCol))
+    scored.join(dup, Seq(idCol), "left")
+      .withColumn("decile", ntile(buckets).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__dup"), lit(0))).as("n_dup"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+      .select(col("decile"), col("n_docs"), col("n_dup"),
+        expr("CAST(n_dup * 10000 DIV n_docs AS BIGINT)").as("dup_rate_bp"),
+        col("min_score"), col("max_score"))
+  }
+
   /** LSH S-curve planning table — the measurement that justifies a
     * bands×rows split before anyone runs it: for every factorization
     * b·r = `nHashes` and a grid of true Jaccard similarities s, the

@@ -1899,5 +1899,41 @@ object ExtensionQueries {
              |FROM documents
              |GROUP BY md5(text), strlen(text)
              |ORDER BY payload_hash""".stripMargin),
-      (s, d) => Multimodal.dedupExact(Multimodal.asMediaTable(Tables.documents(s, d)))))
+      (s, d) => Multimodal.dedupExact(Multimodal.asMediaTable(Tables.documents(s, d)))),
+
+    Q("x75_quality_dup_calibration",
+      "Quality-vs-duplication calibration over the x63 near-dup graph: token-count deciles x " +
+        "dup incidence — the dataset-card table answering 'is quality predictive of " +
+        "duplication?' (if low-quality deciles carry the dup mass, filter-first beats " +
+        "dedup-first). Dup incidence needs no CC: an edge ENDPOINT is by definition in a >=2 " +
+        "cluster, so one distinct over edge endpoints suffices. Deciles by ntile over the " +
+        "deterministic (score, id) order on the bounded profiling sample; dup rate in exact " +
+        "basis points.",
+      Some("""WITH s AS (
+             |  SELECT doc_id, lang, CAST(len(words) AS BIGINT) AS score,
+             |         list_distinct([array_to_string(words[i:i+3], ' ') for i in range(1, len(words)-2)]) AS sh
+             |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents WHERE doc_id < 300) t
+             |  WHERE len(words) >= 4),
+             |e0 AS (SELECT a.doc_id AS a, b.doc_id AS b
+             |       FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |       WHERE len(list_intersect(a.sh, b.sh)) >= 1),
+             |dup AS (SELECT a AS doc_id FROM e0 UNION SELECT b FROM e0),
+             |d AS (SELECT s.doc_id, s.score,
+             |        CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+             |        ntile(10) OVER (ORDER BY s.score, s.doc_id) AS decile
+             |      FROM s LEFT JOIN dup ON s.doc_id = dup.doc_id)
+             |SELECT CAST(decile AS INT) AS decile, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+             |  CAST(SUM(is_dup) * 10000 // count(*) AS BIGINT) AS dup_rate_bp,
+             |  CAST(MIN(score) AS BIGINT) AS min_score, CAST(MAX(score) AS BIGINT) AS max_score
+             |FROM d GROUP BY decile ORDER BY decile""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+        val withShingles = docs
+          .filter(size(graft.functions.word_shingles(col("text"), 4)) > 0)
+        val scored = withShingles.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("score"))
+        val edges = TextDedup.sharedShingleEdges(docs, "lang", 4)
+        TextDedup.dupCalibration(scored, edges)
+      }))
 }
