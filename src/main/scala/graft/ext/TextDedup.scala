@@ -749,10 +749,25 @@ object TextDedup {
     */
   def cdcIncremental(corpus: DataFrame, batch: DataFrame, window: Int = 8,
       divisor: Int = 64, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val index = cdcChunks(corpus, window, divisor, idCol, textCol)
-      .select(col("h")).distinct()
-    cdcChunks(batch, window, divisor, idCol, textCol)
+      textCol: String = "text"): DataFrame =
+    cdcIncrementalAgainstIndex(
+      cdcChunks(corpus, window, divisor, idCol, textCol),
+      cdcChunks(batch, window, divisor, idCol, textCol), idCol)
+
+  /** The probe tail of [[cdcIncremental]] against a STORED chunk frame —
+    * the standing-index production shape: the index is a table of
+    * already-computed chunk rows (any `h` column frame qualifies; only
+    * `h` is read), never re-chunked per arrival. Stored BUCKETED on `h`
+    * (`Bucketing.writeBucketed(..., "h", n, sortCol = Some("h"))`), the
+    * index-side distinct and the probe join are both satisfied by the
+    * bucket layout's HashPartitioning — the probe plans NO index-side
+    * shuffle (locked in CdcSpec, the x51 band-index property at chunk
+    * granularity).
+    */
+  def cdcIncrementalAgainstIndex(indexChunks: DataFrame, batchChunks: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val index = indexChunks.select(col("h")).distinct()
+    batchChunks
       .join(index.withColumn("__hit", lit(1)), Seq("h"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"),

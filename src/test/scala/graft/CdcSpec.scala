@@ -105,6 +105,44 @@ class CdcSpec extends SparkSuite {
       again.map(r => (r.getLong(0), r.getInt(1), r.getLong(4))).toSet)
   }
 
+  test("bucketed chunk index: the probe plans fewer exchanges than an unbucketed one") {
+    import graft.pipeline.Bucketing
+    val corpus = (1L to 40L).map(i => (i, synth(100 + i.toInt, 300)))
+      .toDF("doc_id", "text")
+    val batch = Seq((500L, synth(101, 300)), (501L, synth(999, 250)))
+      .toDF("doc_id", "text")
+    Bucketing.writeBucketed(TextDedup.cdcChunksFast(corpus),
+      "chunk_index", "h", 4, Some("h"))
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val batchChunks = TextDedup.cdcChunksFast(batch)
+      val bucketed = TextDedup.cdcIncrementalAgainstIndex(
+        spark.table("chunk_index"), batchChunks)
+      val plain = TextDedup.cdcIncrementalAgainstIndex(
+        TextDedup.cdcChunksFast(corpus), batchChunks)
+      val (nBucketed, nPlain) =
+        (Bucketing.countExchanges(bucketed), Bucketing.countExchanges(plain))
+      // HashPartitioning(h) from the bucket layout satisfies both the
+      // index-side distinct and the probe join — only batch-side
+      // exchanges remain
+      assert(nBucketed < nPlain,
+        s"bucketed chunk index should drop index-side exchanges ($nBucketed vs $nPlain)")
+      // identical novelty stats either way; doc 500 re-arrives corpus
+      // content and must be fully known
+      val b = bucketed.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(b == plain.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+      val d500 = b.head
+      assert(d500(1) == d500(2), s"exact re-arrival must fully hit: $d500")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS chunk_index")
+    }
+  }
+
   test("fixed-size blocking shares nothing under the same shift (the contrast)") {
     val base = synth(13, 512)
     val shifted = "x" + base // 1-char insertion: every 64-byte block differs
