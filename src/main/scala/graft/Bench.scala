@@ -32,6 +32,12 @@ object Bench {
     // 2-6x regressions exactly because both forward passes sat in the
     // same noisy window). Queries whose two samples still disagree
     // badly get a third targeted sample.
+    // A failing query must not hide as a ~0 s timing (the round-7 data
+    // regeneration broke q48's type resolution and the swallowed error
+    // benched as 0.006 s — visible only because the correctness gate
+    // also caught it). Record failures and surface them on stderr plus
+    // an n_errors field; the timing maps keep the driver's schema.
+    val errors = scala.collection.mutable.LinkedHashSet[String]()
     def time(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -40,7 +46,10 @@ object Bench {
       // columns the count never reads vanishes from the plan, timing
       // nothing)
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        if (errors.add(name))
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -84,6 +93,7 @@ object Bench {
     val bySlowest = results.sortBy(-_._2)
     val head = new StringBuilder(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+      s""""n_errors":${errors.size},""" +
       s""""full":"bench_full_last.json","queries":{""")
     val tailBudget = 1600 // chars for the compact line, incl. closing
     var first = true
