@@ -929,6 +929,46 @@ object RelationalQueries {
             $"t_view".cast("timestamp_ntz").as("t_view"),
             $"t_click".cast("timestamp_ntz").as("t_click"),
             $"t_purchase".cast("timestamp_ntz").as("t_purchase"))
+      }),
+
+    Q("q53_volume_anomaly",
+      "Ingest volume anomaly flags — the monitoring query an ETL owner runs over their own " +
+        "landing tables (the reference logs per-batch elapsed/volume; this is that signal as " +
+        "data): hourly event counts per type against the type's exact rank-median hour, " +
+        "flagged when an hour carries at least double the median. DIVISION-FREE: the spike " +
+        "predicate n >= med_lo + med_hi compares integers (the q51 order statistics summed = " +
+        "2x the median), so no float enters. One hourly aggregate, one per-type window over " +
+        "the hours frame (hours << events), one broadcast-size median join back.",
+      Some("""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS n
+             |           FROM events GROUP BY event_type, date_trunc('hour', ts)),
+             |r AS (SELECT event_type, hr, n,
+             |        row_number() OVER (PARTITION BY event_type ORDER BY n, hr) AS rn,
+             |        count(*) OVER (PARTITION BY event_type) AS m FROM h),
+             |med AS (SELECT event_type,
+             |          MIN(CASE WHEN rn = (m + 1) // 2 THEN n END) AS med_lo,
+             |          MIN(CASE WHEN rn = (m + 2) // 2 THEN n END) AS med_hi
+             |        FROM r GROUP BY event_type, m)
+             |SELECT h.event_type, h.hr, h.n, med.med_lo, med.med_hi,
+             |  CAST(CASE WHEN h.n >= med.med_lo + med.med_hi THEN 1 ELSE 0 END AS INT) AS is_spike
+             |FROM h JOIN med USING (event_type)
+             |ORDER BY event_type, hr""".stripMargin),
+      (s, d) => {
+        val h = Tables.events(s, d)
+          .groupBy($"event_type", date_trunc("hour", $"ts").as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy($"event_type").orderBy($"n", $"hr")
+        val wc = Window.partitionBy($"event_type")
+        val med = h
+          .withColumn("rn", row_number().over(w))
+          .withColumn("m", count(lit(1)).over(wc))
+          .groupBy($"event_type", $"m")
+          .agg(min(when($"rn" === expr("(m + 1) DIV 2"), $"n")).as("med_lo"),
+            min(when($"rn" === expr("(m + 2) DIV 2"), $"n")).as("med_hi"))
+          .drop("m")
+        h.join(med, Seq("event_type"))
+          .select($"event_type", $"hr".cast("timestamp_ntz").as("hr"), $"n",
+            $"med_lo", $"med_hi",
+            ($"n" >= $"med_lo" + $"med_hi").cast("int").as("is_spike"))
       }))
 
 
