@@ -1935,5 +1935,67 @@ object ExtensionQueries {
           size(split(col("text"), " ")).cast("long").as("score"))
         val edges = TextDedup.sharedShingleEdges(docs, "lang", 4)
         TextDedup.dupCalibration(scored, edges)
+      }),
+
+    Q("x76_effective_tokens",
+      "Effective token budget after dedup, per source — the planning table that turns a raw " +
+        "corpus inventory into what training actually sees: per source, raw docs/tokens vs the " +
+        "docs/tokens SURVIVING the x63 quality-aware keep-rule (best copy per near-dup " +
+        "cluster), with the survival share in exact basis points. A source whose token count " +
+        "collapses here is duplicate-heavy inventory, not data. Composes the proven x63 chain " +
+        "(shared-shingle graph -> CC -> struct-max keep) with one source-keyed aggregate; the " +
+        "survivors semi-join is on the component-count-sized keep set.",
+      Some("""WITH RECURSIVE
+             |s AS (
+             |  SELECT doc_id, lang, source, CAST(len(words) AS BIGINT) AS n_tokens,
+             |         list_distinct([array_to_string(words[i:i+3], ' ') for i in range(1, len(words)-2)]) AS sh
+             |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS words FROM documents WHERE doc_id < 300) t
+             |  WHERE len(words) >= 4),
+             |e0 AS (SELECT a.doc_id AS a, b.doc_id AS b
+             |       FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |       WHERE len(list_intersect(a.sh, b.sh)) >= 1),
+             |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+             |walk(node, lab) AS (
+             |  SELECT DISTINCT a, a FROM e
+             |  UNION
+             |  SELECT e.a, w.lab FROM e JOIN walk w ON e.b = w.node),
+             |comp AS (SELECT node, MIN(lab) AS component FROM walk GROUP BY node),
+             |r AS (SELECT s.doc_id, s.source, s.n_tokens,
+             |             COALESCE(c.component, s.doc_id) AS component
+             |      FROM s LEFT JOIN comp c ON s.doc_id = c.node),
+             |sel AS (SELECT doc_id, source, n_tokens,
+             |          row_number() OVER (PARTITION BY component
+             |            ORDER BY n_tokens DESC, doc_id DESC) AS rn
+             |        FROM r)
+             |SELECT source,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+             |  CAST(SUM(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+             |  CAST(SUM(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) * 10000 // SUM(n_tokens) AS BIGINT) AS kept_share_bp
+             |FROM sel GROUP BY source ORDER BY source""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+        val universe = docs
+          .filter(size(graft.functions.word_shingles(col("text"), 4)) > 0)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val edges = TextDedup.sharedShingleEdges(docs, "lang", 4)
+        val assigned = graft.operators.ConnectedComponents.assign(
+          universe.select(col("doc_id")), edges, "doc_id", "doc_a", "doc_b")
+        val keepIds = TextDedup.keepBestPerCluster(assigned,
+            universe.select(col("doc_id"), col("n_tokens").as("score")))
+          .select(col("keep_id").as("doc_id")).withColumn("__keep", lit(1))
+        universe.join(keepIds, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(when(col("__keep").isNotNull, 1L).otherwise(0L)).as("n_docs_kept"),
+            sum(when(col("__keep").isNotNull, col("n_tokens")).otherwise(0L))
+              .as("n_tokens_kept"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("n_docs_kept"), col("n_tokens_kept"),
+            expr("CAST(n_tokens_kept * 10000 DIV n_tokens AS BIGINT)")
+              .as("kept_share_bp"))
       }))
 }
