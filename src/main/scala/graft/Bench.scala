@@ -71,11 +71,39 @@ object Bench {
     // (full-precision doubles pushed the "metric" prefix out of the
     // window in rounds 2-3 → BENCH_r{N}.json "parsed": null)
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // A failed query's fast-fail elapsed must not mix into totals or the
+    // per-query history (a break that fails in 6 ms would LOWER the
+    // headline): failed queries carry a -1.0 sentinel in the maps, are
+    // excluded from every total, and are named in a "failed" array on
+    // BOTH the full and compact lines (round-7 advisory).
+    val qs = results.map { case (k, v) =>
+        "\"" + k + "\":" + (if (errors.contains(k)) "-1.0" else fmt(v))
+      }.mkString("{", ",", "}")
+    val ok = results.filterNot { case (k, _) => errors.contains(k) }
+    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
+    val failedArr = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Host-noise anchor: q41_u256_sum is content-independent (decimal
+    // limb arithmetic, no data-dependent skew) with a documented clean
+    // band of 1.4-1.7 s on this host (BASELINE.md). host_factor =
+    // anchor / clean-midpoint self-reports how contended the bench
+    // window was (three rounds of cross-round comparisons were
+    // confounded by 1.35-1.4x host slowdowns before this field);
+    // adj_value = value / max(1, host_factor) is the host-adjusted
+    // total for cross-round comparison. An anchor below the clean band
+    // clamps to factor 1.0 — a fast host is not "negative noise".
+    val AnchorName = "q41_u256_sum"
+    val AnchorCleanSec = 1.55
+    val anchorSec = results.toMap.get(AnchorName)
+      .filterNot(_ => errors.contains(AnchorName)).getOrElse(0.0)
+    val hostFactor = if (anchorSec > 0) math.max(1.0, anchorSec / AnchorCleanSec) else 1.0
+    val adjTotal = total / hostFactor
+    val anchorFields =
+      s""""anchor":"$AnchorName","anchor_sec":${fmt(anchorSec)},""" +
+      s""""anchor_clean_sec":${fmt(AnchorCleanSec)},"host_factor":${fmt(hostFactor)},""" +
+      s""""adj_value":${fmt(adjTotal)}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$anchorFields,""" +
+      s""""failed":$failedArr,"queries":$qs,"sf":"$sfDir"}"""
     println(fullLine)
     // The registry outgrew the driver's fixed-size stdout tail: at 110
     // queries the full line is ~3 KB, so the tail (last ~2000 chars)
@@ -90,10 +118,10 @@ object Bench {
         java.nio.file.Paths.get("bench_full_last.json"),
         (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    val bySlowest = results.sortBy(-_._2)
+    val bySlowest = ok.sortBy(-_._2)
     val head = new StringBuilder(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
-      s""""n_errors":${errors.size},""" +
+      s""""n_errors":${errors.size},"failed":$failedArr,$anchorFields,""" +
       s""""full":"bench_full_last.json","queries":{""")
     val tailBudget = 1600 // chars for the compact line, incl. closing
     var first = true

@@ -6,12 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` payloads with a
   * typed metadata struct, plus batch "decode / feature-extract" stages.
   *
-  * The decode itself is STUBBED (this container has no image/audio
-  * libraries): `fakeDecode` derives deterministic pseudo-features from
-  * the raw bytes so the Spark-side contract — schema, Dataset encoders,
-  * partition-local batch processing via `mapPartitions`, feature vector
-  * shape — is real and testable. Swap `fakeDecode` for a real codec
-  * binding (e.g. JNI or an ONNX runtime) without touching the plan shape.
+  * Two decode paths through the same MediaRow seam:
+  *   - `fakeDecode`: md5-derived deterministic pseudo-features — the
+  *     oracle-checkable twin (x12) standing in for codec bindings this
+  *     container lacks (audio/video).
+  *   - [[realDecode]] (round-8): an actual codec — `javax.imageio`
+  *     PNG/BMP/JPEG decode plus the 8x8 average-hash perceptual
+  *     signature, driven end-to-end by x77's encode → perturb → decode
+  *     → perceptual-dedup pipeline. Proves the seam carries real
+  *     bytes-to-pixels work, not just plumbing.
+  * Swapping in further codecs (JNI, ONNX) touches neither the schema
+  * nor the plan shape.
   *
   * Scale posture: payloads never pass through a shuffle here; decode is
   * partition-local, and downstream joins carry only (id, features).
@@ -148,4 +153,158 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].mapPartitions(fakeFrameSample(frameSize, stride) _).toDF()
   }
+
+  // ---- REAL codec path (round-8): javax.imageio through the same seam ----
+  //
+  // `fakeDecode` was the container's stand-in for a codec binding; the
+  // JDK ships real PNG/BMP/JPEG codecs in javax.imageio, so the seam no
+  // longer needs to be hypothetical: [[decodeImages]] runs a real
+  // bit-exact decode partition-local over the same MediaRow contract,
+  // and [[aHashOf]] derives the standard 8x8 average-hash perceptual
+  // signature — the media analogue of SimHash — in pure integer
+  // arithmetic (no float rounding in the signature). x77 drives a real
+  // encode → perturb → decode → perceptual-dedup pipeline through it;
+  // MultimodalCodecSpec pins analytic signatures on constructed images.
+
+  case class DecodedImage(doc_id: Long, media_type: String, width: Int,
+      height: Int, ahash: Long, mean_lum: Double)
+
+  /** Offset under which a rendered document's perturbed twin is id'd in
+    * [[pngPairsFromDocs]] — far above any testdata doc_id, so
+    * `keep_id = min(ids in cluster)` recovers the original document.
+    */
+  val TwinIdOffset: Long = 1000000L
+
+  /** Integer luminance in [0, 255]: (299 r + 587 g + 114 b) / 1000 —
+    * the BT.601 weights in exact integer math so the perceptual hash is
+    * reproducible bit-for-bit on any JVM (no float rounding).
+    */
+  private def lumOf(rgb: Int): Long = {
+    val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+    (299L * r + 587L * g + 114L * b) / 1000L
+  }
+
+  /** 8x8 average hash + mean luminance of a decoded image. Bit (by*8+bx)
+    * is set iff block (bx, by)'s mean luminance exceeds the global mean;
+    * the comparison is cross-multiplied (blockSum * nTotal > totalSum *
+    * nBlock) so it is exact — no division. Exactness buys a provable
+    * invariance: a uniform luminance shift of +d per pixel adds
+    * d*nBlock to every blockSum and d*nTotal to totalSum, and the
+    * cross-multiplied inequality cancels it algebraically — which is
+    * what lets x77's oracle predict perceptual clusters without DuckDB
+    * decoding anything. Block bounds use floor(i*dim/8) so any
+    * dimension ≥ 8 gets a full 64-bit signature.
+    */
+  def aHashOf(img: java.awt.image.BufferedImage): (Long, Double) = {
+    val w = img.getWidth; val h = img.getHeight
+    val lum = Array.ofDim[Long](h, w)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { val l = lumOf(img.getRGB(x, y)); lum(y)(x) = l; total += l; x += 1 }
+      y += 1
+    }
+    val n = w.toLong * h
+    var hash = 0L
+    for (by <- 0 until 8; bx <- 0 until 8) {
+      val x0 = bx * w / 8; val x1 = (bx + 1) * w / 8
+      val y0 = by * h / 8; val y1 = (by + 1) * h / 8
+      var s = 0L
+      var cnt = 0L
+      var yy = y0
+      while (yy < y1) {
+        var xx = x0
+        while (xx < x1) { s += lum(yy)(xx); cnt += 1; xx += 1 }
+        yy += 1
+      }
+      if (cnt > 0 && s * n > total * cnt) hash |= 1L << (by * 8 + bx)
+    }
+    (hash, total.toDouble / n)
+  }
+
+  /** REAL decode: `javax.imageio` partition-local over the MediaRow
+    * seam — same batch shape as [[fakeDecode]], real bytes-to-pixels
+    * work. Undecodable payloads (no registered reader) are dropped, the
+    * standard posture for a corpus-scale decode stage (a count of
+    * drops, if needed, is one agg on the id anti-join).
+    */
+  def realDecode(rows: Iterator[MediaRow]): Iterator[DecodedImage] =
+    rows.flatMap { r =>
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload)))
+        .map { img =>
+          val (hash, mean) = aHashOf(img)
+          DecodedImage(r.doc_id, r.media_type, img.getWidth, img.getHeight, hash, mean)
+        }
+    }
+
+  def decodeImages(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(realDecode _).toDF()
+  }
+
+  /** Deterministic w×h RGB render from a 64-bit seed: `java.util.Random`
+    * pixels with each channel in [0, 251) so a `brighten` of up to +4
+    * never clamps at 255 — the no-clamp bound is what makes the twin's
+    * luminance shift exactly uniform and hence aHash-invariant (see
+    * [[aHashOf]]).
+    */
+  def renderImage(seed: Long, w: Int, h: Int, brighten: Int): java.awt.image.BufferedImage = {
+    require(brighten >= 0 && brighten <= 4, "brighten must stay in the no-clamp bound [0, 4]")
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd = new java.util.Random(seed)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = rnd.nextInt(251) + brighten
+      val g = rnd.nextInt(251) + brighten
+      val b = rnd.nextInt(251) + brighten
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    img
+  }
+
+  /** Real in-JVM encode (PNG lossless by default; "bmp" also ships in
+    * the JDK — MultimodalCodecSpec round-trips both).
+    */
+  def encodeImage(img: java.awt.image.BufferedImage, format: String = "png"): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  case class TextRow(doc_id: Long, text: String)
+
+  /** documents → a REAL PNG media table: per doc, one image rendered
+    * from the md5-of-text seed plus a +4-brightened twin under
+    * `doc_id + TwinIdOffset`. The twin's PNG bytes differ (exact md5
+    * dedup sees two distinct payloads) while its aHash is provably
+    * identical — the planted near-duplicate that only a DECODED
+    * perceptual signature can pair back up, i.e. the case x74's exact
+    * byte-hash dedup structurally cannot catch. Render + encode run
+    * partition-local; payloads never shuffle.
+    */
+  def pngPairsFromDocs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[TextRow].mapPartitions { it =>
+      it.flatMap { r =>
+        val d = graft.functions.Md5Kernels.digest(r.text.getBytes("UTF-8"))
+        val seed = graft.functions.Md5Kernels.prefix60OfDigest(d)
+        Seq(
+          MediaRow(r.doc_id, "image/png", encodeImage(renderImage(seed, 32, 32, 0))),
+          MediaRow(r.doc_id + TwinIdOffset, "image/png",
+            encodeImage(renderImage(seed, 32, 32, 4))))
+      }
+    }.toDF()
+  }
+
+  /** Perceptual clusters over decoded features: group by (ahash, width,
+    * height) — the decoded-signature analogue of [[dedupExact]]'s
+    * byte-hash grouping. `lum_gap` = max−min mean luminance inside the
+    * cluster surfaces how far apart the members' raw pixels are (0 for
+    * byte-identical, the planted +4 for x77's twins — exact in IEEE:
+    * integer sums divided by the power-of-two pixel count).
+    */
+  def perceptualClusters(decoded: DataFrame): DataFrame =
+    decoded.groupBy(col("ahash"), col("width"), col("height"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"),
+        (max(col("mean_lum")) - min(col("mean_lum"))).as("lum_gap"))
 }

@@ -55,6 +55,12 @@ import org.apache.spark.sql.functions._
   *     smaller-neighbor) — never a blowup).
   */
 object ConnectedComponents {
+  // Null contract (all variants): an edge with a null endpoint is
+  // dropped before labeling — a null id cannot name a node. Pre-round-8
+  // the distributed paths kept half-null edges (emitting a null node
+  // row) while the local path NPE'd, so the adaptive size gate gave
+  // small and large graphs different null semantics (round-7 advisory);
+  // CcPropertySpec now asserts local == distributed on null input.
 
   /** Large-star: for every node u (over both edge orientations), connect
     * each strictly larger neighbor v > u to m = min(Γ(u) ∪ {u}).
@@ -110,7 +116,7 @@ object ConnectedComponents {
     // once, and both derivations (canonical edges now, the node universe
     // at the end) read cached blocks.
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
-      col(dstCol).cast("long").as("b")).localCheckpoint(false)
+      col(dstCol).cast("long").as("b")).na.drop().localCheckpoint(false)
     // Every node of the input graph, self-loops and isolates-with-self-edge
     // included — the label set must cover them even though the star
     // rounds drop degenerate edges.
@@ -207,7 +213,7 @@ object ConnectedComponents {
   def labelsHybridWithRounds(edges: DataFrame, srcCol: String = "a", dstCol: String = "b",
       maxIter: Int = 25): (DataFrame, Int) = {
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
-      col(dstCol).cast("long").as("b")).localCheckpoint(false)
+      col(dstCol).cast("long").as("b")).na.drop().localCheckpoint(false)
     val nodes = e0.select(col("a").as("node"))
       .union(e0.select(col("b").as("node")))
       .distinct()
@@ -246,7 +252,7 @@ object ConnectedComponents {
   def labelsMinLabelWithRounds(edges: DataFrame, srcCol: String = "a", dstCol: String = "b",
       maxIter: Int = 25): (DataFrame, Int) = {
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
-      col(dstCol).cast("long").as("b")).localCheckpoint(false)
+      col(dstCol).cast("long").as("b")).na.drop().localCheckpoint(false)
     val (_, labs, iter, converged) = minLabelRounds(e0, maxIter)
     require(converged,
       s"connected components did not converge in $maxIter rounds — " +
@@ -330,9 +336,10 @@ object ConnectedComponents {
     * sizes fixpoint wall-time is per-round JOB SCHEDULING, not compute —
     * x53's 1,215-pair cell graph spent ~4.5 s on 8 distributed rounds
     * that a local union-find retires in one task. The crossover is far
-    * above the threshold: a 999k-edge chain forest measures 1.37 s
-    * local (shuffle-to-one-task included) vs 25.6 s / 14 rounds
-    * distributed (`tools.CcBench --big`, SCALING.md round 7). 2^20
+    * above the threshold: the ~1,998,000-edge chain forest `CcBench
+    * --big` actually generates (range(2M) minus every 1000th edge →
+    * 2000 chains) measures 1.37 s local (shuffle-to-one-task included)
+    * vs 25.6 s / 14 rounds distributed (SCALING.md round 7). 2^20
     * edges bound the single task at ~100 MB of union-find state
     * (LongMap keys + boxed values for ≤2·edges nodes) — a fraction of
     * executor task memory. Post-blocking dedup graphs are usually this
@@ -352,7 +359,12 @@ object ConnectedComponents {
       dstCol: String = "b"): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // null endpoints drop here exactly as they drop out of the
+    // distributed path's joins — without the filter, .as[(Long, Long)]
+    // NPEs on a null endpoint and small (local-path) graphs would get
+    // different null semantics than large ones (round-7 advisory)
     edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+      .na.drop()
       .as[(Long, Long)]
       .repartition(1)
       .mapPartitions { it =>
@@ -427,7 +439,7 @@ object ConnectedComponents {
       maxIter: Int = 25, switchAfter: Int = 12,
       localThreshold: Long = LocalEdgeThreshold): (DataFrame, Int) = {
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
-      col(dstCol).cast("long").as("b")).localCheckpoint(false)
+      col(dstCol).cast("long").as("b")).na.drop().localCheckpoint(false)
     if (localThreshold > 0 && e0.count() <= localThreshold)
       return (labelsLocal(e0, "a", "b"), 1)
     val (sym, labs, iter, converged) =

@@ -67,19 +67,33 @@ object Salt {
 
   /** Skew-AWARE salted join: [[saltedJoin]] pays nSalts× dim replication
     * on EVERY key; this variant detects the hot keys first (one
-    * bounded-state Misra-Gries pass over the fact keys —
-    * [[graft.functions.frequent_items]], map-side partial state of
-    * `hotCapacity` entries, one tiny shuffle) and salts ONLY the hot
+    * bounded-state Misra-Gries pass over a Bernoulli SAMPLE of the fact
+    * keys — [[graft.functions.frequent_items]], map-side partial state
+    * of `hotCapacity` entries, one tiny shuffle) and salts ONLY the hot
     * slice; everything else takes the plain equi-join. Dim replication
     * drops from nSalts × |dim| to nSalts × |dim ∩ hot| — at 100 TB the
     * difference between "replicate the orders table 32×" and "replicate
-    * 16 rows 32×". Misra-Gries returns a guaranteed SUPERSET of keys
-    * with frequency > n/capacity (x27's containment contract); spurious
-    * candidates only cost harmless extra salting, and which keys are
-    * classified hot never changes the joined row set (property: both
-    * branches produce exactly the plain join's rows — q43's oracle).
-    * NULL fact keys match neither branch's predicate, exactly like the
-    * plain join.
+    * 16 rows 32×".
+    *
+    * Detection runs on `fact.sample(detectFraction)` (seeded, so the
+    * plan is deterministic across retries), not the full table: through
+    * round 7 the full-table Misra-Gries pass made this the registry's
+    * only plan scanning its fact input twice, and a key hot enough to
+    * skew a reducer (share ≳ 1/hotCapacity of n rows) is hot in any
+    * constant-fraction sample with overwhelming probability — while a
+    * key the sample misses or invents only moves work between the two
+    * row-identical branches (see below), never changes the answer
+    * (round-7 verdict item 1; SCALING.md records the measured contrast).
+    * The sample is still one pass over the key column, but it prunes to
+    * that single column and aggregates ~detectFraction of the rows.
+    *
+    * Misra-Gries returns a guaranteed SUPERSET of keys with frequency >
+    * sample/capacity (x27's containment contract); spurious candidates
+    * only cost harmless extra salting, and which keys are classified
+    * hot never changes the joined row set (property: both branches
+    * produce exactly the plain join's rows — q43's oracle). NULL fact
+    * keys match neither branch's predicate, exactly like the plain
+    * join.
     *
     * The detected hot set is COLLECTED to the driver (≤ hotCapacity
     * strings — the q18 broadcast-pin size class) and embedded as one
@@ -94,9 +108,15 @@ object Salt {
     */
   def skewAwareJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, discriminator: Column, nSalts: Int,
-      hotCapacity: Int = 16): DataFrame = {
-    val hot: Seq[String] = fact
-      .agg(graft.functions.frequent_items(col(factKey).cast("string"), hotCapacity).as("hh"))
+      hotCapacity: Int = 16, detectFraction: Double = 0.02): DataFrame = {
+    require(detectFraction > 0 && detectFraction <= 1.0,
+      "detectFraction must be in (0, 1]")
+    val keys = fact.select(col(factKey).cast("string").as("__k"))
+    val probe =
+      if (detectFraction < 1.0) keys.sample(withReplacement = false, detectFraction, seed = 42L)
+      else keys
+    val hot: Seq[String] = probe
+      .agg(graft.functions.frequent_items(col("__k"), hotCapacity).as("hh"))
       .select(explode(col("hh").getField("item")).as("__hot"))
       .collect().map(_.getString(0)).toSeq
     if (hot.isEmpty) {

@@ -1889,8 +1889,8 @@ object ExtensionQueries {
         "accounting every large media corpus runs first: one md5(payload) hash aggregate with " +
         "map-side partials; payloads never shuffle (only the 16-byte hash and byte count do). " +
         "Per distinct payload: copy count, min-id keeper, and the bytes dedup reclaims. " +
-        "Perceptual near-dup would swap the hash for decoded features through the same " +
-        "dataflow (the fakeDecode seam).",
+        "Perceptual near-dup swaps the hash for decoded features through the same dataflow — " +
+        "x77 runs that path with a REAL javax.imageio codec.",
       Some("""SELECT md5(text) AS payload_hash,
              |  CAST(strlen(text) AS BIGINT) AS n_bytes,
              |  CAST(count(*) AS BIGINT) AS n_copies,
@@ -1997,5 +1997,28 @@ object ExtensionQueries {
             col("n_docs_kept"), col("n_tokens_kept"),
             expr("CAST(n_tokens_kept * 10000 DIV n_tokens AS BIGINT)")
               .as("kept_share_bp"))
+      }),
+
+    Q("x77_image_phash_dedup",
+      "Perceptual media dedup through a REAL codec (round-8: the fakeDecode seam made real): " +
+        "each doc renders to a real PNG (javax.imageio encode) plus a +4-brightened twin — " +
+        "different bytes, so x74's exact byte-hash dedup sees 2N distinct payloads — then both " +
+        "decode back through the media seam (ImageIO read) into 8x8 average-hash perceptual " +
+        "signatures, which pair every twin with its original: clusters of exactly 2, decoded " +
+        "mean-luminance gap of exactly 4. Both exactness claims are algebraic, not empirical " +
+        "(integer cross-multiplied hash bits cancel a uniform shift; integer luminance sums " +
+        "over a power-of-two pixel count divide exactly in IEEE — Multimodal.aHashOf), which " +
+        "is what lets the oracle predict the clusters from content identity alone, no codec " +
+        "in DuckDB. Render/encode/decode all partition-local; payloads never shuffle.",
+      Some("""SELECT doc_id AS keep_id, CAST(2 AS BIGINT) AS n_copies,
+             |  CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+             |  CAST(4.0 AS DOUBLE) AS lum_gap
+             |FROM documents WHERE doc_id < 200 ORDER BY keep_id""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+        val media = Multimodal.pngPairsFromDocs(s, docs)
+        Multimodal.perceptualClusters(Multimodal.decodeImages(s, media))
+          .select(col("keep_id"), col("n_copies"), col("width"), col("height"),
+            col("lum_gap"))
       }))
 }

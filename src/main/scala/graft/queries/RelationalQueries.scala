@@ -637,8 +637,9 @@ object RelationalQueries {
     // row-identical to the plain join in RangeJoinSpec.
 
     Q("q43_skew_join",
-      "Skew-AWARE salted join: Misra-Gries hot-key detection bounds dim replication to the hot slice; " +
-        "cold keys take the plain join. Row-identical to the plain join, so the oracle IS the plain join.",
+      "Skew-AWARE salted join: sampled Misra-Gries hot-key detection (2% Bernoulli, seeded) bounds dim " +
+        "replication to the hot slice; cold keys take the plain join. Row-identical to the plain join " +
+        "regardless of which keys the sample flags, so the oracle IS the plain join.",
       Some("""SELECT o_orderstatus,
              |  CAST(CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue,
              |  count(*) AS n

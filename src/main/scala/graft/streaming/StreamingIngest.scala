@@ -326,13 +326,64 @@ object StreamingIngest {
     * inside the current activity window, resolution deferred to seal
     * time — a late-but-within-watermark view can lower the first-view
     * time and retroactively qualify earlier clicks, so eager resolution
-    * would diverge from the batch semantics on out-of-order input. The
-    * lists are bounded by the watermark horizon (the operator drops
-    * older rows before the function runs), the same state-size argument
-    * as [[OpenSessionSet]].
+    * would diverge from the batch semantics on out-of-order input.
+    *
+    * State is NOT bounded by the watermark (the watermark only drops
+    * late INPUT rows; a continuously-active user keeps one activity
+    * window open indefinitely — round-7 advisory); it is bounded by
+    * [[pruneFunnel]]: only timestamps that can still affect seal-time
+    * resolution are retained (min view; clicks/purchases not dominated
+    * by a smaller same-type timestamp already above the resolution
+    * bound), plus a hard per-list cap for the adversarial tail.
     */
   case class FunnelWindow(views: List[Long], clicks: List[Long],
       purchases: List[Long], lastTs: Long)
+
+  /** Hard per-list cap on retained funnel timestamps. Dominance pruning
+    * is exact; the cap only bites on the adversarial shape it cannot
+    * bound (an ever-decreasing view stream interleaved with clicks just
+    * below the running min view — every such click remains a potential
+    * answer). Overflow policy: keep the `cap` SMALLEST retained
+    * timestamps — a dropped (larger) one can only have been the answer
+    * if the final min view lands between the largest kept and the
+    * dropped one, in which case resolution falls to the above-bound
+    * candidate instead: stage counts never over-report, and first-times
+    * err late only past 4096 live candidates per list.
+    */
+  val MaxFunnelTimestamps: Int = 4096
+
+  /** Prune [[FunnelWindow]] state to the timestamps that can still
+    * change seal-time resolution (tv = min view; tc = min click > tv;
+    * tp = min purchase > tc), exploiting that tv only DECREASES as
+    * events merge:
+    *  - views: only the min can ever matter — keep one.
+    *  - clicks: any click above the CURRENT min view qualifies for
+    *    every possible final tv (tv only moves down), so the smallest
+    *    such click dominates all larger ones — keep it, plus every
+    *    click ≤ min view (each is the answer for some final tv).
+    *  - purchases: same dominance against the current tc upper bound
+    *    (the smallest click above min view); with no such bound yet,
+    *    every purchase is a potential answer — dedup + cap only.
+    * Exact duplicates never change min-based resolution and are always
+    * dropped. Resolution on pruned state is identical to resolution on
+    * the full history (FunnelPruneSpec property-tests this).
+    */
+  def pruneFunnel(s: FunnelWindow): FunnelWindow = {
+    def keep(all: List[Long], bound: Option[Long]): List[Long] = {
+      val distinct = all.distinct
+      val retained = bound match {
+        case Some(b) =>
+          val (below, above) = distinct.partition(_ <= b)
+          below ++ above.minOption.toList
+        case None => distinct
+      }
+      retained.sorted.take(MaxFunnelTimestamps)
+    }
+    val mv = s.views.minOption
+    val clicks = keep(s.clicks, mv)
+    val tcHi = mv.flatMap(v => clicks.filter(_ > v).minOption)
+    FunnelWindow(mv.toList, clicks, keep(s.purchases, tcHi), s.lastTs)
+  }
 
   /** Streaming ordered-funnel analysis via `flatMapGroupsWithState` +
     * `EventTimeTimeout` — the continuous rendering of batch q52
@@ -393,7 +444,7 @@ object StreamingIngest {
                 case _ => s.copy(lastTs = bumped)
               }
             }
-            state.update(s)
+            state.update(pruneFunnel(s))
             state.setTimeoutTimestamp(math.max(s.lastTs / 1000L + gapMs,
               state.getCurrentWatermarkMs() + 1))
             Iterator.empty
@@ -571,17 +622,31 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
+        // "Index/stats table not created yet" is the ONLY condition that
+        // may fall back to an empty read: a blanket Try(...).getOrElse
+        // would also swallow transient FS errors and corrupt footers,
+        // silently probing an empty index — that batch's novelty stats
+        // overstate novel_chars and re-append already-indexed hashes,
+        // breaking the index's distinct-content invariant, and the
+        // equally-swallowed landed() guard would then pin the wrong
+        // stats forever (round-7 advisory). Existence is checked
+        // explicitly; every OTHER exception propagates and fails the
+        // batch so Structured Streaming retries it.
+        def pathExists(dir: String): Boolean = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+        }
         def landed(dir: String): Boolean =
-          scala.util.Try(spark.read.parquet(dir)
-            .filter(col("ingest_seq") === batchId).limit(1).count() > 0)
-            .getOrElse(false)
+          pathExists(dir) && spark.read.parquet(dir)
+            .filter(col("ingest_seq") === batchId).limit(1).count() > 0
         val b = batch.toDF().localCheckpoint(false)
         val chunks = TextDedup.cdcChunksFast(b, maskBits, minChunk)
           .localCheckpoint(false)
-        val index = scala.util.Try(
+        val index =
+          if (pathExists(indexDir))
             spark.read.parquet(indexDir)
-              .filter(col("ingest_seq") < batchId).select(col("h")))
-          .getOrElse(chunks.select(col("h")).limit(0))
+              .filter(col("ingest_seq") < batchId).select(col("h"))
+          else chunks.select(col("h")).limit(0)
         val probed = chunks.join(
             index.distinct().withColumn("__hit", lit(1)), Seq("h"), "left")
           .localCheckpoint(false)
@@ -602,6 +667,58 @@ object StreamingIngest {
       .start()
     q.awaitTermination()
     q
+  }
+
+  /** Maintenance for the standing CDC chunk-hash index behind
+    * [[cdcNoveltyStream]] / batch x71 (round-8, verdict item 6): the
+    * index grows with DISTINCT content — `h` values are globally unique
+    * by construction (each append is filtered against all prior
+    * batches) — so its scale problem is not row duplication but FILE
+    * fragmentation: every micro-batch appends its own file group, and
+    * after N batches each probe's index scan opens N footer sets (the
+    * read amplification SCALING.md's cdc_index rows measure). Compaction
+    * is therefore a pure rewrite: `Ingest.compact` keyed on `h` keeps
+    * every (h, ingest_seq) row bit-identical — unique keys make
+    * last-write-wins the identity — and collapses the layout to one
+    * file group, so the exactly-once machinery (`ingest_seq < batchId`
+    * probes, `landed()` replay guards) is untouched.
+    *
+    * Run it QUIESCENT — between `Trigger.AvailableNow()` runs or from
+    * the maintenance slot of a scheduler, never concurrent with a
+    * running stream (same external-lock caveat as `Ingest.compact`).
+    */
+  def compactCdcIndex(spark: SparkSession, indexDir: String): Unit =
+    graft.pipeline.Ingest.compact(spark, indexDir, Seq("h"))
+
+  /** Data-file count of the index — the fragmentation observable the
+    * compaction policy triggers on.
+    */
+  def cdcIndexFileCount(spark: SparkSession, indexDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+  }
+
+  /** The compaction POLICY: rewrite when the file count exceeds
+    * `maxFiles`. Bounded read amplification — between compactions a
+    * probe opens ≤ maxFiles file groups; each compaction is one linear
+    * rewrite of the (distinct-content-sized) index — the classic LSM
+    * trade dialed by one knob. Returns whether it compacted.
+    */
+  def maybeCompactCdcIndex(spark: SparkSession, indexDir: String,
+      maxFiles: Int = 64): Boolean = {
+    val fragmented = cdcIndexFileCount(spark, indexDir) > maxFiles
+    if (fragmented) compactCdcIndex(spark, indexDir)
+    fragmented
   }
 
   /** Stream-static enrichment: each micro-batch joins the (small, slowly

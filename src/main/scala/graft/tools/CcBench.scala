@@ -73,14 +73,18 @@ object CcBench {
       }
     }
 
-    // `--big`: a 2M-edge chain forest — ABOVE LocalEdgeThreshold (2^20),
-    // so the adaptive default must take the distributed min-label→star
-    // path (rounds > 1 proves the gate handed over); local union-find
-    // timed next to it for the crossover picture.
+    // `--big`: a ~1,998,000-edge chain forest (range(2M) minus every
+    // 1000th edge → 2000 chains of 999 edges) — ABOVE LocalEdgeThreshold
+    // (2^20), so the adaptive default must take the distributed
+    // min-label→star path (rounds > 1 proves the gate handed over);
+    // local union-find timed next to it for the crossover picture.
+    // (Label previously said "big_chain_1M" / the CC scaladoc said
+    // "999k-edge chain" — both now cite the real ~2M-edge workload;
+    // round-7 advisory.)
     if (args.contains("--big")) {
       val big = frozen(spark.range(2000000L).filter(col("id") % 1000 =!= 999)
         .selectExpr("id AS a", "id + 1 AS b"))
-      println(s"[cc] -- big_chain_1M (${big.count()} edges, above gate) --")
+      println(s"[cc] -- big_chain_2M (${big.count()} edges, above gate) --")
       for ((varName, run) <- Seq(
           ("adaptive", (e: DataFrame, s: String, d: String) =>
             ConnectedComponents.labelsAdaptiveWithRounds(e, s, d, 150)),
@@ -89,7 +93,7 @@ object CcBench {
         val t0 = System.nanoTime()
         val (labs, rounds) = run(big, "a", "b")
         val comps = labs.select("component").distinct().count()
-        println(f"[cc] big_chain_1M           $varName%-9s ${(System.nanoTime() - t0) / 1e9}%7.2fs  rounds=$rounds comps=$comps")
+        println(f"[cc] big_chain_2M           $varName%-9s ${(System.nanoTime() - t0) / 1e9}%7.2fs  rounds=$rounds comps=$comps")
       }
     }
     spark.stop()

@@ -38,4 +38,20 @@ class CcPropertySpec extends SparkSuite {
       assert(loc == ref, s"seed $seed: local union-find != min-label")
     }
   }
+
+  test("local and distributed paths share null-endpoint semantics (nulls drop)") {
+    // pre-fix, labelsLocal NPE'd on a null endpoint while the
+    // distributed path silently dropped it — and the adaptive gate
+    // routes small graphs local, so small vs large graphs got
+    // different null semantics (round-7 advisory)
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (2L, 3L), (null, 4L), (5L, null), (6L, 7L))
+      .toDF("a", "b")
+    val loc = ConnectedComponents.labelsLocal(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = ConnectedComponents.labelsMinLabel(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 6L -> 6L, 7L -> 6L))
+    assert(loc == dist, "null semantics diverged between local and distributed")
+  }
 }

@@ -89,5 +89,46 @@ class CdcStreamSpec extends SparkSuite {
     val after = (spark.read.parquet(root + "/index").count(),
       spark.read.parquet(root + "/stats").count())
     assert(before == after, s"replay must not double-append: $before -> $after")
+
+    // ---- round-8: index compaction policy (verdict item 6) ----
+    // per-batch appends fragment the index into one file group per
+    // micro-batch; compaction must collapse the LAYOUT while keeping
+    // every (h, ingest_seq) row bit-identical (h is unique by
+    // construction, so keyed last-write-wins is the identity) — and the
+    // stream must keep running correctly against the compacted index.
+    val rowsBefore = spark.read.parquet(root + "/index")
+      .select("h", "ingest_seq").as[(Long, Long)].collect().toSet
+    val filesBefore = StreamingIngest.cdcIndexFileCount(spark, root + "/index")
+    assert(filesBefore >= batches.size,
+      s"expected ≥${batches.size} file groups pre-compaction, saw $filesBefore")
+    assert(!StreamingIngest.maybeCompactCdcIndex(spark, root + "/index",
+      maxFiles = 1000), "policy must not fire under the threshold")
+    assert(StreamingIngest.maybeCompactCdcIndex(spark, root + "/index",
+      maxFiles = 1), "policy must fire over the threshold")
+    val rowsAfter = spark.read.parquet(root + "/index")
+      .select("h", "ingest_seq").as[(Long, Long)].collect().toSet
+    assert(rowsAfter == rowsBefore, "compaction must preserve every (h, seq) row")
+    val filesAfter = StreamingIngest.cdcIndexFileCount(spark, root + "/index")
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the layout: $filesBefore -> $filesAfter")
+
+    // a NEW batch arriving after compaction: doc 30 re-delivers batch-0
+    // content verbatim — the compacted index must account it fully known
+    // (the seq-stamped exactly-once probes survive the rewrite)
+    val f3 = new java.io.File(root + "/src", "batch003.parquet")
+    Seq(30L -> a).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(f3.toString)
+    val ts3 = 1700000000000L + 3 * 60000L
+    f3.listFiles().foreach(_.setLastModified(ts3))
+    f3.setLastModified(ts3)
+    run(root + "/src", root + "/index", root + "/stats", root + "/ckpt")
+    val st = spark.read.parquet(root + "/stats")
+      .filter($"doc_id" === 30L)
+      .select($"n_chunks", $"n_corpus_hits", $"novel_chars")
+      .as[(Long, Long, Long)].collect()
+    assert(st.length == 1)
+    val (n30, hits30, novel30) = st.head
+    assert(hits30 == n30 && novel30 == 0L,
+      s"post-compaction re-arrival not fully known: $hits30/$n30, $novel30")
   }
 }

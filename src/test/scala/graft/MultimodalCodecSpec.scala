@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Multimodal
+
+/** Round-8: the REAL codec path through the media seam — javax.imageio
+  * encode/decode round-trips, the analytic 8x8 average-hash contract,
+  * and the planted-twin perceptual-dedup pipeline x77 registers.
+  */
+class MultimodalCodecSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def halfImage(w: Int, h: Int): java.awt.image.BufferedImage = {
+    // left half black, right half white → analytic aHash: block mean
+    // exceeds the global mean exactly for blocks bx >= 4, i.e. bits
+    // 4..7 of every row byte → 0xF0F0F0F0F0F0F0F0
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xFFFFFF)
+    img
+  }
+
+  test("aHash matches the analytic signature on a constructed image") {
+    val (hash, mean) = Multimodal.aHashOf(halfImage(32, 32))
+    assert(hash == 0xF0F0F0F0F0F0F0F0L,
+      f"aHash 0x$hash%016x != analytic 0xF0F0F0F0F0F0F0F0")
+    assert(mean == 127.5, s"mean luminance $mean != 127.5")
+  }
+
+  test("real PNG and BMP codecs round-trip pixels and signatures exactly") {
+    for (fmt <- Seq("png", "bmp")) {
+      val src = Multimodal.renderImage(seed = 12345L, w = 32, h = 32, brighten = 0)
+      val bytes = Multimodal.encodeImage(src, fmt)
+      assert(bytes.length > 100, s"$fmt encode produced ${bytes.length} bytes")
+      val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(back.getWidth == 32 && back.getHeight == 32)
+      // lossless: every pixel identical, hence identical signature
+      for (y <- 0 until 32; x <- 0 until 32)
+        assert((back.getRGB(x, y) & 0xFFFFFF) == (src.getRGB(x, y) & 0xFFFFFF),
+          s"$fmt pixel ($x,$y) changed in round-trip")
+      assert(Multimodal.aHashOf(back) == Multimodal.aHashOf(src))
+    }
+  }
+
+  test("uniform luminance shift preserves aHash and moves the mean by exactly +4") {
+    for (seed <- 1L to 5L) {
+      val a = Multimodal.aHashOf(Multimodal.renderImage(seed, 32, 32, 0))
+      val b = Multimodal.aHashOf(Multimodal.renderImage(seed, 32, 32, 4))
+      assert(a._1 == b._1, s"seed $seed: aHash not invariant under +4 shift")
+      assert(b._2 - a._2 == 4.0, s"seed $seed: mean gap ${b._2 - a._2} != 4.0")
+    }
+  }
+
+  test("undecodable payloads drop from realDecode instead of failing the stage") {
+    val rows = Iterator(
+      Multimodal.MediaRow(1L, "image/png",
+        Multimodal.encodeImage(halfImage(16, 16))),
+      Multimodal.MediaRow(2L, "application/octet-stream",
+        "not an image at all".getBytes("UTF-8")))
+    val out = Multimodal.realDecode(rows).toSeq
+    assert(out.map(_.doc_id) == Seq(1L))
+    assert(out.head.width == 16 && out.head.height == 16)
+  }
+
+  test("x77 pipeline: perceptual clusters pair each doc with its perturbed twin") {
+    val docs = Seq((0L, "the quick brown fox"), (1L, "jumps over"), (2L, "the lazy dog"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.pngPairsFromDocs(spark, docs)
+    assert(media.count() == 6, "one original + one twin per doc")
+    // exact byte-hash dedup CANNOT pair them: all 6 payloads distinct
+    assert(Multimodal.dedupExact(media).count() == 6)
+    val clusters = Multimodal.perceptualClusters(
+        Multimodal.decodeImages(spark, media))
+      .select($"keep_id", $"n_copies", $"width", $"height", $"lum_gap")
+      .as[(Long, Long, Int, Int, Double)].collect().sortBy(_._1)
+    assert(clusters.toSeq == Seq(
+      (0L, 2L, 32, 32, 4.0), (1L, 2L, 32, 32, 4.0), (2L, 2L, 32, 32, 4.0)))
+  }
+}

@@ -154,6 +154,18 @@ class RangeJoinSpec extends SparkSuite {
     assert(aware == plain)
     assert(plain.size > 400, "hot key must actually match")
 
+    // detection defaults to a 2% Bernoulli sample (round-8: kills the
+    // second full fact scan); row-identity must hold at both extremes
+    // of the sampling knob — full-scan detection and a sample so thin
+    // the hot set is mostly/entirely missed (the cold branch then IS
+    // the plain join)
+    for (frac <- Seq(1.0, 0.001)) {
+      val got = Salt.skewAwareJoin(fact, dim, "fk", "dk", col("row_id"),
+          nSalts = 8, detectFraction = frac)
+        .select("row_id", "dk", "name").as[(Long, Long, String)].collect().toSet
+      assert(got == plain, s"detectFraction=$frac diverged from plain join")
+    }
+
     // the Misra-Gries pass must surface the 75%-share key (containment
     // contract: any key above n/capacity survives)
     val hot = fact.agg(graft.functions
