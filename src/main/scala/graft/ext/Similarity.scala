@@ -270,6 +270,26 @@ object Similarity {
     // appear at most once (unlike the multi-band MinHash join)
   }
 
+  /** ANN recall@k as DATA (round-8): per query, how many of the exact
+    * top-k an approximate variant recovered — the x73/x75 pattern
+    * (justify the approximation with a measured table, not a claim)
+    * applied to the knn family; `tools.RecallSweep` is its ad-hoc
+    * ancestor. Both inputs are (qid, rank, neighbor_id) frames from any
+    * two knn* variants. All-integer output (`recall_bp` in basis
+    * points), so the row is oracle-exact. Cost: one equi-join + one agg
+    * over O(queries × k) rows — free next to either knn pass.
+    * Output: `qid, n_true, n_hits, recall_bp`.
+    */
+  def annRecall(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("qid"), col("neighbor_id"))
+      .join(approx.select(col("qid"), col("neighbor_id")).withColumn("__hit", lit(1)),
+        Seq("qid", "neighbor_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
+      .select(col("qid"), col("n_true"), col("n_hits"),
+        expr("CAST(n_hits * 10000 DIV n_true AS BIGINT)").as("recall_bp"))
+
   /** Multi-probe LSH: each query also probes the `Planes` buckets at
     * Hamming distance 1 from its own (one hyperplane bit flipped) —
     * the standard recall lever that costs (Planes+1)× candidates

@@ -775,6 +775,41 @@ object TextDedup {
         sum(when(col("__hit").isNull, col("clen")).otherwise(0L)).as("novel_chars"))
   }
 
+  /** MinHash estimator-error calibration (round-8): for every LSH
+    * candidate pair, the |signature-estimated − exact| Jaccard error,
+    * binned into an exact-integer histogram — the dataset-card table
+    * answering "how tight is the 16-hash estimate on THIS corpus?"
+    * (x73 is the theory curve; this is the measured counterpart, and it
+    * reuses the verification join x05 runs anyway). All arithmetic is
+    * integer-exact: est = m/[[NumHashes]] recovers m exactly (m·2^-4
+    * and back are exact IEEE), exact Jaccard stays the i/u rational,
+    * and err_bp = |m·u − n·i| · 10000 DIV (n·u) never touches a float —
+    * which is what lets the histogram hash-match cross-engine. Cost
+    * shape: the candidate-pair frame is the LSH-bounded set; each pair
+    * joins back to its two (distinct) shingle arrays — the same
+    * per-pair verification class as [[ngramJaccardPairs]].
+    * Output: `err_bucket` (err_bp DIV bucketBp), `n_pairs,
+    * min_err_bp, max_err_bp`.
+    */
+  def minhashErrorCalibration(docs: DataFrame, bucketBp: Int = 500): DataFrame = {
+    val pairs = candidatePairsFrom(minhashSignaturesPortable(docs))
+    val sh = docs.select(col("doc_id"),
+        graft.functions.word_shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    val n = NumHashes
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select((col("est_jaccard") * n).cast("long").as("m"),
+        inter.as("i"),
+        (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - inter).as("u"))
+      .select(expr(s"CAST(abs(m * u - $n * i) * 10000 DIV ($n * u) AS BIGINT)").as("err_bp"))
+      .groupBy(expr(s"CAST(err_bp DIV $bucketBp AS BIGINT)").as("err_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("err_bp")).as("min_err_bp"), max(col("err_bp")).as("max_err_bp"))
+  }
+
   /** Quality↔duplication calibration: score deciles × near-dup
     * incidence — the dataset-card table that answers "is quality
     * predictive of duplication?" (if low-quality deciles carry most of

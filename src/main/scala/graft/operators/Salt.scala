@@ -106,33 +106,58 @@ object Salt {
     * review finding). One eager evaluation makes the consistency
     * explicit instead of config-dependent.
     */
+  /** @param knownHot ingest-time key statistics, if the pipeline keeps
+    *   them (e.g. [[skewDiagnostics]] output from the landing job):
+    *   passing `Some(keys)` skips the detection job entirely — zero
+    *   extra scans — and `Some(Nil)` asserts "no skew", degrading to
+    *   exactly the plain join. As with detection, ANY hot set yields
+    *   the plain join's rows; only the work distribution changes.
+    */
   def skewAwareJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, discriminator: Column, nSalts: Int,
-      hotCapacity: Int = 16, detectFraction: Double = 0.02): DataFrame = {
+      hotCapacity: Int = 16, detectFraction: Double = 0.02,
+      knownHot: Option[Seq[String]] = None): DataFrame = {
     require(detectFraction > 0 && detectFraction <= 1.0,
       "detectFraction must be in (0, 1]")
-    val keys = fact.select(col(factKey).cast("string").as("__k"))
-    val probe =
-      if (detectFraction < 1.0) keys.sample(withReplacement = false, detectFraction, seed = 42L)
-      else keys
-    val hot: Seq[String] = probe
-      .agg(graft.functions.frequent_items(col("__k"), hotCapacity).as("hh"))
-      .select(explode(col("hh").getField("item")).as("__hot"))
-      .collect().map(_.getString(0)).toSeq
+    val hot: Seq[String] = knownHot.getOrElse {
+      val keys = fact.select(col(factKey).as("__k"))
+      // sample BEFORE the string cast: the cast then runs on the 2%,
+      // not on every row of the fact table
+      val probe =
+        if (detectFraction < 1.0) keys.sample(withReplacement = false, detectFraction, seed = 42L)
+        else keys
+      probe
+        .agg(graft.functions.frequent_items(col("__k").cast("string"), hotCapacity).as("hh"))
+        .select(explode(col("hh").getField("item")).as("__hot"))
+        .collect().map(_.getString(0)).toSeq
+    }
     if (hot.isEmpty) {
       val j = fact.join(dim, fact(factKey) === dim(dimKey))
       return if (factKey == dimKey) j.drop(dim(dimKey)) else j
     }
-    val isHot = col(factKey).cast("string").isin(hot: _*)
-    val dimHot = dim.filter(col(dimKey).cast("string").isin(hot: _*))
-    val hotJoined = saltedJoin(fact.filter(isHot), dimHot,
-      factKey, dimKey, discriminator, nSalts)
-    val factCold = fact.filter(!coalesce(isHot, lit(false)))
-    val coldJoined = {
-      val j = factCold.join(dim, factCold(factKey) === dim(dimKey))
-      if (factKey == dimKey) j.drop(dim(dimKey)) else j
-    }
-    hotJoined.unionByName(coldJoined)
+    // ONE join, conditional salt (round-8): the round-4..7 form ran the
+    // hot slice and the cold remainder as separate joins unioned back —
+    // TWO scans of the fact table. Salting conditionally instead (cold
+    // keys pin salt 0 on both sides; hot fact rows spread over
+    // [0, nSalts), hot dim keys replicate across all salts) keeps the
+    // skew split while scanning fact and dim ONCE each: the whole plan
+    // is the plain join plus a per-row salt expression and nSalts×|hot|
+    // dim replicas. Row-identity per key class: cold matches exactly on
+    // (key, 0)=(key, 0); a hot fact row's single salt s matches the one
+    // dim replica carrying s. NULL fact keys take the salt-0 branch and
+    // then fail key equality, exactly like the plain join.
+    val isHotFact = coalesce(col(factKey).cast("string").isin(hot: _*), lit(false))
+    val isHotDim = coalesce(col(dimKey).cast("string").isin(hot: _*), lit(false))
+    val salted = fact.withColumn("__salt",
+      when(isHotFact, saltExpr(factKey, discriminator, nSalts)).otherwise(lit(0)))
+    val replicated = dim
+      .withColumn("__salt", explode(when(isHotDim,
+        sequence(lit(0), lit(nSalts - 1))).otherwise(sequence(lit(0), lit(0)))))
+      .withColumn("__salt", col("__salt").cast("int"))
+    val joined = salted.join(replicated,
+        salted(factKey) === replicated(dimKey) && salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+    if (factKey == dimKey) joined.drop(replicated(dimKey)) else joined
   }
 
   /** Key-skew diagnostics — the measurement that decides between the

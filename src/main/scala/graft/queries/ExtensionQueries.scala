@@ -84,6 +84,43 @@ object ExtensionQueries {
        |FROM sig, (VALUES $bandValues) bs(band)
        |ORDER BY doc_id, band""".stripMargin
 
+  // x79: the portable LSH pair CTEs (the x03 oracle's body, emitting the
+  // raw match count m instead of m/16), joined to each side's distinct
+  // word-3-gram set for exact Jaccard, then the all-integer error
+  // histogram — DuckDB // and Spark DIV agree on non-negative integers.
+  private val minhashCalibrationOracle: String = {
+    val n = graft.ext.TextDedup.NumHashes
+    val eqCount = (0 until n).map(i =>
+      s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""$shingleHashCte,
+       |sig AS (SELECT doc_id, $sigColsSql FROM h GROUP BY doc_id),
+       |banded AS (
+       |  SELECT sig.*, band, CASE band $bandKeyCases END AS bkey
+       |  FROM sig, (VALUES $bandValues) bs(band)),
+       |ok AS (SELECT band, bkey FROM banded GROUP BY band, bkey
+       |       HAVING count(*) <= ${graft.ext.TextDedup.DefaultMaxBucket}),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST($eqCount AS BIGINT) AS m
+       |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |JOIN ok ON a.band = ok.band AND a.bkey = ok.bkey),
+       |sets AS (SELECT doc_id,
+       |  list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)]) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t
+       |  WHERE len(words) >= 3),
+       |e AS (SELECT
+       |  abs(p.m * (len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g)))
+       |      - $n * len(list_intersect(sa.g, sb.g))) * 10000
+       |    // ($n * (len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g)))) AS err_bp
+       |  FROM pairs p
+       |  JOIN sets sa ON sa.doc_id = p.doc_a
+       |  JOIN sets sb ON sb.doc_id = p.doc_b)
+       |SELECT CAST(err_bp // 500 AS BIGINT) AS err_bucket,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(min(err_bp) AS BIGINT) AS min_err_bp,
+       |  CAST(max(err_bp) AS BIGINT) AS max_err_bp
+       |FROM e GROUP BY err_bucket ORDER BY err_bucket""".stripMargin
+  }
+
   private val minhashPairsPortableOracle: String = {
     val n = graft.ext.TextDedup.NumHashes
     val eqCount = (0 until n).map(i =>
@@ -412,6 +449,38 @@ object ExtensionQueries {
        |  FROM s) t
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
+
+  // x78: brute top-5 and multi-probe top-5 CTE-composed, then the
+  // per-query overlap — recall@k as an exact-integer row set.
+  private val annRecallOracle: String = {
+    val probeArms = (s"SELECT qid, qv, bucket0 AS bucket FROM q0" +:
+      (0 until Planes).map(p =>
+        s"SELECT qid, qv, xor(bucket0, ${1 << p}) AS bucket FROM q0"))
+      .mkString("\n  UNION ALL ")
+    s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+       |brute AS (SELECT qid, neighbor_id FROM (
+       |  SELECT q.vec_id AS qid, e.vec_id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |                            ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
+       |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+       |  WHERE q.vec_id < 10) t WHERE rank <= 5),
+       |q0 AS (SELECT vec_id AS qid, embedding AS qv, bucket AS bucket0 FROM b WHERE vec_id < 10),
+       |probes AS (
+       |  $probeArms),
+       |s AS (SELECT probes.qid, c.vec_id AS neighbor_id,
+       |             ${cosSql("probes.qv", "c.embedding")} AS sim
+       |      FROM b c JOIN probes ON c.bucket = probes.bucket AND c.vec_id != probes.qid),
+       |lsh AS (SELECT qid, neighbor_id FROM (
+       |  SELECT qid, neighbor_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM s) t WHERE rank <= 5)
+       |SELECT brute.qid, CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(count(lsh.neighbor_id) AS BIGINT) AS n_hits,
+       |  CAST(count(lsh.neighbor_id) * 10000 // count(*) AS BIGINT) AS recall_bp
+       |FROM brute LEFT JOIN lsh ON brute.qid = lsh.qid AND brute.neighbor_id = lsh.neighbor_id
+       |GROUP BY brute.qid ORDER BY brute.qid""".stripMargin
+  }
+
 
   // strideCentroids(emb, 16): stride = max(1, 1000/16) = 62 over vec_id,
   // capped to the first 16 stride hits by id (62*16 = 992) — the cap
@@ -2020,5 +2089,30 @@ object ExtensionQueries {
         Multimodal.perceptualClusters(Multimodal.decodeImages(s, media))
           .select(col("keep_id"), col("n_copies"), col("width"), col("height"),
             col("lum_gap"))
-      }))
+      }),
+
+    Q("x78_ann_recall",
+      "ANN recall@5 as DATA (round-8): per query vector, how many of the exact brute-force " +
+        "top-5 the multi-probe LSH recovered — the x73/x75 'justify the approximation with a " +
+        "measured table' pattern applied to the knn family (tools.RecallSweep productionized). " +
+        "Composes the two proven paths (x06 brute, x19 multi-probe) through one " +
+        "O(queries x k) equi-join + agg; recall_bp is exact-integer basis points.",
+      Some(annRecallOracle),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 10)
+        Similarity.annRecall(
+          Similarity.knnBrute(q, emb, 5),
+          Similarity.knnLshMultiProbe(q, emb, 5))
+      }),
+
+    Q("x79_minhash_calibration",
+      "MinHash estimator-error calibration (round-8): |signature-estimated - exact| Jaccard " +
+        "per LSH candidate pair, binned into an exact-integer basis-point histogram — the " +
+        "measured counterpart to x73's theoretical S-curve, on THIS corpus, reusing the x05 " +
+        "verification join. err_bp = |m*u - 16*i| * 10000 DIV (16*u): no float ever enters, " +
+        "so the histogram hash-matches cross-engine; est = m/16 recovers m exactly (powers " +
+        "of two are exact IEEE).",
+      Some(minhashCalibrationOracle),
+      (s, d) => TextDedup.minhashErrorCalibration(Tables.documents(s, d))))
 }

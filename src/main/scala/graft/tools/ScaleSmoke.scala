@@ -71,7 +71,16 @@ object ScaleSmoke {
     // explode. (x66 runs on the constant-size embeddings table and
     // x67 bounds itself to doc_id < 300 for its oracle, the x33 note.)
     "x64_hybrid_rrf", "x65_bigram_lm_fit", "x68_cdc_chunks",
-    "x69_vocab_growth")
+    "x69_vocab_growth",
+    // round-8 sweep (round-7 verdict item 5): q51's double-window and
+    // q52's three filtered min-agg chains grow with events; x72's
+    // pairwise-bucket join and x74's payload-hash aggregate grow with
+    // documents. x76 and x77 bound themselves (doc_id < 300 / < 200)
+    // for their oracles, so their rows measure that the profiling-class
+    // queries stay FLAT as the corpus grows — the scan prunes on
+    // doc_id, everything downstream is sample-sized (the x33 note).
+    "q51_exact_median", "q52_funnel", "x72_source_tv_distance",
+    "x74_media_dedup", "x76_effective_tokens", "x77_image_phash_dedup")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -97,14 +106,21 @@ object ScaleSmoke {
     // only corpus need is documents), skipping the query sweep — the
     // mode that makes the ×100 contrast measurement affordable to rerun.
     val contrastOnly = args.contains("--contrast-only")
-    val needed = if (contrastOnly) Some(Set("documents")) else None
+    // --skew-contrast: run only the q43 detection-cost contrast
+    // (needs lineitem + orders) and exit.
+    val skewContrast = args.contains("--skew-contrast")
+    val needed =
+      if (skewContrast) Some(Set("lineitem", "orders"))
+      else if (contrastOnly) Some(Set("documents"))
+      else None
     // a "factor scope srcMtime" marker guards against silently measuring
     // a stale scale: an outDir amplified at ×10 must not satisfy a ×100
     // run just because its files exist, a documents-only (contrast)
     // refresh must not certify the whole dir for a later full sweep, and
     // a REGENERATED source corpus must not be served from amplified
     // copies of the old one (the Derived.eventsByDate staleness class)
-    val wantScope = if (contrastOnly) "documents" else "full"
+    val wantScope =
+      if (skewContrast) "skew" else if (contrastOnly) "documents" else "full"
     def latestMtime(f: java.io.File): Long =
       if (f.isDirectory)
         (f.lastModified() +:
@@ -137,6 +153,7 @@ object ScaleSmoke {
       val unknown = names.diff(Targets.toSet)
       require(unknown.isEmpty, s"SCALE_ONLY names not in Targets: ${unknown.mkString(", ")}")
     }
+    if (skewContrast) { skewDetectContrast(spark, outDir); spark.stop(); return }
     (if (contrastOnly) Seq.empty
      else Targets.filter(t => onlyTargets.forall(_.contains(t)))).foreach { name =>
       // the BUILD is inside the timed region: queries with driver-side
@@ -258,6 +275,45 @@ object ScaleSmoke {
 
     if (onlyTargets.isEmpty) epochOrderContrast(spark)
     spark.stop()
+  }
+
+  /** q43 detection-cost contrast (round-8, verdict item 1's "done" row):
+    * skewAwareJoin with full-scan Misra-Gries detection vs the sampled
+    * default (2% Bernoulli) vs the plain join floor, on the amplified
+    * fact/dim pair. Through round 7 the full detection pass made q43 the
+    * registry's only plan scanning its fact input twice; the sampled
+    * pass should price detection at ~the sample fraction, putting the
+    * skew-aware join within ~1.15x of the plain join. Standalone via
+    * `--skew-contrast` (amplifies only lineitem + orders).
+    */
+  def skewDetectContrast(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.Salt
+    val fact = spark.read.parquet(s"$dir/lineitem.parquet")
+    val dim = spark.read.parquet(s"$dir/orders.parquet")
+    def agg(df: DataFrame): Unit = df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").format("noop").save()
+    // min of two passes per variant, plain join FIRST — a single cold
+    // pass hands whichever variant runs last the page-cache advantage
+    // (Bench's noise rationale)
+    val cases: Seq[(String, () => Unit)] = Seq(
+      "q43_plain_join" -> (() =>
+        agg(fact.join(dim, fact("l_orderkey") === dim("o_orderkey")))),
+      "q43_known_hot" -> (() =>
+        agg(Salt.skewAwareJoin(fact, dim, "l_orderkey", "o_orderkey",
+          col("l_linenumber"), nSalts = 8, knownHot = Some(Seq("1", "7"))))),
+      "q43_detect_sampled" -> (() =>
+        agg(Salt.skewAwareJoin(fact, dim, "l_orderkey", "o_orderkey",
+          col("l_linenumber"), nSalts = 8, detectFraction = 0.02))),
+      "q43_detect_fullscan" -> (() =>
+        agg(Salt.skewAwareJoin(fact, dim, "l_orderkey", "o_orderkey",
+          col("l_linenumber"), nSalts = 8, detectFraction = 1.0))))
+    cases.foreach { case (label, run) =>
+      val secs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"[scale] $label%-21s $secs%8.2fs")
+    }
   }
 
   /** Epoch-order contrast (x61's claim): a deterministic global training

@@ -959,4 +959,32 @@ class ExtSpec extends SparkSuite {
     assert(got(8) == ((1L, 0.25, 0.25, 0.25, 0.25)))
     assert(run(emb.repartition(3)) == got, "centroids must not depend on partitioning")
   }
+
+  test("annRecall: per-query overlap in exact basis points (round-8)") {
+    val exact = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
+      (2L, 1, 20L), (2L, 2, 21L)).toDF("qid", "rank", "neighbor_id")
+    // q1 recovers 2/3; q2 recovers 0/2 (disjoint ids); approx-only rows
+    // (q1→99) must not count
+    val approx = Seq((1L, 1, 11L), (1L, 2, 12L), (1L, 3, 99L),
+      (2L, 1, 30L)).toDF("qid", "rank", "neighbor_id")
+    val got = Similarity.annRecall(exact, approx)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 2L, 6666L)))
+    assert(got(2L) == ((2L, 0L, 0L)))
+  }
+
+  test("minhashErrorCalibration: exact duplicates land in the zero-error bucket (round-8)") {
+    // two identical docs: every signature component matches (m = 16) and
+    // exact Jaccard is 1 → err_bp = |16*u - 16*i| = 0; the third doc
+    // shares no shingle so no candidate pair involves it
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val rows = TextDedup.minhashErrorCalibration(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq((0L, 1L, 0L, 0L)),
+      s"expected one pair in the zero bucket, got $rows")
+  }
 }
