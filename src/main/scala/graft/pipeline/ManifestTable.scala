@@ -257,8 +257,16 @@ object ManifestTable {
     if (vOpt.isEmpty) return
     val v = vOpt.get
     val keepFrom = math.max(0L, v - (keepVersions - 1))
-    val live = (keepFrom to v).flatMap(ver =>
-      scala.util.Try(files(spark, root, ver)).getOrElse(Nil)).toSet
+    // A version gap inside the keep window (possible when an older
+    // manifest was already vacuumed after a replace-commit) contributes
+    // no files; but a manifest that EXISTS and fails to read must abort
+    // the vacuum — a Try-swallowed transient read error would empty
+    // that version's live set and the loop below would DELETE data a
+    // kept manifest still references (the round-7 advisory's silent-
+    // fallback class, here with destructive stakes).
+    val live = (keepFrom to v).flatMap { ver =>
+      if (f.exists(manifestPath(root, ver))) files(spark, root, ver) else Nil
+    }.toSet
     val liveBatches = live.map(rel => rel.split("/")(1))
     val cutoff = System.currentTimeMillis() - minAgeMs
     val dataRoot = new Path(s"$root/$DataDir")

@@ -61,6 +61,27 @@ object StreamingIngest {
     q
   }
 
+  /** "Table not created yet" is the ONLY condition the foreachBatch
+    * loops may read as empty/not-landed: a blanket Try(...).getOrElse
+    * would also swallow transient FS errors and corrupt footers,
+    * silently probing an empty index / re-appending an already-landed
+    * batch — exactly the invariant breakages the seq-stamp machinery
+    * exists to prevent (round-7 advisory). Existence is checked
+    * explicitly; every OTHER exception propagates and fails the batch
+    * so Structured Streaming retries it.
+    */
+  private def pathExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Replay guard for seq-stamped appends: does `dir` already hold rows
+    * of this `ingest_seq`? (See [[pathExists]] for the failure posture.)
+    */
+  private def landedSeq(spark: SparkSession, dir: String, batchId: Long): Boolean =
+    pathExists(spark, dir) && spark.read.parquet(dir)
+      .filter(col("ingest_seq") === batchId).limit(1).count() > 0
+
   /** Incremental append with dedup-within-watermark — the streaming
     * answer to the reference's at-least-once redelivery (ReplacingMergeTree
     * shape): duplicate event_ids arriving within the watermark collapse.
@@ -88,11 +109,7 @@ object StreamingIngest {
         // before the epoch commit replays this batchId. The ingest_seq
         // stamp doubles as the replay guard — if the sink already holds
         // this batch, skip the append and only refresh the report.
-        val alreadyLanded =
-          scala.util.Try(spark.read.parquet(landingDir)
-            .filter(col("ingest_seq") === batchId).limit(1).count() > 0)
-            .getOrElse(false)
-        if (!alreadyLanded) {
+        if (!landedSeq(spark, landingDir, batchId)) {
           graft.pipeline.Ingest.appendWithSeq(batch.toDF(), landingDir, batchId)
         }
         val landed = spark.read.parquet(landingDir)
@@ -558,17 +575,15 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        def landed(dir: String): Boolean =
-          scala.util.Try(spark.read.parquet(dir)
-            .filter(col("ingest_seq") === batchId).limit(1).count() > 0)
-            .getOrElse(false)
+        def landed(dir: String): Boolean = landedSeq(spark, dir, batchId)
         val b = batch.toDF().localCheckpoint(false)
         // sign ONLY the batch; lazy-checkpoint so verdicts + index append
         // share one shingle/minhash computation
         val sigs = TextDedup.minhashSignatures(b).localCheckpoint(false)
-        val index = scala.util.Try(
-            spark.read.parquet(indexDir).filter(col("ingest_seq") < batchId))
-          .getOrElse(TextDedup.signatureBands(sigs).limit(0))
+        val index =
+          if (pathExists(spark, indexDir))
+            spark.read.parquet(indexDir).filter(col("ingest_seq") < batchId)
+          else TextDedup.signatureBands(sigs).limit(0)
         val verdicts = TextDedup.incrementalDedupBanded(index, sigs, threshold, maxBucket)
         // unsigned docs have no verdict row (keep is null after the left
         // join) and pass through
@@ -622,28 +637,18 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        // "Index/stats table not created yet" is the ONLY condition that
-        // may fall back to an empty read: a blanket Try(...).getOrElse
-        // would also swallow transient FS errors and corrupt footers,
-        // silently probing an empty index — that batch's novelty stats
-        // overstate novel_chars and re-append already-indexed hashes,
-        // breaking the index's distinct-content invariant, and the
-        // equally-swallowed landed() guard would then pin the wrong
-        // stats forever (round-7 advisory). Existence is checked
-        // explicitly; every OTHER exception propagates and fails the
-        // batch so Structured Streaming retries it.
-        def pathExists(dir: String): Boolean = {
-          val p = new org.apache.hadoop.fs.Path(dir)
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-        }
-        def landed(dir: String): Boolean =
-          pathExists(dir) && spark.read.parquet(dir)
-            .filter(col("ingest_seq") === batchId).limit(1).count() > 0
+        // see pathExists/landedSeq for the silent-fallback posture: only
+        // "index/stats table not created yet" reads as empty — a
+        // swallowed read failure here would overstate novel_chars,
+        // re-append already-indexed hashes, and the equally-swallowed
+        // landed() guard would pin the wrong stats forever (round-7
+        // advisory)
+        def landed(dir: String): Boolean = landedSeq(spark, dir, batchId)
         val b = batch.toDF().localCheckpoint(false)
         val chunks = TextDedup.cdcChunksFast(b, maskBits, minChunk)
           .localCheckpoint(false)
         val index =
-          if (pathExists(indexDir))
+          if (pathExists(spark, indexDir))
             spark.read.parquet(indexDir)
               .filter(col("ingest_seq") < batchId).select(col("h"))
           else chunks.select(col("h")).limit(0)

@@ -190,6 +190,30 @@ class PlanSpec extends SparkSuite {
       s"fixture should carry 30 date partitions, has ${allScan.selectedPartitions.partitionCount}")
   }
 
+  test("q43: conditional-salt skew join scans fact and dim exactly once each") {
+    // pre-round-8 the join phase ran hot-slice ∪ cold-remainder — two
+    // scans of the fact table; the single conditional-salt join must
+    // keep exactly one scan per input (the sampled detection pass is a
+    // separate eager job, deliberately outside this plan)
+    val p = plan(SparkEntry.queries("q43_skew_join")(spark, sf))
+    val scans = collectAll(p) { case f: FileSourceScanExec => f }
+    val byTable = scans.groupBy(_.relation.location.rootPaths.head.getName)
+    assert(byTable.getOrElse("lineitem.parquet", Nil).size == 1,
+      s"fact must scan once, got ${byTable.view.mapValues(_.size).toMap}")
+    assert(byTable.getOrElse("orders.parquet", Nil).size == 1,
+      s"dim must scan once, got ${byTable.view.mapValues(_.size).toMap}")
+  }
+
+  test("x77: payloads never enter a shuffle; the only exchange is the cluster agg") {
+    val p = plan(SparkEntry.queries("x77_image_phash_dedup")(spark, sf))
+    val shuffles = collectAll(p) { case e: ShuffleExchangeLike => e }
+    assert(shuffles.nonEmpty, "expected the perceptual-cluster aggregate exchange")
+    shuffles.foreach { e =>
+      assert(!e.child.output.exists(_.name == "payload"),
+        s"binary payload crossed a shuffle:\n$e")
+    }
+  }
+
   test("only O(1)-row build sides ever nested-loop (scalar pins, query/centroid sets)") {
     // the full-registry audit: any BroadcastNestedLoopJoin or cartesian
     // in any declared query must build from a bounded tiny side — q10/q18
@@ -223,7 +247,10 @@ class PlanSpec extends SparkSuite {
       "x69_vocab_growth",
       // x66: broadcast bounded query set joined on an inequality only —
       // the x06_knn_brute shape; x70: the 1-row global-rollup pin
-      "x66_knn_jl_project", "x70_skew_diagnostics")
+      "x66_knn_jl_project", "x70_skew_diagnostics",
+      // round-8: x78 embeds x06's brute side (10-row query set BNL) as
+      // the exact baseline its recall is measured against
+      "x78_ann_recall")
     SparkEntry.registry.foreach { q =>
       val p = plan(q.build(spark, sf))
       val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
