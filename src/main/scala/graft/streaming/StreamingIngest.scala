@@ -608,6 +608,70 @@ object StreamingIngest {
     q
   }
 
+  /** Streaming EMBEDDING near-dup ingest with a self-maintaining LSH
+    * bucket index — the vector member of the streaming dedup family,
+    * completing the matrix (exact [[dedupedDocs]], MinHash
+    * [[dedupedCorpusStream]], CDC [[cdcNoveltyStream]], embedding —
+    * here; batch twin: x15 `Similarity.embeddingNearDupPairs`). Each
+    * micro-batch of (vec_id, embedding) rows is bucketed once
+    * (`Similarity.lshBucket` — single-probe, one bucket per vector),
+    * candidates come from one bucket equi-join against the standing
+    * index plus the batch's own smaller-id rivals, and exact cosine ≥
+    * `threshold` verifies. Greedy arrival-order semantics, exactly the
+    * [[dedupedCorpusStream]] contract: a vector survives iff nothing in
+    * any earlier batch (nor a smaller-id rival in its own batch, dup or
+    * not) matched it. Survivors' (vec_id, bucket, embedding) rows
+    * append to the index — it grows with distinct content, and
+    * per-batch cost is O(batch · touched buckets), never O(corpus).
+    *
+    * Exactly-once under foreachBatch replay by the same seq-stamp
+    * machinery: probes restricted to `ingest_seq < batchId`, both
+    * appends stamped and independently skipped once landed, and the
+    * recomputation deterministic (cosine is the fused kernel's fixed
+    * left-to-right accumulation), so a half-committed batch heals to
+    * identical bytes.
+    */
+  def embeddingDedupStream(vectors: DataFrame, indexDir: String,
+      survivorsDir: String, checkpointDir: String,
+      threshold: Double = 0.9): StreamingQuery = {
+    import graft.ext.Similarity
+    val q = vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val bucketed = batch.toDF()
+          .select(col("vec_id"), col("embedding"),
+            Similarity.lshBucket(col("embedding")).as("bucket"))
+          .localCheckpoint(false)
+        val rivalCols = Seq(col("vec_id").as("id_x"), col("embedding").as("vx"), col("bucket"))
+        val index =
+          if (pathExists(spark, indexDir))
+            spark.read.parquet(indexDir).filter(col("ingest_seq") < batchId)
+              .select(rivalCols: _*)
+          else bucketed.select(rivalCols: _*).limit(0)
+        // index rivals: any id; batch rivals: smaller id only (greedy)
+        val candidates = bucketed.join(index, Seq("bucket"))
+          .unionByName(bucketed.join(bucketed.select(rivalCols: _*), Seq("bucket"))
+            .filter(col("id_x") < col("vec_id")))
+        val dups = candidates
+          .filter(graft.functions.cosine_similarity(col("embedding"), col("vx")) >= threshold)
+          .select(col("vec_id")).distinct()
+        val survivors = bucketed.join(dups, Seq("vec_id"), "left_anti")
+          .localCheckpoint(false)
+        if (!landedSeq(spark, indexDir, batchId)) {
+          graft.pipeline.Ingest.appendWithSeq(survivors, indexDir, batchId)
+        }
+        if (!landedSeq(spark, survivorsDir, batchId)) {
+          graft.pipeline.Ingest.appendWithSeq(
+            survivors.select(col("vec_id"), col("bucket")), survivorsDir, batchId)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming CDC novelty accounting with a self-maintaining chunk-hash
     * index — the continuous-ingest rendering of batch x71
     * (`TextDedup.cdcIncremental`), on the gear fast path

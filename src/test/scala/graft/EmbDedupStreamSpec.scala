@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+import graft.streaming.StreamingIngest
+
+/** Streaming embedding near-dup ingest (`embeddingDedupStream`) — the
+  * vector member of the streaming dedup family (round-8): exact
+  * re-arrivals and in-bucket near-duplicates drop against the standing
+  * index, novel vectors survive and extend it, batch-internal rivals
+  * resolve to the smaller id, and a replay with a fresh checkpoint
+  * heals idempotently.
+  */
+class EmbDedupStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val D = Similarity.Dim
+
+  /** A unit-ish basis-direction vector: 1.0 at `axis`, tiny elsewhere. */
+  private def vec(axis: Int, eps: Float = 0f): Array[Float] =
+    Array.tabulate(D)(i => if (i == axis) 1f else if (i == (axis + 1) % D) eps else 0f)
+
+  // batch 0: two distinct directions. batch 1: 10 = exact copy of v1
+  // (dup), 11 = novel direction. batch 2: 20 = small perturbation of 11
+  // (same bucket, cosine ~0.995 — near-dup), 21 = novel; 22 arrives in
+  // the same batch as a near-copy of 21 and must lose to the smaller id.
+  private val batches = Seq(
+    Seq(1L -> vec(0), 2L -> vec(7)),
+    Seq(10L -> vec(0), 11L -> vec(13)),
+    Seq(20L -> vec(13, 0.1f), 21L -> vec(23), 22L -> vec(23, 0.05f)))
+
+  private def writeBatches(dir: String): Unit = {
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val f = new java.io.File(dir, f"batch$i%03d.parquet")
+      rows.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(f.toString)
+      val ts = 1700000000000L + i * 60000L
+      f.listFiles().foreach(_.setLastModified(ts))
+      f.setLastModified(ts)
+    }
+  }
+
+  private def run(src: String, indexDir: String, survivorsDir: String, ckpt: String): Unit = {
+    val vecs = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src + "/*")
+    StreamingIngest.embeddingDedupStream(vecs, indexDir, survivorsDir, ckpt,
+      threshold = 0.9)
+  }
+
+  test("near-dups drop against the standing index; novel vectors extend it; replay heals") {
+    // the perturbed twins really do share a bucket and clear/flunk the
+    // cosine bar the way the fixture intends
+    val pairs = Seq((11L, vec(13)), (20L, vec(13, 0.1f)), (21L, vec(23)), (22L, vec(23, 0.05f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.lshBucket(col("embedding")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(pairs(11L) == pairs(20L) && pairs(21L) == pairs(22L),
+      "perturbed twins must share their original's bucket for this fixture")
+
+    val root = Files.createTempDirectory("graft-embstream").toString
+    writeBatches(root + "/src")
+    run(root + "/src", root + "/index", root + "/survivors", root + "/ckpt")
+
+    val survivors = spark.read.parquet(root + "/survivors")
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L, 11L, 21L),
+      s"expected survivors {1,2,11,21}, got $survivors")
+
+    // the index holds exactly the survivors (grows with distinct content)
+    val index = spark.read.parquet(root + "/index")
+    assert(index.select("vec_id").as[Long].collect().toSet == survivors)
+
+    // replay with a fresh checkpoint: landed() guards must skip every
+    // append, leaving both directories row-stable
+    val before = (index.count(), spark.read.parquet(root + "/survivors").count())
+    run(root + "/src", root + "/index", root + "/survivors", root + "/ckpt2")
+    val after = (spark.read.parquet(root + "/index").count(),
+      spark.read.parquet(root + "/survivors").count())
+    assert(before == after, s"replay must not double-append: $before -> $after")
+
+    // streaming result == the greedy batch semantics on the replayed
+    // arrival order: every dropped vector has a surviving (or any
+    // earlier/smaller-id) match at >= threshold
+    val all = batches.flatten.toDF("vec_id", "embedding")
+    val dupPairs = Similarity.embeddingNearDupPairs(all, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    for (dropped <- Seq(10L, 20L, 22L))
+      assert(dupPairs.exists { case (a, b) => b == dropped && survivors.contains(a) },
+        s"dropped $dropped has no surviving near-dup partner in ${dupPairs}")
+  }
+}
