@@ -296,6 +296,35 @@ object Multimodal {
     }.toDF()
   }
 
+  /** REAL resize: nearest-neighbor downsample in explicit integer pixel
+    * math (out(x,y) = in(x·W/w, y·H/h)) rather than AWT's interpolating
+    * scalers — deterministic on any JVM, and a uniform luminance shift
+    * of the source survives sampling untouched, so resize composes with
+    * [[aHashOf]]'s shift invariance (MultimodalCodecSpec asserts both).
+    */
+  def resizeImage(img: java.awt.image.BufferedImage, w: Int, h: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      out.setRGB(x, y, img.getRGB(x * img.getWidth / w, y * img.getHeight / h))
+    out
+  }
+
+  /** The real-codec twin of [[fakeResize]]: decode (javax.imageio) →
+    * nearest-neighbor resize → lossless PNG re-encode, partition-local
+    * over the same MediaRow seam. Undecodable payloads drop, the
+    * [[realDecode]] posture.
+    */
+  def realResize(w: Int, h: Int)(rows: Iterator[MediaRow]): Iterator[MediaRow] =
+    rows.flatMap { r =>
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload)))
+        .map(img => MediaRow(r.doc_id, "image/png", encodeImage(resizeImage(img, w, h))))
+    }
+
+  def resizeImages(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(realResize(w, h) _).toDF()
+  }
+
   /** Perceptual clusters over decoded features: group by (ahash, width,
     * height) — the decoded-signature analogue of [[dedupExact]]'s
     * byte-hash grouping. `lum_gap` = max−min mean luminance inside the

@@ -775,6 +775,44 @@ object TextDedup {
         sum(when(col("__hit").isNull, col("clen")).otherwise(0L)).as("novel_chars"))
   }
 
+  /** Approximate-membership dedup against a reference corpus via a
+    * distributed bloom filter (round-8) — the cheap first gate of
+    * "drop anything we already trained on": corpus fingerprints build
+    * bloom bits once (partial+final typed aggregate, only bits travel —
+    * [[graft.operators.Prefilter.keyBloom]]), each batch fingerprint
+    * probes them scan-local, and one exact key-only join verifies. At
+    * 100 TB the bloom answers most membership questions without
+    * shuffling anything; the exact join then touches only fingerprints.
+    *
+    * Output is the bloom's ERROR CONTRACT as one row (the x13/x40
+    * oracle pattern — exact values plus in-bound flags for what is
+    * engine-specific): `n_batch`, `n_true_dups` (exact), `n_missed`
+    * (flagged-false true dups — a bloom has NO false negatives, so
+    * exactly 0 always), `fp_in_bound` (false-positive count ≤
+    * fpBoundBp of the novel mass + 2 absolute — generous against the
+    * binomial tail, so the flag is deterministic-in-practice at any
+    * corpus size).
+    */
+  def bloomMembershipStats(corpus: DataFrame, batch: DataFrame,
+      fpCol: String = "fp", expectedKeys: Long = 10000, fpp: Double = 0.01,
+      fpBoundBp: Long = 500): DataFrame = {
+    val bits = graft.operators.Prefilter.keyBloom(corpus, fpCol, expectedKeys, fpp)
+    val truth = corpus.select(col(fpCol)).distinct().withColumn("__seen", lit(1))
+    batch
+      .withColumn("__flag", graft.operators.Prefilter.mightContain(bits, col(fpCol)))
+      .join(truth, Seq(fpCol), "left")
+      .agg(count(lit(1)).as("n_batch"),
+        sum(when(col("__seen").isNotNull, 1L).otherwise(0L)).as("n_true_dups"),
+        sum(when(col("__seen").isNotNull && !col("__flag"), 1L).otherwise(0L))
+          .as("n_missed"),
+        sum(when(col("__seen").isNull && col("__flag"), 1L).otherwise(0L))
+          .as("__n_fp"))
+      .select(col("n_batch"), col("n_true_dups"), col("n_missed"),
+        (col("__n_fp") * 10000 <=
+          lit(fpBoundBp) * (col("n_batch") - col("n_true_dups")) + lit(20000))
+          .cast("int").as("fp_in_bound"))
+  }
+
   /** MinHash estimator-error calibration (round-8): for every LSH
     * candidate pair, the |signature-estimated − exact| Jaccard error,
     * binned into an exact-integer histogram — the dataset-card table

@@ -2114,5 +2114,30 @@ object ExtensionQueries {
         "so the histogram hash-matches cross-engine; est = m/16 recovers m exactly (powers " +
         "of two are exact IEEE).",
       Some(minhashCalibrationOracle),
-      (s, d) => TextDedup.minhashErrorCalibration(Tables.documents(s, d))))
+      (s, d) => TextDedup.minhashErrorCalibration(Tables.documents(s, d))),
+
+    Q("x80_bloom_dedup",
+      "Approximate-membership dedup against a reference corpus (round-8): corpus prefix " +
+        "fingerprints build distributed bloom bits (only bits travel), batch fingerprints " +
+        "probe scan-local, one exact key-only join verifies — the cheap first gate of " +
+        "'drop anything we already trained on', with the bloom's error contract as the " +
+        "oracled row (x13/x40 pattern): n_missed is exactly 0 (blooms have no false " +
+        "negatives), the FP rate carries a generous deterministic bound flag, and the " +
+        "exact dup counts hash-match.",
+      Some("""WITH d AS (SELECT doc_id,
+             |    md5(array_to_string((string_split(text, ' '))[1:3], ' ')) AS fp
+             |  FROM documents),
+             |c AS (SELECT DISTINCT fp FROM d WHERE doc_id % 5 != 0),
+             |b AS (SELECT doc_id, fp FROM d WHERE doc_id % 5 = 0)
+             |SELECT CAST((SELECT count(*) FROM b) AS BIGINT) AS n_batch,
+             |  CAST((SELECT count(*) FROM b WHERE fp IN (SELECT fp FROM c)) AS BIGINT) AS n_true_dups,
+             |  CAST(0 AS BIGINT) AS n_missed,
+             |  CAST(1 AS INT) AS fp_in_bound""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          md5(concat_ws(" ", slice(split(col("text"), " "), 1, 3))).as("fp"))
+        TextDedup.bloomMembershipStats(
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+      }))
 }

@@ -973,6 +973,20 @@ class ExtSpec extends SparkSuite {
     assert(got(2L) == ((2L, 0L, 0L)))
   }
 
+  test("bloomMembershipStats: planted dup flagged, no false negatives, bound holds (round-8)") {
+    val corpus = Seq("k1", "k2", "k3").toDF("fp")
+    val batch = Seq((10L, "k1"), (11L, "novel-a"), (12L, "novel-b"))
+      .toDF("doc_id", "fp")
+    val row = TextDedup.bloomMembershipStats(corpus, batch).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getInt(3)) ==
+      ((3L, 1L, 0L, 1)))
+
+    // empty corpus: nothing can match, nothing can false-positive
+    val empty = TextDedup.bloomMembershipStats(corpus.limit(0), batch).collect().head
+    assert((empty.getLong(0), empty.getLong(1), empty.getLong(2), empty.getInt(3)) ==
+      ((3L, 0L, 0L, 1)))
+  }
+
   test("minhashErrorCalibration: exact duplicates land in the zero-error bucket (round-8)") {
     // two identical docs: every signature component matches (m = 16) and
     // exact Jaccard is 1 → err_bp = |16*u - 16*i| = 0; the third doc

@@ -64,6 +64,31 @@ class MultimodalCodecSpec extends SparkSuite {
     assert(out.head.width == 16 && out.head.height == 16)
   }
 
+  test("real resize: exact nearest-neighbor sampling; composes with the shift invariance") {
+    val src = Multimodal.renderImage(seed = 777L, w = 32, h = 32, brighten = 0)
+    val small = Multimodal.resizeImage(src, 8, 8)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(small.getRGB(x, y) == src.getRGB(x * 4, y * 4),
+        s"resized pixel ($x,$y) is not the analytic source sample")
+
+    // the full decode→resize→re-encode stage through the Spark seam,
+    // and resize preserves aHash equality of a brightness-twin pair
+    // (sampling a uniformly-shifted image is a uniform shift of the
+    // samples — the x77 invariance survives the thumbnail stage)
+    val media = spark.createDataFrame(Seq(
+      (1L, "image/png", Multimodal.encodeImage(src)),
+      (2L, "image/png",
+        Multimodal.encodeImage(Multimodal.renderImage(777L, 32, 32, 4)))))
+      .toDF("doc_id", "media_type", "payload")
+    val thumbs = Multimodal.decodeImages(spark,
+      Multimodal.resizeImages(spark, media, 8, 8))
+      .select($"doc_id", $"width", $"height", $"ahash", $"mean_lum")
+      .as[(Long, Int, Int, Long, Double)].collect().sortBy(_._1)
+    assert(thumbs.map(t => (t._2, t._3)).toSeq == Seq((8, 8), (8, 8)))
+    assert(thumbs(0)._4 == thumbs(1)._4, "thumbnail aHash lost the shift invariance")
+    assert(thumbs(1)._5 - thumbs(0)._5 == 4.0, "thumbnail mean gap must stay exactly 4")
+  }
+
   test("x77 pipeline: perceptual clusters pair each doc with its perturbed twin") {
     val docs = Seq((0L, "the quick brown fox"), (1L, "jumps over"), (2L, "the lazy dog"))
       .toDF("doc_id", "text")
