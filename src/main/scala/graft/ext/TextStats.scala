@@ -687,6 +687,81 @@ object TextStats {
         col("actual_lang"),
         (col("plang") === col("actual_lang")).cast("int").as("correct"))
   }
+
+  /** [[languageIdNgram]] with the SCORING side rebuilt around the fact
+    * that the trained profile is a bounded MODEL ARTIFACT (langs × topM
+    * rows — 160 at the defaults, the Salt-hot-set broadcast-pin size
+    * class): instead of re-joining every exploded gram against a
+    * broadcast profile frame and window-argmaxing over a crossJoined
+    * (doc × lang) grid, the profile is collected once and embedded as a
+    * LITERAL map<gram, array<weight-per-lang>> — scoring becomes one
+    * `element_at` per gram (codegen map lookup, no join), one
+    * groupBy(doc) with a per-lang sum column each, and the argmax a
+    * when-chain over those columns (no window, no crossJoin). Plan:
+    * train-explode+agg as before, then ONE more explode + ONE hash
+    * aggregate; the only remaining join is the broadcast attach of
+    * zero-gram docs. Training math, scores, and the (score desc, lang
+    * desc) tie-break are bit-identical to [[languageIdNgram]]
+    * (LangIdLiteralSpec proves row equality on the corpus).
+    *
+    * The eager profile collect is the documented exception class
+    * (bounded model artifact, evaluated once — the Misra-Gries hot-set
+    * rationale in `Salt.skewAwareJoin`); everything per-corpus-row
+    * stays codegen and distributed.
+    */
+  def languageIdNgramLiteral(docs: DataFrame, n: Int = 2, topM: Int = 40,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.broadcast
+    val grams = docs.select(col("doc_id"), col("lang"),
+      explode(graft.functions.char_ngrams(col(textCol), n)).as("g"))
+    val profile = grams.groupBy(col("lang").as("plang"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("plang").orderBy(col("cnt").desc, col("g").asc)))
+      .filter(col("rn") <= topM)
+      .select(col("plang"), col("g"), (lit(topM + 1) - col("rn")).cast("long").as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val langs = profile.map(_._1).distinct.sorted
+    if (langs.isEmpty) {
+      // degenerate corpus (no grams anywhere): mirror languageIdNgram's
+      // empty result shape
+      return docs.select(col("doc_id"), lit(null).cast("string").as("pred_lang"),
+        lit(0L).as("score"), col("lang").as("actual_lang"),
+        lit(0).cast("int").as("correct"))
+        .limit(0)
+    }
+    val idx = langs.zipWithIndex.toMap
+    val weights = profile.groupBy(_._2).map { case (g, rows) =>
+      val arr = Array.fill(langs.size)(0L)
+      rows.foreach { case (l, _, w) => arr(idx(l)) += w }
+      g -> arr
+    }
+    val mapEntries = weights.toSeq.sortBy(_._1).flatMap { case (g, arr) =>
+      Seq(lit(g), array(arr.toIndexedSeq.map(lit): _*))
+    }
+    val wmap = map(mapEntries: _*)
+    val perGram = docs.select(col("doc_id"),
+        explode(graft.functions.char_ngrams(col(textCol), n)).as("g"))
+      .select(col("doc_id"), element_at(wmap, col("g")).as("ws"))
+    val sums = langs.indices.map(i =>
+      sum(coalesce(col("ws")(i), lit(0L))).as(s"__s$i"))
+    val scores = perGram.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    val attached = docs.select(col("doc_id"), col("lang").as("actual_lang"))
+      .join(broadcast(scores), Seq("doc_id"), "left")
+    // argmax with the x08 tie-break (higher score, then lexicographically
+    // LARGER language code): walk langs in descending order, strict >
+    // replaces — fold as a when-chain, no window
+    val langsDesc = langs.reverse
+    def s(l: String): Column = coalesce(col(s"__s${idx(l)}"), lit(0L))
+    val (bestL, bestS) = langsDesc.tail.foldLeft((lit(langsDesc.head), s(langsDesc.head))) {
+      case ((bl, bs), l) =>
+        (when(s(l) > bs, lit(l)).otherwise(bl), when(s(l) > bs, s(l)).otherwise(bs))
+    }
+    attached.select(col("doc_id"), bestL.as("pred_lang"), bestS.as("score"),
+      col("actual_lang"),
+      (bestL === col("actual_lang")).cast("int").as("correct"))
+  }
 }
 
 /** Marker word lists (tiny, code-embedded — public common stopwords). */

