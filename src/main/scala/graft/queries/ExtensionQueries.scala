@@ -2144,5 +2144,27 @@ object ExtensionQueries {
         TextDedup.bloomMembershipStats(
           docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
           docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+      }),
+
+    Q("x81_audio_features",
+      "REAL audio through the media seam (round-8, the x77 pattern for sound): per doc a " +
+        "square-wave tone with id-derived half-period and amplitude, encoded as honest " +
+        "RIFF/WAVE PCM16 bytes, decoded back through the JDK codec (javax.sound.sampled " +
+        "parses the container), integer-exact features extracted from the PCM frames " +
+        "(zero-crossing count, peak, absolute sum - the energy/ZCR descriptor class). " +
+        "Every feature of a square wave is closed-form, so the oracle predicts the DECODED " +
+        "values from ids alone - no audio stack in DuckDB. Synth/encode/decode all " +
+        "partition-local; payloads never shuffle.",
+      Some("""SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+             |  CAST(2000 AS BIGINT) AS n_samples,
+             |  CAST(1999 // (4 + doc_id % 13) AS BIGINT) AS zero_crossings,
+             |  CAST(1000 + 10 * doc_id AS BIGINT) AS peak_abs,
+             |  CAST(2000 * (1000 + 10 * doc_id) AS BIGINT) AS sum_abs
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val ids = Tables.documents(s, d).filter(col("doc_id") < 100).select(col("doc_id"))
+        Multimodal.decodeAudioTable(s, Multimodal.wavTableFromIds(s, ids))
+          .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+            col("zero_crossings"), col("peak_abs"), col("sum_abs"))
       }))
 }

@@ -89,6 +89,22 @@ class MultimodalCodecSpec extends SparkSuite {
     assert(thumbs(1)._5 - thumbs(0)._5 == 4.0, "thumbnail mean gap must stay exactly 4")
   }
 
+  test("real WAV codec: RIFF encode round-trips through javax.sound with analytic features") {
+    // half-period 5, amp 1200, 100 samples: flips at 5,10,...,95 → 19;
+    // |s| ≡ 1200 → peak 1200, sum 120000
+    val wav = Multimodal.encodeWav(8000, Multimodal.squareWave(5, 1200, 100))
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE", "not a real RIFF/WAVE container")
+    val out = Multimodal.decodeAudio(Iterator(
+      Multimodal.MediaRow(5L, "audio/wav", wav),
+      Multimodal.MediaRow(6L, "application/octet-stream",
+        "definitely not audio".getBytes("UTF-8")))).toSeq
+    assert(out.map(_.doc_id) == Seq(5L), "undecodable payloads must drop")
+    val f = out.head
+    assert((f.sample_rate, f.n_samples, f.zero_crossings, f.peak_abs, f.sum_abs) ==
+      ((8000, 100L, 19L, 1200L, 120000L)))
+  }
+
   test("x77 pipeline: perceptual clusters pair each doc with its perturbed twin") {
     val docs = Seq((0L, "the quick brown fox"), (1L, "jumps over"), (2L, "the lazy dog"))
       .toDF("doc_id", "text")
