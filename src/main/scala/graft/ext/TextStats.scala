@@ -713,8 +713,15 @@ object TextStats {
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.broadcast
+    // lazy-checkpoint the exploded gram frame: the profile collect below
+    // materializes (caches) it, so the scoring pass reads cached blocks
+    // instead of re-running the corpus explode — training and scoring
+    // are separate JOBS here (the profile must be collected before the
+    // scoring plan can embed it), and without the cache each would pay
+    // the full explode
     val grams = docs.select(col("doc_id"), col("lang"),
       explode(graft.functions.char_ngrams(col(textCol), n)).as("g"))
+      .localCheckpoint(false)
     val profile = grams.groupBy(col("lang").as("plang"), col("g"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(
@@ -737,13 +744,12 @@ object TextStats {
       rows.foreach { case (l, _, w) => arr(idx(l)) += w }
       g -> arr
     }
-    val mapEntries = weights.toSeq.sortBy(_._1).flatMap { case (g, arr) =>
-      Seq(lit(g), array(arr.toIndexedSeq.map(lit): _*))
-    }
-    val wmap = map(mapEntries: _*)
-    val perGram = docs.select(col("doc_id"),
-        explode(graft.functions.char_ngrams(col(textCol), n)).as("g"))
-      .select(col("doc_id"), element_at(wmap, col("g")).as("ws"))
+    // ONE map-typed Literal (typedlit), not a map() of 2·|grams| child
+    // expressions: the expression-tree form costs seconds of analysis +
+    // codegen on a cold first run; a single literal is O(1) to plan and
+    // the generated code just references the map object
+    val wmap = typedlit(weights.map { case (g, arr) => g -> arr.toSeq })
+    val perGram = grams.select(col("doc_id"), element_at(wmap, col("g")).as("ws"))
     val sums = langs.indices.map(i =>
       sum(coalesce(col("ws")(i), lit(0L))).as(s"__s$i"))
     val scores = perGram.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)

@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions._
   * (doc,lang,gram) pre-aggregation variant measured ~2× slower (column
   * pruning defeats ReuseExchange — see languageIdNgram's comment).
   *
+  * Round 8: the registered x29 switched to `languageIdNgramLiteral`
+  * (profile embedded as a literal map — no scoring join/window/
+  * crossJoin; measured 1.10 → 0.79 s warm, registered-path 2.95 →
+  * ~1.5 s). This profiler still times the declarative reference form.
+  *
   *   sbt 'runMain graft.tools.ProfileX29'
   */
 object ProfileX29 {

@@ -80,7 +80,12 @@ object ScaleSmoke {
     // queries stay FLAT as the corpus grows — the scan prunes on
     // doc_id, everything downstream is sample-sized (the x33 note).
     "q51_exact_median", "q52_funnel", "x72_source_tv_distance",
-    "x74_media_dedup", "x76_effective_tokens", "x77_image_phash_dedup")
+    "x74_media_dedup", "x76_effective_tokens", "x77_image_phash_dedup",
+    // round-8 late additions whose cost grows with the corpus: x79's
+    // LSH-pair verification joins, x80's bloom build + exact probe
+    // join. (x78 runs on the constant-size embeddings table and x81
+    // bounds itself to doc_id < 100 for its closed-form oracle.)
+    "x79_minhash_calibration", "x80_bloom_dedup")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -81,19 +81,31 @@ class PlanSpec extends SparkSuite {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      // round-8 shape: the trained profile ships as a literal map, so
-      // the returned plan holds ONE broadcast (zero-gram doc attach),
-      // no window (profile training happened during build; the argmax
-      // is a when-chain), and the gram kernel stays codegen
+      // round-8 shape: the trained profile ships as a literal map and
+      // the gram explode runs once in the (checkpointed) training job,
+      // so the returned plan holds ONE broadcast (zero-gram doc
+      // attach), no window (the argmax is a when-chain), no sort-merge
+      // join, and scoring reads the cached gram frame — the corpus
+      // explode must NOT reappear in it
       val p = SparkEntry.queries("x29_lang_id_ngram")(spark, sf).queryExecution.executedPlan
       val bcasts = collectAll(p) { case b: BroadcastExchangeLike => b }
       assert(bcasts.size == 1,
         s"expected exactly the scores-attach broadcast, got ${bcasts.size}:\n$p")
       assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
         s"literal-map x29 must not plan a window:\n$p")
-      assert(collectAll(p) { case w: WholeStageCodegenExec => w }
+      assert(collectAll(p) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.isEmpty, s"literal-map x29 must not sort-merge join:\n$p")
+      assert(!p.toString.contains("char_ngrams"),
+        s"scoring must reuse the cached gram frame, not re-explode:\n$p")
+
+      // the gram kernel's codegen status is pinned on the declarative
+      // reference form (the literal path runs it inside the training job)
+      val ref = graft.ext.TextStats.languageIdNgram(
+        graft.sources.Tables.documents(spark, sf)).queryExecution.executedPlan
+      assert(collectAll(ref) { case w: WholeStageCodegenExec => w }
         .exists(_.toString.contains("char_ngrams")),
-        s"char_ngrams not inside a codegen stage:\n$p")
+        s"char_ngrams not inside a codegen stage:\n$ref")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
