@@ -768,6 +768,50 @@ object TextStats {
       col("actual_lang"),
       (bestL === col("actual_lang")).cast("int").as("correct"))
   }
+
+  /** Smallest power of two ≥ n, as a generated integer CASE chain
+    * (round-8): `log2`/`power` would put a libm float between the
+    * engines (the x41 boundary); a 21-arm when-chain over exact integer
+    * thresholds is branch-per-row cheap and renders identically in
+    * DuckDB via [[pow2BucketSqlCases]]. Inputs above 2^20 clamp to the
+    * top bucket.
+    */
+  def pow2Bucket(n: Column): Column =
+    (0 to 20).foldRight(lit(1L << 20): Column) { case (k, rest) =>
+      when(n <= (1L << k), lit(1L << k)).otherwise(rest)
+    }
+
+  /** The DuckDB rendering of [[pow2Bucket]] over a column expression —
+    * generated from the same loop so the two chains cannot drift.
+    */
+  def pow2BucketSqlCases(nExpr: String): String =
+    (0 to 20).map(k => s"WHEN $nExpr <= ${1L << k} THEN ${1L << k}")
+      .mkString("CASE ", " ", s" ELSE ${1L << 20} END")
+
+  /** Padding-efficiency table for length-bucketed batching (round-8) —
+    * the training-infra accounting behind "bucket by sequence length
+    * before batching": pad-to-bucket wastes (bucket_max − n_tokens)
+    * slots per doc, so per power-of-two bucket this emits the exact
+    * integer waste share, plus one `global` row pricing the
+    * no-bucketing alternative (everything padded to the longest doc's
+    * bucket). waste_bp = (padded − real) · 10000 DIV padded — all
+    * integer, hash-exact. One scan + one tiny aggregate; the global
+    * row is a 1-row rollup of the per-bucket frame.
+    * Output: `scope, bucket_max, n_docs, sum_tokens, waste_bp`.
+    */
+  def paddingEfficiency(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val nTok = size(split(col(textCol), " ")).cast("long")
+    val per = docs.select(pow2Bucket(nTok).as("bucket_max"), nTok.as("n_tokens"))
+      .groupBy(col("bucket_max"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    val global = per.agg(max(col("bucket_max")).as("bucket_max"),
+      sum(col("n_docs")).as("n_docs"), sum(col("sum_tokens")).as("sum_tokens"))
+    per.withColumn("scope", lit("bucket"))
+      .unionByName(global.withColumn("scope", lit("global")))
+      .select(col("scope"), col("bucket_max"), col("n_docs"), col("sum_tokens"),
+        expr("CAST((n_docs * bucket_max - sum_tokens) * 10000 " +
+          "DIV (n_docs * bucket_max) AS BIGINT)").as("waste_bp"))
+  }
 }
 
 /** Marker word lists (tiny, code-embedded — public common stopwords). */

@@ -2166,5 +2166,34 @@ object ExtensionQueries {
         Multimodal.decodeAudioTable(s, Multimodal.wavTableFromIds(s, ids))
           .select(col("doc_id"), col("sample_rate"), col("n_samples"),
             col("zero_crossings"), col("peak_abs"), col("sum_abs"))
-      }))
+      }),
+
+    Q("x82_padding_efficiency",
+      "Padding-efficiency table for length-bucketed batching (round-8): per power-of-two " +
+        "token-length bucket, the exact integer share of batch slots padding would waste, " +
+        "plus one global row pricing the no-bucketing alternative (pad everything to the " +
+        "longest doc's bucket) - the training-infra accounting that justifies length " +
+        "bucketing as data. The pow2 bucket is a generated integer CASE chain on BOTH " +
+        "engines (no log2/power libm float - the x41 boundary); waste_bp is integer " +
+        "basis points.",
+      Some {
+        val cases = TextStats.pow2BucketSqlCases("len(string_split(text, ' '))")
+        s"""WITH t AS (SELECT CAST($cases AS BIGINT) AS bucket_max,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+           |per AS (SELECT bucket_max, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+           |  FROM t GROUP BY bucket_max),
+           |g AS (SELECT CAST(max(bucket_max) AS BIGINT) AS bucket_max,
+           |    CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           |    CAST(sum(sum_tokens) AS BIGINT) AS sum_tokens FROM per)
+           |SELECT 'bucket' AS scope, bucket_max, n_docs, sum_tokens,
+           |  CAST((n_docs * bucket_max - sum_tokens) * 10000 // (n_docs * bucket_max) AS BIGINT) AS waste_bp
+           |FROM per
+           |UNION ALL
+           |SELECT 'global' AS scope, bucket_max, n_docs, sum_tokens,
+           |  CAST((n_docs * bucket_max - sum_tokens) * 10000 // (n_docs * bucket_max) AS BIGINT) AS waste_bp
+           |FROM g
+           |ORDER BY scope, bucket_max""".stripMargin
+      },
+      (s, d) => TextStats.paddingEfficiency(Tables.documents(s, d))))
 }

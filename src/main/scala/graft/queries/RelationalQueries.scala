@@ -970,6 +970,47 @@ object RelationalQueries {
           .select($"event_type", $"hr".cast("timestamp_ntz").as("hr"), $"n",
             $"med_lo", $"med_hi",
             ($"n" >= $"med_lo" + $"med_hi").cast("int").as("is_spike"))
+      }),
+
+    Q("q54_window_navigation",
+      "The second half of the window-function surface (round-8; q34 covers row_number/lag/lead/" +
+        "rank/ntile + ROWS frames): first_value / last_value / nth_value over an explicit running " +
+        "frame, dense_rank, and the distribution functions percent_rank / cume_dist rendered as " +
+        "exact basis points — (rank-1)*10000 DIV (n-1) and rn*10000 DIV n are integer divisions " +
+        "of window ranks, so the whole family hash-matches without any float crossing engines " +
+        "(the unique (ts, event_id) ordering makes row_number the peer-inclusive cume count; " +
+        "single-row partitions pin percent_rank to 0, the SQL-standard value).",
+      Some("""SELECT event_id, user_id,
+             |  first_value(event_id) OVER w AS first_id,
+             |  last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_so_far,
+             |  nth_value(event_id, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_id,
+             |  CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS INT) AS type_drank,
+             |  CAST(CASE WHEN count(*) OVER p > 1
+             |    THEN (rank() OVER w - 1) * 10000 // (count(*) OVER p - 1)
+             |    ELSE 0 END AS BIGINT) AS pct_rank_bp,
+             |  CAST(row_number() OVER w * 10000 // count(*) OVER p AS BIGINT) AS cume_dist_bp
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+             |       p AS (PARTITION BY user_id)
+             |ORDER BY event_id""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy($"user_id").orderBy($"event_type")
+        Tables.events(s, d).select(
+          $"event_id", $"user_id",
+          first($"event_id").over(w).as("first_id"),
+          last($"event_id").over(wRun).as("last_so_far"),
+          nth_value($"event_id", 2).over(wRun).as("second_id"),
+          dense_rank().over(wt).as("type_drank"),
+          expr("CAST(CASE WHEN count(*) OVER (PARTITION BY user_id) > 1 " +
+            "THEN (rank() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) * 10000 " +
+            "DIV (count(*) OVER (PARTITION BY user_id) - 1) ELSE 0 END AS BIGINT)")
+            .as("pct_rank_bp"),
+          expr("CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) * 10000 " +
+            "DIV count(*) OVER (PARTITION BY user_id) AS BIGINT)").as("cume_dist_bp"))
       }))
 
 
