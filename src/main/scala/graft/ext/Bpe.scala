@@ -137,4 +137,27 @@ object Bpe {
       .agg(sum(col("t")).cast("long").as("n_tokens_bpe"),
         count(lit(1)).as("n_words"))
   }
+
+  /** Tokenizer fertility per source (round-8): the dataset-card table
+    * behind "how well does the tokenizer fit each slice of the mix" —
+    * chars-per-token and tokens-per-word in exact integer basis points,
+    * aggregated per source over the [[encode]] output (the same shared
+    * lazy fit chain, so the merge loop still runs once). A source whose
+    * chars_per_token collapses toward 10000 (1 char/token) is one the
+    * vocabulary serves badly — its token budget inflates accordingly.
+    * Output: `source, n_docs, sum_chars, sum_tokens, sum_words,
+    * chars_per_token_bp, tokens_per_word_bp`.
+    */
+  def fertilityBySource(docs: DataFrame, iters: Int,
+      textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        length(col(textCol)).cast("long").as("__chars"))
+      .join(encode(docs, iters, "doc_id", textCol), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__chars")).as("sum_chars"),
+        sum(col("n_tokens_bpe")).as("sum_tokens"), sum(col("n_words")).as("sum_words"))
+      .select(col("source"), col("n_docs"), col("sum_chars"), col("sum_tokens"),
+        col("sum_words"),
+        expr("CAST(sum_chars * 10000 DIV sum_tokens AS BIGINT)").as("chars_per_token_bp"),
+        expr("CAST(sum_tokens * 10000 DIV sum_words AS BIGINT)").as("tokens_per_word_bp"))
 }

@@ -191,6 +191,24 @@ object ExtensionQueries {
        |WHERE len(word) > 0
        |GROUP BY dw.doc_id ORDER BY doc_id""".stripMargin
 
+  // x83: the x58 encode chain re-aggregated per source with char totals
+  // — the fertility table, all-integer basis points.
+  private val bpeFertilityOracle: String =
+    s"""WITH ${bpeCtes(4)},
+       |tok AS (SELECT word, CAST(len(string_split(w, chr(1)||chr(1))) AS BIGINT) AS t FROM v4),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |enc AS (SELECT dw.doc_id, CAST(SUM(tok.t) AS BIGINT) AS t,
+       |          CAST(count(*) AS BIGINT) AS nw
+       |        FROM dw JOIN tok USING (word) WHERE len(word) > 0 GROUP BY dw.doc_id)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(strlen(d.text)) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(enc.t) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(enc.nw) AS BIGINT) AS sum_words,
+       |  CAST(SUM(strlen(d.text)) * 10000 // SUM(enc.t) AS BIGINT) AS chars_per_token_bp,
+       |  CAST(SUM(enc.t) * 10000 // SUM(enc.nw) AS BIGINT) AS tokens_per_word_bp
+       |FROM documents d JOIN enc ON d.doc_id = enc.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   // BM25 (rational idf) — the per-term float expression is generated by
   // TextRank.bm25TermScoreSql so the oracle's expression tree is the
   // verbatim twin of TextRank.termScore; decimal rounding + decimal sum
@@ -2195,5 +2213,15 @@ object ExtensionQueries {
            |FROM g
            |ORDER BY scope, bucket_max""".stripMargin
       },
-      (s, d) => TextStats.paddingEfficiency(Tables.documents(s, d))))
+      (s, d) => TextStats.paddingEfficiency(Tables.documents(s, d))),
+
+    Q("x83_tokenizer_fertility",
+      "Tokenizer fertility per source (round-8): chars-per-token and tokens-per-word in exact " +
+        "integer basis points under the x57-trained BPE merges - the dataset-card table behind " +
+        "'how well does the tokenizer fit each slice of the mix'; a source whose chars/token " +
+        "collapses toward 1 is one the vocabulary serves badly and its token budget inflates. " +
+        "Composes the proven x58 encode chain (merge loop runs once, per-word counts on the " +
+        "vocab-sized frame) with one source-keyed aggregate.",
+      Some(bpeFertilityOracle),
+      (s, d) => graft.ext.Bpe.fertilityBySource(Tables.documents(s, d), 4)))
 }
