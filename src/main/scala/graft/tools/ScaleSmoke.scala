@@ -83,9 +83,12 @@ object ScaleSmoke {
     "x74_media_dedup", "x76_effective_tokens", "x77_image_phash_dedup",
     // round-8 late additions whose cost grows with the corpus: x79's
     // LSH-pair verification joins, x80's bloom build + exact probe
-    // join. (x78 runs on the constant-size embeddings table and x81
-    // bounds itself to doc_id < 100 for its closed-form oracle.)
-    "x79_minhash_calibration", "x80_bloom_dedup")
+    // join, q54's window family over events, x82's scan + tiny agg,
+    // x83's BPE vocab fit + encode join. (x78 runs on the constant-size
+    // embeddings table and x81 bounds itself to doc_id < 100 for its
+    // closed-form oracle.)
+    "x79_minhash_calibration", "x80_bloom_dedup", "q54_window_navigation",
+    "x82_padding_efficiency", "x83_tokenizer_fertility")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
