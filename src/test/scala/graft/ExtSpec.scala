@@ -973,6 +973,32 @@ class ExtSpec extends SparkSuite {
     assert(got(2L) == ((2L, 0L, 0L)))
   }
 
+  test("pow2Bucket: matches the analytic smallest power of two over the full branch range (round-8)") {
+    val probes = (1L to 70L) ++ Seq(127L, 128L, 129L, 1023L, 1024L, 1025L,
+      (1L << 19) + 1, 1L << 20, (1L << 20) + 5)
+    def analytic(n: Long): Long = {
+      var p = 1L; while (p < n && p < (1L << 20)) p <<= 1; p
+    }
+    val got = probes.toDF("n")
+      .select($"n", TextStats.pow2Bucket($"n").as("b"))
+      .as[(Long, Long)].collect().toMap
+    probes.foreach(n => assert(got(n) == analytic(n), s"n=$n: ${got(n)} != ${analytic(n)}"))
+  }
+
+  test("paddingEfficiency: exact waste shares and the global no-bucketing row (round-8)") {
+    // tokens: 3,3,5,9 → buckets 4,4,8,16; global bucket 16
+    val docs = Seq((1L, "a b c"), (2L, "d e f"), (3L, "a b c d e"),
+      (4L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val rows = TextStats.paddingEfficiency(docs)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(rows == Set(
+      ("bucket", 4L, 2L, 6L, 2500L),   // 8 slots, 2 wasted
+      ("bucket", 8L, 1L, 5L, 3750L),   // 8 slots, 3 wasted
+      ("bucket", 16L, 1L, 9L, 4375L),  // 16 slots, 7 wasted
+      ("global", 16L, 4L, 20L, 6875L)  // 64 slots, 44 wasted
+    ), s"got $rows")
+  }
+
   test("bloomMembershipStats: planted dup flagged, no false negatives, bound holds (round-8)") {
     val corpus = Seq("k1", "k2", "k3").toDF("fp")
     val batch = Seq((10L, "k1"), (11L, "novel-a"), (12L, "novel-b"))
