@@ -270,6 +270,39 @@ object Similarity {
     // appear at most once (unlike the multi-band MinHash join)
   }
 
+  /** Semantic decontamination (round-8): for every EVAL vector, how
+    * many train-split vectors sit above `threshold` cosine in its LSH
+    * bucket — the embedding-space analogue of the gram-overlap
+    * decontamination (x30/x46): paraphrased or re-rendered benchmark
+    * content shares no 5-gram but still lands next to its source in
+    * embedding space. Candidates come from the shared-bucket equi-join
+    * (never a cross product); `max_cos` is an exact float MAX (single
+    * comparisons, no accumulation — deterministic cross-engine, the
+    * x15 precedent), and every eval vector keeps a row (zero-hit evals
+    * report 0/null/0). Output:
+    * `eval_id, n_train_hits, max_cos, contaminated`.
+    */
+  def semanticDecontamination(corpus: DataFrame, isEval: Column,
+      threshold: Double): DataFrame = {
+    val withBucket = corpus.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding")).as("bucket"), isEval.as("is_eval"))
+    val eval = withBucket.filter(col("is_eval"))
+      .select(col("bucket"), col("vec_id").as("eval_id"), col("embedding").as("ev"))
+    val train = withBucket.filter(!col("is_eval"))
+      .select(col("bucket"), col("vec_id").as("train_id"), col("embedding").as("tv"))
+    val hits = eval.join(train, Seq("bucket"))
+      .withColumn("cs", cosine_similarity(col("ev"), col("tv")))
+      .filter(col("cs") >= threshold)
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_train_hits"), max(col("cs")).as("max_cos"))
+    corpus.filter(isEval).select(col("vec_id").as("eval_id"))
+      .join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_train_hits"), lit(0L)).as("n_train_hits"),
+        col("max_cos"),
+        (coalesce(col("n_train_hits"), lit(0L)) > 0).cast("int").as("contaminated"))
+  }
+
   /** ANN recall@k as DATA (round-8): per query, how many of the exact
     * top-k an approximate variant recovered — the x73/x75 pattern
     * (justify the approximation with a measured table, not a claim)

@@ -2223,5 +2223,28 @@ object ExtensionQueries {
         "Composes the proven x58 encode chain (merge loop runs once, per-word counts on the " +
         "vocab-sized frame) with one source-keyed aggregate.",
       Some(bpeFertilityOracle),
-      (s, d) => graft.ext.Bpe.fertilityBySource(Tables.documents(s, d), 4)))
+      (s, d) => graft.ext.Bpe.fertilityBySource(Tables.documents(s, d), 4)),
+
+    Q("x84_semantic_decontamination",
+      "Semantic decontamination (round-8): per EVAL-split vector (vec_id % 5 = 0), the count " +
+        "of train-split vectors above cosine threshold in its LSH bucket, the exact max " +
+        "cosine, and a contaminated flag - the embedding-space analogue of gram-overlap " +
+        "decontamination (x30/x46): paraphrased benchmark content shares no 5-gram but still " +
+        "lands next to its source in embedding space. Candidates from the shared-bucket " +
+        "equi-join, never a cross product; max is single IEEE comparisons (no accumulation), " +
+        "so even the float column hash-matches. Threshold 0.35 is demonstrative, the x15 note.",
+      Some(s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+             |e AS (SELECT vec_id AS eval_id, embedding AS ev, bucket FROM b WHERE vec_id % 5 = 0),
+             |t AS (SELECT vec_id AS train_id, embedding AS tv, bucket FROM b WHERE vec_id % 5 != 0),
+             |h AS (SELECT e.eval_id, CAST(count(*) AS BIGINT) AS n,
+             |        max(${cosSql("e.ev", "t.tv")}) AS mc
+             |      FROM e JOIN t ON e.bucket = t.bucket
+             |      WHERE ${cosSql("e.ev", "t.tv")} >= 0.35
+             |      GROUP BY e.eval_id)
+             |SELECT e.eval_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_train_hits,
+             |  h.mc AS max_cos,
+             |  CAST(CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+             |FROM e LEFT JOIN h USING (eval_id) ORDER BY e.eval_id""".stripMargin),
+      (s, d) => Similarity.semanticDecontamination(
+        Tables.embeddings(s, d), pmod(col("vec_id"), lit(5)) === 0, 0.35)))
 }
