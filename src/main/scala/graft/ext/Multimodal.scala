@@ -427,6 +427,96 @@ object Multimodal {
     }.toDF()
   }
 
+  // ---- REAL animation path (round-8): multi-frame GIF ------------------
+
+  /** Real multi-frame (animated) GIF encode via the JDK's GIF writer
+    * sequence API — an honest moving-picture container, which is what
+    * lets [[decodeGifFrames]]' frame extraction be REAL codec work
+    * rather than the byte-slicing stub ([[fakeFrameSample]], kept as
+    * the no-codec twin). Frames should be binary/indexed images
+    * (TYPE_BYTE_BINARY): GIF is palette-based, so full-RGB input would
+    * be quantized by the writer while a 2-color frame round-trips
+    * pixel-exact (MultimodalCodecSpec pins it).
+    */
+  def encodeGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f =>
+      writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** REAL frame extraction: the JDK GIF reader parses the container and
+    * returns each stored frame (`getNumImages(true)` forces a full
+    * scan). Raw per-frame data, not composited playback state — exactly
+    * what a frame-sampling pipeline wants.
+    */
+  def decodeGifFrames(payload: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      (0 until n).map(reader.read(_))
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** A W×H binary frame whose left `whiteCols` pixel columns are white —
+    * closed-form luminance (mean = 255·whiteCols/W, exact: integer sum
+    * over a power-of-two pixel count), the x81 square-wave move in 2D.
+    */
+  def barFrame(w: Int, h: Int, whiteCols: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until h; x <- 0 until whiteCols) img.setRGB(x, y, 0xFFFFFF)
+    img
+  }
+
+  case class FrameFeatures(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, mean_lum: Double)
+
+  /** ids → REAL animated-GIF media table: per id, nFrames(id) =
+    * 4 + id mod 5 growing-bar frames (frame f's white width =
+    * (f+1)·32 / (nFrames+1), integer division) — every sampled frame's
+    * decoded mean luminance is closed-form in (id, f), so x85's oracle
+    * predicts REAL frame-extraction output from ids alone.
+    */
+  def gifTableFromIds(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[IdRow].mapPartitions { it =>
+      it.map { r =>
+        val n = 4 + (r.doc_id % 5).toInt
+        val frames = (0 until n).map(f => barFrame(32, 32, (f + 1) * 32 / (n + 1)))
+        MediaRow(r.doc_id, "image/gif", encodeGif(frames))
+      }
+    }.toDF()
+  }
+
+  /** REAL frame sampling through the GIF codec: decode the container,
+    * keep every `stride`-th frame, one feature row per kept frame —
+    * the generator/UDTF shape of [[fakeFrameSample]], now with honest
+    * bytes-to-pixels work. Partition-local; payloads never shuffle.
+    */
+  def sampleGifFrames(spark: SparkSession, media: DataFrame, stride: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        scala.util.Try(decodeGifFrames(r.payload)).toOption.toSeq.flatten
+          .zipWithIndex.collect { case (img, i) if i % stride == 0 =>
+            val (_, mean) = aHashOf(img)
+            FrameFeatures(r.doc_id, i, img.getWidth, img.getHeight, mean)
+          }
+      }
+    }.toDF()
+  }
+
   /** Perceptual clusters over decoded features: group by (ahash, width,
     * height) — the decoded-signature analogue of [[dedupExact]]'s
     * byte-hash grouping. `lum_gap` = max−min mean luminance inside the

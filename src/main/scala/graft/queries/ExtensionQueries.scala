@@ -2246,5 +2246,25 @@ object ExtensionQueries {
              |  CAST(CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
              |FROM e LEFT JOIN h USING (eval_id) ORDER BY e.eval_id""".stripMargin),
       (s, d) => Similarity.semanticDecontamination(
-        Tables.embeddings(s, d), pmod(col("vec_id"), lit(5)) === 0, 0.35)))
+        Tables.embeddings(s, d), pmod(col("vec_id"), lit(5)) === 0, 0.35)),
+
+    Q("x85_gif_frame_sample",
+      "REAL frame sampling from a moving-picture container (round-8: the frame-sample stub " +
+        "made real): per doc an id-derived number of growing-bar frames encoded as an honest " +
+        "multi-frame animated GIF (JDK writer sequence API), frames extracted back through " +
+        "the JDK GIF reader, every 2nd kept, decoded mean luminance per kept frame. Binary " +
+        "frames round-trip the palette codec pixel-exact, and the bar geometry makes every " +
+        "sampled frame's luminance closed-form in (id, frame) - the oracle predicts REAL " +
+        "frame-extraction output from ids alone (the x81 pattern for animation). " +
+        "Synth/encode/decode partition-local; payloads never shuffle.",
+      Some("""WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS n FROM documents WHERE doc_id < 50),
+             |f AS (SELECT doc_id, n, CAST(u.f AS INT) AS frame_idx
+             |      FROM d, unnest(range(0, n, 2)) u(f))
+             |SELECT doc_id, frame_idx, CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+             |  CAST(255 * (((frame_idx + 1) * 32) // (n + 1)) * 32 AS DOUBLE) / 1024 AS mean_lum
+             |FROM f ORDER BY doc_id, frame_idx""".stripMargin),
+      (s, d) => {
+        val ids = Tables.documents(s, d).filter(col("doc_id") < 50).select(col("doc_id"))
+        Multimodal.sampleGifFrames(s, Multimodal.gifTableFromIds(s, ids), stride = 2)
+      }))
 }

@@ -105,6 +105,37 @@ class MultimodalCodecSpec extends SparkSuite {
       ((8000, 100L, 19L, 1200L, 120000L)))
   }
 
+  test("real animated-GIF codec: frame sequence round-trips pixel-exact through javax.imageio") {
+    val frames = Seq(Multimodal.barFrame(32, 32, 8), Multimodal.barFrame(32, 32, 16),
+      Multimodal.barFrame(32, 32, 24))
+    val gif = Multimodal.encodeGif(frames)
+    assert(new String(gif.take(6), "US-ASCII").startsWith("GIF8"), "not a real GIF container")
+    val back = Multimodal.decodeGifFrames(gif)
+    assert(back.size == 3, s"expected 3 stored frames, decoded ${back.size}")
+    for ((f, i) <- back.zipWithIndex; y <- 0 until 32; x <- 0 until 32)
+      assert((f.getRGB(x, y) & 0xFFFFFF) == (frames(i).getRGB(x, y) & 0xFFFFFF),
+        s"frame $i pixel ($x,$y) changed in round-trip")
+    // closed-form decoded luminance: mean = 255*whiteCols/32
+    assert(back.map(f => Multimodal.aHashOf(f)._2) ==
+      Seq(255.0 * 8 / 32, 255.0 * 16 / 32, 255.0 * 24 / 32))
+  }
+
+  test("sampleGifFrames: real frame extraction keeps every stride-th frame with analytic features") {
+    val ids = Seq(0L, 1L, 4L).toDF("doc_id") // nFrames = 4, 5, 8
+    val media = Multimodal.gifTableFromIds(spark, ids)
+    val got = Multimodal.sampleGifFrames(spark, media, stride = 2)
+      .select($"doc_id", $"frame_idx", $"width", $"height", $"mean_lum")
+      .as[(Long, Int, Int, Int, Double)].collect().toSet
+    def expect(id: Long): Set[(Long, Int, Int, Int, Double)] = {
+      val n = 4 + (id % 5).toInt
+      (0 until n by 2).map { f =>
+        val w = (f + 1) * 32 / (n + 1)
+        (id, f, 32, 32, 255.0 * w * 32 / 1024)
+      }.toSet
+    }
+    assert(got == expect(0L) ++ expect(1L) ++ expect(4L), s"got $got")
+  }
+
   test("x77 pipeline: perceptual clusters pair each doc with its perturbed twin") {
     val docs = Seq((0L, "the quick brown fox"), (1L, "jumps over"), (2L, "the lazy dog"))
       .toDF("doc_id", "text")
