@@ -84,9 +84,9 @@ object ScaleSmoke {
     // round-8 late additions whose cost grows with the corpus: x79's
     // LSH-pair verification joins, x80's bloom build + exact probe
     // join, q54's window family over events, x82's scan + tiny agg,
-    // x83's BPE vocab fit + encode join. (x78 runs on the constant-size
-    // embeddings table and x81 bounds itself to doc_id < 100 for its
-    // closed-form oracle.)
+    // x83's BPE vocab fit + encode join. (x78/x84 run on the
+    // constant-size embeddings table; x81/x85 bound themselves to
+    // doc_id < 100 / < 50 for their closed-form codec oracles.)
     "x79_minhash_calibration", "x80_bloom_dedup", "q54_window_navigation",
     "x82_padding_efficiency", "x83_tokenizer_fertility")
 
