@@ -166,11 +166,44 @@ class RangeJoinSpec extends SparkSuite {
       assert(got == plain, s"detectFraction=$frac diverged from plain join")
     }
 
+    // knownHot (ingest-time stats input): row-identity for ANY supplied
+    // hot set — correct, spurious, partial, or empty-asserted
+    for (hot <- Seq(Seq("7"), Seq("3", "999"), Seq.empty[String])) {
+      val got = Salt.skewAwareJoin(fact, dim, "fk", "dk", col("row_id"),
+          nSalts = 8, knownHot = Some(hot))
+        .select("row_id", "dk", "name").as[(Long, Long, String)].collect().toSet
+      assert(got == plain, s"knownHot=$hot diverged from plain join")
+    }
+
     // the Misra-Gries pass must surface the 75%-share key (containment
     // contract: any key above n/capacity survives)
     val hot = fact.agg(graft.functions
         .frequent_items($"fk".cast("string"), 16).as("hh"))
       .select(explode($"hh.item")).as[String].collect()
     assert(hot.contains("7"), s"planted hot key missing from $hot")
+  }
+
+  test("skewAwareJoin equals the plain join on random skew shapes (property, 5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      // random skew: between 0 and 3 hot keys of random mass, random
+      // null keys, key domain overlapping the dim only partially
+      val nHot = rnd.nextInt(4)
+      val hotKeys = Seq.fill(nHot)(rnd.nextInt(30).toLong)
+      val fact = Seq.tabulate(400) { i =>
+        val k: java.lang.Long =
+          if (rnd.nextInt(10) == 0) null
+          else if (hotKeys.nonEmpty && rnd.nextInt(3) > 0) hotKeys(rnd.nextInt(hotKeys.size))
+          else rnd.nextInt(60).toLong
+        (i.toLong, k, rnd.nextInt(100))
+      }.toDF("row_id", "fk", "v").repartition(1 + rnd.nextInt(7))
+      val dim = Seq.tabulate(30)(j => (j.toLong, s"name_$j")).toDF("dk", "name")
+      val aware = Salt.skewAwareJoin(fact, dim, "fk", "dk", col("row_id"),
+          nSalts = 1 + rnd.nextInt(8))
+        .select("row_id", "dk", "name").as[(Long, Long, String)].collect().toSet
+      val plain = fact.join(dim, $"fk" === $"dk")
+        .select("row_id", "dk", "name").as[(Long, Long, String)].collect().toSet
+      assert(aware == plain, s"seed $seed: skew-aware != plain")
+    }
   }
 }
