@@ -270,6 +270,35 @@ object Similarity {
     // appear at most once (unlike the multi-band MinHash join)
   }
 
+  /** Greedy batch-vs-standing-index embedding dedup verdicts (round-8)
+    * — the batch API under `StreamingIngest.embeddingDedupStream`, and
+    * the vector twin of `TextDedup.incrementalDedupBanded`: a batch
+    * vector KEEPS iff nothing in the standing index (any id) and no
+    * smaller-id rival in its own batch sits above `threshold` cosine in
+    * its LSH bucket. Index rivals ride the same candidate union as
+    * batch rivals under one predicate by carrying id Long.MinValue
+    * (below any real vec_id — the documented contract). One bucket
+    * equi-join, exact-cosine verification, per-batch cost
+    * O(batch · touched buckets).
+    * Output: `vec_id, bucket, embedding, keep` (1 = survivor).
+    */
+  def embeddingDedupVerdicts(indexVectors: DataFrame, batch: DataFrame,
+      threshold: Double): DataFrame = {
+    val bucketed = batch.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding")).as("bucket"))
+    val idx = indexVectors.select(col("bucket"), col("embedding").as("vx"),
+      lit(Long.MinValue).as("id_x"))
+    val rivals = bucketed.select(col("bucket"), col("embedding").as("vx"),
+      col("vec_id").as("id_x"))
+    val dups = bucketed.join(idx.unionByName(rivals), Seq("bucket"))
+      .filter(col("id_x") < col("vec_id"))
+      .filter(cosine_similarity(col("embedding"), col("vx")) >= threshold)
+      .select(col("vec_id")).distinct().withColumn("__dup", lit(1))
+    bucketed.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"), col("embedding"),
+        when(col("__dup").isNotNull, 0).otherwise(1).as("keep"))
+  }
+
   /** Semantic decontamination (round-8): for every EVAL vector, how
     * many train-split vectors sit above `threshold` cosine in its LSH
     * bucket — the embedding-space analogue of the gram-overlap

@@ -639,24 +639,17 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val bucketed = batch.toDF()
-          .select(col("vec_id"), col("embedding"),
-            Similarity.lshBucket(col("embedding")).as("bucket"))
-          .localCheckpoint(false)
-        val rivalCols = Seq(col("vec_id").as("id_x"), col("embedding").as("vx"), col("bucket"))
+        val b = batch.toDF().localCheckpoint(false)
         val index =
           if (pathExists(spark, indexDir))
             spark.read.parquet(indexDir).filter(col("ingest_seq") < batchId)
-              .select(rivalCols: _*)
-          else bucketed.select(rivalCols: _*).limit(0)
-        // index rivals: any id; batch rivals: smaller id only (greedy)
-        val candidates = bucketed.join(index, Seq("bucket"))
-          .unionByName(bucketed.join(bucketed.select(rivalCols: _*), Seq("bucket"))
-            .filter(col("id_x") < col("vec_id")))
-        val dups = candidates
-          .filter(graft.functions.cosine_similarity(col("embedding"), col("vx")) >= threshold)
-          .select(col("vec_id")).distinct()
-        val survivors = bucketed.join(dups, Seq("vec_id"), "left_anti")
+              .select(col("bucket"), col("embedding"))
+          else b.select(Similarity.lshBucket(col("embedding")).as("bucket"),
+            col("embedding")).limit(0)
+        // shared verdict kernel (the batch API): index rivals any id,
+        // batch rivals smaller id only — greedy arrival-order semantics
+        val survivors = Similarity.embeddingDedupVerdicts(index, b, threshold)
+          .filter(col("keep") === 1).drop("keep")
           .localCheckpoint(false)
         if (!landedSeq(spark, indexDir, batchId)) {
           graft.pipeline.Ingest.appendWithSeq(survivors, indexDir, batchId)

@@ -960,6 +960,26 @@ class ExtSpec extends SparkSuite {
     assert(run(emb.repartition(3)) == got, "centroids must not depend on partitioning")
   }
 
+  test("embeddingDedupVerdicts: greedy keep-min-id against index and batch rivals (round-8)") {
+    val D = Similarity.Dim
+    def vec(axis: Int, eps: Float = 0f): Array[Float] =
+      Array.tabulate(D)(i => if (i == axis) 1f else if (i == (axis + 1) % D) eps else 0f)
+    // index holds direction 3; batch: 10 dups the index, 11 novel,
+    // 12 near-dups 11 (same bucket, smaller-id rival wins), 13 novel
+    val index = Seq(Tuple1(vec(3))).toDF("embedding")
+      .select(Similarity.lshBucket(col("embedding")).as("bucket"), col("embedding"))
+    val batch = Seq((10L, vec(3)), (11L, vec(21)), (12L, vec(21, 0.05f)),
+      (13L, vec(40))).toDF("vec_id", "embedding")
+    val keep = Similarity.embeddingDedupVerdicts(index, batch, 0.9)
+      .select($"vec_id", $"keep").as[(Long, Int)].collect().toMap
+    assert(keep == Map(10L -> 0, 11L -> 1, 12L -> 0, 13L -> 1), s"got $keep")
+
+    // empty index: only batch rivals matter
+    val keep2 = Similarity.embeddingDedupVerdicts(index.limit(0), batch, 0.9)
+      .select($"vec_id", $"keep").as[(Long, Int)].collect().toMap
+    assert(keep2 == Map(10L -> 1, 11L -> 1, 12L -> 0, 13L -> 1), s"got $keep2")
+  }
+
   test("annRecall: per-query overlap in exact basis points (round-8)") {
     val exact = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
       (2L, 1, 20L), (2L, 2, 21L)).toDF("qid", "rank", "neighbor_id")
