@@ -87,20 +87,32 @@ object Bench {
     // band of 1.4-1.7 s on this host (BASELINE.md). host_factor =
     // anchor / clean-midpoint self-reports how contended the bench
     // window was (three rounds of cross-round comparisons were
-    // confounded by 1.35-1.4x host slowdowns before this field);
-    // adj_value = value / max(1, host_factor) is the host-adjusted
-    // total for cross-round comparison. An anchor below the clean band
-    // clamps to factor 1.0 — a fast host is not "negative noise".
+    // confounded by 1.35-1.4x host slowdowns before this field).
+    // The anchor is a GATE, not a divisor (round-8 verdict): dividing
+    // the total by host_factor over-corrects, because the per-query
+    // min-of-passes already rejects many contended samples — r8's
+    // "adjusted 49.9 s" vs the repo's own 71.1 s clean reference for
+    // the identical registry was a ~30% phantom speedup. So: emit
+    // window_clean (host_factor <= 1.15); a dirty window means RE-RUN
+    // on a quieter one rather than trusting any rescaling. The divided
+    // number survives only as adj_value_lower_bound — an optimistic
+    // floor (true clean total lies in [lower_bound, value]), never a
+    // headline. An anchor below the clean band clamps to factor 1.0 —
+    // a fast host is not "negative noise".
     val AnchorName = "q41_u256_sum"
     val AnchorCleanSec = 1.55
     val anchorSec = results.toMap.get(AnchorName)
       .filterNot(_ => errors.contains(AnchorName)).getOrElse(0.0)
     val hostFactor = if (anchorSec > 0) math.max(1.0, anchorSec / AnchorCleanSec) else 1.0
-    val adjTotal = total / hostFactor
+    val windowClean = hostFactor <= 1.15
+    if (!windowClean)
+      System.err.println(s"[bench] WINDOW NOT CLEAN: anchor $AnchorName " +
+        f"${anchorSec}%.2f s vs clean $AnchorCleanSec s (host_factor $hostFactor%.2f) — " +
+        "re-run on a quieter window; do not rescale")
     val anchorFields =
       s""""anchor":"$AnchorName","anchor_sec":${fmt(anchorSec)},""" +
       s""""anchor_clean_sec":${fmt(AnchorCleanSec)},"host_factor":${fmt(hostFactor)},""" +
-      s""""adj_value":${fmt(adjTotal)}"""
+      s""""window_clean":$windowClean,"adj_value_lower_bound":${fmt(total / hostFactor)}"""
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$anchorFields,""" +
       s""""failed":$failedArr,"queries":$qs,"sf":"$sfDir"}"""

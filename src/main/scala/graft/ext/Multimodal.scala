@@ -197,28 +197,40 @@ object Multimodal {
     */
   def aHashOf(img: java.awt.image.BufferedImage): (Long, Double) = {
     val w = img.getWidth; val h = img.getHeight
-    val lum = Array.ofDim[Long](h, w)
+    // ONE streaming pass over pixels (round-8 advisory): the old form
+    // materialized a full O(w*h) Array[Long] luminance matrix before
+    // the block pass — ~400 MB of heap per 50 MP image per task on top
+    // of the BufferedImage itself in a corpus-scale decode stage. The
+    // block index is derivable from the coordinate: with block bounds
+    // x0(b) = floor(b*w/8), pixel x belongs to the largest b with
+    // floor(b*w/8) <= x, which is exactly floor((8x+7)/w) — so each
+    // pixel accumulates straight into its (by,bx) cell of two 64-slot
+    // arrays and nothing else is retained. Same partition of the pixel
+    // grid, bit-identical hashes (MultimodalCodecSpec pins equality to
+    // the naive two-pass form).
+    val blockSum = new Array[Long](64)
+    val blockCnt = new Array[Long](64)
     var total = 0L
     var y = 0
     while (y < h) {
+      val by = math.min(7, ((8 * y + 7) / h).toInt)
       var x = 0
-      while (x < w) { val l = lumOf(img.getRGB(x, y)); lum(y)(x) = l; total += l; x += 1 }
+      while (x < w) {
+        val l = lumOf(img.getRGB(x, y))
+        val bx = math.min(7, ((8 * x + 7) / w).toInt)
+        blockSum(by * 8 + bx) += l
+        blockCnt(by * 8 + bx) += 1
+        total += l
+        x += 1
+      }
       y += 1
     }
     val n = w.toLong * h
     var hash = 0L
-    for (by <- 0 until 8; bx <- 0 until 8) {
-      val x0 = bx * w / 8; val x1 = (bx + 1) * w / 8
-      val y0 = by * h / 8; val y1 = (by + 1) * h / 8
-      var s = 0L
-      var cnt = 0L
-      var yy = y0
-      while (yy < y1) {
-        var xx = x0
-        while (xx < x1) { s += lum(yy)(xx); cnt += 1; xx += 1 }
-        yy += 1
-      }
-      if (cnt > 0 && s * n > total * cnt) hash |= 1L << (by * 8 + bx)
+    var i = 0
+    while (i < 64) {
+      if (blockCnt(i) > 0 && blockSum(i) * n > total * blockCnt(i)) hash |= 1L << i
+      i += 1
     }
     (hash, total.toDouble / n)
   }
@@ -267,7 +279,13 @@ object Multimodal {
     */
   def encodeImage(img: java.awt.image.BufferedImage, format: String = "png"): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, format, bos)
+    // ImageIO.write returns false when no registered writer accepts the
+    // format/image type — without this check an unsupported format
+    // yields a 0-byte payload that then silently DROPS at decode time
+    // (the silent-fallback class the round-7/8 advisories hunted down
+    // elsewhere). Fail the encode stage loudly instead.
+    require(javax.imageio.ImageIO.write(img, format, bos),
+      s"no ImageIO writer for format '$format' / image type ${img.getType}")
     bos.toByteArray
   }
 

@@ -699,8 +699,9 @@ object TextStats {
     * groupBy(doc) with a per-lang sum column each, and the argmax a
     * when-chain over those columns (no window, no crossJoin). Plan:
     * train-explode+agg as before, then ONE more explode + ONE hash
-    * aggregate; the only remaining join is the broadcast attach of
-    * zero-gram docs. Training math, scores, and the (score desc, lang
+    * aggregate; the only remaining join is the shuffle attach of the
+    * per-doc score rows onto the doc frame (corpus-sized on both
+    * sides, so it must NOT broadcast — round-8 advisory). Training math, scores, and the (score desc, lang
     * desc) tie-break are bit-identical to [[languageIdNgram]]
     * (LangIdLiteralSpec proves row equality on the corpus).
     *
@@ -712,7 +713,6 @@ object TextStats {
   def languageIdNgramLiteral(docs: DataFrame, n: Int = 2, topM: Int = 40,
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.broadcast
     // lazy-checkpoint the exploded gram frame: the profile collect below
     // materializes (caches) it, so the scoring pass reads cached blocks
     // instead of re-running the corpus explode — training and scoring
@@ -753,8 +753,14 @@ object TextStats {
     val sums = langs.indices.map(i =>
       sum(coalesce(col("ws")(i), lit(0L))).as(s"__s$i"))
     val scores = perGram.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    // plain shuffle join: `scores` is one row per document WITH grams —
+    // corpus-sized, so broadcasting it would put the whole corpus on the
+    // driver (round-8 advisory). The broadcast exception stays reserved
+    // for bounded model artifacts like the profile literal above; this
+    // attach shuffles O(docs) narrow rows on doc_id, which is the
+    // correct 100 TB posture.
     val attached = docs.select(col("doc_id"), col("lang").as("actual_lang"))
-      .join(broadcast(scores), Seq("doc_id"), "left")
+      .join(scores, Seq("doc_id"), "left")
     // argmax with the x08 tie-break (higher score, then lexicographically
     // LARGER language code): walk langs in descending order, strict >
     // replaces — fold as a when-chain, no window

@@ -2102,10 +2102,26 @@ object ExtensionQueries {
         "over a power-of-two pixel count divide exactly in IEEE — Multimodal.aHashOf), which " +
         "is what lets the oracle predict the clusters from content identity alone, no codec " +
         "in DuckDB. Render/encode/decode all partition-local; payloads never shuffle.",
-      Some("""SELECT doc_id AS keep_id, CAST(2 AS BIGINT) AS n_copies,
+      // The oracle derives clusters from TEXT IDENTITY rather than
+      // hardcoding clusters-of-2 (round-8 advisory): identical text →
+      // identical md5 seed → identical rendered image → the originals
+      // AND twins of both docs merge into one aHash cluster of 2·k.
+      // The corpus generator deliberately plants exact duplicates for
+      // the dedup queries, so a testdata regeneration that duplicated
+      // a text under id 200 would have broken the hardcoded form in a
+      // confusing way; grouping by text makes the oracle invariant to
+      // that. (Residual assumption: no accidental 64-bit aHash
+      // collision between DIFFERENT texts — astronomically unlikely
+      // and not plantable by the generator.) lum_gap stays exactly 4.0
+      // regardless of k: every member pairs a base-luminance original
+      // with a +4-shifted twin, and both shifts are exact integers.
+      Some("""WITH g AS (SELECT min(doc_id) AS keep_id,
+             |    CAST(2 * count(*) AS BIGINT) AS n_copies
+             |  FROM documents WHERE doc_id < 200 GROUP BY text)
+             |SELECT keep_id, n_copies,
              |  CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
              |  CAST(4.0 AS DOUBLE) AS lum_gap
-             |FROM documents WHERE doc_id < 200 ORDER BY keep_id""".stripMargin),
+             |FROM g ORDER BY keep_id""".stripMargin),
       (s, d) => {
         val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
         val media = Multimodal.pngPairsFromDocs(s, docs)

@@ -136,6 +136,39 @@ class MultimodalCodecSpec extends SparkSuite {
     assert(got == expect(0L) ++ expect(1L) ++ expect(4L), s"got $got")
   }
 
+  test("streaming one-pass aHash equals the naive two-pass form on awkward dimensions") {
+    // round-9: aHashOf was rewritten from materialize-the-luminance-
+    // matrix to a single streaming pass with the block index derived
+    // per-pixel (bx = floor((8x+7)/w)). This pins the derivation: the
+    // naive form below partitions via the ORIGINAL bound arithmetic
+    // x0(b) = floor(b*w/8), so any off-by-one in the inverse mapping
+    // shows up as a differing bit. Dimensions chosen to exercise
+    // non-divisible-by-8, degenerate (<8), and prime sizes.
+    def naive(img: java.awt.image.BufferedImage): (Long, Double) = {
+      val w = img.getWidth; val h = img.getHeight
+      def lum(x: Int, y: Int): Long = {
+        val rgb = img.getRGB(x, y)
+        (299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)) / 1000L
+      }
+      var total = 0L
+      for (y <- 0 until h; x <- 0 until w) total += lum(x, y)
+      val n = w.toLong * h
+      var hash = 0L
+      for (by <- 0 until 8; bx <- 0 until 8) {
+        val (x0, x1) = (bx * w / 8, (bx + 1) * w / 8)
+        val (y0, y1) = (by * h / 8, (by + 1) * h / 8)
+        var s = 0L; var cnt = 0L
+        for (yy <- y0 until y1; xx <- x0 until x1) { s += lum(xx, yy); cnt += 1 }
+        if (cnt > 0 && s * n > total * cnt) hash |= 1L << (by * 8 + bx)
+      }
+      (hash, total.toDouble / n)
+    }
+    for ((w, h) <- Seq((32, 32), (33, 17), (8, 8), (9, 8), (5, 40), (3, 3), (64, 7), (13, 29))) {
+      val img = Multimodal.renderImage(seed = 1000L * w + h, w = w, h = h, brighten = 0)
+      assert(Multimodal.aHashOf(img) == naive(img), s"mismatch at ${w}x$h")
+    }
+  }
+
   test("x77 pipeline: perceptual clusters pair each doc with its perturbed twin") {
     val docs = Seq((0L, "the quick brown fox"), (1L, "jumps over"), (2L, "the lazy dog"))
       .toDF("doc_id", "text")
