@@ -41,11 +41,18 @@ import graft.pipeline.Ingest.BlockRange
   *  - **Column pruning reaches the reader.** `pruneColumns` drops
   *    unrequested fields from the rows the reader materializes.
   *
-  * The per-block row content is the deterministic fake of
-  * [[SlicedSource.fakeBlockFetcher]] (zero-egress environment); a
-  * production deployment swaps the row generator for the JSON-RPC pager
-  * inside [[SlicePartitionReader]] — the planning, pruning, and pushdown
-  * layers are exactly what it needs and do not change.
+  * Row content comes from one of two fetchers behind the same reader
+  * seam (round 9 closed the "no real HTTP has run through it" gap):
+  *  - default: the deterministic fake of
+  *    [[SlicedSource.fakeBlockFetcher]] (zero-egress environment);
+  *  - `.option("rpc_url", ...)`: the REAL JSON-RPC pager — each slice
+  *    issues ONE batched `starknet_getBlockWithTxHashes` POST
+  *    (`fetch_data.py:18-46`) through [[JsonRpcClient]] with the
+  *    reference's 5×5s/10s retry policy, executor-local connections.
+  *    Post-exhaustion failure throws, so Spark's task retry re-runs the
+  *    slice (the Airflow-retry analogue). `RpcLoopbackSpec` proves this
+  *    path over real loopback sockets, including that filter-pruned
+  *    slices never hit the wire.
   */
 class BlockRangeSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -71,6 +78,21 @@ object BlockRangeSource {
   /** Same deterministic content as [[SlicedSource.fakeBlockFetcher]]. */
   def blockHash(n: Long): String = "0x" + java.lang.Long.toHexString(n * 2654435761L)
   def blockTimestamp(n: Long): Long = 1700000000L + n
+
+  /** Executor-side JSON-RPC config, carried from reader options into the
+    * serialized [[SliceReaderFactory]]. Defaults are the reference's
+    * (`send_request.py:3-7`): 5 attempts, 5 s backoff, 10 s timeout.
+    */
+  case class RpcConf(url: String, retries: Int = 5,
+      sleepMs: Long = 5000L, timeoutMs: Long = 10000L)
+
+  private[sources] def rpcConf(options: CaseInsensitiveStringMap): Option[RpcConf] =
+    Option(options.get("rpc_url")).map { url =>
+      RpcConf(url,
+        Option(options.get("rpc_retries")).map(_.toInt).getOrElse(5),
+        Option(options.get("rpc_sleep_ms")).map(_.toLong).getOrElse(5000L),
+        Option(options.get("rpc_timeout_ms")).map(_.toLong).getOrElse(10000L))
+    }
 }
 
 private[sources] class BlockRangeTable(options: CaseInsensitiveStringMap)
@@ -79,6 +101,7 @@ private[sources] class BlockRangeTable(options: CaseInsensitiveStringMap)
   private val from = options.get("from").toLong
   private val to = options.get("to").toLong
   private val slice = Option(options.get("slice")).map(_.toLong).getOrElse(10000L)
+  private val rpc = BlockRangeSource.rpcConf(options)
   require(from <= to, s"empty block range [$from, $to]")
   require(slice > 0, "slice must be positive")
 
@@ -88,7 +111,7 @@ private[sources] class BlockRangeTable(options: CaseInsensitiveStringMap)
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
-    new BlockRangeScanBuilder(from, to, slice)
+    new BlockRangeScanBuilder(from, to, slice, rpc)
 }
 
 /** Absorbs `block_number` bound predicates into the planned range and
@@ -96,7 +119,8 @@ private[sources] class BlockRangeTable(options: CaseInsensitiveStringMap)
   * taken (the pushed array IS a conjunction); anything else is returned
   * as a post-scan residual for Spark to evaluate.
   */
-private[sources] class BlockRangeScanBuilder(from: Long, to: Long, slice: Long)
+private[sources] class BlockRangeScanBuilder(from: Long, to: Long, slice: Long,
+    rpc: Option[BlockRangeSource.RpcConf])
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -133,11 +157,12 @@ private[sources] class BlockRangeScanBuilder(from: Long, to: Long, slice: Long)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new BlockRangeScan(lo, hi, slice, required)
+  override def build(): Scan = new BlockRangeScan(lo, hi, slice, required, rpc)
 }
 
 private[sources] class BlockRangeScan(
-    lo: Long, hi: Long, slice: Long, required: StructType)
+    lo: Long, hi: Long, slice: Long, required: StructType,
+    rpc: Option[BlockRangeSource.RpcConf])
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -151,23 +176,25 @@ private[sources] class BlockRangeScan(
       .map(s => SliceInputPartition(s.from, s.to): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SliceReaderFactory(required.fieldNames)
+    new SliceReaderFactory(required.fieldNames, rpc)
 }
 
 private[sources] case class SliceInputPartition(from: Long, to: Long) extends InputPartition
 
-private[sources] class SliceReaderFactory(cols: Array[String])
+private[sources] class SliceReaderFactory(cols: Array[String],
+    rpc: Option[BlockRangeSource.RpcConf])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SliceInputPartition]
-    new SlicePartitionReader(p.from, p.to, cols)
+    rpc match {
+      case Some(c) => new RpcSlicePartitionReader(p.from, p.to, cols, c)
+      case None => new SlicePartitionReader(p.from, p.to, cols)
+    }
   }
 }
 
-/** Generates the slice's rows. In production this is where the JSON-RPC
-  * pager lives (one batched call per slice, iterator over the response);
-  * here the rows are the deterministic fake. Projects only the pruned
-  * columns.
+/** Generates the slice's rows from the deterministic fake (default,
+  * zero-egress path). Projects only the pruned columns.
   */
 private[sources] class SlicePartitionReader(from: Long, to: Long, cols: Array[String])
     extends PartitionReader[InternalRow] {
@@ -181,6 +208,43 @@ private[sources] class SlicePartitionReader(from: Long, to: Long, cols: Array[St
       case "block_number" => n
       case "block_hash" => UTF8String.fromString(BlockRangeSource.blockHash(n))
       case "block_timestamp" => BlockRangeSource.blockTimestamp(n)
+    })
+
+  override def close(): Unit = ()
+}
+
+/** The REAL fetcher behind the same reader seam: one batched
+  * `starknet_getBlockWithTxHashes` JSON-RPC POST for the whole slice on
+  * first advance (`fetch_data.py:18-46` — the slice IS the RPC batching
+  * unit), executor-local HTTP client with the reference's retry policy.
+  * Retry exhaustion throws: a partial slice must never look like a
+  * complete one, and Spark's task retry re-runs the fetch (the
+  * reference's Airflow task retry, `export_blocks_and_events_dag.py:
+  * 83-84`). Projects only the pruned columns.
+  */
+private[sources] class RpcSlicePartitionReader(
+    from: Long, to: Long, cols: Array[String], conf: BlockRangeSource.RpcConf)
+    extends PartitionReader[InternalRow] {
+
+  private var it: Iterator[SlicedSource.FetchedBlock] = _
+  private var cur: SlicedSource.FetchedBlock = _
+
+  override def next(): Boolean = {
+    if (it == null) {
+      val client = new JsonRpcClient(conf.url, conf.retries, conf.sleepMs, conf.timeoutMs)
+      it = JsonRpc.blocksBatch(client, from, to).getOrElse(
+        throw new java.io.IOException(
+          s"JSON-RPC blocks batch [$from,$to] failed after ${conf.retries} attempts " +
+            s"against ${conf.url}")).iterator
+    }
+    if (it.hasNext) { cur = it.next(); true } else false
+  }
+
+  override def get(): InternalRow =
+    new GenericInternalRow(cols.map[Any] {
+      case "block_number" => cur.block_number
+      case "block_hash" => UTF8String.fromString(cur.block_hash)
+      case "block_timestamp" => cur.block_timestamp
     })
 
   override def close(): Unit = ()
