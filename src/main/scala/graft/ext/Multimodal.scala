@@ -50,7 +50,8 @@ object Multimodal {
     * splits by file, so partition-local decode parallelizes per file
     * with payloads never entering a shuffle).
     */
-  def mediaTableFromFiles(spark: SparkSession, dir: String, glob: String = "*"): DataFrame = {
+  def mediaTableFromFiles(spark: SparkSession, dir: String, glob: String = "*",
+      idPattern: String = ""): DataFrame = {
     val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
     // extension → content-type class; unknown/missing extensions get the
     // opaque-bytes type instead of a fabricated image/* subtype, so a
@@ -62,11 +63,21 @@ object Multimodal {
         .when(ext.isin("mp4", "mkv", "webm", "avi", "mov"), concat(lit("video/"), ext))
         .when(ext === "txt", lit("text/plain"))
         .otherwise(lit("application/octet-stream"))
+    // doc_id: by default the xxhash64 of the path (stable, no driver-side
+    // enumeration). `idPattern` (round 9) is for CURATED dumps whose file
+    // names encode the document id (the common object-store layout
+    // `<id>.<ext>`): a regex with one capture group parsed to a long, so
+    // downstream results are content-addressable instead of
+    // path-hash-addressed — which is what lets x86 put this ingest shape
+    // under a DuckDB oracle (a path hash depends on the temp directory).
+    val id =
+      if (idPattern.isEmpty) xxhash64(col("path"))
+      else regexp_extract(col("path"), idPattern, 1).cast("long")
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
       .select(
-        xxhash64(col("path")).as("doc_id"),
+        id.as("doc_id"),
         mediaType.as("media_type"),
         col("content").as("payload"))
   }
@@ -196,6 +207,16 @@ object Multimodal {
     * dimension ≥ 8 gets a full 64-bit signature.
     */
   def aHashOf(img: java.awt.image.BufferedImage): (Long, Double) = {
+    val (hash, total, n) = lumHashStats(img)
+    (hash, total.toDouble / n)
+  }
+
+  /** The integer core of [[aHashOf]]: (hash, total luminance, pixel
+    * count) — exposed so the video path (x87) can aggregate EXACT
+    * integer luminance sums across frames (a mean-of-means double would
+    * put a non-power-of-two division between the engines).
+    */
+  def lumHashStats(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
     val w = img.getWidth; val h = img.getHeight
     // ONE streaming pass over pixels (round-8 advisory): the old form
     // materialized a full O(w*h) Array[Long] luminance matrix before
@@ -232,7 +253,7 @@ object Multimodal {
       if (blockCnt(i) > 0 && blockSum(i) * n > total * blockCnt(i)) hash |= 1L << i
       i += 1
     }
-    (hash, total.toDouble / n)
+    (hash, total, n)
   }
 
   /** REAL decode: `javax.imageio` partition-local over the MediaRow
@@ -312,6 +333,35 @@ object Multimodal {
             encodeImage(renderImage(seed, 32, 32, 4))))
       }
     }.toDF()
+  }
+
+  /** [[pngPairsFromDocs]] as REAL FILES (round 9, x86): the same
+    * original + brightened-twin PNGs written to `dir` as `<id>.png` —
+    * the curated object-store layout — so
+    * [[mediaTableFromFiles]]`(…, idPattern)` ingests them through
+    * Spark's `binaryFile` source and the whole
+    * files → decode → perceptual-cluster path runs under the oracle
+    * gate. Writes happen executor-side via foreachPartition (this is
+    * fixture GENERATION, not the measured operator; on a cluster the
+    * dir must be a shared filesystem, which an object-store layout is
+    * by definition).
+    */
+  def writePngPairsDir(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
+    import spark.implicits._
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    docs.select(col("doc_id"), col("text")).as[TextRow]
+      .foreachPartition { (it: Iterator[TextRow]) =>
+        it.foreach { r =>
+          val d = graft.functions.Md5Kernels.digest(r.text.getBytes("UTF-8"))
+          val seed = graft.functions.Md5Kernels.prefix60OfDigest(d)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"${r.doc_id}.png"),
+            encodeImage(renderImage(seed, 32, 32, 0)))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"${r.doc_id + TwinIdOffset}.png"),
+            encodeImage(renderImage(seed, 32, 32, 4)))
+        }
+      }
   }
 
   /** REAL resize: nearest-neighbor downsample in explicit integer pixel
@@ -534,6 +584,104 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  // ---- Round 9 (x87): video-style perceptual dedup ----------------------
+
+  /** A w×h two-gray-level indexed frame (GIF-native: the palette IS the
+    * color table, so the JDK writer stores it verbatim and the reader
+    * round-trips pixel-exact — MultimodalCodecSpec pins it) with a
+    * seed-deterministic random bit pattern. Gray levels make luminance
+    * algebra exact: lum(v,v,v) = (299+587+114)·v/1000 = v, so shifting
+    * BOTH palette entries by +d shifts every pixel's luminance by
+    * exactly d — the palette-domain form of [[renderImage]]'s no-clamp
+    * brighten, which is what keeps [[aHashOf]] invariant on the twin.
+    */
+  def grayFrame(seed: Long, w: Int, h: Int, dark: Int, light: Int): java.awt.image.BufferedImage = {
+    require(dark >= 0 && light <= 255 && dark < light, s"bad gray palette ($dark, $light)")
+    val cm = new java.awt.image.IndexColorModel(8, 2,
+      Array(dark.toByte, light.toByte),
+      Array(dark.toByte, light.toByte),
+      Array(dark.toByte, light.toByte))
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val rnd = new java.util.Random(seed)
+    val d = (dark << 16) | (dark << 8) | dark
+    val l = (light << 16) | (light << 8) | light
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (rnd.nextBoolean()) l else d)
+    img
+  }
+
+  /** ids → REAL animated-GIF pairs: per id an n-frame animation
+    * (n = 3 + id mod 3, frame f's random pattern seeded by (id, f)) on
+    * the (40, 240) gray palette, plus a +4-brightened twin under
+    * `id + TwinIdOffset` on (44, 244) — SAME patterns, shifted palette.
+    * The twin's GIF bytes differ (exact dedup sees 2N payloads) while
+    * every frame's aHash is provably identical, so only a DECODED
+    * per-frame signature can pair them — x77's planted near-duplicate,
+    * upgraded from one image to a moving picture. Encode is
+    * partition-local; payloads never shuffle.
+    */
+  def gifPairsFromIds(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[IdRow].mapPartitions { it =>
+      it.flatMap { r =>
+        val n = 3 + (r.doc_id % 3).toInt
+        def frames(brighten: Int) = (0 until n).map(f =>
+          grayFrame(r.doc_id * 131 + f, 32, 32, 40 + brighten, 240 + brighten))
+        Seq(
+          MediaRow(r.doc_id, "image/gif", encodeGif(frames(0))),
+          MediaRow(r.doc_id + TwinIdOffset, "image/gif", encodeGif(frames(4))))
+      }
+    }.toDF()
+  }
+
+  case class AnimationSignature(doc_id: Long, n_frames_sampled: Int,
+      sig: Long, lum_units: Long)
+
+  /** Per-animation perceptual signature through the REAL codec: decode
+    * the container (JDK GIF reader), keep every `stride`-th frame, and
+    * fold the ORDERED per-frame aHashes into one 64-bit signature
+    * (sig = sig·1000003 + ahash — order-sensitive, so a re-cut
+    * animation signs differently) plus the exact integer luminance sum
+    * over the sampled frames. All codec + hash work is partition-local;
+    * only the (doc_id, sig, counters) row ever shuffles — the frame
+    * pixels never do, which is the property that holds at 100 TB of
+    * video.
+    */
+  def animationSignatures(spark: SparkSession, media: DataFrame, stride: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        scala.util.Try(decodeGifFrames(r.payload)).toOption.map { frames =>
+          var sig = 0L; var lum = 0L; var k = 0
+          frames.zipWithIndex.foreach { case (img, i) =>
+            if (i % stride == 0) {
+              val (h, total, _) = lumHashStats(img)
+              sig = sig * 1000003L + h
+              lum += total
+              k += 1
+            }
+          }
+          AnimationSignature(r.doc_id, k, sig, lum)
+        }
+      }
+    }.toDF()
+  }
+
+  /** [[perceptualClusters]] for animations: group by the frame-sequence
+    * signature. `lum_gap_units` is the exact INTEGER luminance-sum gap
+    * inside the cluster (for an x87 twin pair: +4 per pixel × 1024
+    * pixels × sampled frames — closed-form, which is what the oracle
+    * predicts without decoding anything). Residual assumption, as x77:
+    * no accidental 64-bit signature collision between DIFFERENT
+    * animations.
+    */
+  def videoPerceptualClusters(spark: SparkSession, media: DataFrame, stride: Int): DataFrame =
+    animationSignatures(spark, media, stride)
+      .groupBy(col("sig"), col("n_frames_sampled"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"),
+        (max(col("lum_units")) - min(col("lum_units"))).as("lum_gap_units"))
 
   /** Perceptual clusters over decoded features: group by (ahash, width,
     * height) — the decoded-signature analogue of [[dedupExact]]'s

