@@ -88,7 +88,13 @@ object ScaleSmoke {
     // constant-size embeddings table; x81/x85 bound themselves to
     // doc_id < 100 / < 50 for their closed-form codec oracles.)
     "x79_minhash_calibration", "x80_bloom_dedup", "q54_window_navigation",
-    "x82_padding_efficiency", "x83_tokenizer_fertility")
+    "x82_padding_efficiency", "x83_tokenizer_fertility",
+    // round-9: q53's hourly agg + per-type rank-median double window
+    // grows with events (the one r8 newcomer with no ×10 row, r8-verdict
+    // item 7). x86/x87 bound themselves (doc_id < 100 / < 60) for their
+    // codec oracles, so their rows measure the flat-profile property —
+    // the scan prunes on doc_id, codec work is sample-sized (x77 note).
+    "q53_volume_anomaly", "x86_file_ingest_phash", "x87_video_phash_dedup")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
