@@ -275,25 +275,41 @@ object Similarity {
     * the vector twin of `TextDedup.incrementalDedupBanded`: a batch
     * vector KEEPS iff nothing in the standing index (any id) and no
     * smaller-id rival in its own batch sits above `threshold` cosine in
-    * its LSH bucket. Index rivals ride the same candidate union as
-    * batch rivals under one predicate by carrying id Long.MinValue
-    * (below any real vec_id — the documented contract). One bucket
-    * equi-join, exact-cosine verification, per-batch cost
+    * its LSH bucket. Exact-cosine verification; per-batch cost
     * O(batch · touched buckets).
+    *
+    * Round 9: the corpus probe and the in-batch rival probe are TWO
+    * separate bucket equi-joins whose dup ids union, instead of one
+    * join against an index∪rivals union frame. Semantics are identical
+    * (corpus rivals matched at any id via the old id Long.MinValue
+    * sentinel; now they simply carry no id predicate), but the index
+    * side of the corpus join is a BARE scan — so when the standing
+    * index is a bucketed-on-`bucket` catalog table
+    * (`Bucketing.writeBucketed`), its HashPartitioning satisfies the
+    * join's clustering and the planner shuffles only the batch side.
+    * The union form structurally forbade that: a union of index and
+    * batch frames has no single table layout, so the corpus-sized index
+    * re-shuffled EVERY batch — the dominant per-batch cost at scale
+    * (EmbDedupStreamSpec locks the plan contrast, the
+    * IncrementalDedupSpec pattern).
     * Output: `vec_id, bucket, embedding, keep` (1 = survivor).
     */
   def embeddingDedupVerdicts(indexVectors: DataFrame, batch: DataFrame,
       threshold: Double): DataFrame = {
     val bucketed = batch.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding")).as("bucket"))
-    val idx = indexVectors.select(col("bucket"), col("embedding").as("vx"),
-      lit(Long.MinValue).as("id_x"))
-    val rivals = bucketed.select(col("bucket"), col("embedding").as("vx"),
-      col("vec_id").as("id_x"))
-    val dups = bucketed.join(idx.unionByName(rivals), Seq("bucket"))
+    val corpusDups = indexVectors.select(col("bucket"), col("embedding").as("vx"))
+      .join(bucketed, Seq("bucket"))
+      .filter(cosine_similarity(col("embedding"), col("vx")) >= threshold)
+      .select(col("vec_id"))
+    val rivalDups = bucketed.join(
+        bucketed.select(col("bucket"), col("embedding").as("vx"),
+          col("vec_id").as("id_x")), Seq("bucket"))
       .filter(col("id_x") < col("vec_id"))
       .filter(cosine_similarity(col("embedding"), col("vx")) >= threshold)
-      .select(col("vec_id")).distinct().withColumn("__dup", lit(1))
+      .select(col("vec_id"))
+    val dups = corpusDups.unionAll(rivalDups)
+      .distinct().withColumn("__dup", lit(1))
     bucketed.join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("bucket"), col("embedding"),
         when(col("__dup").isNotNull, 0).otherwise(1).as("keep"))

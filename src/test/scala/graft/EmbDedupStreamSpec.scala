@@ -95,6 +95,47 @@ class EmbDedupStreamSpec extends SparkSuite {
         s"dropped $dropped has no surviving near-dup partner in ${dupPairs}")
   }
 
+  test("bucketed vector index: the corpus probe plans fewer exchanges, same verdicts") {
+    // round-9: the verdict kernel splits corpus probe and in-batch
+    // rival probe into two joins, so a bucketed-on-`bucket` index table
+    // keeps its layout visible to the planner — the union form
+    // re-shuffled the corpus-sized index EVERY batch (the
+    // IncrementalDedupSpec pattern for the vector family; measured
+    // fragmentation numbers in SCALING.md's EmbIndexBench row).
+    import graft.pipeline.Bucketing
+    val index = (0 until 40).map(i => (100L + i, vec(i % Similarity.Dim)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.lshBucket(col("embedding")).as("bucket"))
+    val batch = Seq(1L -> vec(0), 2L -> vec(7, 0.05f), 3L -> vec(7, 0.04f))
+      .toDF("vec_id", "embedding")
+    Bucketing.writeBucketed(index.select("bucket", "embedding", "vec_id"),
+      "emb_index", "bucket", 4, Some("bucket"))
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bucketed = Similarity.embeddingDedupVerdicts(
+        spark.table("emb_index"), batch, 0.9)
+      val plain = Similarity.embeddingDedupVerdicts(
+        index.select("bucket", "embedding"), batch, 0.9)
+      val (nBucketed, nPlain) =
+        (Bucketing.countExchanges(bucketed), Bucketing.countExchanges(plain))
+      assert(nBucketed < nPlain,
+        s"bucketed index should drop index-side exchanges ($nBucketed vs $nPlain):\n" +
+          bucketed.queryExecution.executedPlan)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("vec_id", "keep").as[(Long, Int)].collect().toSet
+      assert(rows(bucketed) == rows(plain), "layout must not change verdicts")
+      assert(rows(plain).contains(1L -> 0), "exact re-arrival of an index vector must drop")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS emb_index")
+    }
+  }
+
   test("mid-stream index compaction: content identity, bounded file count, verdicts unchanged") {
     // round-9 (r8-verdict item 4): the vector index appends one file
     // group per micro-batch forever; `maybeCompactEmbeddingIndex` is

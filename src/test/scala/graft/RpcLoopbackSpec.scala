@@ -1,11 +1,6 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicInteger
-
 import scala.jdk.CollectionConverters._
-
-import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 import graft.pipeline.Ingest.BlockRange
 import graft.sources.{BlockRangeSource, JsonRpc, JsonRpcClient, SlicedSource}
@@ -27,109 +22,10 @@ import graft.sources.{BlockRangeSource, JsonRpc, JsonRpcClient, SlicedSource}
   */
 class RpcLoopbackSpec extends SparkSuite {
 
-  /** Stub Starknet node. Deterministic corpus: the chain head is
-    * `head`; block n's hash/timestamp use the engine's shared formulas
-    * (so RPC-path rows are comparable with the fake-path rows);
-    * block n carries three events for `address`: two with the default
-    * Transfer key (tx suffixes "a","b") and one with OTHER_KEY ("c").
-    * `failNext` makes the next k requests fail (HTTP 500, or in-band
-    * JSON-RPC error objects when `inBandError` is set). Every request
-    * body is recorded for pushdown/pruning assertions.
-    */
-  private class StubNode(head: Long, address: String) {
-    val mapper = new ObjectMapper()
-    val requests = new java.util.concurrent.ConcurrentLinkedQueue[JsonNode]()
-    val failNext = new AtomicInteger(0)
-    @volatile var inBandError = false
-
-    val OtherKey = "0xother"
-
-    def eventsOf(n: Long): Seq[(String, String, Seq[String])] = Seq(
-      (JsonRpc.DefaultEventKey, s"0xt${n}a", Seq(s"0x${n * 3}")),
-      (JsonRpc.DefaultEventKey, s"0xt${n}b", Seq(s"0x${n * 3 + 1}")),
-      (OtherKey, s"0xt${n}c", Seq(s"0x${n * 3 + 2}")))
-
-    private def blockResult(n: Long) = {
-      val r = mapper.createObjectNode()
-      r.put("block_number", n)
-      r.put("block_hash", BlockRangeSource.blockHash(n))
-      r.put("timestamp", BlockRangeSource.blockTimestamp(n))
-      r
-    }
-
-    val server: HttpServer = HttpServer.create(
-      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
-    server.createContext("/", (ex: HttpExchange) => {
-      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-      val req = mapper.readTree(body)
-      requests.add(req)
-      val out: (Int, String) =
-        if (failNext.getAndUpdate(k => math.max(0, k - 1)) > 0) {
-          if (inBandError) {
-            val o = mapper.createObjectNode()
-            o.putObject("error").put("code", -32000).put("message", "injected")
-            (200, mapper.writeValueAsString(o))
-          } else (500, "boom")
-        } else if (req.isArray) {
-          // batched starknet_getBlockWithTxHashes
-          val arr = mapper.createArrayNode()
-          req.elements().asScala.foreach { r =>
-            val n = r.get("params").get(0).get("block_number").asLong()
-            val o = arr.addObject()
-            o.put("jsonrpc", "2.0").put("id", n)
-            o.set[JsonNode]("result", blockResult(n))
-          }
-          (200, mapper.writeValueAsString(arr))
-        } else req.get("method").asText() match {
-          case "starknet_blockNumber" =>
-            val o = mapper.createObjectNode()
-            o.put("jsonrpc", "2.0").put("id", 1).put("result", head)
-            (200, mapper.writeValueAsString(o))
-          case "starknet_getEvents" =>
-            val p = req.get("params").get(0)
-            assert(p.get("address").asText() == address, "wrong contract address")
-            val lo = p.get("from_block").get("block_number").asLong()
-            val hi = p.get("to_block").get("block_number").asLong()
-            val chunk = p.get("chunk_size").asInt()
-            val keys = p.get("keys").get(0).elements().asScala.map(_.asText()).toSet
-            val off = Option(p.get("continuation_token")).map(_.asText().toInt).getOrElse(0)
-            // the key filter is applied SERVER-side — pushdown semantics
-            val all = (lo to hi).flatMap(n => eventsOf(n).collect {
-              case (k, tx, data) if keys.contains(k) => (n, k, tx, data)
-            })
-            val o = mapper.createObjectNode()
-            val res = o.putObject("result")
-            val evs = res.putArray("events")
-            all.slice(off, off + chunk).foreach { case (n, k, tx, data) =>
-              val e = evs.addObject()
-              e.put("block_number", n)
-              e.put("transaction_hash", tx)
-              e.put("from_address", address)
-              e.putArray("keys").add(k)
-              val d = e.putArray("data"); data.foreach(d.add)
-            }
-            if (off + chunk < all.size)
-              res.put("continuation_token", (off + chunk).toString)
-            o.put("jsonrpc", "2.0").put("id", 1)
-            (200, mapper.writeValueAsString(o))
-        }
-      val bytes = out._2.getBytes("UTF-8")
-      ex.getResponseHeaders.add("Content-Type", "application/json")
-      ex.sendResponseHeaders(out._1, bytes.length)
-      ex.getResponseBody.write(bytes)
-      ex.close()
-    })
-    server.start()
-    def url: String = s"http://127.0.0.1:${server.getAddress.getPort}/"
-    def stop(): Unit = server.stop(0)
-    def nRequests: Int = requests.size()
-    def clear(): Unit = requests.clear()
-  }
-
   private val Addr = "0x04718f5a0fc34cc1af16a1cdee98ffb20c31f5cd61d6ab07201858f4287c938d"
 
   test("retry policy: 500s and in-band JSON-RPC errors both retry; success on a later attempt") {
-    val node = new StubNode(head = 1234567L, Addr)
+    val node = new StubStarknetNode(head = 1234567L, Addr)
     try {
       val client = new JsonRpcClient(node.url, maxRetries = 5, sleepMs = 5, timeoutMs = 2000)
       node.failNext.set(2)
@@ -145,7 +41,7 @@ class RpcLoopbackSpec extends SparkSuite {
   }
 
   test("retry exhaustion: exactly maxRetries attempts, then None") {
-    val node = new StubNode(head = 7L, Addr)
+    val node = new StubStarknetNode(head = 7L, Addr)
     try {
       val client = new JsonRpcClient(node.url, maxRetries = 5, sleepMs = 5, timeoutMs = 2000)
       node.failNext.set(1000)
@@ -155,7 +51,7 @@ class RpcLoopbackSpec extends SparkSuite {
   }
 
   test("blocks: ONE batched POST per slice, rows identical to the deterministic formulas") {
-    val node = new StubNode(head = 2000000L, Addr)
+    val node = new StubStarknetNode(head = 2000000L, Addr)
     try {
       val client = new JsonRpcClient(node.url, maxRetries = 5, sleepMs = 5, timeoutMs = 2000)
       val got = JsonRpc.blocksBatch(client, 1000000L, 1000019L).get
@@ -167,7 +63,7 @@ class RpcLoopbackSpec extends SparkSuite {
   }
 
   test("events: continuation-token pagination with the key filter in every request") {
-    val node = new StubNode(head = 0L, Addr)
+    val node = new StubStarknetNode(head = 0L, Addr)
     try {
       val client = new JsonRpcClient(node.url, maxRetries = 5, sleepMs = 5, timeoutMs = 2000)
       // blocks 10..14: 5 blocks x 2 Transfer events = 10 events; chunk 4
@@ -194,7 +90,7 @@ class RpcLoopbackSpec extends SparkSuite {
   }
 
   test("DataSourceV2 over real HTTP: rows match the fake path; pruned slices never hit the wire") {
-    val node = new StubNode(head = 2000000L, Addr)
+    val node = new StubStarknetNode(head = 2000000L, Addr)
     try {
       def readRpc() = spark.read.format("blockrange")
         .option("from", 1000000L).option("to", 1000039L).option("slice", 10L)
@@ -227,7 +123,7 @@ class RpcLoopbackSpec extends SparkSuite {
   }
 
   test("sliced events ingest over real HTTP: slice-per-partition pagers, distributed landing") {
-    val node = new StubNode(head = 0L, Addr)
+    val node = new StubStarknetNode(head = 0L, Addr)
     try {
       val rpc = BlockRangeSource.RpcConf(node.url, retries = 5, sleepMs = 5, timeoutMs = 2000)
       // 20 blocks, slice 5 => 4 partitions; each has 10 Transfer events,
@@ -245,7 +141,7 @@ class RpcLoopbackSpec extends SparkSuite {
   }
 
   test("exhaustion inside a reader task fails the task loudly (no partial slice)") {
-    val node = new StubNode(head = 0L, Addr)
+    val node = new StubStarknetNode(head = 0L, Addr)
     try {
       node.failNext.set(1000000)
       val ex = intercept[org.apache.spark.SparkException] {
