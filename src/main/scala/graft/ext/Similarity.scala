@@ -489,6 +489,50 @@ object Similarity {
       concat((0 until m).map(j => col(s"cw$j")): _*).as("embedding"))
   }
 
+  /** IVF-PQ composite ANN (round 9) — the production-standard layout
+    * (FAISS IVFPQ) assembled from the two proven halves: the inverted
+    * file restricts candidates to the query's `nprobe` nearest cells
+    * ([[knnIvf]]'s probe), and within those cells candidates are scored
+    * against their PQ RECONSTRUCTIONS ([[pqDecode]] — mathematically
+    * the ADC scan, the x39 note) so the index carries only
+    * `(vec_id, cell_id, m codes)` per vector: ~9 bytes instead of
+    * 4·dim. The approx scores cut a `shortlist` per query
+    * (bounded-heap, no window), and ONLY the shortlist joins back to
+    * raw embeddings for the exact re-rank — the standard
+    * compressed-first/exact-last ladder, so full vectors are touched
+    * O(queries · shortlist) times, never O(queries · corpus/C · nprobe).
+    * Simplification vs FAISS, by design: PQ on raw vectors rather than
+    * cell residuals (the residual refinement drops into [[pqEncode]]
+    * without changing this search shape).
+    * Output: `qid, rank, neighbor_id` — the knn-family shape.
+    */
+  def knnIvfPq(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    val indexed = ivfAssign(corpus, centroids).select(col("vec_id"), col("cell_id"))
+    val recon = pqDecode(pqEncode(corpus, codebooks), codebooks)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("rv"))
+    val cells = centroids.select(col("vec_id").as("cell_id"), col("embedding").as("cv"))
+    val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .join(broadcast(cells))
+      .withColumn("csim", cosine_similarity(col("qv"), col("cv")))
+      .groupBy(col("qid"), col("qv"))
+      .agg(graft.functions.top_k_by(col("csim"), col("cell_id"), nprobe).as("top"))
+      .select(col("qid"), col("qv"), explode(col("top.id")).as("cell_id"))
+    val cand = indexed.select(col("cell_id"), col("vec_id").as("neighbor_id"))
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .join(recon, Seq("neighbor_id"))
+      .withColumn("approx_sim", cosine_similarity(col("qv"), col("rv")))
+    val short = cand.groupBy(col("qid"), col("qv"))
+      .agg(graft.functions.top_k_by(col("approx_sim"), col("neighbor_id"), shortlist).as("top"))
+      .select(col("qid"), col("qv"), explode(col("top.id")).as("neighbor_id"))
+    val exact = short.join(
+        corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+        Seq("neighbor_id"))
+      .withColumn("sim", cosine_similarity(col("qv"), col("nv")))
+    topKRanked(exact, k)
+  }
+
   /** recall@k of an approximate KNN result against the exact one: the
     * fraction of each query's true top-k the approximation recovered,
     * averaged over queries. Both inputs use the (qid, rank, neighbor_id)

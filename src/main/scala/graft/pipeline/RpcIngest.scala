@@ -53,20 +53,17 @@ object RpcIngest {
       chunkSize: Int = 5000,
       eventKey: String = JsonRpc.DefaultEventKey): Option[BlockRange] = {
 
-    val from = (if (pathExists(spark, eventsSink))
+    val watermark =
+      if (pathExists(spark, eventsSink))
         Ingest.sinkMax(spark.read.parquet(eventsSink), "block_number")
-      else None).map(_ + 1).getOrElse(origin)
-
+      else None
     val client = new JsonRpcClient(rpc.url, rpc.retries, rpc.sleepMs, rpc.timeoutMs)
     val head = JsonRpc.latestBlock(client).getOrElse(
       throw new java.io.IOException(
         s"starknet_blockNumber failed after ${rpc.retries} attempts against ${rpc.url}"))
-    val to = head - 1
-    if (from > to) return None
-
-    val range = BlockRange(from, to)
+    val range = Ingest.nextRange(watermark, head, origin).getOrElse(return None)
     val blocks = spark.read.format("blockrange")
-      .option("from", from).option("to", to).option("slice", sliceSize)
+      .option("from", range.from).option("to", range.to).option("slice", sliceSize)
       .option("rpc_url", rpc.url).option("rpc_retries", rpc.retries)
       .option("rpc_sleep_ms", rpc.sleepMs).option("rpc_timeout_ms", rpc.timeoutMs)
       .load()

@@ -503,6 +503,63 @@ object ExtensionQueries {
   // strideCentroids(emb, 16): stride = max(1, 1000/16) = 62 over vec_id,
   // capped to the first 16 stride hits by id (62*16 = 992) — the cap
   // matters once the corpus exceeds 992 ids (sf0.1 has 2000)
+  /** x88: the x14 IVF CTEs and the x39 PQ-reconstruction CTEs composed
+    * into one search — probe 4 cells, ADC-score candidates against the
+    * reconstruction, shortlist 12 by (approx sim desc, id), exact
+    * re-rank to top 5. Both halves replay the engine's exact arithmetic
+    * (left-to-right double accumulation, min-distance ties to the
+    * smallest code / smallest id), so every float comparison lands
+    * identically cross-engine.
+    */
+  // lazy: declared above pqCtes/PqM in file order, so an eager val would
+  // read their defaults (null/0) during object init
+  private lazy val knnIvfPqOracle: String = {
+    val reconList = (0 until PqM).map { j =>
+      s"c$j.embedding[${j * PqSubDim + 1}:${(j + 1) * PqSubDim}]"
+    }.mkString(" || ")
+    val joins = (0 until PqM).map(j =>
+      s"JOIN cb c$j ON c$j.code = w.c$j").mkString("\n  ")
+    s"""$pqCtes,
+       |recon AS (
+       |  SELECT w.vec_id, $reconList AS emb
+       |  FROM wide w
+       |  $joins),
+       |cent AS (SELECT vec_id AS cell_id, embedding AS cv FROM embeddings
+       |         WHERE vec_id % 62 = 0 AND vec_id < 992),
+       |assign AS (SELECT vec_id, cell_id FROM (
+       |  SELECT e.vec_id, c.cell_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cell_id) AS rn
+       |  FROM embeddings e, cent c) t WHERE rn = 1),
+       |probes AS (SELECT qid, cell_id FROM (
+       |  SELECT e.vec_id AS qid, c.cell_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cell_id) AS rn
+       |  FROM embeddings e, cent c WHERE e.vec_id < 10) t WHERE rn <= 4),
+       |cand AS (SELECT p.qid, a.vec_id AS neighbor_id,
+       |                ${cosSql("q.embedding", "r.emb")} AS approx_sim
+       |         FROM probes p
+       |         JOIN assign a ON a.cell_id = p.cell_id
+       |         JOIN recon r ON r.vec_id = a.vec_id
+       |         JOIN embeddings q ON q.vec_id = p.qid
+       |         WHERE a.vec_id != p.qid),
+       |short AS (SELECT qid, neighbor_id FROM (
+       |  SELECT qid, neighbor_id,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY approx_sim DESC, neighbor_id) AS rn
+       |  FROM cand) t WHERE rn <= 12),
+       |s AS (SELECT sh.qid, sh.neighbor_id,
+       |             ${cosSql("q.embedding", "n.embedding")} AS sim
+       |      FROM short sh
+       |      JOIN embeddings q ON q.vec_id = sh.qid
+       |      JOIN embeddings n ON n.vec_id = sh.neighbor_id)
+       |SELECT qid, rank, neighbor_id FROM (
+       |  SELECT qid, neighbor_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM s) t
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
   private val knnIvfOracle: String =
     s"""WITH cent AS (SELECT vec_id AS cell_id, embedding AS cv FROM embeddings
        |              WHERE vec_id % 62 = 0 AND vec_id < 992),
@@ -2333,5 +2390,24 @@ object ExtensionQueries {
         Multimodal.videoPerceptualClusters(s, Multimodal.gifPairsFromIds(s, ids), stride = 2)
           .select(col("keep_id"), col("n_copies"), col("n_frames_sampled"),
             col("lum_gap_units"))
+      }),
+
+    Q("x88_knn_ivfpq",
+      "IVF-PQ composite ANN (round-9) — the production vector-store layout (FAISS IVFPQ) " +
+        "assembled from the proven halves: inverted-file cells prune candidates to nprobe " +
+        "probes (x14), in-cell scoring runs against PQ reconstructions (x38/x39's ADC " +
+        "equivalence) so the index carries ~9 bytes/vector, a bounded-heap shortlist of 12 " +
+        "per query survives, and ONLY the shortlist touches raw embeddings for the exact " +
+        "re-rank. Full vectors are read O(queries x shortlist) times — the " +
+        "compressed-first/exact-last ladder that makes 10^9-vector ANN affordable. The " +
+        "oracle replays cells, codebooks, encode, reconstruction, probe, shortlist, and " +
+        "re-rank bit-exactly (the x14 + x39 CTEs composed).",
+      Some(knnIvfPqOracle),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = Similarity.strideCentroids(emb, 16)
+        val cb = Similarity.pqCodebooks(emb)
+        Similarity.knnIvfPq(emb.filter(col("vec_id") < 10), emb, centroids, cb,
+          k = 5, nprobe = 4, shortlist = 12)
       }))
 }
