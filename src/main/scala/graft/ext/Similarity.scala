@@ -509,8 +509,6 @@ object Similarity {
   def knnIvfPq(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       codebooks: DataFrame, k: Int, nprobe: Int, shortlist: Int): DataFrame = {
     val indexed = ivfAssign(corpus, centroids).select(col("vec_id"), col("cell_id"))
-    val recon = pqDecode(pqEncode(corpus, codebooks), codebooks)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("rv"))
     val cells = centroids.select(col("vec_id").as("cell_id"), col("embedding").as("cv"))
     val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .join(broadcast(cells))
@@ -518,10 +516,26 @@ object Similarity {
       .groupBy(col("qid"), col("qv"))
       .agg(graft.functions.top_k_by(col("csim"), col("cell_id"), nprobe).as("top"))
       .select(col("qid"), col("qv"), explode(col("top.id")).as("cell_id"))
-    val cand = indexed.select(col("cell_id"), col("vec_id").as("neighbor_id"))
-      .join(broadcast(probes), Seq("cell_id"))
+    val candIds = indexed.select(col("cell_id"), col("vec_id").as("neighbor_id"))
+      .join(broadcast(probes.select(col("qid"), col("cell_id"))), Seq("cell_id"))
       .filter(col("neighbor_id") =!= col("qid"))
-      .join(recon, Seq("neighbor_id"))
+      .select(col("qid"), col("neighbor_id"))
+    // encode/decode ONLY the distinct candidate set: a production index
+    // precomputes the codes at ingest time, so query-time PQ work must
+    // be O(candidates) — in this self-contained form that means the
+    // non-probed cells' vectors are never encoded, decoded, or joined
+    // (same answer: per-vector codes don't depend on which slice is
+    // encoded). Measured at sf0.1: 2.50 s -> 2.02 s for the registered
+    // shape (10 queries probing 4/16 cells touch most of this corpus;
+    // the saving grows as C rises and the probed fraction shrinks).
+    val touched = corpus.join(
+      candIds.select(col("neighbor_id").as("vec_id")).distinct(),
+      Seq("vec_id"), "left_semi")
+    val recon = pqDecode(pqEncode(touched, codebooks), codebooks)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("rv"))
+    val qs = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cand = candIds.join(recon, Seq("neighbor_id"))
+      .join(broadcast(qs), Seq("qid"))
       .withColumn("approx_sim", cosine_similarity(col("qv"), col("rv")))
     val short = cand.groupBy(col("qid"), col("qv"))
       .agg(graft.functions.top_k_by(col("approx_sim"), col("neighbor_id"), shortlist).as("top"))
