@@ -94,7 +94,10 @@ object ScaleSmoke {
     // item 7). x86/x87 bound themselves (doc_id < 100 / < 60) for their
     // codec oracles, so their rows measure the flat-profile property —
     // the scan prunes on doc_id, codec work is sample-sized (x77 note).
-    "q53_volume_anomaly", "x86_file_ingest_phash", "x87_video_phash_dedup")
+    "q53_volume_anomaly", "x86_file_ingest_phash", "x87_video_phash_dedup",
+    // x88's corpus side (cell assignment, candidate encode, shortlist)
+    // grows with the amplified embeddings table; the query set stays 10
+    "x88_knn_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
