@@ -89,6 +89,32 @@ class RpcLoopbackSpec extends SparkSuite {
     } finally node.stop()
   }
 
+  test("pagination boundaries: chunk dividing exactly, chunk 1, chunk > total, empty result") {
+    val node = new StubStarknetNode(head = 0L, Addr)
+    try {
+      val client = new JsonRpcClient(node.url, maxRetries = 5, sleepMs = 5, timeoutMs = 2000)
+      // 5 blocks x 2 = 10 events
+      def run(chunk: Int): (Int, Int) = {
+        node.clear()
+        val evs = JsonRpc.eventsPaged(client, Addr, 10L, 14L, chunkSize = chunk).get
+        (evs.size, node.nRequests)
+      }
+      // chunk divides the total exactly: the last FULL page still omits
+      // the token only because off+chunk == total, not off+chunk < total
+      // — the boundary where an off-by-one pager would loop forever or
+      // fetch one empty extra page
+      assert(run(5) == ((10, 2)), "10/5 = exactly 2 pages")
+      assert(run(10) == ((10, 1)), "single exact page")
+      assert(run(1) == ((10, 10)), "degenerate chunk walks one event per page")
+      assert(run(1000) == ((10, 1)), "chunk > total is one page")
+      // a key that matches nothing: one request, zero events, no token
+      node.clear()
+      val none = JsonRpc.eventsPaged(client, Addr, 10L, 14L, chunkSize = 4,
+        eventKey = "0xnomatch").get
+      assert(none.isEmpty && node.nRequests == 1)
+    } finally node.stop()
+  }
+
   test("DataSourceV2 over real HTTP: rows match the fake path; pruned slices never hit the wire") {
     val node = new StubStarknetNode(head = 2000000L, Addr)
     try {
