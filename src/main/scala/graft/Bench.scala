@@ -1,6 +1,42 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Synthetic SHUFFLE anchor (round 9): the q41 anchor is pure CPU
+    * (decimal limb arithmetic) and reads 1.0 on windows where every
+    * shuffle-bearing query uniformly drifts ~10% (the r9 bench: anchor
+    * 1.02 while the median shared-query ratio vs the r8-close clean run
+    * was 1.091) — CPU contention and shuffle/page-cache contention are
+    * different dimensions, and a one-dimensional gate misses the
+    * second. This probe is content-independent (range → wide hash agg →
+    * noop, fixed sizes, no data files, code that never changes with the
+    * registry), so its drift measures the window, not the engine.
+    * Clean min on this host: ~0.95-1.03 s at local[32] (first run after
+    * JVM start is ~3 s of JIT — always discard it).
+    */
+  def shuffleProbeSec(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val t0 = System.nanoTime()
+    spark.range(0, 20000000L, 1, 32)
+      .groupBy((col("id") % 1000000L).as("k")).agg(count(lit(1)))
+      .write.mode("overwrite").format("noop").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Scan/IO anchor: a fixed two-column sum over the bench corpus's
+    * lineitem parquet — senses page-cache and scheduler contention the
+    * CPU anchor misses. Clean band ~0.21-0.26 s warm at sf0.1/local[32].
+    * Because contention is BURSTY, one edge-of-run sample proves
+    * nothing; Bench interleaves this probe through both passes and
+    * reports the MEDIAN — a window-average sensor, not a point one.
+    */
+  def scanProbeSec(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val t0 = System.nanoTime()
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .agg(sum(col("l_quantity")), sum(col("l_extendedprice")))
+      .write.mode("overwrite").format("noop").save()
+    (System.nanoTime() - t0) / 1e9
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -52,9 +88,23 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // multi-dimensional window sensing (round 9): one discarded shuffle
+    // probe (JIT), then a post-warmup shuffle sample; scan probes
+    // interleaved every 25 queries through BOTH passes (bursty
+    // contention makes edge-of-run samples meaningless — the median
+    // over the run is the window sensor); one closing shuffle sample.
+    shuffleProbeSec(spark) // JIT throwaway
+    val shuffleSamples = scala.collection.mutable.ArrayBuffer(shuffleProbeSec(spark))
+    val scanSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    var sinceProbe = 0
+    def maybeScanProbe(): Unit = {
+      sinceProbe += 1
+      if (sinceProbe >= 25) { sinceProbe = 0; scanSamples += scanProbeSec(spark, sfDir) }
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val p1 = names.map(n => n -> time(n)).toMap
-    val p2 = names.reverse.map(n => n -> time(n)).toMap
+    val p1 = names.map { n => maybeScanProbe(); n -> time(n) }.toMap
+    val p2 = names.reverse.map { n => maybeScanProbe(); n -> time(n) }.toMap
+    shuffleSamples += shuffleProbeSec(spark)
     val results = names.map { name =>
       val (a, b) = (p1(name), p2(name))
       val best = math.min(a, b)
@@ -101,17 +151,34 @@ object Bench {
     // a fast host is not "negative noise".
     val AnchorName = "q41_u256_sum"
     val AnchorCleanSec = 1.55
+    // provisional clean references for the round-9 probes, calibrated on
+    // a window whose registry queries drifted ~9% while both probes read
+    // near their floors (contention is bursty) — tighten these on the
+    // next verified-quiet round. Thresholds are looser than the CPU
+    // anchor's because the probes' own variance is higher.
+    val ShuffleCleanSec = 1.00
+    val ScanCleanSec = 0.16 // warm in-bench floor (interleaved probes run cache-warm)
     val anchorSec = results.toMap.get(AnchorName)
       .filterNot(_ => errors.contains(AnchorName)).getOrElse(0.0)
     val hostFactor = if (anchorSec > 0) math.max(1.0, anchorSec / AnchorCleanSec) else 1.0
-    val windowClean = hostFactor <= 1.15
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; if (s.isEmpty) 0.0 else s(s.size / 2)
+    }
+    val shuffleSec = shuffleSamples.min
+    val scanMed = median(scanSamples.toSeq)
+    val shuffleFactor = math.max(1.0, shuffleSec / ShuffleCleanSec)
+    val scanFactor = if (scanMed > 0) math.max(1.0, scanMed / ScanCleanSec) else 1.0
+    val windowClean = hostFactor <= 1.15 && shuffleFactor <= 1.3 && scanFactor <= 1.5
     if (!windowClean)
-      System.err.println(s"[bench] WINDOW NOT CLEAN: anchor $AnchorName " +
-        f"${anchorSec}%.2f s vs clean $AnchorCleanSec s (host_factor $hostFactor%.2f) — " +
+      System.err.println(f"[bench] WINDOW NOT CLEAN: cpu anchor ${anchorSec}%.2f s " +
+        f"(factor $hostFactor%.2f), shuffle probe $shuffleSec%.2f s (factor $shuffleFactor%.2f), " +
+        f"scan probe median $scanMed%.2f s (factor $scanFactor%.2f) — " +
         "re-run on a quieter window; do not rescale")
     val anchorFields =
       s""""anchor":"$AnchorName","anchor_sec":${fmt(anchorSec)},""" +
       s""""anchor_clean_sec":${fmt(AnchorCleanSec)},"host_factor":${fmt(hostFactor)},""" +
+      s""""shuffle_anchor_sec":${fmt(shuffleSec)},"shuffle_factor":${fmt(shuffleFactor)},""" +
+      s""""scan_anchor_med":${fmt(scanMed)},"scan_factor":${fmt(scanFactor)},""" +
       s""""window_clean":$windowClean,"adj_value_lower_bound":${fmt(total / hostFactor)}"""
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$anchorFields,""" +
