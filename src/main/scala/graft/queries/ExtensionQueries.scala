@@ -513,7 +513,29 @@ object ExtensionQueries {
     */
   // lazy: declared above pqCtes/PqM in file order, so an eager val would
   // read their defaults (null/0) during object init
-  private lazy val knnIvfPqOracle: String = {
+  private lazy val knnIvfPqOracle: String =
+    s"""$knnIvfPqCtes
+       |SELECT qid, rank, neighbor_id FROM ivfpq ORDER BY qid, rank""".stripMargin
+
+  /** x89: x78's recall-as-data pattern applied to the IVF-PQ path — the
+    * exact brute-force top-5 vs the full x88 pipeline, hits counted per
+    * query in exact-integer basis points.
+    */
+  private lazy val ivfPqRecallOracle: String =
+    s"""$knnIvfPqCtes,
+       |brute AS (SELECT qid, neighbor_id FROM (
+       |  SELECT q.vec_id AS qid, e.vec_id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |                            ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
+       |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+       |  WHERE q.vec_id < 10) t WHERE rank <= 5)
+       |SELECT brute.qid, CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(count(ivfpq.neighbor_id) AS BIGINT) AS n_hits,
+       |  CAST(count(ivfpq.neighbor_id) * 10000 // count(*) AS BIGINT) AS recall_bp
+       |FROM brute LEFT JOIN ivfpq ON brute.qid = ivfpq.qid AND brute.neighbor_id = ivfpq.neighbor_id
+       |GROUP BY brute.qid ORDER BY brute.qid""".stripMargin
+
+  private lazy val knnIvfPqCtes: String = {
     val reconList = (0 until PqM).map { j =>
       s"c$j.embedding[${j * PqSubDim + 1}:${(j + 1) * PqSubDim}]"
     }.mkString(" || ")
@@ -552,12 +574,12 @@ object ExtensionQueries {
        |             ${cosSql("q.embedding", "n.embedding")} AS sim
        |      FROM short sh
        |      JOIN embeddings q ON q.vec_id = sh.qid
-       |      JOIN embeddings n ON n.vec_id = sh.neighbor_id)
-       |SELECT qid, rank, neighbor_id FROM (
+       |      JOIN embeddings n ON n.vec_id = sh.neighbor_id),
+       |ivfpq AS (SELECT qid, rank, neighbor_id FROM (
        |  SELECT qid, neighbor_id,
        |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM s) t
-       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+       |WHERE rank <= 5)""".stripMargin
   }
 
   private val knnIvfOracle: String =
@@ -2409,5 +2431,27 @@ object ExtensionQueries {
         val cb = Similarity.pqCodebooks(emb)
         Similarity.knnIvfPq(emb.filter(col("vec_id") < 10), emb, centroids, cb,
           k = 5, nprobe = 4, shortlist = 12)
+      }),
+
+    Q("x89_ivfpq_recall",
+      "Recall@5 of the IVF-PQ path as DATA (round-9) — x78's 'justify the approximation with " +
+        "a measured table' pattern applied to x88: per query, how many of the exact " +
+        "brute-force top-5 the compressed-first/exact-last ladder recovered, in exact-integer " +
+        "basis points. Separates the two loss sources by construction: candidates lost to " +
+        "cell pruning (nprobe) and true neighbors displaced from the shortlist by PQ " +
+        "quantization error both show up here, while the exact re-rank guarantees anything " +
+        "that SURVIVES the shortlist ranks correctly. Absolute recall (~0.16 mean) sits in " +
+        "the documented ladder for this deliberately worst-case uniform-cosine corpus " +
+        "(LSH 0.03 / multi-probe 0.14 / JL 0.14, the x66 note) — real embedding corpora " +
+        "cluster, which is what every one of these structures exploits.",
+      Some(ivfPqRecallOracle),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 10)
+        val centroids = Similarity.strideCentroids(emb, 16)
+        val cb = Similarity.pqCodebooks(emb)
+        Similarity.annRecall(
+          Similarity.knnBrute(q, emb, 5),
+          Similarity.knnIvfPq(q, emb, centroids, cb, k = 5, nprobe = 4, shortlist = 12))
       }))
 }
