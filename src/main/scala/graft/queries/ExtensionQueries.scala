@@ -2453,5 +2453,36 @@ object ExtensionQueries {
         Similarity.annRecall(
           Similarity.knnBrute(q, emb, 5),
           Similarity.knnIvfPq(q, emb, centroids, cb, k = 5, nprobe = 4, shortlist = 12))
+      }),
+
+    Q("x90_sketch_rollup",
+      "RE-AGGREGATABLE sketch rollup (round-9) — the warehouse pattern x13 stops short of: " +
+        "per-(event_type, day) DataSketches-HLL partials (hll_sketch_agg, binary column — " +
+        "what a daily rollup TABLE stores), then a second-level merge across days per type " +
+        "(hll_union_agg) answers the global distinct question WITHOUT re-scanning raw " +
+        "events — the two-level shape that makes distinct-counting O(days x types x " +
+        "sketch_bytes) instead of O(raw) at query time. Oracled by the x13 error " +
+        "contract: exact distinct rides along, merged_ok asserts the merged estimate " +
+        "landed within 5% (lgConfigK=12 => ~1.6% rsd), and n_days pins the partial count " +
+        "so a silently-collapsed first level can't pass.",
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+             |  CAST(1 AS INT) AS merged_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+        val partials = ev.groupBy(col("event_type"), col("day"))
+          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+        val merged = partials.groupBy(col("event_type").as("et"))
+          .agg(count(lit(1)).as("n_days"),
+            hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("approx"))
+        val exact = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_users_exact"))
+        exact.join(merged, col("event_type") <=> col("et"))
+          .select(col("event_type"), col("n_days"), col("n_users_exact"),
+            (abs(col("approx") - col("n_users_exact")) <= col("n_users_exact") * 0.05)
+              .cast("int").as("merged_ok"))
       }))
 }
