@@ -814,6 +814,54 @@ object StreamingIngest {
     fragmented
   }
 
+  /** Streaming twin of batch x90's re-aggregatable sketch rollup
+    * (round 9): each micro-batch appends its per-(event_type, day)
+    * DataSketches-HLL partials — MERGEABLE state, the property that
+    * makes this shape work: partials from different batches for the
+    * same key need no reconciliation, because `hll_union_agg` at read
+    * time absorbs them all. So the write path is a blind stamped
+    * append (no standing-index probe, no dedup), the sink grows with
+    * (batches × touched keys), and [[distinctUsersFromPartials]]
+    * answers the global distinct question from sketch bytes alone —
+    * never re-scanning raw events. Exactly-once under foreachBatch
+    * replay by the usual landedSeq guard; the sketch bytes themselves
+    * are deterministic for a given batch (DataSketches HLL update
+    * order over a deterministic recomputation).
+    */
+  def sketchRollupStream(events: DataFrame, partialsDir: String,
+      checkpointDir: String, lgK: Int = 12): StreamingQuery = {
+    val q = events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!landedSeq(spark, partialsDir, batchId)) {
+          val partials = batch.toDF()
+            .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+            .groupBy(col("event_type"), col("day"))
+            .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"),
+              count(lit(1)).as("n_rows"))
+          graft.pipeline.Ingest.appendWithSeq(partials, partialsDir, batchId)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Read-side merge of the partial-sketch table: per event_type, union
+    * every landed partial (across days AND batches) into one estimate.
+    * Cost is O(landed partial rows × sketch bytes) — independent of the
+    * raw event count, which is the entire point of storing mergeable
+    * state.
+    */
+  def distinctUsersFromPartials(spark: SparkSession, partialsDir: String): DataFrame =
+    spark.read.parquet(partialsDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_partials"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("approx_users"),
+        sum(col("n_rows")).as("n_rows"))
+
   /** Stream-static enrichment: each micro-batch joins the (small, slowly
     * changing) dimension read as a plain batch table — the streaming
     * rendering of the reference's token-metadata join. The static side
