@@ -97,7 +97,10 @@ object ScaleSmoke {
     "q53_volume_anomaly", "x86_file_ingest_phash", "x87_video_phash_dedup",
     // x88's corpus side (cell assignment, candidate encode, shortlist)
     // grows with the amplified embeddings table; the query set stays 10
-    "x88_knn_ivfpq")
+    "x88_knn_ivfpq",
+    // x90's partial-sketch build scans events (corpus-linear map-side
+    // sketch updates); the merge level stays O(types x days)
+    "x90_sketch_rollup")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
