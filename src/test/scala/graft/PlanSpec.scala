@@ -280,7 +280,11 @@ class PlanSpec extends SparkSuite {
       "x66_knn_jl_project", "x70_skew_diagnostics",
       // round-8: x78 embeds x06's brute side (10-row query set BNL) as
       // the exact baseline its recall is measured against
-      "x78_ann_recall")
+      "x78_ann_recall",
+      // round-9: IVF-PQ probes cross-join the 16-row centroid set (and
+      // x89 additionally carries x06's query-set pin) — the same
+      // bounded-build-side class as x14
+      "x88_knn_ivfpq", "x89_ivfpq_recall")
     SparkEntry.registry.foreach { q =>
       val p = plan(q.build(spark, sf))
       val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
