@@ -980,6 +980,43 @@ class ExtSpec extends SparkSuite {
     assert(keep2 == Map(10L -> 1, 11L -> 1, 12L -> 0, 13L -> 1), s"got $keep2")
   }
 
+  test("knnIvfPq: results only from probed cells, ranked by EXACT cosine (round-9)") {
+    // structural invariants the DuckDB oracle can't state directly: the
+    // result set is a subset of the probed cells' membership (cell
+    // pruning is real), and the final ranking uses the RAW vectors, not
+    // the PQ approximations (the exact-last half of the ladder)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" < 6)
+    val centroids = Similarity.strideCentroids(emb, 16)
+    val cb = Similarity.pqCodebooks(emb)
+    val got = Similarity.knnIvfPq(q, emb, centroids, cb, k = 5, nprobe = 4, shortlist = 12)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.nonEmpty)
+
+    val cellOf = Similarity.ivfAssign(emb, centroids)
+      .select($"vec_id", $"cell_id").as[(Long, Long)].collect().toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      dot / math.sqrt(na) / math.sqrt(nb)
+    }
+    for ((qid, rows) <- got.groupBy(_._1)) {
+      // probed cells: top-4 centroid cosines for this query
+      val top4 = centroids.collect().map(c => (c.getLong(0), cos(vecs(qid), c.getSeq[Float](1).toArray)))
+        .sortBy { case (id, s) => (-s, id) }.take(4).map(_._1).toSet
+      rows.foreach { case (_, _, nid) =>
+        assert(top4.contains(cellOf(nid)), s"neighbor $nid of $qid outside probed cells")
+      }
+      // ranks strictly follow exact cosine (desc, id asc tie-break)
+      val byRank = rows.sortBy(_._2).map(_._3)
+      val sims = byRank.map(nid => (cos(vecs(qid), vecs(nid)), nid))
+      assert(sims.toSeq == sims.sortBy { case (s, id) => (-s, id) }.toSeq,
+        s"ranks of $qid not ordered by exact cosine: ${sims.toSeq}")
+    }
+  }
+
   test("annRecall: per-query overlap in exact basis points (round-8)") {
     val exact = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
       (2L, 1, 20L), (2L, 2, 21L)).toDF("qid", "rank", "neighbor_id")
