@@ -517,12 +517,27 @@ object ExtensionQueries {
     s"""$knnIvfPqCtes
        |SELECT qid, rank, neighbor_id FROM ivfpq ORDER BY qid, rank""".stripMargin
 
-  /** x89: x78's recall-as-data pattern applied to the IVF-PQ path — the
-    * exact brute-force top-5 vs the full x88 pipeline, hits counted per
-    * query in exact-integer basis points.
+  /** x89: x78's recall-as-data pattern applied to the IVF-PQ path,
+    * upgraded to a LOSS DECOMPOSITION — per query, brute-force top-5
+    * recovery by (a) IVF with EXACT in-cell scoring (only cell-pruning
+    * loss) and (b) the full IVF-PQ ladder (pruning + quantization
+    * displacement), so the two loss sources separate as data. The `ivf`
+    * CTE reuses the composed assign/probes relations with exact cosine
+    * — the x14 search inside the x88 CTE stack.
     */
   private lazy val ivfPqRecallOracle: String =
     s"""$knnIvfPqCtes,
+       |sx AS (SELECT p.qid, a.vec_id AS neighbor_id,
+       |              ${cosSql("q.embedding", "n.embedding")} AS sim
+       |       FROM probes p
+       |       JOIN assign a ON a.cell_id = p.cell_id
+       |       JOIN embeddings q ON q.vec_id = p.qid
+       |       JOIN embeddings n ON n.vec_id = a.vec_id
+       |       WHERE a.vec_id != p.qid),
+       |ivf AS (SELECT qid, neighbor_id FROM (
+       |  SELECT qid, neighbor_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM sx) t WHERE rank <= 5),
        |brute AS (SELECT qid, neighbor_id FROM (
        |  SELECT q.vec_id AS qid, e.vec_id AS neighbor_id,
        |         row_number() OVER (PARTITION BY q.vec_id
@@ -530,9 +545,13 @@ object ExtensionQueries {
        |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
        |  WHERE q.vec_id < 10) t WHERE rank <= 5)
        |SELECT brute.qid, CAST(count(*) AS BIGINT) AS n_true,
-       |  CAST(count(ivfpq.neighbor_id) AS BIGINT) AS n_hits,
-       |  CAST(count(ivfpq.neighbor_id) * 10000 // count(*) AS BIGINT) AS recall_bp
-       |FROM brute LEFT JOIN ivfpq ON brute.qid = ivfpq.qid AND brute.neighbor_id = ivfpq.neighbor_id
+       |  CAST(count(ivf.neighbor_id) AS BIGINT) AS hits_ivf,
+       |  CAST(count(ivf.neighbor_id) * 10000 // count(*) AS BIGINT) AS recall_ivf_bp,
+       |  CAST(count(ivfpq.neighbor_id) AS BIGINT) AS hits_ivfpq,
+       |  CAST(count(ivfpq.neighbor_id) * 10000 // count(*) AS BIGINT) AS recall_ivfpq_bp
+       |FROM brute
+       |LEFT JOIN ivf ON brute.qid = ivf.qid AND brute.neighbor_id = ivf.neighbor_id
+       |LEFT JOIN ivfpq ON brute.qid = ivfpq.qid AND brute.neighbor_id = ivfpq.neighbor_id
        |GROUP BY brute.qid ORDER BY brute.qid""".stripMargin
 
   private lazy val knnIvfPqCtes: String = {
@@ -2434,25 +2453,32 @@ object ExtensionQueries {
       }),
 
     Q("x89_ivfpq_recall",
-      "Recall@5 of the IVF-PQ path as DATA (round-9) — x78's 'justify the approximation with " +
-        "a measured table' pattern applied to x88: per query, how many of the exact " +
-        "brute-force top-5 the compressed-first/exact-last ladder recovered, in exact-integer " +
-        "basis points. Separates the two loss sources by construction: candidates lost to " +
-        "cell pruning (nprobe) and true neighbors displaced from the shortlist by PQ " +
-        "quantization error both show up here, while the exact re-rank guarantees anything " +
-        "that SURVIVES the shortlist ranks correctly. Absolute recall (~0.16 mean) sits in " +
-        "the documented ladder for this deliberately worst-case uniform-cosine corpus " +
-        "(LSH 0.03 / multi-probe 0.14 / JL 0.14, the x66 note) — real embedding corpora " +
-        "cluster, which is what every one of these structures exploits.",
+      "Recall@5 LOSS DECOMPOSITION for the IVF-PQ path (round-9) — x78's 'justify the " +
+        "approximation with a measured table' pattern, upgraded to attribute each loss " +
+        "source: per query, brute-force top-5 recovery by IVF with EXACT in-cell scoring " +
+        "(recall_ivf_bp — cell-pruning loss only, the nprobe/C ceiling) and by the full " +
+        "compressed-first/exact-last ladder (recall_ivfpq_bp — pruning PLUS true neighbors " +
+        "displaced from the shortlist by PQ quantization error); the gap between the two " +
+        "columns IS the quantization cost, as exact-integer basis points. Absolute recall " +
+        "sits in the documented ladder for this deliberately worst-case uniform-cosine " +
+        "corpus (LSH 0.03 / multi-probe 0.14 / JL 0.14, the x66 note) — real embedding " +
+        "corpora cluster, which is what every one of these structures exploits.",
       Some(ivfPqRecallOracle),
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val q = emb.filter(col("vec_id") < 10)
         val centroids = Similarity.strideCentroids(emb, 16)
         val cb = Similarity.pqCodebooks(emb)
-        Similarity.annRecall(
-          Similarity.knnBrute(q, emb, 5),
-          Similarity.knnIvfPq(q, emb, centroids, cb, k = 5, nprobe = 4, shortlist = 12))
+        val brute = Similarity.knnBrute(q, emb, 5)
+        val rIvf = Similarity.annRecall(brute,
+            Similarity.knnIvf(q, emb, centroids, k = 5, nprobe = 4))
+          .select(col("qid"), col("n_true"), col("n_hits").as("hits_ivf"),
+            col("recall_bp").as("recall_ivf_bp"))
+        val rPq = Similarity.annRecall(brute,
+            Similarity.knnIvfPq(q, emb, centroids, cb, k = 5, nprobe = 4, shortlist = 12))
+          .select(col("qid"), col("n_hits").as("hits_ivfpq"),
+            col("recall_bp").as("recall_ivfpq_bp"))
+        rIvf.join(rPq, Seq("qid"))
       }),
 
     Q("x90_sketch_rollup",
