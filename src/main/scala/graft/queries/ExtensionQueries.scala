@@ -2510,5 +2510,37 @@ object ExtensionQueries {
           .select(col("event_type"), col("n_days"), col("n_users_exact"),
             (abs(col("approx") - col("n_users_exact")) <= col("n_users_exact") * 0.05)
               .cast("int").as("merged_ok"))
+      }),
+
+    Q("x91_jsonl_ingest",
+      "Gzipped-JSONL corpus interchange under the hash gate (round-9) — the de-facto LLM " +
+        "corpus wire format (one JSON doc per line, .jsonl.gz shards) had no ingest path " +
+        "under the gate: documents export to REAL gzip JSONL (Spark json writer, one shard " +
+        "per partition), re-ingest through spark.read.schema(...).json (explicit schema — " +
+        "inference is a second corpus scan and a 100 TB anti-pattern), and the round-trip " +
+        "proves itself content-exact via an ORDERED per-source digest (md5 of the " +
+        "doc_id-ordered concatenation of per-doc text md5s) that the oracle computes from " +
+        "the parquet ORIGINALS — any dropped doc, mangled unicode escape, or re-split line " +
+        "breaks the digest. The oracle never touches the JSONL files, so the temp-dir path " +
+        "stays out of the static SQL (the x86 idiom). Gzip decompression is splittable " +
+        "per-FILE: one shard per input partition keeps the read parallel at corpus scale.",
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS content_digest
+             |FROM documents WHERE doc_id < 500 GROUP BY source ORDER BY source""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+          .select(col("doc_id"), col("source"), col("text"), col("lang"))
+        val dir = java.nio.file.Files.createTempDirectory("graft-x91-jsonl").toString + "/docs"
+        docs.write.option("compression", "gzip").json(dir)
+        val back = s.read
+          .schema("doc_id LONG, source STRING, text STRING, lang STRING")
+          .json(dir)
+        back.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("n_chars"),
+            md5(concat_ws("", transform(
+              sort_array(collect_list(struct(col("doc_id"), md5(col("text")).as("h")))),
+              e => e.getField("h")))).as("content_digest"))
       }))
 }
