@@ -69,4 +69,39 @@ class RpcIngestE2ESpec extends SparkSuite {
       assert(latest.count() == 36)
     } finally node.stop()
   }
+
+  test("crash between the two appends re-ingests instead of skipping (watermark on the LAST sink)") {
+    // the cycle appends blocks FIRST, events SECOND, and takes its
+    // watermark from the EVENTS sink — so a crash after the blocks
+    // append leaves the watermark untouched and the next cycle
+    // re-covers the whole range. The price is duplicate block rows for
+    // the replayed range, which is exactly what the K-2 last-write-wins
+    // view collapses; the reverse ordering (watermark on the
+    // first-appended sink) would SKIP the never-landed events silently.
+    val node = new StubStarknetNode(head = 1000011L, Addr)
+    val root = Files.createTempDirectory("graft-rpc-crash").toString
+    val (blocksSink, eventsSink) = (root + "/blocks", root + "/events")
+    val rpc = BlockRangeSource.RpcConf(node.url, retries = 5, sleepMs = 5, timeoutMs = 2000)
+    try {
+      // simulate the crashed first cycle: blocks landed, events did not
+      val blocks = spark.read.format("blockrange")
+        .option("from", 1000000L).option("to", 1000010L).option("slice", 5L)
+        .option("rpc_url", node.url).option("rpc_sleep_ms", 5L)
+        .load()
+      Ingest.appendWithSeq(blocks, blocksSink, 1L)
+      assert(!new java.io.File(eventsSink).exists())
+
+      // next cycle: events sink empty => watermark falls back to the
+      // origin and the whole range is re-covered
+      assert(RpcIngest.ingestCycle(spark, rpc, Addr, blocksSink, eventsSink,
+        seq = 2L, sliceSize = 5L, chunkSize = 8) ==
+        Some(Ingest.BlockRange(1000000L, 1000010L)))
+      // events are complete exactly once; blocks carry the replay
+      // duplicates and the latestView collapses them
+      assert(spark.read.parquet(eventsSink).count() == 22)
+      assert(spark.read.parquet(blocksSink).count() == 22, "11 crashed + 11 replayed rows")
+      assert(Ingest.latestView(spark.read.parquet(blocksSink), Seq("block_number"))
+        .count() == 11)
+    } finally node.stop()
+  }
 }
