@@ -2518,15 +2518,19 @@ object ExtensionQueries {
         "under the gate: documents export to REAL gzip JSONL (Spark json writer, one shard " +
         "per partition), re-ingest through spark.read.schema(...).json (explicit schema — " +
         "inference is a second corpus scan and a 100 TB anti-pattern), and the round-trip " +
-        "proves itself content-exact via an ORDERED per-source digest (md5 of the " +
-        "doc_id-ordered concatenation of per-doc text md5s) that the oracle computes from " +
-        "the parquet ORIGINALS — any dropped doc, mangled unicode escape, or re-split line " +
-        "breaks the digest. The oracle never touches the JSONL files, so the temp-dir path " +
-        "stays out of the static SQL (the x86 idiom). Gzip decompression is splittable " +
-        "per-FILE: one shard per input partition keeps the read parallel at corpus scale.",
+        "proves itself content-exact via an ORDER-INSENSITIVE per-source checksum — the " +
+        "exact decimal SUM of per-doc md5-prefix60 hashes over (doc_id ':' text), which the " +
+        "oracle computes from the parquet ORIGINALS — any dropped doc, swapped id, mangled " +
+        "unicode escape, or re-split line breaks the sum. Order-insensitivity is the scale " +
+        "property: a hash-SUM is one map-side-combined aggregate (no per-group collect, no " +
+        "sort), so the same integrity check runs unchanged over 100 TB of shards. The " +
+        "oracle never touches the JSONL files, so the temp-dir path stays out of the " +
+        "static SQL (the x86 idiom). Gzip decompression is splittable per-FILE: one shard " +
+        "per input partition keeps the read parallel at corpus scale.",
       Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
-             |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS content_digest
+             |  CAST(CAST(SUM(('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':'||text),1,15))::BIGINT)
+             |       AS DECIMAL(38,0)) AS VARCHAR) AS content_sum
              |FROM documents WHERE doc_id < 500 GROUP BY source ORDER BY source""".stripMargin),
       (s, d) => {
         val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
@@ -2536,11 +2540,12 @@ object ExtensionQueries {
         val back = s.read
           .schema("doc_id LONG, source STRING, text STRING, lang STRING")
           .json(dir)
+        val h = graft.functions.md5_prefix60(
+          concat(col("doc_id").cast("string"), lit(":"), col("text")).cast("binary"))
         back.groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(length(col("text"))).as("n_chars"),
-            md5(concat_ws("", transform(
-              sort_array(collect_list(struct(col("doc_id"), md5(col("text")).as("h")))),
-              e => e.getField("h")))).as("content_digest"))
+            sum(h.cast("decimal(38,0)")).cast("decimal(38,0)").cast("string")
+              .as("content_sum"))
       }))
 }
