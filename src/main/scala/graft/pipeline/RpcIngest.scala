@@ -51,7 +51,8 @@ object RpcIngest {
       sliceSize: Long = 10000L,
       origin: Long = 1000000L,
       chunkSize: Int = 5000,
-      eventKey: String = JsonRpc.DefaultEventKey): Option[BlockRange] = {
+      eventKey: String = JsonRpc.DefaultEventKey,
+      partitionBlocksByDate: Boolean = false): Option[BlockRange] = {
 
     val watermark =
       if (pathExists(spark, eventsSink))
@@ -67,7 +68,17 @@ object RpcIngest {
       .option("rpc_url", rpc.url).option("rpc_retries", rpc.retries)
       .option("rpc_sleep_ms", rpc.sleepMs).option("rpc_timeout_ms", rpc.timeoutMs)
       .load()
-    Ingest.appendWithSeq(blocks, blocksSink, seq)
+    // date-partitioned landing (SURVEY §4): at 100 TB of chain history
+    // the reports' trailing-window predicates must partition-prune, not
+    // scan the full fact dir — the ClickHouse PARTITION BY toDate(...)
+    // the reference's tables get from their DDL. Derived column, so the
+    // raw schema is unchanged for readers that project it away.
+    if (partitionBlocksByDate)
+      Ingest.appendPartitioned(
+        blocks.withColumn("block_date",
+          to_date(from_unixtime(col("block_timestamp")))),
+        blocksSink, seq, Seq("block_date"))
+    else Ingest.appendWithSeq(blocks, blocksSink, seq)
 
     val events = SlicedSource.fetchEventsRpc(
         spark, range, sliceSize, rpc, contractAddress, chunkSize, eventKey)

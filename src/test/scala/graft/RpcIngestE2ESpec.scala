@@ -70,6 +70,30 @@ class RpcIngestE2ESpec extends SparkSuite {
     } finally node.stop()
   }
 
+  test("date-partitioned landing: hive layout on disk, date predicates prune partitions") {
+    val node = new StubStarknetNode(head = 1000011L, Addr)
+    val root = Files.createTempDirectory("graft-rpc-part").toString
+    val rpc = BlockRangeSource.RpcConf(node.url, retries = 5, sleepMs = 5, timeoutMs = 2000)
+    try {
+      assert(RpcIngest.ingestCycle(spark, rpc, Addr, root + "/blocks", root + "/events",
+        seq = 1L, sliceSize = 5L, chunkSize = 8, partitionBlocksByDate = true).nonEmpty)
+      // the fake timestamps (1.7e9 + n) all land on one UTC date — the
+      // hive dir must exist and carry ALL rows
+      val dirs = new java.io.File(root + "/blocks").listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("block_date="))
+      assert(dirs.nonEmpty, "expected hive-partitioned block_date dirs")
+      val blocks = spark.read.parquet(root + "/blocks")
+      assert(blocks.count() == 11)
+      // a date predicate must reach the partition level, not a row filter
+      val hit = blocks.filter($"block_date" === dirs.head.stripPrefix("block_date="))
+      assert(hit.count() == 11)
+      val pruned = blocks.filter($"block_date" === "1999-01-01")
+      assert(pruned.count() == 0)
+      assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"),
+        "date predicate should prune at the partition level")
+    } finally node.stop()
+  }
+
   test("crash between the two appends re-ingests instead of skipping (watermark on the LAST sink)") {
     // the cycle appends blocks FIRST, events SECOND, and takes its
     // watermark from the EVENTS sink — so a crash after the blocks
