@@ -1084,4 +1084,37 @@ class ExtSpec extends SparkSuite {
     assert(rows == Seq((0L, 1L, 0L, 0L)),
       s"expected one pair in the zero bucket, got $rows")
   }
+
+  test("JSONL interchange round-trips hostile content exactly (round-9, the x91 path)") {
+    // x91 proves the round-trip on the corpus; this pins the content
+    // classes the corpus may not contain — embedded newlines (the
+    // one-doc-per-line format MUST escape them or the file re-splits),
+    // quotes/backslashes (JSON escaping), tabs and control chars,
+    // non-BMP unicode (surrogate pairs), and whitespace-edged strings.
+    val nasty = Seq(
+      1L -> "line one\nline two\r\nline three",
+      2L -> "quote \" backslash \\ slash / end",
+      3L -> "tab\there and bellnull-ish",
+      4L -> "emoji 😀 CJK 中文 accents éè",
+      5L -> "  leading and trailing spaces  ",
+      6L -> "{\"looks\":\"like json\"}",
+      7L -> "")
+    val df = nasty.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-nasty").toString + "/d"
+    df.write.option("compression", "gzip").json(dir)
+    // one doc per physical LINE: 7 docs -> 7 lines across the shards
+    val lineCount = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".json.gz")).map { f =>
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          new java.util.zip.GZIPInputStream(new java.io.FileInputStream(f)), "UTF-8"))
+        try Iterator.continually(in.readLine()).takeWhile(_ != null).size
+        finally in.close()
+      }.sum
+    assert(lineCount == 7, s"embedded newlines must be escaped, got $lineCount lines")
+    val back = spark.read.schema("doc_id LONG, text STRING").json(dir)
+      .as[(Long, String)].collect().toMap
+    nasty.foreach { case (id, t) =>
+      assert(back(id) == t, s"doc $id mangled: ${back(id)} vs $t")
+    }
+  }
 }
