@@ -1117,4 +1117,36 @@ class ExtSpec extends SparkSuite {
       assert(back(id) == t, s"doc $id mangled: ${back(id)} vs $t")
     }
   }
+
+  test("CSV interchange: embedded newlines demand multiLine=true (the non-splittable trade)") {
+    // why x91 standardizes on JSONL rather than CSV for corpus
+    // interchange, as a measured fact: CSV quotes embedded newlines
+    // LITERALLY (RFC 4180), so the default line-split reader sees more
+    // records than documents and only multiLine=true — which makes each
+    // file non-splittable, serializing a 100 TB read per shard —
+    // recovers the content. JSON escapes newlines instead, keeping
+    // one-doc-per-line and split-parallel gzip shards.
+    val docs = Seq(1L -> "plain text", 2L -> "two\nlines", 3L -> "q\"uote, comma")
+    val df = docs.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv-nasty").toString + "/d"
+    df.coalesce(1).write.option("header", "true").csv(dir)
+
+    // default (line-split) read: the quoted newline splits doc 2 into
+    // garbage rows — a corrupted read, visibly NOT 3 clean docs
+    val expected = docs.toMap
+    val naive = spark.read.option("header", "true")
+      .schema("doc_id LONG, text STRING").csv(dir)
+    val naiveRows = naive.collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toSet
+    assert(naiveRows != expected.toSet.map(identity[(Long, String)]),
+      "line-split CSV read should corrupt embedded-newline docs")
+
+    // multiLine=true round-trips exactly — at the price of per-file
+    // sequential parsing
+    val correct = spark.read.option("header", "true").option("multiLine", "true")
+      .schema("doc_id LONG, text STRING").csv(dir)
+      .as[(Long, String)].collect().toMap
+    assert(correct == docs.toMap)
+  }
 }
