@@ -168,7 +168,14 @@ object Bench {
     val scanMed = median(scanSamples.toSeq)
     val shuffleFactor = math.max(1.0, shuffleSec / ShuffleCleanSec)
     val scanFactor = if (scanMed > 0) math.max(1.0, scanMed / ScanCleanSec) else 1.0
-    val windowClean = hostFactor <= 1.15 && shuffleFactor <= 1.3 && scanFactor <= 1.5
+    // thresholds tightened from (1.15, 1.3, 1.5) on round-9 evidence:
+    // a run with factors (1.13, 1.19, 1.19) passed the loose gate while
+    // its total sat 21% above the pristine-window reference (73.5 s vs
+    // 89.1 s on identical code) — the factors track real drift nearly
+    // linearly, so the bands must sit close to 1. A pristine window
+    // reads (1.00, 1.02, 1.00); legitimate clean runs that trip these
+    // occasionally just re-run.
+    val windowClean = hostFactor <= 1.10 && shuffleFactor <= 1.15 && scanFactor <= 1.15
     if (!windowClean)
       System.err.println(f"[bench] WINDOW NOT CLEAN: cpu anchor ${anchorSec}%.2f s " +
         f"(factor $hostFactor%.2f), shuffle probe $shuffleSec%.2f s (factor $shuffleFactor%.2f), " +
