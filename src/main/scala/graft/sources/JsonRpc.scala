@@ -61,7 +61,12 @@ final class JsonRpcClient(
               else node.has("error")
             if (hasError) None else Some(node)
           } else None
-        } catch { case _: Exception => None }
+        } catch {
+          // NonFatal only: an InterruptedException here is Spark killing
+          // the task (speculation, job cancel) — swallowing it into the
+          // retry loop would delay cancellation by retries × sleepMs
+          case scala.util.control.NonFatal(_) => None
+        }
       parsed match {
         case some @ Some(_) => return some
         case None => if (attempt < maxRetries) Thread.sleep(sleepMs)
