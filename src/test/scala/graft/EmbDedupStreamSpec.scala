@@ -136,6 +136,49 @@ class EmbDedupStreamSpec extends SparkSuite {
     }
   }
 
+  test("seeded random corpora: verdicts equal an independent sequential greedy reference") {
+    // validates the round-9 split-join kernel against semantics stated
+    // WITHOUT the operator: a batch vector survives iff no index vector
+    // (any id) and no smaller-id batch rival shares its LSH bucket with
+    // cosine >= threshold — computed driver-side from collected rows
+    // with its own cosine, only the bucket fn shared.
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na) / math.sqrt(nb)
+    }
+    for (seed <- Seq(7L, 21L, 99L)) {
+      val rnd = new scala.util.Random(seed)
+      // clustered-ish corpus: vectors near a few random directions so
+      // buckets collide and the threshold actually bites
+      val dirs = Array.fill(4)(Array.fill(D)(rnd.nextFloat() - 0.5f))
+      def near(d: Array[Float]): Array[Float] =
+        d.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+      val indexRows = (0 until 12).map(i => (100L + i, near(dirs(rnd.nextInt(4)))))
+      val batchRows = (0 until 15).map(i => (200L + i, near(dirs(rnd.nextInt(4)))))
+
+      val index = indexRows.toDF("vec_id", "embedding")
+        .select(Similarity.lshBucket(col("embedding")).as("bucket"), col("embedding"))
+      val batch = batchRows.toDF("vec_id", "embedding")
+      val got = Similarity.embeddingDedupVerdicts(index, batch, 0.97)
+        .select($"vec_id", $"keep").as[(Long, Int)].collect().toMap
+
+      val bucketOf = (indexRows ++ batchRows).toDF("vec_id", "embedding")
+        .select($"vec_id", Similarity.lshBucket($"embedding").as("b"))
+        .as[(Long, Int)].collect().toMap
+      val expected = batchRows.map { case (id, v) =>
+        val idxHit = indexRows.exists { case (iid, iv) =>
+          bucketOf(iid) == bucketOf(id) && cos(iv, v) >= 0.97 }
+        val rivalHit = batchRows.exists { case (rid, rv) =>
+          rid < id && bucketOf(rid) == bucketOf(id) && cos(rv, v) >= 0.97 }
+        id -> (if (idxHit || rivalHit) 0 else 1)
+      }.toMap
+      assert(got == expected, s"seed $seed: $got vs $expected")
+      assert(expected.values.sum < expected.size,
+        s"seed $seed: fixture degenerate — no vector ever dropped")
+    }
+  }
+
   test("mid-stream index compaction: content identity, bounded file count, verdicts unchanged") {
     // round-9 (r8-verdict item 4): the vector index appends one file
     // group per micro-batch forever; `maybeCompactEmbeddingIndex` is
