@@ -207,6 +207,38 @@ class MultimodalCodecSpec extends SparkSuite {
     assert(clusters.toSeq == Seq(0L, 1L, 2L, 5L).map(expected))
   }
 
+  test("animation signatures: brighten-invariant on random content, order-SENSITIVE on re-cuts") {
+    // the two properties x87's oracle stands on, checked beyond the
+    // fixed fixture: (1) for RANDOM patterns/frame counts, a uniform
+    // palette brighten never changes the folded signature; (2) the fold
+    // is order-sensitive — a re-cut (permuted frames) animation signs
+    // differently, which is what makes the signature a sequence
+    // identity rather than a bag of frames.
+    val rnd = new scala.util.Random(2024)
+    for (trial <- 1 to 8) {
+      val n = 2 + rnd.nextInt(5)
+      val seeds = Array.fill(n)(rnd.nextLong())
+      def gif(brighten: Int, order: Seq[Int]) = Multimodal.encodeGif(
+        order.map(f => Multimodal.grayFrame(seeds(f), 32, 32, 40 + brighten, 240 + brighten)))
+      def sig(payload: Array[Byte]): (Long, Int) = {
+        var s = 0L; var k = 0
+        Multimodal.decodeGifFrames(payload).zipWithIndex.foreach { case (img, i) =>
+          if (i % 2 == 0) { val (h, _, _) = Multimodal.lumHashStats(img); s = s * 1000003L + h; k += 1 }
+        }
+        (s, k)
+      }
+      val base = sig(gif(0, 0 until n))
+      assert(sig(gif(4, 0 until n)) == base, s"trial $trial: brighten changed the signature")
+      if (n >= 3) {
+        // a genuine re-cut: swap the first two SAMPLED frames (0 and 2)
+        val recut = (0 until n).toArray
+        recut(0) = 2; recut(2) = 0
+        assert(sig(gif(0, recut.toSeq))._1 != base._1,
+          s"trial $trial: re-cut animation must sign differently")
+      }
+    }
+  }
+
   test("x77 pipeline: perceptual clusters pair each doc with its perturbed twin") {
     val docs = Seq((0L, "the quick brown fox"), (1L, "jumps over"), (2L, "the lazy dog"))
       .toDF("doc_id", "text")
