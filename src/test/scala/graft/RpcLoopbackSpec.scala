@@ -115,6 +115,31 @@ class RpcLoopbackSpec extends SparkSuite {
     } finally node.stop()
   }
 
+  test("pager fuzz: random chunk sizes and random mid-pagination failures never lose or duplicate events") {
+    val node = new StubStarknetNode(head = 0L, Addr)
+    try {
+      val client = new JsonRpcClient(node.url, maxRetries = 3, sleepMs = 5, timeoutMs = 2000)
+      val rnd = new scala.util.Random(4242)
+      for (trial <- 1 to 10) {
+        val lo = rnd.nextInt(50).toLong
+        val hi = lo + rnd.nextInt(12)
+        val chunk = 1 + rnd.nextInt(9)
+        val expect = (lo to hi).flatMap(n => Seq(s"0xt${n}a", s"0xt${n}b"))
+        // inject 0-2 failures at a random point: the per-POST retry
+        // absorbs them (each page retries independently), so the final
+        // event list is exactly-once regardless of where the 500s land
+        node.failNext.set(rnd.nextInt(3))
+        val evs = JsonRpc.eventsPaged(client, Addr, lo, hi, chunkSize = chunk).get
+        assert(evs.map(_.transaction_hash) == expect,
+          s"trial $trial (lo=$lo hi=$hi chunk=$chunk): wrong event sequence")
+      }
+      // failures beyond the budget surface as None, never a partial list
+      node.failNext.set(1000)
+      assert(JsonRpc.eventsPaged(client, Addr, 0L, 5L, chunkSize = 3).isEmpty)
+      node.failNext.set(0)
+    } finally node.stop()
+  }
+
   test("DataSourceV2 over real HTTP: rows match the fake path; pruned slices never hit the wire") {
     val node = new StubStarknetNode(head = 2000000L, Addr)
     try {
