@@ -70,9 +70,22 @@ object Multimodal {
     // downstream results are content-addressable instead of
     // path-hash-addressed — which is what lets x86 put this ingest shape
     // under a DuckDB oracle (a path hash depends on the temp directory).
+    // when idPattern is set, a non-matching or non-numeric filename is
+    // CORRUPTION in a curated dump (regexp_extract returns "" → null
+    // after the cast) — fail the scan loudly rather than let a null
+    // doc_id silently drop out of every downstream join (the
+    // encodeImage posture)
     val id =
       if (idPattern.isEmpty) xxhash64(col("path"))
-      else regexp_extract(col("path"), idPattern, 1).cast("long")
+      else {
+        // test the MATCH before the cast: under ANSI (Spark 4 default)
+        // casting the no-match "" would throw a generic
+        // CAST_INVALID_INPUT first, hiding which file and which pattern
+        val m = regexp_extract(col("path"), idPattern, 1)
+        when(m === "", raise_error(concat(
+          lit(s"mediaTableFromFiles: path does not match idPattern '$idPattern': "),
+          col("path")))).otherwise(m.cast("long"))
+      }
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)

@@ -1118,6 +1118,26 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("mediaTableFromFiles idPattern: non-matching filenames fail loudly, never null ids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idpat").toFile
+    val img = Multimodal.renderImage(1L, 8, 8, 0)
+    javax.imageio.ImageIO.write(img, "png", new java.io.File(dir, "42.png"))
+    javax.imageio.ImageIO.write(img, "png", new java.io.File(dir, "not-a-number.png"))
+    val pat = "/(\\d+)\\.png$"
+    val ex = intercept[Exception] {
+      Multimodal.mediaTableFromFiles(spark, dir.toString, "*.png", idPattern = pat).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("does not match idPattern")),
+      s"expected a loud idPattern failure, got: ${msgs(ex)}")
+    // the clean layout still parses
+    new java.io.File(dir, "not-a-number.png").delete()
+    val rows = Multimodal.mediaTableFromFiles(spark, dir.toString, "*.png", idPattern = pat)
+      .select("doc_id").as[Long].collect()
+    assert(rows.toSeq == Seq(42L))
+  }
+
   test("CSV interchange: embedded newlines demand multiLine=true (the non-splittable trade)") {
     // why x91 standardizes on JSONL rather than CSV for corpus
     // interchange, as a measured fact: CSV quotes embedded newlines
