@@ -116,13 +116,20 @@ object JsonRpc {
       r.putArray("params").addObject().put("block_number", n)
     }
     client.post(mapper.writeValueAsString(arr)).map { node =>
-      node.elements().asScala.map { el =>
+      val rows = node.elements().asScala.map { el =>
         val b = el.get("result")
         SlicedSource.FetchedBlock(
           b.get("block_number").asLong(),
           b.get("block_hash").asText(),
           b.get("timestamp").asLong())
       }.toSeq
+      // a 200-ok response covering only part of the batch is node
+      // misbehavior, not success: emitting it would silently under-ingest
+      // the slice (the reference iterates whatever came back —
+      // a truncation bug class we don't replicate)
+      require(rows.size == (to - from + 1).toInt,
+        s"blocks batch [$from,$to]: node returned ${rows.size} of ${to - from + 1} results")
+      rows
     }
   }
 
@@ -142,7 +149,8 @@ object JsonRpc {
       fromBlock: Long,
       toBlock: Long,
       chunkSize: Int = 5000,
-      eventKey: String = DefaultEventKey): Option[Seq[RpcEvent]] = {
+      eventKey: String = DefaultEventKey,
+      maxPages: Long = 1000000L): Option[Seq[RpcEvent]] = {
     def payload(token: Option[String]): String = {
       val p = mapper.createObjectNode()
       p.put("jsonrpc", "2.0").put("method", "starknet_getEvents").put("id", 1)
@@ -158,8 +166,16 @@ object JsonRpc {
     val out = Seq.newBuilder[RpcEvent]
     var token: Option[String] = None
     var first = true
+    var pages = 0L
     while (first || token.isDefined) {
       first = false
+      pages += 1
+      // a buggy/hostile node that keeps returning a continuation token
+      // (or the same one forever) would otherwise spin this loop
+      // unbounded inside an executor task — fail loudly instead
+      require(pages <= maxPages,
+        s"starknet_getEvents [$fromBlock,$toBlock]: exceeded $maxPages pages " +
+          s"(runaway continuation token${token.fold("")(t => s" '$t'")})")
       client.post(payload(token)) match {
         case None => return None
         case Some(node) =>
