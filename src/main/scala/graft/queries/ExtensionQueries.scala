@@ -449,17 +449,22 @@ object ExtensionQueries {
        |  FROM s) t
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  // bn-style norm precompute + MATERIALIZED shared frames (see the x88
+  // resource note): sim values are bitwise-unchanged, DuckDB stops
+  // re-deriving norms per candidate pair and re-inlining `b` per arm.
   private val knnLshMultiProbeOracle: String = {
-    val probeArms = (s"SELECT qid, qv, bucket0 AS bucket FROM q0" +:
+    val probeArms = (s"SELECT qid, qv, qnr, bucket0 AS bucket FROM q0" +:
       (0 until Planes).map(p =>
-        s"SELECT qid, qv, xor(bucket0, ${1 << p}) AS bucket FROM q0"))
+        s"SELECT qid, qv, qnr, xor(bucket0, ${1 << p}) AS bucket FROM q0"))
       .mkString("\n  UNION ALL ")
-    s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
-       |q0 AS (SELECT vec_id AS qid, embedding AS qv, bucket AS bucket0 FROM b WHERE vec_id < 10),
+    s"""WITH b AS MATERIALIZED (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket,
+       |       sqrt(${dotSql("embedding", "embedding")}) AS nr FROM embeddings),
+       |q0 AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv, nr AS qnr, bucket AS bucket0
+       |      FROM b WHERE vec_id < 10),
        |probes AS (
        |  $probeArms),
        |s AS (SELECT probes.qid, c.vec_id AS neighbor_id,
-       |             ${cosSql("probes.qv", "c.embedding")} AS sim
+       |             (${dotSql("probes.qv", "c.embedding")} / (probes.qnr * c.nr)) AS sim
        |      FROM b c JOIN probes ON c.bucket = probes.bucket AND c.vec_id != probes.qid)
        |SELECT qid, rank, neighbor_id FROM (
        |  SELECT qid, neighbor_id,
@@ -470,23 +475,27 @@ object ExtensionQueries {
 
   // x78: brute top-5 and multi-probe top-5 CTE-composed, then the
   // per-query overlap — recall@k as an exact-integer row set.
+  // bn-style norm precompute + MATERIALIZED shared frames (see the x88
+  // resource note); sims bitwise-unchanged.
   private val annRecallOracle: String = {
-    val probeArms = (s"SELECT qid, qv, bucket0 AS bucket FROM q0" +:
+    val probeArms = (s"SELECT qid, qv, qnr, bucket0 AS bucket FROM q0" +:
       (0 until Planes).map(p =>
-        s"SELECT qid, qv, xor(bucket0, ${1 << p}) AS bucket FROM q0"))
+        s"SELECT qid, qv, qnr, xor(bucket0, ${1 << p}) AS bucket FROM q0"))
       .mkString("\n  UNION ALL ")
-    s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+    s"""WITH b AS MATERIALIZED (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket,
+       |       sqrt(${dotSql("embedding", "embedding")}) AS nr FROM embeddings),
        |brute AS (SELECT qid, neighbor_id FROM (
        |  SELECT q.vec_id AS qid, e.vec_id AS neighbor_id,
        |         row_number() OVER (PARTITION BY q.vec_id
-       |                            ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
-       |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+       |                            ORDER BY (${dotSql("q.embedding", "e.embedding")} / (q.nr * e.nr)) DESC, e.vec_id) AS rank
+       |  FROM b q JOIN b e ON e.vec_id != q.vec_id
        |  WHERE q.vec_id < 10) t WHERE rank <= 5),
-       |q0 AS (SELECT vec_id AS qid, embedding AS qv, bucket AS bucket0 FROM b WHERE vec_id < 10),
+       |q0 AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv, nr AS qnr, bucket AS bucket0
+       |      FROM b WHERE vec_id < 10),
        |probes AS (
        |  $probeArms),
        |s AS (SELECT probes.qid, c.vec_id AS neighbor_id,
-       |             ${cosSql("probes.qv", "c.embedding")} AS sim
+       |             (${dotSql("probes.qv", "c.embedding")} / (probes.qnr * c.nr)) AS sim
        |      FROM b c JOIN probes ON c.bucket = probes.bucket AND c.vec_id != probes.qid),
        |lsh AS (SELECT qid, neighbor_id FROM (
        |  SELECT qid, neighbor_id,
@@ -528,11 +537,11 @@ object ExtensionQueries {
   private lazy val ivfPqRecallOracle: String =
     s"""$knnIvfPqCtes,
        |sx AS (SELECT p.qid, a.vec_id AS neighbor_id,
-       |              ${cosSql("q.embedding", "n.embedding")} AS sim
+       |              (${dotSql("q.embedding", "n.embedding")} / (q.nr * n.nr)) AS sim
        |       FROM probes p
        |       JOIN assign a ON a.cell_id = p.cell_id
-       |       JOIN embeddings q ON q.vec_id = p.qid
-       |       JOIN embeddings n ON n.vec_id = a.vec_id
+       |       JOIN bn q ON q.vec_id = p.qid
+       |       JOIN bn n ON n.vec_id = a.vec_id
        |       WHERE a.vec_id != p.qid),
        |ivf AS (SELECT qid, neighbor_id FROM (
        |  SELECT qid, neighbor_id,
@@ -541,8 +550,8 @@ object ExtensionQueries {
        |brute AS (SELECT qid, neighbor_id FROM (
        |  SELECT q.vec_id AS qid, e.vec_id AS neighbor_id,
        |         row_number() OVER (PARTITION BY q.vec_id
-       |                            ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
-       |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+       |                            ORDER BY (${dotSql("q.embedding", "e.embedding")} / (q.nr * e.nr)) DESC, e.vec_id) AS rank
+       |  FROM bn q JOIN bn e ON e.vec_id != q.vec_id
        |  WHERE q.vec_id < 10) t WHERE rank <= 5)
        |SELECT brute.qid, CAST(count(*) AS BIGINT) AS n_true,
        |  CAST(count(ivf.neighbor_id) AS BIGINT) AS hits_ivf,
@@ -554,6 +563,19 @@ object ExtensionQueries {
        |LEFT JOIN ivfpq ON brute.qid = ivfpq.qid AND brute.neighbor_id = ivfpq.neighbor_id
        |GROUP BY brute.qid ORDER BY brute.qid""".stripMargin
 
+  // Oracle-resource note (round 10): the x88/x89 stacks are the two
+  // heaviest oracles the driver runs, and at DuckDB's default thread
+  // count the fully-inlined form (every cosine re-deriving both norms,
+  // every CTE re-inlined per reference) tripped DuckDB's memory limit
+  // even at sf0.01 — which is what zeroed CORRECTNESS_r09. Two changes,
+  // both bitwise-neutral: (a) `bn` precomputes sqrt(dot(e,e)) once per
+  // row — the engine's cosine is dot/(sqrt(aa)*sqrt(bb)) with
+  // left-associated double accumulation, and sqrt of the same sum is the
+  // same double whether taken per-pair or per-row, so every sim value is
+  // unchanged; (b) shared CTEs are MATERIALIZED so DuckDB evaluates them
+  // once instead of duplicating the subtree at each reference. Text size
+  // drops 60/86 KB → ~25/30 KB and the standalone default-thread run
+  // drops under a second.
   private lazy val knnIvfPqCtes: String = {
     val reconList = (0 until PqM).map { j =>
       s"c$j.embedding[${j * PqSubDim + 1}:${(j + 1) * PqSubDim}]"
@@ -561,28 +583,32 @@ object ExtensionQueries {
     val joins = (0 until PqM).map(j =>
       s"JOIN cb c$j ON c$j.code = w.c$j").mkString("\n  ")
     s"""$pqCtes,
-       |recon AS (
+       |bn AS MATERIALIZED (SELECT vec_id, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nr FROM embeddings),
+       |recon AS MATERIALIZED (
        |  SELECT w.vec_id, $reconList AS emb
        |  FROM wide w
        |  $joins),
-       |cent AS (SELECT vec_id AS cell_id, embedding AS cv FROM embeddings
-       |         WHERE vec_id % 62 = 0 AND vec_id < 992),
-       |assign AS (SELECT vec_id, cell_id FROM (
+       |reconn AS MATERIALIZED (SELECT vec_id, emb,
+       |  sqrt(${dotSql("emb", "emb")}) AS nr FROM recon),
+       |cent AS MATERIALIZED (SELECT vec_id AS cell_id, embedding AS cv, nr AS cnr
+       |         FROM bn WHERE vec_id % 62 = 0 AND vec_id < 992),
+       |assign AS MATERIALIZED (SELECT vec_id, cell_id FROM (
        |  SELECT e.vec_id, c.cell_id,
        |         row_number() OVER (PARTITION BY e.vec_id
-       |                            ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cell_id) AS rn
-       |  FROM embeddings e, cent c) t WHERE rn = 1),
-       |probes AS (SELECT qid, cell_id FROM (
+       |                            ORDER BY (${dotSql("e.embedding", "c.cv")} / (e.nr * c.cnr)) DESC, c.cell_id) AS rn
+       |  FROM bn e, cent c) t WHERE rn = 1),
+       |probes AS MATERIALIZED (SELECT qid, cell_id FROM (
        |  SELECT e.vec_id AS qid, c.cell_id,
        |         row_number() OVER (PARTITION BY e.vec_id
-       |                            ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cell_id) AS rn
-       |  FROM embeddings e, cent c WHERE e.vec_id < 10) t WHERE rn <= 4),
+       |                            ORDER BY (${dotSql("e.embedding", "c.cv")} / (e.nr * c.cnr)) DESC, c.cell_id) AS rn
+       |  FROM bn e, cent c WHERE e.vec_id < 10) t WHERE rn <= 4),
        |cand AS (SELECT p.qid, a.vec_id AS neighbor_id,
-       |                ${cosSql("q.embedding", "r.emb")} AS approx_sim
+       |                (${dotSql("q.embedding", "r.emb")} / (q.nr * r.nr)) AS approx_sim
        |         FROM probes p
        |         JOIN assign a ON a.cell_id = p.cell_id
-       |         JOIN recon r ON r.vec_id = a.vec_id
-       |         JOIN embeddings q ON q.vec_id = p.qid
+       |         JOIN reconn r ON r.vec_id = a.vec_id
+       |         JOIN bn q ON q.vec_id = p.qid
        |         WHERE a.vec_id != p.qid),
        |short AS (SELECT qid, neighbor_id FROM (
        |  SELECT qid, neighbor_id,
@@ -590,10 +616,10 @@ object ExtensionQueries {
        |                            ORDER BY approx_sim DESC, neighbor_id) AS rn
        |  FROM cand) t WHERE rn <= 12),
        |s AS (SELECT sh.qid, sh.neighbor_id,
-       |             ${cosSql("q.embedding", "n.embedding")} AS sim
+       |             (${dotSql("q.embedding", "n.embedding")} / (q.nr * n.nr)) AS sim
        |      FROM short sh
-       |      JOIN embeddings q ON q.vec_id = sh.qid
-       |      JOIN embeddings n ON n.vec_id = sh.neighbor_id),
+       |      JOIN bn q ON q.vec_id = sh.qid
+       |      JOIN bn n ON n.vec_id = sh.neighbor_id),
        |ivfpq AS (SELECT qid, rank, neighbor_id FROM (
        |  SELECT qid, neighbor_id,
        |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
@@ -601,22 +627,27 @@ object ExtensionQueries {
        |WHERE rank <= 5)""".stripMargin
   }
 
+  // bn-style norm precompute + MATERIALIZED shared frames (see the x88
+  // resource note); sims bitwise-unchanged.
   private val knnIvfOracle: String =
-    s"""WITH cent AS (SELECT vec_id AS cell_id, embedding AS cv FROM embeddings
-       |              WHERE vec_id % 62 = 0 AND vec_id < 992),
-       |assign AS (SELECT vec_id, embedding, cell_id FROM (
-       |  SELECT e.vec_id, e.embedding, c.cell_id,
+    s"""WITH bn AS MATERIALIZED (SELECT vec_id, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nr FROM embeddings),
+       |cent AS MATERIALIZED (SELECT vec_id AS cell_id, embedding AS cv, nr AS cnr
+       |              FROM bn WHERE vec_id % 62 = 0 AND vec_id < 992),
+       |assign AS MATERIALIZED (SELECT vec_id, embedding, nr, cell_id FROM (
+       |  SELECT e.vec_id, e.embedding, e.nr, c.cell_id,
        |         row_number() OVER (PARTITION BY e.vec_id
-       |                            ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cell_id) AS rn
-       |  FROM embeddings e, cent c) t WHERE rn = 1),
+       |                            ORDER BY (${dotSql("e.embedding", "c.cv")} / (e.nr * c.cnr)) DESC, c.cell_id) AS rn
+       |  FROM bn e, cent c) t WHERE rn = 1),
        |probes AS (SELECT qid, cell_id FROM (
        |  SELECT e.vec_id AS qid, c.cell_id,
        |         row_number() OVER (PARTITION BY e.vec_id
-       |                            ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cell_id) AS rn
-       |  FROM embeddings e, cent c WHERE e.vec_id < 10) t WHERE rn <= 4),
-       |s AS (SELECT p.qid, a.vec_id AS neighbor_id, ${cosSql("q.embedding", "a.embedding")} AS sim
+       |                            ORDER BY (${dotSql("e.embedding", "c.cv")} / (e.nr * c.cnr)) DESC, c.cell_id) AS rn
+       |  FROM bn e, cent c WHERE e.vec_id < 10) t WHERE rn <= 4),
+       |s AS (SELECT p.qid, a.vec_id AS neighbor_id,
+       |             (${dotSql("q.embedding", "a.embedding")} / (q.nr * a.nr)) AS sim
        |      FROM probes p JOIN assign a ON a.cell_id = p.cell_id
-       |      JOIN embeddings q ON q.vec_id = p.qid
+       |      JOIN bn q ON q.vec_id = p.qid
        |      WHERE a.vec_id != p.qid)
        |SELECT qid, rank, neighbor_id FROM (
        |  SELECT qid, neighbor_id,
@@ -802,9 +833,9 @@ object ExtensionQueries {
       .mkString("\n  UNION ALL ")
     val wideCols = (0 until PqM).map(j =>
       s"MAX(CASE WHEN subspace = $j THEN code END) AS c$j").mkString(",\n  ")
-    s"""WITH sample AS (SELECT vec_id, embedding FROM embeddings
+    s"""WITH sample AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
        |               WHERE vec_id % 62 = 0 AND vec_id < 992),
-       |cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code, embedding
+       |cb AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code, embedding
        |       FROM sample),
        |sub AS (
        |  $arms),
@@ -812,7 +843,7 @@ object ExtensionQueries {
        |  SELECT vec_id, subspace, code,
        |         row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d2 ASC, code ASC) AS rn
        |  FROM sub) t WHERE rn = 1),
-       |wide AS (SELECT vec_id,
+       |wide AS MATERIALIZED (SELECT vec_id,
        |  $wideCols
        |  FROM best GROUP BY vec_id)""".stripMargin
   }

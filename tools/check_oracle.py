@@ -20,11 +20,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
-    # cap threads: at the default (all 64 cores) the per-thread state of
-    # the heavier multi-join oracles (x88/x89's composed CTE stacks at
-    # sf0.1) intermittently trips DuckDB's memory limit; 8 threads runs
-    # them in seconds with a small footprint
-    con.execute("SET threads TO 8")
+    # no thread cap: round 10 reworked the x88/x89 oracle stacks (norm
+    # precompute + MATERIALIZED shared CTEs) so every oracle runs in
+    # <~1s at DuckDB's default thread count — the checker now mirrors
+    # the driver's defaults exactly
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
