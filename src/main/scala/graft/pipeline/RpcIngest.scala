@@ -54,9 +54,15 @@ object RpcIngest {
       eventKey: String = JsonRpc.DefaultEventKey,
       partitionBlocksByDate: Boolean = false): Option[BlockRange] = {
 
+    // a crashed first cycle can leave the sink directory existing but
+    // holding no readable parquet footers (e.g. only _temporary/): the
+    // path probe alone would then wedge EVERY subsequent cycle on the
+    // unable-to-infer-schema AnalysisException instead of falling back
+    // to the origin backfill, so a failed sink read means "no watermark"
     val watermark =
       if (pathExists(spark, eventsSink))
-        Ingest.sinkMax(spark.read.parquet(eventsSink), "block_number")
+        try Ingest.sinkMax(spark.read.parquet(eventsSink), "block_number")
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
       else None
     val client = new JsonRpcClient(rpc.url, rpc.retries, rpc.sleepMs, rpc.timeoutMs)
     val head = JsonRpc.latestBlock(client).getOrElse(

@@ -23,15 +23,28 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * non-loopback URL; `RpcLoopbackSpec` drives this client against a
   * stub node on 127.0.0.1 (real sockets, real HTTP, no egress).
   */
+object JsonRpcClient {
+  // One HttpClient per (executor JVM, connect timeout): HttpClient owns
+  // a selector thread and a connection pool with no close() before
+  // Java 21, so constructing one per partition-reader task accumulates
+  // idle threads on a long-lived executor. connectTimeout is builder
+  // state, hence the timeout key; request timeouts stay per-request.
+  private val shared =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.net.http.HttpClient]()
+  private[graft] def httpFor(timeoutMs: Long): java.net.http.HttpClient =
+    shared.computeIfAbsent(timeoutMs, t =>
+      java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(t))
+        .build())
+}
+
 final class JsonRpcClient(
     val url: String,
     val maxRetries: Int = 5,
     val sleepMs: Long = 5000L,
     val timeoutMs: Long = 10000L) {
 
-  private val http = java.net.http.HttpClient.newBuilder()
-    .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
-    .build()
+  private val http = JsonRpcClient.httpFor(timeoutMs)
 
   /** POST `payload` (already-serialized JSON), return the parsed body of
     * the first attempt that is HTTP 200 with no top-level `error`
@@ -118,6 +131,12 @@ object JsonRpc {
     client.post(mapper.writeValueAsString(arr)).map { node =>
       val rows = node.elements().asScala.map { el =>
         val b = el.get("result")
+        // a malformed element carrying neither `error` (which fails the
+        // attempt inside post()) nor `result` must fail with slice
+        // context, not a bare NPE from the field reads below
+        require(b != null && !b.isNull,
+          s"blocks batch [$from,$to]: element id=" +
+            s"${Option(el.get("id")).fold("?")(_.asText())} has no result member")
         SlicedSource.FetchedBlock(
           b.get("block_number").asLong(),
           b.get("block_hash").asText(),
@@ -129,6 +148,14 @@ object JsonRpc {
       // a truncation bug class we don't replicate)
       require(rows.size == (to - from + 1).toInt,
         s"blocks batch [$from,$to]: node returned ${rows.size} of ${to - from + 1} results")
+      // the count alone cannot see a duplicated-plus-missing combination;
+      // require the returned id set to cover the range exactly
+      val got = rows.map(_.block_number).toSet
+      val missing = (from to to).filterNot(got)
+      require(missing.isEmpty,
+        s"blocks batch [$from,$to]: node response omits block(s) " +
+          s"${missing.take(5).mkString(",")}${if (missing.size > 5) ",…" else ""}" +
+          " (duplicates elsewhere kept the count right)")
       rows
     }
   }
@@ -188,7 +215,13 @@ object JsonRpc {
               e.get("keys").get(0).asText(),
               e.get("data").elements().asScala.map(_.asText()).toSeq)
           }
-          token = Option(result.get("continuation_token")).map(_.asText())
+          // some servers serialize the done state as an EXPLICIT
+          // "continuation_token": null rather than omitting the member;
+          // Jackson surfaces that as NullNode (not Java null), whose
+          // asText() is the string "null" — without the isNull filter the
+          // pager would re-POST with token "null" until maxPages trips
+          token = Option(result.get("continuation_token"))
+            .filterNot(_.isNull).map(_.asText())
       }
     }
     Some(out.result())

@@ -128,4 +128,22 @@ class RpcIngestE2ESpec extends SparkSuite {
         .count() == 11)
     } finally node.stop()
   }
+
+  test("sink dir with no readable footers (crashed first write) falls back to origin backfill") {
+    val node = new StubStarknetNode(head = 1000005L, Addr)
+    val root = Files.createTempDirectory("graft-rpc-wedge").toString
+    val (blocksSink, eventsSink) = (root + "/blocks", root + "/events")
+    // simulate a first events write that died mid-flight: the directory
+    // exists, holds only _temporary/, zero parquet footers — the path
+    // probe alone says "sink present" while the read cannot infer a
+    // schema, which before round 10 wedged EVERY subsequent cycle
+    Files.createDirectories(java.nio.file.Paths.get(eventsSink, "_temporary"))
+    val rpc = BlockRangeSource.RpcConf(node.url, retries = 5, sleepMs = 5, timeoutMs = 2000)
+    try {
+      assert(RpcIngest.ingestCycle(spark, rpc, Addr, blocksSink, eventsSink, 1L,
+        sliceSize = 10L, chunkSize = 8) == Some(Ingest.BlockRange(1000000L, 1000004L)),
+        "a wedged watermark probe must mean no-watermark, not a permanent failure")
+      assert(spark.read.parquet(eventsSink).count() == 10, "5 blocks x 2 Transfer events")
+    } finally node.stop()
+  }
 }

@@ -206,4 +206,53 @@ class RpcLoopbackSpec extends SparkSuite {
         || Option(ex.getCause).exists(_.getMessage.contains("failed after 2 attempts")))
     } finally node.stop()
   }
+
+  test("explicit-null continuation token terminates pagination (no 'null' re-POST)") {
+    val node = new StubStarknetNode(head = 0L, Addr)
+    try {
+      node.nullTokenWhenDone = true
+      val client = new JsonRpcClient(node.url, maxRetries = 5, sleepMs = 5, timeoutMs = 2000)
+      // 5 blocks x 2 = 10 events, chunk 4 => pages 4,4,2; the DONE page
+      // carries "continuation_token": null — Jackson's NullNode, whose
+      // asText() is the string "null": an unfiltered pager would re-POST
+      // with token "null" until the maxPages guard trips
+      val evs = JsonRpc.eventsPaged(client, Addr, 10L, 14L, chunkSize = 4).get
+      assert(evs.size == 10)
+      assert(node.nRequests == 3, "the explicit null is termination, not a token")
+    } finally node.stop()
+  }
+
+  test("batch element with no result member fails with slice context, not an NPE") {
+    val node = new StubStarknetNode(head = 2000000L, Addr)
+    try {
+      node.dropResultFor = 1000003L
+      val client = new JsonRpcClient(node.url, maxRetries = 2, sleepMs = 5, timeoutMs = 2000)
+      val ex = intercept[IllegalArgumentException] {
+        JsonRpc.blocksBatch(client, 1000000L, 1000009L)
+      }
+      assert(ex.getMessage.contains("[1000000,1000009]"))
+      assert(ex.getMessage.contains("no result member"))
+    } finally node.stop()
+  }
+
+  test("duplicated-plus-missing block combination is rejected (count alone would pass)") {
+    val node = new StubStarknetNode(head = 2000000L, Addr)
+    try {
+      // block 1000003's element answers with 1000001's payload: 10 rows
+      // come back for 10 asked, but 1000003 is silently absent
+      node.misnumberBlock = Some((1000003L, 1000001L))
+      val client = new JsonRpcClient(node.url, maxRetries = 2, sleepMs = 5, timeoutMs = 2000)
+      val ex = intercept[IllegalArgumentException] {
+        JsonRpc.blocksBatch(client, 1000000L, 1000009L)
+      }
+      assert(ex.getMessage.contains("omits block(s) 1000003"))
+    } finally node.stop()
+  }
+
+  test("one HttpClient per executor JVM per timeout (no per-task selector-thread leak)") {
+    assert(JsonRpcClient.httpFor(123456L) eq JsonRpcClient.httpFor(123456L),
+      "same timeout shares the client")
+    assert(!(JsonRpcClient.httpFor(123456L) eq JsonRpcClient.httpFor(654321L)),
+      "connectTimeout is builder state, so distinct timeouts get distinct clients")
+  }
 }

@@ -28,6 +28,15 @@ class StubStarknetNode(@volatile var head: Long, val address: String) {
   val requests = new java.util.concurrent.ConcurrentLinkedQueue[JsonNode]()
   val failNext = new AtomicInteger(0)
   @volatile var inBandError = false
+  // round-10 tamper modes for the client's malformed-response contracts:
+  // serialize the pagination done state as an EXPLICIT null token (some
+  // servers do) instead of omitting the member
+  @volatile var nullTokenWhenDone = false
+  // batch element for this block id comes back with NO result member
+  @volatile var dropResultFor: Long = -1L
+  // (victim, impostor): victim's result carries impostor's block_number —
+  // count stays right, coverage doesn't
+  @volatile var misnumberBlock: Option[(Long, Long)] = None
 
   val OtherKey = "0xother"
 
@@ -64,7 +73,13 @@ class StubStarknetNode(@volatile var head: Long, val address: String) {
           val n = r.get("params").get(0).get("block_number").asLong()
           val o = arr.addObject()
           o.put("jsonrpc", "2.0").put("id", n)
-          o.set[JsonNode]("result", blockResult(n))
+          if (n != dropResultFor) {
+            val eff = misnumberBlock match {
+              case Some((victim, impostor)) if victim == n => impostor
+              case _ => n
+            }
+            o.set[JsonNode]("result", blockResult(eff))
+          }
         }
         (200, mapper.writeValueAsString(arr))
       } else req.get("method").asText() match {
@@ -97,6 +112,8 @@ class StubStarknetNode(@volatile var head: Long, val address: String) {
           }
           if (off + chunk < all.size)
             res.put("continuation_token", (off + chunk).toString)
+          else if (nullTokenWhenDone)
+            res.putNull("continuation_token")
           o.put("jsonrpc", "2.0").put("id", 1)
           (200, mapper.writeValueAsString(o))
       }
