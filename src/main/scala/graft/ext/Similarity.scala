@@ -223,6 +223,41 @@ object Similarity {
     cents
   }
 
+  /** Deterministic CLUSTERED corpus derived from an existing embedding
+    * table: `v_i = center(i % k) + scale · e_i`, where cluster `j`'s
+    * center is the RAW embedding of row `j · anchorStride` (existing
+    * corpus rows as centers — no literal matrices, so the DuckDB oracle
+    * reproduces every float with the same join + per-element
+    * `CAST(c[d] AS DOUBLE) + scale * CAST(e[d] AS DOUBLE)`). Output
+    * embeddings are `array<double>`.
+    *
+    * Purpose (round-10 verdict item): x89 measures IVF/IVF-PQ recall on
+    * the deliberately WORST-case uniform-cosine corpus, where cell
+    * pruning has nothing to exploit. Real embedding corpora cluster;
+    * this derivation plants that structure with known geometry — with
+    * the default `k = 13` (coprime to the stride-62 centroid sampling:
+    * 62·m mod 13 = 10m mod 13 walks every residue), every cluster owns
+    * at least one stride-sampled IVF cell anchor, so the same index
+    * parameters that read recall 0.58 on uniform data can show what
+    * the structure actually buys. `scale = 0.3` keeps clusters coherent
+    * (within-cluster cosine ≈ 1/(1+scale²) ≈ 0.92 when centers and
+    * perturbations are near-orthogonal) while leaving enough
+    * within-cluster spread for rankings to be non-trivial.
+    * `centerStride = 38` keeps every center row present down to the
+    * 500-row sf0.01 corpus (12 · 38 = 456) — a larger stride silently
+    * drops whole clusters where the center row does not exist.
+    */
+  def clusteredCorpus(emb: DataFrame, k: Int = 13, centerStride: Long = 38L,
+      scale: Double = 0.3): DataFrame = {
+    val centers = emb.select(col("vec_id").as("__aid"), col("embedding").as("__cv"))
+    emb.select(col("vec_id"), col("embedding"),
+        (pmod(col("vec_id"), lit(k)) * centerStride).as("__aid"))
+      .join(broadcast(centers), Seq("__aid"))
+      .select(col("vec_id"),
+        zip_with(col("__cv"), col("embedding"),
+          (c, e) => c.cast("double") + lit(scale) * e.cast("double")).as("embedding"))
+  }
+
   def strideCentroids(corpus: DataFrame, c: Int): DataFrame = {
     // deterministic stride sample over vec_id as the centroid set: the
     // first c stride hits BY ID (an unordered limit would pick an

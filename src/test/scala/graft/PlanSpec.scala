@@ -284,7 +284,10 @@ class PlanSpec extends SparkSuite {
       // round-9: IVF-PQ probes cross-join the 16-row centroid set (and
       // x89 additionally carries x06's query-set pin) — the same
       // bounded-build-side class as x14
-      "x88_knn_ivfpq", "x89_ivfpq_recall")
+      "x88_knn_ivfpq", "x89_ivfpq_recall",
+      // round-10: x92 is x89 over the derived clustered corpus — same
+      // bounded query-set / centroid-set pins
+      "x92_clustered_recall")
     SparkEntry.registry.foreach { q =>
       val p = plan(q.build(spark, sf))
       val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
