@@ -476,6 +476,47 @@ object Similarity {
         slice(col("embedding"), col("subspace") * subDim + 1, lit(subDim)).as("codeword"))
   }
 
+  /** Residualize a corpus against an IVF cell structure: each vector
+    * becomes `v − centroid(cell(v))` (FAISS-IVFPQ's quantization input —
+    * residuals concentrate near the origin once cells capture the
+    * coarse structure, so the same codeword budget spends itself on the
+    * fine, within-cell differences instead of re-describing the cell).
+    * Output keeps `cell_id` (the decode side adds the centroid back);
+    * `embedding` is the residual as `array<double>`. One broadcast
+    * assign + one map-side zip_with — no extra shuffle over [[ivfAssign]].
+    */
+  def residualize(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssign(corpus, centroids)
+      .join(broadcast(centroids.select(col("vec_id").as("cell_id"),
+        col("embedding").as("__cv"))), Seq("cell_id"))
+      .select(col("vec_id"), col("cell_id"),
+        zip_with(col("embedding"), col("__cv"),
+          (a, b) => a.cast("double") - b.cast("double")).as("embedding"))
+
+  /** Residual-PQ codebooks (round-10, the documented FAISS-parity gap):
+    * codewords are the RESIDUALS of an offset-stride corpus sample
+    * against the same cell structure the index probes — offset 31 so the
+    * sample is disjoint from the stride-62 cell anchors, whose own
+    * residuals are zero and would collapse the codebook. Same
+    * deterministic sample-IS-the-init move as [[pqCodebooks]]; output
+    * shape identical (subspace, code, codeword), codewords
+    * `array<double>`.
+    */
+  def pqResidualCodebooks(corpus: DataFrame, centroids: DataFrame,
+      m: Int = PqM, k: Int = PqK, dim: Int = Dim): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val sample = corpus.select(col("vec_id"), col("embedding"))
+      .filter(pmod(col("vec_id"), lit(62L)) === 31 &&
+        col("vec_id") < lit(31L + 62L * k))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    residualize(sample, centroids)
+      .withColumn("code", (row_number().over(w) - 1).cast("long"))
+      .select(col("code"), explode(sequence(lit(0), lit(m - 1))).as("subspace"), col("embedding"))
+      .select(col("subspace"), col("code"),
+        slice(col("embedding"), col("subspace") * subDim + 1, lit(subDim)).as("codeword"))
+  }
+
   /** PQ encode (faiss-PQ shape, the 10^9-vector memory layout: m log2(k)
     * bits per vector instead of 4·dim bytes): each vector splits into `m`
     * subvectors; each subvector takes the code of its L2-nearest codeword
@@ -536,13 +577,18 @@ object Similarity {
     * raw embeddings for the exact re-rank — the standard
     * compressed-first/exact-last ladder, so full vectors are touched
     * O(queries · shortlist) times, never O(queries · corpus/C · nprobe).
-    * Simplification vs FAISS, by design: PQ on raw vectors rather than
-    * cell residuals (the residual refinement drops into [[pqEncode]]
-    * without changing this search shape).
+    * `residual = true` (round-10, the FAISS-parity default): candidates
+    * are PQ-encoded as RESIDUALS against their cell centroid
+    * ([[residualize]], codebooks from [[pqResidualCodebooks]]) and the
+    * reconstruction adds the centroid back — same search shape, the
+    * codeword budget spent on within-cell differences. `residual =
+    * false` keeps the raw-vector form (codebooks from [[pqCodebooks]])
+    * for A/B contrast.
     * Output: `qid, rank, neighbor_id` — the knn-family shape.
     */
   def knnIvfPq(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      codebooks: DataFrame, k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+      codebooks: DataFrame, k: Int, nprobe: Int, shortlist: Int,
+      residual: Boolean = true): DataFrame = {
     val indexed = ivfAssign(corpus, centroids).select(col("vec_id"), col("cell_id"))
     val cells = centroids.select(col("vec_id").as("cell_id"), col("embedding").as("cv"))
     val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -566,12 +612,25 @@ object Similarity {
     val touched = corpus.join(
       candIds.select(col("neighbor_id").as("vec_id")).distinct(),
       Seq("vec_id"), "left_semi")
-    val recon = pqDecode(pqEncode(touched, codebooks), codebooks)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("rv"))
+    val encodeInput = if (residual) residualize(touched, centroids) else touched
+    val reconBase = pqDecode(pqEncode(encodeInput, codebooks), codebooks)
+    val recon =
+      if (residual)
+        // decode yields the residual reconstruction; add the centroid back
+        reconBase.join(encodeInput.select(col("vec_id"), col("cell_id")), Seq("vec_id"))
+          .join(broadcast(centroids.select(col("vec_id").as("cell_id"),
+            col("embedding").as("__cv"))), Seq("cell_id"))
+          .select(col("vec_id").as("neighbor_id"),
+            zip_with(col("__cv"), col("embedding"),
+              (c, r) => c.cast("double") + r.cast("double")).as("rv"))
+      else reconBase.select(col("vec_id").as("neighbor_id"), col("embedding").as("rv"))
     val qs = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val cand = candIds.join(recon, Seq("neighbor_id"))
       .join(broadcast(qs), Seq("qid"))
-      .withColumn("approx_sim", cosine_similarity(col("qv"), col("rv")))
+      // residual reconstructions are array<double>; widen a float query
+      // side to match (float→double is exact, so sims are unchanged)
+      .withColumn("approx_sim", cosine_similarity(
+        if (residual) col("qv").cast("array<double>") else col("qv"), col("rv")))
     val short = cand.groupBy(col("qid"), col("qv"))
       .agg(graft.functions.top_k_by(col("approx_sim"), col("neighbor_id"), shortlist).as("top"))
       .select(col("qid"), col("qv"), explode(col("top.id")).as("neighbor_id"))

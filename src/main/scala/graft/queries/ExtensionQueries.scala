@@ -598,21 +598,36 @@ object ExtensionQueries {
   // once instead of duplicating the subtree at each reference. Text size
   // drops 60/86 KB → ~25/30 KB and the standalone default-thread run
   // drops under a second.
+  // Round-10 residual upgrade (the documented FAISS-parity gap):
+  // candidates are PQ-encoded as residuals against their cell centroid
+  // (`res`), with codebooks drawn from an OFFSET-stride sample's
+  // residuals (`rcb`, offset 31 — the stride-62 cell anchors' own
+  // residuals are zero and would collapse the codebook), and the
+  // reconstruction adds the centroid back. Subspace j of a residual is
+  // just full-vector indices j·8+1 .. (j+1)·8, so the per-subspace d2
+  // arms index the SAME materialized `res` arrays — no slicing CTEs.
   private def knnIvfPqCtesFor(src: String): String = {
-    val reconList = (0 until PqM).map { j =>
-      s"c$j.embedding[${j * PqSubDim + 1}:${(j + 1) * PqSubDim}]"
-    }.mkString(" || ")
-    val joins = (0 until PqM).map(j =>
-      s"JOIN cb c$j ON c$j.code = w.c$j").mkString("\n  ")
-    s"""${pqCtesFor(src)},
-       |bn AS MATERIALIZED (SELECT vec_id, embedding,
+    val resList = (1 to Dim).map(i =>
+      s"CAST(e.embedding[$i] AS DOUBLE) - CAST(ct.cv[$i] AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    def d2Sql(j: Int): String =
+      (1 to PqSubDim).map { i =>
+        val idx = j * PqSubDim + i
+        s"((e.r[$idx] - c.r[$idx]) * (e.r[$idx] - c.r[$idx]))"
+      }.mkString("(CAST(0.0 AS DOUBLE) + ", " + ", ")")
+    val arms = (0 until PqM).map(j =>
+      s"SELECT e.vec_id, $j AS subspace, c.code, ${d2Sql(j)} AS d2 FROM res e, rcb c")
+      .mkString("\n  UNION ALL ")
+    val wideCols = (0 until PqM).map(j =>
+      s"MAX(CASE WHEN subspace = $j THEN code END) AS c$j").mkString(",\n  ")
+    val reconList = (1 to Dim).map { i =>
+      val j = (i - 1) / PqSubDim
+      s"CAST(ct.cv[$i] AS DOUBLE) + c$j.r[$i]"
+    }.mkString("[", ", ", "]")
+    val reconJoins = (0 until PqM).map(j =>
+      s"JOIN rcb c$j ON c$j.code = w.c$j").mkString("\n  ")
+    s"""bn AS MATERIALIZED (SELECT vec_id, embedding,
        |  sqrt(${dotSql("embedding", "embedding")}) AS nr FROM $src),
-       |recon AS MATERIALIZED (
-       |  SELECT w.vec_id, $reconList AS emb
-       |  FROM wide w
-       |  $joins),
-       |reconn AS MATERIALIZED (SELECT vec_id, emb,
-       |  sqrt(${dotSql("emb", "emb")}) AS nr FROM recon),
        |cent AS MATERIALIZED (SELECT vec_id AS cell_id, embedding AS cv, nr AS cnr
        |         FROM bn WHERE vec_id % 62 = 0 AND vec_id < 992),
        |assign AS MATERIALIZED (SELECT vec_id, cell_id FROM (
@@ -625,6 +640,29 @@ object ExtensionQueries {
        |         row_number() OVER (PARTITION BY e.vec_id
        |                            ORDER BY (${dotSql("e.embedding", "c.cv")} / (e.nr * c.cnr)) DESC, c.cell_id) AS rn
        |  FROM bn e, cent c WHERE e.vec_id < 10) t WHERE rn <= 4),
+       |res AS MATERIALIZED (SELECT e.vec_id, a.cell_id, $resList AS r
+       |  FROM $src e
+       |  JOIN assign a ON a.vec_id = e.vec_id
+       |  JOIN cent ct ON ct.cell_id = a.cell_id),
+       |rcb AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code, r
+       |  FROM res WHERE vec_id % 62 = 31 AND vec_id < 1023),
+       |sub AS (
+       |  $arms),
+       |best AS (SELECT vec_id, subspace, code FROM (
+       |  SELECT vec_id, subspace, code,
+       |         row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d2 ASC, code ASC) AS rn
+       |  FROM sub) t WHERE rn = 1),
+       |wide AS MATERIALIZED (SELECT vec_id,
+       |  $wideCols
+       |  FROM best GROUP BY vec_id),
+       |recon AS MATERIALIZED (
+       |  SELECT w.vec_id, $reconList AS emb
+       |  FROM wide w
+       |  JOIN assign a ON a.vec_id = w.vec_id
+       |  JOIN cent ct ON ct.cell_id = a.cell_id
+       |  $reconJoins),
+       |reconn AS MATERIALIZED (SELECT vec_id, emb,
+       |  sqrt(${dotSql("emb", "emb")}) AS nr FROM recon),
        |cand AS (SELECT p.qid, a.vec_id AS neighbor_id,
        |                (${dotSql("q.embedding", "r.emb")} / (q.nr * r.nr)) AS approx_sim
        |         FROM probes p
@@ -2496,20 +2534,22 @@ object ExtensionQueries {
       }),
 
     Q("x88_knn_ivfpq",
-      "IVF-PQ composite ANN (round-9) — the production vector-store layout (FAISS IVFPQ) " +
-        "assembled from the proven halves: inverted-file cells prune candidates to nprobe " +
-        "probes (x14), in-cell scoring runs against PQ reconstructions (x38/x39's ADC " +
-        "equivalence) so the index carries ~9 bytes/vector, a bounded-heap shortlist of 12 " +
-        "per query survives, and ONLY the shortlist touches raw embeddings for the exact " +
-        "re-rank. Full vectors are read O(queries x shortlist) times — the " +
-        "compressed-first/exact-last ladder that makes 10^9-vector ANN affordable. The " +
-        "oracle replays cells, codebooks, encode, reconstruction, probe, shortlist, and " +
-        "re-rank bit-exactly (the x14 + x39 CTEs composed).",
+      "IVF-PQ composite ANN (round-9; round-10 RESIDUAL encoding, FAISS parity) — the " +
+        "production vector-store layout: inverted-file cells prune candidates to nprobe " +
+        "probes (x14), in-cell scoring runs against PQ reconstructions of each vector's " +
+        "RESIDUAL vs its cell centroid (codebooks from an offset-stride sample's " +
+        "residuals; centroid added back at decode) so the codeword budget spends itself " +
+        "on within-cell differences, a bounded-heap shortlist of 12 per query survives, " +
+        "and ONLY the shortlist touches raw embeddings for the exact re-rank. Full " +
+        "vectors are read O(queries x shortlist) times — the compressed-first/exact-last " +
+        "ladder that makes 10^9-vector ANN affordable. The oracle replays cells, " +
+        "residualization, codebooks, encode, reconstruction, probe, shortlist, and " +
+        "re-rank bit-exactly.",
       Some(knnIvfPqOracle),
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val centroids = Similarity.strideCentroids(emb, 16)
-        val cb = Similarity.pqCodebooks(emb)
+        val cb = Similarity.pqResidualCodebooks(emb, centroids)
         Similarity.knnIvfPq(emb.filter(col("vec_id") < 10), emb, centroids, cb,
           k = 5, nprobe = 4, shortlist = 12)
       }),
@@ -2530,7 +2570,7 @@ object ExtensionQueries {
         val emb = Tables.embeddings(s, d)
         val q = emb.filter(col("vec_id") < 10)
         val centroids = Similarity.strideCentroids(emb, 16)
-        val cb = Similarity.pqCodebooks(emb)
+        val cb = Similarity.pqResidualCodebooks(emb, centroids)
         val brute = Similarity.knnBrute(q, emb, 5)
         val rIvf = Similarity.annRecall(brute,
             Similarity.knnIvf(q, emb, centroids, k = 5, nprobe = 4))
@@ -2623,13 +2663,14 @@ object ExtensionQueries {
         "here the cell-pruning loss column collapses toward zero because same-cluster " +
         "neighbors co-locate in probed cells — the evidence that IVF exploits exactly the " +
         "structure the uniform benchmark denies it. The remaining recall_ivfpq gap is pure " +
-        "quantization displacement, the column residual PQ encoding narrows.",
+        "quantization displacement — measurably narrowed by the round-10 residual encoding " +
+        "(sf0.1 shortlist-12: raw-PQ 0.02 vs residual 0.32; SCALING.md round-10 A/B).",
       Some(clusteredRecallOracle),
       (s, d) => {
         val emb = Similarity.clusteredCorpus(Tables.embeddings(s, d))
         val q = emb.filter(col("vec_id") < 10)
         val centroids = Similarity.strideCentroids(emb, 16)
-        val cb = Similarity.pqCodebooks(emb)
+        val cb = Similarity.pqResidualCodebooks(emb, centroids)
         val brute = Similarity.knnBrute(q, emb, 5)
         val rIvf = Similarity.annRecall(brute,
             Similarity.knnIvf(q, emb, centroids, k = 5, nprobe = 4))
