@@ -700,6 +700,69 @@ object Similarity {
     * posexplode → (cell, pos) aggregate shape [[kmeansIterate]] uses
     * trades one extra shuffle for bounded expression width.
     */
+  /** Per-iteration k-means convergence as DATA (round-10 verdict item):
+    * the fit loop of [[kmeansFitExact]] with the objective emitted per
+    * iteration — `inertia_micro` = Σ_v floor((1 − best_cos(v)) · 1e6)
+    * under the centroids entering iteration `iter` (iter 0 = the stride
+    * init), an order-insensitive integer SUM so the value hash-matches
+    * cross-engine (the x41 idiom). `non_increasing` compares each row to
+    * its predecessor: for THIS fit (cosine assignment + arithmetic-mean
+    * update, i.e. unnormalized spherical k-means) monotonicity is an
+    * empirical observation, not a theorem — the mean direction is not
+    * the Σcos maximizer — which is exactly why convergence should be
+    * reported as data instead of assumed; a fit that wobbles shows a 0
+    * in the table. Iteration count is the caller's: the x78/x89
+    * "justify the approximation with a measured table" pattern applied
+    * to the fit itself.
+    * Output: `iter, n_vectors, inertia_micro, non_increasing`.
+    */
+  def kmeansInertia(emb: DataFrame, c: Int = 8, iters: Int = 4,
+      dims: Int = Dim): DataFrame = {
+    val scale = 1000000L
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("ev"))
+    def best(cents: DataFrame): DataFrame =
+      e.join(broadcast(cents))
+        .withColumn("csim", cosine_similarity(col("ev"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(graft.functions.top_k_by(col("csim"), col("cell_id"), 1).as("top"))
+        .select(col("vec_id"),
+          col("top").getItem(0).getField("id").as("cell_id"),
+          col("top").getItem(0).getField("score").as("cs"))
+    val dimSums = (1 to dims).map(i =>
+      sum(floor(element_at(col("ev"), i) * scale).cast("long")).as(s"__s$i"))
+    val dimMeans = array((1 to dims).map(i =>
+      col(s"__s$i").cast("double") / (col("n") * lit(scale)).cast("double")): _*)
+    var cents = strideCentroids(emb, c)
+      .select(col("vec_id").as("cell_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cv"))
+    var rows: DataFrame = null
+    for (t <- 0 to iters) {
+      val a = best(cents).localCheckpoint(false)
+      val row = a.agg(count(lit(1)).as("n_vectors"),
+          sum(floor((lit(1.0) - col("cs")) * lit(1000000.0)).cast("long"))
+            .as("inertia_micro"))
+        .select(lit(t).as("iter"), col("n_vectors"), col("inertia_micro"))
+      rows = if (rows == null) row else rows.unionAll(row)
+      if (t < iters) {
+        val means = a.join(e, Seq("vec_id"))
+          .groupBy(col("cell_id"))
+          .agg(count(lit(1)).as("n"), dimSums: _*)
+          .select(col("cell_id"), dimMeans.as("__new"))
+        cents = cents.select(col("cell_id"), col("cv").as("__prev"))
+          .join(means, Seq("cell_id"), "left")
+          .select(col("cell_id"), coalesce(col("__new"), col("__prev")).as("cv"))
+          .localCheckpoint(false)
+      }
+    }
+    // iters+1 rows: the unpartitioned lag window is bounded by the
+    // iteration count, never the corpus
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("iter"))
+    rows.withColumn("non_increasing",
+      (col("iter") === 0 ||
+        col("inertia_micro") <= lag(col("inertia_micro"), 1).over(w)).cast("int"))
+  }
+
   def kmeansFitExact(emb: DataFrame, c: Int = 8, iters: Int = 2,
       dims: Int = Dim): DataFrame = {
     val scale = 1000000L

@@ -727,6 +727,62 @@ object ExtensionQueries {
     * ×2 → final assignment `af`) — shared by the x52 fit oracle and the
     * x53 SemDeDup composition.
     */
+  /** x93: the kmeansCtes fit chain at caller-chosen depth with the
+    * objective emitted per iteration — bn-idiom norm precompute (one
+    * dotSql per assign instead of three per PAIR), fixed-point integer
+    * inertia so the table hash-matches, and the non-increasing flag
+    * computed identically in both engines via one bounded lag window.
+    */
+  private def kmeansInertiaOracle(iters: Int): String = {
+    val (c, scale) = (8, 1000000L)
+    val stride = math.max(1L, 1000L / c)
+    val evList = (1 to Dim).map(i => s"CAST(embedding[$i] AS DOUBLE)").mkString("[", ", ", "]")
+    def centNormSql(cents: String, out: String): String =
+      s"""$out AS MATERIALIZED (SELECT cell_id, cv,
+         |  sqrt(${dotSql("cv", "cv")}) AS nr FROM $cents)""".stripMargin
+    def assignSql(centsN: String, out: String): String =
+      s"""$out AS MATERIALIZED (SELECT vec_id, cell_id, cs FROM (
+         |  SELECT vec_id, cell_id, cs,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rn
+         |  FROM (SELECT e.vec_id, c.cell_id,
+         |          (${dotSql("e.ev", "c.cv")} / (e.nr * c.nr)) AS cs
+         |        FROM en e, $centsN c) s0) t WHERE rn = 1)""".stripMargin
+    def inertiaSql(assign: String, t: Int): String =
+      s"""r$t AS (SELECT $t AS iter, CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(SUM(CAST(floor((1.0 - cs) * 1000000.0) AS BIGINT)) AS BIGINT) AS inertia_micro
+         |  FROM $assign)""".stripMargin
+    def meansSql(assign: String, out: String): String = {
+      val dims = (1 to Dim).map(i =>
+        s"CAST(SUM(CAST(floor(ev[$i] * $scale.0) AS BIGINT)) AS DOUBLE) / CAST(count(*) * $scale AS BIGINT)")
+        .mkString("[", ", ", "]")
+      s"$out AS MATERIALIZED (SELECT cell_id, $dims AS cv FROM $assign JOIN e USING (vec_id) GROUP BY cell_id)"
+    }
+    def stepSql(prev: String, means: String, out: String): String =
+      s"$out AS MATERIALIZED (SELECT p.cell_id, COALESCE(m.cv, p.cv) AS cv FROM $prev p LEFT JOIN $means m USING (cell_id))"
+    val chain = (0 to iters).map { t =>
+      val step =
+        if (t < iters)
+          s""",
+             |${meansSql(s"a$t", s"m${t + 1}")},
+             |${stepSql(s"c$t", s"m${t + 1}", s"c${t + 1}")}""".stripMargin
+        else ""
+      s"""${centNormSql(s"c$t", s"c${t}n")},
+         |${assignSql(s"c${t}n", s"a$t")},
+         |${inertiaSql(s"a$t", t)}$step""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to iters).map(t => s"SELECT * FROM r$t").mkString(" UNION ALL ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, $evList AS ev FROM embeddings),
+       |en AS MATERIALIZED (SELECT vec_id, ev, sqrt(${dotSql("ev", "ev")}) AS nr FROM e),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cell_id, ev AS cv FROM e
+       |       WHERE vec_id % $stride = 0 AND vec_id < ${stride * c}),
+       |$chain,
+       |rows AS ($unions)
+       |SELECT iter, n_vectors, inertia_micro,
+       |  CAST(CASE WHEN iter = 0 OR inertia_micro <= lag(inertia_micro) OVER (ORDER BY iter)
+       |       THEN 1 ELSE 0 END AS INT) AS non_increasing
+       |FROM rows ORDER BY iter""".stripMargin
+  }
+
   private def kmeansCtes: String = {
     val (c, scale) = (8, 1000000L)
     val stride = math.max(1L, 1000L / c)
@@ -2650,6 +2706,20 @@ object ExtensionQueries {
             sum(h.cast("decimal(38,0)")).cast("decimal(38,0)").cast("string")
               .as("content_sum"))
       }),
+
+    Q("x93_kmeans_inertia",
+      "K-means convergence as DATA (round-10): the x52 fit loop run to caller-chosen depth " +
+        "(4 Lloyd iterations here vs x52's fixed 2) with the objective emitted per " +
+        "iteration - inertia = sum of floor((1 - best_cos) * 1e6) under the centroids " +
+        "entering each iteration, an order-insensitive integer SUM (x41 idiom). The " +
+        "non_increasing flag is honest: this fit assigns by cosine but updates by " +
+        "arithmetic mean (unnormalized spherical k-means), so monotonicity is an " +
+        "OBSERVATION the table reports, not a theorem it assumes - the x78/x89 " +
+        "'justify the approximation with a measured table' pattern applied to the fit " +
+        "itself. Each iteration stays one broadcast assign + one fixed-point mean " +
+        "aggregate; depth adds serial iterations, never corpus passes.",
+      Some(kmeansInertiaOracle(4)),
+      (s, d) => Similarity.kmeansInertia(Tables.embeddings(s, d), c = 8, iters = 4)),
 
     Q("x92_clustered_recall",
       "Clustered-corpus ANN recall (round-10) — the x89 loss decomposition re-run at " +
