@@ -99,12 +99,24 @@ object Bpe {
   def fit(docs: DataFrame, iters: Int, textCol: String = "text"): DataFrame = {
     var vocab = symbolizedVocab(docs, textCol).localCheckpoint(false)
     var table: DataFrame = null
-    for (i <- 1 to iters) {
+    var i = 1
+    var exhausted = false
+    while (i <= iters && !exhausted) {
       val top = topPair(vocab).localCheckpoint(false)
-      vocab = applyMerge(vocab, top).localCheckpoint(false)
-      val row = top.select(lit(i).as("rank"), col("left_sym"), col("right_sym"),
-        concat(col("left_sym"), col("right_sym")).as("merged"), col("pair_count"))
-      table = if (table == null) row else table.unionAll(row)
+      // pair supply exhausts once every word is a single symbol (round-10,
+      // found by the depth sweep): an empty winner must STOP the loop —
+      // applyMerge's crossJoin against an empty 'top' would empty the
+      // whole vocab, and every later iteration would burn a no-op job.
+      // The merge table then carries fewer than `iters` rows, the
+      // correct model for "the corpus had nothing more to merge".
+      if (top.isEmpty) exhausted = true
+      else {
+        vocab = applyMerge(vocab, top).localCheckpoint(false)
+        val row = top.select(lit(i).as("rank"), col("left_sym"), col("right_sym"),
+          concat(col("left_sym"), col("right_sym")).as("merged"), col("pair_count"))
+        table = if (table == null) row else table.unionAll(row)
+      }
+      i += 1
     }
     table
   }
@@ -115,8 +127,15 @@ object Bpe {
   def fittedVocab(docs: DataFrame, iters: Int,
       textCol: String = "text"): DataFrame = {
     var vocab = symbolizedVocab(docs, textCol).localCheckpoint(false)
-    for (_ <- 1 to iters)
-      vocab = applyMerge(vocab, topPair(vocab)).localCheckpoint(false)
+    var i = 0
+    var exhausted = false
+    while (i < iters && !exhausted) {
+      val top = topPair(vocab).localCheckpoint(false)
+      // see fit: an empty winner would empty the vocab via the crossJoin
+      if (top.isEmpty) exhausted = true
+      else vocab = applyMerge(vocab, top).localCheckpoint(false)
+      i += 1
+    }
     vocab
   }
 

@@ -59,4 +59,22 @@ class BpeSpec extends SparkSuite {
     val again = Bpe.encode(doc.repartition(3), 4).collect()
     assert(again(0).getLong(1) == got(0).getLong(1))
   }
+
+  test("pair exhaustion stops the fit instead of emptying the vocab (round-10 depth sweep)") {
+    // a corpus this small runs out of mergeable pairs long before 50
+    // iterations; pre-fix, the first empty winner crossJoined the vocab
+    // to empty and encode returned ZERO rows for every doc
+    val table = Bpe.fit(corpus, 50)
+    val learned = table.count()
+    assert(learned > 4 && learned < 50, s"fit should self-terminate, learned $learned")
+    val vocab = Bpe.fittedVocab(corpus, 50)
+    assert(vocab.count() == 4, "vocab survives exhaustion (4 distinct words)")
+    // every word fully merged: one symbol left per word
+    assert(vocab.select(size(Bpe.symbols(col("w"))).as("n"))
+      .filter(col("n") =!= 1).count() == 0, "exhaustion = every word is one symbol")
+    val enc = Bpe.encode(corpus, 50)
+    assert(enc.count() == 16, "encode keeps every doc after an over-deep fit")
+    assert(enc.filter(col("n_tokens_bpe") === 1).count() == 16,
+      "fully-merged words encode to exactly one token")
+  }
 }
