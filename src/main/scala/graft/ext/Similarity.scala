@@ -486,7 +486,14 @@ object Similarity {
     * assign + one map-side zip_with — no extra shuffle over [[ivfAssign]].
     */
   def residualize(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    ivfAssign(corpus, centroids)
+    residualizeAssigned(ivfAssign(corpus, centroids), centroids)
+
+  /** [[residualize]] for a frame that already carries `cell_id` (e.g.
+    * the [[ivfAssign]] output a caller is reusing) — skips the second
+    * assignment pass, which is the expensive half.
+    */
+  def residualizeAssigned(assigned: DataFrame, centroids: DataFrame): DataFrame =
+    assigned
       .join(broadcast(centroids.select(col("vec_id").as("cell_id"),
         col("embedding").as("__cv"))), Seq("cell_id"))
       .select(col("vec_id"), col("cell_id"),
@@ -589,7 +596,8 @@ object Similarity {
   def knnIvfPq(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       codebooks: DataFrame, k: Int, nprobe: Int, shortlist: Int,
       residual: Boolean = true): DataFrame = {
-    val indexed = ivfAssign(corpus, centroids).select(col("vec_id"), col("cell_id"))
+    val assigned = ivfAssign(corpus, centroids)
+    val indexed = assigned.select(col("vec_id"), col("cell_id"))
     val cells = centroids.select(col("vec_id").as("cell_id"), col("embedding").as("cv"))
     val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .join(broadcast(cells))
@@ -609,10 +617,16 @@ object Similarity {
     // encoded). Measured at sf0.1: 2.50 s -> 2.02 s for the registered
     // shape (10 queries probing 4/16 cells touch most of this corpus;
     // the saving grows as C rises and the probed fraction shrinks).
-    val touched = corpus.join(
-      candIds.select(col("neighbor_id").as("vec_id")).distinct(),
-      Seq("vec_id"), "left_semi")
-    val encodeInput = if (residual) residualize(touched, centroids) else touched
+    val candVecIds = candIds.select(col("neighbor_id").as("vec_id")).distinct()
+    // residual mode semi-joins the ASSIGNED frame so the encode reuses
+    // the cell_id already computed for candidate generation instead of
+    // paying the N×C assign pass a second time; raw mode keeps slicing
+    // the corpus directly (it never needs a cell)
+    val encodeInput =
+      if (residual)
+        residualizeAssigned(
+          assigned.join(candVecIds, Seq("vec_id"), "left_semi"), centroids)
+      else corpus.join(candVecIds, Seq("vec_id"), "left_semi")
     val reconBase = pqDecode(pqEncode(encodeInput, codebooks), codebooks)
     val recon =
       if (residual)

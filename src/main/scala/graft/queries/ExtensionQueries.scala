@@ -2737,7 +2737,11 @@ object ExtensionQueries {
         "(sf0.1 shortlist-12: raw-PQ 0.02 vs residual 0.32; SCALING.md round-10 A/B).",
       Some(clusteredRecallOracle),
       (s, d) => {
+        // the derived corpus feeds eight downstream branches (queries,
+        // centroids, codebooks, brute, both ladders); checkpoint it so
+        // the derivation join runs once, not per branch
         val emb = Similarity.clusteredCorpus(Tables.embeddings(s, d))
+          .localCheckpoint(false)
         val q = emb.filter(col("vec_id") < 10)
         val centroids = Similarity.strideCentroids(emb, 16)
         val cb = Similarity.pqResidualCodebooks(emb, centroids)
