@@ -524,6 +524,66 @@ object Similarity {
         slice(col("embedding"), col("subspace") * subDim + 1, lit(subDim)).as("codeword"))
   }
 
+  /** Lloyd-refined residual-PQ codebooks (round-10, the fidelity lever
+    * the raw-vs-residual A/B left on the table): start from the
+    * sample-is-the-init [[pqResidualCodebooks]] and run `iters` k-means
+    * iterations PER SUBSPACE over every corpus residual's subvector —
+    * the FAISS training step. Each iteration is one broadcast join +
+    * bounded-heap argmin + one fixed-point mean aggregate per
+    * (subspace, code); the deterministic empty-code retention and the
+    * floor(x·1e6) integer means are the [[kmeansFitExact]] idiom, so a
+    * DuckDB oracle could replay the fit bit-exactly if one is ever
+    * registered. Cost: iters corpus passes at training time; the
+    * SEARCH shape is unchanged — fitted codebooks drop into
+    * [[knnIvfPq]] wherever the init codebooks did.
+    *
+    * Measured caveat (SCALING.md round-10): on the SYNTHETIC clustered
+    * corpus, whose residuals are isotropic by construction, fitting
+    * REDUCES recall (0.32 → 0.26 at shortlist 12) — Lloyd means on
+    * structureless data contract codeword norms ~26% (0.145 → 0.108,
+    * converged by iteration 2, `tools.CbNormProbe`), tilting the
+    * reconstruction toward the centroid and washing out within-cell
+    * cosine discrimination. The trainer earns its corpus passes only
+    * when residuals have structure to find — which real embedding
+    * corpora have and the synthetic perturbations deliberately lack.
+    */
+  def pqResidualCodebooksFitted(corpus: DataFrame, centroids: DataFrame,
+      iters: Int = 2, m: Int = PqM, k: Int = PqK, dim: Int = Dim): DataFrame = {
+    val subDim = dim / m
+    val scale = 1000000L
+    val pts = residualize(corpus, centroids)
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("subspace"), col("embedding"))
+      .select(col("subspace"), col("vec_id"),
+        slice(col("embedding"), col("subspace") * subDim + 1, lit(subDim)).as("sub"))
+      .localCheckpoint(false)
+    val dimSums = (1 to subDim).map(i =>
+      sum(floor(element_at(col("sub"), i) * scale).cast("long")).as(s"__s$i"))
+    val dimMeans = array((1 to subDim).map(i =>
+      col(s"__s$i").cast("double") / (col("n") * lit(scale)).cast("double")): _*)
+    var cb = pqResidualCodebooks(corpus, centroids, m, k, dim).localCheckpoint(false)
+    for (_ <- 0 until iters) {
+      val d2 = aggregate(
+        zip_with(col("sub"), col("codeword"),
+          (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+      val assigned = pts.join(broadcast(cb), Seq("subspace"))
+        .withColumn("d2", d2)
+        .groupBy(col("subspace"), col("vec_id"), col("sub"))
+        .agg(graft.functions.top_k_by(-col("d2"), col("code"), 1).as("top"))
+        .select(col("subspace"), col("sub"),
+          col("top").getItem(0).getField("id").as("code"))
+      val means = assigned.groupBy(col("subspace"), col("code"))
+        .agg(count(lit(1)).as("n"), dimSums: _*)
+        .select(col("subspace"), col("code"), dimMeans.as("__new"))
+      cb = cb.select(col("subspace"), col("code"), col("codeword").as("__prev"))
+        .join(means, Seq("subspace", "code"), "left")
+        .select(col("subspace"), col("code"),
+          coalesce(col("__new"), col("__prev")).as("codeword"))
+        .localCheckpoint(false)
+    }
+    cb
+  }
+
   /** PQ encode (faiss-PQ shape, the 10^9-vector memory layout: m log2(k)
     * bits per vector instead of 4·dim bytes): each vector splits into `m`
     * subvectors; each subvector takes the code of its L2-nearest codeword

@@ -35,16 +35,17 @@ object PqResidualSweep {
     centroids.count()
     val cbRaw = Similarity.pqCodebooks(emb).cache()
     val cbRes = Similarity.pqResidualCodebooks(emb, centroids).cache()
-    cbRaw.count(); cbRes.count()
+    val cbFit = Similarity.pqResidualCodebooksFitted(emb, centroids, iters = 2).cache()
+    cbRaw.count(); cbRes.count(); cbFit.count()
 
     println(s"clustered corpus n=$n queries=10 k=$k cells=stride62 nprobe=4")
-    println("shortlist\trecall_raw\trecall_residual")
+    println("shortlist\trecall_raw\trecall_residual\trecall_res_fitted")
     for (shortlist <- Seq(12, 24, 48)) {
       def recall(cb: org.apache.spark.sql.DataFrame, residual: Boolean): Double =
         Similarity.recallAtK(
           Similarity.knnIvfPq(q, emb, centroids, cb, k, nprobe = 4,
             shortlist = shortlist, residual = residual), exact, k)
-      println(f"$shortlist\t${recall(cbRaw, residual = false)}%.3f\t\t${recall(cbRes, residual = true)}%.3f")
+      println(f"$shortlist\t${recall(cbRaw, residual = false)}%.3f\t\t${recall(cbRes, residual = true)}%.3f\t\t${recall(cbFit, residual = true)}%.3f")
     }
     spark.stop()
   }

@@ -988,7 +988,7 @@ class ExtSpec extends SparkSuite {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val q = emb.filter($"vec_id" < 6)
     val centroids = Similarity.strideCentroids(emb, 16)
-    val cb = Similarity.pqCodebooks(emb)
+    val cb = Similarity.pqResidualCodebooks(emb, centroids)
     val got = Similarity.knnIvfPq(q, emb, centroids, cb, k = 5, nprobe = 4, shortlist = 12)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(got.nonEmpty)
@@ -1015,6 +1015,25 @@ class ExtSpec extends SparkSuite {
       assert(sims.toSeq == sims.sortBy { case (s, id) => (-s, id) }.toSeq,
         s"ranks of $qid not ordered by exact cosine: ${sims.toSeq}")
     }
+  }
+
+  test("residual PQ codebooks: nonzero codewords, Lloyd fit keeps keys and arity (round-10)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val centroids = Similarity.strideCentroids(emb, 16)
+    val init = Similarity.pqResidualCodebooks(emb, centroids)
+    val keys = init.select($"subspace", $"code").as[(Int, Long)].collect().toSet
+    assert(keys.nonEmpty && keys.groupBy(_._1).size == 8, "8 subspaces")
+    assert(init.select(size($"codeword")).distinct().as[Int].collect().toSeq == Seq(8),
+      "codeword arity = dim/m")
+    // the offset-31 sample is disjoint from the stride-62 cell anchors,
+    // so no sample residual (hence no codeword) is the zero vector
+    val norms = init.select(aggregate(transform($"codeword", x => x * x),
+      lit(0.0), (a, v) => a + v).as("n2")).as[Double].collect()
+    assert(norms.forall(_ > 0), "a zero codeword means the sample hit a cell anchor")
+    // Lloyd refinement relabels nothing: same (subspace, code) keys, same arity
+    val fitted = Similarity.pqResidualCodebooksFitted(emb, centroids, iters = 2)
+    assert(fitted.select($"subspace", $"code").as[(Int, Long)].collect().toSet == keys)
+    assert(fitted.select(size($"codeword")).distinct().as[Int].collect().toSeq == Seq(8))
   }
 
   test("annRecall: per-query overlap in exact basis points (round-8)") {
