@@ -100,7 +100,12 @@ object ScaleSmoke {
     "x88_knn_ivfpq",
     // x90's partial-sketch build scans events (corpus-linear map-side
     // sketch updates); the merge level stays O(types x days)
-    "x90_sketch_rollup")
+    "x90_sketch_rollup",
+    // round-10: x92's derivation join + both recall ladders scan the
+    // amplified embeddings table (queries stay 10); x93's five assigns
+    // + four fixed-point mean aggregates are each corpus-linear.
+    // (x91 exercises a temp-dir round-trip, not a scalable scan.)
+    "x92_clustered_recall", "x93_kmeans_inertia")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
