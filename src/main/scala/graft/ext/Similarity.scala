@@ -584,15 +584,73 @@ object Similarity {
     cb
   }
 
+  /** Collect a codebook table into per-subspace codeword literals — the
+    * model-artifact collect exception (the TextStats language-profile
+    * class): k·m rows ≈ kilobytes at ANY corpus scale, by construction.
+    * Returns (per-subspace codewords ordered by code, element-is-float).
+    */
+  private def codebookArrays(codebooks: DataFrame, m: Int)
+      : (IndexedSeq[Seq[Seq[Double]]], Boolean) = {
+    val isFloat = codebooks.schema("codeword").dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    val rows = codebooks
+      .select(col("subspace").cast("int"), col("code").cast("long"), col("codeword"))
+      .collect()
+    val byS = (0 until m).map { j =>
+      rows.filter(_.getInt(0) == j).sortBy(_.getLong(1)).toSeq
+        .map(_.getSeq[Any](2).map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue()
+        }.toSeq)
+    }
+    (byS, isFloat)
+  }
+
+  private def codebookLit(cws: Seq[Seq[Double]], isFloat: Boolean): Column =
+    if (isFloat) typedlit(cws.map(_.map(_.toFloat)))
+    else typedlit(cws)
+
   /** PQ encode (faiss-PQ shape, the 10^9-vector memory layout: m log2(k)
     * bits per vector instead of 4·dim bytes): each vector splits into `m`
     * subvectors; each subvector takes the code of its L2-nearest codeword
-    * in that subspace. One broadcast join + a bounded-heap argmin — no
-    * shuffle wider than (vec_id, subspace). Deterministic: squared
-    * distances accumulate left-to-right in double, ties break to the
-    * smallest code (x38's oracle replays both). Output: vec_id, c0..c{m-1}.
+    * in that subspace.
+    *
+    * Round-10 shape: MAP-SIDE with the codebooks embedded as literals —
+    * zero shuffles, one projection, exactly how a production encoder
+    * runs (FAISS encodes against in-memory codebooks; at 10^9 vectors
+    * the previous explode + broadcast-join + two-aggregate form
+    * shuffled O(N·m) rows for a model artifact measured in kilobytes).
+    * The float→double widening of literal codewords is exact, the
+    * squared distances accumulate left-to-right in double via the same
+    * zip_with/aggregate fold, and argmin ties break to the smallest
+    * code (`array_position` finds the FIRST bitwise-equal minimum) — so
+    * codes are bit-identical to the exchange form, property-pinned in
+    * ExtSpec and replayed by x38's oracle. [[pqEncodeExchange]] keeps
+    * the dataflow form as the reference twin.
+    * Output: vec_id, c0..c{m-1}.
     */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int = PqM, dim: Int = Dim): DataFrame = {
+    val subDim = dim / m
+    val (byS, isFloat) = codebookArrays(codebooks, m)
+    val codeCols = (0 until m).map { j =>
+      val sub = slice(col("embedding"), j * subDim + 1, subDim)
+      val scored = transform(codebookLit(byS(j), isFloat), cw =>
+        aggregate(
+          zip_with(sub, cw,
+            (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
+          lit(0.0), (acc, v) => acc + v))
+      (array_position(scored, array_min(scored)) - 1).cast("long").as(s"c$j")
+    }
+    corpus.select((col("vec_id") +: codeCols): _*)
+  }
+
+  /** The original exchange-based encode (explode → broadcast join →
+    * bounded-heap argmin → pivot), kept as the reference twin the
+    * map-side form is property-tested code-identical against.
+    */
+  def pqEncodeExchange(corpus: DataFrame, codebooks: DataFrame, m: Int = PqM, dim: Int = Dim): DataFrame = {
     val subDim = dim / m
     val sub = corpus
       .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("subspace"), col("embedding"))
@@ -615,14 +673,25 @@ object Similarity {
   }
 
   /** PQ decode: rebuild the quantized approximation of each vector by
-    * concatenating its m codewords — `m` broadcast joins against the
-    * (kilobyte-sized) codebooks, one per subspace. Ranking against the
-    * reconstruction computes exactly what an ADC scan computes
-    * (distance decomposes over subspaces), so [[pqDecode]] + a brute
-    * rank IS the PQ ANN search path, just without the LUT constant-factor
-    * trick a SIMD kernel would add.
+    * concatenating its m codewords. Round-10 shape: a pure projection —
+    * each codeword is an `element_at` into the literal codebook
+    * (kilobytes), so decode adds NO join and no exchange; ranking
+    * against the reconstruction still computes exactly what an ADC scan
+    * computes (distance decomposes over subspaces), so [[pqDecode]] + a
+    * brute rank IS the PQ ANN search path, just without the LUT
+    * constant-factor trick a SIMD kernel would add.
+    * [[pqDecodeJoin]] keeps the join form as the reference twin.
     */
   def pqDecode(codes: DataFrame, codebooks: DataFrame, m: Int = PqM): DataFrame = {
+    val (byS, isFloat) = codebookArrays(codebooks, m)
+    val parts = (0 until m).map { j =>
+      element_at(codebookLit(byS(j), isFloat), (col(s"c$j") + 1).cast("int"))
+    }
+    codes.select(col("vec_id"), concat(parts: _*).as("embedding"))
+  }
+
+  /** The original join-based decode, kept as the reference twin. */
+  def pqDecodeJoin(codes: DataFrame, codebooks: DataFrame, m: Int = PqM): DataFrame = {
     val joined = (0 until m).foldLeft(codes) { (df, j) =>
       val cbj = codebooks.filter(col("subspace") === j)
         .select(col("code").as(s"c$j"), col("codeword").as(s"cw$j"))
@@ -677,7 +746,9 @@ object Similarity {
     // encoded). Measured at sf0.1: 2.50 s -> 2.02 s for the registered
     // shape (10 queries probing 4/16 cells touch most of this corpus;
     // the saving grows as C rises and the probed fraction shrinks).
-    val candVecIds = candIds.select(col("neighbor_id").as("vec_id")).distinct()
+    // no .distinct(): the left_semi probes below already dedup their
+    // probe side, so a pre-distinct is one extra shuffle for nothing
+    val candVecIds = candIds.select(col("neighbor_id").as("vec_id"))
     // residual mode semi-joins the ASSIGNED frame so the encode reuses
     // the cell_id already computed for candidate generation instead of
     // paying the N×C assign pass a second time; raw mode keeps slicing

@@ -1017,6 +1017,30 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("map-side PQ encode/decode are code- and value-identical to the exchange twins (round-10)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val centroids = Similarity.strideCentroids(emb, 16)
+    for (cb <- Seq(Similarity.pqCodebooks(emb),
+                   Similarity.pqResidualCodebooks(emb, centroids))) {
+      val corpus =
+        if (cb.schema("codeword").dataType ==
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, true) ||
+            cb.schema("codeword").dataType ==
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false))
+          emb
+        else Similarity.residualize(emb, centroids)
+      val a = Similarity.pqEncode(corpus, cb).orderBy("vec_id").collect().toSeq
+      val b = Similarity.pqEncodeExchange(corpus, cb).orderBy("vec_id").collect().toSeq
+      assert(a == b, "map-side codes differ from exchange codes")
+      val codes = Similarity.pqEncode(corpus, cb)
+      val da = Similarity.pqDecode(codes, cb)
+        .select($"vec_id", $"embedding".cast("array<double>")).orderBy("vec_id").collect().toSeq
+      val db = Similarity.pqDecodeJoin(codes, cb)
+        .select($"vec_id", $"embedding".cast("array<double>")).orderBy("vec_id").collect().toSeq
+      assert(da == db, "map-side reconstruction differs from join reconstruction")
+    }
+  }
+
   test("residual PQ codebooks: nonzero codewords, Lloyd fit keeps keys and arity (round-10)") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val centroids = Similarity.strideCentroids(emb, 16)
