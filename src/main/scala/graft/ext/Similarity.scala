@@ -617,33 +617,30 @@ object Similarity {
     * subvectors; each subvector takes the code of its L2-nearest codeword
     * in that subspace.
     *
-    * Round-10 shape: MAP-SIDE with the codebooks embedded as literals —
-    * zero shuffles, one projection, exactly how a production encoder
-    * runs (FAISS encodes against in-memory codebooks; at 10^9 vectors
-    * the previous explode + broadcast-join + two-aggregate form
+    * Round-10 shape: MAP-SIDE via the [[graft.functions.PqCodesExpr]]
+    * codegen kernel with the codebooks bound as a reference object —
+    * zero shuffles, one fused loop per row, exactly how a production
+    * encoder runs (FAISS encodes against in-memory codebooks; at 10^9
+    * vectors the previous explode + broadcast-join + two-aggregate form
     * shuffled O(N·m) rows for a model artifact measured in kilobytes).
-    * The float→double widening of literal codewords is exact, the
-    * squared distances accumulate left-to-right in double via the same
-    * zip_with/aggregate fold, and argmin ties break to the smallest
-    * code (`array_position` finds the FIRST bitwise-equal minimum) — so
-    * codes are bit-identical to the exchange form, property-pinned in
-    * ExtSpec and replayed by x38's oracle. [[pqEncodeExchange]] keeps
-    * the dataflow form as the reference twin.
+    * The float→double widening of codewords is exact, squared distances
+    * accumulate left-to-right in double, and argmin ties break to the
+    * smallest code — so codes are bit-identical to the exchange form,
+    * property-pinned in ExtSpec and replayed by x38's oracle.
+    * [[pqEncodeExchange]] keeps the dataflow form as the reference twin.
     * Output: vec_id, c0..c{m-1}.
     */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int = PqM, dim: Int = Dim): DataFrame = {
     val subDim = dim / m
-    val (byS, isFloat) = codebookArrays(codebooks, m)
-    val codeCols = (0 until m).map { j =>
-      val sub = slice(col("embedding"), j * subDim + 1, subDim)
-      val scored = transform(codebookLit(byS(j), isFloat), cw =>
-        aggregate(
-          zip_with(sub, cw,
-            (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
-          lit(0.0), (acc, v) => acc + v))
-      (array_position(scored, array_min(scored)) - 1).cast("long").as(s"c$j")
-    }
-    corpus.select((col("vec_id") +: codeCols): _*)
+    val (byS, _) = codebookArrays(codebooks, m)
+    val cwsArr: Array[Array[Array[Double]]] =
+      byS.map(_.map(_.toArray).toArray).toArray
+    val codes = graft.functions.pq_codes(col("embedding"), cwsArr, subDim)
+    // the per-code element_at projections collapse onto ONE kernel eval
+    // per row: PqCodesExpr is registered in ExtractExpensiveSubexpressions
+    corpus.select(col("vec_id"), codes.as("__codes"))
+      .select((col("vec_id") +:
+        (0 until m).map(j => element_at(col("__codes"), j + 1).as(s"c$j"))): _*)
   }
 
   /** The original exchange-based encode (explode → broadcast join →

@@ -227,6 +227,13 @@ package object functions {
     * multi-dimensional clustering key for data-skipping layouts. See
     * [[ZOrder2]].
     */
+  /** All `m` PQ subspace codes of an embedding in one fused kernel pass,
+    * with the (kilobyte) codebooks bound as a reference object — see
+    * [[PqCodesExpr]]. `cws(j)(code)(d)` must be ordered by code.
+    */
+  def pq_codes(embedding: Column, cws: Array[Array[Array[Double]]], subDim: Int): Column =
+    Internal.column(PqCodesExpr(Internal.expression(embedding), cws, subDim))
+
   def zorder_key(x: Column, y: Column): Column =
     Internal.column(ZOrder2(Internal.expression(x), Internal.expression(y)))
 

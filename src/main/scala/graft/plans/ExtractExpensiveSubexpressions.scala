@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, CaseWhen, Co
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{CosineSimilarityExpr, HexToDecimal, Md5Prefix60, U256DecString, U256Limbs, U256RenderLimbs, WordNgrams, ZOrder2}
+import graft.functions.{CosineSimilarityExpr, HexToDecimal, Md5Prefix60, PqCodesExpr, U256DecString, U256Limbs, U256RenderLimbs, WordNgrams, ZOrder2}
 
 /** Optimizer rule: hoist repeated EXPENSIVE graft kernel calls out of a
   * projection so each evaluates once per row.
@@ -47,7 +47,8 @@ object ExtractExpensiveSubexpressions extends Rule[LogicalPlan] {
 
   private def isExpensive(e: Expression): Boolean = e match {
     case _: U256Limbs | _: U256DecString | _: U256RenderLimbs | _: HexToDecimal |
-        _: Md5Prefix60 | _: WordNgrams | _: CosineSimilarityExpr | _: ZOrder2 => true
+        _: Md5Prefix60 | _: WordNgrams | _: CosineSimilarityExpr | _: ZOrder2 |
+        _: PqCodesExpr => true
     case _ => false
   }
 
