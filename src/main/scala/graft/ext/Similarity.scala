@@ -270,8 +270,11 @@ object Similarity {
   }
 
   def knnIvf(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
-    val indexed = ivfAssign(corpus, centroids)
+      k: Int, nprobe: Int, assignedOpt: Option[DataFrame] = None): DataFrame = {
+    // assignedOpt: a caller composing several probes of the same index
+    // (x89/x92 run the IVF and IVF-PQ ladders side by side) passes the
+    // checkpointed ivfAssign output once instead of paying N×C twice
+    val indexed = assignedOpt.getOrElse(ivfAssign(corpus, centroids))
     val cells = centroids.select(col("vec_id").as("cell_id"), col("embedding").as("cv"))
     // each query probes its nprobe nearest cells
     val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -721,8 +724,8 @@ object Similarity {
     */
   def knnIvfPq(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       codebooks: DataFrame, k: Int, nprobe: Int, shortlist: Int,
-      residual: Boolean = true): DataFrame = {
-    val assigned = ivfAssign(corpus, centroids)
+      residual: Boolean = true, assignedOpt: Option[DataFrame] = None): DataFrame = {
+    val assigned = assignedOpt.getOrElse(ivfAssign(corpus, centroids))
     val indexed = assigned.select(col("vec_id"), col("cell_id"))
     val cells = centroids.select(col("vec_id").as("cell_id"), col("embedding").as("cv"))
     val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))

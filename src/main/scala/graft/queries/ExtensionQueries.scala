@@ -2627,13 +2627,18 @@ object ExtensionQueries {
         val q = emb.filter(col("vec_id") < 10)
         val centroids = Similarity.strideCentroids(emb, 16)
         val cb = Similarity.pqResidualCodebooks(emb, centroids)
+        // both ladders probe the same index: assign once, checkpoint,
+        // share (the round-10 assignedOpt seam)
+        val assigned = Similarity.ivfAssign(emb, centroids).localCheckpoint(false)
         val brute = Similarity.knnBrute(q, emb, 5)
         val rIvf = Similarity.annRecall(brute,
-            Similarity.knnIvf(q, emb, centroids, k = 5, nprobe = 4))
+            Similarity.knnIvf(q, emb, centroids, k = 5, nprobe = 4,
+              assignedOpt = Some(assigned)))
           .select(col("qid"), col("n_true"), col("n_hits").as("hits_ivf"),
             col("recall_bp").as("recall_ivf_bp"))
         val rPq = Similarity.annRecall(brute,
-            Similarity.knnIvfPq(q, emb, centroids, cb, k = 5, nprobe = 4, shortlist = 12))
+            Similarity.knnIvfPq(q, emb, centroids, cb, k = 5, nprobe = 4, shortlist = 12,
+              assignedOpt = Some(assigned)))
           .select(col("qid"), col("n_hits").as("hits_ivfpq"),
             col("recall_bp").as("recall_ivfpq_bp"))
         rIvf.join(rPq, Seq("qid"))
@@ -2745,13 +2750,18 @@ object ExtensionQueries {
         val q = emb.filter(col("vec_id") < 10)
         val centroids = Similarity.strideCentroids(emb, 16)
         val cb = Similarity.pqResidualCodebooks(emb, centroids)
+        // both ladders probe the same index: assign once, checkpoint,
+        // share (the round-10 assignedOpt seam)
+        val assigned = Similarity.ivfAssign(emb, centroids).localCheckpoint(false)
         val brute = Similarity.knnBrute(q, emb, 5)
         val rIvf = Similarity.annRecall(brute,
-            Similarity.knnIvf(q, emb, centroids, k = 5, nprobe = 4))
+            Similarity.knnIvf(q, emb, centroids, k = 5, nprobe = 4,
+              assignedOpt = Some(assigned)))
           .select(col("qid"), col("n_true"), col("n_hits").as("hits_ivf"),
             col("recall_bp").as("recall_ivf_bp"))
         val rPq = Similarity.annRecall(brute,
-            Similarity.knnIvfPq(q, emb, centroids, cb, k = 5, nprobe = 4, shortlist = 12))
+            Similarity.knnIvfPq(q, emb, centroids, cb, k = 5, nprobe = 4, shortlist = 12,
+              assignedOpt = Some(assigned)))
           .select(col("qid"), col("n_hits").as("hits_ivfpq"),
             col("recall_bp").as("recall_ivfpq_bp"))
         rIvf.join(rPq, Seq("qid"))
