@@ -864,8 +864,11 @@ object Similarity {
   def kmeansInertia(emb: DataFrame, c: Int = 8, iters: Int = 4,
       dims: Int = Dim): DataFrame = {
     val scale = 1000000L
+    // checkpointed: every one of the 2·iters+1 serial jobs below reads
+    // `e` (assign joins + mean joins) — one materialization, not 9 scans
     val e = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("ev"))
+      .localCheckpoint(false)
     def best(cents: DataFrame): DataFrame =
       e.join(broadcast(cents))
         .withColumn("csim", cosine_similarity(col("ev"), col("cv")))
@@ -911,8 +914,10 @@ object Similarity {
   def kmeansFitExact(emb: DataFrame, c: Int = 8, iters: Int = 2,
       dims: Int = Dim): DataFrame = {
     val scale = 1000000L
+    // the kmeansInertia note: every serial assign/means job reads `e`
     val e = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("ev"))
+      .localCheckpoint(false)
     def nearest(cents: DataFrame): DataFrame =
       e.join(broadcast(cents))
         .withColumn("csim", cosine_similarity(col("ev"), col("cv")))
