@@ -56,8 +56,9 @@ object TextRank {
     */
   def bm25(docs: DataFrame, queries: DataFrame, k: Int = 5,
       k1: Double = 1.2, b: Double = 0.75, lnIdf: Boolean = false,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tf = postings(docs, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text",
+      postingsOpt: Option[DataFrame] = None): DataFrame = {
+    val tf = postingsOpt.getOrElse(postings(docs, idCol, textCol))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
@@ -89,8 +90,9 @@ object TextRank {
     * postings exchange once and reuses it.
     */
   def tfidf(docs: DataFrame, queries: DataFrame, k: Int = 5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tf = postings(docs, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text",
+      postingsOpt: Option[DataFrame] = None): DataFrame = {
+    val tf = postingsOpt.getOrElse(postings(docs, idCol, textCol))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
@@ -141,13 +143,21 @@ object TextRank {
   }
 
   /** Hybrid retrieval: BM25 and TF-IDF top-`kPerList` lists fused by
-    * RRF, top `k` kept. One plan: the two rankers' posting/df subtrees
-    * are identical, so the expensive explode-aggregate runs once
-    * (exchange reuse) and only the scoring tails differ.
+    * RRF, top `k` kept. The two rankers' posting/df subtrees are
+    * identical, and round 10 stopped trusting the optimizer to notice:
+    * the static x64 plan carried 16 documents scans and 22 exchanges
+    * with ZERO ReusedExchange nodes, so the corpus-wide
+    * explode-aggregate is now computed once into a checkpointed frame
+    * both rankers (and the caller's query derivation, via
+    * `postingsOpt`) read. Only the scoring tails differ.
     */
   def hybridRrf(docs: DataFrame, queries: DataFrame, kPerList: Int = 20,
-      k: Int = 5): DataFrame =
-    rrfFuse(Seq(bm25(docs, queries, kPerList), tfidf(docs, queries, kPerList)), k)
+      k: Int = 5, postingsOpt: Option[DataFrame] = None): DataFrame = {
+    val tf = postingsOpt.getOrElse(postings(docs).localCheckpoint(false))
+    rrfFuse(Seq(
+      bm25(docs, queries, kPerList, postingsOpt = Some(tf)),
+      tfidf(docs, queries, kPerList, postingsOpt = Some(tf))), k)
+  }
 
   /** Posting lists with the per-doc length riding along: one explode →
     * one (doc, term) aggregate; `dl` is constant within a doc so
@@ -169,8 +179,9 @@ object TextRank {
     * rows — never a corpus-wide sort.
     */
   def midFrequencyQueries(docs: DataFrame, lo: Int = 11, hi: Int = 16,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val dfreq = postings(docs, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text",
+      postingsOpt: Option[DataFrame] = None): DataFrame = {
+    val dfreq = postingsOpt.getOrElse(postings(docs, idCol, textCol))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val top = Ranks.topK(dfreq, hi, col("df").desc, col("term"))
     Ranks.topKPerGroup(top, Seq.empty, hi, Seq(col("df").desc, col("term")),

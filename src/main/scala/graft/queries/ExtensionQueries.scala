@@ -1803,7 +1803,10 @@ object ExtensionQueries {
       Some(bm25Oracle),
       (s, d) => {
         val docs = Tables.documents(s, d)
-        graft.ext.TextRank.bm25(docs, graft.ext.TextRank.midFrequencyQueries(docs))
+        val tf = graft.ext.TextRank.postings(docs).localCheckpoint(false)
+        graft.ext.TextRank.bm25(docs,
+          graft.ext.TextRank.midFrequencyQueries(docs, postingsOpt = Some(tf)),
+          postingsOpt = Some(tf))
       }),
 
     Q("x55_temperature_mix",
@@ -2028,7 +2031,12 @@ object ExtensionQueries {
       Some(hybridRrfOracle),
       (s, d) => {
         val docs = Tables.documents(s, d)
-        graft.ext.TextRank.hybridRrf(docs, graft.ext.TextRank.midFrequencyQueries(docs))
+        // one checkpointed postings frame feeds the query derivation and
+        // BOTH rankers (the optimizer never reused the identical subtrees)
+        val tf = graft.ext.TextRank.postings(docs).localCheckpoint(false)
+        graft.ext.TextRank.hybridRrf(docs,
+          graft.ext.TextRank.midFrequencyQueries(docs, postingsOpt = Some(tf)),
+          postingsOpt = Some(tf))
       }),
 
     Q("x65_bigram_lm_fit",
