@@ -2612,8 +2612,13 @@ object ExtensionQueries {
       Some(knnIvfPqOracle),
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val centroids = Similarity.strideCentroids(emb, 16)
-        val cb = Similarity.pqResidualCodebooks(emb, centroids)
+        // centroids (C rows) and codebooks (m·k rows) are kilobyte model
+        // artifacts each consumed by several downstream branches; without
+        // the checkpoint every reference re-derives them with a FULL
+        // corpus scan (the round-10 ScanAudit finding: 21 embeddings
+        // scans in this one plan). Same values, lineage cut once.
+        val centroids = Similarity.strideCentroids(emb, 16).localCheckpoint(false)
+        val cb = Similarity.pqResidualCodebooks(emb, centroids).localCheckpoint(false)
         Similarity.knnIvfPq(emb.filter(col("vec_id") < 10), emb, centroids, cb,
           k = 5, nprobe = 4, shortlist = 12)
       }),
@@ -2633,8 +2638,11 @@ object ExtensionQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val q = emb.filter(col("vec_id") < 10)
-        val centroids = Similarity.strideCentroids(emb, 16)
-        val cb = Similarity.pqResidualCodebooks(emb, centroids)
+        // kilobyte model artifacts, checkpointed so each of their many
+        // consumers reads memory instead of re-scanning the corpus
+        // (ScanAudit: 20 embeddings scans here before the cut)
+        val centroids = Similarity.strideCentroids(emb, 16).localCheckpoint(false)
+        val cb = Similarity.pqResidualCodebooks(emb, centroids).localCheckpoint(false)
         // both ladders probe the same index: assign once, checkpoint,
         // share (the round-10 assignedOpt seam)
         val assigned = Similarity.ivfAssign(emb, centroids).localCheckpoint(false)
@@ -2756,8 +2764,9 @@ object ExtensionQueries {
         val emb = Similarity.clusteredCorpus(Tables.embeddings(s, d))
           .localCheckpoint(false)
         val q = emb.filter(col("vec_id") < 10)
-        val centroids = Similarity.strideCentroids(emb, 16)
-        val cb = Similarity.pqResidualCodebooks(emb, centroids)
+        // tiny model artifacts: materialize once for their many consumers
+        val centroids = Similarity.strideCentroids(emb, 16).localCheckpoint(false)
+        val cb = Similarity.pqResidualCodebooks(emb, centroids).localCheckpoint(false)
         // both ladders probe the same index: assign once, checkpoint,
         // share (the round-10 assignedOpt seam)
         val assigned = Similarity.ivfAssign(emb, centroids).localCheckpoint(false)
