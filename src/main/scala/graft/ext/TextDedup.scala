@@ -362,12 +362,19 @@ object TextDedup {
     */
   def sourceOverlap(docs: DataFrame, sourceCol: String = "source",
       textCol: String = "text"): DataFrame = {
+    // the distinct (source, hash) frame feeds the sketch aggregate, the
+    // per-source sizes, and both sides of the exact-intersection join —
+    // materialize the explode+distinct once (round-10 ScanAudit: 6
+    // documents scans here before the pin)
     val sh = docs
       .select(col(sourceCol).as("source"),
         explode(graft.functions.word_shingles(col(textCol), 3)).as("shingle"))
       .select(col("source"), portableHash(col("shingle"), "").as("h0"))
       .distinct()
+      .localCheckpoint(false)
     val aggs = (0 until NumHashes).map(i => min(portableRemix(col("h0"), i)).as(s"s$i"))
+    // |sources| rows but a full corpus-pass aggregate to derive — its
+    // self-join consumes it twice
     val sigs = sh.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
@@ -540,11 +547,20 @@ object TextDedup {
     // longs instead of ~n-word strings (the dominant exchanges here —
     // same idiom as [[dupSpanCoverage]]/[[stripDupSpans]]). A collision
     // (~n_shingles^2 / 2^65) could merge two shingles across splits.
+    // one explode+distinct pass, materialized: the gram frame feeds the
+    // totals, BOTH sides of the self-join, and (via totals) the pair
+    // scaffold — un-checkpointed, every consumer re-runs the explode +
+    // distinct from the raw corpus (round-10 ScanAudit: 6 documents
+    // scans in this one plan)
     val grams = docs
       .select(col(splitCol).as("split"), explode(word_shingles(col("text"), n)).as("gs"))
       .select(col("split"), xxhash64(col("gs")).as("g"))
       .distinct()
+      .localCheckpoint(false)
+    // |splits| rows, but each derivation is a full aggregate over grams —
+    // three consumers, so pin it too
     val totals = grams.groupBy("split").agg(count(lit(1)).as("n_grams"))
+      .localCheckpoint(false)
     val a = grams.select(col("split").as("split_a"), col("g"))
     val b = grams.select(col("split").as("split_b"), col("g"))
     val shared = a.join(b, Seq("g")).filter(col("split_a") < col("split_b"))

@@ -1760,9 +1760,16 @@ object ExtensionQueries {
       Some(incrementalDedupOracle),
       (s, d) => {
         val split = TextStats.hashSplit(Tables.documents(s, d), "doc_id", trainPct = 80)
+        // sign the batch ONCE (the streaming ingest caller's idiom): the
+        // verdict path consumes the batch signatures four times (band
+        // keys, bucket probe, in-batch rivals, verdict universe), and
+        // un-checkpointed each consumer re-runs the shingle/minhash
+        // aggregation (ScanAudit: 7 documents scans in this plan)
+        val batchSigs = TextDedup.minhashSignaturesPortable(
+          split.filter(col("split") === "eval")).localCheckpoint(false)
         TextDedup.incrementalDedup(
           TextDedup.minhashSignaturesPortable(split.filter(col("split") === "train")),
-          TextDedup.minhashSignaturesPortable(split.filter(col("split") === "eval")))
+          batchSigs)
       }),
 
     Q("x52_kmeans_fit",
