@@ -512,6 +512,14 @@ object TextDedup {
     val grams = docs
       .select(col("doc_id"), posexplode(graft.functions.word_ngrams(col("text"), n)))
       .select(col("doc_id"), col("pos"), gramKey(col("col")).as("gram"))
+    // deliberately NOT pinned despite the dual consumer (cross-doc
+    // aggregate + coverage semi-join, runtime ReusedExchange=0): this
+    // frame is map-only to re-derive (posexplode + hash, no shuffle)
+    // and ~8x corpus size to store, so re-running the explode is the
+    // scale-safe side of the trade — pinning measured ~25% slower
+    // locally. Pin only frames whose re-derivation crosses a shuffle
+    // (splitOverlap/sourceOverlap's distincts) or that reduce to
+    // broadcast size (signatures, centroids, codebooks).
     val crossDocGrams = grams.groupBy(col("gram"))
       .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
       .filter(col("d0") =!= col("d1"))
@@ -612,6 +620,8 @@ object TextDedup {
     val grams = docs
       .select(col("doc_id"), posexplode(graft.functions.word_ngrams(col("text"), n)))
       .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("gram"))
+    // dual consumer, deliberately un-pinned: map-only to re-derive, 8x
+    // corpus size to store — the [[dupSpanCoverage]] note
     val crossDocGrams = grams.groupBy(col("gram"))
       .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
       .filter(col("d0") =!= col("d1"))
