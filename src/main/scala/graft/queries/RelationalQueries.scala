@@ -911,11 +911,19 @@ object RelationalQueries {
              |ORDER BY user_id""".stripMargin),
       (s, d) => {
         val ev = Tables.events(s, d)
+        // each stage is consumed by the next stage AND the final left
+        // join; un-pinned, the chain embeds v three times and c twice,
+        // each a full events scan + user-keyed shuffle (ScanAudit: 7
+        // events scans). The stages are per-user rows AFTER a shuffle —
+        // the pin-when-rederivation-crosses-a-shuffle rule — so pin
+        // each once: scans drop to the four intrinsic filtered passes.
         val v = ev.filter($"event_type" === "view")
           .groupBy($"user_id").agg(min($"ts").as("t_view"))
+          .localCheckpoint(false)
         val c = ev.filter($"event_type" === "click").join(v, Seq("user_id"))
           .filter($"ts" > $"t_view")
           .groupBy($"user_id").agg(min($"ts").as("t_click"))
+          .localCheckpoint(false)
         val p = ev.filter($"event_type" === "purchase").join(c, Seq("user_id"))
           .filter($"ts" > $"t_click")
           .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
