@@ -484,6 +484,11 @@ object TextStats {
         pmod(graft.ext.TextDedup.portableHashBuiltin(col("word"), ""),
           lit(buckets.toLong)).cast("int").as("bucket"))
       .agg(count(lit(1)).as("c"))
+      // |sources|x64 rows from the ONE corpus pass here; the totals and
+      // the profile join both consume it, and un-pinned each re-runs the
+      // explode + shuffled count (no runtime exchange reuse) — pin the
+      // reduced artifact, everything downstream is corpus-size-free
+      .localCheckpoint(false)
     val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
     val grid = totals.select(col("source"), col("n"),
       explode(sequence(lit(0), lit(buckets - 1))).as("bucket"))

@@ -1154,7 +1154,9 @@ object ExtensionQueries {
       Some(knnIvfOracle),
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val centroids = Similarity.strideCentroids(emb, 16)
+        // the centroid sample feeds assignment AND probing — pin the
+        // 16-row artifact so each consumer stops re-scanning the corpus
+        val centroids = Similarity.strideCentroids(emb, 16).localCheckpoint(false)
         Similarity.knnIvf(emb.filter(col("vec_id") < 10), emb, centroids, 5, 4)
       }),
 
