@@ -526,10 +526,19 @@ object TextStats {
     val words = db.select(col("bucket"),
         explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
-    val firstSeen = words.groupBy(col("word")).agg(min(col("bucket")).as("bucket"))
+    // ONE corpus explode pass to (word, bucket) counts; both outputs
+    // re-aggregate that vocab×buckets frame (previously first-seen and
+    // token totals each exploded the corpus again under different
+    // shuffle keys — two corpus passes, and the second shuffle moved
+    // corpus-scale rows instead of vocab-scale counts). Pinned: the
+    // frame is post-shuffle reduced with two consumers.
+    val wc = words.groupBy(col("word"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val firstSeen = wc.groupBy(col("word")).agg(min(col("bucket")).as("bucket"))
     val newWords = firstSeen.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_new_words"))
-    val tokens = words.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+    val tokens = wc.groupBy(col("bucket")).agg(sum(col("c")).as("n_tokens"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
