@@ -302,4 +302,38 @@ class PlanSpec extends SparkSuite {
       assert(cp.isEmpty, s"${q.name} plans a CartesianProduct:\n${cp.headOption.getOrElse("")}")
     }
   }
+
+  test("round-10 scan budgets hold: pinned shared frames keep repeated table scans out") {
+    // tools.ScanAudit's findings, locked: these plans re-scanned their
+    // fact table 6-21x because every consumer of a shared derived frame
+    // re-derived it from the raw scan (runtime ReusedExchange=0 across
+    // all of them). After the round-10 pins the FINAL plan carries only
+    // the intrinsic scans below — a dropped localCheckpoint shows up
+    // here as a count jump, not as a silent 2-6x I/O regression at
+    // scale. (Scans inside the pinned subtrees run once as their own
+    // jobs and are invisible to this count by design.)
+    val budgets = Map(
+      "q52_funnel" -> ("events", 2),            // was 7: p's purchase pass + the distinct-user universe
+      "x14_knn_ivf" -> ("embeddings", 2),       // was 4: corpus assign + query set
+      "x51_incremental_dedup" -> ("documents", 2), // was 7: train-side sign + batch-side sign
+      "x46_split_overlap" -> ("documents", 0),  // was 6: all consumers read the pinned gram/total frames
+      "x62_source_overlap" -> ("documents", 0), // was 6
+      "x69_vocab_growth" -> ("documents", 3),   // was 4: max-id pin + bucket projection feed the one (word,bucket) pass
+      "x72_source_tv_distance" -> ("documents", 1), // was 4: the one corpus pass into the pinned count frame
+      "x88_knn_ivfpq" -> ("embeddings", 10),    // was 21: intrinsic probe/encode/re-rank touches
+      "x89_ivfpq_recall" -> ("embeddings", 11)) // was 20
+    def scansOf(p: SparkPlan): Seq[String] =
+      p.collectWithSubqueries {
+        case a: AdaptiveSparkPlanExec => scansOf(a.initialPlan)
+        case f: FileSourceScanExec =>
+          Seq(f.relation.location.rootPaths.headOption
+            .fold("?")(_.getName.stripSuffix(".parquet")))
+      }.flatten
+    budgets.foreach { case (name, (table, budget)) =>
+      val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      val n = scansOf(p).count(_ == table)
+      assert(n <= budget,
+        s"$name scans $table ${n}x in the final plan (budget $budget) — a shared-frame pin was dropped")
+    }
+  }
 }
