@@ -832,6 +832,36 @@ object TextStats {
         expr("CAST((n_docs * bucket_max - sum_tokens) * 10000 " +
           "DIV (n_docs * bucket_max) AS BIGINT)").as("waste_bp"))
   }
+
+  /** PII scrub: count and redact every match of each labelled pattern,
+    * in pattern order — the pre-training privacy pass (emails, phone
+    * numbers, ids) every corpus release runs before anything else sees
+    * the text. Per pattern `(label, regex, replacement)` the output
+    * gains `n_<label>` (match count BEFORE any replacement, so an
+    * earlier pattern's replacement token can never change a later
+    * pattern's count) plus one `scrubbed` column with all replacements
+    * applied in order.
+    *
+    * Pure map-side row work — `regexp_extract_all` / `regexp_replace`
+    * are codegen'd builtins, no UDF, no shuffle: the operator is
+    * embarrassingly parallel at any corpus size. Patterns must stay in
+    * the regex dialect intersection (character classes, quantifiers,
+    * alternation — no lookaround, no backreferences) so the DuckDB
+    * oracle replays them verbatim; counts are computed on the ORIGINAL
+    * text for the same reason.
+    */
+  def piiScrub(docs: DataFrame, textCol: String,
+      patterns: Seq[(String, String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "at least one pattern")
+    val counts = patterns.map { case (label, re, _) =>
+      size(regexp_extract_all(col(textCol), lit(re), lit(0)))
+        .cast("long").as(s"n_$label")
+    }
+    val scrubbed = patterns.foldLeft(col(textCol)) { case (acc, (_, re, repl)) =>
+      regexp_replace(acc, re, repl)
+    }
+    docs.select(col("*") +: counts :+ scrubbed.as("scrubbed"): _*)
+  }
 }
 
 /** Marker word lists (tiny, code-embedded — public common stopwords). */

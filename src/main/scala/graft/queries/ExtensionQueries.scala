@@ -2791,5 +2791,90 @@ object ExtensionQueries {
           .select(col("qid"), col("n_hits").as("hits_ivfpq"),
             col("recall_bp").as("recall_ivfpq_bp"))
         rIvf.join(rPq, Seq("qid"))
+      }),
+
+    Q("x94_cluster_safe_split",
+      "Cluster-safe train/val/test split (round-10): every near-dup CLUSTER — not every " +
+        "document — hashes to a split, so no two near-duplicates ever straddle a train/eval " +
+        "boundary. The per-doc-hash counterfactual ships alongside as split_naive with a " +
+        "per-cluster leaky bit, quantifying exactly the eval contamination the safe split " +
+        "prevents (any >=2 cluster straddles naive 80/10/10 splits ~31% of the time for " +
+        "k=2). Composes the proven x63 chain (shared-shingle graph -> CC) with the x34/x48 " +
+        "portable-hash mixing idiom on the component id; past the CC assignment the split " +
+        "is one component-keyed aggregate plus map-side hashing at any corpus size.",
+      Some("""WITH RECURSIVE
+             |s AS (
+             |  SELECT doc_id, lang,
+             |         list_distinct([array_to_string(words[i:i+3], ' ') for i in range(1, len(words)-2)]) AS sh
+             |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents WHERE doc_id < 300) t
+             |  WHERE len(words) >= 4),
+             |e0 AS (SELECT a.doc_id AS a, b.doc_id AS b
+             |       FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |       WHERE len(list_intersect(a.sh, b.sh)) >= 1),
+             |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+             |walk(node, lab) AS (
+             |  SELECT DISTINCT a, a FROM e
+             |  UNION
+             |  SELECT e.a, w.lab FROM e JOIN walk w ON e.b = w.node),
+             |comp AS (SELECT node, MIN(lab) AS component FROM walk GROUP BY node),
+             |d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+             |r AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+             |      FROM d LEFT JOIN comp c ON d.doc_id = c.node),
+             |sp AS (SELECT doc_id, component,
+             |         ('0x'||substr(md5(CAST(component AS VARCHAR)||'split'),1,15))::BIGINT % 10 AS bs,
+             |         ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'split'),1,15))::BIGINT % 10 AS bn
+             |       FROM r),
+             |lk AS (SELECT component, CASE WHEN min(bn) <> max(bn) THEN 1 ELSE 0 END AS leaky
+             |       FROM sp GROUP BY component)
+             |SELECT sp.doc_id, CAST(sp.component AS BIGINT) AS component,
+             |  CASE WHEN bs < 8 THEN 'train' WHEN bs < 9 THEN 'val' ELSE 'test' END AS split_safe,
+             |  CASE WHEN bn < 8 THEN 'train' WHEN bn < 9 THEN 'val' ELSE 'test' END AS split_naive,
+             |  CAST(lk.leaky AS INT) AS leaky
+             |FROM sp JOIN lk USING (component)""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+        TextDedup.clusterSafeSplit(docs,
+          TextDedup.sharedShingleEdges(docs, "lang", 4))
+      }),
+
+    Q("x95_pii_scrub",
+      "PII scrub (round-10): count and redact emails and phone numbers per document — the " +
+        "pre-training privacy pass every corpus release runs first. Deterministic PII is " +
+        "INJECTED in-query from doc_id (the x40/x77 generation idiom: doc_id%3 plants an " +
+        "email, doc_id%4 a 555-line, some docs get both, most neither) so the scrub is " +
+        "exercised against known ground truth; match counts are taken on the original text " +
+        "so replacement order can't shift them. Pure map-side codegen'd regex — no UDF, no " +
+        "shuffle, embarrassingly parallel at any corpus size; patterns stay in the " +
+        "Java/RE2 dialect intersection so the oracle replays them verbatim.",
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    text || CASE WHEN doc_id % 3 = 0
+             |                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+             |                 ELSE '' END
+             |         || CASE WHEN doc_id % 4 = 0
+             |                 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+             |                 ELSE '' END AS txt
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(txt, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS n_email,
+             |  CAST(len(regexp_extract_all(txt, '555-[0-9]{4}')) AS BIGINT) AS n_phone,
+             |  regexp_replace(regexp_replace(txt, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+             |                 '555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+             |FROM t""".stripMargin),
+      (s, d) => {
+        val injected = Tables.loadFanout(s, d, "documents").select(
+          col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@example.com now"))).otherwise(""),
+            when(col("doc_id") % 4 === 0,
+              concat(lit(" call 555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+                lit(" today"))).otherwise("")).as("txt"))
+        TextStats.piiScrub(injected, "txt",
+            Seq(("email", "[a-z0-9]+@[a-z0-9]+\\.[a-z]+", "<EMAIL>"),
+                ("phone", "555-[0-9]{4}", "<PHONE>")))
+          .select(col("doc_id"), col("n_email"), col("n_phone"), col("scrubbed"))
       }))
 }

@@ -105,7 +105,13 @@ object ScaleSmoke {
     // amplified embeddings table (queries stay 10); x93's five assigns
     // + four fixed-point mean aggregates are each corpus-linear.
     // (x91 exercises a temp-dir round-trip, not a scalable scan.)
-    "x92_clustered_recall", "x93_kmeans_inertia")
+    "x92_clustered_recall", "x93_kmeans_inertia",
+    // round-10 close: x95's injected-PII regex scan is pure map-side
+    // corpus-linear row work; x94 bounds itself to doc_id < 300 for its
+    // recursive-CC oracle, so its row measures the flat-profile
+    // property — the scan prunes on doc_id, the CC + split stay
+    // sample-sized (the x33/x76 note).
+    "x94_cluster_safe_split", "x95_pii_scrub")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
