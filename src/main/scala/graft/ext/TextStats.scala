@@ -833,6 +833,46 @@ object TextStats {
           "DIV (n_docs * bucket_max) AS BIGINT)").as("waste_bp"))
   }
 
+  /** Exact-size weighted sample WITHOUT replacement — sequential Poisson
+    * sampling (Ohlsson 1998, the πps design statistical agencies use):
+    * every row gets priority = hash(id) DIV weight and the sample is the
+    * global n smallest priorities. With hash uniform on [0, 2^60), the
+    * priority is the integer form of u_i/w_i, so inclusion probability
+    * is approximately proportional to weight without replacement — "keep
+    * exactly n docs, proportional to token count × quality" is how a
+    * corpus gets cut to a token budget in one pass. Distinct from the
+    * rate-based mixers ([[stratifiedSample]]/[[temperatureMix]] keep a
+    * FRACTION per stratum; [[capPerGroup]] is uniform-per-group): here
+    * the weight is per-DOC and the output size is exact.
+    *
+    * All arithmetic is 64-bit integer (hash < 2^60, one BIGINT DIV), so
+    * the sample is RNG-free, engine-portable, and stable across runs /
+    * partitionings / task retries; ties (astronomically rare at 60-bit
+    * resolution) break on id. Rows with weight <= 0 are excluded — a
+    * zero weight means "never sample", and both engines would otherwise
+    * diverge on division by zero.
+    *
+    * Scale shape: priorities are map-side; the n-smallest selection
+    * plans as TakeOrderedAndProject (per-partition bounded heaps, then
+    * one O(partitions × n) merge) — the corpus itself never shuffles.
+    * That holds for n up to ~10^6; for larger samples run a cheap
+    * priority-threshold estimate first (sample the priority
+    * distribution, filter `priority < t̂`, exact-select within the
+    * survivors) so the merge stays bounded.
+    */
+  def weightedSample(docs: DataFrame, weightCol: Column, n: Int,
+      idCol: String = "doc_id", salt: String = "pps"): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    val prioritized = docs
+      .withColumn("w", weightCol.cast("long"))
+      .filter(col("w") > 0)
+      .withColumn("__h", TextDedup.portableHash(col(idCol).cast("string"), salt))
+      .withColumn("priority", expr("__h div w"))
+      .drop("__h")
+    graft.operators.Ranks.topK(prioritized, n,
+      col("priority").asc, col(idCol).asc)
+  }
+
   /** PII scrub: count and redact every match of each labelled pattern,
     * in pattern order — the pre-training privacy pass (emails, phone
     * numbers, ids) every corpus release runs before anything else sees

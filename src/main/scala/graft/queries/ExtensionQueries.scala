@@ -2876,5 +2876,76 @@ object ExtensionQueries {
             Seq(("email", "[a-z0-9]+@[a-z0-9]+\\.[a-z]+", "<EMAIL>"),
                 ("phone", "555-[0-9]{4}", "<PHONE>")))
           .select(col("doc_id"), col("n_email"), col("n_phone"), col("scrubbed"))
+      }),
+
+    Q("x96_weighted_sample",
+      "Exact-size weighted sample without replacement (round-10): sequential Poisson " +
+        "sampling (Ohlsson 1998, the pps design statistical agencies use) — priority = " +
+        "hash(id) DIV weight, sample = global 100 smallest — cutting a corpus to an exact " +
+        "doc budget with inclusion probability ~ proportional to token count, in ONE pass. " +
+        "Distinct from the rate-based mixers (x34/x55 keep a FRACTION per stratum, x31 is " +
+        "uniform-per-source): per-DOC weights, exact output size. All arithmetic is 64-bit " +
+        "integer (60-bit portable hash, one BIGINT DIV) so the sample is RNG-free and " +
+        "engine-portable; the n-smallest selection plans as TakeOrderedAndProject " +
+        "(per-partition bounded heaps) — the corpus never shuffles.",
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'pps'),1,15))::BIGINT AS h
+             |  FROM documents)
+             |SELECT doc_id, source, n_tokens, h // n_tokens AS priority
+             |FROM t WHERE n_tokens > 0
+             |ORDER BY priority, doc_id LIMIT 100""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(
+          col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        TextStats.weightedSample(docs, col("n_tokens"), 100)
+          .select(col("doc_id"), col("source"), col("n_tokens"), col("priority"))
+      }),
+
+    Q("x97_sample_allocation",
+      "Weighted-sample allocation calibration (round-10): per source, the x96 sample's " +
+        "actual share vs the weight-proportional expectation, in exact integer basis " +
+        "points — the x75/x79 'justify the approximation with a measured table' pattern " +
+        "applied to sequential Poisson sampling (its pps inclusion probabilities are " +
+        "approximate at finite n; this table shows how close, as data). One corpus " +
+        "aggregate + one sample-sized aggregate + a 1-row broadcast total attach; all " +
+        "integer DIV arithmetic, so the table hash-matches cross-engine.",
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'pps'),1,15))::BIGINT AS h
+             |  FROM documents),
+             |smp AS (SELECT source FROM (
+             |  SELECT source, h // n_tokens AS priority, doc_id
+             |  FROM t WHERE n_tokens > 0
+             |  ORDER BY priority, doc_id LIMIT 100)),
+             |ps AS (SELECT source, COUNT(*) AS n_docs,
+             |         CAST(SUM(n_tokens) AS BIGINT) AS sum_w
+             |       FROM t GROUP BY source),
+             |tot AS (SELECT CAST(SUM(sum_w) AS BIGINT) AS total_w FROM ps),
+             |sc AS (SELECT source, COUNT(*) AS n_sampled FROM smp GROUP BY source)
+             |SELECT ps.source, ps.n_docs, ps.sum_w,
+             |  COALESCE(sc.n_sampled, 0) AS n_sampled,
+             |  sum_w * 10000 // total_w AS expected_bp,
+             |  COALESCE(sc.n_sampled, 0) * 100 AS actual_bp
+             |FROM ps LEFT JOIN sc USING (source) CROSS JOIN tot""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(
+          col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val sample = TextStats.weightedSample(docs, col("n_tokens"), 100)
+        val perSource = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_w"))
+        val total = perSource.agg(sum(col("sum_w")).cast("long").as("total_w"))
+        val sampled = sample.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sampled"))
+        perSource.join(sampled, Seq("source"), "left")
+          .crossJoin(broadcast(total))
+          .select(col("source"), col("n_docs"), col("sum_w"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+            expr("sum_w * 10000 div total_w").as("expected_bp"),
+            (coalesce(col("n_sampled"), lit(0L)) * lit(100L)).as("actual_bp"))
       }))
 }

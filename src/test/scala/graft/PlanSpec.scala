@@ -288,8 +288,10 @@ class PlanSpec extends SparkSuite {
       // bounded-build-side class as x14
       "x88_knn_ivfpq", "x89_ivfpq_recall",
       // round-10: x92 is x89 over the derived clustered corpus — same
-      // bounded query-set / centroid-set pins
-      "x92_clustered_recall")
+      // bounded query-set / centroid-set pins; x97 crosses the 1-row
+      // corpus-total-weight scalar onto the |sources|-row allocation
+      // frame (the x48/x54 shape)
+      "x92_clustered_recall", "x97_sample_allocation")
     SparkEntry.registry.foreach { q =>
       val p = plan(q.build(spark, sf))
       val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
