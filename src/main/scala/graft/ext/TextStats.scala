@@ -863,14 +863,72 @@ object TextStats {
   def weightedSample(docs: DataFrame, weightCol: Column, n: Int,
       idCol: String = "doc_id", salt: String = "pps"): DataFrame = {
     require(n > 0, "sample size must be positive")
-    val prioritized = docs
+    graft.operators.Ranks.topK(prioritize(docs, weightCol, idCol, salt), n,
+      col("priority").asc, col(idCol).asc)
+  }
+
+  /** The shared priority frame: weight <= 0 excluded, priority =
+    * hash(id) DIV weight in pure 64-bit integers.
+    */
+  private def prioritize(docs: DataFrame, weightCol: Column,
+      idCol: String, salt: String): DataFrame =
+    docs
       .withColumn("w", weightCol.cast("long"))
       .filter(col("w") > 0)
       .withColumn("__h", TextDedup.portableHash(col(idCol).cast("string"), salt))
       .withColumn("priority", expr("__h div w"))
       .drop("__h")
-    graft.operators.Ranks.topK(prioritized, n,
-      col("priority").asc, col(idCol).asc)
+
+  /** [[weightedSample]]'s large-n path: estimate a priority threshold
+    * from a deterministic hash-bucket pilot, keep only rows under it,
+    * and run the exact n-smallest selection on the survivors — so the
+    * per-partition heaps and the final merge are sized by the ~n·safety
+    * survivor set, not by n × partitions. ROW-IDENTICAL to
+    * [[weightedSample]] by construction: if at least n rows have
+    * priority <= t̂, then the n smallest priorities overall are all
+    * <= t̂ and therefore all survive the filter — so the top-n of the
+    * survivors IS the global top-n. The function verifies exactly that
+    * precondition with one count and falls back to the single-pass form
+    * when the pilot undershot (tiny corpora, empty pilot), which keeps
+    * the equality unconditional.
+    *
+    * The threshold is the max of the pilot's `max(16, n·rate·2)`
+    * smallest priorities (safety 2×), attached as a 1-row broadcast —
+    * no driver-side value ever leaves the plan except the survivor
+    * count that decides the fallback. Everything is derived from the
+    * same portable hashes as the sample itself, so the threshold path
+    * is as deterministic and partitioning-invariant as the plain one.
+    * Cost: two corpus scans (pilot + survivors) instead of one — the
+    * trade only pays when n is large enough that the single-pass merge
+    * (O(partitions × n)) is the bottleneck.
+    */
+  def weightedSampleThreshold(docs: DataFrame, weightCol: Column, n: Int,
+      idCol: String = "doc_id", salt: String = "pps",
+      pilotBp: Int = 100): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    require(pilotBp > 0 && pilotBp <= 10000, "pilotBp in (0, 10000]")
+    val prioritized = prioritize(docs, weightCol, idCol, salt)
+    val pilotK = math.max(16, math.ceil(n * pilotBp / 10000.0 * 2).toInt)
+    val pilot = prioritized.filter(
+      pmod(TextDedup.portableHash(col(idCol).cast("string"), salt + "~pilot"),
+        lit(10000L)) < pilotBp)
+    val tHat = graft.operators.Ranks
+      .topK(pilot.select(col("priority"), col(idCol)), pilotK,
+        col("priority").asc, col(idCol).asc)
+      .agg(max(col("priority")).as("t_hat"))
+    // pinned (the dual-consumer rule): the fallback-deciding count and
+    // the final selection must not each re-derive pilot + priorities —
+    // the lazy checkpoint materializes the ~2n-row survivor set at the
+    // count and the selection reads it back
+    val survivors = prioritized.crossJoin(broadcast(tHat))
+      .filter(col("priority") <= col("t_hat")).drop("t_hat")
+      .localCheckpoint(false)
+    if (survivors.count() >= n)
+      graft.operators.Ranks.topK(survivors, n,
+        col("priority").asc, col(idCol).asc)
+    else // pilot undershot (or was empty): the single-pass form is exact
+      graft.operators.Ranks.topK(prioritized, n,
+        col("priority").asc, col(idCol).asc)
   }
 
   /** PII scrub: count and redact every match of each labelled pattern,

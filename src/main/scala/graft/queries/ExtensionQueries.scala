@@ -2947,5 +2947,30 @@ object ExtensionQueries {
             coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
             expr("sum_w * 10000 div total_w").as("expected_bp"),
             (coalesce(col("n_sampled"), lit(0L)) * lit(100L)).as("actual_bp"))
+      }),
+
+    Q("x98_weighted_sample_threshold",
+      "The x96 sample through its large-n scale path (round-10): a deterministic " +
+        "hash-bucket pilot estimates a priority threshold, only rows under it reach the " +
+        "exact n-smallest selection, so per-partition heaps and the final merge scale with " +
+        "the ~n*safety survivor set instead of n x partitions — with a provable " +
+        "row-identity guarantee (>= n survivors means the global top-n all survive the " +
+        "filter) verified by one count, falling back to the single-pass form otherwise. " +
+        "Row-identical to x96 by construction, so the oracle IS x96's SQL — the q43/q44 " +
+        "'the safe rewrite must not change a single row' pattern.",
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'pps'),1,15))::BIGINT AS h
+             |  FROM documents)
+             |SELECT doc_id, source, n_tokens, h // n_tokens AS priority
+             |FROM t WHERE n_tokens > 0
+             |ORDER BY priority, doc_id LIMIT 100""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(
+          col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        TextStats.weightedSampleThreshold(docs, col("n_tokens"), 100)
+          .select(col("doc_id"), col("source"), col("n_tokens"), col("priority"))
       }))
 }

@@ -111,7 +111,14 @@ object ScaleSmoke {
     // recursive-CC oracle, so its row measures the flat-profile
     // property — the scan prunes on doc_id, the CC + split stay
     // sample-sized (the x33/x76 note).
-    "x94_cluster_safe_split", "x95_pii_scrub")
+    "x94_cluster_safe_split", "x95_pii_scrub",
+    // x96's priority computation is map-side corpus-linear with a
+    // bounded per-partition heap (sample stays 100); x97 adds one
+    // source-keyed aggregate over the same scan.
+    "x96_weighted_sample", "x97_sample_allocation",
+    // x98's pilot + survivor scans are each corpus-linear; the exact
+    // selection runs on the ~2n survivor set regardless of corpus size
+    "x98_weighted_sample_threshold")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -291,7 +291,11 @@ class PlanSpec extends SparkSuite {
       // bounded query-set / centroid-set pins; x97 crosses the 1-row
       // corpus-total-weight scalar onto the |sources|-row allocation
       // frame (the x48/x54 shape)
-      "x92_clustered_recall", "x97_sample_allocation")
+      "x92_clustered_recall", "x97_sample_allocation",
+      // x98 crosses the 1-row pilot-threshold scalar onto the priority
+      // frame (absent when the sf0.001 pilot is empty and the fallback
+      // single-pass plan builds instead)
+      "x98_weighted_sample_threshold")
     SparkEntry.registry.foreach { q =>
       val p = plan(q.build(spark, sf))
       val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }

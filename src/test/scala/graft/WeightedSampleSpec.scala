@@ -54,4 +54,31 @@ class WeightedSampleSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
+
+  test("threshold path is row-identical to the single-pass form") {
+    val plain = TextStats.weightedSample(corpus, col("w"), 50)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("priority"))).toSet
+    val thresh = TextStats.weightedSampleThreshold(corpus, col("w"), 50)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("priority"))).toSet
+    assert(thresh == plain)
+  }
+
+  test("threshold fallback (empty pilot on a tiny corpus) is still exact") {
+    // 30 docs at a 1% pilot rate: the pilot is almost surely empty, the
+    // survivor count check trips, and the fallback single-pass form runs
+    val tiny = spark.range(0, 30).select(col("id").as("doc_id"),
+      (col("id") % 7 + 1).as("w"))
+    val plain = TextStats.weightedSample(tiny, col("w"), 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val thresh = TextStats.weightedSampleThreshold(tiny, col("w"), 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(thresh == plain)
+  }
+
+  test("threshold path is partitioning-invariant too") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      TextStats.weightedSampleThreshold(df, col("w"), 50)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids(corpus) == ids(corpus.repartition(17)))
+  }
 }
