@@ -870,7 +870,7 @@ object TextStats {
   /** The shared priority frame: weight <= 0 excluded, priority =
     * hash(id) DIV weight in pure 64-bit integers.
     */
-  private def prioritize(docs: DataFrame, weightCol: Column,
+  private[graft] def prioritize(docs: DataFrame, weightCol: Column,
       idCol: String, salt: String): DataFrame =
     docs
       .withColumn("w", weightCol.cast("long"))

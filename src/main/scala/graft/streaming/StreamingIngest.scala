@@ -665,6 +665,58 @@ object StreamingIngest {
     q
   }
 
+  /** Streaming pps weighted sample: maintain the EXACT n-smallest-
+    * priority sequential-Poisson sample (batch twin: x96
+    * `TextStats.weightedSample`) of everything that has ever arrived,
+    * as a [[graft.pipeline.ManifestTable]] the next batch folds into.
+    * Priorities are deterministic (hash(id) DIV weight — no RNG), so
+    * top-n selection under the (priority, id) total order is an
+    * associative, commutative, IDEMPOTENT fold over arrival multisets:
+    * fold(standing ∪ batch-top-n) after any batch equals the batch
+    * sample over the union of all batches so far
+    * (WeightedSampleStreamSpec proves the equivalence), and replaying a
+    * batch whose commit already landed recomputes the identical sample
+    * — rows re-offered to a standing set that already rejected them
+    * lose again. That idempotence is the whole exactly-once story: no
+    * seq-stamp machinery needed, unlike the dedup streams whose
+    * verdicts depend on what the index had NOT yet seen.
+    *
+    * Per-batch cost: one batch-sized priority scan + top-n, one union
+    * with the n-row standing sample, one n-row manifest replace-commit
+    * (crash mid-publish leaves the previous version current — readers
+    * never see a torn sample). The standing state is n rows forever;
+    * the corpus is never re-scanned.
+    */
+  def weightedSampleStream(docs: DataFrame, weightColName: String, n: Int,
+      sampleDir: String, checkpointDir: String,
+      idCol: String = "doc_id", salt: String = "pps"): StreamingQuery = {
+    import graft.ext.TextStats
+    import graft.pipeline.ManifestTable
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val batchTop = TextStats.weightedSample(
+          batch.toDF(), col(weightColName), n, idCol, salt)
+        val standing = ManifestTable.currentVersion(spark, sampleDir) match {
+          case Some(_) => ManifestTable.read(spark, sampleDir)
+          case None => batchTop.limit(0)
+        }
+        // dropDuplicates(id): a replayed doc already in the standing
+        // sample carries the identical deterministic row
+        val next = graft.operators.Ranks.topK(
+          standing.unionByName(batchTop).dropDuplicates(idCol),
+          n, col("priority").asc, col(idCol).asc)
+          .localCheckpoint(false) // pin: commit must not re-read the table it replaces
+        ManifestTable.commit(spark, sampleDir, next, replace = true)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming CDC novelty accounting with a self-maintaining chunk-hash
     * index — the continuous-ingest rendering of batch x71
     * (`TextDedup.cdcIncremental`), on the gear fast path
