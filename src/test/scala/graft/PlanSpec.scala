@@ -327,7 +327,14 @@ class PlanSpec extends SparkSuite {
       "x69_vocab_growth" -> ("documents", 3),   // was 4: max-id pin + bucket projection feed the one (word,bucket) pass
       "x72_source_tv_distance" -> ("documents", 1), // was 4: the one corpus pass into the pinned count frame
       "x88_knn_ivfpq" -> ("embeddings", 10),    // was 21: intrinsic probe/encode/re-rank touches
-      "x89_ivfpq_recall" -> ("embeddings", 11)) // was 20
+      "x89_ivfpq_recall" -> ("embeddings", 11), // was 20
+      // round-10 close: the map-side claims of the scrub and the
+      // single-pass sample are exactly one corpus scan each; x97's
+      // three (sample + per-source agg + total) are each map-only to
+      // re-derive — the pin-vs-rederive rule's re-derive side
+      "x95_pii_scrub" -> ("documents", 1),
+      "x96_weighted_sample" -> ("documents", 1),
+      "x97_sample_allocation" -> ("documents", 3))
     def scansOf(p: SparkPlan): Seq[String] =
       p.collectWithSubqueries {
         case a: AdaptiveSparkPlanExec => scansOf(a.initialPlan)
