@@ -246,6 +246,26 @@ package object functions {
     Internal.column(
       FrequentItemsAgg(Internal.expression(item), capacity).toAggregateExpression())
 
+  /** KLL quantile-sketch aggregate over a double column → serialized
+    * BINARY partial (O(k·log n) state, map-side combine). The quantile
+    * member of the re-aggregatable-partial family — see [[KllSketchAgg]]
+    * for the error contract its consumers must use.
+    */
+  def kll_sketch_agg(value: Column, k: Int = 200): Column =
+    Internal.column(
+      KllSketchAgg(Internal.expression(value), k).toAggregateExpression())
+
+  /** Second-level union of serialized KLL partials — the rollup-table
+    * read path; see [[KllMergeAgg]].
+    */
+  def kll_merge_agg(sketch: Column, k: Int = 200): Column =
+    Internal.column(
+      KllMergeAgg(Internal.expression(sketch), k).toAggregateExpression())
+
+  /** Quantile-value probe of a serialized KLL sketch; see [[KllQuantile]]. */
+  def kll_quantile(sketch: Column, rank: Column): Column =
+    Internal.column(KllQuantile(Internal.expression(sketch), Internal.expression(rank)))
+
   /** Word n-gram shingles of a text column (distinct, first occurrence
     * kept), for Jaccard / MinHash dedup. Empty array when the text has
     * fewer than `n` words. Native codegen kernel — see [[WordNgrams]].

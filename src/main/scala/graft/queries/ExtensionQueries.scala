@@ -2972,5 +2972,71 @@ object ExtensionQueries {
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
         TextStats.weightedSampleThreshold(docs, col("n_tokens"), 100)
           .select(col("doc_id"), col("source"), col("n_tokens"), col("priority"))
+      }),
+
+    Q("x99_quantile_rollup",
+      "RE-AGGREGATABLE quantile rollup (round-10) — x90's warehouse pattern for " +
+        "percentiles: per-(event_type, day) KLL sketch partials (custom " +
+        "TypedImperativeAggregate over DataSketches KLL, binary column — what a daily " +
+        "rollup TABLE stores), then a second-level merge across days per type answers " +
+        "p50/p90 WITHOUT re-scanning raw events — O(days x types x sketch_bytes) at query " +
+        "time. KLL's compaction draws real randomness, so (like x90's HLL estimate) the " +
+        "sketch values are consumed through an error contract: the EXACT discrete " +
+        "quantiles ride along (rank-window arithmetic in pure integers, the value at rank " +
+        "ceil(q*n) of the per-type value sort — an actual data point, so it hash-matches " +
+        "cross-engine), ok50/ok90 assert the merged estimate landed inside a +-10-rank-" +
+        "point window (k=200 => ~1.65% rank error at 99% confidence; the window is ~6 of " +
+        "those), and n_days pins the partial count so a collapsed first level can't pass. " +
+        "The exact side's per-type sort exists to FEED the contract; the production path " +
+        "is the sketch rollup.",
+      Some("""WITH e AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day, value
+             |  FROM events WHERE value IS NOT NULL),
+             |r AS (SELECT event_type, value,
+             |        row_number() OVER (PARTITION BY event_type ORDER BY value) AS r,
+             |        count(*) OVER (PARTITION BY event_type) AS n
+             |      FROM e),
+             |d AS (SELECT event_type, CAST(count(DISTINCT day) AS BIGINT) AS n_days
+             |      FROM e GROUP BY event_type),
+             |x AS (SELECT event_type,
+             |        MAX(CASE WHEN r = (n+1)//2 THEN value END) AS exact_p50,
+             |        MAX(CASE WHEN r = (9*n+9)//10 THEN value END) AS exact_p90
+             |      FROM r GROUP BY event_type)
+             |SELECT x.event_type, d.n_days, x.exact_p50, x.exact_p90,
+             |  CAST(1 AS INT) AS ok50, CAST(1 AS INT) AS ok90
+             |FROM x JOIN d USING (event_type) ORDER BY event_type""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+        val partials = ev.groupBy(col("event_type"), col("day"))
+          .agg(graft.functions.kll_sketch_agg(col("value")).as("sk"))
+        val merged = partials.groupBy(col("event_type").as("et"))
+          .agg(count(lit(1)).as("n_days"),
+            graft.functions.kll_merge_agg(col("sk")).as("mrg"))
+          .select(col("et"), col("n_days"),
+            graft.functions.kll_quantile(col("mrg"), lit(0.5)).as("est50"),
+            graft.functions.kll_quantile(col("mrg"), lit(0.9)).as("est90"))
+        val ranked = ev.select(col("event_type"), col("value"))
+          .withColumn("r", row_number().over(
+            Window.partitionBy("event_type").orderBy(col("value"))))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        def at(rank: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          max(when(col("r") === rank, col("value")))
+        val exact = ranked.groupBy(col("event_type")).agg(
+          at(expr("(n+1) div 2")).as("exact_p50"),
+          at(expr("(9*n+9) div 10")).as("exact_p90"),
+          at(expr("(4*n+9) div 10")).as("lo50"),
+          at(expr("(6*n+9) div 10")).as("hi50"),
+          at(expr("(8*n+9) div 10")).as("lo90"),
+          max(col("value")).as("hi90"))
+        exact.join(merged, col("event_type") <=> col("et"))
+          .select(col("event_type"), col("n_days"),
+            col("exact_p50"), col("exact_p90"),
+            (col("est50") >= col("lo50") && col("est50") <= col("hi50"))
+              .cast("int").as("ok50"),
+            (col("est90") >= col("lo90") && col("est90") <= col("hi90"))
+              .cast("int").as("ok90"))
       }))
 }

@@ -914,6 +914,49 @@ object StreamingIngest {
         hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("approx_users"),
         sum(col("n_rows")).as("n_rows"))
 
+  /** Streaming KLL quantile-partial rollup — [[sketchRollupStream]]'s
+    * blind-stamped-append pattern for percentiles (batch twin: x99):
+    * per-(event_type, day) KLL partials land per micro-batch, no
+    * standing-index probe, because mergeable state needs no
+    * reconciliation; [[quantilesFromPartials]] is the read side.
+    * Consumers must use the rank-window error contract (KLL compaction
+    * is randomized — see [[graft.functions.KllSketchAgg]]).
+    */
+  def quantileRollupStream(events: DataFrame, partialsDir: String,
+      checkpointDir: String, k: Int = 200): StreamingQuery = {
+    val q = events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!landedSeq(spark, partialsDir, batchId)) {
+          val partials = batch.toDF()
+            .filter(col("value").isNotNull)
+            .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+            .groupBy(col("event_type"), col("day"))
+            .agg(graft.functions.kll_sketch_agg(col("value"), k).as("sk"),
+              count(lit(1)).as("n_rows"))
+          graft.pipeline.Ingest.appendWithSeq(partials, partialsDir, batchId)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Read-side merge of the KLL partial table: per event_type, one
+    * quantile probe over the union of every landed partial. Cost is
+    * O(landed partials × sketch bytes) — independent of raw row count.
+    */
+  def quantilesFromPartials(spark: SparkSession, partialsDir: String,
+      rank: Double, k: Int = 200): DataFrame =
+    spark.read.parquet(partialsDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_partials"),
+        sum(col("n_rows")).as("n_rows"),
+        graft.functions.kll_quantile(
+          graft.functions.kll_merge_agg(col("sk"), k), lit(rank)).as("approx"))
+
   /** Stream-static enrichment: each micro-batch joins the (small, slowly
     * changing) dimension read as a plain batch table — the streaming
     * rendering of the reference's token-metadata join. The static side
