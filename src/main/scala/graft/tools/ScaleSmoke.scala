@@ -118,7 +118,11 @@ object ScaleSmoke {
     "x96_weighted_sample", "x97_sample_allocation",
     // x98's pilot + survivor scans are each corpus-linear; the exact
     // selection runs on the ~2n survivor set regardless of corpus size
-    "x98_weighted_sample_threshold")
+    "x98_weighted_sample_threshold",
+    // x99's partial build scans events (corpus-linear map-side sketch
+    // updates); the merge level stays O(types x days). The exact
+    // verification side carries a per-type sort that also grows.
+    "x99_quantile_rollup")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
