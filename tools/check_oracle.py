@@ -22,7 +22,9 @@ def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     # no thread cap: round 10 reworked the x88/x89 oracle stacks (norm
     # precompute + MATERIALIZED shared CTEs) so every oracle runs in
-    # <~1s at DuckDB's default thread count — the checker now mirrors
+    # <~2s standalone at DuckDB's default thread count (r10-close
+    # measurement: slowest x94 2.0s — the recursive-CC family; total
+    # ~20s, no memory-heavy stacks) — the checker now mirrors
     # the driver's defaults exactly
     for t in TABLES:
         con.execute(

@@ -34,7 +34,9 @@ def main(sf_dir, out_dir, only):
     con = duckdb.connect()
     # no thread cap: round 10 reworked the x88/x89 oracle stacks (norm
     # precompute + MATERIALIZED shared CTEs) so every oracle runs in
-    # <~1s at DuckDB's default thread count — the checker now mirrors
+    # <~2s standalone at DuckDB's default thread count (r10-close
+    # measurement: slowest x94 2.0s — the recursive-CC family; total
+    # ~20s, no memory-heavy stacks) — the checker now mirrors
     # the driver's defaults exactly
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
