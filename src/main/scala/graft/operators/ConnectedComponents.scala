@@ -475,4 +475,61 @@ object ConnectedComponents {
     assigned.join(sizes, Seq("component"))
       .select(col(idCol), col("component"), col("cluster_size"))
   }
+
+  /** Incremental component maintenance: fold a batch of NEW edges into a
+    * standing `(node, component)` assignment WITHOUT re-labeling the
+    * edge history — the production path when near-dup graphs grow by
+    * arrival (re-running full CC per batch re-shuffles every edge ever
+    * seen; this touches O(batch) plus one standing relabel join).
+    *
+    * Equivalence to full CC over all edges ever folded: every standing
+    * component is CONTRACTED to its representative (= its min node id),
+    * batch edges are rewritten into representative space plus implicit
+    * node→rep links, and the mini-CC over that contracted graph labels
+    * each touched representative with the minimum representative it now
+    * connects to. Contraction preserves connectivity, and since each
+    * rep was already the minimum of its old cluster, the minimum over
+    * merged reps IS the minimum over all member nodes — so labels stay
+    * the canonical min-node-id convention, batch after batch, in any
+    * arrival order (CcIncrementalSpec asserts equality with the
+    * from-scratch [[assign]] and idempotence under re-fold).
+    *
+    * Cost shape: the mini-CC is O(batch edges); the remap (touched old
+    * rep → new rep) is bounded by batch node count and BROADCAST into
+    * the standing relabel, so the standing table is one map-side pass —
+    * never shuffled on the component key. Nodes never seen in any edge
+    * are absent from the output (the [[assign]] coalesce convention adds
+    * them as singletons at read time).
+    */
+  def incrementalAssign(standing: DataFrame, edges: DataFrame,
+      srcCol: String = "a", dstCol: String = "b", maxIter: Int = 25): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b")).na.drop()
+    val st = standing.select(col("node").cast("long").as("node"),
+      col("component").cast("long").as("component"))
+    // batch nodes with their current representative (their own id when
+    // unseen); pinned — the contracted edges and the new-node split both
+    // consume it
+    val bn = e0.select(col("a").as("node")).union(e0.select(col("b").as("node")))
+      .distinct()
+      .join(st, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("rep"),
+        col("component").isNotNull.as("seen"))
+      .localCheckpoint(false)
+    val er = e0
+      .join(bn.select(col("node").as("a"), col("rep").as("ra")), Seq("a"))
+      .join(bn.select(col("node").as("b"), col("rep").as("rb")), Seq("b"))
+      .select(col("ra").as("a"), col("rb").as("b"))
+    // mini-CC in representative space; every batch node's rep appears
+    // (each batch node is an edge endpoint), so this is total over bn
+    val miniLabels = labels(er, maxIter = maxIter).localCheckpoint(false)
+    val remap = miniLabels.select(col("node").as("component"),
+      col("component").as("__new"))
+    val relabeled = st.join(broadcast(remap), Seq("component"), "left")
+      .select(col("node"), coalesce(col("__new"), col("component")).as("component"))
+    val newNodes = bn.filter(!col("seen"))
+      .join(miniLabels.select(col("node").as("rep"), col("component")), Seq("rep"))
+      .select(col("node"), col("component"))
+    relabeled.unionByName(newNodes)
+  }
 }

@@ -3038,5 +3038,54 @@ object ExtensionQueries {
               .cast("int").as("ok50"),
             (col("est90") >= col("lo90") && col("est90") <= col("hi90"))
               .cast("int").as("ok90"))
+      }),
+
+    Q("x100_incremental_cc",
+      "Incremental connected components (round-10): the near-dup graph folded in TWO " +
+        "arrival batches (edges split by portable pair-hash) through " +
+        "ConnectedComponents.incrementalAssign — each batch contracts standing components " +
+        "to their min-id representatives, runs mini-CC over O(batch) contracted edges, and " +
+        "relabels the standing table through a BROADCAST remap (never a shuffle of " +
+        "history), so growing a 100 TB dedup graph costs O(batch) per arrival instead of " +
+        "re-labeling every edge ever seen. Contraction preserves connectivity and each " +
+        "representative is already its cluster's minimum, so the fold is provably " +
+        "batch-split-invariant — which is why the oracle can be the from-scratch recursive " +
+        "CC over ALL edges (the x33 walk), blind to the batching entirely.",
+      Some("""WITH RECURSIVE
+             |s AS (
+             |  SELECT doc_id, lang,
+             |         list_distinct([array_to_string(words[i:i+3], ' ') for i in range(1, len(words)-2)]) AS sh
+             |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents WHERE doc_id < 300) t
+             |  WHERE len(words) >= 4),
+             |e0 AS (SELECT a.doc_id AS a, b.doc_id AS b
+             |       FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |       WHERE len(list_intersect(a.sh, b.sh)) >= 1),
+             |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+             |walk(node, lab) AS (
+             |  SELECT DISTINCT a, a FROM e
+             |  UNION
+             |  SELECT e.a, w.lab FROM e JOIN walk w ON e.b = w.node),
+             |comp AS (SELECT node, MIN(lab) AS component FROM walk GROUP BY node),
+             |d AS (SELECT doc_id FROM documents WHERE doc_id < 300)
+             |SELECT d.doc_id, CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component
+             |FROM d LEFT JOIN comp c ON d.doc_id = c.node""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+        val edges = TextDedup.sharedShingleEdges(docs, "lang", 4)
+          .withColumn("h", pmod(TextDedup.portableHash(
+            concat_ws(":", col("doc_a"), col("doc_b")), "ccinc"), lit(2L)))
+          .localCheckpoint(false) // one edge build feeds both arrival batches
+        val emptyStanding = edges
+          .select(col("doc_a").cast("long").as("node"),
+            col("doc_a").cast("long").as("component")).limit(0)
+        val folded = Seq(0L, 1L).foldLeft(emptyStanding) { (st, b) =>
+          graft.operators.ConnectedComponents.incrementalAssign(
+            st, edges.filter(col("h") === b), "doc_a", "doc_b")
+            .localCheckpoint(false) // each fold's output is the next fold's input
+        }
+        docs.select(col("doc_id"))
+          .join(folded.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"))
       }))
 }

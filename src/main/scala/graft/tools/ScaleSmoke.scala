@@ -122,7 +122,11 @@ object ScaleSmoke {
     // x99's partial build scans events (corpus-linear map-side sketch
     // updates); the merge level stays O(types x days). The exact
     // verification side carries a per-type sort that also grows.
-    "x99_quantile_rollup")
+    "x99_quantile_rollup",
+    // x100 bounds itself to doc_id < 300 for its recursive-CC oracle:
+    // its row measures the flat-profile property (the x94 note), with
+    // the two-fold incremental machinery on top.
+    "x100_incremental_cc")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
