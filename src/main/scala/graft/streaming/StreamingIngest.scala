@@ -957,6 +957,44 @@ object StreamingIngest {
         graft.functions.kll_quantile(
           graft.functions.kll_merge_agg(col("sk"), k), lit(rank)).as("approx"))
 
+  /** Streaming component maintenance — the cluster-collapse member of
+    * the streaming dedup family (batch twin: x100): each micro-batch of
+    * near-dup EDGES folds into the standing `(node, component)` table
+    * via [[graft.operators.ConnectedComponents.incrementalAssign]]
+    * (contract → O(batch) mini-CC → broadcast remap), and the result
+    * replaces the [[graft.pipeline.ManifestTable]] version atomically.
+    * The fold is batch-split-invariant and idempotent
+    * (CcIncrementalSpec), so replaying a landed batch recomputes the
+    * identical table — the weightedSampleStream exactly-once story: no
+    * seq-stamp machinery, a crash mid-publish leaves the previous
+    * version current.
+    */
+  def componentStream(edges: DataFrame, componentsDir: String,
+      checkpointDir: String, srcCol: String = "doc_a",
+      dstCol: String = "doc_b"): StreamingQuery = {
+    import graft.pipeline.ManifestTable
+    val q = edges.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF()
+        val standing = ManifestTable.currentVersion(spark, componentsDir) match {
+          case Some(_) => ManifestTable.read(spark, componentsDir)
+          case None => b.select(col(srcCol).cast("long").as("node"),
+            col(srcCol).cast("long").as("component")).limit(0)
+        }
+        val next = graft.operators.ConnectedComponents
+          .incrementalAssign(standing, b, srcCol, dstCol)
+          .localCheckpoint(false) // commit must not re-read the table it replaces
+        ManifestTable.commit(spark, componentsDir, next, replace = true)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Stream-static enrichment: each micro-batch joins the (small, slowly
     * changing) dimension read as a plain batch table — the streaming
     * rendering of the reference's token-metadata join. The static side
