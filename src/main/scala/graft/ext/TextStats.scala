@@ -879,6 +879,31 @@ object TextStats {
       .withColumn("priority", expr("__h div w"))
       .drop("__h")
 
+  /** Grouped pps sample: exactly `n` docs PER GROUP (source/domain),
+    * inclusion probability proportional to weight within each group —
+    * the mixture-construction primitive when every source has its own
+    * doc budget (the x48/x55 allocations made exact-size). Same
+    * deterministic priority as [[weightedSample]] (hash(id) DIV weight,
+    * pure 64-bit integers); the per-group selection is one row_number
+    * window — a single shuffle on the group key, each group one sorted
+    * streaming pass (the [[capPerGroup]] posture, and the same reason
+    * it stays a window: a 2^60 hash does not fit a double, so the
+    * bounded-heap aggregate would break bit-identity with the oracle).
+    * Groups smaller than `n` keep everything.
+    */
+  def weightedSamplePerGroup(docs: DataFrame, groupCol: String,
+      weightCol: Column, n: Int, idCol: String = "doc_id",
+      salt: String = "pps"): DataFrame = {
+    require(n > 0, "per-group sample size must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("priority").asc, col(idCol).asc)
+    prioritize(docs, weightCol, idCol, salt)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .select(col(idCol), col(groupCol), col("w"), col("priority"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** [[weightedSample]]'s large-n path: estimate a priority threshold
     * from a deterministic hash-bucket pilot, keep only rows under it,
     * and run the exact n-smallest selection on the survivors — so the

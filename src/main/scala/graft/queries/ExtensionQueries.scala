@@ -3087,5 +3087,33 @@ object ExtensionQueries {
           .join(folded.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("component"), col("doc_id")).as("component"))
+      }),
+
+    Q("x101_grouped_weighted_sample",
+      "Grouped pps sample (round-10): exactly 10 docs PER SOURCE, inclusion probability " +
+        "proportional to token count within each source — the mixture-construction " +
+        "primitive when every source carries its own doc budget (the x48/x55 allocations " +
+        "made exact-size; x96's global-budget sibling). Same deterministic hash-DIV-weight " +
+        "priority, selected by one row_number window — a single shuffle on the source key, " +
+        "each group one sorted streaming pass (the x31 posture, and the same reason it " +
+        "stays a window: a 2^60 hash does not fit a double, so the bounded-heap aggregate " +
+        "would break bit-identity with the oracle). Groups smaller than the budget keep " +
+        "everything.",
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'pps'),1,15))::BIGINT AS h
+             |  FROM documents)
+             |SELECT doc_id, source, n_tokens AS w, priority, rk FROM (
+             |  SELECT doc_id, source, n_tokens, h // n_tokens AS priority,
+             |         CAST(row_number() OVER (PARTITION BY source
+             |           ORDER BY h // n_tokens ASC, doc_id ASC) AS BIGINT) AS rk
+             |  FROM t WHERE n_tokens > 0) s
+             |WHERE rk <= 10""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(
+          col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        TextStats.weightedSamplePerGroup(docs, "source", col("n_tokens"), 10)
       }))
 }

@@ -81,4 +81,29 @@ class WeightedSampleSpec extends SparkSuite {
         .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(ids(corpus) == ids(corpus.repartition(17)))
   }
+
+  test("grouped sample: exactly n per group, small groups kept whole") {
+    val in = spark.range(0, 300).select(
+      col("id").as("doc_id"),
+      when(col("id") < 280, "big").otherwise("small").as("src"),
+      (col("id") % 5 + 1).as("w"))
+    val got = TextStats.weightedSamplePerGroup(in, "src", col("w"), 25)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("big" -> 25L, "small" -> 20L))
+  }
+
+  test("grouped sample agrees with the global sample run per group") {
+    val in = spark.range(0, 200).select(
+      col("id").as("doc_id"),
+      (col("id") % 3).cast("string").as("src"),
+      (col("id") % 7 + 1).as("w"))
+    val grouped = TextStats.weightedSamplePerGroup(in, "src", col("w"), 12)
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[Long]("doc_id"))).toSet
+    val perGroup = (0 until 3).flatMap { g =>
+      TextStats.weightedSample(in.filter(col("src") === g.toString), col("w"), 12)
+        .collect().map(r => (g.toString, r.getAs[Long]("doc_id")))
+    }.toSet
+    assert(grouped == perGroup)
+  }
 }
