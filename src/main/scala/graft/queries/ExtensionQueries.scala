@@ -437,6 +437,51 @@ object ExtensionQueries {
        |  FROM s) t
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // ---- weak-label classifier oracle (x102) --------------------------------
+  // Leibniz expansion of the 4x4 Cramer determinants over the aggregated
+  // HUGEINT normal-equation cells — the same integers LinearModel collects,
+  // so driver-side BigInt Cramer and this SQL agree exactly.
+  private def x102Oracle: String = {
+    val d = 4
+    def cell(i: Int, j: Int) = s"a${math.min(i, j)}_${math.max(i, j)}"
+    def detSql(col: Int => (Int => String)): String =
+      (0 until d).permutations.map { p =>
+        val sign = {
+          var inv = 0
+          for (i <- 0 until d; j <- i + 1 until d if p(i) > p(j)) inv += 1
+          if (inv % 2 == 0) "+" else "-"
+        }
+        sign + (0 until d).map(i => col(i)(p(i))).mkString("*")
+      }.mkString("(", " ", ")")
+    val dd = detSql(i => j => cell(i, j))
+    val dk = (0 until d).map(k =>
+      detSql(i => j => if (j == k) s"b$i" else cell(i, j)))
+    val gramCells = (for (i <- 0 until d; j <- i until d)
+      yield s"CAST(sum(x$i*x$j) AS HUGEINT) AS a${i}_$j").mkString(",\n  ")
+    val bCells = (0 until d).map(i =>
+      s"CAST(sum(x$i*y) AS HUGEINT) AS b$i").mkString(",\n  ")
+    val margin = s"2*(${(0 until d).map(i => s"d.d$i*f.x$i").mkString(" + ")}) - d.dd"
+    s"""WITH f AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN CAST(substr(source,4) AS INT) % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS y,
+       |    CAST(1 AS BIGINT) AS x0,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS x1,
+       |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS x2,
+       |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['the','a','data'], t))) AS BIGINT) AS x3
+       |  FROM documents),
+       |g AS (SELECT
+       |  $gramCells,
+       |  $bCells
+       |  FROM f),
+       |d AS (SELECT $dd AS dd,
+       |  ${dk.zipWithIndex.map { case (s, k) => s"$s AS d$k" }.mkString(",\n  ")}
+       |  FROM g)
+       |SELECT f.doc_id, CAST(f.y AS INT) AS y,
+       |  CAST(CASE WHEN $margin >= 0 THEN 1 ELSE 0 END AS INT) AS yhat,
+       |  CAST(CASE WHEN $margin > 0 THEN 1 WHEN $margin < 0 THEN -1 ELSE 0 END AS INT) AS margin_sign
+       |FROM f, d""".stripMargin
+  }
+
   private val knnLshOracle: String =
     s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
        |s AS (SELECT q.vec_id AS qid, c.vec_id AS neighbor_id, q.bucket AS bucket,
@@ -3115,5 +3160,28 @@ object ExtensionQueries {
           col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
         TextStats.weightedSamplePerGroup(docs, "source", col("n_tokens"), 10)
+      }),
+
+    Q("x102_quality_classifier",
+      "Weak-label quality classifier (round-10): linear probe trained ON THE CORPUS against " +
+        "proxy labels (even-numbered sources = trusted) over integer per-doc features " +
+        "(token count, distinct tokens, marker-word count) — the 'fit a filter on a few " +
+        "labelled sources, score everything' curation stage. Normal equations are EXACT " +
+        "64-bit integer sums (one map-side aggregate, the only corpus pass), the 4x4 solve " +
+        "is driver-side BigInt Cramer (Gram matrix, det>0), and the per-doc decision " +
+        "w.x >= 1/2 is cross-multiplied into the integer comparison 2*sum(det_i*x_i) >= det " +
+        "evaluated distributed in Decimal(38,0) — no floating point anywhere, so the oracle " +
+        "(same Leibniz expansion in HUGEINT) hash-matches exactly. Overflow guard fails " +
+        "named at ~1e37; the production-scale note (demean + double solve, same " +
+        "aggregation shape) lives in the Scaladoc.",
+      Some(x102Oracle),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val words = split(col("text"), " ")
+        graft.ext.LinearModel.weakLabelClassifier(docs,
+          Seq(size(words).cast("long"),
+            size(array_distinct(words)).cast("long"),
+            size(filter(words, w => w.isin("the", "a", "data"))).cast("long")),
+          expr("cast(substring(source, 4) as int) % 2 = 0"))
       }))
 }
