@@ -1005,4 +1005,77 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"), sums: _*)
       .select(col(groupCol) +: col("n_vecs") +: means: _*)
   }
+
+  /** MMR (maximal-marginal-relevance) diversified re-rank — the RAG
+    * retrieval stage that trades relevance against redundancy: from each
+    * query's exact top-`shortlist` candidates, greedily select `k` where
+    * step t maximizes λ·rel − (1−λ)·max(sim to already-selected).
+    *
+    * Scale posture: candidate generation is [[knnBrute]]'s bounded-heap
+    * top-k (swap in any knn* variant at scale — the re-rank only ever
+    * sees queries×shortlist rows), the shortlist re-joins the corpus
+    * through a BROADCAST of the shortlist side, and the greedy loop runs
+    * k−1 bounded jobs over the pinned queries×shortlist² pairs frame —
+    * the corpus is never touched again. Greedy selection is inherently
+    * sequential in k, but k is the per-query result budget (≤ tens), not
+    * a data dimension.
+    *
+    * Determinism: rel and pair sims are the left-associated double cosine
+    * kernel; score arithmetic is λ-scaled subtraction of those exact
+    * doubles, ties broken by neighbor id — so a DuckDB oracle running the
+    * same unrolled greedy over the same generated-SQL cosines agrees
+    * rank-for-rank, bit for bit.
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, shortlist: Int = 8,
+      k: Int = 4, lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"mmrRerank: need shortlist >= k >= 1 (got $shortlist, $k)")
+    val c = corpus.select(col("vec_id"), col("embedding"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // pinned: consumed by the pairs build and every greedy pass
+    val cand = broadcast(knnBrute(queries, corpus, shortlist))
+      .join(c, col("neighbor_id") === col("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("neighbor_id"),
+        cosine_similarity(col("qv"), col("embedding")).as("rel"),
+        col("embedding").as("nv"))
+      .localCheckpoint(false)
+    val pairs = cand.select(col("qid"), col("neighbor_id").as("a_id"),
+        col("nv").as("av"))
+      .join(cand.select(col("qid"), col("neighbor_id").as("b_id"),
+        col("nv").as("bv")), Seq("qid"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("qid"), col("a_id"), col("b_id"),
+        cosine_similarity(col("av"), col("bv")).as("s"))
+      .localCheckpoint(false)
+    // per-qid windows over <= shortlist rows — bounded frames
+    val wRel = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("rel").desc, col("neighbor_id").asc)
+    var selected = cand.withColumn("rr", row_number().over(wRel))
+      .filter(col("rr") === 1)
+      .select(col("qid"), col("neighbor_id"), lit(1).as("mmr_rank"))
+      .localCheckpoint(false)
+    for (t <- 2 to k) {
+      val ms = pairs
+        .join(selected.select(col("qid"), col("neighbor_id").as("b_id")),
+          Seq("qid", "b_id"))
+        .groupBy(col("qid"), col("a_id")).agg(max(col("s")).as("ms"))
+        .withColumnRenamed("qid", "__mq")
+      val wScore = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid")
+        .orderBy((lit(lambda) * col("rel") - lit(1 - lambda) * col("ms")).desc,
+          col("neighbor_id").asc)
+      val next = cand
+        .join(selected.select(col("qid"), col("neighbor_id")),
+          Seq("qid", "neighbor_id"), "left_anti")
+        .join(ms, col("qid") === col("__mq") &&
+          col("neighbor_id") === col("a_id"))
+        .drop("__mq", "a_id")
+        .withColumn("rr", row_number().over(wScore))
+        .filter(col("rr") === 1)
+        .select(col("qid"), col("neighbor_id"), lit(t).as("mmr_rank"))
+      selected = selected.union(next).localCheckpoint(false)
+    }
+    selected.select(col("qid"), col("mmr_rank"), col("neighbor_id"))
+  }
 }

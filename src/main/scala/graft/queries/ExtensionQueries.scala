@@ -437,6 +437,55 @@ object ExtensionQueries {
        |  FROM s) t
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // ---- MMR re-rank oracle (x103) ------------------------------------------
+  // The greedy loop unrolled to k CTE steps over the same generated-SQL
+  // cosines (norm precompute per row — the x88 bitwise-neutral trick), so
+  // every score comparison is between bit-identical doubles.
+  private def mmrOracle: String = {
+    val (sl, k) = (8, 4)
+    def cos(a: String, b: String) =
+      s"(${dotSql(s"$a.embedding", s"$b.embedding")} / ($a.nr * $b.nr))"
+    val steps = (2 to k).map { t =>
+      s"""s$t AS (SELECT qid, neighbor_id, $t AS mmr_rank FROM (
+         |  SELECT c.qid, c.neighbor_id,
+         |    row_number() OVER (PARTITION BY c.qid
+         |      ORDER BY 0.5*c.rel - 0.5*m.ms DESC, c.neighbor_id) AS rr
+         |  FROM cand c
+         |  JOIN (SELECT p.qid, p.a_id, max(p.s) AS ms FROM pr p
+         |        JOIN acc${t - 1} x ON p.qid = x.qid AND p.b_id = x.neighbor_id
+         |        GROUP BY p.qid, p.a_id) m
+         |    ON m.qid = c.qid AND m.a_id = c.neighbor_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM acc${t - 1} z
+         |                    WHERE z.qid = c.qid AND z.neighbor_id = c.neighbor_id)) t
+         |  WHERE rr = 1),
+         |acc$t AS (SELECT * FROM acc${t - 1} UNION ALL SELECT * FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bn AS MATERIALIZED (SELECT vec_id, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nr FROM embeddings),
+       |cand AS MATERIALIZED (
+       |  SELECT qid, neighbor_id, rel FROM (
+       |    SELECT q.vec_id AS qid, e.vec_id AS neighbor_id,
+       |           ${cos("q", "e")} AS rel,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${cos("q", "e")} DESC, e.vec_id) AS rn
+       |    FROM bn q JOIN bn e ON e.vec_id != q.vec_id
+       |    WHERE q.vec_id < 10) t
+       |  WHERE rn <= $sl),
+       |pr AS MATERIALIZED (
+       |  SELECT a.qid, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+       |         ${cos("ea", "eb")} AS s
+       |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.neighbor_id != b.neighbor_id
+       |  JOIN bn ea ON ea.vec_id = a.neighbor_id
+       |  JOIN bn eb ON eb.vec_id = b.neighbor_id),
+       |s1 AS (SELECT qid, neighbor_id, 1 AS mmr_rank FROM (
+       |  SELECT qid, neighbor_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY rel DESC, neighbor_id) AS rr
+       |  FROM cand) t WHERE rr = 1),
+       |acc1 AS (SELECT * FROM s1),
+       |$steps
+       |SELECT qid, CAST(mmr_rank AS INT) AS mmr_rank, neighbor_id FROM acc$k""".stripMargin
+  }
+
   // ---- weak-label classifier oracle (x102) --------------------------------
   // Leibniz expansion of the 4x4 Cramer determinants over the aggregated
   // HUGEINT normal-equation cells — the same integers LinearModel collects,
@@ -3183,5 +3232,22 @@ object ExtensionQueries {
             size(array_distinct(words)).cast("long"),
             size(filter(words, w => w.isin("the", "a", "data"))).cast("long")),
           expr("cast(substring(source, 4) as int) % 2 = 0"))
+      }),
+
+    Q("x103_mmr_rerank",
+      "MMR diversified re-rank (round-10): from each query's exact top-8, greedily select 4 " +
+        "maximizing 0.5*rel - 0.5*max(sim to already-selected) — the RAG retrieval stage " +
+        "that trades relevance against redundancy. Candidate generation is the bounded-heap " +
+        "brute top-k (any knn* variant slots in at scale); the greedy loop is k-1 bounded " +
+        "jobs over a pinned queries x shortlist^2 pairs frame — the corpus is scanned once " +
+        "and never touched again. Rank-only output, but the determinism is exact, not " +
+        "assumed: rel and pair sims are the left-associated double cosine kernel and the " +
+        "oracle unrolls the same greedy over generated-SQL cosines (norm precompute per " +
+        "row, the x88 bitwise-neutral trick), so every score comparison is between " +
+        "bit-identical doubles.",
+      Some(mmrOracle),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.mmrRerank(emb.filter(col("vec_id") < 10), emb, 8, 4)
       }))
 }

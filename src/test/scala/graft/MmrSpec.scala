@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+
+/** MMR re-rank: greedy reference equality, shape, and the diversity
+  * property the operator exists for.
+  */
+class MmrSpec extends SparkSuite {
+  import spark.implicits._
+
+  // the engine kernel's arithmetic: left-associated double fold
+  private def cos(a: Seq[Float], b: Seq[Float]): Double = {
+    var (ab, aa, bb) = (0.0, 0.0, 0.0)
+    for (i <- a.indices) {
+      ab += a(i).toDouble * b(i).toDouble
+      aa += a(i).toDouble * a(i).toDouble
+      bb += b(i).toDouble * b(i).toDouble
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  test("agrees with a driver-side greedy reference on real embeddings") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val vecs = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1)).toMap
+    val got = Similarity.mmrRerank(emb.filter(col("vec_id") < 5), emb, 6, 3)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("mmr_rank"),
+        r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    val want = (0L until 5L).map { qid =>
+      val rel = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => id -> cos(vecs(qid), v) }
+        .sortBy { case (id, s) => (-s, id) }.take(6)
+      var sel = List(rel.head._1)
+      for (_ <- 2 to 3) {
+        val next = rel.filterNot { case (id, _) => sel.contains(id) }
+          .map { case (id, r) =>
+            val ms = sel.map(s => cos(vecs(id), vecs(s))).max
+            (id, 0.5 * r - 0.5 * ms)
+          }
+          .minBy { case (id, sc) => (-sc, id) }._1
+        sel = sel :+ next
+      }
+      qid -> sel
+    }.toMap
+    assert(got == want)
+  }
+
+  test("rank 1 is the brute top-1; exactly k ranks per query") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 8)
+    val top1 = Similarity.knnBrute(q, emb, 1).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("neighbor_id")).toMap
+    val mmr = Similarity.mmrRerank(q, emb, 8, 4).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("mmr_rank"),
+        r.getAs[Long]("neighbor_id")))
+    assert(mmr.filter(_._2 == 1).map(t => t._1 -> t._3).toMap == top1)
+    mmr.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4))
+    }
+  }
+
+  test("diversity: MMR escapes a redundant cluster that plain top-k stays in") {
+    // query q; a tight redundant cluster (pairwise sim ~0.9999) that
+    // dominates relevance, and a clearly less relevant candidate on the
+    // other side of q (sim to the cluster ~0.76)
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val emb = Seq(
+      0L -> v(1, 0, 0, 0),
+      1L -> v(0.98, 0.10, 0, 0), 2L -> v(0.98, 0.11, 0, 0),
+      3L -> v(0.98, 0.12, 0, 0),
+      4L -> v(0.80, -0.55, 0, 0)
+    ).toDF("vec_id", "embedding")
+    val plain = Similarity.knnBrute(emb.filter(col("vec_id") === 0), emb, 3)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(plain == Set(1L, 2L, 3L))
+    val mmr = Similarity.mmrRerank(emb.filter(col("vec_id") === 0), emb, 4, 3)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(mmr.contains(4L))
+  }
+}
