@@ -126,7 +126,14 @@ object ScaleSmoke {
     // x100 bounds itself to doc_id < 300 for its recursive-CC oracle:
     // its row measures the flat-profile property (the x94 note), with
     // the two-fold incremental machinery on top.
-    "x100_incremental_cc")
+    "x100_incremental_cc",
+    // round-10 late: x101 is one corpus-linear pass into a source-keyed
+    // window (budget stays 10/source); x102's fit aggregate + decision
+    // projection are each one map-side corpus pass; x103's brute
+    // candidate generation scans the amplified embeddings (queries stay
+    // 10) while the pairs/greedy stages are query-bounded.
+    "x101_grouped_weighted_sample", "x102_quality_classifier",
+    "x103_mmr_rerank")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

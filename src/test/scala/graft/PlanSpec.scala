@@ -334,7 +334,14 @@ class PlanSpec extends SparkSuite {
       // re-derive — the pin-vs-rederive rule's re-derive side
       "x95_pii_scrub" -> ("documents", 1),
       "x96_weighted_sample" -> ("documents", 1),
-      "x97_sample_allocation" -> ("documents", 3))
+      "x97_sample_allocation" -> ("documents", 3),
+      // round-10 late: x101 is one pass into the per-group window; x102's
+      // decision projection and x103's greedy output read only their
+      // pinned frames (fit aggregate / pairs+candidate subtrees run once
+      // as their own jobs behind the checkpoint)
+      "x101_grouped_weighted_sample" -> ("documents", 1),
+      "x102_quality_classifier" -> ("documents", 0),
+      "x103_mmr_rerank" -> ("embeddings", 0))
     def scansOf(p: SparkPlan): Seq[String] =
       p.collectWithSubqueries {
         case a: AdaptiveSparkPlanExec => scansOf(a.initialPlan)
