@@ -35,6 +35,48 @@ import org.apache.spark.sql.types.DecimalType
   */
 object LinearModel {
 
+  /** Per-row (id, y, x0..xd) feature frame — the only corpus projection
+    * both the fit aggregate and the decision read.
+    */
+  private[graft] def featFrame(docs: DataFrame, features: Seq[Column],
+      label: Column, idCol: String): DataFrame = {
+    val xs = lit(1L) +: features.map(_.cast("long"))
+    docs.select(
+      (col(idCol) +: label.cast("long").as("y") +:
+        xs.zipWithIndex.map { case (c, i) => c.as(s"x$i") }): _*)
+  }
+
+  /** The fit's SUFFICIENT STATISTICS as one aggregated row: XᵀX cells
+    * and Xᵀy as long sums, per-feature maxes for the overflow guard.
+    * Integer sums and maxes are associative+commutative, so these
+    * partials are MERGEABLE — two batches' stats cell-wise combined
+    * ([[mergeStats]]) equal the stats of the concatenated corpus, which
+    * is what makes the incremental refit ([[incrementalClassifier]])
+    * provably batch-split-invariant.
+    */
+  def fitStats(feat: DataFrame, d: Int): DataFrame =
+    feat.agg(statCells(d).head, statCells(d).tail: _*)
+
+  private def statCells(d: Int): Seq[Column] =
+    (for (i <- 0 until d; j <- i until d)
+      yield sum(col(s"x$i") * col(s"x$j")).as(s"a${i}_$j")) ++
+    (0 until d).map(i => sum(col(s"x$i") * col("y")).as(s"b$i")) ++
+    (0 until d).map(i => max(col(s"x$i")).as(s"m$i"))
+
+  /** Cell-wise fold of any number of stats rows: sums add, maxes max. */
+  def foldStats(stats: DataFrame, d: Int): DataFrame = {
+    val cells =
+      (for (i <- 0 until d; j <- i until d)
+        yield sum(col(s"a${i}_$j")).as(s"a${i}_$j")) ++
+      (0 until d).map(i => sum(col(s"b$i")).as(s"b$i")) ++
+      (0 until d).map(i => max(col(s"m$i")).as(s"m$i"))
+    stats.agg(cells.head, cells.tail: _*)
+  }
+
+  /** Cell-wise fold of two stats rows. */
+  def mergeStats(standing: DataFrame, arrival: DataFrame, d: Int): DataFrame =
+    foldStats(standing.unionByName(arrival), d)
+
   /** Fit on `features` (small non-negative integer columns; an intercept
     * is prepended) against 0/1 `label`, then score every row: output
     * (idCol, y, yhat, margin_sign) where margin_sign ∈ {-1,0,1} is the
@@ -43,23 +85,40 @@ object LinearModel {
   def weakLabelClassifier(docs: DataFrame, features: Seq[Column],
       label: Column, idCol: String = "doc_id"): DataFrame = {
     val d = features.size + 1
-    val xs = lit(1L) +: features.map(_.cast("long"))
     // pinned: consumed by the fit aggregate AND the decision projection
-    val f = docs.select(
-      (col(idCol) +: label.cast("long").as("y") +:
-        xs.zipWithIndex.map { case (c, i) => c.as(s"x$i") }): _*)
-      .localCheckpoint(false)
-    val sums =
-      (for (i <- 0 until d; j <- i until d)
-        yield sum(col(s"x$i") * col(s"x$j")).as(s"a${i}_$j")) ++
-      (0 until d).map(i => sum(col(s"x$i") * col("y")).as(s"b$i")) ++
-      (0 until d).map(i => max(col(s"x$i")).as(s"m$i"))
-    val g = f.agg(sums.head, sums.tail: _*).collect()(0)
+    val f = featFrame(docs, features, label, idCol).localCheckpoint(false)
+    scoreFromStats(fitStats(f, d).collect()(0), f, d, idCol)
+  }
+
+  /** Incremental refit — the re-aggregatable-partial pattern (HLL/KLL
+    * rollups) applied to MODEL FITTING: each arrival batch contributes
+    * one stats row, the standing statistics fold cell-wise (O(1) state,
+    * O(batch) per arrival — raw history is never re-scanned), and the
+    * refit solves from the folded row. Because the fold is exact integer
+    * arithmetic, the model after B arrivals is IDENTICAL to the
+    * all-at-once fit — so the oracle for the incremental query is the
+    * batch SQL, blind to the batching.
+    */
+  def incrementalClassifier(batches: Seq[DataFrame], features: Seq[Column],
+      label: Column, idCol: String = "doc_id"): DataFrame = {
+    require(batches.nonEmpty, "incrementalClassifier: no batches")
+    val d = features.size + 1
+    val feats = batches.map(b =>
+      featFrame(b, features, label, idCol).localCheckpoint(false))
+    var standing = fitStats(feats.head, d).localCheckpoint(false)
+    feats.tail.foreach { f =>
+      standing = mergeStats(standing, fitStats(f, d), d).localCheckpoint(false)
+    }
+    scoreFromStats(standing.collect()(0), feats.reduce(_ unionByName _), d, idCol)
+  }
+
+  private def scoreFromStats(g: org.apache.spark.sql.Row, f: DataFrame,
+      d: Int, idCol: String): DataFrame = {
     val a = Array.tabulate(d, d)((i, j) =>
       BigInt(g.getAs[Long](s"a${math.min(i, j)}_${math.max(i, j)}")))
     val b = Array.tabulate(d)(i => BigInt(g.getAs[Long](s"b$i")))
     val det = detBig(a)
-    require(det > 0, s"weakLabelClassifier: singular design (det=$det) — " +
+    require(det > 0, s"LinearModel: singular design (det=$det) — " +
       "features are linearly dependent over this corpus")
     val dets = Array.tabulate(d) { k =>
       detBig(Array.tabulate(d, d)((i, j) => if (j == k) b(i) else a(i)(j)))
@@ -69,7 +128,7 @@ object LinearModel {
     val bound = 2 * (0 until d).map(i =>
       dets(i).abs * BigInt(math.max(g.getAs[Long](s"m$i"), 1L))).sum + det.abs
     require(bound < BigInt(10).pow(37),
-      s"weakLabelClassifier: exact-integer decision would overflow " +
+      s"LinearModel: exact-integer decision would overflow " +
         s"(|2Σdetᵢxᵢ-det| bound ~1e${bound.toString.length - 1}); " +
         "demean/scale features or solve in doubles at this corpus size")
     val margin = (0 until d).map(i =>

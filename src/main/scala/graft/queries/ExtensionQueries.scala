@@ -3234,6 +3234,28 @@ object ExtensionQueries {
           expr("cast(substring(source, 4) as int) % 2 = 0"))
       }),
 
+    Q("x104_incremental_classifier",
+      "Incremental classifier refit (round-10): the re-aggregatable-partial pattern " +
+        "(x90 HLL / x99 KLL rollups) applied to MODEL FITTING. The corpus arrives in TWO " +
+        "batches (split by portable doc_id hash); each contributes one normal-equation " +
+        "sufficient-statistics row (XtX/Xty long sums + guard maxes), the standing stats " +
+        "fold cell-wise — O(1) state, O(batch) per arrival, raw history never re-scanned — " +
+        "and the refit solves from the folded row. Integer sums are exactly " +
+        "batch-split-invariant, so the model after B arrivals IS the all-at-once x102 fit " +
+        "and the oracle is the batch SQL, blind to the batching entirely (the x100 device).",
+      Some(x102Oracle),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val words = split(col("text"), " ")
+        val h = TextDedup.portableHash(col("doc_id").cast("string"), "icls")
+        graft.ext.LinearModel.incrementalClassifier(
+          Seq(docs.filter(h % 2 === 0), docs.filter(h % 2 =!= 0)),
+          Seq(size(words).cast("long"),
+            size(array_distinct(words)).cast("long"),
+            size(filter(words, w => w.isin("the", "a", "data"))).cast("long")),
+          expr("cast(substring(source, 4) as int) % 2 = 0"))
+      }),
+
     Q("x103_mmr_rerank",
       "MMR diversified re-rank (round-10): from each query's exact top-8, greedily select 4 " +
         "maximizing 0.5*rel - 0.5*max(sim to already-selected) — the RAG retrieval stage " +

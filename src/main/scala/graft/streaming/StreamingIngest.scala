@@ -995,6 +995,51 @@ object StreamingIngest {
     q
   }
 
+  /** Streaming incremental classifier fit (the x104 twin): each arriving
+    * doc micro-batch contributes ONE normal-equation sufficient-statistics
+    * row ([[graft.ext.LinearModel.fitStats]]) and the standing single-row
+    * stats table folds cell-wise per batch — O(1) state, O(batch) work
+    * per arrival, raw history never re-scanned. Because the fold is exact
+    * integer sums/maxes, a model refit from the standing row after any
+    * prefix of arrivals equals the all-at-once fit on the docs seen so
+    * far — mergeable state needs no reconciliation (the x90/x99 rollup
+    * posture extended to model fitting). `features`/`label` are column
+    * expressions over the streamed doc rows.
+    */
+  def classifierStatsStream(docs: DataFrame, statsDir: String,
+      checkpointDir: String,
+      features: Seq[org.apache.spark.sql.Column],
+      label: org.apache.spark.sql.Column,
+      idCol: String = "doc_id"): StreamingQuery = {
+    import graft.ext.LinearModel
+    val d = features.size + 1
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        // blind stamped append (the x90/x99 pattern): sums are NOT
+        // idempotent under re-delivery, so the landed-seq guard is the
+        // exactly-once boundary, like every mergeable-partial sink here
+        if (!landedSeq(spark, statsDir, batchId)) {
+          val partial = LinearModel.fitStats(
+            LinearModel.featFrame(batch.toDF(), features, label, idCol), d)
+          graft.pipeline.Ingest.appendWithSeq(partial, statsDir, batchId)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Read side of [[classifierStatsStream]]: fold every landed partial
+    * into the single sufficient-statistics row the refit solves from —
+    * O(landed partials), independent of the raw doc count.
+    */
+  def classifierStatsFromPartials(spark: SparkSession, statsDir: String,
+      d: Int): DataFrame =
+    graft.ext.LinearModel.foldStats(spark.read.parquet(statsDir), d)
+
   /** Stream-static enrichment: each micro-batch joins the (small, slowly
     * changing) dimension read as a plain batch table — the streaming
     * rendering of the reference's token-metadata join. The static side

@@ -49,6 +49,41 @@ class LinearModelSpec extends SparkSuite {
     assert(e.getMessage.contains("singular design"))
   }
 
+  test("incremental refit is batch-split-invariant and equals the all-at-once fit") {
+    val in = spark.range(0, 400).select(
+      col("id").as("doc_id"),
+      (col("id") % 11).as("x1"), (col("id") % 6).as("x2"))
+    val feats = Seq(col("x1"), col("x2"))
+    val label = col("doc_id") % 4 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    val whole = rows(LinearModel.weakLabelClassifier(in, feats, label))
+    val twoWay = rows(LinearModel.incrementalClassifier(
+      Seq(in.filter(col("doc_id") % 2 === 0), in.filter(col("doc_id") % 2 =!= 0)),
+      feats, label))
+    val threeWay = rows(LinearModel.incrementalClassifier(
+      Seq(in.filter(col("doc_id") % 3 === 0), in.filter(col("doc_id") % 3 === 1),
+        in.filter(col("doc_id") % 3 === 2)),
+      feats, label))
+    assert(twoWay == whole)
+    assert(threeWay == whole)
+  }
+
+  test("mergeStats folds sums and maxes cell-wise") {
+    val a = spark.range(0, 100).select(col("id").as("doc_id"),
+      (col("id") % 9).as("x1"))
+    val fa = a.filter(col("doc_id") < 60)
+    val fb = a.filter(col("doc_id") >= 60)
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      LinearModel.fitStats(
+        df.select(col("doc_id"), (col("doc_id") % 2 === 0).cast("long").as("y"),
+          lit(1L).as("x0"), col("x1").cast("long").as("x1")), 2)
+    val merged = LinearModel.mergeStats(stats(fa), stats(fb), 2).collect()(0)
+    val whole = stats(a).collect()(0)
+    assert(merged == whole)
+  }
+
   test("margin_sign refines yhat: zero margin only at the boundary") {
     val in = spark.range(0, 120).select(
       col("id").as("doc_id"), (col("id") % 4).as("x1"))
