@@ -39,11 +39,12 @@ object LinearModel {
     * both the fit aggregate and the decision read.
     */
   private[graft] def featFrame(docs: DataFrame, features: Seq[Column],
-      label: Column, idCol: String): DataFrame = {
+      label: Column, idCol: String,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val xs = lit(1L) +: features.map(_.cast("long"))
     docs.select(
-      (col(idCol) +: label.cast("long").as("y") +:
-        xs.zipWithIndex.map { case (c, i) => c.as(s"x$i") }): _*)
+      (col(idCol) +: passthrough.map(col) :+ label.cast("long").as("y")) ++
+        xs.zipWithIndex.map { case (c, i) => c.as(s"x$i") }: _*)
   }
 
   /** The fit's SUFFICIENT STATISTICS as one aggregated row: XᵀX cells
@@ -83,11 +84,13 @@ object LinearModel {
     * exact sign of 2·Σ det(Aᵢ)xᵢ − det(A).
     */
   def weakLabelClassifier(docs: DataFrame, features: Seq[Column],
-      label: Column, idCol: String = "doc_id"): DataFrame = {
+      label: Column, idCol: String = "doc_id",
+      passthrough: Seq[String] = Nil): DataFrame = {
     val d = features.size + 1
     // pinned: consumed by the fit aggregate AND the decision projection
-    val f = featFrame(docs, features, label, idCol).localCheckpoint(false)
-    scoreFromStats(fitStats(f, d).collect()(0), f, d, idCol)
+    val f = featFrame(docs, features, label, idCol, passthrough)
+      .localCheckpoint(false)
+    scoreFromStats(fitStats(f, d).collect()(0), f, d, idCol, passthrough)
   }
 
   /** Incremental refit — the re-aggregatable-partial pattern (HLL/KLL
@@ -113,7 +116,7 @@ object LinearModel {
   }
 
   private def scoreFromStats(g: org.apache.spark.sql.Row, f: DataFrame,
-      d: Int, idCol: String): DataFrame = {
+      d: Int, idCol: String, passthrough: Seq[String] = Nil): DataFrame = {
     val a = Array.tabulate(d, d)((i, j) =>
       BigInt(g.getAs[Long](s"a${math.min(i, j)}_${math.max(i, j)}")))
     val b = Array.tabulate(d)(i => BigInt(g.getAs[Long](s"b$i")))
@@ -135,12 +138,13 @@ object LinearModel {
       lit(new java.math.BigDecimal(dets(i).bigInteger))
         .cast(DecimalType(38, 0)) * col(s"x$i").cast(DecimalType(38, 0)))
       .reduce(_ + _) * lit(2) - lit(new java.math.BigDecimal(det.bigInteger))
-    f.select(col(idCol), col("y").cast("int").as("y"),
-        margin.as("__m"))
-      .select(col(idCol), col("y"),
-        (col("__m") >= 0).cast("int").as("yhat"),
-        when(col("__m") > 0, 1).when(col("__m") < 0, -1).otherwise(0)
-          .cast("int").as("margin_sign"))
+    val pt = passthrough.map(col)
+    f.select(col(idCol) +: pt :+ col("y").cast("int").as("y") :+
+        margin.as("__m"): _*)
+      .select(col(idCol) +: pt :+ col("y") :+
+        (col("__m") >= 0).cast("int").as("yhat") :+
+        (when(col("__m") > 0, 1).when(col("__m") < 0, -1).otherwise(0)
+          .cast("int").as("margin_sign")): _*)
   }
 
   /** Exact determinant by cofactor expansion — d ≤ ~6 driver-side. */

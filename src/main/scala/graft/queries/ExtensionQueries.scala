@@ -490,7 +490,8 @@ object ExtensionQueries {
   // Leibniz expansion of the 4x4 Cramer determinants over the aggregated
   // HUGEINT normal-equation cells — the same integers LinearModel collects,
   // so driver-side BigInt Cramer and this SQL agree exactly.
-  private def x102Oracle: String = {
+  // returns (per-doc decision SQL — x102/x104, per-source audit SQL — x105)
+  private lazy val (x102Oracle: String, x105Oracle: String) = {
     val d = 4
     def cell(i: Int, j: Int) = s"a${math.min(i, j)}_${math.max(i, j)}"
     def detSql(col: Int => (Int => String)): String =
@@ -510,25 +511,37 @@ object ExtensionQueries {
     val bCells = (0 until d).map(i =>
       s"CAST(sum(x$i*y) AS HUGEINT) AS b$i").mkString(",\n  ")
     val margin = s"2*(${(0 until d).map(i => s"d.d$i*f.x$i").mkString(" + ")}) - d.dd"
-    s"""WITH f AS MATERIALIZED (
-       |  SELECT doc_id,
-       |    CAST(CASE WHEN CAST(substr(source,4) AS INT) % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS y,
-       |    CAST(1 AS BIGINT) AS x0,
-       |    CAST(len(string_split(text,' ')) AS BIGINT) AS x1,
-       |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS x2,
-       |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['the','a','data'], t))) AS BIGINT) AS x3
-       |  FROM documents),
-       |g AS (SELECT
-       |  $gramCells,
-       |  $bCells
-       |  FROM f),
-       |d AS (SELECT $dd AS dd,
-       |  ${dk.zipWithIndex.map { case (s, k) => s"$s AS d$k" }.mkString(",\n  ")}
-       |  FROM g)
-       |SELECT f.doc_id, CAST(f.y AS INT) AS y,
-       |  CAST(CASE WHEN $margin >= 0 THEN 1 ELSE 0 END AS INT) AS yhat,
-       |  CAST(CASE WHEN $margin > 0 THEN 1 WHEN $margin < 0 THEN -1 ELSE 0 END AS INT) AS margin_sign
-       |FROM f, d""".stripMargin
+    val ctes =
+      s"""WITH f AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    CAST(CASE WHEN CAST(substr(source,4) AS INT) % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS y,
+         |    CAST(1 AS BIGINT) AS x0,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS x1,
+         |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS x2,
+         |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['the','a','data'], t))) AS BIGINT) AS x3
+         |  FROM documents),
+         |g AS (SELECT
+         |  $gramCells,
+         |  $bCells
+         |  FROM f),
+         |d AS (SELECT $dd AS dd,
+         |  ${dk.zipWithIndex.map { case (s, k) => s"$s AS d$k" }.mkString(",\n  ")}
+         |  FROM g),
+         |scored AS (SELECT f.doc_id, f.source, CAST(f.y AS INT) AS y,
+         |  CAST(CASE WHEN $margin >= 0 THEN 1 ELSE 0 END AS INT) AS yhat,
+         |  CAST(CASE WHEN $margin > 0 THEN 1 WHEN $margin < 0 THEN -1 ELSE 0 END AS INT) AS margin_sign
+         |FROM f, d)""".stripMargin
+    (s"""$ctes
+        |SELECT doc_id, y, yhat, margin_sign FROM scored""".stripMargin,
+     s"""$ctes
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(y) AS BIGINT) AS positives,
+        |  CAST(sum(yhat) AS BIGINT) AS kept,
+        |  CAST(sum(y*yhat) AS BIGINT) AS tp,
+        |  CAST(sum((1-y)*yhat) AS BIGINT) AS fp,
+        |  CAST(sum(y*(1-yhat)) AS BIGINT) AS fn
+        |FROM scored GROUP BY source""".stripMargin)
   }
 
   private val knnLshOracle: String =
@@ -3232,6 +3245,34 @@ object ExtensionQueries {
             size(array_distinct(words)).cast("long"),
             size(filter(words, w => w.isin("the", "a", "data"))).cast("long")),
           expr("cast(substring(source, 4) as int) % 2 = 0"))
+      }),
+
+    Q("x105_classifier_audit",
+      "Per-source filter bias audit (round-10): before a trained quality filter is applied " +
+        "at corpus scale, audit WHO it keeps — per source: doc count, weak positives, kept " +
+        "(predicted positive), and the TP/FP/FN confusion cells, all exact integer counts " +
+        "from ONE hash aggregate over the x102 decision (quality filters silently skewing " +
+        "against particular domains is a known curation failure; this is the table that " +
+        "catches it before the filter ships). Composes the classifier's passthrough " +
+        "column support — the decision projection carries source along, so no second join " +
+        "against the corpus.",
+      Some(x105Oracle),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val words = split(col("text"), " ")
+        graft.ext.LinearModel.weakLabelClassifier(docs,
+          Seq(size(words).cast("long"),
+            size(array_distinct(words)).cast("long"),
+            size(filter(words, w => w.isin("the", "a", "data"))).cast("long")),
+          expr("cast(substring(source, 4) as int) % 2 = 0"),
+          passthrough = Seq("source"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("y")).cast("long").as("positives"),
+            sum(col("yhat")).cast("long").as("kept"),
+            sum(col("y") * col("yhat")).cast("long").as("tp"),
+            sum((lit(1) - col("y")) * col("yhat")).cast("long").as("fp"),
+            sum(col("y") * (lit(1) - col("yhat"))).cast("long").as("fn"))
       }),
 
     Q("x104_incremental_classifier",
