@@ -406,6 +406,24 @@ object Similarity {
       .select(col("qid"), col("n_true"), col("n_hits"),
         expr("CAST(n_hits * 10000 DIV n_true AS BIGINT)").as("recall_bp"))
 
+  /** Rank-sensitive retrieval eval — MRR's per-query row: where does the
+    * true best neighbor (exact rank-1) land in the approximate system's
+    * top-k? `rank_in_sys` 0 means missed; `rr_fp` is the reciprocal rank
+    * in exact fixed point (10⁶ DIV rank — no float, so it hash-matches
+    * cross-engine; mean(rr_fp)/10⁶ is MRR@k). Complements [[annRecall]]:
+    * recall says WHETHER the truth was retrieved, MRR says how highly it
+    * was ranked. One O(queries) join of two already-bounded rank frames.
+    */
+  def retrievalMrr(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.filter(col("rank") === 1).select(col("qid"), col("neighbor_id"))
+      .join(approx.select(col("qid"), col("neighbor_id"),
+          col("rank").cast("long").as("rank_in_sys")),
+        Seq("qid", "neighbor_id"), "left")
+      .select(col("qid"), col("neighbor_id").as("true_top1"),
+        coalesce(col("rank_in_sys"), lit(0L)).as("rank_in_sys"),
+        coalesce(expr("CAST(1000000 DIV rank_in_sys AS BIGINT)"), lit(0L))
+          .as("rr_fp"))
+
   /** Multi-probe LSH: each query also probes the `Planes` buckets at
     * Hamming distance 1 from its own (one hyperplane bit flipped) —
     * the standard recall lever that costs (Planes+1)× candidates

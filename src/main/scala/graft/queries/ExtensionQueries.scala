@@ -798,8 +798,8 @@ object ExtensionQueries {
 
   // bn-style norm precompute + MATERIALIZED shared frames (see the x88
   // resource note); sims bitwise-unchanged.
-  private val knnIvfOracle: String =
-    s"""WITH bn AS MATERIALIZED (SELECT vec_id, embedding,
+  private val knnIvfCteChain: String =
+    s"""bn AS MATERIALIZED (SELECT vec_id, embedding,
        |  sqrt(${dotSql("embedding", "embedding")}) AS nr FROM embeddings),
        |cent AS MATERIALIZED (SELECT vec_id AS cell_id, embedding AS cv, nr AS cnr
        |              FROM bn WHERE vec_id % 62 = 0 AND vec_id < 992),
@@ -817,12 +817,34 @@ object ExtensionQueries {
        |             (${dotSql("q.embedding", "a.embedding")} / (q.nr * a.nr)) AS sim
        |      FROM probes p JOIN assign a ON a.cell_id = p.cell_id
        |      JOIN bn q ON q.vec_id = p.qid
-       |      WHERE a.vec_id != p.qid)
+       |      WHERE a.vec_id != p.qid)""".stripMargin
+
+  private val knnIvfOracle: String =
+    s"""WITH $knnIvfCteChain
        |SELECT qid, rank, neighbor_id FROM (
        |  SELECT qid, neighbor_id,
        |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM s) t
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  // x106: brute top-1 truth against the IVF top-5 ranks; reciprocal rank
+  // in exact fixed point (10^6 DIV rank) so no float enters the output
+  private val mrrOracle: String =
+    s"""WITH $knnIvfCteChain,
+       |ivf AS (SELECT qid, neighbor_id, CAST(rank AS BIGINT) AS rank_in_sys FROM (
+       |  SELECT qid, neighbor_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM s) t WHERE rank <= 5),
+       |brute AS (SELECT qid, neighbor_id FROM (
+       |  SELECT q.vec_id AS qid, e.vec_id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY (${dotSql("q.embedding", "e.embedding")} / (q.nr * e.nr)) DESC, e.vec_id) AS rn
+       |  FROM bn q JOIN bn e ON e.vec_id != q.vec_id
+       |  WHERE q.vec_id < 10) t WHERE rn = 1)
+       |SELECT b.qid, b.neighbor_id AS true_top1,
+       |  CAST(COALESCE(i.rank_in_sys, 0) AS BIGINT) AS rank_in_sys,
+       |  CAST(COALESCE(1000000 // i.rank_in_sys, 0) AS BIGINT) AS rr_fp
+       |FROM brute b LEFT JOIN ivf i ON i.qid = b.qid AND i.neighbor_id = b.neighbor_id""".stripMargin
 
   // kmeansFitExact(emb, 8, 2): stride init (125 over vec_id, first 8
   // hits), two Lloyd iterations with fixed-point centroid means (the x50
@@ -3295,6 +3317,24 @@ object ExtensionQueries {
             size(array_distinct(words)).cast("long"),
             size(filter(words, w => w.isin("the", "a", "data"))).cast("long")),
           expr("cast(substring(source, 4) as int) % 2 = 0"))
+      }),
+
+    Q("x106_retrieval_mrr",
+      "Rank-sensitive retrieval eval (round-10): MRR's per-query row — where does the true " +
+        "best neighbor (exact brute rank-1) land in the IVF top-5? rank_in_sys 0 = missed; " +
+        "rr_fp is the reciprocal rank in exact fixed point (10^6 DIV rank, no float ever " +
+        "enters, mean/10^6 = MRR@5). Complements the recall family (x78/x89/x92): recall " +
+        "says WHETHER the truth was retrieved, MRR says how HIGHLY it ranked — the metric " +
+        "pair every retrieval-backed data pipeline reports. One O(queries) join of two " +
+        "already-bounded rank frames, composed from the proven x06/x14 paths.",
+      Some(mrrOracle),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 10)
+        val centroids = Similarity.strideCentroids(emb, 16).localCheckpoint(false)
+        Similarity.retrievalMrr(
+          Similarity.knnBrute(q, emb, 1),
+          Similarity.knnIvf(q, emb, centroids, 5, 4))
       }),
 
     Q("x103_mmr_rerank",

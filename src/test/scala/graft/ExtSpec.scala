@@ -1212,4 +1212,22 @@ class ExtSpec extends SparkSuite {
       .as[(Long, String)].collect().toMap
     assert(correct == docs.toMap)
   }
+
+  test("retrievalMrr: hit rank, reciprocal fixed point, and the missed case") {
+    val exact = Seq((1L, 1, 10L), (2L, 1, 20L), (3L, 1, 30L))
+      .toDF("qid", "rank", "neighbor_id")
+    val approx = Seq(
+      (1L, 1, 99L), (1L, 2, 10L), // truth at rank 2
+      (2L, 1, 20L),               // truth at rank 1
+      (3L, 1, 77L), (3L, 2, 78L)  // truth missed
+    ).toDF("qid", "rank", "neighbor_id")
+    val got = Similarity.retrievalMrr(exact, approx).collect()
+      .map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Long]("true_top1"), r.getAs[Long]("rank_in_sys"),
+          r.getAs[Long]("rr_fp"))).toMap
+    assert(got == Map(
+      1L -> ((10L, 2L, 500000L)),
+      2L -> ((20L, 1L, 1000000L)),
+      3L -> ((30L, 0L, 0L))))
+  }
 }
