@@ -133,7 +133,13 @@ object ScaleSmoke {
     // candidate generation scans the amplified embeddings (queries stay
     // 10) while the pairs/greedy stages are query-bounded.
     "x101_grouped_weighted_sample", "x102_quality_classifier",
-    "x103_mmr_rerank")
+    "x103_mmr_rerank",
+    // x104 pays two batch fit aggregates + the decision pass (all
+    // corpus-linear map-side); x105 adds one hash aggregate to x102;
+    // x106's brute truth + IVF probe sides scan the amplified
+    // embeddings (queries stay 10, ranks stay bounded)
+    "x104_incremental_classifier", "x105_classifier_audit",
+    "x106_retrieval_mrr")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
