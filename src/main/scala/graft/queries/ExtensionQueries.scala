@@ -490,6 +490,18 @@ object ExtensionQueries {
   // Leibniz expansion of the 4x4 Cramer determinants over the aggregated
   // HUGEINT normal-equation cells — the same integers LinearModel collects,
   // so driver-side BigInt Cramer and this SQL agree exactly.
+  // the classifier family's shared design (x102/x104/x105): integer
+  // per-doc features + the even-source proxy label, mirrored cell for
+  // cell in the f CTE of the generated oracle below
+  private def classifierFeatures: Seq[org.apache.spark.sql.Column] = {
+    val words = split(col("text"), " ")
+    Seq(size(words).cast("long"),
+      size(array_distinct(words)).cast("long"),
+      size(filter(words, w => w.isin("the", "a", "data"))).cast("long"))
+  }
+  private def classifierWeakLabel: org.apache.spark.sql.Column =
+    expr("cast(substring(source, 4) as int) % 2 = 0")
+
   // returns (per-doc decision SQL — x102/x104, per-source audit SQL — x105)
   private lazy val (x102Oracle: String, x105Oracle: String) = {
     val d = 4
@@ -3259,15 +3271,8 @@ object ExtensionQueries {
         "named at ~1e37; the production-scale note (demean + double solve, same " +
         "aggregation shape) lives in the Scaladoc.",
       Some(x102Oracle),
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val words = split(col("text"), " ")
-        graft.ext.LinearModel.weakLabelClassifier(docs,
-          Seq(size(words).cast("long"),
-            size(array_distinct(words)).cast("long"),
-            size(filter(words, w => w.isin("the", "a", "data"))).cast("long")),
-          expr("cast(substring(source, 4) as int) % 2 = 0"))
-      }),
+      (s, d) => graft.ext.LinearModel.weakLabelClassifier(
+        Tables.documents(s, d), classifierFeatures, classifierWeakLabel)),
 
     Q("x105_classifier_audit",
       "Per-source filter bias audit (round-10): before a trained quality filter is applied " +
@@ -3280,13 +3285,8 @@ object ExtensionQueries {
         "against the corpus.",
       Some(x105Oracle),
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val words = split(col("text"), " ")
-        graft.ext.LinearModel.weakLabelClassifier(docs,
-          Seq(size(words).cast("long"),
-            size(array_distinct(words)).cast("long"),
-            size(filter(words, w => w.isin("the", "a", "data"))).cast("long")),
-          expr("cast(substring(source, 4) as int) % 2 = 0"),
+        graft.ext.LinearModel.weakLabelClassifier(Tables.documents(s, d),
+          classifierFeatures, classifierWeakLabel,
           passthrough = Seq("source"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
@@ -3309,14 +3309,10 @@ object ExtensionQueries {
       Some(x102Oracle),
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val words = split(col("text"), " ")
         val h = TextDedup.portableHash(col("doc_id").cast("string"), "icls")
         graft.ext.LinearModel.incrementalClassifier(
           Seq(docs.filter(h % 2 === 0), docs.filter(h % 2 =!= 0)),
-          Seq(size(words).cast("long"),
-            size(array_distinct(words)).cast("long"),
-            size(filter(words, w => w.isin("the", "a", "data"))).cast("long")),
-          expr("cast(substring(source, 4) as int) % 2 = 0"))
+          classifierFeatures, classifierWeakLabel)
       }),
 
     Q("x106_retrieval_mrr",
