@@ -63,6 +63,18 @@ class MmrSpec extends SparkSuite {
     }
   }
 
+  test("lambda=1 reduces MMR to plain relevance top-k") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 6)
+    val plain = Similarity.knnBrute(q, emb, 4).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val mmr = Similarity.mmrRerank(q, emb, 8, 4, lambda = 1.0).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("mmr_rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(mmr == plain)
+  }
+
   test("diversity: MMR escapes a redundant cluster that plain top-k stays in") {
     // query q; a tight redundant cluster (pairwise sim ~0.9999) that
     // dominates relevance, and a clearly less relevant candidate on the
