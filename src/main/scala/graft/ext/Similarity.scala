@@ -1044,6 +1044,30 @@ object Similarity {
     * same unrolled greedy over the same generated-SQL cosines agrees
     * rank-for-rank, bit for bit.
     */
+  /** [[mmrRerank]]'s one-stage scale path: shortlisting AND the greedy
+    * fused into the [[graft.functions.MmrSelect]] aggregate, fed the raw
+    * scored candidates — each mapper keeps its local top-`shortlist` by
+    * relevance, the shuffle carries O(queries × shortlist) rows, and the
+    * greedy runs in finalize. ONE job regardless of k, where the
+    * unrolled form pays k−1 serial bounded jobs (the serial-depth class
+    * the BPE bound documents). Pair sims in finalize are the exact
+    * cosineFloat fold, so the output is row-identical to [[mmrRerank]]
+    * (MmrSpec pins it — the q43/x98 "safe rewrite must not change a
+    * single row" pattern).
+    */
+  def mmrRerankAgg(queries: DataFrame, corpus: DataFrame, shortlist: Int = 8,
+      k: Int = 4, lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"mmrRerankAgg: need shortlist >= k >= 1 (got $shortlist, $k)")
+    scoredCandidates(queries, corpus)
+      .groupBy(col("qid"))
+      .agg(graft.functions.mmr_select(col("neighbor_id"), col("sim"),
+        col("nv"), shortlist, k, lambda).as("sel"))
+      .select(col("qid"), explode(col("sel")).as("s"))
+      .select(col("qid"), col("s.rank").as("mmr_rank"),
+        col("s.id").as("neighbor_id"))
+  }
+
   def mmrRerank(queries: DataFrame, corpus: DataFrame, shortlist: Int = 8,
       k: Int = 4, lambda: Double = 0.5): DataFrame = {
     require(k >= 1 && shortlist >= k,

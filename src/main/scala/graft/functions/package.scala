@@ -223,6 +223,17 @@ package object functions {
       TopKByScore(Internal.expression(score), Internal.expression(id), k)
         .toAggregateExpression())
 
+  /** Fused shortlist + greedy MMR selection per group; see [[MmrSelect]].
+    * Usage: `scored.groupBy("qid").agg(mmr_select(col("id"), col("rel"),
+    * col("vec"), 8, 4, 0.5).as("sel"))`.
+    */
+  def mmr_select(id: Column, rel: Column, vec: Column, shortlist: Int,
+      k: Int, lambda: Double): Column =
+    Internal.column(
+      MmrSelect(Internal.expression(id), Internal.expression(rel),
+        Internal.expression(vec), shortlist, k, lambda)
+        .toAggregateExpression())
+
   /** Morton (Z-order) interleave of two int columns — the
     * multi-dimensional clustering key for data-skipping layouts. See
     * [[ZOrder2]].

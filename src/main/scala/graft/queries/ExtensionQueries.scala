@@ -3337,16 +3337,19 @@ object ExtensionQueries {
       "MMR diversified re-rank (round-10): from each query's exact top-8, greedily select 4 " +
         "maximizing 0.5*rel - 0.5*max(sim to already-selected) — the RAG retrieval stage " +
         "that trades relevance against redundancy. Candidate generation is the bounded-heap " +
-        "brute top-k (any knn* variant slots in at scale); the greedy loop is k-1 bounded " +
-        "jobs over a pinned queries x shortlist^2 pairs frame — the corpus is scanned once " +
-        "and never touched again. Rank-only output, but the determinism is exact, not " +
-        "assumed: rel and pair sims are the left-associated double cosine kernel and the " +
-        "oracle unrolls the same greedy over generated-SQL cosines (norm precompute per " +
-        "row, the x88 bitwise-neutral trick), so every score comparison is between " +
-        "bit-identical doubles.",
+        "brute top-k (any knn* variant slots in at scale). Registered on the ONE-STAGE " +
+        "fused form (mmrRerankAgg): shortlisting AND the greedy run inside the mmr_select " +
+        "TypedImperativeAggregate — each mapper keeps its local top-shortlist, the shuffle " +
+        "carries O(queries x shortlist) rows, and stage count is k-independent, where the " +
+        "unrolled window twin (mmrRerank) pays k-1 serial bounded jobs; MmrSpec pins the " +
+        "two row-identical (the q43/x98 safe-rewrite pattern). Rank-only output, but the " +
+        "determinism is exact, not assumed: rel and pair sims are the left-associated " +
+        "double cosine kernel and the oracle unrolls the same greedy over generated-SQL " +
+        "cosines (norm precompute per row, the x88 bitwise-neutral trick), so every score " +
+        "comparison is between bit-identical doubles.",
       Some(mmrOracle),
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Similarity.mmrRerank(emb.filter(col("vec_id") < 10), emb, 8, 4)
+        Similarity.mmrRerankAgg(emb.filter(col("vec_id") < 10), emb, 8, 4)
       }))
 }

@@ -63,6 +63,28 @@ class MmrSpec extends SparkSuite {
     }
   }
 
+  test("aggregate form is row-identical to the unrolled form") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("mmr_rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    Seq(0.5, 0.25).foreach { lam =>
+      assert(rows(Similarity.mmrRerankAgg(q, emb, 8, 4, lam)) ==
+        rows(Similarity.mmrRerank(q, emb, 8, 4, lam)), s"lambda=$lam")
+    }
+  }
+
+  test("aggregate form is partitioning-invariant") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 8)
+    def rows(c: org.apache.spark.sql.DataFrame) =
+      Similarity.mmrRerankAgg(q, c, 8, 4).collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("mmr_rank"),
+          r.getAs[Long]("neighbor_id"))).toSet
+    assert(rows(emb) == rows(emb.repartition(17)))
+  }
+
   test("lambda=1 reduces MMR to plain relevance top-k") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 6)

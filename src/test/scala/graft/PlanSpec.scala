@@ -293,8 +293,10 @@ class PlanSpec extends SparkSuite {
       // frame (the x48/x54 shape)
       "x92_clustered_recall", "x97_sample_allocation",
       // round-10 late: x106 carries x06's brute side (10-row query-set
-      // BNL) as the exact truth its MRR is measured against
-      "x106_retrieval_mrr",
+      // BNL) as the exact truth its MRR is measured against; x103's
+      // fused form feeds mmr_select from the same broadcast-query
+      // inequality join
+      "x106_retrieval_mrr", "x103_mmr_rerank",
       // x98 crosses the 1-row pilot-threshold scalar onto the priority
       // frame (absent when the sf0.001 pilot is empty and the fallback
       // single-pass plan builds instead)
@@ -344,7 +346,8 @@ class PlanSpec extends SparkSuite {
       // as their own jobs behind the checkpoint)
       "x101_grouped_weighted_sample" -> ("documents", 1),
       "x102_quality_classifier" -> ("documents", 0),
-      "x103_mmr_rerank" -> ("embeddings", 0),
+      // fused mmr_select form: one corpus scan + the broadcast query set
+      "x103_mmr_rerank" -> ("embeddings", 2),
       // x104/x105 read only their pinned feature frames; x106's brute
       // truth + IVF assign/probe sides are the intrinsic corpus touches
       "x104_incremental_classifier" -> ("documents", 0),
