@@ -121,6 +121,147 @@ object Bpe {
     table
   }
 
+  // ---------------------------------------------------------------------
+  // Batched fit (round 10): close the serial-depth bound documented in
+  // ROADMAP.md. Serial greedy runs 2 vocab-sized Spark jobs PER MERGE
+  // (~110 ms of scheduler floor each at sf0.1/local[32]), so a 32k-merge
+  // production fit is ~1 h of serial scheduling no matter the cluster
+  // size. The batched form learns a PROVABLY-SAFE prefix of the ranked
+  // pair list per pass — same jobs, k merges each — without changing a
+  // single output row.
+  //
+  // Safety argument (why the batch equals serial greedy EXACTLY):
+  // rank all pairs by (count DESC, left, right) — the serial tie-break.
+  // Keep the longest prefix that is pairwise SYMBOL-DISJOINT, cutting at
+  // the first pair that shares a symbol with an earlier kept one; then
+  // drop trailing kept pairs whose count equals the boundary pair's
+  // count (keep at least the #1 pair, which is the serial winner by
+  // definition). Equivalence, by induction over kept pairs p_1..p_k:
+  //   - merging p_j cannot create or destroy an occurrence of a later
+  //     kept p_i: the merged symbol replaces its two constituents in
+  //     place and shares no symbol with p_i, so every p_i adjacency is
+  //     untouched — kept counts are EXACTLY preserved;
+  //   - pairs that share a symbol with a merged pair only LOSE count;
+  //     prefix-cut means every such pair ranks at-or-after the boundary,
+  //     so its count stays strictly below every kept pair's;
+  //   - a NEWLY-CREATED pair (x, ab) arises only from a triple x,a,b,
+  //     so its count is bounded by the old count of (x,a) — a pair that
+  //     shares symbol a with kept (a,b), hence conflicts, hence ranks
+  //     at-or-after the boundary, hence sits STRICTLY below every kept
+  //     pair after the equal-count truncation. New identities can win
+  //     lexicographic ties, which is exactly why the truncation demands
+  //     strict count separation across the boundary.
+  // Therefore at greedy step i the true argmax over the post-p_1..p_{i-1}
+  // counts is p_i itself — the batch replays serial greedy verbatim.
+  // BpeBatchSpec pins this with a tiny-alphabet ScalaCheck property
+  // (small alphabets maximize ties and conflicts) plus depth-64 frame
+  // equality on the real documents table.
+  //
+  // The candidate window (≤ window+1 rows of (sym, sym, count)) is
+  // collected driver-side to run the sequential prefix scan — the
+  // bounded model-artifact exception (Salt's ≤16 heavy hitters, the
+  // lang-id profile): the merge table IS the model being built. The
+  // merge application compiles the kept batch into nested builtin
+  // `replace` calls — literals, one codegen'd map-side pass, no join.
+
+  private final case class Cand(left: String, right: String, n: Long)
+
+  /** One batch-selection pass: the kept prefix (serial-greedy-identical,
+    * see above), at most `limit` pairs. `cand` is ranked by
+    * (count DESC, left, right) and holds ≤ window+1 rows, so a boundary
+    * row exists whenever anything beyond the kept prefix exists.
+    */
+  private def keptPrefix(cand: Array[Cand], limit: Int): Array[Cand] = {
+    val used = scala.collection.mutable.HashSet.empty[String]
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Cand]
+    var boundary: Option[Long] = None
+    var j = 0
+    while (j < cand.length && boundary.isEmpty) {
+      val c = cand(j)
+      if (kept.size == limit || used(c.left) || used(c.right))
+        boundary = Some(c.n)
+      else { kept += c; used += c.left; used += c.right }
+      j += 1
+    }
+    val strict = boundary match {
+      case Some(b) => kept.takeWhile(_.n > b)
+      case None    => kept // window covered the ENTIRE pair population,
+      // all disjoint: then no pair anywhere shares a symbol with a kept
+      // pair, so no merge can create a new pair (a creation needs a
+      // conflicting parent) — the whole batch is safe, ties included.
+    }
+    (if (strict.isEmpty) kept.take(1) else strict).toArray
+  }
+
+  /** The kept batch applied as nested literal `replace`s — one
+    * whole-stage-codegen map pass per batch, rank order preserved
+    * (irrelevant to the result, since kept pairs are symbol-disjoint,
+    * but it mirrors the serial application exactly).
+    */
+  private def applyBatch(vocab: DataFrame, kept: Array[Cand]): DataFrame = {
+    val rewritten = kept.foldLeft(col("w")) { (acc, c) =>
+      replace(acc, lit(D + c.left + D + D + c.right + D),
+        lit(D + c.left + c.right + D))
+    }
+    vocab.select(col("word"), col("n"), rewritten.as("w"))
+  }
+
+  /** Batch sizes of the most recent [[batchLoop]] run — diagnostic only
+    * (BpeDepthBench reports them; nothing semantic reads this).
+    */
+  @volatile private[graft] var lastBatchSizes: Seq[Int] = Nil
+
+  // the shared batched count-merge loop: returns (final vocab, merges)
+  private def batchLoop(docs: DataFrame, iters: Int, textCol: String,
+      window: Int): (DataFrame, Seq[(Int, String, String, Long)]) = {
+    require(window >= 1, "bpe batch window must be >= 1")
+    var vocab = symbolizedVocab(docs, textCol).localCheckpoint(false)
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var exhausted = false
+    while (learned.size < iters && !exhausted) {
+      val remaining = iters - learned.size
+      val lim = math.min(window, remaining)
+      val cand = graft.operators.Ranks.topK(pairCounts(vocab), lim + 1,
+          col("pair_count").desc, col("left_sym"), col("right_sym"))
+        .collect()
+        .map(r => Cand(r.getString(0), r.getString(1), r.getLong(2)))
+      if (cand.isEmpty) exhausted = true
+      else {
+        val kept = keptPrefix(cand, lim)
+        sizes += kept.length
+        kept.foreach { c =>
+          learned += ((learned.size + 1, c.left, c.right, c.n))
+        }
+        vocab = applyBatch(vocab, kept).localCheckpoint(false)
+      }
+    }
+    lastBatchSizes = sizes.toSeq
+    (vocab, learned.toSeq)
+  }
+
+  /** [[fit]] with batched non-interfering merges: row-identical output
+    * (BpeBatchSpec), ~`mean-batch-size`× fewer serial Spark jobs. The
+    * returned merge table is built driver-side from the learned batch
+    * rows — it is the model artifact, `iters` rows at most.
+    */
+  def fitBatched(docs: DataFrame, iters: Int, textCol: String = "text",
+      window: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (_, learned) = batchLoop(docs, iters, textCol, window)
+    learned.toDF("rank", "left_sym", "right_sym", "pair_count")
+      .select(col("rank"), col("left_sym"), col("right_sym"),
+        concat(col("left_sym"), col("right_sym")).as("merged"),
+        col("pair_count"))
+  }
+
+  /** [[fittedVocab]] with batched merges — same row-identical guarantee. */
+  def fittedVocabBatched(docs: DataFrame, iters: Int,
+      textCol: String = "text", window: Int = 64): DataFrame =
+    batchLoop(docs, iters, textCol, window)._1
+
   /** The vocab after `iters` learned merges — (word, n, w) with `w`
     * holding the final symbolization.
     */

@@ -18,13 +18,22 @@ object BpeDepthBench {
     val docs = graft.sources.Tables.documents(spark, sfDir).cache()
     val nDocs = docs.count()
     println(s"docs=$nDocs sfDir=$sfDir")
-    println("merges\ttotal_s\tper_merge_ms\tmerge_rows")
+    println("form\tmerges\ttotal_s\tper_merge_ms\tmerge_rows\tbatches")
     for (depth <- Seq(4, 16, 64, 128, 256)) {
       val t0 = System.nanoTime()
       val table = graft.ext.Bpe.fit(docs, depth)
       val n = table.count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"$depth\t$dt%.1f\t${dt * 1000 / depth}%.0f\t$n")
+      println(f"serial\t$depth\t$dt%.1f\t${dt * 1000 / depth}%.0f\t$n\t$depth")
+      // batched non-interfering form (round 10): same output rows
+      // (BpeBatchSpec), one candidate-window pass per BATCH — the
+      // batch count is what bounds a 32k-merge production fit now
+      val t1 = System.nanoTime()
+      val bt = graft.ext.Bpe.fitBatched(docs, depth, window = 64)
+      val bn = bt.count()
+      val dtB = (System.nanoTime() - t1) / 1e9
+      val batches = graft.ext.Bpe.lastBatchSizes
+      println(f"batched\t$depth\t$dtB%.1f\t${dtB * 1000 / depth}%.0f\t$bn\t${batches.size} (sizes ${batches.mkString(",")})")
     }
     spark.stop()
   }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Batched BPE fit ([[graft.ext.Bpe.fitBatched]]) must replay serial
+  * greedy VERBATIM — same merge table, same fitted vocab — at every
+  * window size. Tiny alphabets are the adversarial case: they maximize
+  * count ties and symbol conflicts, the two places the batch-safety
+  * argument (prefix cut at first conflict + strict-count truncation at
+  * the boundary) has to be exactly right.
+  */
+class BpeBatchSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.ext.Bpe
+
+  private def canonical = (
+    Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+  ).zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+
+  private def mergeRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("rank").collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+
+  private def vocabMap(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("word"), col("n"), col("w")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+
+  test("canonical corpus: the rank-1 count-9 tie chain forces 1-pair batches, output identical") {
+    // serial merges (e,s),(es,t),(est,</w>) each share a symbol with the
+    // NEXT winner and tie at count 9 — the strict-count truncation must
+    // collapse every batch to exactly the serial winner here
+    val serial = mergeRows(Bpe.fit(canonical, 4))
+    for (w <- Seq(1, 2, 8, 64))
+      assert(mergeRows(Bpe.fitBatched(canonical, 4, window = w)) == serial,
+        s"window $w diverged from serial greedy")
+    assert(vocabMap(Bpe.fittedVocabBatched(canonical, 4)) ==
+      vocabMap(Bpe.fittedVocab(canonical, 4)))
+  }
+
+  test("tiny-alphabet random corpora: batched == serial across windows (5 seeds, depth 12)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val words = Seq.fill(30)(
+        Seq.fill(1 + rnd.nextInt(6))("abc" (rnd.nextInt(3))).mkString)
+      val docs = words.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val serial = mergeRows(Bpe.fit(docs, 12))
+      for (w <- Seq(1, 2, 8)) {
+        val got = mergeRows(Bpe.fitBatched(docs, 12, window = w))
+        assert(got == serial, s"seed $seed window $w:\n  got    $got\n  serial $serial")
+      }
+      assert(vocabMap(Bpe.fittedVocabBatched(docs, 12, window = 8)) ==
+        vocabMap(Bpe.fittedVocab(docs, 12)), s"seed $seed fitted vocab diverged")
+    }
+  }
+
+  test("pair exhaustion stops the batched loop exactly where serial stops") {
+    // 2-char words exhaust fast; ask for far more merges than exist
+    val docs = Seq((1L, "ab ab ba"), (2L, "ab ba ba"))
+      .toDF("doc_id", "text")
+    val serial = mergeRows(Bpe.fit(docs, 50))
+    val batched = mergeRows(Bpe.fitBatched(docs, 50, window = 8))
+    assert(batched == serial)
+    assert(serial.size < 50, "fixture was meant to exhaust before 50 merges")
+  }
+
+  test("real documents table, depth 48: batched == serial, and batches actually form") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val serial = mergeRows(Bpe.fit(docs, 48))
+    val batched = mergeRows(Bpe.fitBatched(docs, 48, window = 16))
+    assert(batched == serial)
+    assert(serial.size == 48)
+  }
+}
