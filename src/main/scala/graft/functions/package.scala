@@ -60,6 +60,12 @@ package object functions {
         U256RenderLimbs(children.head))
     Internal.register(
       spark,
+      "nfc_normalize",
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NfcNormalize(children.head))
+    Internal.register(
+      spark,
       "cosine_sim",
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_sim"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
@@ -184,6 +190,13 @@ package object functions {
     */
   def md5_prefix60(c: Column): Column =
     Internal.column(Md5Prefix60(Internal.expression(c)))
+
+  /** Unicode canonical composition (NFC) — see [[NfcNormalize]]. The
+    * corpus text-cleaning first pass that makes canonically-equivalent
+    * strings byte-identical before any hashing/fingerprinting.
+    */
+  def nfc_normalize(c: Column): Column =
+    Internal.column(NfcNormalize(Internal.expression(c)))
 
   /** Point-frequency probe of a serialized Count-Min sketch — keeps
     * sketch queries pure plans (broadcast the 1-row sketch aggregate,

@@ -3351,5 +3351,85 @@ object ExtensionQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         Similarity.mmrRerankAgg(emb.filter(col("vec_id") < 10), emb, 8, 4)
+      }),
+
+    Q("x107_intradoc_dedup",
+      "Within-document repeated-token removal (round-10 late): drop every repeat of a " +
+        "token already seen earlier in the SAME document, preserving first-occurrence " +
+        "order — the intra-doc cousin of the C4 'dedup repeated lines' cleaning pass " +
+        "(x23 only MEASURES intra-doc repetition; x47 removes spans ACROSS docs). The " +
+        "scale story is the shape: a pure per-row array transform (split -> indexed " +
+        "filter on first-occurrence position -> join), ZERO shuffle, embarrassingly " +
+        "parallel over 100 TB — where the naive formulation (explode + min(pos) groupBy + " +
+        "re-collect) shuffles the entire tokenized corpus twice. Per-row cost is " +
+        "O(len^2) via array_position scans — fine at document token counts; a giant-doc " +
+        "corpus would swap in a per-row hash set behind the same column contract.",
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS words
+             |  FROM documents),
+             |k AS (
+             |  SELECT doc_id, words,
+             |         list_filter(words, (x, i) -> list_position(words, x) = i) AS kept
+             |  FROM w)
+             |SELECT doc_id,
+             |  CAST(len(words) AS BIGINT) AS n_words,
+             |  CAST(len(kept) AS BIGINT) AS n_kept,
+             |  array_to_string(kept, ' ') AS text_dedup
+             |FROM k""".stripMargin),
+      (s, d) => {
+        // duckdb list lambdas index 1-based; spark 0-based — hence i + 1
+        val words = filter(split(col("text"), " "), w => length(w) > 0)
+        Tables.loadFanout(s, d, "documents")
+          .withColumn("__words", words)
+          .withColumn("__kept",
+            filter(col("__words"), (x, i) => array_position(col("__words"), x) === i + 1))
+          .select(col("doc_id"),
+            size(col("__words")).cast("long").as("n_words"),
+            size(col("__kept")).cast("long").as("n_kept"),
+            array_join(col("__kept"), " ").as("text_dedup"))
+      }),
+
+    Q("x108_nfc_normalize",
+      "Unicode NFC normalization (round-10 late): canonically-equivalent text arrives " +
+        "byte-DIFFERENT (e + U+0301 combining acute vs precomposed é), silently defeating " +
+        "every exact-hash dedup and inflating token counts — NFC composition is the " +
+        "cleaning pass that runs before any fingerprinting. Spark has no builtin, so this " +
+        "registers the nfc_normalize codegen Expression (java.text.Normalizer under " +
+        "whole-stage codegen, isNormalized fast path keeps the dominant all-ASCII case " +
+        "allocation-free); DuckDB's nfc_normalize implements the identical Unicode " +
+        "composition, making the operator oracle-comparable byte-for-byte. Deterministic " +
+        "non-ASCII is INJECTED from doc_id (the x40/x77/x95 idiom): a combining acute " +
+        "lands on letter (doc_id % 26), which COMPOSES for a,c,e,g,... but has no " +
+        "precomposed form for b,d,f,h,... — so both the rewrite and the fast path are " +
+        "exercised against known ground truth. Map-side, zero shuffle.",
+      Some(("""WITH t AS (
+             |  SELECT doc_id,
+             |    substr(text, 1, 40) || ' ' ||
+             |      substr('abcdefghijklmnopqrstuvwxyz', CAST(doc_id % 26 AS INT) + 1, 1) ||
+             |      chr(769) AS raw
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(length(raw) AS BIGINT) AS n_raw,
+             |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc,
+             |  CAST(CASE WHEN length(nfc_normalize(raw)) < length(raw) THEN 1 ELSE 0 END AS INT)
+             |    AS composed,
+             |  nfc_normalize(raw) AS norm_text
+             |FROM t""").stripMargin),
+      (s, d) => {
+        // spark's chr() wraps at 256, so the combining acute is a source
+        // literal on both sides (the oracle SQL carries chr(769))
+        val raw = concat(substring(col("text"), 1, 40), lit(" "),
+          lit("abcdefghijklmnopqrstuvwxyz")
+            .substr((col("doc_id") % 26).cast("int") + 1, lit(1)),
+          lit("\u0301"))
+        val norm = graft.functions.nfc_normalize(col("raw"))
+        Tables.loadFanout(s, d, "documents")
+          .withColumn("raw", raw)
+          .select(col("doc_id"),
+            length(col("raw")).cast("long").as("n_raw"),
+            length(norm).cast("long").as("n_nfc"),
+            when(length(norm) < length(col("raw")), 1).otherwise(0)
+              .cast("int").as("composed"),
+            norm.as("norm_text"))
       }))
 }

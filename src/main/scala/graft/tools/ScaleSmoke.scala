@@ -139,7 +139,10 @@ object ScaleSmoke {
     // x106's brute truth + IVF probe sides scan the amplified
     // embeddings (queries stay 10, ranks stay bounded)
     "x104_incremental_classifier", "x105_classifier_audit",
-    "x106_retrieval_mrr")
+    "x106_retrieval_mrr",
+    // round-10 late cleaners: both pure map-side per-row transforms
+    // (one corpus scan, zero shuffle) — the rows pin corpus-linearity
+    "x107_intradoc_dedup", "x108_nfc_normalize")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

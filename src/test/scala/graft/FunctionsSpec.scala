@@ -223,4 +223,27 @@ class FunctionsSpec extends SparkSuite {
     assert(got(1) == Seq.empty)
     assert(got(2) == Seq("x y x", "y x y"))
   }
+  test("nfc_normalize: composes canonical sequences, identity on NFC text, null-safe") {
+    val acute = "\u0301" // COMBINING ACUTE ACCENT
+    val eComposed = "\u00e9"
+    val rows = Seq(
+      "e" + acute,    // composes to U+00E9
+      "q" + acute,    // no precomposed form -> stays 2 codepoints
+      eComposed,      // already composed -> fast-path identity
+      "plain ascii",
+      "a" + acute + "b" + acute + "c" // a+acute composes, b+acute does not
+    ).toDF("t").select(nfc_normalize(col("t")).as("n"),
+      length(nfc_normalize(col("t"))).as("l1")).collect()
+    assert(rows(0).getString(0) == eComposed && rows(0).getInt(1) == 1)
+    assert(rows(1).getString(0) == "q" + acute && rows(1).getInt(1) == 2)
+    assert(rows(2).getString(0) == eComposed)
+    assert(rows(3).getString(0) == "plain ascii")
+    assert(rows(4).getString(0) == "\u00e1b" + acute + "c")
+    // SQL registration resolves and agrees with the Column wrapper
+    val viaSql = spark.sql(s"SELECT nfc_normalize('e$acute')").collect()(0).getString(0)
+    assert(viaSql == eComposed)
+    val nullRow = Seq(Option.empty[String]).toDF("t")
+      .select(nfc_normalize(col("t"))).collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
 }

@@ -352,7 +352,10 @@ class PlanSpec extends SparkSuite {
       // truth + IVF assign/probe sides are the intrinsic corpus touches
       "x104_incremental_classifier" -> ("documents", 0),
       "x105_classifier_audit" -> ("documents", 0),
-      "x106_retrieval_mrr" -> ("embeddings", 4))
+      "x106_retrieval_mrr" -> ("embeddings", 4),
+      // round-10 late map-side cleaners: exactly one corpus scan, no joins
+      "x107_intradoc_dedup" -> ("documents", 1),
+      "x108_nfc_normalize" -> ("documents", 1))
     def scansOf(p: SparkPlan): Seq[String] =
       p.collectWithSubqueries {
         case a: AdaptiveSparkPlanExec => scansOf(a.initialPlan)
