@@ -532,4 +532,61 @@ object ConnectedComponents {
       .select(col("node"), col("component"))
     relabeled.unionByName(newNodes)
   }
+
+  /** Deletion maintenance — [[incrementalAssign]]'s subtractive partner,
+    * the "forget these documents" pass a corpus under deletion requests
+    * runs: drop `deleted` nodes from a standing `(node, component)`
+    * assignment and re-label ONLY the components they touched. Removal
+    * is harder than growth: a deleted node can be the BRIDGE holding a
+    * component together, so its loss may split one component into many —
+    * which no local patch detects. The honest unit of rework is the
+    * affected component, and nothing else:
+    *
+    *   1. deletion set and the (few) affected component ids are
+    *      broadcast;
+    *   2. unaffected standing rows pass through in one map-side filter
+    *      (never shuffled);
+    *   3. the edge history is scanned once, filtered to SURVIVING
+    *      affected nodes on both endpoints (a component-partitioned
+    *      edge store turns that scan into partition pruning at 100 TB);
+    *   4. mini-CC re-labels the O(affected-component) surviving
+    *      subgraph; survivors isolated by the deletion fall back to
+    *      singleton own-id labels.
+    *
+    * Labels keep the canonical min-node-id convention (mini-CC over raw
+    * surviving nodes, not contracted reps — contraction is unsound here
+    * because the old rep may be deleted or split away). Equivalence to
+    * from-scratch CC over the surviving edge set is asserted in
+    * CcIncrementalSpec (seeded random graphs + the bridge-split case).
+    *
+    * The surviving-affected-node filters are deliberately UNHINTED:
+    * deletions usually touch small components (AQE broadcasts them),
+    * but a deletion landing in a corpus-scale component degrades to a
+    * shuffle join instead of an executor OOM.
+    */
+  def removeAssign(standing: DataFrame, edges: DataFrame,
+      deleted: DataFrame, srcCol: String = "a", dstCol: String = "b",
+      maxIter: Int = 25): DataFrame = {
+    val del = deleted.select(col("node").cast("long").as("node")).distinct()
+      .localCheckpoint(false)
+    val st = standing.select(col("node").cast("long").as("node"),
+      col("component").cast("long").as("component"))
+    val ac = st.join(broadcast(del), Seq("node"))
+      .select(col("component")).distinct().localCheckpoint(false)
+    val unaffected = st.join(broadcast(ac), Seq("component"), "left_anti")
+      .select(col("node"), col("component"))
+    // surviving members of affected components; pinned — feeds the two
+    // edge-endpoint filters and the final singleton coalesce
+    val surv = st.join(broadcast(ac), Seq("component"), "left_semi")
+      .join(broadcast(del), Seq("node"), "left_anti")
+      .select(col("node")).localCheckpoint(false)
+    val e = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b")).na.drop()
+      .join(surv.select(col("node").as("a")), Seq("a"), "left_semi")
+      .join(surv.select(col("node").as("b")), Seq("b"), "left_semi")
+    val relabeled = surv
+      .join(labels(e, maxIter = maxIter), Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+    unaffected.unionByName(relabeled)
+  }
 }

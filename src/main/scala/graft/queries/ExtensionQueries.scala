@@ -3431,5 +3431,55 @@ object ExtensionQueries {
             when(length(norm) < length(col("raw")), 1).otherwise(0)
               .cast("int").as("composed"),
             norm.as("norm_text"))
+      }),
+
+    Q("x109_cc_forget",
+      "Deletion from a standing dedup graph (round-10 late): forget every doc_id % 37 == 0 " +
+        "from the near-dup component assignment — the right-to-be-forgotten pass a corpus " +
+        "under deletion requests runs, and x100's subtractive partner. Removal is harder " +
+        "than growth: a deleted doc can be the BRIDGE holding a component together, so " +
+        "its loss may SPLIT one component into many — no local patch detects that. " +
+        "ConnectedComponents.removeAssign bounds the rework to the AFFECTED components " +
+        "only: deletion set and affected component ids broadcast, unaffected standing rows " +
+        "pass through one map-side filter (never shuffled), the edge history is scanned " +
+        "once filtered to surviving affected nodes (partition-prunable when the edge store " +
+        "is component-partitioned), and mini-CC re-labels the O(affected) surviving " +
+        "subgraph. The oracle is from-scratch recursive CC over the surviving edge set — " +
+        "blind to the standing/incremental machinery entirely (the x100 idiom).",
+      Some("""WITH RECURSIVE
+             |s AS (
+             |  SELECT doc_id, lang,
+             |         list_distinct([array_to_string(words[i:i+3], ' ') for i in range(1, len(words)-2)]) AS sh
+             |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents WHERE doc_id < 300) t
+             |  WHERE len(words) >= 4),
+             |e0 AS (SELECT a.doc_id AS a, b.doc_id AS b
+             |       FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |       WHERE len(list_intersect(a.sh, b.sh)) >= 1
+             |         AND a.doc_id % 37 <> 0 AND b.doc_id % 37 <> 0),
+             |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+             |walk(node, lab) AS (
+             |  SELECT DISTINCT a, a FROM e
+             |  UNION
+             |  SELECT e.a, w.lab FROM e JOIN walk w ON e.b = w.node),
+             |comp AS (SELECT node, MIN(lab) AS component FROM walk GROUP BY node),
+             |d AS (SELECT doc_id FROM documents WHERE doc_id < 300 AND doc_id % 37 <> 0)
+             |SELECT d.doc_id, CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component
+             |FROM d LEFT JOIN comp c ON d.doc_id = c.node""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+        val edges = TextDedup.sharedShingleEdges(docs, "lang", 4)
+          .localCheckpoint(false) // one edge build feeds standing AND removal
+        val standing = docs.select(col("doc_id").cast("long").as("node"))
+          .join(graft.operators.ConnectedComponents.labels(
+            edges.select(col("doc_a").as("a"), col("doc_b").as("b"))),
+            Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("component"), col("node")).as("component"))
+          .localCheckpoint(false)
+        val deleted = docs.filter(col("doc_id") % 37 === 0)
+          .select(col("doc_id").as("node"))
+        graft.operators.ConnectedComponents
+          .removeAssign(standing, edges, deleted, "doc_a", "doc_b")
+          .select(col("node").as("doc_id"), col("component"))
       }))
 }

@@ -142,7 +142,11 @@ object ScaleSmoke {
     "x106_retrieval_mrr",
     // round-10 late cleaners: both pure map-side per-row transforms
     // (one corpus scan, zero shuffle) — the rows pin corpus-linearity
-    "x107_intradoc_dedup", "x108_nfc_normalize")
+    "x107_intradoc_dedup", "x108_nfc_normalize",
+    // x109 bounds itself to doc_id < 300 for its recursive-CC oracle
+    // (the x94/x100 note): its row measures the flat-profile property,
+    // with the removeAssign machinery on top
+    "x109_cc_forget")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -79,4 +79,76 @@ class CcIncrementalSpec extends SparkSuite {
       edgesDf(Seq((2L, 3L)))).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
+
+  // ---- removeAssign (deletion maintenance) ----
+
+  private def remove(standing: Map[Long, Long], edges: Seq[(Long, Long)],
+      del: Seq[Long]): Map[Long, Long] =
+    ConnectedComponents.removeAssign(
+      standing.toSeq.toDF("node", "component"), edgesDf(edges),
+      del.toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  // from-scratch truth over the surviving graph: CC over edges with both
+  // endpoints surviving, singletons keep their own id
+  private def survivorTruth(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      del: Seq[Long]): Map[Long, Long] = {
+    val d = del.toSet
+    val kept = edges.filter { case (a, b) => !d(a) && !d(b) }
+    val labs = full(kept)
+    nodes.filterNot(d).map(n => n -> labs.getOrElse(n, n)).toMap
+  }
+
+  test("deleting a bridge splits its component; other components untouched") {
+    // chain 1-2-3-4-5 plus separate pair {10,11}; deleting 3 splits the
+    // chain into {1,2} and {4,5}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val standing = full(edges)
+    val got = remove(standing, edges, Seq(3L))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("deleting a non-bridge leaves the component connected (minus the node)") {
+    // triangle 1-2-3: every node is redundant; delete 3
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val got = remove(full(edges), edges, Seq(3L))
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("deleting the min-id node relabels the survivors to the new minimum") {
+    val edges = Seq((1L, 2L), (2L, 3L))
+    val got = remove(full(edges), edges, Seq(1L))
+    assert(got == Map(2L -> 2L, 3L -> 2L))
+  }
+
+  test("deleting singletons and unknown nodes is harmless") {
+    val edges = Seq((1L, 2L))
+    val standing = full(edges) ++ Map(7L -> 7L) // 7 is a standing singleton
+    val got = remove(standing, edges, Seq(7L, 999L))
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("equals from-scratch CC over the surviving graph (property, 5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 13)
+      val edges = Seq.fill(50)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val standing = full(edges)
+      val del = rnd.shuffle(nodes).take(1 + rnd.nextInt(6))
+      val got = remove(standing, edges, del)
+      val want = survivorTruth(nodes, edges, del)
+      assert(got == want, s"seed $seed del=$del:\n  got  $got\n  want $want")
+    }
+  }
+
+  test("grow-then-forget composes: removeAssign after incrementalAssign folds") {
+    val b0 = Seq((1L, 2L), (3L, 4L))
+    val b1 = Seq((2L, 3L), (5L, 6L))
+    val standing = fold(Seq(b0, b1))
+    val got = remove(standing, b0 ++ b1, Seq(2L))
+    // deleting 2 cuts 1 off; 3-4 stay joined; 5-6 untouched
+    assert(got == Map(1L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 5L))
+  }
 }
