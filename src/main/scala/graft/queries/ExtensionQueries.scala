@@ -3481,5 +3481,46 @@ object ExtensionQueries {
         graft.operators.ConnectedComponents
           .removeAssign(standing, edges, deleted, "doc_a", "doc_b")
           .select(col("node").as("doc_id"), col("component"))
+      }),
+
+    Q("x110_corpus_diff",
+      "Dataset-release diff (round-10 late): classify every doc across two corpus " +
+        "snapshots as added / removed / changed / unchanged by content hash — the " +
+        "versioning audit run before any retrain on a new release ('what actually moved " +
+        "between v1 and v2?'). The two snapshots are deterministic derivations of the " +
+        "documents table (v2 drops doc_id % 11, mutates doc_id % 7, v1 lacks doc_id % 5 — " +
+        "all four statuses materialize). Scale shape: map-side md5 per side, ONE full-outer " +
+        "equi-join on doc_id (co-partitioned single shuffle; zero shuffle when both " +
+        "releases are bucketed by doc_id, the pipeline/Bucketing posture) — content " +
+        "never travels, only 32-byte hashes; both engines' md5-hex agree byte-for-byte " +
+        "(the portable-hash family contract).",
+      Some("""WITH v1 AS (
+             |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+             |v2 AS (
+             |  SELECT doc_id,
+             |    md5(text || CASE WHEN doc_id % 7 = 0 THEN ' v2' ELSE '' END) AS h
+             |  FROM documents WHERE doc_id % 11 <> 0)
+             |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+             |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+             |       WHEN v2.doc_id IS NULL THEN 'removed'
+             |       WHEN v1.h <> v2.h THEN 'changed'
+             |       ELSE 'unchanged' END AS status
+             |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin),
+      (s, d) => {
+        val docs = Tables.loadFanout(s, d, "documents")
+        val v1 = docs.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id").as("id1"),
+            md5(col("text").cast("binary")).as("h1"))
+        val v2 = docs.filter(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id").as("id2"),
+            md5(concat(col("text"),
+              when(col("doc_id") % 7 === 0, " v2").otherwise(""))
+              .cast("binary")).as("h2"))
+        v1.join(v2, col("id1") === col("id2"), "full_outer")
+          .select(coalesce(col("id1"), col("id2")).as("doc_id"),
+            when(col("id1").isNull, "added")
+              .when(col("id2").isNull, "removed")
+              .when(col("h1") =!= col("h2"), "changed")
+              .otherwise("unchanged").as("status"))
       }))
 }

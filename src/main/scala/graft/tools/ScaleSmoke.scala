@@ -146,7 +146,10 @@ object ScaleSmoke {
     // x109 bounds itself to doc_id < 300 for its recursive-CC oracle
     // (the x94/x100 note): its row measures the flat-profile property,
     // with the removeAssign machinery on top
-    "x109_cc_forget")
+    "x109_cc_forget",
+    // x110: two map-side hash scans + one co-partitioned full-outer
+    // join on doc_id — the whole thing grows corpus-linearly
+    "x110_corpus_diff")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -355,7 +355,9 @@ class PlanSpec extends SparkSuite {
       "x106_retrieval_mrr" -> ("embeddings", 4),
       // round-10 late map-side cleaners: exactly one corpus scan, no joins
       "x107_intradoc_dedup" -> ("documents", 1),
-      "x108_nfc_normalize" -> ("documents", 1))
+      "x108_nfc_normalize" -> ("documents", 1),
+      // x110: one scan per snapshot side of the full-outer diff
+      "x110_corpus_diff" -> ("documents", 2))
     def scansOf(p: SparkPlan): Seq[String] =
       p.collectWithSubqueries {
         case a: AdaptiveSparkPlanExec => scansOf(a.initialPlan)
