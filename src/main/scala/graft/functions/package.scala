@@ -66,6 +66,12 @@ package object functions {
         NfcNormalize(children.head))
     Internal.register(
       spark,
+      "dedup_tokens",
+      new ExpressionInfo(classOf[DedupTokens].getName, "dedup_tokens"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DedupTokens(children.head))
+    Internal.register(
+      spark,
       "cosine_sim",
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_sim"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
@@ -197,6 +203,13 @@ package object functions {
     */
   def nfc_normalize(c: Column): Column =
     Internal.column(NfcNormalize(Internal.expression(c)))
+
+  /** Within-string repeated-token removal, first-occurrence order — the
+    * one-pass O(len) kernel behind x107's giant-document scale path;
+    * see [[DedupTokens]].
+    */
+  def dedup_tokens(c: Column): Column =
+    Internal.column(DedupTokens(Internal.expression(c)))
 
   /** Point-frequency probe of a serialized Count-Min sketch — keeps
     * sketch queries pure plans (broadcast the 1-row sketch aggregate,

@@ -3377,16 +3377,22 @@ object ExtensionQueries {
              |  array_to_string(kept, ' ') AS text_dedup
              |FROM k""".stripMargin),
       (s, d) => {
-        // duckdb list lambdas index 1-based; spark 0-based — hence i + 1
-        val words = filter(split(col("text"), " "), w => length(w) > 0)
+        // registered on the one-pass dedup_tokens codegen kernel (O(len)
+        // hash-set probe per token — the giant-doc scale path); the
+        // composed array form (split -> indexed filter on array_position,
+        // duckdb-mirrorable 1-based vs 0-based lambda index) is the
+        // oracle's formulation, and FunctionsSpec property-pins the two
+        // string-identical, so the oracle stands unchanged
+        val ded = graft.functions.dedup_tokens(col("text"))
         Tables.loadFanout(s, d, "documents")
-          .withColumn("__words", words)
-          .withColumn("__kept",
-            filter(col("__words"), (x, i) => array_position(col("__words"), x) === i + 1))
+          .withColumn("text_dedup", ded)
           .select(col("doc_id"),
-            size(col("__words")).cast("long").as("n_words"),
-            size(col("__kept")).cast("long").as("n_kept"),
-            array_join(col("__kept"), " ").as("text_dedup"))
+            size(filter(split(col("text"), " "), w => length(w) > 0))
+              .cast("long").as("n_words"),
+            when(col("text_dedup") === "", 0L)
+              .otherwise(size(split(col("text_dedup"), " ")).cast("long"))
+              .as("n_kept"),
+            col("text_dedup"))
       }),
 
     Q("x108_nfc_normalize",

@@ -246,4 +246,23 @@ class FunctionsSpec extends SparkSuite {
       .select(nfc_normalize(col("t"))).collect()(0)
     assert(nullRow.isNullAt(0))
   }
+
+  test("dedup_tokens kernel equals the composed indexed-filter array form (property)") {
+    val rnd = new scala.util.Random(41)
+    val words = Seq("a", "b", "ab", "的", "x1", "", "the")
+    val samples = Seq("", " ", "  a  ", "a a a", "a b a b", "的 的 x 的") ++
+      Seq.fill(300)(Seq.fill(rnd.nextInt(15))(words(rnd.nextInt(words.size))).mkString(" "))
+    // composed reference: the exact x107 formulation
+    val w = filter(split(col("s"), " "), x => length(x) > 0)
+    val ref = array_join(filter(w, (x, i) => array_position(w, x) === i + 1), " ")
+    val rows = samples.toDF("s")
+      .select(dedup_tokens(col("s")).as("fast"), ref.as("slow")).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"mismatch: '${r.getString(0)}' vs '${r.getString(1)}'")
+    }
+    val nullRow = Seq(Option.empty[String]).toDF("s")
+      .select(dedup_tokens(col("s"))).collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
 }
