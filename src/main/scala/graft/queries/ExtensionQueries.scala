@@ -3358,12 +3358,14 @@ object ExtensionQueries {
         "token already seen earlier in the SAME document, preserving first-occurrence " +
         "order — the intra-doc cousin of the C4 'dedup repeated lines' cleaning pass " +
         "(x23 only MEASURES intra-doc repetition; x47 removes spans ACROSS docs). The " +
-        "scale story is the shape: a pure per-row array transform (split -> indexed " +
-        "filter on first-occurrence position -> join), ZERO shuffle, embarrassingly " +
+        "scale story is the shape: pure per-row work, ZERO shuffle, embarrassingly " +
         "parallel over 100 TB — where the naive formulation (explode + min(pos) groupBy + " +
-        "re-collect) shuffles the entire tokenized corpus twice. Per-row cost is " +
-        "O(len^2) via array_position scans — fine at document token counts; a giant-doc " +
-        "corpus would swap in a per-row hash set behind the same column contract.",
+        "re-collect) shuffles the entire tokenized corpus twice. Registered on the " +
+        "dedup_tokens codegen kernel: byte-level split + one hash-set probe per token, " +
+        "O(len) per row — the composed array form (split -> indexed filter on " +
+        "array_position, the oracle's formulation, property-pinned string-identical) is " +
+        "O(tokens^2) per row and loses 581x at 20k-token documents " +
+        "(SCALING.md, tools.DedupTokensBench).",
       Some("""WITH w AS (
              |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS words
              |  FROM documents),
