@@ -71,6 +71,15 @@ class PlanSpec extends SparkSuite {
       val cosStages = collectAll(pCos) { case w: WholeStageCodegenExec => w }
       assert(cosStages.exists(_.toString.contains("cosine_sim")),
         s"CosineSimilarityExpr not inside a codegen stage:\n$pCos")
+
+      // the round-10-late cleaner kernels (x107/x108) stay codegen'd too
+      for ((name, frag) <- Seq("x107_intradoc_dedup" -> "dedup_tokens",
+          "x108_nfc_normalize" -> "nfc_normalize")) {
+        val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+        assert(collectAll(p) { case w: WholeStageCodegenExec => w }
+          .exists(_.toString.contains(frag)),
+          s"$frag not inside a codegen stage in $name:\n$p")
+      }
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
