@@ -1034,7 +1034,14 @@ object StreamingIngest {
     *     `maxEdgeFiles` data files it is compacted — one linear rewrite
     *     anti-joining the tombstones, the LSM trade every standing
     *     index here makes (ComponentStreamSpec asserts compaction is
-    *     invisible to the verdicts).
+    *     invisible to the verdicts);
+    *   - the tombstone log is O(total forgets ever) and is BROADCAST
+    *     into the per-batch edge gate: right for the
+    *     deletion-request regime (forgets ≪ corpus). A workload whose
+    *     cumulative forgets outgrow broadcast size should drop the two
+    *     `broadcast()` hints in the gate — the joins degrade to
+    *     shuffles of the BATCH (never of history), which is the honest
+    *     cost at that scale.
     *
     * Per-batch cost: O(batch) fold + O(affected components) removal —
     * never a re-label of history, never a scan bounded by the corpus.
