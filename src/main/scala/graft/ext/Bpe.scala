@@ -180,7 +180,30 @@ object Bpe {
       val c = cand(j)
       if (kept.size == limit || used(c.left) || used(c.right))
         boundary = Some(c.n)
-      else { kept += c; used += c.left; used += c.right }
+      else {
+        kept += c
+        used += c.left; used += c.right
+        // The merged symbol is also "used": a later candidate touching
+        // the STRING c.left+c.right (a symbol that may already exist
+        // from earlier batches) would gain occurrences from this merge,
+        // so its candidate count is not an upper bound — treat it as
+        // conflicting (merged-symbol aliasing, round-11 ADVICE).
+        used += c.left + c.right
+        // SELF-PAIR terminates the batch (round-11 ADVICE): merging
+        // (a,a) creates (aa,a)/(aa,aa) whose occurrences aggregate
+        // across many contexts — OR descend from the kept pair itself,
+        // whose count sits ABOVE the boundary — so the "new pair is
+        // bounded by a conflicting parent at-or-after the boundary"
+        // step of the safety proof fails (counterexample: 20×"aaaX",
+        // "uvuv"×15, "pqpq"×9 → (a,a)=40,(u,v)=30,(p,q)=18 all kept,
+        // but merging (a,a) creates (aa,a)=20 > 18, and serial greedy
+        // picks it at rank 3). Keeping the self-pair LAST is still
+        // exact: the disjoint non-self prefix preserves its count, the
+        // strict truncation keeps it above everything unkept, and its
+        // unbounded creations land in the NEXT batch's recount.
+        if (c.left == c.right && j + 1 < cand.length)
+          boundary = Some(cand(j + 1).n)
+      }
       j += 1
     }
     val strict = boundary match {

@@ -250,6 +250,21 @@ object Similarity {
   def clusteredCorpus(emb: DataFrame, k: Int = 13, centerStride: Long = 38L,
       scale: Double = 0.3): DataFrame = {
     val centers = emb.select(col("vec_id").as("__aid"), col("embedding").as("__cv"))
+    // Named precondition (round-11 ADVICE): the inner join below DROPS
+    // every row of a cluster whose center row (vec_id = (id%k)*stride)
+    // is absent — a non-contiguous or too-small corpus would silently
+    // shrink the derived corpus instead of failing. The needed-center
+    // set is ≤ k ids, so the check is one column-pruned aggregate over
+    // vec_id plus a bounded collect.
+    val needed = emb
+      .select((pmod(col("vec_id"), lit(k)) * centerStride).as("__aid")).distinct()
+    val missing = needed.join(centers.select(col("__aid")), Seq("__aid"), "left_anti")
+      .orderBy(col("__aid")).limit(k + 1)
+      .collect().map(_.getLong(0))
+    require(missing.isEmpty,
+      s"clusteredCorpus: center rows missing for vec_id(s) ${missing.mkString(", ")} " +
+        s"(k=$k, centerStride=$centerStride) — every (id % k) * centerStride must " +
+        "exist as a corpus vec_id or its whole cluster would be silently dropped")
     emb.select(col("vec_id"), col("embedding"),
         (pmod(col("vec_id"), lit(k)) * centerStride).as("__aid"))
       .join(broadcast(centers), Seq("__aid"))

@@ -20,9 +20,14 @@ final class MmrBuffer(val shortlist: Int) {
   val entries = new ArrayBuffer[(Long, Double, Array[Float])]()
 
   private def rank(): Unit = {
+    // distinctBy AFTER the (rel desc, id asc) sort keeps the
+    // highest-rel entry per id: a caller feeding the same id twice
+    // (e.g. candidates unioned from two lists) must not inflate the
+    // greedy loop's candidate count — duplicate survivors made
+    // eval's argmax run out of fresh ids and NPE (round-11 ADVICE)
     val s = entries.sortWith { (a, b) =>
       a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
-    }
+    }.distinctBy(_._1)
     entries.clear(); entries ++= s.take(shortlist)
   }
 
@@ -115,7 +120,8 @@ case class MmrSelect(
     val selected = ArrayBuffer[(Long, Double, Array[Float])]()
     if (cands.nonEmpty) {
       selected += cands.head // argmax rel, ties already id-ascending
-      while (selected.size < math.min(k, cands.size)) {
+      var done = false
+      while (!done && selected.size < math.min(k, cands.size)) {
         var best: (Long, Double) = null
         cands.foreach { case c @ (id, rel, vec) =>
           if (!selected.exists(_._1 == id)) {
@@ -128,8 +134,11 @@ case class MmrSelect(
                 (score == best._2 && id < best._1)) best = (id, score)
           }
         }
-        val b = cands.find(_._1 == best._1).get
-        selected += b
+        // defense in depth: cands are id-distinct (rank()), so a pass
+        // without a fresh id cannot happen — but a null argmax must end
+        // the greedy, never dereference (round-11 ADVICE NPE)
+        if (best == null) done = true
+        else selected += cands.find(_._1 == best._1).get
       }
     }
     new GenericArrayData(selected.zipWithIndex.map { case ((id, _, _), i) =>

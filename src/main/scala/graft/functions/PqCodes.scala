@@ -23,6 +23,14 @@ object PqKernels {
   def encode(v: ArrayData, cws: Array[Array[Array[Double]]], subDim: Int,
       isFloat: Boolean): ArrayData = {
     val m = cws.length
+    // named guard (round-11 ADVICE): a short vector used to surface as a
+    // raw ArrayIndexOutOfBoundsException from generated code, and a long
+    // one silently dropped its trailing dims — both are caller bugs
+    // (vector dim must equal m*subDim exactly), so fail with the dims
+    if (v.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_codes: vector has ${v.numElements()} dims, codebook expects " +
+          s"m*subDim = $m*$subDim = ${m * subDim}")
     val out = new Array[Any](m)
     var j = 0
     while (j < m) {
@@ -61,6 +69,26 @@ object PqKernels {
   }
 }
 
+/** Codebook wrapper with STRUCTURAL equality (round-11 ADVICE): a bare
+  * `Array[Array[Array[Double]]]` case-class field compares by reference,
+  * so two pq_codes expressions built from separate collects of the same
+  * codebook were never `semanticEquals` — invisible to canonicalization
+  * and to [[graft.plans.ExtractExpensiveSubexpressions]]' CSE. Deep
+  * equals/hashCode make expression equality well-defined.
+  */
+final class PqCodebook(val cws: Array[Array[Array[Double]]])
+    extends Serializable {
+  override def equals(o: Any): Boolean = o match {
+    case p: PqCodebook => java.util.Arrays.deepEquals(
+      cws.asInstanceOf[Array[AnyRef]], p.cws.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Arrays.deepHashCode(cws.asInstanceOf[Array[AnyRef]])
+  override def toString: String =
+    s"PqCodebook(m=${cws.length}, k=${cws.headOption.map(_.length).getOrElse(0)})"
+}
+
 /** `pq_codes(embedding)` with the codebooks bound as a reference object —
   * the codegen form of PQ encoding (SURVEY §7.3 preference order: native
   * Expression over interpreted higher-order lambdas in hot paths). The
@@ -70,8 +98,10 @@ object PqKernels {
   * `element_at` projections share ONE evaluation per row even after
   * CollapseProject inlines them.
   */
-case class PqCodesExpr(child: Expression, cws: Array[Array[Array[Double]]],
+case class PqCodesExpr(child: Expression, codebook: PqCodebook,
     subDim: Int) extends UnaryExpression {
+
+  private def cws: Array[Array[Array[Double]]] = codebook.cws
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "pq_codes"

@@ -269,7 +269,8 @@ package object functions {
     * [[PqCodesExpr]]. `cws(j)(code)(d)` must be ordered by code.
     */
   def pq_codes(embedding: Column, cws: Array[Array[Array[Double]]], subDim: Int): Column =
-    Internal.column(PqCodesExpr(Internal.expression(embedding), cws, subDim))
+    Internal.column(PqCodesExpr(Internal.expression(embedding),
+      new PqCodebook(cws), subDim))
 
   def zorder_key(x: Column, y: Column): Column =
     Internal.column(ZOrder2(Internal.expression(x), Internal.expression(y)))

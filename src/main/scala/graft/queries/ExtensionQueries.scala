@@ -25,6 +25,26 @@ import graft.sources.Tables
   */
 object ExtensionQueries {
 
+  /** Temp scratch dir for queries that must round-trip real files (x86
+    * media, x91 gzip-JSONL), deleted recursively at JVM exit: the data
+    * must outlive the returned lazy DataFrame (Bench evaluates each
+    * query several passes later), so eager deletion is impossible — but
+    * without the hook every Verify/Bench invocation leaked a dir in
+    * /tmp forever (round-11 verdict item 6).
+    */
+  private def scratchTempDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      try rm(dir.toFile) catch { case _: Throwable => () }
+    }))
+    dir.toString
+  }
+
   // ---- portable minhash/simhash oracle fragments --------------------------
 
   // DuckDB renderings of the portable md5 hash family (TextDedup.portableHash
@@ -2715,7 +2735,7 @@ object ExtensionQueries {
       (s, d) => {
         val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
           .select(col("doc_id"), col("text"))
-        val dir = java.nio.file.Files.createTempDirectory("graft-x86-media").toString
+        val dir = scratchTempDir("graft-x86-media")
         Multimodal.writePngPairsDir(s, docs, dir)
         val media = Multimodal.mediaTableFromFiles(s, dir, glob = "*.png",
           idPattern = "/(\\d+)\\.png$")
@@ -2864,7 +2884,7 @@ object ExtensionQueries {
       (s, d) => {
         val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
           .select(col("doc_id"), col("source"), col("text"), col("lang"))
-        val dir = java.nio.file.Files.createTempDirectory("graft-x91-jsonl").toString + "/docs"
+        val dir = scratchTempDir("graft-x91-jsonl") + "/docs"
         docs.write.option("compression", "gzip").json(dir)
         val back = s.read
           .schema("doc_id LONG, source STRING, text STRING, lang STRING")

@@ -681,6 +681,13 @@ object StreamingIngest {
     * seq-stamp machinery needed, unlike the dedup streams whose
     * verdicts depend on what the index had NOT yet seen.
     *
+    * A doc RE-ARRIVING WITH A CHANGED WEIGHT (doc update) resolves
+    * deterministically to its min-priority version (ties by weight,
+    * then a full-row hash) — the version top-n selection favors —
+    * so the standing sample never depends on arrival order or replay
+    * timing (round-11 ADVICE; the weight-update case in
+    * WeightedSampleStreamSpec pins both orders to the same sample).
+    *
     * Per-batch cost: one batch-sized priority scan + top-n, one union
     * with the n-row standing sample, one n-row manifest replace-commit
     * (crash mid-publish leaves the previous version current — readers
@@ -702,10 +709,23 @@ object StreamingIngest {
           case Some(_) => ManifestTable.read(spark, sampleDir)
           case None => batchTop.limit(0)
         }
-        // dropDuplicates(id): a replayed doc already in the standing
-        // sample carries the identical deterministic row
+        // Per-id duplicate resolution must be DETERMINISTIC (round-11
+        // ADVICE): a replayed doc carries the identical row, but a doc
+        // re-arriving with a CHANGED weight carries a different
+        // priority — a bare dropDuplicates(id) kept an arbitrary one,
+        // making the standing sample order/retry dependent. Keep the
+        // min-(priority, w, full-row-hash) row per id: min-priority is
+        // the version top-n selection favors anyway, so the fold stays
+        // arrival-order independent, and the trailing hash pins the
+        // degenerate same-id-same-priority-different-payload case.
+        val unioned = standing.unionByName(batchTop)
+        val perId = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol))
+          .orderBy(col("priority").asc, col("w").asc,
+            xxhash64(unioned.columns.map(col).toIndexedSeq: _*).asc)
         val next = graft.operators.Ranks.topK(
-          standing.unionByName(batchTop).dropDuplicates(idCol),
+          unioned.withColumn("__rk", row_number().over(perId))
+            .filter(col("__rk") === 1).drop("__rk"),
           n, col("priority").asc, col(idCol).asc)
           .localCheckpoint(false) // pin: commit must not re-read the table it replaces
         ManifestTable.commit(spark, sampleDir, next, replace = true)

@@ -55,6 +55,45 @@ class BpeBatchSpec extends SparkSuite {
     }
   }
 
+  test("self-pair counterexample (round-11 ADVICE): (a,a) must terminate its batch") {
+    // {"aaaX" x1 for 20 distinct X, "uvuv" x15, "pqpq" x9} gives ranked
+    // candidates (a,a)=40, (u,v)=30, (p,q)=18 over boundary (v,u)=15 —
+    // symbol-disjoint, so the pre-fix prefix scan kept all three. But
+    // merging the SELF-pair (a,a) creates (aa,a)=20 > 18, which serial
+    // greedy picks at rank 3 where the batch had recorded (p,q). The
+    // fix keeps a self-pair only as the last element of its batch.
+    val xs = "bcdefghijklmnostwxyz" // 20 letters disjoint from a,u,v,p,q
+    val words = xs.map(x => s"aaa$x") ++ Seq.fill(15)("uvuv") ++ Seq.fill(9)("pqpq")
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val serial = mergeRows(Bpe.fit(docs, 6))
+    assert(serial.map(r => (r._2, r._3)).take(3) ==
+      Seq(("a", "a"), ("u", "v"), ("aa", "a")),
+      s"fixture lost its shape: $serial")
+    for (w <- Seq(2, 4, 8, 64))
+      assert(mergeRows(Bpe.fitBatched(docs, 6, window = w)) == serial,
+        s"window $w diverged from serial greedy on the self-pair fixture")
+  }
+
+  test("run-heavy random corpora (self-pair rich): batched == serial (5 seeds, depth 10)") {
+    // words dominated by single-char runs make self-pairs frequent AND
+    // competitive — the regime the 3-letter uniform corpora above almost
+    // never reach (their batches rarely keep >1 pair)
+    for (seed <- 11 to 15) {
+      val rnd = new scala.util.Random(seed)
+      val words = Seq.fill(40) {
+        if (rnd.nextInt(3) == 0) "a" * (2 + rnd.nextInt(5)) + "bc"(rnd.nextInt(2))
+        else Seq.fill(2 + rnd.nextInt(4))("abcd"(rnd.nextInt(4))).mkString
+      }
+      val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("doc_id", "text")
+      val serial = mergeRows(Bpe.fit(docs, 10))
+      for (w <- Seq(2, 8))
+        assert(mergeRows(Bpe.fitBatched(docs, 10, window = w)) == serial,
+          s"seed $seed window $w diverged on run-heavy corpus")
+    }
+  }
+
   test("pair exhaustion stops the batched loop exactly where serial stops") {
     // 2-char words exhaust fast; ask for far more merges than exist
     val docs = Seq((1L, "ab ab ba"), (2L, "ab ba ba"))

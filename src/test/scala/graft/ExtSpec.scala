@@ -1230,4 +1230,20 @@ class ExtSpec extends SparkSuite {
       2L -> ((20L, 1L, 1000000L)),
       3L -> ((30L, 0L, 0L))))
   }
+
+  test("clusteredCorpus: missing center rows fail NAMED, never silently shrink (round-11 ADVICE)") {
+    def mkEmb(ids: Seq[Long]) = ids.map(i =>
+      (i, Seq.tabulate(4)(d => (i * 7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    // contiguous ids covering every needed center: derivation keeps all rows
+    val ok = mkEmb(0L until 60L)
+    assert(Similarity.clusteredCorpus(ok, k = 3, centerStride = 10L).count() == 60)
+    // non-contiguous corpus: center id 20 ((2 % 3) * 10) absent -> the
+    // old code silently dropped cluster 2; now it names the missing id
+    val holes = mkEmb((0L until 60L).filterNot(_ == 20L))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.clusteredCorpus(holes, k = 3, centerStride = 10L)
+    }
+    assert(e.getMessage.contains("20") && e.getMessage.contains("center rows missing"))
+  }
 }

@@ -115,4 +115,25 @@ class MmrSpec extends SparkSuite {
       .collect().map(_.getAs[Long]("neighbor_id")).toSet
     assert(mmr.contains(4L))
   }
+
+  test("duplicate candidate ids: deduped (keep higher rel), no NPE (round-11 ADVICE)") {
+    // the same id fed twice per group — e.g. candidates unioned from two
+    // retrieval lists. Pre-fix, duplicates inflated cands.size so the
+    // greedy loop ran past the distinct-id supply and dereferenced a
+    // null argmax. Group 1: k=3 > 2 distinct ids, all entries doubled.
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val dup = Seq(
+      (1L, 10L, 0.9, v(1, 0, 0, 0)), (1L, 10L, 0.2, v(0, 1, 0, 0)),
+      (1L, 11L, 0.8, v(0, 0, 1, 0)), (1L, 11L, 0.8, v(0, 0, 1, 0))
+    ).toDF("qid", "id", "rel", "vec")
+    val out = dup.groupBy(col("qid"))
+      .agg(graft.functions.mmr_select(col("id"), col("rel"), col("vec"),
+        shortlist = 8, k = 3, lambda = 0.5).as("sel"))
+      .select(col("qid"), explode(col("sel")).as("s"))
+      .select(col("qid"), col("s.rank"), col("s.id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // 2 distinct ids -> exactly 2 ranks; id 10 kept its HIGHER-rel entry
+    // so it outranks id 11 (0.9 > 0.8)
+    assert(out == Set((1L, 1, 10L), (1L, 2, 11L)))
+  }
 }

@@ -83,4 +83,38 @@ class WeightedSampleStreamSpec extends SparkSuite {
     run(root + "/src", root + "/sample", root + "/ckpt2")
     assert(standing(root + "/sample") == before)
   }
+
+  test("weight update resolves deterministically: both arrival orders give the same sample (round-11 ADVICE)") {
+    // every doc re-arrives with a DIFFERENT weight — pre-fix, the kept
+    // row per id after dropDuplicates was arbitrary, so the standing
+    // sample depended on union internals; now the min-priority version
+    // wins regardless of which weight arrived first
+    def writeCustom(dir: String, b: Int, rows: Seq[(Long, Long)]): Unit = {
+      val f = new java.io.File(dir, f"batch$b%03d.parquet")
+      rows.toDF("doc_id", "w").coalesce(1).write.mode("overwrite").parquet(f.toString)
+      val t = 1700000000000L + b * 60000L
+      f.listFiles().foreach(_.setLastModified(t)); f.setLastModified(t)
+    }
+    val low = (0L until 120L).map(u => (u, u % 7 + 1))        // weights 1..7
+    val high = (0L until 120L).map(u => (u, (u % 7 + 1) * 10)) // same docs, x10 weight
+    def runOrder(first: Seq[(Long, Long)], second: Seq[(Long, Long)]): Set[(Long, Long)] = {
+      val root = Files.createTempDirectory("graft-wsample4").toString
+      writeCustom(root + "/src", 0, first)
+      writeCustom(root + "/src", 1, second)
+      run(root + "/src", root + "/sample", root + "/ckpt")
+      standing(root + "/sample")
+    }
+    val a = runOrder(low, high)
+    val b = runOrder(high, low)
+    assert(a == b, s"arrival order changed the sample:\n  low-first  $a\n  high-first $b")
+    // and the resolved sample is the batch sample over the min-priority
+    // version of each doc (higher weight => smaller hash-div-weight
+    // priority, so the x10 rows win every resolution here)
+    assert(a == batchSampleOf(high))
+  }
+
+  private def batchSampleOf(rows: Seq[(Long, Long)]): Set[(Long, Long)] =
+    TextStats.weightedSample(rows.toDF("doc_id", "w"), col("w"), N)
+      .collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("priority"))).toSet
 }
