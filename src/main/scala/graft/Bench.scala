@@ -106,9 +106,20 @@ object Bench {
         if (!precheckClean && precheckAttempts < precheckTries)
           Thread.sleep(precheckWaitSec * 1000L)
       }
-      if (!precheckClean)
+      if (!precheckClean) {
+        // SPARK_GRAFT_PRECHECK_ABORT=1: exit without running — the
+        // mid-round retry mode (a failed attempt costs ~3 s of probes
+        // per try instead of a 6-minute dirty run). The driver's
+        // per-round invocation leaves it unset and always produces a
+        // bench line.
+        if (sys.env.get("SPARK_GRAFT_PRECHECK_ABORT").contains("1")) {
+          System.err.println(s"[bench] precheck exhausted $precheckTries windows without a clean one — aborting (SPARK_GRAFT_PRECHECK_ABORT=1)")
+          spark.stop()
+          sys.exit(3)
+        }
         System.err.println(s"[bench] precheck exhausted $precheckTries windows without a clean one — " +
           "running anyway; expect window_clean=false")
+      }
     }
     // Multi-pass, report the per-query minimum: single-pass numbers
     // swing ±20% on this box (shared-host noise + first-evaluation JIT /

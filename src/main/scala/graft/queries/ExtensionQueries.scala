@@ -3550,5 +3550,81 @@ object ExtensionQueries {
               .when(col("id2").isNull, "removed")
               .when(col("h1") =!= col("h2"), "changed")
               .otherwise("unchanged").as("status"))
+      }),
+
+    Q("x111_component_stream",
+      "END-TO-END grow+forget component stream (round-11 verdict item 2): the near-dup " +
+        "edge set split into THREE arrival waves (portable pair-hash), INTERLEAVED with " +
+        "two deletion waves (doc_id % 74 == 0 after wave 1, the remaining % 37 == 0 after " +
+        "wave 2), folded through streaming.componentStreamWithForgets — real files, real " +
+        "micro-batches (maxFilesPerTrigger=1), the standing components manifest + stamped " +
+        "edge log + permanent tombstone log, WITH the edge-log compaction policy forced " +
+        "mid-stream (maxEdgeFiles=2, so the log is rewritten while batches still arrive). " +
+        "The read-back standing table must equal from-scratch recursive CC over (all " +
+        "edges - forgotten nodes) — the x109 oracle VERBATIM, blind to the streaming " +
+        "machinery, the batching, the interleaving, and the compaction: x100 proves grow " +
+        "is batch-split-invariant, x109 proves forget is bounded-rework exact, and this " +
+        "query proves their streamed COMPOSITION converges to the same fixpoint (edges " +
+        "incident to forgotten nodes are rejected or dropped — either way they cannot " +
+        "connect survivors, so arrival order is immaterial).",
+      Some("""WITH RECURSIVE
+             |s AS (
+             |  SELECT doc_id, lang,
+             |         list_distinct([array_to_string(words[i:i+3], ' ') for i in range(1, len(words)-2)]) AS sh
+             |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents WHERE doc_id < 300) t
+             |  WHERE len(words) >= 4),
+             |e0 AS (SELECT a.doc_id AS a, b.doc_id AS b
+             |       FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |       WHERE len(list_intersect(a.sh, b.sh)) >= 1
+             |         AND a.doc_id % 37 <> 0 AND b.doc_id % 37 <> 0),
+             |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+             |walk(node, lab) AS (
+             |  SELECT DISTINCT a, a FROM e
+             |  UNION
+             |  SELECT e.a, w.lab FROM e JOIN walk w ON e.b = w.node),
+             |comp AS (SELECT node, MIN(lab) AS component FROM walk GROUP BY node),
+             |d AS (SELECT doc_id FROM documents WHERE doc_id < 300 AND doc_id % 37 <> 0)
+             |SELECT d.doc_id, CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component
+             |FROM d LEFT JOIN comp c ON d.doc_id = c.node""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+          .localCheckpoint(false) // feeds edges, forget waves, and read-back
+        val edges = TextDedup.sharedShingleEdges(docs, "lang", 4)
+          .withColumn("h", pmod(TextDedup.portableHash(
+            concat_ws(":", col("doc_a"), col("doc_b")), "ccstream"), lit(3L)))
+          .localCheckpoint(false) // one edge build feeds all three waves
+        val root = scratchTempDir("graft-x111-ccstream")
+        def writeWave(b: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+          val f = new java.io.File(root + "/src", f"batch$b%03d.parquet")
+          df.coalesce(1).write.mode("overwrite").parquet(f.toString)
+          // pin file mtimes so the file source triggers waves in order
+          val t = 1700000000000L + b * 60000L
+          f.listFiles().foreach(_.setLastModified(t)); f.setLastModified(t)
+        }
+        def edgeWave(h: Long) = edges.filter(col("h") === h)
+          .select(lit("edge").as("kind"), col("doc_a").cast("long"),
+            col("doc_b").cast("long"))
+        def forgetWave(c: org.apache.spark.sql.Column) =
+          docs.filter(col("doc_id") % 37 === 0).filter(c)
+            .select(lit("forget").as("kind"), col("doc_id").cast("long").as("doc_a"),
+              lit(null).cast("long").as("doc_b"))
+        writeWave(0, edgeWave(0L))
+        writeWave(1, forgetWave(col("doc_id") % 74 === 0))
+        writeWave(2, edgeWave(1L))
+        writeWave(3, forgetWave(col("doc_id") % 74 =!= 0))
+        writeWave(4, edgeWave(2L))
+        val events = s.readStream
+          .schema("kind STRING, doc_a LONG, doc_b LONG")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(root + "/src/*")
+        graft.streaming.StreamingIngest.componentStreamWithForgets(events,
+          root + "/comps", root + "/edges", root + "/tombs", root + "/ckpt",
+          maxEdgeFiles = 2) // force compaction while batches still arrive
+        val standing = graft.pipeline.ManifestTable.read(s, root + "/comps")
+          .withColumnRenamed("node", "doc_id")
+        docs.filter(col("doc_id") % 37 =!= 0).select(col("doc_id"))
+          .join(standing, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"))
       }))
 }
