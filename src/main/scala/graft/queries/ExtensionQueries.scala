@@ -201,6 +201,21 @@ object ExtensionQueries {
        |ORDER BY rank""".stripMargin
   }
 
+  // x112: the SAME serial per-iteration chain, at production-ish depth 64
+  // — the oracle is serial greedy verbatim, so it is blind to the batched
+  // prefix selection the Spark side uses (the whole point: fitBatched's
+  // claim is row-identity with serial greedy, and this oracle IS serial
+  // greedy, independently re-derived by DuckDB).
+  private val bpeFitBatchedOracle: String = {
+    val iters = 64
+    val rows = (1 to iters).map(i =>
+      s"SELECT CAST($i AS INT) AS rank, left_sym, right_sym, left_sym||right_sym AS merged, pair_count FROM t$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${bpeCtes(iters)}
+       |  $rows
+       |ORDER BY rank""".stripMargin
+  }
+
   private val bpeEncodeOracle: String =
     s"""WITH ${bpeCtes(4)},
        |tok AS (SELECT word, CAST(len(string_split(w, chr(1)||chr(1))) AS BIGINT) AS t FROM v4),
@@ -3554,12 +3569,15 @@ object ExtensionQueries {
 
     Q("x111_component_stream",
       "END-TO-END grow+forget component stream (round-11 verdict item 2): the near-dup " +
-        "edge set split into THREE arrival waves (portable pair-hash), INTERLEAVED with " +
-        "two deletion waves (doc_id % 74 == 0 after wave 1, the remaining % 37 == 0 after " +
-        "wave 2), folded through streaming.componentStreamWithForgets — real files, real " +
-        "micro-batches (maxFilesPerTrigger=1), the standing components manifest + stamped " +
-        "edge log + permanent tombstone log, WITH the edge-log compaction policy forced " +
-        "mid-stream (maxEdgeFiles=2, so the log is rewritten while batches still arrive). " +
+        "edge set split into THREE arrival waves (portable pair-hash), with deletion " +
+        "requests RIDING IN the second and third waves as mixed-kind micro-batches " +
+        "(doc_id % 74 == 0 alongside edge wave 2, the remaining % 37 == 0 alongside wave " +
+        "3) — the hardest arrival shape: a batch whose edges touch nodes the SAME batch " +
+        "forgets must add-then-remove and still converge. Folded through " +
+        "streaming.componentStreamWithForgets — real files, real micro-batches " +
+        "(maxFilesPerTrigger=1), the standing components manifest + stamped edge log + " +
+        "permanent tombstone log, WITH the edge-log compaction policy forced mid-stream " +
+        "(maxEdgeFiles=1, so the log is rewritten while batches still arrive). " +
         "The read-back standing table must equal from-scratch recursive CC over (all " +
         "edges - forgotten nodes) — the x109 oracle VERBATIM, blind to the streaming " +
         "machinery, the batching, the interleaving, and the compaction: x100 proves grow " +
@@ -3609,22 +3627,43 @@ object ExtensionQueries {
             .select(lit("forget").as("kind"), col("doc_id").cast("long").as("doc_a"),
               lit(null).cast("long").as("doc_b"))
         writeWave(0, edgeWave(0L))
-        writeWave(1, forgetWave(col("doc_id") % 74 === 0))
-        writeWave(2, edgeWave(1L))
-        writeWave(3, forgetWave(col("doc_id") % 74 =!= 0))
-        writeWave(4, edgeWave(2L))
-        val events = s.readStream
+        writeWave(1, forgetWave(col("doc_id") % 74 === 0).unionByName(edgeWave(1L)))
+        writeWave(2, forgetWave(col("doc_id") % 74 =!= 0).unionByName(edgeWave(2L)))
+        // per-batch folds shuffle O(batch) rows, so the stream runs in a
+        // child session pinned to a batch-sized shuffle width (AQE cannot
+        // coalesce under streaming) — corpus-sized work above stays on
+        // the session default
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        val events = ss.readStream
           .schema("kind STRING, doc_a LONG, doc_b LONG")
           .option("maxFilesPerTrigger", 1)
           .parquet(root + "/src/*")
         graft.streaming.StreamingIngest.componentStreamWithForgets(events,
           root + "/comps", root + "/edges", root + "/tombs", root + "/ckpt",
-          maxEdgeFiles = 2) // force compaction while batches still arrive
+          maxEdgeFiles = 1) // force compaction while batches still arrive
         val standing = graft.pipeline.ManifestTable.read(s, root + "/comps")
           .withColumnRenamed("node", "doc_id")
         docs.filter(col("doc_id") % 37 =!= 0).select(col("doc_id"))
           .join(standing, Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("component"), col("doc_id")).as("component"))
-      }))
+      }),
+
+    Q("x112_bpe_fit_batched",
+      "BPE training at PRODUCTION depth via the batched fit (round-11 verdict item 3): 64 " +
+        "merges learned by Bpe.fitBatched, which per pass ranks the candidate window by the " +
+        "serial tie-break and keeps the provably-safe prefix — pairwise symbol-disjoint, " +
+        "merged-symbol-alias-free, self-pair-terminated, strict-count-truncated at the " +
+        "boundary — so ONE vocab-sized count job learns a whole batch of merges instead of " +
+        "one (~batch-size x fewer serial Spark jobs; at 32k production merges the serial " +
+        "form is ~1h of pure scheduler floor regardless of cluster size — the batch is what " +
+        "makes deep fits feasible, not a constant-factor nicety). The oracle is the serial " +
+        "greedy chain VERBATIM (the x57 per-iteration CTE at depth 64) — independently " +
+        "re-derived by DuckDB one merge at a time, blind to the batching — so a hash match " +
+        "here IS the row-identity proof of the batch-safety argument on the real corpus, at " +
+        "a depth where batches actually form (BpeBatchSpec pins the same equality in-engine " +
+        "plus tiny-alphabet adversarial ScalaCheck).",
+      Some(bpeFitBatchedOracle),
+      (s, d) => graft.ext.Bpe.fitBatched(Tables.documents(s, d), 64)))
 }
