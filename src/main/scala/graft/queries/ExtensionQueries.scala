@@ -3665,5 +3665,55 @@ object ExtensionQueries {
         "a depth where batches actually form (BpeBatchSpec pins the same equality in-engine " +
         "plus tiny-alphabet adversarial ScalaCheck).",
       Some(bpeFitBatchedOracle),
-      (s, d) => graft.ext.Bpe.fitBatched(Tables.documents(s, d), 64)))
+      (s, d) => graft.ext.Bpe.fitBatched(Tables.documents(s, d), 64)),
+
+    Q("x113_grouped_sample_stream",
+      "The x101 grouped pps sample as a CONTINUOUS fold (round-11 verdict item 7): the " +
+        "corpus arrives in three hash-split micro-batches, each folds its own per-group " +
+        "top-10 into the standing exactly-10-per-source manifest " +
+        "(streaming.groupedWeightedSampleStream), and the read-back standing table must " +
+        "equal the batch x101 sample over the whole corpus — the oracle IS x101's SQL " +
+        "VERBATIM, blind to the batching: per-group top-n under deterministic " +
+        "hash-DIV-weight priorities is an associative idempotent fold (a row outside a " +
+        "batch's per-group top-n is dominated by n union rows of its own group, so " +
+        "dropping it at the batch boundary is lossless). Standing state is O(groups x n) " +
+        "rows forever, per batch one group-keyed shuffle of O(batch), corpus never " +
+        "re-scanned; re-arrivals that change a doc's weight or group resolve " +
+        "deterministically per id (GroupedWeightedSampleStreamSpec pins both orders).",
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'pps'),1,15))::BIGINT AS h
+             |  FROM documents)
+             |SELECT doc_id, source, n_tokens AS w, priority, rk FROM (
+             |  SELECT doc_id, source, n_tokens, h // n_tokens AS priority,
+             |         CAST(row_number() OVER (PARTITION BY source
+             |           ORDER BY h // n_tokens ASC, doc_id ASC) AS BIGINT) AS rk
+             |  FROM t WHERE n_tokens > 0) s
+             |WHERE rk <= 10""".stripMargin),
+      (s, d) => {
+        val feats = Tables.documents(s, d).select(
+            col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .withColumn("h", pmod(xxhash64(col("doc_id")), lit(3L)))
+          .localCheckpoint(false) // one corpus pass feeds all three waves
+        val root = scratchTempDir("graft-x113-gwsample")
+        def writeWave(b: Int): Unit = {
+          val f = new java.io.File(root + "/src", f"batch$b%03d.parquet")
+          feats.filter(col("h") === b).drop("h")
+            .coalesce(1).write.mode("overwrite").parquet(f.toString)
+          val t = 1700000000000L + b * 60000L
+          f.listFiles().foreach(_.setLastModified(t)); f.setLastModified(t)
+        }
+        (0 until 3).foreach(writeWave)
+        val docs = s.readStream
+          .schema("doc_id LONG, source STRING, n_tokens LONG")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(root + "/src/*")
+        graft.streaming.StreamingIngest.groupedWeightedSampleStream(docs,
+          "source", "n_tokens", 10, root + "/sample", root + "/ckpt")
+        graft.pipeline.ManifestTable.read(s, root + "/sample")
+          .select(col("doc_id"), col("source"), col("w"), col("priority"),
+            col("rk"))
+      }))
 }

@@ -737,6 +737,76 @@ object StreamingIngest {
     q
   }
 
+  /** Streaming GROUPED pps sample — the [[weightedSampleStream]] fold
+    * applied per group (the x101 batch form made continuous): the
+    * standing state is exactly-n rows PER GROUP, each micro-batch
+    * contributes its own per-group top-n and the union re-selects, so
+    * the standing table always equals the batch
+    * [[graft.ext.TextStats.weightedSamplePerGroup]] over everything
+    * that has arrived (GroupedWeightedSampleStreamSpec pins the
+    * equality on real arrival splits).
+    *
+    * Why the per-group fold is exact, same argument as the global one,
+    * groupwise: priorities are pure functions of (id, weight), and a
+    * row outside a batch's per-group top-n is dominated within its
+    * group by n union rows — it can never enter the final top-n, so
+    * dropping it at the batch boundary is lossless. Top-n-per-group
+    * under fixed priorities is associative and idempotent, hence
+    * batch-split-invariant and safe under foreachBatch replay with no
+    * seq-stamp machinery (a crash mid-publish leaves the previous
+    * manifest version current).
+    *
+    * Re-arrivals that CHANGE a doc's weight — or move it to a new
+    * group — resolve deterministically per id (min (priority, w,
+    * full-row hash), the round-11 weightedSampleStream rule): one
+    * version of each doc survives, in exactly one group, independent
+    * of arrival order. Weight updates keep the sampling semantics
+    * exact for the surviving version; a moved doc vacates its old
+    * group's slot at the next fold.
+    *
+    * Standing state: O(groups × n) rows forever; per batch one
+    * group-keyed shuffle of O(batch + groups·n) — the corpus is never
+    * re-scanned. New groups simply appear with their own budget.
+    */
+  def groupedWeightedSampleStream(docs: DataFrame, groupCol: String,
+      weightColName: String, n: Int, sampleDir: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      salt: String = "pps"): StreamingQuery = {
+    import graft.ext.TextStats
+    import graft.pipeline.ManifestTable
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val batchTop = TextStats.weightedSamplePerGroup(
+          batch.toDF(), groupCol, col(weightColName), n, idCol, salt)
+        val standing = ManifestTable.currentVersion(spark, sampleDir) match {
+          case Some(_) => ManifestTable.read(spark, sampleDir)
+          case None => batchTop.limit(0)
+        }
+        val unioned = standing.unionByName(batchTop).drop("rk")
+        val perId = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol))
+          .orderBy(col("priority").asc, col("w").asc,
+            xxhash64(unioned.columns.map(col).toIndexedSeq: _*).asc)
+        val perGroup = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol))
+          .orderBy(col("priority").asc, col(idCol).asc)
+        val next = unioned
+          .withColumn("__v", row_number().over(perId))
+          .filter(col("__v") === 1).drop("__v")
+          .withColumn("rk", row_number().over(perGroup).cast("long"))
+          .filter(col("rk") <= n)
+          .localCheckpoint(false) // pin: commit must not re-read the table it replaces
+        ManifestTable.commit(spark, sampleDir, next, replace = true)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming CDC novelty accounting with a self-maintaining chunk-hash
     * index — the continuous-ingest rendering of batch x71
     * (`TextDedup.cdcIncremental`), on the gear fast path
