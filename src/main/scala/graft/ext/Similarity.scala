@@ -273,6 +273,61 @@ object Similarity {
           (c, e) => c.cast("double") + lit(scale) * e.cast("double")).as("embedding"))
   }
 
+  /** [[clusteredCorpus]] with ANISOTROPIC (diagonally stretched)
+    * residuals — the round-11 corpus for the fitted-codebook A/B:
+    * `v_i = center(i % k) + scale · (stretch ⊙ e_i)`, where `stretch`
+    * is the raw embedding of one fixed anchor row (`stretchId`) applied
+    * ELEMENTWISE — so the within-cluster spread has per-dimension
+    * standard deviation proportional to `|stretch_d|` instead of the
+    * isotropic cloud [[clusteredCorpus]] plants. This is the structure
+    * [[pqResidualCodebooksFitted]] exists to find (real embedding
+    * corpora carry direction-dependent residual variance; the isotropic
+    * corpus deliberately lacks it, which is why fitting LOST recall
+    * there — SCALING.md round-10): per subspace, Lloyd re-allocates
+    * codewords along the high-variance dimensions and lowers
+    * quantization MSE, while the init codebook is 16 raw residual
+    * samples whose placement ignores the ellipse's shape. Measured
+    * (StructuredCorpusSpec / SCALING.md round-11): fitted BEATS init at
+    * every shortlist here — 0.52→0.60 / 0.72→0.82 / 0.92→0.98 at
+    * shortlist 12/24/48, sf0.1 — the exact reversal of the isotropic
+    * table. Deliberately CONTINUOUS (no sub-lobes): mass concentrated
+    * at points makes fitted codewords land exactly on the lobes, ties
+    * every same-lobe approx score, and the shortlist then admits by id
+    * — the raw-PQ collapse pathology reappearing one level down, and
+    * why a two-sub-centers-per-cell design measured WORSE than init at
+    * shortlist 12 when this corpus was built.
+    *
+    * Same deterministic existing-rows-as-anchors derivation as
+    * [[clusteredCorpus]] (no literal matrices), so a DuckDB oracle
+    * reproduces every float with two joins and one fused per-element
+    * expression. All anchor ids are checked present (the round-11
+    * clusteredCorpus precondition); defaults keep
+    * `max(12·38, 7) = 456 < 500`, the sf0.01 corpus floor.
+    */
+  def structuredCorpus(emb: DataFrame, k: Int = 13, centerStride: Long = 38L,
+      stretchId: Long = 7L, scale: Double = 0.3): DataFrame = {
+    val anchors = emb.select(col("vec_id").as("__aid"), col("embedding").as("__av"))
+    val centerId = pmod(col("vec_id"), lit(k)) * centerStride
+    val needed = emb.select(centerId.as("__aid"))
+      .unionByName(emb.sparkSession.range(1).select(lit(stretchId).as("__aid")))
+      .distinct()
+    val missing = needed.join(anchors.select(col("__aid")), Seq("__aid"), "left_anti")
+      .orderBy(col("__aid")).limit(k + 2)
+      .collect().map(_.getLong(0))
+    require(missing.isEmpty,
+      s"structuredCorpus: anchor rows missing for vec_id(s) ${missing.mkString(", ")} " +
+        s"(k=$k, centerStride=$centerStride, stretchId=$stretchId)")
+    emb.select(col("vec_id"), col("embedding"), centerId.as("__cid"),
+        lit(stretchId).as("__sid"))
+      .join(broadcast(anchors.select(col("__aid").as("__cid"), col("__av").as("__cv"))), Seq("__cid"))
+      .join(broadcast(anchors.select(col("__aid").as("__sid"), col("__av").as("__sv"))), Seq("__sid"))
+      .select(col("vec_id"),
+        zip_with(col("__cv"),
+          zip_with(col("__sv"), col("embedding"),
+            (s, e) => lit(scale) * s.cast("double") * e.cast("double")),
+          (c, se) => c.cast("double") + se).as("embedding"))
+  }
+
   def strideCentroids(corpus: DataFrame, c: Int): DataFrame = {
     // deterministic stride sample over vec_id as the centroid set: the
     // first c stride hits BY ID (an unordered limit would pick an

@@ -710,6 +710,163 @@ object ExtensionQueries {
          |${knnIvfPqCtesFor("cl")}""".stripMargin)
   }
 
+  /** x114: init-vs-Lloyd-fitted residual codebooks on the ANISOTROPIC
+    * structured corpus ([[graft.ext.Similarity.structuredCorpus]]) —
+    * the oracle replays the ENTIRE fitted path bit-exactly: the corpus
+    * derivation (two anchor joins, fused per-element expression), the
+    * x88 IVF/residual stack, the init codebook, TWO Lloyd iterations
+    * per subspace (argmin assignment with (d2 ASC, code ASC) ties,
+    * `floor(x·10⁶)` integer dim-sums, one double division per mean,
+    * empty-code retention via LEFT JOIN), then BOTH IVF-PQ ladders
+    * (encode → reconstruct → shortlist 12 → exact re-rank) and the
+    * per-query recall table against brute truth. Codebooks here are
+    * per-subspace 8-dim `cw` arrays (the Lloyd state) instead of the
+    * x88 stack's full-64-dim `r` rows — same values, indexable per
+    * subspace as the fit evolves them independently.
+    */
+  private lazy val fittedRecallOracle: String = {
+    def off(j: Int) = j * PqSubDim
+    // the structuredCorpus derivation: c + ((0.3 * s) * e) per element,
+    // left-associated exactly like the nested zip_with
+    val clArr = (1 to Dim).map(i =>
+      s"CAST(c.embedding[$i] AS DOUBLE) + (0.3 * CAST(s.embedding[$i] AS DOUBLE) * CAST(e.embedding[$i] AS DOUBLE))")
+      .mkString("[", ", ", "]")
+    val resList = (1 to Dim).map(i =>
+      s"CAST(e.embedding[$i] AS DOUBLE) - CAST(ct.cv[$i] AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    // d2 of res row e's subspace-j slice against codebook row c (8-dim cw)
+    def d2Arms(cb: String, out: String): String = {
+      val arms = (0 until PqM).map { j =>
+        val d2 = (1 to PqSubDim).map { i =>
+          s"((e.r[${off(j) + i}] - c.cw[$i]) * (e.r[${off(j) + i}] - c.cw[$i]))"
+        }.mkString("(CAST(0.0 AS DOUBLE) + ", " + ", ")")
+        s"SELECT e.vec_id, $j AS subspace, c.code, $d2 AS d2 FROM res e, $cb c WHERE c.subspace = $j"
+      }.mkString("\n  UNION ALL ")
+      s"""$out AS (
+         |  $arms)""".stripMargin
+    }
+    def bestOf(in: String, out: String): String =
+      s"""$out AS (SELECT vec_id, subspace, code FROM (
+         |  SELECT vec_id, subspace, code,
+         |         row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d2 ASC, code ASC) AS rn
+         |  FROM $in) t WHERE rn = 1)""".stripMargin
+    // one Lloyd step: assignment from cbPrev, integer dim-sums, means
+    // with empty-code retention
+    def lloydStep(t: Int): String = {
+      val sums = (1 to PqSubDim).map(i => s"s$i")
+      val mnArms = (0 until PqM).map { j =>
+        val ss = (1 to PqSubDim).map(i =>
+          s"SUM(CAST(floor(e.r[${off(j) + i}] * 1000000) AS BIGINT)) AS s$i").mkString(", ")
+        s"SELECT $j AS subspace, b.code, COUNT(*) AS n, $ss FROM bst$t b JOIN res e ON e.vec_id = b.vec_id WHERE b.subspace = $j GROUP BY b.code"
+      }.mkString("\n  UNION ALL ")
+      val meanArr = sums.map(sI =>
+        s"CAST(m.$sI AS DOUBLE) / CAST(m.n * 1000000 AS DOUBLE)").mkString("[", ", ", "]")
+      s"""${d2Arms(s"cb${t - 1}", s"asg$t")},
+         |${bestOf(s"asg$t", s"bst$t")},
+         |mn$t AS (
+         |  $mnArms),
+         |cb$t AS MATERIALIZED (SELECT p.subspace, p.code,
+         |  CASE WHEN m.n IS NULL THEN p.cw ELSE $meanArr END AS cw
+         |  FROM cb${t - 1} p LEFT JOIN mn$t m ON m.subspace = p.subspace AND m.code = p.code)""".stripMargin
+    }
+    // one IVF-PQ ladder (encode with `cb` → reconstruct → shortlist 12
+    // → exact top-5) under suffix `sfx`
+    def ladder(cb: String, sfx: String): String = {
+      val wideCols = (0 until PqM).map(j =>
+        s"MAX(CASE WHEN subspace = $j THEN code END) AS c$j").mkString(",\n  ")
+      val reconList = (1 to Dim).map { i =>
+        val j = (i - 1) / PqSubDim
+        s"CAST(ct.cv[$i] AS DOUBLE) + c$j.cw[${i - off(j)}]"
+      }.mkString("[", ", ", "]")
+      val reconJoins = (0 until PqM).map(j =>
+        s"JOIN $cb c$j ON c$j.subspace = $j AND c$j.code = w.c$j").mkString("\n  ")
+      s"""${d2Arms(cb, s"enc$sfx")},
+         |${bestOf(s"enc$sfx", s"bste$sfx")},
+         |wide$sfx AS MATERIALIZED (SELECT vec_id,
+         |  $wideCols
+         |  FROM bste$sfx GROUP BY vec_id),
+         |recon$sfx AS MATERIALIZED (
+         |  SELECT w.vec_id, $reconList AS emb
+         |  FROM wide$sfx w
+         |  JOIN assign a ON a.vec_id = w.vec_id
+         |  JOIN cent ct ON ct.cell_id = a.cell_id
+         |  $reconJoins),
+         |reconn$sfx AS MATERIALIZED (SELECT vec_id, emb,
+         |  sqrt(${dotSql("emb", "emb")}) AS nr FROM recon$sfx),
+         |cand$sfx AS (SELECT p.qid, a.vec_id AS neighbor_id,
+         |                (${dotSql("q.embedding", "r.emb")} / (q.nr * r.nr)) AS approx_sim
+         |         FROM probes p
+         |         JOIN assign a ON a.cell_id = p.cell_id
+         |         JOIN reconn$sfx r ON r.vec_id = a.vec_id
+         |         JOIN bn q ON q.vec_id = p.qid
+         |         WHERE a.vec_id != p.qid),
+         |short$sfx AS (SELECT qid, neighbor_id FROM (
+         |  SELECT qid, neighbor_id,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY approx_sim DESC, neighbor_id) AS rn
+         |  FROM cand$sfx) t WHERE rn <= 12),
+         |sx$sfx AS (SELECT sh.qid, sh.neighbor_id,
+         |             (${dotSql("q.embedding", "n.embedding")} / (q.nr * n.nr)) AS sim
+         |      FROM short$sfx sh
+         |      JOIN bn q ON q.vec_id = sh.qid
+         |      JOIN bn n ON n.vec_id = sh.neighbor_id),
+         |ivfpq$sfx AS (SELECT qid, rank, neighbor_id FROM (
+         |  SELECT qid, neighbor_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM sx$sfx) t
+         |WHERE rank <= 5)""".stripMargin
+    }
+    val cb0Arms = (0 until PqM).map { j =>
+      val slice = (1 to PqSubDim).map(i => s"r[${off(j) + i}]").mkString("[", ", ", "]")
+      s"SELECT $j AS subspace, code, $slice AS cw FROM rcb"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH cl AS MATERIALIZED (SELECT e.vec_id, $clArr AS embedding
+       |  FROM embeddings e
+       |  JOIN embeddings c ON c.vec_id = (e.vec_id % 13) * 38
+       |  JOIN embeddings s ON s.vec_id = 7),
+       |bn AS MATERIALIZED (SELECT vec_id, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nr FROM cl),
+       |cent AS MATERIALIZED (SELECT vec_id AS cell_id, embedding AS cv, nr AS cnr
+       |         FROM bn WHERE vec_id % 62 = 0 AND vec_id < 992),
+       |assign AS MATERIALIZED (SELECT vec_id, cell_id FROM (
+       |  SELECT e.vec_id, c.cell_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY (${dotSql("e.embedding", "c.cv")} / (e.nr * c.cnr)) DESC, c.cell_id) AS rn
+       |  FROM bn e, cent c) t WHERE rn = 1),
+       |probes AS MATERIALIZED (SELECT qid, cell_id FROM (
+       |  SELECT e.vec_id AS qid, c.cell_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY (${dotSql("e.embedding", "c.cv")} / (e.nr * c.cnr)) DESC, c.cell_id) AS rn
+       |  FROM bn e, cent c WHERE e.vec_id < 10) t WHERE rn <= 4),
+       |res AS MATERIALIZED (SELECT e.vec_id, a.cell_id, $resList AS r
+       |  FROM cl e
+       |  JOIN assign a ON a.vec_id = e.vec_id
+       |  JOIN cent ct ON ct.cell_id = a.cell_id),
+       |rcb AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code, r
+       |  FROM res WHERE vec_id % 62 = 31 AND vec_id < 1023),
+       |cb0 AS MATERIALIZED (
+       |  $cb0Arms),
+       |${lloydStep(1)},
+       |${lloydStep(2)},
+       |${ladder("cb0", "i")},
+       |${ladder("cb2", "f")},
+       |brute AS (SELECT qid, neighbor_id FROM (
+       |  SELECT q.vec_id AS qid, e.vec_id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |                            ORDER BY (${dotSql("q.embedding", "e.embedding")} / (q.nr * e.nr)) DESC, e.vec_id) AS rank
+       |  FROM bn q JOIN bn e ON e.vec_id != q.vec_id
+       |  WHERE q.vec_id < 10) t WHERE rank <= 5)
+       |SELECT brute.qid, CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(count(i.neighbor_id) AS BIGINT) AS hits_init,
+       |  CAST(count(i.neighbor_id) * 10000 // count(*) AS BIGINT) AS recall_init_bp,
+       |  CAST(count(f.neighbor_id) AS BIGINT) AS hits_fit,
+       |  CAST(count(f.neighbor_id) * 10000 // count(*) AS BIGINT) AS recall_fit_bp
+       |FROM brute
+       |LEFT JOIN ivfpqi i ON brute.qid = i.qid AND brute.neighbor_id = i.neighbor_id
+       |LEFT JOIN ivfpqf f ON brute.qid = f.qid AND brute.neighbor_id = f.neighbor_id
+       |GROUP BY brute.qid ORDER BY brute.qid""".stripMargin
+  }
+
   private def ivfPqRecallSqlFor(stack: String): String =
     s"""$stack,
        |sx AS (SELECT p.qid, a.vec_id AS neighbor_id,
@@ -3715,5 +3872,47 @@ object ExtensionQueries {
         graft.pipeline.ManifestTable.read(s, root + "/sample")
           .select(col("doc_id"), col("source"), col("w"), col("priority"),
             col("rk"))
+      }),
+
+    Q("x114_fitted_codebook_recall",
+      "Lloyd-fitted vs init residual codebooks where fitting EARNS its corpus passes " +
+        "(round-11 verdict item 4): the x92 recall table re-run on the ANISOTROPIC " +
+        "structured corpus (Similarity.structuredCorpus — within-cluster spread stretched " +
+        "elementwise by a fixed anchor row, so residual variance is direction-dependent " +
+        "like real embedding corpora, NOT the isotropic cloud where fitting measurably " +
+        "LOST recall, 0.32->0.26; SCALING.md round-10/11). Both ladders share one cell " +
+        "assignment; the fitted side runs pqResidualCodebooksFitted's two Lloyd " +
+        "iterations (argmin with (d2, code) ties, floor(x*10^6) integer dim-sums, one " +
+        "double division per mean, empty-code retention). The oracle replays EVERYTHING " +
+        "- corpus derivation, init sample, both Lloyd iterations, both encode ladders - " +
+        "bit-exactly in SQL, so the recall win is hash-pinned, not narrated: fitted beats " +
+        "init at every shortlist on this corpus (0.52->0.60 at the registered shortlist " +
+        "12; 0.92->0.98 at 48, sf0.1), the exact reversal of the isotropic table, " +
+        "measured by the same sweep (tools.PqResidualSweep).",
+      Some(fittedRecallOracle),
+      (s, d) => {
+        // the derived corpus feeds many branches (queries, centroids,
+        // codebooks, the Lloyd fit's corpus passes, brute, two ladders):
+        // checkpoint the derivation once (the x92 posture)
+        val emb = Similarity.structuredCorpus(Tables.embeddings(s, d))
+          .localCheckpoint(false)
+        val q = emb.filter(col("vec_id") < 10)
+        val centroids = Similarity.strideCentroids(emb, 16).localCheckpoint(false)
+        val cbInit = Similarity.pqResidualCodebooks(emb, centroids).localCheckpoint(false)
+        val cbFit = Similarity.pqResidualCodebooksFitted(emb, centroids, iters = 2)
+          .localCheckpoint(false) // model artifact: k*m rows
+        val assigned = Similarity.ivfAssign(emb, centroids).localCheckpoint(false)
+        val brute = Similarity.knnBrute(q, emb, 5)
+        val rInit = Similarity.annRecall(brute,
+            Similarity.knnIvfPq(q, emb, centroids, cbInit, k = 5, nprobe = 4,
+              shortlist = 12, assignedOpt = Some(assigned)))
+          .select(col("qid"), col("n_true"), col("n_hits").as("hits_init"),
+            col("recall_bp").as("recall_init_bp"))
+        val rFit = Similarity.annRecall(brute,
+            Similarity.knnIvfPq(q, emb, centroids, cbFit, k = 5, nprobe = 4,
+              shortlist = 12, assignedOpt = Some(assigned)))
+          .select(col("qid"), col("n_hits").as("hits_fit"),
+            col("recall_bp").as("recall_fit_bp"))
+        rInit.join(rFit, Seq("qid"))
       }))
 }

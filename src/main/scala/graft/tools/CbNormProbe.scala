@@ -12,19 +12,22 @@ object CbNormProbe {
     val spark = graft.GraftSession.build()
     spark.sparkContext.setLogLevel("WARN")
     import graft.ext.Similarity
-    val emb = Similarity.clusteredCorpus(
-      graft.sources.Tables.embeddings(spark, sfDir)).localCheckpoint(false)
-    val centroids = Similarity.strideCentroids(emb, 16).cache()
     def meanNorm(cb: org.apache.spark.sql.DataFrame): Double =
       cb.select(sqrt(aggregate(transform(col("codeword"), x => x * x),
           lit(0.0), (a, v) => a + v)).as("n"))
         .agg(avg(col("n"))).head().getDouble(0)
-    val init = Similarity.pqResidualCodebooks(emb, centroids)
-    println(f"init mean codeword norm:   ${meanNorm(init)}%.4f")
-    for (it <- Seq(1, 2, 4)) {
-      val fit = Similarity.pqResidualCodebooksFitted(emb, centroids, iters = it)
-      println(f"fitted(iters=$it) mean norm: ${meanNorm(fit)}%.4f")
+    def probe(tag: String, emb: org.apache.spark.sql.DataFrame): Unit = {
+      val centroids = Similarity.strideCentroids(emb, 16).cache()
+      val init = Similarity.pqResidualCodebooks(emb, centroids)
+      println(f"[$tag] init mean codeword norm:   ${meanNorm(init)}%.4f")
+      for (it <- Seq(1, 2, 4)) {
+        val fit = Similarity.pqResidualCodebooksFitted(emb, centroids, iters = it)
+        println(f"[$tag] fitted(iters=$it) mean norm: ${meanNorm(fit)}%.4f")
+      }
     }
+    val raw = graft.sources.Tables.embeddings(spark, sfDir)
+    probe("isotropic", Similarity.clusteredCorpus(raw).localCheckpoint(false))
+    probe("structured", Similarity.structuredCorpus(raw).localCheckpoint(false))
     spark.stop()
   }
 }

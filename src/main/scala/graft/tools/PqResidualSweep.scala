@@ -23,30 +23,35 @@ object PqResidualSweep {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = graft.GraftSession.build()
     import graft.ext.Similarity
-    val emb = Similarity.clusteredCorpus(
-      graft.sources.Tables.embeddings(spark, sfDir)).cache()
-    val n = emb.count()
-    val q = emb.filter(col("vec_id") < 10).cache()
-    q.count()
-    val k = 5
-    val exact = Similarity.knnBrute(q, emb, k).cache()
-    exact.count()
-    val centroids = Similarity.strideCentroids(emb, 16).cache()
-    centroids.count()
-    val cbRaw = Similarity.pqCodebooks(emb).cache()
-    val cbRes = Similarity.pqResidualCodebooks(emb, centroids).cache()
-    val cbFit = Similarity.pqResidualCodebooksFitted(emb, centroids, iters = 2).cache()
-    cbRaw.count(); cbRes.count(); cbFit.count()
+    def sweep(tag: String, emb: org.apache.spark.sql.DataFrame): Unit = {
+      val n = emb.count()
+      val q = emb.filter(col("vec_id") < 10).cache()
+      q.count()
+      val k = 5
+      val exact = Similarity.knnBrute(q, emb, k).cache()
+      exact.count()
+      val centroids = Similarity.strideCentroids(emb, 16).cache()
+      centroids.count()
+      val cbRaw = Similarity.pqCodebooks(emb).cache()
+      val cbRes = Similarity.pqResidualCodebooks(emb, centroids).cache()
+      val cbFit = Similarity.pqResidualCodebooksFitted(emb, centroids, iters = 2).cache()
+      cbRaw.count(); cbRes.count(); cbFit.count()
 
-    println(s"clustered corpus n=$n queries=10 k=$k cells=stride62 nprobe=4")
-    println("shortlist\trecall_raw\trecall_residual\trecall_res_fitted")
-    for (shortlist <- Seq(12, 24, 48)) {
-      def recall(cb: org.apache.spark.sql.DataFrame, residual: Boolean): Double =
-        Similarity.recallAtK(
-          Similarity.knnIvfPq(q, emb, centroids, cb, k, nprobe = 4,
-            shortlist = shortlist, residual = residual), exact, k)
-      println(f"$shortlist\t${recall(cbRaw, residual = false)}%.3f\t\t${recall(cbRes, residual = true)}%.3f\t\t${recall(cbFit, residual = true)}%.3f")
+      println(s"$tag corpus n=$n queries=10 k=$k cells=stride62 nprobe=4")
+      println("shortlist\trecall_raw\trecall_residual\trecall_res_fitted")
+      for (shortlist <- Seq(12, 24, 48)) {
+        def recall(cb: org.apache.spark.sql.DataFrame, residual: Boolean): Double =
+          Similarity.recallAtK(
+            Similarity.knnIvfPq(q, emb, centroids, cb, k, nprobe = 4,
+              shortlist = shortlist, residual = residual), exact, k)
+        println(f"$shortlist\t${recall(cbRaw, residual = false)}%.3f\t\t${recall(cbRes, residual = true)}%.3f\t\t${recall(cbFit, residual = true)}%.3f")
+      }
     }
+    val raw = graft.sources.Tables.embeddings(spark, sfDir)
+    sweep("clustered (isotropic residuals)", Similarity.clusteredCorpus(raw).cache())
+    // round-11 verdict item 4: the sub-clustered corpus is where the
+    // Lloyd trainer has structure to find — fitted should WIN here
+    sweep("structured (anisotropic-stretch residuals)", Similarity.structuredCorpus(raw).cache())
     spark.stop()
   }
 }
