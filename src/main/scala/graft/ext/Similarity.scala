@@ -874,6 +874,46 @@ object Similarity {
     topKRanked(exact, k)
   }
 
+  /** Occupancy-derived IVF-PQ shortlist (round-11 verdict item 5): a
+    * FIXED shortlist is a silent scale trap — candidates per query grow
+    * as `nprobe · N/C` while a constant shortlist admits a shrinking
+    * fraction of them, so recall at shortlist 12 fell 1.00 → 0.32 just
+    * moving sf0.01 → sf0.1 on identical index parameters (SCALING.md
+    * round-10). Derive it instead from what the query actually sees:
+    * `shortlist = max(2k, ceil(frac · nprobe · meanCellOccupancy))` —
+    * the exact re-rank then touches a constant FRACTION of the probed
+    * candidates at any corpus size, and recall stops depending on N
+    * (measured flat across sf0.01 → sf0.1 at frac 0.25; SCALING.md
+    * round-11). The mean occupancy is one 1-row aggregate collect — the
+    * bounded model-artifact scalar exception (a production index knows
+    * it from ingest-time stats without any scan at all). Cost scales
+    * honestly: the shortlist is O(N/C), i.e. the exact re-rank stays
+    * proportional to one probed cell — the same asymptotic a bigger
+    * `nprobe` pays, spent on rank depth instead of cell count.
+    */
+  def occupancyShortlist(assigned: DataFrame, nprobe: Int, k: Int,
+      frac: Double = 0.25): Int = {
+    val meanOcc = assigned.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n"))
+      .agg(avg(col("n"))).head().getDouble(0)
+    math.max(2 * k, math.ceil(frac * nprobe * meanOcc).toInt)
+  }
+
+  /** [[knnIvfPq]] with the shortlist auto-sized by
+    * [[occupancyShortlist]] — assigns once and shares the frame with
+    * the search (the assignedOpt seam), so the sizing adds no pass.
+    */
+  def knnIvfPqAuto(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame, k: Int, nprobe: Int,
+      frac: Double = 0.25, residual: Boolean = true,
+      assignedOpt: Option[DataFrame] = None): DataFrame = {
+    val assigned = assignedOpt.getOrElse(
+      ivfAssign(corpus, centroids).localCheckpoint(false))
+    knnIvfPq(queries, corpus, centroids, codebooks, k, nprobe,
+      shortlist = occupancyShortlist(assigned, nprobe, k, frac),
+      residual = residual, assignedOpt = Some(assigned))
+  }
+
   /** recall@k of an approximate KNN result against the exact one: the
     * fraction of each query's true top-k the approximation recovered,
     * averaged over queries. Both inputs use the (qid, rank, neighbor_id)
