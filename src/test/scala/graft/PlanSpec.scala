@@ -309,7 +309,10 @@ class PlanSpec extends SparkSuite {
       // x98 crosses the 1-row pilot-threshold scalar onto the priority
       // frame (absent when the sf0.001 pilot is empty and the fallback
       // single-pass plan builds instead)
-      "x98_weighted_sample_threshold")
+      "x98_weighted_sample_threshold",
+      // round-11: x114 is x92's recall shape on the structured corpus —
+      // the same bounded query-set (10-row brute) / centroid-set pins
+      "x114_fitted_codebook_recall")
     SparkEntry.registry.foreach { q =>
       val p = plan(q.build(spark, sf))
       val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
