@@ -867,6 +867,122 @@ object ExtensionQueries {
        |GROUP BY brute.qid ORDER BY brute.qid""".stripMargin
   }
 
+  /** x115: the fixed-shortlist scale trap as data — ONE candidate
+    * chain (the x92 clustered corpus + init residual codebooks), TWO
+    * shortlist cuts: the registered fixed 12 and the occupancy-derived
+    * `GREATEST(2k, ceil(frac·nprobe·mean cell occupancy))`, computed in
+    * SQL from the same assignment the search probes (the twin of
+    * [[graft.ext.Similarity.occupancyShortlist]]'s 1-row aggregate).
+    * The derived size rides along as `sl_auto`, so the hash pins the
+    * sizing formula itself, not just the recall it buys.
+    */
+  private lazy val shortlistTrapOracle: String = {
+    val clArr = (1 to Dim).map(i =>
+      s"CAST(c.embedding[$i] AS DOUBLE) + 0.3 * CAST(e.embedding[$i] AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    val resList = (1 to Dim).map(i =>
+      s"CAST(e.embedding[$i] AS DOUBLE) - CAST(ct.cv[$i] AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    def d2Sql(j: Int): String =
+      (1 to PqSubDim).map { i =>
+        val idx = j * PqSubDim + i
+        s"((e.r[$idx] - c.r[$idx]) * (e.r[$idx] - c.r[$idx]))"
+      }.mkString("(CAST(0.0 AS DOUBLE) + ", " + ", ")")
+    val arms = (0 until PqM).map(j =>
+      s"SELECT e.vec_id, $j AS subspace, c.code, ${d2Sql(j)} AS d2 FROM res e, rcb c")
+      .mkString("\n  UNION ALL ")
+    val wideCols = (0 until PqM).map(j =>
+      s"MAX(CASE WHEN subspace = $j THEN code END) AS c$j").mkString(",\n  ")
+    val reconList = (1 to Dim).map { i =>
+      val j = (i - 1) / PqSubDim
+      s"CAST(ct.cv[$i] AS DOUBLE) + c$j.r[$i]"
+    }.mkString("[", ", ", "]")
+    val reconJoins = (0 until PqM).map(j =>
+      s"JOIN rcb c$j ON c$j.code = w.c$j").mkString("\n  ")
+    def cut(sfx: String, bound: String): String =
+      s"""short$sfx AS (SELECT qid, neighbor_id FROM (
+         |  SELECT qid, neighbor_id,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY approx_sim DESC, neighbor_id) AS rn
+         |  FROM cand) t WHERE rn <= $bound),
+         |sx$sfx AS (SELECT sh.qid, sh.neighbor_id,
+         |             (${dotSql("q.embedding", "n.embedding")} / (q.nr * n.nr)) AS sim
+         |      FROM short$sfx sh
+         |      JOIN bn q ON q.vec_id = sh.qid
+         |      JOIN bn n ON n.vec_id = sh.neighbor_id),
+         |ivfpq$sfx AS (SELECT qid, rank, neighbor_id FROM (
+         |  SELECT qid, neighbor_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM sx$sfx) t
+         |WHERE rank <= 5)""".stripMargin
+    s"""WITH cl AS MATERIALIZED (SELECT e.vec_id, $clArr AS embedding
+       |  FROM embeddings e JOIN embeddings c ON c.vec_id = (e.vec_id % 13) * 38),
+       |bn AS MATERIALIZED (SELECT vec_id, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nr FROM cl),
+       |cent AS MATERIALIZED (SELECT vec_id AS cell_id, embedding AS cv, nr AS cnr
+       |         FROM bn WHERE vec_id % 62 = 0 AND vec_id < 992),
+       |assign AS MATERIALIZED (SELECT vec_id, cell_id FROM (
+       |  SELECT e.vec_id, c.cell_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY (${dotSql("e.embedding", "c.cv")} / (e.nr * c.cnr)) DESC, c.cell_id) AS rn
+       |  FROM bn e, cent c) t WHERE rn = 1),
+       |autosl AS (SELECT GREATEST(10, CAST(ceil(0.25 * 4 * avg(n)) AS BIGINT)) AS sl
+       |  FROM (SELECT count(*) AS n FROM assign GROUP BY cell_id) t),
+       |probes AS MATERIALIZED (SELECT qid, cell_id FROM (
+       |  SELECT e.vec_id AS qid, c.cell_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY (${dotSql("e.embedding", "c.cv")} / (e.nr * c.cnr)) DESC, c.cell_id) AS rn
+       |  FROM bn e, cent c WHERE e.vec_id < 10) t WHERE rn <= 4),
+       |res AS MATERIALIZED (SELECT e.vec_id, a.cell_id, $resList AS r
+       |  FROM cl e
+       |  JOIN assign a ON a.vec_id = e.vec_id
+       |  JOIN cent ct ON ct.cell_id = a.cell_id),
+       |rcb AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code, r
+       |  FROM res WHERE vec_id % 62 = 31 AND vec_id < 1023),
+       |sub AS (
+       |  $arms),
+       |best AS (SELECT vec_id, subspace, code FROM (
+       |  SELECT vec_id, subspace, code,
+       |         row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d2 ASC, code ASC) AS rn
+       |  FROM sub) t WHERE rn = 1),
+       |wide AS MATERIALIZED (SELECT vec_id,
+       |  $wideCols
+       |  FROM best GROUP BY vec_id),
+       |recon AS MATERIALIZED (
+       |  SELECT w.vec_id, $reconList AS emb
+       |  FROM wide w
+       |  JOIN assign a ON a.vec_id = w.vec_id
+       |  JOIN cent ct ON ct.cell_id = a.cell_id
+       |  $reconJoins),
+       |reconn AS MATERIALIZED (SELECT vec_id, emb,
+       |  sqrt(${dotSql("emb", "emb")}) AS nr FROM recon),
+       |cand AS MATERIALIZED (SELECT p.qid, a.vec_id AS neighbor_id,
+       |                (${dotSql("q.embedding", "r.emb")} / (q.nr * r.nr)) AS approx_sim
+       |         FROM probes p
+       |         JOIN assign a ON a.cell_id = p.cell_id
+       |         JOIN reconn r ON r.vec_id = a.vec_id
+       |         JOIN bn q ON q.vec_id = p.qid
+       |         WHERE a.vec_id != p.qid),
+       |${cut("fx", "12")},
+       |${cut("au", "(SELECT sl FROM autosl)")},
+       |brute AS (SELECT qid, neighbor_id FROM (
+       |  SELECT q.vec_id AS qid, e.vec_id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |                            ORDER BY (${dotSql("q.embedding", "e.embedding")} / (q.nr * e.nr)) DESC, e.vec_id) AS rank
+       |  FROM bn q JOIN bn e ON e.vec_id != q.vec_id
+       |  WHERE q.vec_id < 10) t WHERE rank <= 5)
+       |SELECT brute.qid, CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(count(fx.neighbor_id) AS BIGINT) AS hits_fixed,
+       |  CAST(count(fx.neighbor_id) * 10000 // count(*) AS BIGINT) AS recall_fixed_bp,
+       |  CAST(count(au.neighbor_id) AS BIGINT) AS hits_auto,
+       |  CAST(count(au.neighbor_id) * 10000 // count(*) AS BIGINT) AS recall_auto_bp,
+       |  (SELECT CAST(sl AS BIGINT) FROM autosl) AS sl_auto
+       |FROM brute
+       |LEFT JOIN ivfpqfx fx ON brute.qid = fx.qid AND brute.neighbor_id = fx.neighbor_id
+       |LEFT JOIN ivfpqau au ON brute.qid = au.qid AND brute.neighbor_id = au.neighbor_id
+       |GROUP BY brute.qid ORDER BY brute.qid""".stripMargin
+  }
+
   private def ivfPqRecallSqlFor(stack: String): String =
     s"""$stack,
        |sx AS (SELECT p.qid, a.vec_id AS neighbor_id,
@@ -3914,5 +4030,43 @@ object ExtensionQueries {
           .select(col("qid"), col("n_hits").as("hits_fit"),
             col("recall_bp").as("recall_fit_bp"))
         rInit.join(rFit, Seq("qid"))
+      }),
+
+    Q("x115_shortlist_scale_trap",
+      "The fixed-IVF-PQ-shortlist scale trap as DATA (round-11 verdict item 5): one " +
+        "candidate chain (the x92 clustered corpus, init residual codebooks, x88 index " +
+        "parameters), two shortlist cuts — the registered fixed 12 and the " +
+        "occupancy-derived max(2k, ceil(frac*nprobe*meanCellOccupancy)) " +
+        "(Similarity.occupancyShortlist; frac 0.25, one 1-row aggregate over the SAME " +
+        "assignment the search probes). The derived size rides along as sl_auto, so the " +
+        "hash pins the sizing FORMULA, not just the recall it buys: at sf0.1 fixed-12 " +
+        "reads ~0.32 while auto (125 = nprobe x one mean cell) reads ~0.94, and the auto " +
+        "setting holds across sf0.01 -> sf0.1 where fixed-12 is already degenerate at " +
+        "both (SCALING.md round-11, tools.AutoShortlistSweep). Cost honesty: the auto " +
+        "shortlist is O(N/C) — the exact re-rank stays proportional to ONE probed cell, " +
+        "the same asymptotic a larger nprobe pays, spent on rank depth instead of cell " +
+        "count.",
+      Some(shortlistTrapOracle),
+      (s, d) => {
+        val emb = Similarity.clusteredCorpus(Tables.embeddings(s, d))
+          .localCheckpoint(false)
+        val q = emb.filter(col("vec_id") < 10)
+        val centroids = Similarity.strideCentroids(emb, 16).localCheckpoint(false)
+        val cb = Similarity.pqResidualCodebooks(emb, centroids).localCheckpoint(false)
+        val assigned = Similarity.ivfAssign(emb, centroids).localCheckpoint(false)
+        val slAuto = Similarity.occupancyShortlist(assigned, nprobe = 4, k = 5)
+        val brute = Similarity.knnBrute(q, emb, 5)
+        val rFix = Similarity.annRecall(brute,
+            Similarity.knnIvfPq(q, emb, centroids, cb, k = 5, nprobe = 4,
+              shortlist = 12, assignedOpt = Some(assigned)))
+          .select(col("qid"), col("n_true"), col("n_hits").as("hits_fixed"),
+            col("recall_bp").as("recall_fixed_bp"))
+        val rAuto = Similarity.annRecall(brute,
+            Similarity.knnIvfPq(q, emb, centroids, cb, k = 5, nprobe = 4,
+              shortlist = slAuto, assignedOpt = Some(assigned)))
+          .select(col("qid"), col("n_hits").as("hits_auto"),
+            col("recall_bp").as("recall_auto_bp"))
+        rFix.join(rAuto, Seq("qid"))
+          .withColumn("sl_auto", lit(slAuto.toLong))
       }))
 }

@@ -310,9 +310,10 @@ class PlanSpec extends SparkSuite {
       // frame (absent when the sf0.001 pilot is empty and the fallback
       // single-pass plan builds instead)
       "x98_weighted_sample_threshold",
-      // round-11: x114 is x92's recall shape on the structured corpus —
-      // the same bounded query-set (10-row brute) / centroid-set pins
-      "x114_fitted_codebook_recall")
+      // round-11: x114 is x92's recall shape on the structured corpus,
+      // x115 the same shape with two shortlist cuts — both carry the
+      // bounded query-set (10-row brute) / centroid-set pins
+      "x114_fitted_codebook_recall", "x115_shortlist_scale_trap")
     SparkEntry.registry.foreach { q =>
       val p = plan(q.build(spark, sf))
       val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
