@@ -149,7 +149,24 @@ object ScaleSmoke {
     "x109_cc_forget",
     // x110: two map-side hash scans + one co-partitioned full-outer
     // join on doc_id — the whole thing grows corpus-linearly
-    "x110_corpus_diff")
+    "x110_corpus_diff",
+    // round-11: x111 bounds itself to doc_id < 300 for its recursive-CC
+    // oracle (the x94/x100/x109 note) — its row measures the
+    // flat-profile property with the full streaming grow+forget
+    // machinery on top. x112's vocab-sized fit frames don't grow under
+    // amplification (shifted doc_ids copy the same words), so its row
+    // pins that the deep fit's cost is vocab-bound, not corpus-bound,
+    // past the one corpus-linear word-count pass. x113 is one
+    // corpus-linear pass per wave into a source-keyed window (budget
+    // stays 10/source). x114's derivation, Lloyd training passes, and
+    // both ladders scan the amplified embeddings (queries stay 10);
+    // x115 likewise with two shortlist cuts off one candidate chain —
+    // NOTE the auto shortlist itself grows as N/C (125 -> ~1250 at
+    // x10), which is the formula's documented contract (re-rank stays
+    // proportional to one probed cell).
+    "x111_component_stream", "x112_bpe_fit_batched",
+    "x113_grouped_sample_stream", "x114_fitted_codebook_recall",
+    "x115_shortlist_scale_trap")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
