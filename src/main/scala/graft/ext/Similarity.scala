@@ -893,9 +893,11 @@ object Similarity {
     */
   def occupancyShortlist(assigned: DataFrame, nprobe: Int, k: Int,
       frac: Double = 0.25): Int = {
-    val meanOcc = assigned.groupBy(col("cell_id"))
+    val row = assigned.groupBy(col("cell_id"))
       .agg(count(lit(1)).as("n"))
-      .agg(avg(col("n"))).head().getDouble(0)
+      .agg(avg(col("n"))).head()
+    // empty assignment → avg is null → the 2k floor (nothing to size by)
+    val meanOcc = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
     math.max(2 * k, math.ceil(frac * nprobe * meanOcc).toInt)
   }
 

@@ -3902,13 +3902,7 @@ object ExtensionQueries {
         writeWave(0, edgeWave(0L))
         writeWave(1, forgetWave(col("doc_id") % 74 === 0).unionByName(edgeWave(1L)))
         writeWave(2, forgetWave(col("doc_id") % 74 =!= 0).unionByName(edgeWave(2L)))
-        // per-batch folds shuffle O(batch) rows, so the stream runs in a
-        // child session pinned to a batch-sized shuffle width (AQE cannot
-        // coalesce under streaming) — corpus-sized work above stays on
-        // the session default
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "8")
-        val events = ss.readStream
+        val events = s.readStream
           .schema("kind STRING, doc_a LONG, doc_b LONG")
           .option("maxFilesPerTrigger", 1)
           .parquet(root + "/src/*")
