@@ -57,12 +57,13 @@ object TextRank {
   def bm25(docs: DataFrame, queries: DataFrame, k: Int = 5,
       k1: Double = 1.2, b: Double = 0.75, lnIdf: Boolean = false,
       idCol: String = "doc_id", textCol: String = "text",
-      postingsOpt: Option[DataFrame] = None): DataFrame = {
+      postingsOpt: Option[DataFrame] = None,
+      statsOpt: Option[DataFrame] = None): DataFrame = {
     val tf = postingsOpt.getOrElse(postings(docs, idCol, textCol))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = docs.agg(
+    val stats = statsOpt.getOrElse(docs.agg(
       count(lit(1)).as("n_docs"),
-      sum(size(split(col(textCol), " "))).as("n_tokens"))
+      sum(size(split(col(textCol), " "))).as("n_tokens")))
     // df restricted to the query vocabulary: |queries| rows, broadcast
     val qdf = dfreq.join(broadcast(queries), Seq("term"))
     val scored = tf.join(broadcast(qdf), Seq("term"))
@@ -169,6 +170,20 @@ object TextRank {
         explode(split(col(textCol), " ")).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"), min(col("__dl")).as("dl"))
+
+  /** Corpus stats recovered FROM a postings frame — the read side of a
+    * standing inverted index (`StreamingIngest.bm25IndexStream`), where
+    * the raw docs are gone and the index is the only standing data.
+    * Exact equalities with the docs-side aggregate, by construction of
+    * [[postings]]: every doc lands ≥ 1 posting row (Spark's
+    * `split("", " ")` and DuckDB's `string_split` both yield one empty
+    * token for empty text), so `count(DISTINCT id)` = doc count; and
+    * `dl = Σ tf` within a doc, so `Σ tf` over the index = total tokens.
+    * One index-sized aggregate — never a corpus re-scan.
+    */
+  def statsFromPostings(tf: DataFrame, idCol: String = "doc_id"): DataFrame =
+    tf.agg(countDistinct(col(idCol)).as("n_docs"),
+      sum(col("tf")).as("n_tokens"))
 
   /** Mid-frequency probe queries derived from the corpus itself: terms
     * at df-rank `lo..hi` (df DESC, term ASC — a deterministic total

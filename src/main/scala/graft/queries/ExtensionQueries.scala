@@ -4062,5 +4062,50 @@ object ExtensionQueries {
             col("recall_bp").as("recall_auto_bp"))
         rFix.join(rAuto, Seq("qid"))
           .withColumn("sl_auto", lit(slAuto.toLong))
+      }),
+
+    Q("x116_bm25_index_stream",
+      "INCREMENTAL inverted-index maintenance (round-11): the corpus arrives in three " +
+        "hash-split micro-batches, each tokenized ONCE into posting rows (doc_id, term, " +
+        "tf, dl) and appended to a standing index (streaming.bm25IndexStream — stamped " +
+        "appends, exactly-once under replay; raw docs never kept, never re-tokenized); " +
+        "retrieval then runs ENTIRELY off the index — df and corpus stats re-aggregate " +
+        "from the postings (statsFromPostings: every doc lands >=1 posting row and " +
+        "dl = sum(tf) within a doc, so n_docs/n_tokens are EXACT equalities with the " +
+        "docs-side aggregates, not approximations), query terms self-derive from the " +
+        "index's df ranks, and scores join only the query-term postings. The oracle is " +
+        "x54's SQL VERBATIM over the raw corpus — blind to the index, the batching, and " +
+        "the arrival order: tf/df/dl/N are set-functions of arrived docs, so the standing " +
+        "index after any arrival prefix retrieves exactly what batch BM25 retrieves over " +
+        "the docs seen so far. This is the retrieval-system posture at 100 TB: ingest " +
+        "pays O(batch tokens) once, queries pay O(query-term postings) via the term " +
+        "equi-join — the corpus is never re-scanned.",
+      Some(bm25Oracle),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("h", pmod(xxhash64(col("doc_id")), lit(3L)))
+          .localCheckpoint(false) // one corpus pass feeds all three waves
+        val root = scratchTempDir("graft-x116-bm25idx")
+        def writeWave(b: Int): Unit = {
+          val f = new java.io.File(root + "/src", f"batch$b%03d.parquet")
+          docs.filter(col("h") === b).drop("h")
+            .coalesce(1).write.mode("overwrite").parquet(f.toString)
+          val t = 1700000000000L + b * 60000L
+          f.listFiles().foreach(_.setLastModified(t)); f.setLastModified(t)
+        }
+        (0 until 3).foreach(writeWave)
+        val stream = s.readStream
+          .schema(Tables.documents(s, d).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(root + "/src/*")
+        graft.streaming.StreamingIngest.bm25IndexStream(stream,
+          root + "/postings", root + "/ckpt")
+        val tf = s.read.parquet(root + "/postings")
+          .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+          .localCheckpoint(false) // the index feeds df, stats, queries, scoring
+        graft.ext.TextRank.bm25(tf /* docs unused: stats from the index */,
+          graft.ext.TextRank.midFrequencyQueries(tf, postingsOpt = Some(tf)),
+          postingsOpt = Some(tf),
+          statsOpt = Some(graft.ext.TextRank.statsFromPostings(tf)))
       }))
 }

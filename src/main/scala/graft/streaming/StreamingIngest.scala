@@ -737,6 +737,52 @@ object StreamingIngest {
     q
   }
 
+  /** Streaming BM25 inverted-index maintenance (round 11): each arriving
+    * doc micro-batch is tokenized ONCE into posting rows
+    * (`doc_id, term, tf, dl` — [[graft.ext.TextRank.postings]]) and
+    * appended to the standing index; the raw docs are never kept and
+    * never re-tokenized. Retrieval then runs entirely off the index:
+    * df/doc-stats re-aggregate from the postings
+    * ([[graft.ext.TextRank.statsFromPostings]] — exact equalities with
+    * the docs-side aggregates, derivation there), so BM25 over the
+    * standing index after any prefix of arrivals equals batch x54 over
+    * the docs seen so far — tf/df/dl/N are set-functions of arrived
+    * docs, blind to batching (Bm25IndexStreamSpec pins the equality;
+    * x116 oracles the read-back with x54's SQL verbatim).
+    *
+    * Exactly-once under foreachBatch's at-least-once replay by the
+    * stamped-append idiom: postings are NOT idempotent under
+    * re-delivery (a double append doubles tf's weight in df), so the
+    * landed-seq guard is the boundary, like every mergeable-partial
+    * sink here. Contract: an append-only corpus — each `idCol` arrives
+    * once (replays are the same batchId and skip). A doc UPDATE would
+    * need its old postings retracted first; that regime belongs to the
+    * upsert/dedup family (route updates through a keyed dedup upstream,
+    * or rebuild the affected doc's rows the componentStreamWithForgets
+    * way).
+    *
+    * Per-batch cost: O(batch tokens) tokenize + one stamped append —
+    * the index grows with corpus content, queries pay O(postings of the
+    * query terms) via the term equi-join, never a corpus re-scan.
+    */
+  def bm25IndexStream(docs: DataFrame, postingsDir: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text"): StreamingQuery = {
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!landedSeq(spark, postingsDir, batchId))
+          graft.pipeline.Ingest.appendWithSeq(
+            graft.ext.TextRank.postings(batch.toDF(), idCol, textCol),
+            postingsDir, batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming GROUPED pps sample — the [[weightedSampleStream]] fold
     * applied per group (the x101 batch form made continuous): the
     * standing state is exactly-n rows PER GROUP, each micro-batch
