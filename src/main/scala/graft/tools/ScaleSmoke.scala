@@ -166,7 +166,11 @@ object ScaleSmoke {
     // proportional to one probed cell).
     "x111_component_stream", "x112_bpe_fit_batched",
     "x113_grouped_sample_stream", "x114_fitted_codebook_recall",
-    "x115_shortlist_scale_trap")
+    "x115_shortlist_scale_trap",
+    // x116's per-wave tokenize + append and the read-back's df/stats
+    // re-aggregation are all postings-linear; query-term scoring joins
+    // stay O(query-term postings)
+    "x116_bm25_index_stream")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
