@@ -60,11 +60,19 @@ object TextRank {
       postingsOpt: Option[DataFrame] = None,
       statsOpt: Option[DataFrame] = None): DataFrame = {
     val tf = postingsOpt.getOrElse(postings(docs, idCol, textCol))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df over QUERY-TERM postings only (round-11): the semi-join keeps
+    // every posting row of the queried terms, so their df counts are
+    // identical to a full-index aggregate — but the aggregate input
+    // shrinks from the whole index to the query terms' posting lists,
+    // which is the difference between an index-wide shuffle per query
+    // batch and O(query-term postings) at production index sizes
+    val qterms = queries.select(col("term")).distinct()
+    val dfreq = tf.join(broadcast(qterms), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = statsOpt.getOrElse(docs.agg(
       count(lit(1)).as("n_docs"),
       sum(size(split(col(textCol), " "))).as("n_tokens")))
-    // df restricted to the query vocabulary: |queries| rows, broadcast
+    // df already query-restricted; attach query_id: |queries| rows, broadcast
     val qdf = dfreq.join(broadcast(queries), Seq("term"))
     val scored = tf.join(broadcast(qdf), Seq("term"))
       .crossJoin(broadcast(stats))
@@ -94,7 +102,10 @@ object TextRank {
       idCol: String = "doc_id", textCol: String = "text",
       postingsOpt: Option[DataFrame] = None): DataFrame = {
     val tf = postingsOpt.getOrElse(postings(docs, idCol, textCol))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // query-term-restricted df, same derivation as bm25's
+    val qterms = queries.select(col("term")).distinct()
+    val dfreq = tf.join(broadcast(qterms), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
       sum(size(split(col(textCol), " "))).as("n_tokens"))

@@ -313,7 +313,10 @@ class PlanSpec extends SparkSuite {
       // round-11: x114 is x92's recall shape on the structured corpus,
       // x115 the same shape with two shortlist cuts — both carry the
       // bounded query-set (10-row brute) / centroid-set pins
-      "x114_fitted_codebook_recall", "x115_shortlist_scale_trap")
+      "x114_fitted_codebook_recall", "x115_shortlist_scale_trap",
+      // x116 is x54's scoring tail off the standing index — the same
+      // 1-row corpus-stats cross pin
+      "x116_bm25_index_stream")
     SparkEntry.registry.foreach { q =>
       val p = plan(q.build(spark, sf))
       val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
