@@ -186,10 +186,16 @@ object TextRank {
     * standing inverted index (`StreamingIngest.bm25IndexStream`), where
     * the raw docs are gone and the index is the only standing data.
     * Exact equalities with the docs-side aggregate, by construction of
-    * [[postings]]: every doc lands ≥ 1 posting row (Spark's
-    * `split("", " ")` and DuckDB's `string_split` both yield one empty
-    * token for empty text), so `count(DISTINCT id)` = doc count; and
+    * [[postings]]: every NON-NULL-text doc lands ≥ 1 posting row
+    * (Spark's `split("", " ")` and DuckDB's `string_split` both yield
+    * one empty token for empty text — but `split(NULL)` explodes to
+    * ZERO rows, which is why `bm25IndexStream` gates null text out with
+    * a named filter instead of letting such docs silently vanish from
+    * n_docs), so `count(DISTINCT id)` = indexed doc count; and
     * `dl = Σ tf` within a doc, so `Σ tf` over the index = total tokens.
+    * The id-uniqueness half rides on the index's append-once contract
+    * (a doc_id appended twice would double-count n_tokens and every tf
+    * — that regime belongs upstream, in the keyed-dedup family).
     * One index-sized aggregate — never a corpus re-scan.
     */
   def statsFromPostings(tf: DataFrame, idCol: String = "doc_id"): DataFrame =

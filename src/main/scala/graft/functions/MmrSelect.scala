@@ -20,15 +20,34 @@ final class MmrBuffer(val shortlist: Int) {
   val entries = new ArrayBuffer[(Long, Double, Array[Float])]()
 
   private def rank(): Unit = {
-    // distinctBy AFTER the (rel desc, id asc) sort keeps the
-    // highest-rel entry per id: a caller feeding the same id twice
+    // distinctBy AFTER the (rel desc, id asc, vec-hash asc) sort keeps
+    // the highest-rel entry per id: a caller feeding the same id twice
     // (e.g. candidates unioned from two lists) must not inflate the
     // greedy loop's candidate count — duplicate survivors made
-    // eval's argmax run out of fresh ids and NPE (round-11 ADVICE)
+    // eval's argmax run out of fresh ids and NPE (round-11 ADVICE).
+    // The trailing vec-hash key pins the DEGENERATE same-id-same-rel-
+    // different-vector case: without it, distinctBy kept whichever
+    // entry arrived first, and arrival order here depends on which
+    // partition's partial buffer merges first — the kept VECTOR (which
+    // feeds the diversity term) was nondeterministic across runs (the
+    // weightedSampleStream full-row-hash rule, applied to the buffer)
     val s = entries.sortWith { (a, b) =>
-      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+      a._2 > b._2 || (a._2 == b._2 && (a._1 < b._1 ||
+        (a._1 == b._1 && vecKey(a._3) < vecKey(b._3))))
     }.distinctBy(_._1)
     entries.clear(); entries ++= s.take(shortlist)
+  }
+
+  // deterministic total order over vectors: length-first, then
+  // lexicographic on raw float bits (exact, no float-compare pitfalls)
+  private def vecKey(v: Array[Float]): String = {
+    val sb = new java.lang.StringBuilder(v.length * 9 + 8)
+    sb.append(f"${v.length}%08x")
+    var i = 0
+    while (i < v.length) {
+      sb.append(f"${java.lang.Float.floatToIntBits(v(i))}%08x"); i += 1
+    }
+    sb.toString
   }
 
   def push(id: Long, rel: Double, vec: Array[Float]): Unit = {

@@ -45,6 +45,21 @@ object ExtensionQueries {
     dir.toString
   }
 
+  /** One arrival wave for the streaming read-back queries (x111/x113/
+    * x116): a single-file parquet under `root/src` with PINNED mtimes
+    * (1.7e12 + b·60s) so the file stream's maxFilesPerTrigger=1 ordering
+    * replays waves in wave-number order deterministically. Shared so a
+    * future change to the trigger-ordering contract (mtime granularity,
+    * _SUCCESS handling) lands once (round-11 review).
+    */
+  private def writeStreamWave(root: String, b: Int,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val f = new java.io.File(root + "/src", f"batch$b%03d.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(f.toString)
+    val t = 1700000000000L + b * 60000L
+    f.listFiles().foreach(_.setLastModified(t)); f.setLastModified(t)
+  }
+
   // ---- portable minhash/simhash oracle fragments --------------------------
 
   // DuckDB renderings of the portable md5 hash family (TextDedup.portableHash
@@ -3885,13 +3900,8 @@ object ExtensionQueries {
             concat_ws(":", col("doc_a"), col("doc_b")), "ccstream"), lit(3L)))
           .localCheckpoint(false) // one edge build feeds all three waves
         val root = scratchTempDir("graft-x111-ccstream")
-        def writeWave(b: Int, df: org.apache.spark.sql.DataFrame): Unit = {
-          val f = new java.io.File(root + "/src", f"batch$b%03d.parquet")
-          df.coalesce(1).write.mode("overwrite").parquet(f.toString)
-          // pin file mtimes so the file source triggers waves in order
-          val t = 1700000000000L + b * 60000L
-          f.listFiles().foreach(_.setLastModified(t)); f.setLastModified(t)
-        }
+        def writeWave(b: Int, df: org.apache.spark.sql.DataFrame): Unit =
+          writeStreamWave(root, b, df)
         def edgeWave(h: Long) = edges.filter(col("h") === h)
           .select(lit("edge").as("kind"), col("doc_a").cast("long"),
             col("doc_b").cast("long"))
@@ -3965,13 +3975,8 @@ object ExtensionQueries {
           .withColumn("h", pmod(xxhash64(col("doc_id")), lit(3L)))
           .localCheckpoint(false) // one corpus pass feeds all three waves
         val root = scratchTempDir("graft-x113-gwsample")
-        def writeWave(b: Int): Unit = {
-          val f = new java.io.File(root + "/src", f"batch$b%03d.parquet")
-          feats.filter(col("h") === b).drop("h")
-            .coalesce(1).write.mode("overwrite").parquet(f.toString)
-          val t = 1700000000000L + b * 60000L
-          f.listFiles().foreach(_.setLastModified(t)); f.setLastModified(t)
-        }
+        def writeWave(b: Int): Unit =
+          writeStreamWave(root, b, feats.filter(col("h") === b).drop("h"))
         (0 until 3).foreach(writeWave)
         val docs = s.readStream
           .schema("doc_id LONG, source STRING, n_tokens LONG")
@@ -4086,13 +4091,8 @@ object ExtensionQueries {
           .withColumn("h", pmod(xxhash64(col("doc_id")), lit(3L)))
           .localCheckpoint(false) // one corpus pass feeds all three waves
         val root = scratchTempDir("graft-x116-bm25idx")
-        def writeWave(b: Int): Unit = {
-          val f = new java.io.File(root + "/src", f"batch$b%03d.parquet")
-          docs.filter(col("h") === b).drop("h")
-            .coalesce(1).write.mode("overwrite").parquet(f.toString)
-          val t = 1700000000000L + b * 60000L
-          f.listFiles().foreach(_.setLastModified(t)); f.setLastModified(t)
-        }
+        def writeWave(b: Int): Unit =
+          writeStreamWave(root, b, docs.filter(col("h") === b).drop("h"))
         (0 until 3).foreach(writeWave)
         val stream = s.readStream
           .schema(Tables.documents(s, d).schema)

@@ -694,6 +694,24 @@ object StreamingIngest {
     * never see a torn sample). The standing state is n rows forever;
     * the corpus is never re-scanned.
     */
+  /** Deterministic per-id duplicate resolution shared by the sample
+    * folds (round-11 ADVICE, extracted round-11 review): keep the
+    * min-(priority, w, full-row-hash) row per id. Min-priority is the
+    * version top-n selection favors anyway, so the fold stays
+    * arrival-order independent; the trailing xxhash64 over ALL columns
+    * pins the degenerate same-id-same-priority-different-payload case.
+    * Both sample streams MUST share this rule — diverging copies would
+    * silently split their replay semantics.
+    */
+  private def resolvePerId(unioned: DataFrame, idCol: String): DataFrame = {
+    val perId = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("priority").asc, col("w").asc,
+        xxhash64(unioned.columns.map(col).toIndexedSeq: _*).asc)
+    unioned.withColumn("__v", row_number().over(perId))
+      .filter(col("__v") === 1).drop("__v")
+  }
+
   def weightedSampleStream(docs: DataFrame, weightColName: String, n: Int,
       sampleDir: String, checkpointDir: String,
       idCol: String = "doc_id", salt: String = "pps"): StreamingQuery = {
@@ -709,23 +727,11 @@ object StreamingIngest {
           case Some(_) => ManifestTable.read(spark, sampleDir)
           case None => batchTop.limit(0)
         }
-        // Per-id duplicate resolution must be DETERMINISTIC (round-11
-        // ADVICE): a replayed doc carries the identical row, but a doc
-        // re-arriving with a CHANGED weight carries a different
-        // priority — a bare dropDuplicates(id) kept an arbitrary one,
-        // making the standing sample order/retry dependent. Keep the
-        // min-(priority, w, full-row-hash) row per id: min-priority is
-        // the version top-n selection favors anyway, so the fold stays
-        // arrival-order independent, and the trailing hash pins the
-        // degenerate same-id-same-priority-different-payload case.
-        val unioned = standing.unionByName(batchTop)
-        val perId = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(idCol))
-          .orderBy(col("priority").asc, col("w").asc,
-            xxhash64(unioned.columns.map(col).toIndexedSeq: _*).asc)
+        // per-id duplicate resolution: the shared deterministic rule
+        // (resolvePerId — min (priority, w, full-row hash); rationale
+        // there, round-11 ADVICE)
         val next = graft.operators.Ranks.topK(
-          unioned.withColumn("__rk", row_number().over(perId))
-            .filter(col("__rk") === 1).drop("__rk"),
+          resolvePerId(standing.unionByName(batchTop), idCol),
           n, col("priority").asc, col(idCol).asc)
           .localCheckpoint(false) // pin: commit must not re-read the table it replaces
         ManifestTable.commit(spark, sampleDir, next, replace = true)
@@ -774,7 +780,14 @@ object StreamingIngest {
         val spark = batch.sparkSession
         if (!landedSeq(spark, postingsDir, batchId))
           graft.pipeline.Ingest.appendWithSeq(
-            graft.ext.TextRank.postings(batch.toDF(), idCol, textCol),
+            // null text = no content = NOT indexed (named gate, round-11
+            // review): split(NULL) explodes to zero rows, so a null-text
+            // doc would silently leave no posting trace while the
+            // docs-side n_docs counted it — the index's stats are over
+            // INDEXED docs by contract, and the gate makes that contract
+            // hold by construction rather than by corpus luck
+            graft.ext.TextRank.postings(
+              batch.toDF().filter(col(textCol).isNotNull), idCol, textCol),
             postingsDir, batchId)
       }
       .trigger(Trigger.AvailableNow())
@@ -786,29 +799,42 @@ object StreamingIngest {
   /** Streaming GROUPED pps sample — the [[weightedSampleStream]] fold
     * applied per group (the x101 batch form made continuous): the
     * standing state is exactly-n rows PER GROUP, each micro-batch
-    * contributes its own per-group top-n and the union re-selects, so
-    * the standing table always equals the batch
-    * [[graft.ext.TextStats.weightedSamplePerGroup]] over everything
-    * that has arrived (GroupedWeightedSampleStreamSpec pins the
-    * equality on real arrival splits).
+    * contributes its own per-group top-n and the union re-selects.
     *
-    * Why the per-group fold is exact, same argument as the global one,
-    * groupwise: priorities are pure functions of (id, weight), and a
-    * row outside a batch's per-group top-n is dominated within its
-    * group by n union rows — it can never enter the final top-n, so
-    * dropping it at the batch boundary is lossless. Top-n-per-group
-    * under fixed priorities is associative and idempotent, hence
-    * batch-split-invariant and safe under foreachBatch replay with no
-    * seq-stamp machinery (a crash mid-publish leaves the previous
-    * manifest version current).
+    * Equality contract (GroupedWeightedSampleStreamSpec pins it on real
+    * arrival splits): for APPEND-ONLY arrivals — and for weight updates
+    * that keep a doc in its group — the standing table equals the batch
+    * [[graft.ext.TextStats.weightedSamplePerGroup]] over the
+    * min-priority version of everything that has arrived. The argument
+    * is the global one, groupwise: priorities are pure functions of
+    * (id, weight), a row outside a batch's per-group top-n is dominated
+    * within its group by n union rows, and per-id min-priority
+    * resolution never WORSENS any doc's standing — so a
+    * boundary-dropped row can never re-enter the true top-n, and
+    * dropping it is lossless. Top-n-per-group under fixed priorities is
+    * associative and idempotent, hence batch-split-invariant and safe
+    * under foreachBatch replay with no seq-stamp machinery (a crash
+    * mid-publish leaves the previous manifest version current).
     *
-    * Re-arrivals that CHANGE a doc's weight — or move it to a new
-    * group — resolve deterministically per id (min (priority, w,
-    * full-row hash), the round-11 weightedSampleStream rule): one
-    * version of each doc survives, in exactly one group, independent
-    * of arrival order. Weight updates keep the sampling semantics
-    * exact for the surviving version; a moved doc vacates its old
-    * group's slot at the next fold.
+    * GROUP MOVES are deliberately weaker (round-11 review): a doc
+    * re-arriving in a new group resolves deterministically per id (min
+    * (priority, w, full-row hash) — one version survives, in exactly
+    * one group, and the same arrival sequence replays identically),
+    * with two bounded-state caveats. (1) A vacated slot cannot backfill
+    * from rows dropped at EARLIER batch boundaries — the old group may
+    * stand below n until those rows re-arrive, and on re-arrival they
+    * DO backfill, because per-id resolution runs over the whole
+    * arriving batch before the per-group trim. (2) Arrival ORDER can
+    * change which version of a FORGOTTEN id survives: a version that
+    * was dropped from the standing state cannot oppose a later worse
+    * re-arrival of the same id (retained min-priority versions, by
+    * contrast, never regress — min is monotone on retained ids).
+    * GroupedWeightedSampleStreamSpec pins underfill, recovery,
+    * single-membership, regression-freedom, and replay-determinism.
+    * That is the price of O(groups×n) state — exactness under re-keying
+    * would require keeping every arrival. Workloads that re-key docs
+    * should route through a keyed dedup upstream or rebuild the
+    * affected groups batch-side.
     *
     * Standing state: O(groups × n) rows forever; per batch one
     * group-keyed shuffle of O(batch + groups·n) — the corpus is never
@@ -824,23 +850,26 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val batchTop = TextStats.weightedSamplePerGroup(
-          batch.toDF(), groupCol, col(weightColName), n, idCol, salt)
+        // NO per-batch pre-trim (round-11 review): trimming the batch to
+        // its own per-group top-n BEFORE per-id resolution let a stale
+        // version of a group-moved doc occupy a batch slot and crowd out
+        // the very row that should backfill the vacated group — even a
+        // full re-delivery could then never refill it. Resolution runs
+        // over the whole batch first (the union is O(batch + groups·n)
+        // rows — the same order as the batch itself), THEN the per-group
+        // trim; the global weightedSampleStream keeps its pre-trim
+        // because without re-keying the trim is provably lossless.
+        val batchPri = TextStats.prioritize(
+            batch.toDF(), col(weightColName), idCol, salt)
+          .select(col(idCol), col(groupCol), col("w"), col("priority"))
         val standing = ManifestTable.currentVersion(spark, sampleDir) match {
-          case Some(_) => ManifestTable.read(spark, sampleDir)
-          case None => batchTop.limit(0)
+          case Some(_) => ManifestTable.read(spark, sampleDir).drop("rk")
+          case None => batchPri.limit(0)
         }
-        val unioned = standing.unionByName(batchTop).drop("rk")
-        val perId = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(idCol))
-          .orderBy(col("priority").asc, col("w").asc,
-            xxhash64(unioned.columns.map(col).toIndexedSeq: _*).asc)
         val perGroup = org.apache.spark.sql.expressions.Window
           .partitionBy(col(groupCol))
           .orderBy(col("priority").asc, col(idCol).asc)
-        val next = unioned
-          .withColumn("__v", row_number().over(perId))
-          .filter(col("__v") === 1).drop("__v")
+        val next = resolvePerId(standing.unionByName(batchPri), idCol)
           .withColumn("rk", row_number().over(perGroup).cast("long"))
           .filter(col("rk") <= n)
           .localCheckpoint(false) // pin: commit must not re-read the table it replaces

@@ -18,12 +18,8 @@ class Bm25IndexStreamSpec extends SparkSuite {
   private lazy val docs = graft.sources.Tables.documents(spark, sf)
     .localCheckpoint(false)
 
-  private def writeWave(dir: String, b: Int, df: DataFrame): Unit = {
-    val f = new java.io.File(dir, f"batch$b%03d.parquet")
-    df.coalesce(1).write.mode("overwrite").parquet(f.toString)
-    val t = 1700000000000L + b * 60000L
-    f.listFiles().foreach(_.setLastModified(t)); f.setLastModified(t)
-  }
+  private def writeWave(dir: String, b: Int, df: DataFrame): Unit =
+    writeWaveTo(dir, b, df)
 
   private def run(root: String, ckpt: String): Unit = {
     val stream = spark.readStream

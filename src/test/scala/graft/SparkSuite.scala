@@ -30,4 +30,17 @@ trait SparkSuite extends AnyFunSuite {
   }
 
   val sf: String = "/root/testdata/sf0.001"
+
+  /** One pinned-mtime arrival wave for file-stream specs — the twin of
+    * ExtensionQueries.writeStreamWave (one-file parquet, mtimes
+    * 1.7e12 + b·60s so maxFilesPerTrigger=1 replays waves in order).
+    * A future change to the trigger-ordering contract lands here once.
+    */
+  protected def writeWaveTo(dir: String, b: Int,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val f = new java.io.File(dir, f"batch$b%03d.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(f.toString)
+    val t = 1700000000000L + b * 60000L
+    f.listFiles().foreach(_.setLastModified(t)); f.setLastModified(t)
+  }
 }

@@ -200,12 +200,8 @@ class StreamBatchEquivalenceSpec extends SparkSuite {
       .withColumn("h", pmod(graft.ext.TextDedup.portableHash(
         concat_ws(":", col("doc_a"), col("doc_b")), "ccequiv"), lit(3L)))
       .localCheckpoint(false)
-    def writeWave(b: Int, df: DataFrame): Unit = {
-      val f = new java.io.File(s"$base/src", f"batch$b%03d.parquet")
-      df.coalesce(1).write.mode("overwrite").parquet(f.toString)
-      val t = 1700000000000L + b * 60000L
-      f.listFiles().foreach(_.setLastModified(t)); f.setLastModified(t)
-    }
+    def writeWave(b: Int, df: DataFrame): Unit =
+      writeWaveTo(s"$base/src", b, df)
     def edgeWave(h: Long) = edges.filter(col("h") === h)
       .select(lit("edge").as("kind"), col("doc_a").cast("long"),
         col("doc_b").cast("long"))
