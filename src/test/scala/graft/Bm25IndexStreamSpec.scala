@@ -47,7 +47,7 @@ class Bm25IndexStreamSpec extends SparkSuite {
   }
 
   test("retrieval off the streamed index equals batch x54, including stats recovered from postings") {
-    val root = Files.createTempDirectory("graft-bm25idx").toString
+    val root = tempDir("graft-bm25idx")
     val split = docs.withColumn("h", pmod(xxhash64(col("doc_id")), lit(3L)))
       .localCheckpoint(false)
     (0 until 3).foreach(b =>
@@ -69,7 +69,7 @@ class Bm25IndexStreamSpec extends SparkSuite {
   }
 
   test("replaying landed batches leaves the index byte-equivalent (stamped-append exactly-once)") {
-    val root = Files.createTempDirectory("graft-bm25idx2").toString
+    val root = tempDir("graft-bm25idx2")
     val split = docs.withColumn("h", pmod(xxhash64(col("doc_id")), lit(2L)))
       .localCheckpoint(false)
     (0 until 2).foreach(b =>

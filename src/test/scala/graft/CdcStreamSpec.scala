@@ -56,7 +56,7 @@ class CdcStreamSpec extends SparkSuite {
   }
 
   test("index grows with distinct content; re-arrivals fully known; shifts hit; replay heals") {
-    val root = Files.createTempDirectory("graft-cdcstream").toString
+    val root = tempDir("graft-cdcstream")
     writeBatches(root + "/src")
     run(root + "/src", root + "/index", root + "/stats", root + "/ckpt")
 

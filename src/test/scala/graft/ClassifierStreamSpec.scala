@@ -47,7 +47,7 @@ class ClassifierStreamSpec extends SparkSuite {
   }
 
   test("streamed fold equals the all-at-once fit statistics") {
-    val root = Files.createTempDirectory("graft-clsstream").toString
+    val root = tempDir("graft-clsstream")
     (0 until 3).foreach(b => writeBatch(root + "/src", b))
     run(root + "/src", root + "/stats", root + "/ckpt")
 
@@ -63,7 +63,7 @@ class ClassifierStreamSpec extends SparkSuite {
   }
 
   test("re-delivered batches do not double-count: the landed-seq guard holds") {
-    val root = Files.createTempDirectory("graft-clsstream2").toString
+    val root = tempDir("graft-clsstream2")
     (0 until 3).foreach(b => writeBatch(root + "/src", b))
     run(root + "/src", root + "/stats", root + "/ckpt")
     val before = statsRow(

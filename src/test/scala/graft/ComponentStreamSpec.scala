@@ -44,7 +44,7 @@ class ComponentStreamSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("streamed fold equals from-scratch CC over all streamed edges") {
-    val root = Files.createTempDirectory("graft-ccstream").toString
+    val root = tempDir("graft-ccstream")
     batches.indices.foreach(b => writeBatch(root + "/src", b))
     run(root + "/src", root + "/comps", root + "/ckpt")
 
@@ -57,7 +57,7 @@ class ComponentStreamSpec extends SparkSuite {
   }
 
   test("replaying all batches against the folded table is a no-op") {
-    val root = Files.createTempDirectory("graft-ccstream2").toString
+    val root = tempDir("graft-ccstream2")
     batches.indices.foreach(b => writeBatch(root + "/src", b))
     run(root + "/src", root + "/comps", root + "/ckpt")
     val before = standing(root + "/comps")
@@ -106,7 +106,7 @@ class ComponentStreamSpec extends SparkSuite {
     20L -> 4L, 21L -> 4L)         // ...so {4,5,20,21} share min-id 4
 
   test("grow+forget stream: bridge split, rejected resurrection, singleton leftover") {
-    val root = Files.createTempDirectory("graft-ccforget").toString
+    val root = tempDir("graft-ccforget")
     mixed.indices.foreach(b => writeMixed(root + "/src", b))
     runForgets(root, "ckpt")
     assert(standing(root + "/comps") == forgetTruth)
@@ -117,7 +117,7 @@ class ComponentStreamSpec extends SparkSuite {
   }
 
   test("full replay of the mixed stream is a no-op") {
-    val root = Files.createTempDirectory("graft-ccforget2").toString
+    val root = tempDir("graft-ccforget2")
     mixed.indices.foreach(b => writeMixed(root + "/src", b))
     runForgets(root, "ckpt")
     val before = standing(root + "/comps")
@@ -126,7 +126,7 @@ class ComponentStreamSpec extends SparkSuite {
   }
 
   test("mid-stream edge-log compaction is invisible to the verdicts") {
-    val root = Files.createTempDirectory("graft-ccforget3").toString
+    val root = tempDir("graft-ccforget3")
     mixed.indices.foreach(b => writeMixed(root + "/src", b))
     runForgets(root, "ckpt", maxFiles = 1) // compaction fires every batch
     assert(standing(root + "/comps") == forgetTruth)

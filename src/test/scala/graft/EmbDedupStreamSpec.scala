@@ -63,7 +63,7 @@ class EmbDedupStreamSpec extends SparkSuite {
     assert(pairs(11L) == pairs(20L) && pairs(21L) == pairs(22L),
       "perturbed twins must share their original's bucket for this fixture")
 
-    val root = Files.createTempDirectory("graft-embstream").toString
+    val root = tempDir("graft-embstream")
     writeBatches(root + "/src")
     run(root + "/src", root + "/index", root + "/survivors", root + "/ckpt")
 
@@ -188,7 +188,7 @@ class EmbDedupStreamSpec extends SparkSuite {
     // machinery. Proven by running the same arrivals twice: once with a
     // compaction between batch 1 and batch 2, once without, and
     // asserting identical final verdicts.
-    val root = Files.createTempDirectory("graft-embcompact").toString
+    val root = tempDir("graft-embcompact")
     def runOn(tag: String): Unit =
       run(root + s"/src-$tag", root + s"/index-$tag", root + s"/survivors-$tag",
         root + s"/ckpt-$tag-" + System.nanoTime())

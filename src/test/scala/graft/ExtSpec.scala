@@ -642,7 +642,7 @@ class ExtSpec extends SparkSuite {
   test("multimodal binaryFile path: real PNG bytes flow through the media schema unchanged") {
     // real image fixture (round-4 item 8) without external libs: the JDK's
     // ImageIO encodes genuine PNGs; only the decode STAGE stays stubbed
-    val dir = java.nio.file.Files.createTempDirectory("graft-media").toFile
+    val dir = new java.io.File(tempDir("graft-media"))
     (1 to 3).foreach { i =>
       val img = new java.awt.image.BufferedImage(
         4 * i, 4 * i, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -1143,7 +1143,7 @@ class ExtSpec extends SparkSuite {
       6L -> "{\"looks\":\"like json\"}",
       7L -> "")
     val df = nasty.toDF("doc_id", "text")
-    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-nasty").toString + "/d"
+    val dir = tempDir("graft-jsonl-nasty") + "/d"
     df.write.option("compression", "gzip").json(dir)
     // one doc per physical LINE: 7 docs -> 7 lines across the shards
     val lineCount = new java.io.File(dir).listFiles()
@@ -1162,7 +1162,7 @@ class ExtSpec extends SparkSuite {
   }
 
   test("mediaTableFromFiles idPattern: non-matching filenames fail loudly, never null ids") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-idpat").toFile
+    val dir = new java.io.File(tempDir("graft-idpat"))
     val img = Multimodal.renderImage(1L, 8, 8, 0)
     javax.imageio.ImageIO.write(img, "png", new java.io.File(dir, "42.png"))
     javax.imageio.ImageIO.write(img, "png", new java.io.File(dir, "not-a-number.png"))
@@ -1191,7 +1191,7 @@ class ExtSpec extends SparkSuite {
     // one-doc-per-line and split-parallel gzip shards.
     val docs = Seq(1L -> "plain text", 2L -> "two\nlines", 3L -> "q\"uote, comma")
     val df = docs.toDF("doc_id", "text")
-    val dir = java.nio.file.Files.createTempDirectory("graft-csv-nasty").toString + "/d"
+    val dir = tempDir("graft-csv-nasty") + "/d"
     df.coalesce(1).write.option("header", "true").csv(dir)
 
     // default (line-split) read: the quoted newline splits doc 2 into

@@ -43,7 +43,7 @@ class GroupedWeightedSampleStreamSpec extends SparkSuite {
       r.getAs[Long]("w"), r.getAs[Long]("priority"), r.getAs[Long]("rk"))).toSet
 
   test("streamed per-group fold equals batch x101 over all arrivals, batch by batch and under continuation") {
-    val root = Files.createTempDirectory("graft-gwsample").toString
+    val root = tempDir("graft-gwsample")
     val c = corpus.withColumn("h", pmod(xxhash64(col("doc_id")), lit(3L)))
       .localCheckpoint(false)
     (0 until 3).foreach(b =>
@@ -67,7 +67,7 @@ class GroupedWeightedSampleStreamSpec extends SparkSuite {
     val after = (0L until 120L).map(u => (u, "srcB", (u % 7 + 1) * 10))
     def runOrder(first: Seq[(Long, String, Long)],
         second: Seq[(Long, String, Long)]): Set[(Long, String, Long, Long, Long)] = {
-      val root = Files.createTempDirectory("graft-gwsample2").toString
+      val root = tempDir("graft-gwsample2")
       writeWave(root + "/src", 0, first.toDF("doc_id", "source", "n_tokens"))
       writeWave(root + "/src", 1, second.toDF("doc_id", "source", "n_tokens"))
       run(root + "/src", root + "/sample", root + "/ckpt")
@@ -105,7 +105,7 @@ class GroupedWeightedSampleStreamSpec extends SparkSuite {
     // group-move contract says: srcA stands at 7 (dropped rows cannot
     // backfill), the movers live in srcB only — and a later wave
     // re-delivering the dropped docs restores srcA to 10.
-    val root = Files.createTempDirectory("graft-gwsample3").toString
+    val root = tempDir("graft-gwsample3")
     val wave1 = (0L until 30L).map(u => (u, "srcA", u % 7 + 1))
     writeWave(root + "/src", 0, wave1.toDF("doc_id", "source", "n_tokens"))
     run(root + "/src", root + "/sample", root + "/ckpt")

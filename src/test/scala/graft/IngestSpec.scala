@@ -34,7 +34,7 @@ class IngestSpec extends SparkSuite {
   }
 
   test("append twice + compact = last write wins on disk") {
-    val dir = Files.createTempDirectory("graft-ingest").toString + "/blocks"
+    val dir = tempDir("graft-ingest") + "/blocks"
     val batch1 = Seq((1L, "h1-old"), (2L, "h2")).toDF("block_number", "block_hash")
     val batch2 = Seq((1L, "h1-new"), (3L, "h3")).toDF("block_number", "block_hash")
     Ingest.appendWithSeq(batch1, dir, seq = 1)
@@ -56,7 +56,7 @@ class IngestSpec extends SparkSuite {
   }
 
   test("compactPartition rewrites one hive partition, leaves the rest untouched") {
-    val dir = Files.createTempDirectory("graft-part").toString + "/events"
+    val dir = tempDir("graft-part") + "/events"
     val day1 = Seq((1L, "a-old", "2024-01-01"), (2L, "b", "2024-01-01"))
       .toDF("event_id", "payload", "day")
     val day1b = Seq((1L, "a-new", "2024-01-01")).toDF("event_id", "payload", "day")
@@ -76,7 +76,7 @@ class IngestSpec extends SparkSuite {
   }
 
   test("hive-partitioned appends partition-prune time-range reads") {
-    val dir = Files.createTempDirectory("graft-prune").toString + "/events"
+    val dir = tempDir("graft-prune") + "/events"
     val rows = (1 to 100).map(i => (i.toLong, s"p$i", f"2024-01-${i % 4 + 1}%02d"))
       .toDF("event_id", "payload", "day")
     Ingest.appendPartitioned(rows, dir, 1, Seq("day"))
@@ -94,7 +94,7 @@ class IngestSpec extends SparkSuite {
   }
 
   test("appendSorted clusters rows within each output file (row-group skipping layout)") {
-    val dir = Files.createTempDirectory("graft-sorted").toString + "/blocks"
+    val dir = tempDir("graft-sorted") + "/blocks"
     val scrambled = new scala.util.Random(3).shuffle((1L to 2000L).toList)
       .map(i => (i, s"h$i")).toDF("block_number", "block_hash").repartition(2)
     Ingest.appendSorted(scrambled, dir, 1, Seq("block_number"))
@@ -110,7 +110,7 @@ class IngestSpec extends SparkSuite {
   }
 
   test("schema evolution: later batches may add columns; mergeSchema surfaces them") {
-    val dir = Files.createTempDirectory("graft-evolve").toString + "/blocks"
+    val dir = tempDir("graft-evolve") + "/blocks"
     Ingest.appendWithSeq(Seq((1L, "h1")).toDF("block_number", "block_hash"), dir, 1)
     // the auto-DDL reference derives schema from whatever arrives
     // (clickhouse.py:13-48); parquet-side, new columns appear via mergeSchema
@@ -124,7 +124,7 @@ class IngestSpec extends SparkSuite {
   }
 
   test("publishReport overwrites (truncate-and-replace K-3)") {
-    val dir = Files.createTempDirectory("graft-report").toString + "/report"
+    val dir = tempDir("graft-report") + "/report"
     Ingest.publishReport(Seq(("A/B", 10.0)).toDF("pair", "vol"), dir)
     Ingest.publishReport(Seq(("C/D", 20.0), ("E/F", 30.0)).toDF("pair", "vol"), dir)
     assert(spark.read.parquet(dir).count() == 2)

@@ -14,7 +14,7 @@ class ManifestTableSpec extends SparkSuite {
   import spark.implicits._
 
   private def freshRoot(): String =
-    Files.createTempDirectory("graft-manifest").toString + "/t"
+    tempDir("graft-manifest") + "/t"
 
   test("append commits are cumulative and versioned") {
     val root = freshRoot()
@@ -210,7 +210,7 @@ class ManifestTableSpec extends SparkSuite {
     // createNewFile is only proven multi-writer-safe by crossing JVMs —
     // in-process races share one filesystem view and can't catch a
     // broken CAS
-    val root = java.nio.file.Files.createTempDirectory("graft-manifest-mproc").toString
+    val root = tempDir("graft-manifest-mproc")
     val perWriter = 4
     val javaBin = sys.props("java.home") + "/bin/java"
     val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean

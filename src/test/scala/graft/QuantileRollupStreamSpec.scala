@@ -34,7 +34,7 @@ class QuantileRollupStreamSpec extends SparkSuite {
   }
 
   test("partials land per batch; merged quantile honors the rank window") {
-    val root = Files.createTempDirectory("graft-kllstream").toString
+    val root = tempDir("graft-kllstream")
     (0 until 3).foreach(b => writeBatch(root + "/src", b))
     val ev = spark.readStream
       .schema("event_type STRING, ts TIMESTAMP, value DOUBLE")

@@ -13,7 +13,7 @@ import graft.pipeline.{Ingest, Report}
 class ReportApiSpec extends SparkSuite {
 
   test("both endpoints serve ranked JSON off the published report") {
-    val path = Files.createTempDirectory("graft-api-spec").toString + "/report"
+    val path = tempDir("graft-api-spec") + "/report"
     Ingest.publishReport(Report.rankedPairs(spark, sf), path)
     val server = ReportApi.start(spark, path, 0)
     val port = server.getAddress.getPort
@@ -40,7 +40,7 @@ class ReportApiSpec extends SparkSuite {
       assert(neg.statusCode() == 400)
 
       // empty-table behavior: point a server at an empty report
-      val emptyPath = Files.createTempDirectory("graft-api-empty").toString + "/report"
+      val emptyPath = tempDir("graft-api-empty") + "/report"
       Ingest.publishReport(Report.rankedPairs(spark, sf).limit(0), emptyPath)
       val server2 = ReportApi.start(spark, emptyPath, 0)
       try {

@@ -8,7 +8,7 @@ import graft.pipeline.{Ingest, Report}
 class ReportSpec extends SparkSuite {
 
   test("publish then serve both report flavors off the parquet layer") {
-    val path = Files.createTempDirectory("graft-report").toString + "/top_pairs"
+    val path = tempDir("graft-report") + "/top_pairs"
     Ingest.publishReport(Report.rankedPairs(spark, sf), path)
 
     val byVol = Report.serve(spark, path, "vol_24h", 5).collect()

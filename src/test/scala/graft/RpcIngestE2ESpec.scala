@@ -19,7 +19,7 @@ class RpcIngestE2ESpec extends SparkSuite {
   test("backfill, watermark catch-up, and caught-up no-op over real HTTP") {
     // head 1,000,025 => first cycle covers origin 1,000,000 .. 1,000,024
     val node = new StubStarknetNode(head = 1000025L, Addr)
-    val root = Files.createTempDirectory("graft-rpc-e2e").toString
+    val root = tempDir("graft-rpc-e2e")
     val (blocksSink, eventsSink) = (root + "/blocks", root + "/events")
     val rpc = BlockRangeSource.RpcConf(node.url, retries = 5, sleepMs = 5, timeoutMs = 2000)
     def cycle(seq: Long) = RpcIngest.ingestCycle(spark, rpc, Addr,
@@ -72,7 +72,7 @@ class RpcIngestE2ESpec extends SparkSuite {
 
   test("date-partitioned landing: hive layout on disk, date predicates prune partitions") {
     val node = new StubStarknetNode(head = 1000011L, Addr)
-    val root = Files.createTempDirectory("graft-rpc-part").toString
+    val root = tempDir("graft-rpc-part")
     val rpc = BlockRangeSource.RpcConf(node.url, retries = 5, sleepMs = 5, timeoutMs = 2000)
     try {
       assert(RpcIngest.ingestCycle(spark, rpc, Addr, root + "/blocks", root + "/events",
@@ -103,7 +103,7 @@ class RpcIngestE2ESpec extends SparkSuite {
     // view collapses; the reverse ordering (watermark on the
     // first-appended sink) would SKIP the never-landed events silently.
     val node = new StubStarknetNode(head = 1000011L, Addr)
-    val root = Files.createTempDirectory("graft-rpc-crash").toString
+    val root = tempDir("graft-rpc-crash")
     val (blocksSink, eventsSink) = (root + "/blocks", root + "/events")
     val rpc = BlockRangeSource.RpcConf(node.url, retries = 5, sleepMs = 5, timeoutMs = 2000)
     try {
@@ -131,7 +131,7 @@ class RpcIngestE2ESpec extends SparkSuite {
 
   test("sink dir with no readable footers (crashed first write) falls back to origin backfill") {
     val node = new StubStarknetNode(head = 1000005L, Addr)
-    val root = Files.createTempDirectory("graft-rpc-wedge").toString
+    val root = tempDir("graft-rpc-wedge")
     val (blocksSink, eventsSink) = (root + "/blocks", root + "/events")
     // simulate a first events write that died mid-flight: the directory
     // exists, holds only _temporary/, zero parquet footers — the path

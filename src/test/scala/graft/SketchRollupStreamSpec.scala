@@ -44,7 +44,7 @@ class SketchRollupStreamSpec extends SparkSuite {
   }
 
   test("partials append per batch; read-side union estimates the overlapping global distinct") {
-    val root = Files.createTempDirectory("graft-sketchstream").toString
+    val root = tempDir("graft-sketchstream")
     (0 until 3).foreach(b => writeBatch(root + "/src", b))
     run(root + "/src", root + "/partials", root + "/ckpt")
 

@@ -27,7 +27,7 @@ class SourcesSpec extends SparkSuite {
   }
 
   test("fetchBlocks runs the fetcher partition-locally and lands a full table") {
-    val dir = Files.createTempDirectory("graft-src").toString + "/blocks"
+    val dir = tempDir("graft-src") + "/blocks"
     SlicedSource.ingestBlocks(spark, BlockRange(1000000, 1000099), 25, dir, seq = 1)
     val got = spark.read.parquet(dir)
     assert(got.count() == 100)
@@ -41,7 +41,7 @@ class SourcesSpec extends SparkSuite {
   }
 
   test("token backfill: discover missing keys, enrich with fallback, upsert") {
-    val dimPath = Files.createTempDirectory("graft-dim").toString + "/token"
+    val dimPath = tempDir("graft-dim") + "/token"
     // seed dim knows tokens 1,2
     Ingest.appendWithSeq(
       Seq((1L, "One", "ONE", 18), (2L, "Two", "TWO", 6))

@@ -6,13 +6,28 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for specs — one per JVM (Test/fork), config
   * mirrors graft.Verify so specs see what the driver sees.
   */
+object SparkSuite {
+  private[graft] def tempDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      try rm(dir.toFile) catch { case _: Throwable => () }
+    }))
+    dir.toString
+  }
+}
+
 trait SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = {
     // keep catalog artifacts (derby metastore, warehouse) out of the
     // repo — and UNIQUE per JVM: suites run as parallel forked JVMs
     // (build.sbt testGrouping), and two catalogs writing one warehouse
     // dir corrupt each other's saveAsTable output
-    val scratch = java.nio.file.Files.createTempDirectory("graft-suite").toString
+    val scratch = SparkSuite.tempDir("graft-suite")
     System.setProperty("derby.system.home", s"$scratch/derby")
     val s = SparkSession.builder()
       .config("spark.sql.warehouse.dir", s"$scratch/warehouse")
@@ -30,6 +45,12 @@ trait SparkSuite extends AnyFunSuite {
   }
 
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Scratch dir removed at JVM exit — specs MUST use this instead of
+    * Files.createTempDirectory: forked test JVMs leaked ~3.5k dirs per
+    * round into /tmp (the x91 leak class, test-side; round-11 review).
+    */
+  protected def tempDir(prefix: String): String = SparkSuite.tempDir(prefix)
 
   /** One pinned-mtime arrival wave for file-stream specs — the twin of
     * ExtensionQueries.writeStreamWave (one-file parquet, mtimes

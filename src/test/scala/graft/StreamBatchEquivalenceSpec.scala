@@ -73,7 +73,7 @@ class StreamBatchEquivalenceSpec extends SparkSuite {
     expr(s"bc_user = bp_user AND bp_ts >= bc_ts AND bp_ts <= bc_ts + interval $Horizon")
 
   test("attributedPurchases replayed file-by-file equals an independent batch interval join") {
-    val base = Files.createTempDirectory("graft-equiv-inner").toString
+    val base = tempDir("graft-equiv-inner")
     val (clicks, purchases) = corpus
     writeFiles(s"$base/clicks", clicks, files = 3)
     writeFiles(s"$base/purchases", purchases, files = 3)
@@ -98,7 +98,7 @@ class StreamBatchEquivalenceSpec extends SparkSuite {
   }
 
   test("clickConversions replayed + watermark flush equals an independent batch left-outer join") {
-    val base = Files.createTempDirectory("graft-equiv-outer").toString
+    val base = tempDir("graft-equiv-outer")
     val (clicks, purchases) = corpus
     writeFiles(s"$base/clicks", clicks, files = 3)
     writeFiles(s"$base/purchases", purchases, files = 3)
@@ -135,7 +135,7 @@ class StreamBatchEquivalenceSpec extends SparkSuite {
 
   test("streamingFunnel replayed over the real events corpus equals batch q52") {
     import spark.implicits._
-    val base = Files.createTempDirectory("graft-equiv-funnel").toString
+    val base = tempDir("graft-equiv-funnel")
     // the REAL events table, time-ordered into 3 file chunks so funnel
     // state genuinely crosses micro-batch boundaries
     val rows = graft.sources.Tables.events(spark, sf)
@@ -193,7 +193,7 @@ class StreamBatchEquivalenceSpec extends SparkSuite {
 
   test("componentStreamWithForgets over the real corpus + MID-STREAM edge-log compaction equals from-scratch CC over surviving edges (round-11 verdict item 2)") {
     import spark.implicits._
-    val base = Files.createTempDirectory("graft-equiv-ccforget").toString
+    val base = tempDir("graft-equiv-ccforget")
     val docs = graft.sources.Tables.documents(spark, sf)
       .filter(col("doc_id") < 300).localCheckpoint(false)
     val edges = graft.ext.TextDedup.sharedShingleEdges(docs, "lang", 4)

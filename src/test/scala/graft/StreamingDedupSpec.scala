@@ -52,7 +52,7 @@ class StreamingDedupSpec extends SparkSuite {
       22L -> "fresh sentence sharing no vocabulary with prior batches whatsoever in any form"))
 
   test("survivors across micro-batches follow greedy arrival-order dedup; index holds signed survivors only") {
-    val root = Files.createTempDirectory("graft-sdedup").toString
+    val root = tempDir("graft-sdedup")
     writeBatches(root + "/src", batches)
     run(root + "/src", root + "/index", root + "/surv", root + "/ckpt")
 
@@ -82,7 +82,7 @@ class StreamingDedupSpec extends SparkSuite {
   }
 
   test("replay with a fresh checkpoint heals idempotently — no duplicate appends, same survivors") {
-    val root = Files.createTempDirectory("graft-sdedup2").toString
+    val root = tempDir("graft-sdedup2")
     writeBatches(root + "/src", batches)
     run(root + "/src", root + "/index", root + "/surv", root + "/ckpt1")
     val before = spark.read.parquet(root + "/surv")
@@ -100,7 +100,7 @@ class StreamingDedupSpec extends SparkSuite {
   }
 
   test("half-committed batch heals: index landed but survivors missing") {
-    val root = Files.createTempDirectory("graft-sdedup3").toString
+    val root = tempDir("graft-sdedup3")
     writeBatches(root + "/src", batches.take(2))
     run(root + "/src", root + "/index", root + "/surv", root + "/ckpt1")
 

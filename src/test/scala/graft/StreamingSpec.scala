@@ -15,7 +15,7 @@ class StreamingSpec extends SparkSuite {
 
   test("streaming hourly rollup matches batch rollup") {
     // stage the (ns→µs normalized) events as a stream source dir
-    val dir = Files.createTempDirectory("graft-stream").toString + "/events"
+    val dir = tempDir("graft-stream") + "/events"
     val events = Tables.events(spark, sf)
     events.write.parquet(dir)
 
@@ -41,7 +41,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("streaming sessionization emits finalized sessions that match batch session_window") {
-    val dir = Files.createTempDirectory("graft-stream3").toString + "/events"
+    val dir = tempDir("graft-stream3") + "/events"
     val events = Tables.events(spark, sf)
     events.write.parquet(dir)
 
@@ -65,7 +65,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("EventTimeTimeout custom sessions match batch session_window sessions") {
-    val dir = Files.createTempDirectory("graft-stream7").toString + "/events"
+    val dir = tempDir("graft-stream7") + "/events"
     val events = Tables.events(spark, sf)
     events.write.parquet(dir)
 
@@ -93,7 +93,7 @@ class StreamingSpec extends SparkSuite {
 
   test("customSessions: a within-watermark late event extends an open session backward across micro-batches") {
     import spark.implicits._
-    val base = Files.createTempDirectory("graft-stream8").toString
+    val base = tempDir("graft-stream8")
     val src = s"$base/src"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
     def write(rows: Seq[(Long, String, Double)]): Unit =
       rows.toDF("user_id", "s", "value")
@@ -152,7 +152,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("mapGroupsWithState running totals converge to the batch aggregate") {
-    val dir = Files.createTempDirectory("graft-stream5").toString + "/events"
+    val dir = tempDir("graft-stream5") + "/events"
     val events = Tables.events(spark, sf)
     events.write.parquet(dir)
 
@@ -173,7 +173,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("runToParquet: checkpointed sink is exactly-once across restarts") {
-    val base = Files.createTempDirectory("graft-stream4").toString
+    val base = tempDir("graft-stream4")
     val src = s"$base/src"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
     val events = Tables.events(spark, sf).limit(200)
     events.write.parquet(src)
@@ -189,7 +189,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("foreachBatch chains ingest -> report recompute (downstream-trigger shape)") {
-    val base = Files.createTempDirectory("graft-stream6").toString
+    val base = tempDir("graft-stream6")
     val src = s"$base/src"; val landing = s"$base/landing"
     val report = s"$base/report"; val ckpt = s"$base/ckpt"
     val events = Tables.events(spark, sf).limit(300)
@@ -213,7 +213,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("dedupedStream drops redelivered event_ids within the watermark") {
-    val dir = Files.createTempDirectory("graft-stream2").toString + "/events"
+    val dir = tempDir("graft-stream2") + "/events"
     val events = Tables.events(spark, sf).limit(100)
     // redeliver everything twice
     events.unionAll(events).write.parquet(dir)
@@ -228,7 +228,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("dedupedDocs keeps one row per distinct fingerprint (streaming doc dedup)") {
-    val dir = Files.createTempDirectory("graft-stream3").toString + "/docs"
+    val dir = tempDir("graft-stream3") + "/docs"
     val docs = Tables.documents(spark, sf).limit(50)
       .withColumn("ingest_ts", lit("2026-01-01 00:00:00").cast("timestamp"))
     // formatting variants of the same content must collapse too
@@ -249,7 +249,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("stream-stream interval join matches the batch interval join") {
-    val base = Files.createTempDirectory("graft-stream-ss").toString
+    val base = tempDir("graft-stream-ss")
     val events = Tables.events(spark, sf).limit(2000)
     events.filter(col("event_type") === "click").write.parquet(s"$base/clicks")
     events.filter(col("event_type") === "purchase").write.parquet(s"$base/purchases")
@@ -273,7 +273,7 @@ class StreamingSpec extends SparkSuite {
 
   test("left-outer stream-stream join: unconverted clicks emit only after the watermark seals them") {
     import spark.implicits._
-    val base = Files.createTempDirectory("graft-stream-sso").toString
+    val base = tempDir("graft-stream-sso")
     val clicksDir = s"$base/clicks"; val purchDir = s"$base/purchases"
     val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
     def write(dir: String, rows: Seq[(Long, Long, String, Double)]): Unit =
@@ -311,7 +311,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("stream-static enrichment matches the batch broadcast join") {
-    val dir = Files.createTempDirectory("graft-stream4").toString + "/events"
+    val dir = tempDir("graft-stream4") + "/events"
     val events = Tables.events(spark, sf).limit(500)
     events.write.parquet(dir)
     val dim = Tables.customer(spark, sf)
@@ -331,7 +331,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("TTL'd running totals agree with the untimed variant within the TTL window") {
-    val dir = Files.createTempDirectory("graft-stream6").toString + "/events"
+    val dir = tempDir("graft-stream6") + "/events"
     val events = Tables.events(spark, sf).limit(500)
     events.write.parquet(dir)
     val stream = StreamingIngest.eventsStream(spark, dir, events.schema)
@@ -366,7 +366,7 @@ class StreamingSpec extends SparkSuite {
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val dir = Files.createTempDirectory("graft-tws").toString + "/events"
+      val dir = tempDir("graft-tws") + "/events"
       val events = Tables.events(spark, sf).limit(1000)
       events.write.parquet(dir)
       def converged(table: String): Map[Long, (Long, Double)] =
@@ -399,7 +399,7 @@ class StreamingSpec extends SparkSuite {
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val dir = Files.createTempDirectory("graft-stream5").toString + "/events"
+      val dir = tempDir("graft-stream5") + "/events"
       val events = Tables.events(spark, sf).limit(1000)
       events.write.parquet(dir)
       val stream = StreamingIngest.eventsStream(spark, dir, events.schema)

@@ -50,7 +50,7 @@ class WeightedSampleStreamSpec extends SparkSuite {
         (r.getAs[Long]("doc_id"), r.getAs[Long]("priority"))).toSet
 
   test("streamed fold equals the batch sample, batch by batch and under continuation") {
-    val root = Files.createTempDirectory("graft-wsample").toString
+    val root = tempDir("graft-wsample")
     (0 until 3).foreach(b => writeBatch(root + "/src", b))
     run(root + "/src", root + "/sample", root + "/ckpt")
     assert(standing(root + "/sample") == batchSample(0 until 3))
@@ -62,7 +62,7 @@ class WeightedSampleStreamSpec extends SparkSuite {
   }
 
   test("re-running with no new data leaves the sample byte-identical (idempotent fold)") {
-    val root = Files.createTempDirectory("graft-wsample2").toString
+    val root = tempDir("graft-wsample2")
     (0 until 2).foreach(b => writeBatch(root + "/src", b))
     run(root + "/src", root + "/sample", root + "/ckpt")
     val v1 = ManifestTable.currentVersion(spark, root + "/sample")
@@ -74,7 +74,7 @@ class WeightedSampleStreamSpec extends SparkSuite {
   }
 
   test("a replayed batch folds to the identical sample (idempotence vs the standing set)") {
-    val root = Files.createTempDirectory("graft-wsample3").toString
+    val root = tempDir("graft-wsample3")
     (0 until 2).foreach(b => writeBatch(root + "/src", b))
     run(root + "/src", root + "/sample", root + "/ckpt")
     val before = standing(root + "/sample")
@@ -98,7 +98,7 @@ class WeightedSampleStreamSpec extends SparkSuite {
     val low = (0L until 120L).map(u => (u, u % 7 + 1))        // weights 1..7
     val high = (0L until 120L).map(u => (u, (u % 7 + 1) * 10)) // same docs, x10 weight
     def runOrder(first: Seq[(Long, Long)], second: Seq[(Long, Long)]): Set[(Long, Long)] = {
-      val root = Files.createTempDirectory("graft-wsample4").toString
+      val root = tempDir("graft-wsample4")
       writeCustom(root + "/src", 0, first)
       writeCustom(root + "/src", 1, second)
       run(root + "/src", root + "/sample", root + "/ckpt")
