@@ -180,7 +180,7 @@ object ReportApi {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val port = if (args.length > 1) args(1).toInt else 8080
     val spark = graft.GraftSession.build("local[4]", 4)
-    val reportPath = java.nio.file.Files.createTempDirectory("graft-api").toString + "/report"
+    val reportPath = graft.util.Scratch.tempDir("graft-api") + "/report"
     graft.pipeline.Ingest.publishReport(Report.rankedPairs(spark, sfDir), reportPath)
     start(spark, reportPath, port)
     println(s"[api] serving /top_n_vol_token and /top_n_txn_token on :$port")

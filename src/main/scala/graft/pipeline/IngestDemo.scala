@@ -23,7 +23,7 @@ object IngestDemo {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val dir = Files.createTempDirectory("graft-demo").toString + "/blocks"
+    val dir = graft.util.Scratch.tempDir("graft-demo") + "/blocks"
     val head = 1000005L
 
     // empty sink → start at the origin
@@ -46,7 +46,7 @@ object IngestDemo {
     println(s"[demo] watermark: $wm; next range: ${Ingest.nextRange(wm, head)}")
 
     // streaming twin: file-source stream → watermarked hourly rollup
-    val sdir = Files.createTempDirectory("graft-demo-stream").toString + "/events"
+    val sdir = graft.util.Scratch.tempDir("graft-demo-stream") + "/events"
     Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), "click", 1.0),
         (2L, java.sql.Timestamp.valueOf("2024-01-01 00:40:00"), "click", 2.0),
         (3L, java.sql.Timestamp.valueOf("2024-01-01 01:10:00"), "view", 3.0))

@@ -32,18 +32,8 @@ object ExtensionQueries {
     * without the hook every Verify/Bench invocation leaked a dir in
     * /tmp forever (round-11 verdict item 6).
     */
-  private def scratchTempDir(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles()
-        if (kids != null) kids.foreach(rm)
-        f.delete(); ()
-      }
-      try rm(dir.toFile) catch { case _: Throwable => () }
-    }))
-    dir.toString
-  }
+  private def scratchTempDir(prefix: String): String =
+    graft.util.Scratch.tempDir(prefix)
 
   /** One arrival wave for the streaming read-back queries (x111/x113/
     * x116): a single-file parquet under `root/src` with PINNED mtimes

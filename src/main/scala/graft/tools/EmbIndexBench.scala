@@ -41,7 +41,7 @@ object EmbIndexBench {
     val perGroup = 2000 // index rows per micro-batch file group
     val batchN = 2000 // probe batch size
     val dim = graft.ext.Similarity.Dim
-    val root = java.nio.file.Files.createTempDirectory("graft-embidx").toString
+    val root = graft.util.Scratch.tempDir("graft-embidx")
 
     // deterministic synthetic vectors (id-seeded), bucketed once — the
     // exact shape the stream appends: (vec_id, bucket, embedding[, seq])
