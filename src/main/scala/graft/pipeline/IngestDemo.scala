@@ -1,7 +1,5 @@
 package graft.pipeline
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.SparkSession
 
 /** Runnable walkthrough of the incremental-ingest lifecycle (SURVEY

@@ -35,20 +35,13 @@ object ExtensionQueries {
   private def scratchTempDir(prefix: String): String =
     graft.util.Scratch.tempDir(prefix)
 
-  /** One arrival wave for the streaming read-back queries (x111/x113/
-    * x116): a single-file parquet under `root/src` with PINNED mtimes
-    * (1.7e12 + b·60s) so the file stream's maxFilesPerTrigger=1 ordering
-    * replays waves in wave-number order deterministically. Shared so a
-    * future change to the trigger-ordering contract (mtime granularity,
-    * _SUCCESS handling) lands once (round-11 review).
+  /** One arrival wave under `root/src` for the streaming read-back
+    * queries (x111/x113/x116) — delegates to [[graft.util.FileWaves]],
+    * the ONE place the trigger-ordering contract lives.
     */
   private def writeStreamWave(root: String, b: Int,
-      df: org.apache.spark.sql.DataFrame): Unit = {
-    val f = new java.io.File(root + "/src", f"batch$b%03d.parquet")
-    df.coalesce(1).write.mode("overwrite").parquet(f.toString)
-    val t = 1700000000000L + b * 60000L
-    f.listFiles().foreach(_.setLastModified(t)); f.setLastModified(t)
-  }
+      df: org.apache.spark.sql.DataFrame): Unit =
+    graft.util.FileWaves.write(root + "/src", b, df)
 
   // ---- portable minhash/simhash oracle fragments --------------------------
 
@@ -4065,9 +4058,11 @@ object ExtensionQueries {
         "tf, dl) and appended to a standing index (streaming.bm25IndexStream — stamped " +
         "appends, exactly-once under replay; raw docs never kept, never re-tokenized); " +
         "retrieval then runs ENTIRELY off the index — df and corpus stats re-aggregate " +
-        "from the postings (statsFromPostings: every doc lands >=1 posting row and " +
-        "dl = sum(tf) within a doc, so n_docs/n_tokens are EXACT equalities with the " +
-        "docs-side aggregates, not approximations), query terms self-derive from the " +
+        "from the postings (statsFromPostings: every NON-NULL-text doc lands >=1 posting " +
+        "row and dl = sum(tf) within a doc, so n_docs/n_tokens are EXACT equalities with " +
+        "the docs-side aggregates on this corpus — null-text docs are excluded by a " +
+        "named gate and the index's stats describe indexed docs by contract), query " +
+        "terms self-derive from the " +
         "index's df ranks, and scores join only the query-term postings. The oracle is " +
         "x54's SQL VERBATIM over the raw corpus — blind to the index, the batching, and " +
         "the arrival order: tf/df/dl/N are set-functions of arrived docs, so the standing " +

@@ -752,9 +752,15 @@ object StreamingIngest {
     * ([[graft.ext.TextRank.statsFromPostings]] — exact equalities with
     * the docs-side aggregates, derivation there), so BM25 over the
     * standing index after any prefix of arrivals equals batch x54 over
-    * the docs seen so far — tf/df/dl/N are set-functions of arrived
-    * docs, blind to batching (Bm25IndexStreamSpec pins the equality;
-    * x116 oracles the read-back with x54's SQL verbatim).
+    * the NON-NULL-TEXT docs seen so far — tf/df/dl/N are set-functions
+    * of arrived docs, blind to batching (Bm25IndexStreamSpec pins the
+    * equality and the null gate; x116 oracles the read-back with x54's
+    * SQL verbatim). Null-text docs are EXCLUDED from the index and its
+    * stats by the named gate below — they can match no query term, but
+    * a docs-side aggregate would still count them in n_docs/avgdl, so
+    * on a corpus WITH null texts the index-side constants deliberately
+    * describe the indexed corpus, not the raw arrival stream (the batch
+    * caller that wants raw-stream constants passes its own statsOpt).
     *
     * Exactly-once under foreachBatch's at-least-once replay by the
     * stamped-append idiom: postings are NOT idempotent under

@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -17,9 +15,6 @@ class Bm25IndexStreamSpec extends SparkSuite {
 
   private lazy val docs = graft.sources.Tables.documents(spark, sf)
     .localCheckpoint(false)
-
-  private def writeWave(dir: String, b: Int, df: DataFrame): Unit =
-    writeWaveTo(dir, b, df)
 
   private def run(root: String, ckpt: String): Unit = {
     val stream = spark.readStream
@@ -51,7 +46,7 @@ class Bm25IndexStreamSpec extends SparkSuite {
     val split = docs.withColumn("h", pmod(xxhash64(col("doc_id")), lit(3L)))
       .localCheckpoint(false)
     (0 until 3).foreach(b =>
-      writeWave(root + "/src", b, split.filter(col("h") === b).drop("h")))
+      writeWaveTo(root + "/src", b, split.filter(col("h") === b).drop("h")))
     run(root, root + "/ckpt")
     assert(retrieveFromIndex(root) == batchRetrieve(docs),
       "index retrieval != batch BM25 after 3 waves")
@@ -62,10 +57,31 @@ class Bm25IndexStreamSpec extends SparkSuite {
     val extra = docs.filter(col("doc_id") < 50)
       .withColumn("doc_id", col("doc_id") + 1000000L)
       .localCheckpoint(false)
-    writeWave(root + "/src", 3, extra)
+    writeWaveTo(root + "/src", 3, extra)
     run(root, root + "/ckpt")
     assert(retrieveFromIndex(root) == batchRetrieve(docs.unionByName(extra)),
       "index retrieval != batch BM25 after the continuation wave")
+  }
+
+  test("null-text docs are gated out of the index by name: stats describe indexed docs, retrieval still equals batch over the non-null corpus") {
+    import spark.implicits._
+    val root = tempDir("graft-bm25idx3")
+    val withNull = docs.unionByName(
+      Seq((9999999L, null.asInstanceOf[String], "en", "srcX", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    writeWaveTo(root + "/src", 0, withNull)
+    run(root, root + "/ckpt")
+    val tf = spark.read.parquet(root + "/postings")
+    assert(tf.filter(col("doc_id") === 9999999L).count() == 0,
+      "null-text doc must leave no posting trace")
+    // index stats count INDEXED docs (the documented contract): equal to
+    // the non-null corpus, one less than the raw arrival stream
+    val nDocs = graft.ext.TextRank.statsFromPostings(
+      tf.select(col("doc_id"), col("term"), col("tf"), col("dl")))
+      .head().getLong(0)
+    assert(nDocs == docs.count(), s"n_docs $nDocs != non-null corpus ${docs.count()}")
+    assert(retrieveFromIndex(root) == batchRetrieve(docs),
+      "retrieval off the gated index != batch BM25 over the non-null corpus")
   }
 
   test("replaying landed batches leaves the index byte-equivalent (stamped-append exactly-once)") {
@@ -73,7 +89,7 @@ class Bm25IndexStreamSpec extends SparkSuite {
     val split = docs.withColumn("h", pmod(xxhash64(col("doc_id")), lit(2L)))
       .localCheckpoint(false)
     (0 until 2).foreach(b =>
-      writeWave(root + "/src", b, split.filter(col("h") === b).drop("h")))
+      writeWaveTo(root + "/src", b, split.filter(col("h") === b).drop("h")))
     run(root, root + "/ckpt")
     val before = retrieveFromIndex(root)
     val nBefore = spark.read.parquet(root + "/postings").count()

@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -26,9 +24,6 @@ class GroupedWeightedSampleStreamSpec extends SparkSuite {
       col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
 
-  private def writeWave(dir: String, b: Int, df: DataFrame): Unit =
-    writeWaveTo(dir, b, df)
-
   private def run(src: String, sample: String, ckpt: String): Unit = {
     val docs = spark.readStream
       .schema("doc_id LONG, source STRING, n_tokens LONG")
@@ -47,7 +42,7 @@ class GroupedWeightedSampleStreamSpec extends SparkSuite {
     val c = corpus.withColumn("h", pmod(xxhash64(col("doc_id")), lit(3L)))
       .localCheckpoint(false)
     (0 until 3).foreach(b =>
-      writeWave(root + "/src", b, c.filter(col("h") === b).drop("h")))
+      writeWaveTo(root + "/src", b, c.filter(col("h") === b).drop("h")))
     run(root + "/src", root + "/sample", root + "/ckpt")
     val expect = asSet(TextStats.weightedSamplePerGroup(
       corpus, "source", col("n_tokens"), N))
@@ -56,7 +51,7 @@ class GroupedWeightedSampleStreamSpec extends SparkSuite {
 
     // continuation: re-arrival wave (same docs, same weights) resumes the
     // same checkpoint — the fold is idempotent, the sample must not move
-    writeWave(root + "/src", 3, c.filter(col("h") === 0).drop("h"))
+    writeWaveTo(root + "/src", 3, c.filter(col("h") === 0).drop("h"))
     run(root + "/src", root + "/sample", root + "/ckpt")
     assert(asSet(ManifestTable.read(spark, root + "/sample")) == expect,
       "re-arrived docs moved the standing grouped sample")
@@ -68,8 +63,8 @@ class GroupedWeightedSampleStreamSpec extends SparkSuite {
     def runOrder(first: Seq[(Long, String, Long)],
         second: Seq[(Long, String, Long)]): Set[(Long, String, Long, Long, Long)] = {
       val root = tempDir("graft-gwsample2")
-      writeWave(root + "/src", 0, first.toDF("doc_id", "source", "n_tokens"))
-      writeWave(root + "/src", 1, second.toDF("doc_id", "source", "n_tokens"))
+      writeWaveTo(root + "/src", 0, first.toDF("doc_id", "source", "n_tokens"))
+      writeWaveTo(root + "/src", 1, second.toDF("doc_id", "source", "n_tokens"))
       run(root + "/src", root + "/sample", root + "/ckpt")
       asSet(ManifestTable.read(spark, root + "/sample"))
     }
@@ -107,12 +102,12 @@ class GroupedWeightedSampleStreamSpec extends SparkSuite {
     // re-delivering the dropped docs restores srcA to 10.
     val root = tempDir("graft-gwsample3")
     val wave1 = (0L until 30L).map(u => (u, "srcA", u % 7 + 1))
-    writeWave(root + "/src", 0, wave1.toDF("doc_id", "source", "n_tokens"))
+    writeWaveTo(root + "/src", 0, wave1.toDF("doc_id", "source", "n_tokens"))
     run(root + "/src", root + "/sample", root + "/ckpt")
     val standing1 = asSet(ManifestTable.read(spark, root + "/sample"))
     assert(standing1.size == N && standing1.forall(_._2 == "srcA"))
     val movers = standing1.toSeq.sortBy(_._1).take(3).map(_._1).toSet
-    writeWave(root + "/src", 1,
+    writeWaveTo(root + "/src", 1,
       movers.toSeq.sorted.map(u => (u, "srcB", (u % 7 + 1) * 100))
         .toDF("doc_id", "source", "n_tokens"))
     run(root + "/src", root + "/sample", root + "/ckpt")
@@ -124,7 +119,7 @@ class GroupedWeightedSampleStreamSpec extends SparkSuite {
       "vacated slots must NOT backfill from boundary-dropped rows (the documented underfill)")
     // recovery: re-deliver the full original wave — dropped docs return,
     // movers stay resolved to srcB, srcA refills to its budget
-    writeWave(root + "/src", 2, wave1.toDF("doc_id", "source", "n_tokens"))
+    writeWaveTo(root + "/src", 2, wave1.toDF("doc_id", "source", "n_tokens"))
     run(root + "/src", root + "/sample", root + "/ckpt")
     val standing3 = asSet(ManifestTable.read(spark, root + "/sample"))
     assert(standing3.count(_._2 == "srcA") == N, "re-delivery must backfill srcA")

@@ -2,8 +2,6 @@ package graft
 
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
-import java.nio.file.Files
-
 import graft.api.ReportApi
 import graft.pipeline.{Ingest, Report}
 

@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.Files
-
 import graft.pipeline.{Ingest, Report}
 
 /** §3.2/§3.3 end-to-end: compute → publish (K-3) → serve (API shape). */

@@ -7,18 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * mirrors graft.Verify so specs see what the driver sees.
   */
 object SparkSuite {
-  private[graft] def tempDir(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles()
-        if (kids != null) kids.foreach(rm)
-        f.delete(); ()
-      }
-      try rm(dir.toFile) catch { case _: Throwable => () }
-    }))
-    dir.toString
-  }
+  // delegate to the main-side helper: the deletion logic (single
+  // shutdown hook draining a queue) must not fork between trees
+  private[graft] def tempDir(prefix: String): String =
+    graft.util.Scratch.tempDir(prefix)
 }
 
 trait SparkSuite extends AnyFunSuite {
@@ -52,16 +44,11 @@ trait SparkSuite extends AnyFunSuite {
     */
   protected def tempDir(prefix: String): String = SparkSuite.tempDir(prefix)
 
-  /** One pinned-mtime arrival wave for file-stream specs — the twin of
-    * ExtensionQueries.writeStreamWave (one-file parquet, mtimes
-    * 1.7e12 + b·60s so maxFilesPerTrigger=1 replays waves in order).
-    * A future change to the trigger-ordering contract lands here once.
+  /** One pinned-mtime arrival wave for file-stream specs — delegates to
+    * [[graft.util.FileWaves]], the ONE place the trigger-ordering
+    * contract lives.
     */
   protected def writeWaveTo(dir: String, b: Int,
-      df: org.apache.spark.sql.DataFrame): Unit = {
-    val f = new java.io.File(dir, f"batch$b%03d.parquet")
-    df.coalesce(1).write.mode("overwrite").parquet(f.toString)
-    val t = 1700000000000L + b * 60000L
-    f.listFiles().foreach(_.setLastModified(t)); f.setLastModified(t)
-  }
+      df: org.apache.spark.sql.DataFrame): Unit =
+    graft.util.FileWaves.write(dir, b, df)
 }
