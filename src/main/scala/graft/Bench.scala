@@ -37,6 +37,22 @@ object Bench {
       .write.mode("overwrite").format("noop").save()
     (System.nanoTime() - t0) / 1e9
   }
+  /** Queries that are multi-pass BY CONTRACT — real micro-batch
+    * streaming folds (N triggers × scheduler floor) or serial training
+    * iterations (Lloyd passes, BPE merge loops, incremental-CC folds).
+    * Their wall cost at bench scale is orchestration floor, not
+    * dataflow; the bench JSON reports their subtotal separately so
+    * drift triage can see which slice of the total is floor-bound.
+    * Maintained alongside the registry: add new stream/training
+    * queries here when registering them.
+    */
+  val StreamingContractQueries: Set[String] = Set(
+    "x52_kmeans_fit", "x53_semdedup_kmeans", "x57_bpe_fit", "x58_bpe_encode",
+    "x93_kmeans_inertia", "x100_incremental_cc", "x109_cc_forget",
+    "x111_component_stream", "x112_bpe_fit_batched", "x113_grouped_sample_stream",
+    "x114_fitted_codebook_recall", "x116_bm25_index_stream",
+    "x117_bm25_retract_stream", "x118_ann_production_ladder", "x119_grouped_sample_rekey")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -83,7 +99,11 @@ object Bench {
     // band (~0.21-0.26 s, BASELINE.md) as the precheck reference
     val ScanPrecheckCleanSec = 0.22
     var precheckAttempts = 0
-    var precheckClean = precheckTries == 0 // disabled => vacuously "clean"
+    // disabled (tries=0) must not read as a verified window: the JSON
+    // emits a distinct "disabled" marker instead of true (round-11
+    // advisory — precheck_clean:true with attempts:0 was vacuous and
+    // indistinguishable from a genuinely probed window).
+    var precheckClean = false
     if (precheckTries > 0) {
       // JIT throwaways so attempt 1 measures the window, not compilation
       try { SparkEntry.queries(AnchorName)(spark, sfDir).write.mode("overwrite").format("noop").save() }
@@ -159,10 +179,41 @@ object Bench {
     shuffleProbeSec(spark) // JIT throwaway
     val shuffleSamples = scala.collection.mutable.ArrayBuffer(shuffleProbeSec(spark))
     val scanSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    // mid-run shuffle samples (every other scan probe): the round-11
+    // driver run passed the precheck and went dirty MID-RUN (end-of-run
+    // shuffle probe 1.506) — the steal is shuffle-dimension-visible, so
+    // the abort sensor needs both probe kinds. These samples feed ONLY
+    // the abort decision, never the end-of-run windowClean gate (whose
+    // min-of-edges semantics stay as documented).
+    val midShuffleSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted; if (s.isEmpty) 0.0 else s(s.size / 2)
+    }
+    val abortMode = sys.env.get("SPARK_GRAFT_PRECHECK_ABORT").contains("1")
     var sinceProbe = 0
     def maybeScanProbe(): Unit = {
       sinceProbe += 1
-      if (sinceProbe >= 25) { sinceProbe = 0; scanSamples += scanProbeSec(spark, sfDir) }
+      if (sinceProbe >= 25) {
+        sinceProbe = 0
+        scanSamples += scanProbeSec(spark, sfDir)
+        if (scanSamples.size % 2 == 0) midShuffleSamples += shuffleProbeSec(spark)
+        // round-12 (from the r11 verdict): under ABORT=1, a window that
+        // goes dirty mid-run costs a partial run, not a full dirty
+        // artifact — exit(3) as soon as the interleaved MEDIAN crosses
+        // the clean band (median, not point sample: contention is bursty
+        // and one hot probe proves nothing; require >=2 samples).
+        if (abortMode) {
+          val scanMedFac = if (scanSamples.size >= 2) medianOf(scanSamples.toSeq) / ScanCleanSec else 1.0
+          val shufMedFac = if (midShuffleSamples.size >= 2) medianOf(midShuffleSamples.toSeq) / ShuffleCleanSec else 1.0
+          if (scanMedFac > 1.15 || shufMedFac > 1.15) {
+            System.err.println(f"[bench] MID-RUN WINDOW BREACH (abort mode): interleaved scan " +
+              f"median factor $scanMedFac%.2f, shuffle median factor $shufMedFac%.2f after " +
+              f"${scanSamples.size} scan probes — aborting, no artifact written")
+            spark.stop()
+            sys.exit(3)
+          }
+        }
+      }
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
     val p1 = names.map { n => maybeScanProbe(); n -> time(n) }.toMap
@@ -215,11 +266,8 @@ object Bench {
     val anchorSec = results.toMap.get(AnchorName)
       .filterNot(_ => errors.contains(AnchorName)).getOrElse(0.0)
     val hostFactor = if (anchorSec > 0) math.max(1.0, anchorSec / AnchorCleanSec) else 1.0
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted; if (s.isEmpty) 0.0 else s(s.size / 2)
-    }
     val shuffleSec = shuffleSamples.min
-    val scanMed = median(scanSamples.toSeq)
+    val scanMed = medianOf(scanSamples.toSeq)
     val shuffleFactor = math.max(1.0, shuffleSec / ShuffleCleanSec)
     val scanFactor = if (scanMed > 0) math.max(1.0, scanMed / ScanCleanSec) else 1.0
     // thresholds tightened from (1.15, 1.3, 1.5) on round-9 evidence:
@@ -235,13 +283,29 @@ object Bench {
         f"(factor $hostFactor%.2f), shuffle probe $shuffleSec%.2f s (factor $shuffleFactor%.2f), " +
         f"scan probe median $scanMed%.2f s (factor $scanFactor%.2f) — " +
         "re-run on a quieter window; do not rescale")
+    // Per-family subtotals (round-12, from the r11 verdict): the
+    // by-contract multi-pass queries (streaming micro-batch folds +
+    // serial training iterations) are ~20% of the wall total and
+    // dominated by orchestration floor, not dataflow cost — drift triage
+    // should read the split directly instead of re-deriving which part
+    // of the total is scheduler floor. Partition: q* = relational
+    // surface; x* in the contract set = streaming/serial-by-contract;
+    // remaining x* = extension dataflows.
+    val subtotalRelational = ok.filter(_._1.startsWith("q")).map(_._2).sum
+    val subtotalStreaming = ok.filter(kv => StreamingContractQueries(kv._1)).map(_._2).sum
+    val subtotalExtension = total - subtotalRelational - subtotalStreaming
+    val precheckCleanJson =
+      if (precheckTries == 0) "\"disabled\"" else precheckClean.toString
     val anchorFields =
       s""""anchor":"$AnchorName","anchor_sec":${fmt(anchorSec)},""" +
       s""""anchor_clean_sec":${fmt(AnchorCleanSec)},"host_factor":${fmt(hostFactor)},""" +
       s""""shuffle_anchor_sec":${fmt(shuffleSec)},"shuffle_factor":${fmt(shuffleFactor)},""" +
       s""""scan_anchor_med":${fmt(scanMed)},"scan_factor":${fmt(scanFactor)},""" +
       s""""window_clean":$windowClean,"adj_value_lower_bound":${fmt(total / hostFactor)},""" +
-      s""""precheck_attempts":$precheckAttempts,"precheck_clean":$precheckClean"""
+      s""""subtotal_relational":${fmt(subtotalRelational)},""" +
+      s""""subtotal_extension":${fmt(subtotalExtension)},""" +
+      s""""subtotal_streaming_contract":${fmt(subtotalStreaming)},""" +
+      s""""precheck_attempts":$precheckAttempts,"precheck_clean":$precheckCleanJson"""
     // Embedded movers audit (round-11, from the r10 verdict): the
     // round-close drift-vs-regression triage (tools/movers.py) now
     // lands IN the bench JSON, so a judge or the driver reads the
@@ -257,9 +321,14 @@ object Bench {
       // (dev smokes at sf0.01 would otherwise emit a nonsense ratio)
       val refSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(refLine).map(_.group(1))
       if (!refSf.contains(sfDir)) throw new IllegalStateException("sf mismatch")
-      // minimal extraction of the "queries" object from the one-line ref
+      // minimal extraction of the "queries" object from the one-line
+      // ref; anchor the end on the trailing ,"sf": key (the last field
+      // by construction) rather than the first '}' so a future nested
+      // value inside queries can't truncate the extraction
       val qStart = refLine.indexOf("\"queries\":{")
-      val qEnd = refLine.indexOf("}", qStart)
+      val sfAnchor = refLine.lastIndexOf(",\"sf\":")
+      val qEnd = if (sfAnchor > qStart) refLine.lastIndexOf("}", sfAnchor)
+                 else refLine.indexOf("}", qStart)
       val body = refLine.substring(qStart + "\"queries\":{".length, qEnd)
       val refQ: Map[String, Double] = body.split(",").filter(_.contains(":")).map { kv =>
         val Array(k, v) = kv.split(":", 2)
@@ -280,7 +349,12 @@ object Bench {
         s""","audit":{"ref":"bench_reference.json","common_n":${common.size},""" +
         s""""common_sum_ratio":${fmt(sc / sr)},"movers":$moversJson}"""
       }
-    } catch { case _: Throwable => "" }
+    } catch { case e: Throwable =>
+      // a malformed/format-drifted reference must not silently erase the
+      // audit from the output (round-11 advisory) — name the failure
+      System.err.println(s"[bench] movers audit unavailable: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      ""
+    }
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$anchorFields$audit,""" +
       s""""failed":$failedArr,"queries":$qs,"sf":"$sfDir"}"""
@@ -293,9 +367,19 @@ object Bench {
     // the slowest queries, hard-capped to fit the tail with room for
     // sbt's trailing "[success]" line — so the LAST parseable JSON line
     // always carries the totals.
+    // Quarantine (round-12, from the r11 verdict): a dirty-window run
+    // must never displace the last CLEAN artifact — round 11's driver
+    // run passed the precheck, went dirty mid-run, and overwrote the
+    // working tree's bench_full_last.json with stolen-window numbers.
+    // Clean runs own bench_full_last.json; dirty runs write their full
+    // output to bench_full_dirty.json and leave the clean file alone.
+    val fullFile = if (windowClean) "bench_full_last.json" else "bench_full_dirty.json"
+    if (!windowClean)
+      System.err.println(s"[bench] dirty window: full output quarantined to $fullFile " +
+        "(bench_full_last.json untouched)")
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_full_last.json"),
+        java.nio.file.Paths.get(fullFile),
         (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     val bySlowest = ok.sortBy(-_._2)
@@ -306,7 +390,7 @@ object Bench {
     val head = new StringBuilder(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""n_errors":${errors.size},"failed":$failedArr,$anchorFields$auditRatio,""" +
-      s""""full":"bench_full_last.json","queries":{""")
+      s""""full":"$fullFile","queries":{""")
     val tailBudget = 1600 // chars for the compact line, incl. closing
     var first = true
     for ((k, v) <- bySlowest) {

@@ -247,6 +247,18 @@ object Similarity {
     * 500-row sf0.01 corpus (12 · 38 = 456) — a larger stride silently
     * drops whole clusters where the center row does not exist.
     */
+  /** Anchor-presence prechecks already paid, keyed by the corpus plan's
+    * semantic hash + derivation params (round-11 ADVICE): the eager
+    * distinct + left-anti collect turned these lazy builders into ones
+    * launching Spark jobs at construction, and bench paths construct
+    * them repeatedly — same corpus plan + same params ⇒ same verdict,
+    * so one paid check covers every later call this JVM. Values are only
+    * ever `true` (a failed check throws); a semantic-hash collision
+    * could at worst skip a redundant precondition, never change results.
+    */
+  private val anchorsChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Int, Long, Long)]()
+
   def clusteredCorpus(emb: DataFrame, k: Int = 13, centerStride: Long = 38L,
       scale: Double = 0.3): DataFrame = {
     val centers = emb.select(col("vec_id").as("__aid"), col("embedding").as("__cv"))
@@ -255,16 +267,20 @@ object Similarity {
     // is absent — a non-contiguous or too-small corpus would silently
     // shrink the derived corpus instead of failing. The needed-center
     // set is ≤ k ids, so the check is one column-pruned aggregate over
-    // vec_id plus a bounded collect.
-    val needed = emb
-      .select((pmod(col("vec_id"), lit(k)) * centerStride).as("__aid")).distinct()
-    val missing = needed.join(centers.select(col("__aid")), Seq("__aid"), "left_anti")
-      .orderBy(col("__aid")).limit(k + 1)
-      .collect().map(_.getLong(0))
-    require(missing.isEmpty,
-      s"clusteredCorpus: center rows missing for vec_id(s) ${missing.mkString(", ")} " +
-        s"(k=$k, centerStride=$centerStride) — every (id % k) * centerStride must " +
-        "exist as a corpus vec_id or its whole cluster would be silently dropped")
+    // vec_id plus a bounded collect — paid once per (corpus, params).
+    val cacheKey = (emb.queryExecution.analyzed.semanticHash(), k, centerStride, -1L)
+    if (!anchorsChecked.contains(cacheKey)) {
+      val needed = emb
+        .select((pmod(col("vec_id"), lit(k)) * centerStride).as("__aid")).distinct()
+      val missing = needed.join(centers.select(col("__aid")), Seq("__aid"), "left_anti")
+        .orderBy(col("__aid")).limit(k + 1)
+        .collect().map(_.getLong(0))
+      require(missing.isEmpty,
+        s"clusteredCorpus: center rows missing for vec_id(s) ${missing.mkString(", ")} " +
+          s"(k=$k, centerStride=$centerStride) — every (id % k) * centerStride must " +
+          "exist as a corpus vec_id or its whole cluster would be silently dropped")
+      anchorsChecked.add(cacheKey)
+    }
     emb.select(col("vec_id"), col("embedding"),
         (pmod(col("vec_id"), lit(k)) * centerStride).as("__aid"))
       .join(broadcast(centers), Seq("__aid"))
@@ -308,15 +324,19 @@ object Similarity {
       stretchId: Long = 7L, scale: Double = 0.3): DataFrame = {
     val anchors = emb.select(col("vec_id").as("__aid"), col("embedding").as("__av"))
     val centerId = pmod(col("vec_id"), lit(k)) * centerStride
-    val needed = emb.select(centerId.as("__aid"))
-      .unionByName(emb.sparkSession.range(1).select(lit(stretchId).as("__aid")))
-      .distinct()
-    val missing = needed.join(anchors.select(col("__aid")), Seq("__aid"), "left_anti")
-      .orderBy(col("__aid")).limit(k + 2)
-      .collect().map(_.getLong(0))
-    require(missing.isEmpty,
-      s"structuredCorpus: anchor rows missing for vec_id(s) ${missing.mkString(", ")} " +
-        s"(k=$k, centerStride=$centerStride, stretchId=$stretchId)")
+    val cacheKey = (emb.queryExecution.analyzed.semanticHash(), k, centerStride, stretchId)
+    if (!anchorsChecked.contains(cacheKey)) {
+      val needed = emb.select(centerId.as("__aid"))
+        .unionByName(emb.sparkSession.range(1).select(lit(stretchId).as("__aid")))
+        .distinct()
+      val missing = needed.join(anchors.select(col("__aid")), Seq("__aid"), "left_anti")
+        .orderBy(col("__aid")).limit(k + 2)
+        .collect().map(_.getLong(0))
+      require(missing.isEmpty,
+        s"structuredCorpus: anchor rows missing for vec_id(s) ${missing.mkString(", ")} " +
+          s"(k=$k, centerStride=$centerStride, stretchId=$stretchId)")
+      anchorsChecked.add(cacheKey)
+    }
     emb.select(col("vec_id"), col("embedding"), centerId.as("__cid"),
         lit(stretchId).as("__sid"))
       .join(broadcast(anchors.select(col("__aid").as("__cid"), col("__av").as("__cv"))), Seq("__cid"))

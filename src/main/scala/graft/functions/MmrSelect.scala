@@ -33,21 +33,28 @@ final class MmrBuffer(val shortlist: Int) {
     // weightedSampleStream full-row-hash rule, applied to the buffer)
     val s = entries.sortWith { (a, b) =>
       a._2 > b._2 || (a._2 == b._2 && (a._1 < b._1 ||
-        (a._1 == b._1 && vecKey(a._3) < vecKey(b._3))))
+        (a._1 == b._1 && vecCompare(a._3, b._3) < 0)))
     }.distinctBy(_._1)
     entries.clear(); entries ++= s.take(shortlist)
   }
 
   // deterministic total order over vectors: length-first, then
-  // lexicographic on raw float bits (exact, no float-compare pitfalls)
-  private def vecKey(v: Array[Float]): String = {
-    val sb = new java.lang.StringBuilder(v.length * 9 + 8)
-    sb.append(f"${v.length}%08x")
+  // lexicographic on raw float bits (exact, no float-compare pitfalls).
+  // Allocation-free element-wise compare (round-11 ADVICE): the prior
+  // form built an O(dim) hex string on EVERY tie comparison inside the
+  // sort — unsigned-int bit compare yields the identical order (the hex
+  // strings were zero-padded, i.e. an unsigned lexicographic encoding)
+  // without the string churn.
+  private def vecCompare(a: Array[Float], b: Array[Float]): Int = {
+    if (a.length != b.length) return Integer.compare(a.length, b.length)
     var i = 0
-    while (i < v.length) {
-      sb.append(f"${java.lang.Float.floatToIntBits(v(i))}%08x"); i += 1
+    while (i < a.length) {
+      val c = java.lang.Integer.compareUnsigned(
+        java.lang.Float.floatToIntBits(a(i)), java.lang.Float.floatToIntBits(b(i)))
+      if (c != 0) return c
+      i += 1
     }
-    sb.toString
+    0
   }
 
   def push(id: Long, rel: Double, vec: Array[Float]): Unit = {

@@ -17,9 +17,15 @@ object Scratch {
   private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
 
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    // never recurse through a symlink (round-11 ADVICE): listFiles on a
+    // symlinked directory enumerates the TARGET's children, so a link
+    // inside a scratch dir would have its target's contents deleted —
+    // unlink the link itself and stop.
     def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles()
-      if (kids != null) kids.foreach(rm)
+      if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+      }
       f.delete(); ()
     }
     var d = dirs.poll()
