@@ -86,14 +86,15 @@ class ComponentStreamSpec extends SparkSuite {
     f.listFiles().foreach(_.setLastModified(t)); f.setLastModified(t)
   }
 
-  private def runForgets(root: String, ckpt: String, maxFiles: Int = 64): Unit = {
+  private def runForgets(root: String, ckpt: String, maxFiles: Int = 64,
+      maxTombBytes: Long = 8L << 20): Unit = {
     val events = spark.readStream
       .schema("kind STRING, doc_a LONG, doc_b LONG")
       .option("maxFilesPerTrigger", 1)
       .parquet(root + "/src/*")
     StreamingIngest.componentStreamWithForgets(events, root + "/comps",
       root + "/edges", root + "/tombs", root + s"/$ckpt",
-      maxEdgeFiles = maxFiles)
+      maxEdgeFiles = maxFiles, maxTombBroadcastBytes = maxTombBytes)
   }
 
   // survivors-only truth: 3, 10 forgotten; (3,5) rejected at arrival
@@ -121,6 +122,21 @@ class ComponentStreamSpec extends SparkSuite {
     val before = standing(root + "/comps")
     runForgets(root, "ckpt2") // fresh checkpoint = full replay
     assert(standing(root + "/comps") == before)
+  }
+
+  test("tombstone gate degraded to the shuffle path gives identical verdicts") {
+    // maxTombBroadcastBytes = 0 forces the size gate PAST the broadcast
+    // bound from the first tombstone on (the r11 verdict item 8 path:
+    // cumulative forgets outgrown broadcast size, joins degrade to
+    // shuffles of the batch) — every verdict, including the rejected
+    // resurrection that only the gate enforces, must be unchanged
+    val root = tempDir("graft-ccforget-shuf")
+    mixed.indices.foreach(b => writeMixed(root + "/src", b))
+    runForgets(root, "ckpt", maxTombBytes = 0L)
+    assert(standing(root + "/comps") == forgetTruth)
+    val log = spark.read.parquet(root + "/edges")
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!log.contains((3L, 5L)) && !log.contains((5L, 3L)))
   }
 
   test("mid-stream edge-log compaction is invisible to the verdicts") {
