@@ -248,13 +248,17 @@ object ExtensionQueries {
   // make the per-doc totals order-independent (x41 idiom). Query terms
   // are the df-rank-11..16 band paired into 3 two-term queries, same
   // derivation as TextRank.midFrequencyQueries.
-  private val bm25Oracle: String =
+  // Parameterized over the corpus relation (round-12): x54/x116 read the
+  // raw documents table; x117 reads the latest-version corpus in closed
+  // form. `rel` must be a table name or a parenthesized subquery with
+  // columns (doc_id, text).
+  private def bm25OracleOver(rel: String): String =
     s"""WITH w AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
-       |            unnest(string_split(text, ' ')) AS term FROM documents),
+       |            unnest(string_split(text, ' ')) AS term FROM $rel),
        |tf AS (SELECT doc_id, term, count(*) AS tf, MIN(dl) AS dl FROM w GROUP BY doc_id, term),
        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-       |              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens FROM documents),
+       |              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens FROM $rel),
        |qt AS (SELECT CAST((rnk - 11) // 2 AS BIGINT) AS query_id, term, df FROM (
        |   SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rnk FROM dfq) t
        |   WHERE rnk BETWEEN 11 AND 16),
@@ -267,6 +271,24 @@ object ExtensionQueries {
        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
        |  FROM agg) t
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private val bm25Oracle: String = bm25OracleOver("documents")
+
+  // x117's latest-version corpus in closed form — the q08 last-write-wins
+  // semantics composed into x54's oracle: the update script is a
+  // deterministic function of the base corpus (portable md5 bucket h4:
+  // h4==1 re-arrives doubled in wave 1; h4==3 takes an intermediate
+  // update in wave 1 then reverts in wave 2; h4==2 re-arrives null-text
+  // in wave 2 = deleted), so "latest version of everything that arrived"
+  // is expressible without seeing the stream: doubled for h4==1,
+  // excluded for h4==2, original otherwise. The oracle is blind to the
+  // version log, the retraction machinery, and the arrival order.
+  private val bm25UpsertOracle: String = bm25OracleOver(
+    """(SELECT doc_id, CASE WHEN h4 = 1 THEN text || ' ' || text ELSE text END AS text
+      |   FROM (SELECT doc_id, text,
+      |           ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 4 AS h4
+      |         FROM documents) t
+      |   WHERE h4 <> 2)""".stripMargin)
 
   // Hybrid retrieval: BM25 and TF-IDF top-20 lists (shared posting/df
   // CTEs, per-term float expressions generated by the TextRank twins)
@@ -4088,6 +4110,57 @@ object ExtensionQueries {
         val tf = s.read.parquet(root + "/postings")
           .select(col("doc_id"), col("term"), col("tf"), col("dl"))
           .localCheckpoint(false) // the index feeds df, stats, queries, scoring
+        graft.ext.TextRank.bm25(tf /* docs unused: stats from the index */,
+          graft.ext.TextRank.midFrequencyQueries(tf, postingsOpt = Some(tf)),
+          postingsOpt = Some(tf),
+          statsOpt = Some(graft.ext.TextRank.statsFromPostings(tf)))
+      }),
+
+    Q("x117_bm25_retract_stream",
+      "DOC UPDATE/RETRACTION for the standing BM25 index (round-12) — the regime x116's " +
+        "append-only contract names as out of scope: a re-crawled doc re-arrives under its " +
+        "doc_id with new text and retrieval must see ONLY the latest version, or df/tf " +
+        "double-count forever. Three waves: the full corpus, then portable-md5 bucket " +
+        "h4==1 re-arrives DOUBLED and h4==3 takes an intermediate update, then h4==2 " +
+        "re-arrives null-text (= deletion) and h4==3 REVERTS to its original — so the " +
+        "final index must have fully retracted one superseded version per h4∈{1,3} doc " +
+        "and every posting of each h4==2 doc. Machinery " +
+        "(streaming.bm25IndexUpsertStream): per-doc VERSIONED postings + a (doc_id, seq) " +
+        "version log, resolved at read to each doc's max-seq rows — a null-text arrival " +
+        "advances the version log without postings, which IS deletion; stamped appends on " +
+        "both logs give exactly-once under replay; compaction rewrites both logs keeping " +
+        "live versions (Bm25UpsertStreamSpec). The oracle is x54's SQL over the " +
+        "latest-version corpus in CLOSED FORM (the q08 last-write-wins composition) — " +
+        "blind to the version log, the batching, and the arrival order. Read adds ONE " +
+        "doc-keyed join of postings against the version log's max-seq aggregate " +
+        "(O(log), amortized to O(live postings) by compaction); retrieval stays " +
+        "O(query-term postings).",
+      Some(bm25UpsertOracle),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("h4", pmod(graft.ext.TextDedup.portableHashBuiltin(
+            col("doc_id").cast("string"), ""), lit(4L)))
+          .localCheckpoint(false) // one corpus pass feeds all three waves
+        val root = scratchTempDir("graft-x117-bm25ups")
+        writeStreamWave(root, 0, docs.drop("h4"))
+        writeStreamWave(root, 1,
+          docs.filter(col("h4") === 1)
+            .withColumn("text", concat(col("text"), lit(" "), col("text"))).drop("h4")
+            .unionByName(docs.filter(col("h4") === 3)
+              .withColumn("text", concat(col("text"), lit(" alpha"))).drop("h4")))
+        writeStreamWave(root, 2,
+          docs.filter(col("h4") === 2)
+            .withColumn("text", lit(null).cast("string")).drop("h4")
+            .unionByName(docs.filter(col("h4") === 3).drop("h4")))
+        val stream = s.readStream
+          .schema(Tables.documents(s, d).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(root + "/src/*")
+        graft.streaming.StreamingIngest.bm25IndexUpsertStream(stream,
+          root + "/postings", root + "/versions", root + "/ckpt")
+        val tf = graft.streaming.StreamingIngest.resolvedPostings(
+            s, root + "/postings", root + "/versions")
+          .localCheckpoint(false) // the resolved index feeds df, stats, queries, scoring
         graft.ext.TextRank.bm25(tf /* docs unused: stats from the index */,
           graft.ext.TextRank.midFrequencyQueries(tf, postingsOpt = Some(tf)),
           postingsOpt = Some(tf),

@@ -802,6 +802,123 @@ object StreamingIngest {
     q
   }
 
+  /** [[bm25IndexStream]] with DOC UPDATES — the retract-then-append
+    * regime the append-only index names as out of scope (round-11
+    * verdict item 2): a re-crawled/updated doc re-arrives under its
+    * `idCol` with new text, and retrieval must see ONLY the latest
+    * version — under the append-only contract the old postings
+    * double-count df/tf forever.
+    *
+    * Design: PER-DOC VERSIONED POSTINGS RESOLVED AT READ, the
+    * componentStreamWithForgets log idiom applied postings-side. Two
+    * standing logs: the postings log (stamped posting rows, as in the
+    * append-only stream) and a VERSION log of (idCol, ingest_seq) — one
+    * row per doc ARRIVAL, including null-text arrivals. The version log
+    * is what makes retraction-by-replacement total: a doc's live version
+    * is its max ingest_seq in the version log, and [[resolvedPostings]]
+    * keeps only posting rows stamped with exactly that seq. A null-text
+    * re-arrival therefore DELETES the doc (its live version has no
+    * posting rows — the version log advances, the postings log doesn't),
+    * which the append-only stream's doc-count contract could not
+    * express.
+    *
+    * Contracts:
+    *   - at most one version of an `idCol` per micro-batch is the
+    *     intended producer contract; a violating batch resolves
+    *     deterministically (min full-row xxhash64 — the
+    *     weightedSampleStream rule without a priority column), so
+    *     replays are byte-stable either way;
+    *   - exactly-once via the stamped-append idiom on BOTH logs
+    *     independently (appends are not idempotent under re-delivery);
+    *   - stale postings (superseded versions) linger until compaction
+    *     but are invisible to every read — [[resolvedPostings]] filters
+    *     them by construction. When the postings log exceeds
+    *     `maxPostingFiles` data files, [[maybeCompactPostings]] rewrites
+    *     both logs keeping only live versions (the LSM trade again). A
+    *     post-compaction replay of an old batch can re-append
+    *     already-superseded rows; they never resolve (their seq is below
+    *     the version log's max) and the next compaction drops them.
+    *
+    * Per-batch cost: O(batch tokens) tokenize + two stamped appends.
+    * Read cost adds ONE doc-keyed equi-join of the postings log against
+    * the version log's max-seq aggregate — O(log size), amortized back
+    * to O(live postings) by compaction; retrieval stays O(query-term
+    * postings) after resolution.
+    */
+  def bm25IndexUpsertStream(docs: DataFrame, postingsDir: String,
+      versionsDir: String, checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text", maxPostingFiles: Int = 64): StreamingQuery = {
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val raw = batch.toDF()
+        val perId = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol))
+          .orderBy(xxhash64(raw.columns.map(col).toIndexedSeq: _*).asc)
+        val b = raw.withColumn("__v", row_number().over(perId))
+          .filter(col("__v") === 1).drop("__v")
+          .localCheckpoint(false) // feeds both log appends, one pass
+        if (!landedSeq(spark, versionsDir, batchId))
+          graft.pipeline.Ingest.appendWithSeq(b.select(col(idCol)), versionsDir, batchId)
+        if (!landedSeq(spark, postingsDir, batchId))
+          graft.pipeline.Ingest.appendWithSeq(
+            graft.ext.TextRank.postings(
+              b.filter(col(textCol).isNotNull), idCol, textCol),
+            postingsDir, batchId)
+        maybeCompactPostings(spark, postingsDir, versionsDir, maxPostingFiles, idCol)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Read side of [[bm25IndexUpsertStream]]: the LIVE posting rows —
+    * each doc's postings stamped with its max version-log seq. One
+    * doc-keyed equi-join (both sides shuffle on `idCol` — never a corpus
+    * or text re-scan); output columns match [[graft.ext.TextRank.postings]]
+    * so every retrieval entry point takes it via `postingsOpt`.
+    */
+  def resolvedPostings(spark: SparkSession, postingsDir: String,
+      versionsDir: String, idCol: String = "doc_id"): DataFrame = {
+    val latest = spark.read.parquet(versionsDir)
+      .groupBy(col(idCol)).agg(max(col("ingest_seq")).as("__vmax"))
+    spark.read.parquet(postingsDir)
+      .join(latest, Seq(idCol))
+      .filter(col("ingest_seq") === col("__vmax"))
+      .select(col(idCol), col("term"), col("tf"), col("dl"))
+  }
+
+  /** Compaction for [[bm25IndexUpsertStream]]'s logs: when the postings
+    * log exceeds `maxPostingFiles` data files, rewrite it keeping only
+    * live-version rows and shrink the version log to one max-seq row per
+    * doc. Each rewrite is the crash-safe [[swapRewrite]] swap, and the
+    * two are INDEPENDENTLY safe in either crash order: resolution only
+    * ever compares postings seqs against the version log's per-doc max,
+    * which both rewrites preserve. Returns whether it compacted.
+    */
+  def maybeCompactPostings(spark: SparkSession, postingsDir: String,
+      versionsDir: String, maxPostingFiles: Int = 64,
+      idCol: String = "doc_id"): Boolean = {
+    val fragmented = pathExists(spark, postingsDir) &&
+      cdcIndexFileCount(spark, postingsDir) > maxPostingFiles
+    if (fragmented) {
+      val latest = spark.read.parquet(versionsDir)
+        .groupBy(col(idCol)).agg(max(col("ingest_seq")).as("__vmax"))
+        .localCheckpoint(false) // both rewrites read it; versionsDir is about to be swapped
+      swapRewrite(spark, postingsDir,
+        spark.read.parquet(postingsDir)
+          .join(latest, Seq(idCol))
+          .filter(col("ingest_seq") === col("__vmax"))
+          .drop("__vmax"))
+      swapRewrite(spark, versionsDir,
+        latest.select(col(idCol), col("__vmax").as("ingest_seq")))
+    }
+    fragmented
+  }
+
   /** Streaming GROUPED pps sample — the [[weightedSampleStream]] fold
     * applied per group (the x101 batch form made continuous): the
     * standing state is exactly-n rows PER GROUP, each micro-batch
@@ -1302,28 +1419,35 @@ object StreamingIngest {
     val fragmented = pathExists(spark, edgesDir) &&
       cdcIndexFileCount(spark, edgesDir) > maxEdgeFiles
     if (fragmented) {
-      // the Ingest.compact scratch-dir dance (Spark cannot overwrite a
-      // path it is reading): write survivors to a dot-sibling, then
-      // rename(live->bak), rename(tmp->live), delete(bak)
-      val live = new org.apache.hadoop.fs.Path(edgesDir)
-      val tmp = new org.apache.hadoop.fs.Path(live.getParent, "." + live.getName + ".compact-tmp")
-      val bak = new org.apache.hadoop.fs.Path(live.getParent, "." + live.getName + ".compact-bak")
       val tombs = tombsForJoin(spark, tombstonesDir, maxTombBroadcastBytes)
         .getOrElse(spark.range(0).select(col("id").as("node")))
-      spark.read.parquet(edgesDir)
-        .join(tombs.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
-        .join(tombs.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
-        .write.mode("overwrite").parquet(tmp.toString)
-      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(bak, true)
-      if (!fs.rename(live, bak)) sys.error(s"compactEdgeLog: cannot stage $live -> $bak")
-      if (!fs.rename(tmp, live)) {
-        fs.rename(bak, live)
-        sys.error(s"compactEdgeLog: cannot publish $tmp -> $live (old log restored)")
-      }
-      fs.delete(bak, true)
+      swapRewrite(spark, edgesDir,
+        spark.read.parquet(edgesDir)
+          .join(tombs.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
+          .join(tombs.withColumnRenamed("node", "b"), Seq("b"), "left_anti"))
     }
     fragmented
+  }
+
+  /** The Ingest.compact scratch-dir dance, shared by every standing-log
+    * compaction here (Spark cannot overwrite a path it is reading):
+    * write the survivors to a dot-sibling, then rename(live->bak),
+    * rename(tmp->live), delete(bak) — a crash mid-swap either leaves the
+    * old log current or restores it.
+    */
+  private def swapRewrite(spark: SparkSession, dir: String, survivors: DataFrame): Unit = {
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(live.getParent, "." + live.getName + ".compact-tmp")
+    val bak = new org.apache.hadoop.fs.Path(live.getParent, "." + live.getName + ".compact-bak")
+    survivors.write.mode("overwrite").parquet(tmp.toString)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(bak, true)
+    if (!fs.rename(live, bak)) sys.error(s"swapRewrite: cannot stage $live -> $bak")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(bak, live)
+      sys.error(s"swapRewrite: cannot publish $tmp -> $live (old log restored)")
+    }
+    fs.delete(bak, true)
   }
 
   /** Streaming incremental classifier fit (the x104 twin): each arriving
