@@ -744,100 +744,112 @@ object ExtensionQueries {
     * x88 stack's full-64-dim `r` rows — same values, indexable per
     * subspace as the fit evolves them independently.
     */
-  private lazy val fittedRecallOracle: String = {
-    def off(j: Int) = j * PqSubDim
-    // the structuredCorpus derivation: c + ((0.3 * s) * e) per element,
-    // left-associated exactly like the nested zip_with
+  // ---- shared builders for the structured-corpus fitted-codebook
+  // oracle stack (x114 and x118 compose from these; defs, not vals, so
+  // object-init order vs PqM/PqSubDim/Dim never bites) -----------------
+
+  private def pqOff(j: Int) = j * PqSubDim
+
+  // d2 of res row e's subspace-j slice against codebook row c (8-dim cw)
+  private def pqD2ArmsCw(cb: String, out: String): String = {
+    val arms = (0 until PqM).map { j =>
+      val d2 = (1 to PqSubDim).map { i =>
+        s"((e.r[${pqOff(j) + i}] - c.cw[$i]) * (e.r[${pqOff(j) + i}] - c.cw[$i]))"
+      }.mkString("(CAST(0.0 AS DOUBLE) + ", " + ", ")")
+      s"SELECT e.vec_id, $j AS subspace, c.code, $d2 AS d2 FROM res e, $cb c WHERE c.subspace = $j"
+    }.mkString("\n  UNION ALL ")
+    s"""$out AS (
+       |  $arms)""".stripMargin
+  }
+
+  private def pqBestOf(in: String, out: String): String =
+    s"""$out AS (SELECT vec_id, subspace, code FROM (
+       |  SELECT vec_id, subspace, code,
+       |         row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d2 ASC, code ASC) AS rn
+       |  FROM $in) t WHERE rn = 1)""".stripMargin
+
+  // one Lloyd step: assignment from cbPrev, integer dim-sums, means
+  // with empty-code retention
+  private def pqLloydStep(t: Int): String = {
+    val sums = (1 to PqSubDim).map(i => s"s$i")
+    val mnArms = (0 until PqM).map { j =>
+      val ss = (1 to PqSubDim).map(i =>
+        s"SUM(CAST(floor(e.r[${pqOff(j) + i}] * 1000000) AS BIGINT)) AS s$i").mkString(", ")
+      s"SELECT $j AS subspace, b.code, COUNT(*) AS n, $ss FROM bst$t b JOIN res e ON e.vec_id = b.vec_id WHERE b.subspace = $j GROUP BY b.code"
+    }.mkString("\n  UNION ALL ")
+    val meanArr = sums.map(sI =>
+      s"CAST(m.$sI AS DOUBLE) / CAST(m.n * 1000000 AS DOUBLE)").mkString("[", ", ", "]")
+    s"""${pqD2ArmsCw(s"cb${t - 1}", s"asg$t")},
+       |${pqBestOf(s"asg$t", s"bst$t")},
+       |mn$t AS (
+       |  $mnArms),
+       |cb$t AS MATERIALIZED (SELECT p.subspace, p.code,
+       |  CASE WHEN m.n IS NULL THEN p.cw ELSE $meanArr END AS cw
+       |  FROM cb${t - 1} p LEFT JOIN mn$t m ON m.subspace = p.subspace AND m.code = p.code)""".stripMargin
+  }
+
+  // one IVF-PQ ladder (encode with `cb` → reconstruct → shortlist
+  // `bound` → exact top-5) under suffix `sfx`
+  private def pqLadderCw(cb: String, sfx: String, bound: String = "12"): String = {
+    val wideCols = (0 until PqM).map(j =>
+      s"MAX(CASE WHEN subspace = $j THEN code END) AS c$j").mkString(",\n  ")
+    val reconList = (1 to Dim).map { i =>
+      val j = (i - 1) / PqSubDim
+      s"CAST(ct.cv[$i] AS DOUBLE) + c$j.cw[${i - pqOff(j)}]"
+    }.mkString("[", ", ", "]")
+    val reconJoins = (0 until PqM).map(j =>
+      s"JOIN $cb c$j ON c$j.subspace = $j AND c$j.code = w.c$j").mkString("\n  ")
+    s"""${pqD2ArmsCw(cb, s"enc$sfx")},
+       |${pqBestOf(s"enc$sfx", s"bste$sfx")},
+       |wide$sfx AS MATERIALIZED (SELECT vec_id,
+       |  $wideCols
+       |  FROM bste$sfx GROUP BY vec_id),
+       |recon$sfx AS MATERIALIZED (
+       |  SELECT w.vec_id, $reconList AS emb
+       |  FROM wide$sfx w
+       |  JOIN assign a ON a.vec_id = w.vec_id
+       |  JOIN cent ct ON ct.cell_id = a.cell_id
+       |  $reconJoins),
+       |reconn$sfx AS MATERIALIZED (SELECT vec_id, emb,
+       |  sqrt(${dotSql("emb", "emb")}) AS nr FROM recon$sfx),
+       |cand$sfx AS (SELECT p.qid, a.vec_id AS neighbor_id,
+       |                (${dotSql("q.embedding", "r.emb")} / (q.nr * r.nr)) AS approx_sim
+       |         FROM probes p
+       |         JOIN assign a ON a.cell_id = p.cell_id
+       |         JOIN reconn$sfx r ON r.vec_id = a.vec_id
+       |         JOIN bn q ON q.vec_id = p.qid
+       |         WHERE a.vec_id != p.qid),
+       |short$sfx AS (SELECT qid, neighbor_id FROM (
+       |  SELECT qid, neighbor_id,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY approx_sim DESC, neighbor_id) AS rn
+       |  FROM cand$sfx) t WHERE rn <= $bound),
+       |sx$sfx AS (SELECT sh.qid, sh.neighbor_id,
+       |             (${dotSql("q.embedding", "n.embedding")} / (q.nr * n.nr)) AS sim
+       |      FROM short$sfx sh
+       |      JOIN bn q ON q.vec_id = sh.qid
+       |      JOIN bn n ON n.vec_id = sh.neighbor_id),
+       |ivfpq$sfx AS (SELECT qid, rank, neighbor_id FROM (
+       |  SELECT qid, neighbor_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM sx$sfx) t
+       |WHERE rank <= 5)""".stripMargin
+  }
+
+  /** The shared x114/x118 CTE prefix: structured-corpus derivation
+    * (c + ((0.3 · s) ⊙ e) per element, left-associated exactly like the
+    * nested zip_with), IVF stack, residuals, init codebook slicing, two
+    * Lloyd steps (cb0 → cb2).
+    */
+  private def structuredFittedPrefix: String = {
     val clArr = (1 to Dim).map(i =>
       s"CAST(c.embedding[$i] AS DOUBLE) + (0.3 * CAST(s.embedding[$i] AS DOUBLE) * CAST(e.embedding[$i] AS DOUBLE))")
       .mkString("[", ", ", "]")
     val resList = (1 to Dim).map(i =>
       s"CAST(e.embedding[$i] AS DOUBLE) - CAST(ct.cv[$i] AS DOUBLE)")
       .mkString("[", ", ", "]")
-    // d2 of res row e's subspace-j slice against codebook row c (8-dim cw)
-    def d2Arms(cb: String, out: String): String = {
-      val arms = (0 until PqM).map { j =>
-        val d2 = (1 to PqSubDim).map { i =>
-          s"((e.r[${off(j) + i}] - c.cw[$i]) * (e.r[${off(j) + i}] - c.cw[$i]))"
-        }.mkString("(CAST(0.0 AS DOUBLE) + ", " + ", ")")
-        s"SELECT e.vec_id, $j AS subspace, c.code, $d2 AS d2 FROM res e, $cb c WHERE c.subspace = $j"
-      }.mkString("\n  UNION ALL ")
-      s"""$out AS (
-         |  $arms)""".stripMargin
-    }
-    def bestOf(in: String, out: String): String =
-      s"""$out AS (SELECT vec_id, subspace, code FROM (
-         |  SELECT vec_id, subspace, code,
-         |         row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d2 ASC, code ASC) AS rn
-         |  FROM $in) t WHERE rn = 1)""".stripMargin
-    // one Lloyd step: assignment from cbPrev, integer dim-sums, means
-    // with empty-code retention
-    def lloydStep(t: Int): String = {
-      val sums = (1 to PqSubDim).map(i => s"s$i")
-      val mnArms = (0 until PqM).map { j =>
-        val ss = (1 to PqSubDim).map(i =>
-          s"SUM(CAST(floor(e.r[${off(j) + i}] * 1000000) AS BIGINT)) AS s$i").mkString(", ")
-        s"SELECT $j AS subspace, b.code, COUNT(*) AS n, $ss FROM bst$t b JOIN res e ON e.vec_id = b.vec_id WHERE b.subspace = $j GROUP BY b.code"
-      }.mkString("\n  UNION ALL ")
-      val meanArr = sums.map(sI =>
-        s"CAST(m.$sI AS DOUBLE) / CAST(m.n * 1000000 AS DOUBLE)").mkString("[", ", ", "]")
-      s"""${d2Arms(s"cb${t - 1}", s"asg$t")},
-         |${bestOf(s"asg$t", s"bst$t")},
-         |mn$t AS (
-         |  $mnArms),
-         |cb$t AS MATERIALIZED (SELECT p.subspace, p.code,
-         |  CASE WHEN m.n IS NULL THEN p.cw ELSE $meanArr END AS cw
-         |  FROM cb${t - 1} p LEFT JOIN mn$t m ON m.subspace = p.subspace AND m.code = p.code)""".stripMargin
-    }
-    // one IVF-PQ ladder (encode with `cb` → reconstruct → shortlist 12
-    // → exact top-5) under suffix `sfx`
-    def ladder(cb: String, sfx: String): String = {
-      val wideCols = (0 until PqM).map(j =>
-        s"MAX(CASE WHEN subspace = $j THEN code END) AS c$j").mkString(",\n  ")
-      val reconList = (1 to Dim).map { i =>
-        val j = (i - 1) / PqSubDim
-        s"CAST(ct.cv[$i] AS DOUBLE) + c$j.cw[${i - off(j)}]"
-      }.mkString("[", ", ", "]")
-      val reconJoins = (0 until PqM).map(j =>
-        s"JOIN $cb c$j ON c$j.subspace = $j AND c$j.code = w.c$j").mkString("\n  ")
-      s"""${d2Arms(cb, s"enc$sfx")},
-         |${bestOf(s"enc$sfx", s"bste$sfx")},
-         |wide$sfx AS MATERIALIZED (SELECT vec_id,
-         |  $wideCols
-         |  FROM bste$sfx GROUP BY vec_id),
-         |recon$sfx AS MATERIALIZED (
-         |  SELECT w.vec_id, $reconList AS emb
-         |  FROM wide$sfx w
-         |  JOIN assign a ON a.vec_id = w.vec_id
-         |  JOIN cent ct ON ct.cell_id = a.cell_id
-         |  $reconJoins),
-         |reconn$sfx AS MATERIALIZED (SELECT vec_id, emb,
-         |  sqrt(${dotSql("emb", "emb")}) AS nr FROM recon$sfx),
-         |cand$sfx AS (SELECT p.qid, a.vec_id AS neighbor_id,
-         |                (${dotSql("q.embedding", "r.emb")} / (q.nr * r.nr)) AS approx_sim
-         |         FROM probes p
-         |         JOIN assign a ON a.cell_id = p.cell_id
-         |         JOIN reconn$sfx r ON r.vec_id = a.vec_id
-         |         JOIN bn q ON q.vec_id = p.qid
-         |         WHERE a.vec_id != p.qid),
-         |short$sfx AS (SELECT qid, neighbor_id FROM (
-         |  SELECT qid, neighbor_id,
-         |         row_number() OVER (PARTITION BY qid
-         |                            ORDER BY approx_sim DESC, neighbor_id) AS rn
-         |  FROM cand$sfx) t WHERE rn <= 12),
-         |sx$sfx AS (SELECT sh.qid, sh.neighbor_id,
-         |             (${dotSql("q.embedding", "n.embedding")} / (q.nr * n.nr)) AS sim
-         |      FROM short$sfx sh
-         |      JOIN bn q ON q.vec_id = sh.qid
-         |      JOIN bn n ON n.vec_id = sh.neighbor_id),
-         |ivfpq$sfx AS (SELECT qid, rank, neighbor_id FROM (
-         |  SELECT qid, neighbor_id,
-         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
-         |  FROM sx$sfx) t
-         |WHERE rank <= 5)""".stripMargin
-    }
     val cb0Arms = (0 until PqM).map { j =>
-      val slice = (1 to PqSubDim).map(i => s"r[${off(j) + i}]").mkString("[", ", ", "]")
+      val slice = (1 to PqSubDim).map(i => s"r[${pqOff(j) + i}]").mkString("[", ", ", "]")
       s"SELECT $j AS subspace, code, $slice AS cw FROM rcb"
     }.mkString("\n  UNION ALL ")
     s"""WITH cl AS MATERIALIZED (SELECT e.vec_id, $clArr AS embedding
@@ -866,16 +878,23 @@ object ExtensionQueries {
        |  FROM res WHERE vec_id % 62 = 31 AND vec_id < 1023),
        |cb0 AS MATERIALIZED (
        |  $cb0Arms),
-       |${lloydStep(1)},
-       |${lloydStep(2)},
-       |${ladder("cb0", "i")},
-       |${ladder("cb2", "f")},
-       |brute AS (SELECT qid, neighbor_id FROM (
+       |${pqLloydStep(1)},
+       |${pqLloydStep(2)}""".stripMargin
+  }
+
+  private def structuredBruteCte: String =
+    s"""brute AS (SELECT qid, neighbor_id FROM (
        |  SELECT q.vec_id AS qid, e.vec_id AS neighbor_id,
        |         row_number() OVER (PARTITION BY q.vec_id
        |                            ORDER BY (${dotSql("q.embedding", "e.embedding")} / (q.nr * e.nr)) DESC, e.vec_id) AS rank
        |  FROM bn q JOIN bn e ON e.vec_id != q.vec_id
-       |  WHERE q.vec_id < 10) t WHERE rank <= 5)
+       |  WHERE q.vec_id < 10) t WHERE rank <= 5)""".stripMargin
+
+  private lazy val fittedRecallOracle: String =
+    s"""$structuredFittedPrefix,
+       |${pqLadderCw("cb0", "i")},
+       |${pqLadderCw("cb2", "f")},
+       |$structuredBruteCte
        |SELECT brute.qid, CAST(count(*) AS BIGINT) AS n_true,
        |  CAST(count(i.neighbor_id) AS BIGINT) AS hits_init,
        |  CAST(count(i.neighbor_id) * 10000 // count(*) AS BIGINT) AS recall_init_bp,
@@ -885,7 +904,26 @@ object ExtensionQueries {
        |LEFT JOIN ivfpqi i ON brute.qid = i.qid AND brute.neighbor_id = i.neighbor_id
        |LEFT JOIN ivfpqf f ON brute.qid = f.qid AND brute.neighbor_id = f.neighbor_id
        |GROUP BY brute.qid ORDER BY brute.qid""".stripMargin
-  }
+
+  /** x118: the composed PRODUCTION configuration — fitted codebooks
+    * (the x114 winner on anisotropic structure) searched at the
+    * occupancy-derived shortlist (the x115 auto sizing), one ladder,
+    * recall vs brute truth, `sl_auto` riding along so both knobs are
+    * hash-pinned in one row set.
+    */
+  private lazy val productionLadderOracle: String =
+    s"""$structuredFittedPrefix,
+       |autosl AS (SELECT GREATEST(10, CAST(ceil(0.25 * 4 * avg(n)) AS BIGINT)) AS sl
+       |  FROM (SELECT count(*) AS n FROM assign GROUP BY cell_id) t),
+       |${pqLadderCw("cb2", "f", "(SELECT sl FROM autosl)")},
+       |$structuredBruteCte
+       |SELECT brute.qid, CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(count(f.neighbor_id) AS BIGINT) AS n_hits,
+       |  CAST(count(f.neighbor_id) * 10000 // count(*) AS BIGINT) AS recall_bp,
+       |  (SELECT CAST(sl AS BIGINT) FROM autosl) AS sl_auto
+       |FROM brute
+       |LEFT JOIN ivfpqf f ON brute.qid = f.qid AND brute.neighbor_id = f.neighbor_id
+       |GROUP BY brute.qid ORDER BY brute.qid""".stripMargin
 
   /** x115: the fixed-shortlist scale trap as data — ONE candidate
     * chain (the x92 clustered corpus + init residual codebooks), TWO
@@ -4165,5 +4203,41 @@ object ExtensionQueries {
           graft.ext.TextRank.midFrequencyQueries(tf, postingsOpt = Some(tf)),
           postingsOpt = Some(tf),
           statsOpt = Some(graft.ext.TextRank.statsFromPostings(tf)))
+      }),
+
+    Q("x118_ann_production_ladder",
+      "The COMPOSED production ANN configuration, oracle-covered end-to-end (round-12, " +
+        "the r11 verdict item 3): x114 proved fitted codebooks win on anisotropic " +
+        "structure and x115 proved the occupancy-derived shortlist — each against a " +
+        "baseline holding the OTHER knob at its naive setting. This registers what a " +
+        "100 TB user should actually run: knnIvfPqAuto (shortlist = max(2k, " +
+        "ceil(0.25*nprobe*meanCellOccupancy)) from the SAME assignment the search " +
+        "probes) over pqResidualCodebooksFitted's two-Lloyd-iteration codebooks on the " +
+        "structured corpus, recall vs brute truth, with sl_auto riding along — both " +
+        "knobs hash-pinned in one row set. The oracle replays the whole path (corpus " +
+        "derivation, init sample, both Lloyd steps, occupancy sizing, the single " +
+        "fitted ladder at the derived bound, brute truth) from the shared x114 CTE " +
+        "stack. Cost: the one-ladder subset of x114's plan plus a 1-row occupancy " +
+        "aggregate on the shared assignment — candidate generation stays an equi-join " +
+        "on cell_id, the exact re-rank O(shortlist) per query.",
+      Some(productionLadderOracle),
+      (s, d) => {
+        val emb = Similarity.structuredCorpus(Tables.embeddings(s, d))
+          .localCheckpoint(false)
+        val q = emb.filter(col("vec_id") < 10)
+        val centroids = Similarity.strideCentroids(emb, 16).localCheckpoint(false)
+        val cbFit = Similarity.pqResidualCodebooksFitted(emb, centroids, iters = 2)
+          .localCheckpoint(false) // model artifact: k*m rows
+        val assigned = Similarity.ivfAssign(emb, centroids).localCheckpoint(false)
+        // the sl_auto column pins the sizing formula; knnIvfPqAuto
+        // re-derives the identical value from the SAME assigned frame
+        // (deterministic 1-row aggregate), so the search runs the
+        // production entry point, not a hand-fed shortlist
+        val slAuto = Similarity.occupancyShortlist(assigned, nprobe = 4, k = 5)
+        val brute = Similarity.knnBrute(q, emb, 5)
+        Similarity.annRecall(brute,
+            Similarity.knnIvfPqAuto(q, emb, centroids, cbFit, k = 5, nprobe = 4,
+              assignedOpt = Some(assigned)))
+          .withColumn("sl_auto", lit(slAuto.toLong))
       }))
 }
