@@ -4239,5 +4239,92 @@ object ExtensionQueries {
             Similarity.knnIvfPqAuto(q, emb, centroids, cbFit, k = 5, nprobe = 4,
               assignedOpt = Some(assigned)))
           .withColumn("sl_auto", lit(slAuto.toLong))
+      }),
+
+    Q("x119_grouped_sample_rekey",
+      "The grouped-sample GROUP-MOVE caveats as DATA (round-12, the r11 verdict item 5): " +
+        "groupedWeightedSampleStream's bounded O(groups x n) state makes two documented " +
+        "concessions under re-keying — (1) a vacated slot cannot backfill from rows " +
+        "dropped at earlier batch boundaries (the old group stands UNDERFILLED until " +
+        "they re-arrive, and on re-arrival they DO backfill), and (2) re-arrival of a " +
+        "moved doc's old version does not undo the move (per-id min-priority resolution " +
+        "is monotone on retained ids). Three waves make both visible: the full corpus, " +
+        "then src1's standing top-5 re-keyed to group 'moved' at weight x1000 (their new " +
+        "priorities strictly improve, so the moved versions win resolution), then every " +
+        "original src1 row re-arrives. Output = the final standing table joined with " +
+        "each group's row count AFTER THE MOVE WAVE (n_mid): src1 reads n_mid = 5 — the " +
+        "underfill the bounded state cannot avoid — and 10 final rows (the backfill), " +
+        "'moved' keeps its 5 docs despite wave 3 re-delivering their originals. The " +
+        "stream runs as two sessions over one checkpoint (underfill is read from the " +
+        "mid-stream manifest — a real restart, not a peek). The oracle replays the fold " +
+        "wave by wave in SQL (top-n per group, per-id (priority, w) resolution — ties " +
+        "never reach the engine-side hash tie-break because a x1000 weight change " +
+        "always separates (priority, w)), blind to the streaming machinery.",
+      Some("""WITH t AS (SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'pps'),1,15))::BIGINT AS h
+             |  FROM documents),
+             |v AS (SELECT doc_id, source, w, h, h // w AS priority FROM t WHERE w > 0),
+             |s0 AS (SELECT doc_id, source, w, h, priority FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY priority ASC, doc_id ASC) AS rk
+             |  FROM v) z WHERE rk <= 10),
+             |mv AS (SELECT doc_id FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY priority ASC, doc_id ASC) AS rk
+             |  FROM v) z WHERE source = 'src1' AND rk <= 5),
+             |w1 AS (SELECT v.doc_id, 'moved' AS source, v.w * 1000 AS w, v.h,
+             |         v.h // (v.w * 1000) AS priority
+             |       FROM v JOIN mv ON v.doc_id = mv.doc_id),
+             |u1 AS (SELECT doc_id, source, w, h, priority FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY priority ASC, w ASC) AS vn
+             |  FROM (SELECT * FROM s0 UNION ALL SELECT * FROM w1) uu) z WHERE vn = 1),
+             |s1 AS (SELECT doc_id, source, w, h, priority FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY priority ASC, doc_id ASC) AS rk
+             |  FROM u1) z WHERE rk <= 10),
+             |midn AS (SELECT source, CAST(count(*) AS BIGINT) AS n_mid FROM s1 GROUP BY source),
+             |u2 AS (SELECT doc_id, source, w, h, priority FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY priority ASC, w ASC) AS vn
+             |  FROM (SELECT * FROM s1
+             |        UNION ALL SELECT doc_id, source, w, h, priority FROM v WHERE source = 'src1') uu) z
+             |  WHERE vn = 1),
+             |s2 AS (SELECT doc_id, source, w, priority, rk FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY priority ASC, doc_id ASC) AS rk
+             |  FROM u2) z WHERE rk <= 10)
+             |SELECT s2.doc_id, s2.source AS source, s2.w, s2.priority,
+             |       CAST(s2.rk AS BIGINT) AS rk, midn.n_mid
+             |FROM s2 JOIN midn ON midn.source = s2.source
+             |ORDER BY s2.source, rk""".stripMargin),
+      (s, d) => {
+        val feats = Tables.documents(s, d).select(
+            col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .localCheckpoint(false) // feeds waves 0/2 and the move derivation
+        val root = scratchTempDir("graft-x119-rekey")
+        writeStreamWave(root, 0, feats)
+        // the move wave derives from the SAME deterministic ranking the
+        // fold computes, so the oracle can reproduce it corpus-side
+        writeStreamWave(root, 1,
+          graft.ext.TextStats.weightedSamplePerGroup(feats, "source", col("n_tokens"), 10)
+            .filter(col("source") === "src1" && col("rk") <= 5)
+            .select(col("doc_id"), lit("moved").as("source"),
+              (col("w") * 1000L).as("n_tokens")))
+        def run(): Unit = {
+          val docs = s.readStream
+            .schema("doc_id LONG, source STRING, n_tokens LONG")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(root + "/src/*")
+          graft.streaming.StreamingIngest.groupedWeightedSampleStream(docs,
+            "source", "n_tokens", 10, root + "/sample", root + "/ckpt")
+          ()
+        }
+        run() // waves 0-1: src1 stands underfilled
+        val mid = graft.pipeline.ManifestTable.read(s, root + "/sample")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_mid"))
+          .localCheckpoint() // EAGER: pinned before the manifest version advances
+        writeStreamWave(root, 2, feats.filter(col("source") === "src1"))
+        run() // same checkpoint: only wave 2 triggers — the backfill
+        graft.pipeline.ManifestTable.read(s, root + "/sample")
+          .join(mid, Seq("source"))
+          .select(col("doc_id"), col("source"), col("w"), col("priority"),
+            col("rk"), col("n_mid"))
       }))
 }
