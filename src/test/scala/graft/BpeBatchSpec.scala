@@ -55,6 +55,35 @@ class BpeBatchSpec extends SparkSuite {
     }
   }
 
+  test("disjoint-pair corpus, depth 512: full-width batches, merge table matches the analytic truth") {
+    // the wide-vocabulary regime (round-12, r11 verdict item 4): 600
+    // XYXY words over pairwise-disjoint alphabets, main pairs at 2c
+    // strictly above every secondary pair at c — every candidate window
+    // keeps its full width, and the first 600 merge ranks are known
+    // analytically: rank i+1 merges (X_i, Y_i) at count 2*(2*600-i)
+    val wide = graft.tools.BpeDepthBench.disjointPairCorpus(spark, 600)
+      .localCheckpoint(false)
+    val got = mergeRows(Bpe.fitBatched(wide, 512, window = 64))
+    val passes = Bpe.lastBatchSizes
+    assert(passes.size == 8 && passes.forall(_ == 64),
+      s"expected 8 full-width batches, got $passes")
+    val want = (1 to 512).map { rank =>
+      val i = rank - 1
+      val (l, r) = ("" + (0x4E00 + 2 * i).toChar, "" + (0x4E00 + 2 * i + 1).toChar)
+      (rank, l, r, l + r, 2L * (2 * 600 - i))
+    }
+    assert(got == want, s"depth-512 merge table diverged (first diff: ${
+      got.zip(want).indexWhere { case (a, b) => a != b }})")
+  }
+
+  test("disjoint-pair corpus, depth 128: batched == serial (the deep-setting equality, measured corpus)") {
+    val wide = graft.tools.BpeDepthBench.disjointPairCorpus(spark, 600)
+      .localCheckpoint(false)
+    val serial = mergeRows(Bpe.fit(wide, 128))
+    assert(mergeRows(Bpe.fitBatched(wide, 128, window = 64)) == serial,
+      "batched diverged from serial greedy at depth 128 on the wide corpus")
+  }
+
   test("self-pair counterexample (round-11 ADVICE): (a,a) must terminate its batch") {
     // {"aaaX" x1 for 20 distinct X, "uvuv" x15, "pqpq" x9} gives ranked
     // candidates (a,a)=40, (u,v)=30, (p,q)=18 over boundary (v,u)=15 —
