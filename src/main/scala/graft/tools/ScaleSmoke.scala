@@ -167,6 +167,15 @@ object ScaleSmoke {
     "x111_component_stream", "x112_bpe_fit_batched",
     "x113_grouped_sample_stream", "x114_fitted_codebook_recall",
     "x115_shortlist_scale_trap",
+    // round-12: x117 adds the version log + the doc-keyed resolve join
+    // to x116's postings-linear profile (stale versions are a bounded
+    // constant of the update script, compaction drops them); x118 is
+    // the one-ladder subset of x114's corpus-linear profile plus a
+    // 1-row occupancy aggregate; x119's per-wave priority pass is
+    // corpus-linear, standing state O(sources × 10), move/backfill
+    // waves are sample-sized
+    "x117_bm25_retract_stream", "x118_ann_production_ladder",
+    "x119_grouped_sample_rekey",
     // x116's per-wave tokenize + append and the read-back's df/stats
     // re-aggregation are all postings-linear; query-term scoring joins
     // stay O(query-term postings)
