@@ -316,7 +316,11 @@ class PlanSpec extends SparkSuite {
       "x114_fitted_codebook_recall", "x115_shortlist_scale_trap",
       // x116 is x54's scoring tail off the standing index — the same
       // 1-row corpus-stats cross pin
-      "x116_bm25_index_stream")
+      "x116_bm25_index_stream",
+      // round-12: x117 is the same scoring tail off the RESOLVED index
+      // (the 1-row stats pin again); x118 is x114's recall shape at the
+      // auto shortlist — bounded query-set / centroid-set pins
+      "x117_bm25_retract_stream", "x118_ann_production_ladder")
     SparkEntry.registry.foreach { q =>
       val p = plan(q.build(spark, sf))
       val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
