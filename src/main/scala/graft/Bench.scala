@@ -200,11 +200,15 @@ object Bench {
         // round-12 (from the r11 verdict): under ABORT=1, a window that
         // goes dirty mid-run costs a partial run, not a full dirty
         // artifact — exit(3) as soon as the interleaved MEDIAN crosses
-        // the clean band (median, not point sample: contention is bursty
-        // and one hot probe proves nothing; require >=2 samples).
+        // the clean band. Median of >=3, not 2: medianOf's upper-middle
+        // on two samples IS a point sample, and contention here is
+        // bursty (one hot probe aborted two otherwise-live runs before
+        // this floor was raised) — three samples make one burst
+        // non-decisive while still aborting by ~probe 3 of ~14 on a
+        // genuinely stolen window.
         if (abortMode) {
-          val scanMedFac = if (scanSamples.size >= 2) medianOf(scanSamples.toSeq) / ScanCleanSec else 1.0
-          val shufMedFac = if (midShuffleSamples.size >= 2) medianOf(midShuffleSamples.toSeq) / ShuffleCleanSec else 1.0
+          val scanMedFac = if (scanSamples.size >= 3) medianOf(scanSamples.toSeq) / ScanCleanSec else 1.0
+          val shufMedFac = if (midShuffleSamples.size >= 3) medianOf(midShuffleSamples.toSeq) / ShuffleCleanSec else 1.0
           if (scanMedFac > 1.15 || shufMedFac > 1.15) {
             System.err.println(f"[bench] MID-RUN WINDOW BREACH (abort mode): interleaved scan " +
               f"median factor $scanMedFac%.2f, shuffle median factor $shufMedFac%.2f after " +
