@@ -197,22 +197,33 @@ object Bench {
         sinceProbe = 0
         scanSamples += scanProbeSec(spark, sfDir)
         if (scanSamples.size % 2 == 0) midShuffleSamples += shuffleProbeSec(spark)
+        // per-sample trace: mid-run drift triage needs the SERIES, not
+        // just the end-of-run median (the round-12 abort calibration
+        // was blind without it)
+        System.err.println(f"[bench] probe ${scanSamples.size}: scan ${scanSamples.last}%.3f s" +
+          (if (scanSamples.size % 2 == 0) f", shuffle ${midShuffleSamples.last}%.3f s" else ""))
         // round-12 (from the r11 verdict): under ABORT=1, a window that
         // goes dirty mid-run costs a partial run, not a full dirty
-        // artifact — exit(3) as soon as the interleaved MEDIAN crosses
-        // the clean band. Median of >=3, not 2: medianOf's upper-middle
-        // on two samples IS a point sample, and contention here is
-        // bursty (one hot probe aborted two otherwise-live runs before
-        // this floor was raised) — three samples make one burst
-        // non-decisive while still aborting by ~probe 3 of ~14 on a
-        // genuinely stolen window.
-        if (abortMode) {
-          val scanMedFac = if (scanSamples.size >= 3) medianOf(scanSamples.toSeq) / ScanCleanSec else 1.0
-          val shufMedFac = if (midShuffleSamples.size >= 3) medianOf(midShuffleSamples.toSeq) / ShuffleCleanSec else 1.0
-          if (scanMedFac > 1.15 || shufMedFac > 1.15) {
-            System.err.println(f"[bench] MID-RUN WINDOW BREACH (abort mode): interleaved scan " +
-              f"median factor $scanMedFac%.2f, shuffle median factor $shufMedFac%.2f after " +
-              f"${scanSamples.size} scan probes — aborting, no artifact written")
+        // artifact. CALIBRATED against a traced full run (the probe-
+        // series lines above exist because the first calibration was
+        // blind): the first ~3 in-run scan probes are systematically hot
+        // (0.22-0.28 s — run JIT/GC settle, NOT steal; they aborted
+        // three otherwise-live runs), settling to the 0.16 warm floor
+        // from probe 4 — so the abort median SKIPS the settle samples
+        // and uses band 1.25 (clear steal reads 1.3-1.6×; the end-of-run
+        // gate at 1.15 over ALL samples stays authoritative — the abort
+        // is an optimization, a missed abort just quarantines). The
+        // mid-run SHUFFLE probes read ~1.6 s even on quiet windows
+        // (interleaved probes fight the run's GC/JIT state; the 1.00 s
+        // baseline holds only at the run's idle edges), so they carry NO
+        // abort band — they are traced for triage only.
+        if (abortMode && scanSamples.size >= 6) {
+          val settled = scanSamples.drop(3)
+          val scanMedFac = medianOf(settled.toSeq) / ScanCleanSec
+          if (scanMedFac > 1.25) {
+            System.err.println(f"[bench] MID-RUN WINDOW BREACH (abort mode): settled scan " +
+              f"median factor $scanMedFac%.2f over ${settled.size} probes — " +
+              "aborting, no artifact written")
             spark.stop()
             sys.exit(3)
           }
@@ -220,7 +231,33 @@ object Bench {
       }
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val p1 = names.map { n => maybeScanProbe(); n -> time(n) }.toMap
+    // CPU-dimension mid-run sentinel (abort mode): the diagnostic run
+    // that calibrated the scan abort sat on a window whose scan/shuffle
+    // probes stayed in band while the CPU anchor drifted to 1.24× — the
+    // whole 7-minute run was wasted on a dimension the interleaved
+    // probes don't sense. When pass 1 reaches the anchor query, a
+    // >1.25× sample triggers ONE confirming re-run (a single sample is
+    // burst-prone); two hot samples abort.
+    def anchorBreached(sample: Double): Boolean =
+      abortMode && sample > 1.25 * AnchorCleanSec && {
+        val again = try {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(AnchorName)(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => 0.0 }
+        math.min(sample, again) > 1.25 * AnchorCleanSec
+      }
+    val p1 = names.map { n =>
+      maybeScanProbe()
+      val t = time(n)
+      if (n == AnchorName && anchorBreached(t)) {
+        System.err.println(f"[bench] MID-RUN WINDOW BREACH (abort mode): CPU anchor $t%.2f s " +
+          f"(clean ${AnchorCleanSec}%.2f), confirmed by re-run — aborting, no artifact written")
+        spark.stop()
+        sys.exit(3)
+      }
+      n -> t
+    }.toMap
     val p2 = names.reverse.map { n => maybeScanProbe(); n -> time(n) }.toMap
     shuffleSamples += shuffleProbeSec(spark)
     val results = names.map { name =>
