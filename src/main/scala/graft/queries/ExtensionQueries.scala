@@ -392,14 +392,15 @@ object ExtensionQueries {
     (0 until graft.ext.TextDedup.NumHashes).map(i =>
       s"CASE WHEN $a.s$i = $b.s$i THEN 1 ELSE 0 END").mkString(" + ")
 
-  private val incrementalDedupOracle: String = {
+  // Parameterized over the split-corpus CTE (round-12): x51 reads the
+  // raw documents table under the 80/20 hash split; x120 reads the
+  // LATEST-VERSION train corpus (updates applied, retractions dropped).
+  // `spCte` must produce (doc_id, text, split).
+  private def incrementalDedupOracleOver(spCte: String): String = {
     val cap = graft.ext.TextDedup.DefaultMaxBucket
     // est_jaccard >= 0.5 over 16 components == at least 8 equal
     val minEq = math.ceil(0.5 * graft.ext.TextDedup.NumHashes).toInt
-    s"""WITH sp AS (SELECT doc_id, text,
-       |    CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 < 80
-       |         THEN 'train' ELSE 'eval' END AS split
-       |  FROM documents),
+    s"""WITH sp AS ($spCte),
        |sh AS (SELECT doc_id, split,
        |    unnest(list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)])) AS shingle
        |  FROM (SELECT doc_id, split, string_split(text, ' ') AS words FROM sp) t
@@ -430,6 +431,28 @@ object ExtensionQueries {
        |LEFT JOIN (SELECT new_id, count(*) AS n FROM bp GROUP BY new_id) bh ON s.doc_id = bh.new_id
        |ORDER BY doc_id""".stripMargin
   }
+
+  private val incrementalDedupOracle: String = incrementalDedupOracleOver(
+    """SELECT doc_id, text,
+      |    CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 < 80
+      |         THEN 'train' ELSE 'eval' END AS split
+      |  FROM documents""".stripMargin)
+
+  // x120's corpus: the x51 split with the x117 update script applied to
+  // the TRAIN (index) side — train h4==1 doubled, train h4==2 retracted,
+  // train h4==3 updated-then-reverted (latest = original), eval
+  // untouched. Same base md5 hash feeds both the split and the update
+  // bucket, exactly as the Spark side derives them.
+  private val dedupRetractOracle: String = incrementalDedupOracleOver(
+    """SELECT doc_id,
+      |    CASE WHEN split = 'train' AND h % 4 = 1 THEN text || ' ' || text ELSE text END AS text,
+      |    split
+      |  FROM (SELECT doc_id, text,
+      |          CASE WHEN h % 100 < 80 THEN 'train' ELSE 'eval' END AS split, h
+      |        FROM (SELECT doc_id, text,
+      |                ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h
+      |              FROM documents) t0) t
+      |  WHERE NOT (split = 'train' AND h % 4 = 2)""".stripMargin)
 
   // ---- vector-space oracle fragments --------------------------------------
   // Bit-exact SQL twins of the Spark double kernels: explicit
@@ -4326,5 +4349,61 @@ object ExtensionQueries {
           .join(mid, Seq("source"))
           .select(col("doc_id"), col("source"), col("w"), col("priority"),
             col("rk"), col("n_mid"))
+      }),
+
+    Q("x120_dedup_index_retract",
+      "DOC UPDATE/RETRACTION for the standing MinHash BAND index (round-12) — the x117 " +
+        "regime applied to the dedup family: x51's standing signature index is " +
+        "append-only, so a re-crawled doc's STALE bands keep matching future arrivals " +
+        "forever (the old version's signature sits in the buckets), and there is no way " +
+        "to remove a doc from the index at all. Machinery " +
+        "(streaming.bandIndexUpsertStream — the shared versioned-index loop): per-doc " +
+        "versioned band rows + a (doc_id, seq) version log resolved at read to each " +
+        "doc's max-seq bands; an unshingleable/null-text re-arrival advances the version " +
+        "log with zero band rows, which IS retraction. The train (index) side streams in " +
+        "three waves with the x117 update script (h4==1 re-arrives DOUBLED — its " +
+        "signature changes, the stale bands must stop matching; h4==3 takes an " +
+        "intermediate update then REVERTS; h4==2 re-arrives null-text — retracted), " +
+        "then the untouched eval side probes the LIVE index through x51's verdict path " +
+        "(incrementalDedupBanded over resolvedBands, portable md5 signatures). The " +
+        "oracle is x51's SQL over the latest-version train corpus in CLOSED FORM — " +
+        "blind to the version log, the batching, and the arrival order; any stale or " +
+        "missing band row changes n_corpus_hits/keep and the hash. Costs are x51's plus " +
+        "one doc-keyed resolve join (O(index log), amortized to O(live bands) by " +
+        "compaction); the probe stays O(batch x touched buckets).",
+      Some(dedupRetractOracle),
+      (s, d) => {
+        val h = graft.ext.TextDedup.portableHashBuiltin(col("doc_id").cast("string"), "")
+        val base = Tables.documents(s, d)
+          .withColumn("h4", pmod(h, lit(4L)))
+          .withColumn("split",
+            when(pmod(h, lit(100L)) < 80, "train").otherwise("eval"))
+          .localCheckpoint(false) // feeds all three waves + the eval probe
+        val train = base.filter(col("split") === "train")
+        def wave(df: org.apache.spark.sql.DataFrame) = df.drop("h4", "split")
+        val root = scratchTempDir("graft-x120-dedupidx")
+        writeStreamWave(root, 0, wave(train))
+        writeStreamWave(root, 1,
+          wave(train.filter(col("h4") === 1)
+            .withColumn("text", concat(col("text"), lit(" "), col("text"))))
+            .unionByName(wave(train.filter(col("h4") === 3)
+              .withColumn("text", concat(col("text"), lit(" alpha"))))))
+        writeStreamWave(root, 2,
+          wave(train.filter(col("h4") === 2)
+            .withColumn("text", lit(null).cast("string")))
+            .unionByName(wave(train.filter(col("h4") === 3))))
+        val stream = s.readStream
+          .schema(Tables.documents(s, d).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(root + "/src/*")
+        graft.streaming.StreamingIngest.bandIndexUpsertStream(stream,
+          root + "/bands", root + "/versions", root + "/ckpt",
+          signer = df => TextDedup.minhashSignaturesPortable(df))
+        val live = graft.streaming.StreamingIngest.resolvedBands(
+          s, root + "/bands", root + "/versions")
+        TextDedup.incrementalDedupBanded(live,
+          TextDedup.minhashSignaturesPortable(
+            base.filter(col("split") === "eval").drop("h4", "split"))
+            .localCheckpoint(false))
       }))
 }

@@ -833,7 +833,7 @@ object StreamingIngest {
     *   - stale postings (superseded versions) linger until compaction
     *     but are invisible to every read — [[resolvedPostings]] filters
     *     them by construction. When the postings log exceeds
-    *     `maxPostingFiles` data files, [[maybeCompactPostings]] rewrites
+    *     `maxPostingFiles` data files, [[maybeCompactVersioned]] rewrites
     *     both logs keeping only live versions (the LSM trade again). A
     *     post-compaction replay of an old batch can re-append
     *     already-superseded rows; they never resolve (their seq is below
@@ -847,7 +847,68 @@ object StreamingIngest {
     */
   def bm25IndexUpsertStream(docs: DataFrame, postingsDir: String,
       versionsDir: String, checkpointDir: String, idCol: String = "doc_id",
-      textCol: String = "text", maxPostingFiles: Int = 64): StreamingQuery = {
+      textCol: String = "text", maxPostingFiles: Int = 64): StreamingQuery =
+    versionedIndexStream(docs, postingsDir, versionsDir, checkpointDir,
+      idCol, maxPostingFiles,
+      b => graft.ext.TextRank.postings(
+        b.filter(col(textCol).isNotNull), idCol, textCol))
+
+  /** Read side of [[bm25IndexUpsertStream]]: the LIVE posting rows —
+    * each doc's postings stamped with its max version-log seq. One
+    * doc-keyed equi-join (both sides shuffle on `idCol` — never a corpus
+    * or text re-scan); output columns match [[graft.ext.TextRank.postings]]
+    * so every retrieval entry point takes it via `postingsOpt`.
+    */
+  def resolvedPostings(spark: SparkSession, postingsDir: String,
+      versionsDir: String, idCol: String = "doc_id"): DataFrame =
+    resolvedRows(spark, postingsDir, versionsDir, idCol)
+      .select(col(idCol), col("term"), col("tf"), col("dl"))
+
+  /** [[bm25IndexUpsertStream]]'s idiom for the standing MinHash BAND
+    * index behind batch x51 / [[dedupedCorpusStream]] (round-12): a
+    * re-crawled doc re-arrives under its `idCol` with new text, and the
+    * index must serve ONLY the latest version's bands — under an
+    * append-only index the stale version's signature keeps matching
+    * future arrivals forever, and a null-text/unshingleable re-arrival
+    * must RETRACT the doc from the index entirely (its live version
+    * carries no bands — the version log advances, the band log
+    * doesn't). Same two-log machinery, contracts, and compaction as the
+    * postings index; `signer` maps a resolved arrival batch to its
+    * signature frame ([[graft.ext.TextDedup.minhashSignatures]] fast
+    * path by default; pass the portable variant when an oracle reads
+    * the index).
+    */
+  def bandIndexUpsertStream(docs: DataFrame, bandsDir: String,
+      versionsDir: String, checkpointDir: String, idCol: String = "doc_id",
+      maxBandFiles: Int = 64,
+      signer: DataFrame => DataFrame = graft.ext.TextDedup.minhashSignatures(_)): StreamingQuery =
+    versionedIndexStream(docs, bandsDir, versionsDir, checkpointDir,
+      idCol, maxBandFiles,
+      b => graft.ext.TextDedup.signatureBands(signer(b)))
+
+  /** Read side of [[bandIndexUpsertStream]]: the LIVE band rows in the
+    * [[graft.ext.TextDedup.signatureBands]] layout, ready for
+    * [[graft.ext.TextDedup.incrementalDedupBanded]]'s probe.
+    */
+  def resolvedBands(spark: SparkSession, bandsDir: String,
+      versionsDir: String, idCol: String = "doc_id"): DataFrame =
+    resolvedRows(spark, bandsDir, versionsDir, idCol)
+      .select(col("band"), col("band_hash"), col(idCol), col("sig"))
+
+  /** The shared versioned-index maintenance loop (postings: x117,
+    * bands: x120): per micro-batch, resolve intra-batch duplicate
+    * versions deterministically (min full-row xxhash64 — the
+    * weightedSampleStream rule without a priority column; the intended
+    * producer contract is at most one version per id per batch), append
+    * (idCol, seq) to the version log and `derive(batch)` rows to the
+    * data log — both landedSeq-guarded stamped appends — then compact
+    * when fragmented. A doc's LIVE rows are the ones stamped with its
+    * max version-log seq ([[resolvedRows]]); a version that derives
+    * ZERO rows (null text, unshingleable) is thereby a retraction.
+    */
+  private def versionedIndexStream(docs: DataFrame, dataDir: String,
+      versionsDir: String, checkpointDir: String, idCol: String,
+      maxFiles: Int, derive: DataFrame => DataFrame): StreamingQuery = {
     val q = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -861,12 +922,9 @@ object StreamingIngest {
           .localCheckpoint(false) // feeds both log appends, one pass
         if (!landedSeq(spark, versionsDir, batchId))
           graft.pipeline.Ingest.appendWithSeq(b.select(col(idCol)), versionsDir, batchId)
-        if (!landedSeq(spark, postingsDir, batchId))
-          graft.pipeline.Ingest.appendWithSeq(
-            graft.ext.TextRank.postings(
-              b.filter(col(textCol).isNotNull), idCol, textCol),
-            postingsDir, batchId)
-        maybeCompactPostings(spark, postingsDir, versionsDir, maxPostingFiles, idCol)
+        if (!landedSeq(spark, dataDir, batchId))
+          graft.pipeline.Ingest.appendWithSeq(derive(b), dataDir, batchId)
+        maybeCompactVersioned(spark, dataDir, versionsDir, maxFiles, idCol)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -875,41 +933,39 @@ object StreamingIngest {
     q
   }
 
-  /** Read side of [[bm25IndexUpsertStream]]: the LIVE posting rows —
-    * each doc's postings stamped with its max version-log seq. One
-    * doc-keyed equi-join (both sides shuffle on `idCol` — never a corpus
-    * or text re-scan); output columns match [[graft.ext.TextRank.postings]]
-    * so every retrieval entry point takes it via `postingsOpt`.
+  /** Live rows of a versioned data log: each id's rows stamped with its
+    * max version-log seq (all data columns, `ingest_seq` dropped).
     */
-  def resolvedPostings(spark: SparkSession, postingsDir: String,
-      versionsDir: String, idCol: String = "doc_id"): DataFrame = {
+  private def resolvedRows(spark: SparkSession, dataDir: String,
+      versionsDir: String, idCol: String): DataFrame = {
     val latest = spark.read.parquet(versionsDir)
       .groupBy(col(idCol)).agg(max(col("ingest_seq")).as("__vmax"))
-    spark.read.parquet(postingsDir)
+    spark.read.parquet(dataDir)
       .join(latest, Seq(idCol))
       .filter(col("ingest_seq") === col("__vmax"))
-      .select(col(idCol), col("term"), col("tf"), col("dl"))
+      .drop("__vmax", "ingest_seq")
   }
 
-  /** Compaction for [[bm25IndexUpsertStream]]'s logs: when the postings
-    * log exceeds `maxPostingFiles` data files, rewrite it keeping only
-    * live-version rows and shrink the version log to one max-seq row per
-    * doc. Each rewrite is the crash-safe [[swapRewrite]] swap, and the
-    * two are INDEPENDENTLY safe in either crash order: resolution only
-    * ever compares postings seqs against the version log's per-doc max,
-    * which both rewrites preserve. Returns whether it compacted.
+  /** Compaction for a versioned data log ([[bm25IndexUpsertStream]] /
+    * [[bandIndexUpsertStream]]): when the data log exceeds `maxFiles`
+    * data files, rewrite it keeping only live-version rows and shrink
+    * the version log to one max-seq row per id. Each rewrite is the
+    * crash-safe [[swapRewrite]] swap, and the two are INDEPENDENTLY
+    * safe in either crash order: resolution only ever compares data
+    * seqs against the version log's per-id max, which both rewrites
+    * preserve. Returns whether it compacted.
     */
-  def maybeCompactPostings(spark: SparkSession, postingsDir: String,
-      versionsDir: String, maxPostingFiles: Int = 64,
+  def maybeCompactVersioned(spark: SparkSession, dataDir: String,
+      versionsDir: String, maxFiles: Int = 64,
       idCol: String = "doc_id"): Boolean = {
-    val fragmented = pathExists(spark, postingsDir) &&
-      cdcIndexFileCount(spark, postingsDir) > maxPostingFiles
+    val fragmented = pathExists(spark, dataDir) &&
+      cdcIndexFileCount(spark, dataDir) > maxFiles
     if (fragmented) {
       val latest = spark.read.parquet(versionsDir)
         .groupBy(col(idCol)).agg(max(col("ingest_seq")).as("__vmax"))
         .localCheckpoint(false) // both rewrites read it; versionsDir is about to be swapped
-      swapRewrite(spark, postingsDir,
-        spark.read.parquet(postingsDir)
+      swapRewrite(spark, dataDir,
+        spark.read.parquet(dataDir)
           .join(latest, Seq(idCol))
           .filter(col("ingest_seq") === col("__vmax"))
           .drop("__vmax"))

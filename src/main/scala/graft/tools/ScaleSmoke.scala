@@ -176,6 +176,10 @@ object ScaleSmoke {
     // waves are sample-sized
     "x117_bm25_retract_stream", "x118_ann_production_ladder",
     "x119_grouped_sample_rekey",
+    // x120 is x51's probe cost plus the versioned-band resolve join —
+    // the x117 profile on the band log (live bands bounded by the
+    // corpus, stale versions a bounded constant of the update script)
+    "x120_dedup_index_retract",
     // x116's per-wave tokenize + append and the read-back's df/stats
     // re-aggregation are all postings-linear; query-term scoring joins
     // stay O(query-term postings)
