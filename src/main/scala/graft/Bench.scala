@@ -52,7 +52,7 @@ object Bench {
     "x111_component_stream", "x112_bpe_fit_batched", "x113_grouped_sample_stream",
     "x114_fitted_codebook_recall", "x116_bm25_index_stream",
     "x117_bm25_retract_stream", "x118_ann_production_ladder", "x119_grouped_sample_rekey",
-    "x120_dedup_index_retract")
+    "x120_dedup_index_retract", "x121_grouped_sample_forgotten")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

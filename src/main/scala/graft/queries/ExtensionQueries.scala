@@ -4405,5 +4405,111 @@ object ExtensionQueries {
           TextDedup.minhashSignaturesPortable(
             base.filter(col("split") === "eval").drop("h4", "split"))
             .localCheckpoint(false))
+      }),
+
+    Q("x121_grouped_sample_forgotten",
+      "The grouped-sample FORGOTTEN-VERSION caveat as DATA (round-12) — x119 pinned " +
+        "underfill and backfill; this pins the second documented concession: a version " +
+        "dropped at a batch boundary cannot oppose a later WORSE re-arrival of the same " +
+        "id, while retained ids never regress (min-priority resolution is monotone only " +
+        "on state it kept). Script: the corpus arrives, src1's top-5 re-key away " +
+        "(vacating slots), then the boundary-dropped rk-11..13 docs re-arrive at HALF " +
+        "weight (worse priority) alongside the RETAINED rk-6 doc also at half weight — " +
+        "the contrast pair. The halved versions of rk 11-13 backfill the vacated slots " +
+        "(their originals are gone from state, so the worse version stands), while rk 6 " +
+        "keeps its original (retained, min wins). Output = the final standing table " +
+        "with `regressed` = standing priority STRICTLY worse than the best priority " +
+        "ever delivered for that id: exactly the three boundary-dropped re-arrivals " +
+        "read 1, the retained contrast and everything else read 0 — the bounded-state " +
+        "trade is a hash-pinned column, not prose. Oracle replays the fold wave by " +
+        "wave (the x119 idiom) plus one min-over-delivered-versions frame; weight " +
+        "changes keep (priority, w) distinct so resolution never reaches the " +
+        "engine-side hash tie-break.",
+      Some("""WITH t AS (SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'pps'),1,15))::BIGINT AS h
+             |  FROM documents),
+             |v AS (SELECT doc_id, source, w, h, h // w AS priority FROM t WHERE w > 0),
+             |r0 AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY priority ASC, doc_id ASC) AS rk
+             |  FROM v),
+             |s0 AS (SELECT doc_id, source, w, h, priority FROM r0 WHERE rk <= 10),
+             |w1 AS (SELECT doc_id, 'moved' AS source, w * 1000 AS w, h, h // (w * 1000) AS priority
+             |       FROM r0 WHERE source = 'src1' AND rk <= 5),
+             |w2 AS (SELECT doc_id, source, GREATEST(1, w // 2) AS w, h, h // GREATEST(1, w // 2) AS priority
+             |       FROM r0 WHERE source = 'src1' AND rk BETWEEN 11 AND 13
+             |       UNION ALL
+             |       SELECT doc_id, source, GREATEST(1, w // 2) AS w, h, h // GREATEST(1, w // 2) AS priority
+             |       FROM r0 WHERE source = 'src1' AND rk = 6),
+             |u1 AS (SELECT doc_id, source, w, h, priority FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY priority ASC, w ASC) AS vn
+             |  FROM (SELECT * FROM s0 UNION ALL SELECT * FROM w1) uu) z WHERE vn = 1),
+             |s1 AS (SELECT doc_id, source, w, h, priority FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY priority ASC, doc_id ASC) AS rk
+             |  FROM u1) z WHERE rk <= 10),
+             |u2 AS (SELECT doc_id, source, w, h, priority FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY priority ASC, w ASC) AS vn
+             |  FROM (SELECT * FROM s1 UNION ALL SELECT * FROM w2) uu) z WHERE vn = 1),
+             |s2 AS (SELECT doc_id, source, w, priority, rk FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY priority ASC, doc_id ASC) AS rk
+             |  FROM u2) z WHERE rk <= 10),
+             |best AS (SELECT doc_id, MIN(priority) AS p FROM (
+             |  SELECT doc_id, priority FROM v
+             |  UNION ALL SELECT doc_id, priority FROM w1
+             |  UNION ALL SELECT doc_id, priority FROM w2) dd GROUP BY doc_id)
+             |SELECT s2.doc_id, s2.source AS source, s2.w, s2.priority,
+             |       CAST(s2.rk AS BIGINT) AS rk,
+             |       CAST(CASE WHEN s2.priority > best.p THEN 1 ELSE 0 END AS INT) AS regressed
+             |FROM s2 JOIN best ON best.doc_id = s2.doc_id
+             |ORDER BY s2.source, rk""".stripMargin),
+      (s, d) => {
+        import graft.ext.TextStats
+        val feats = Tables.documents(s, d).select(
+            col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .localCheckpoint(false)
+        // full per-group ranking to depth 15 — the wave script needs the
+        // boundary-dropped rk 11..13 band the n=10 fold discards
+        val r0 = TextStats.weightedSamplePerGroup(feats, "source", col("n_tokens"), 15)
+          .localCheckpoint(false)
+        val halved = greatest(lit(1L), expr("w div 2"))
+        val root = scratchTempDir("graft-x121-forgotten")
+        writeStreamWave(root, 0, feats)
+        writeStreamWave(root, 1,
+          r0.filter(col("source") === "src1" && col("rk") <= 5)
+            .select(col("doc_id"), lit("moved").as("source"),
+              (col("w") * 1000L).as("n_tokens")))
+        writeStreamWave(root, 2,
+          r0.filter(col("source") === "src1" && col("rk").between(11, 13))
+            .select(col("doc_id"), col("source"), halved.as("n_tokens"))
+            .unionByName(
+              r0.filter(col("source") === "src1" && col("rk") === 6)
+                .select(col("doc_id"), col("source"), halved.as("n_tokens"))))
+        val docs = s.readStream
+          .schema("doc_id LONG, source STRING, n_tokens LONG")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(root + "/src/*")
+        graft.streaming.StreamingIngest.groupedWeightedSampleStream(docs,
+          "source", "n_tokens", 10, root + "/sample", root + "/ckpt")
+        // best priority ever DELIVERED per id (originals + both update
+        // waves) — the full-history contrast the bounded fold cannot see
+        val delivered = TextStats.prioritize(feats, col("n_tokens"), "doc_id", "pps")
+          .select(col("doc_id"), col("priority"))
+          .unionByName(TextStats.prioritize(
+              r0.filter(col("source") === "src1" && col("rk") <= 5)
+                .select(col("doc_id"), (col("w") * 1000L).as("n_tokens")),
+              col("n_tokens"), "doc_id", "pps")
+            .select(col("doc_id"), col("priority")))
+          .unionByName(TextStats.prioritize(
+              r0.filter(col("source") === "src1" &&
+                  (col("rk").between(11, 13) || col("rk") === 6))
+                .select(col("doc_id"), halved.as("n_tokens")),
+              col("n_tokens"), "doc_id", "pps")
+            .select(col("doc_id"), col("priority")))
+          .groupBy(col("doc_id")).agg(min(col("priority")).as("__best"))
+        graft.pipeline.ManifestTable.read(s, root + "/sample")
+          .join(delivered, Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("w"), col("priority"),
+            col("rk"),
+            (col("priority") > col("__best")).cast("int").as("regressed"))
       }))
 }

@@ -180,6 +180,9 @@ object ScaleSmoke {
     // the x117 profile on the band log (live bands bounded by the
     // corpus, stale versions a bounded constant of the update script)
     "x120_dedup_index_retract",
+    // x121 is x119's profile (per-wave priority passes + sample-sized
+    // update waves) plus one min-over-versions aggregate
+    "x121_grouped_sample_forgotten",
     // x116's per-wave tokenize + append and the read-back's df/stats
     // re-aggregation are all postings-linear; query-term scoring joins
     // stay O(query-term postings)
