@@ -37,6 +37,40 @@ object Bench {
       .write.mode("overwrite").format("noop").save()
     (System.nanoTime() - t0) / 1e9
   }
+  /** Mid-run scan-probe abort decision, PURE so the sensor is
+    * unit-testable against traced probe series (BenchSensorSpec) — the
+    * r12 steal-tail episode could only be diagnosed post-hoc because the
+    * decision logic lived inline. Two sensors over the settled samples
+    * (the first 3 in-run probes are JIT/GC-settle, systematically hot,
+    * and excluded — the round-12 calibration):
+    *   - settled MEDIAN factor > 1.25: sustained steal across the run;
+    *   - min of the LAST 3 settled probes > 1.25 (round-13, r12 verdict
+    *     item 4): a LATE-run burst — the r12 driver run went dirty in
+    *     the tail, stayed under the median band for ~7 minutes, and
+    *     still paid the full run before quarantine. Requiring ALL of the
+    *     trailing 3 to breach keeps a single GC/compaction spike from
+    *     aborting a live run (the median sensor's one-hot tolerance,
+    *     applied to the tail).
+    * Returns the reason to abort, or None. The end-of-run windowClean
+    * gate (1.15 over ALL samples) stays authoritative — these sensors
+    * are an optimization; a missed abort just quarantines.
+    */
+  def scanAbortReason(scanSamples: Seq[Double], cleanSec: Double): Option[String] = {
+    if (scanSamples.size < 6) None
+    else {
+      val settled = scanSamples.drop(3)
+      val medFac = settled.sorted.apply(settled.size / 2) / cleanSec
+      val tail3 = settled.takeRight(3)
+      val tailMinFac = tail3.min / cleanSec
+      if (medFac > 1.25)
+        Some(f"settled scan median factor $medFac%.2f over ${settled.size} probes")
+      else if (tailMinFac > 1.25)
+        Some(f"trailing-window breach: last 3 settled scan probes all above band " +
+          f"(min factor $tailMinFac%.2f)")
+      else None
+    }
+  }
+
   /** Queries that are multi-pass BY CONTRACT — real micro-batch
     * streaming folds (N triggers × scheduler floor) or serial training
     * iterations (Lloyd passes, BPE merge loops, incremental-CC folds).
@@ -52,7 +86,9 @@ object Bench {
     "x111_component_stream", "x112_bpe_fit_batched", "x113_grouped_sample_stream",
     "x114_fitted_codebook_recall", "x116_bm25_index_stream",
     "x117_bm25_retract_stream", "x118_ann_production_ladder", "x119_grouped_sample_rekey",
-    "x120_dedup_index_retract", "x121_grouped_sample_forgotten")
+    "x120_dedup_index_retract", "x121_grouped_sample_forgotten",
+    "x122_emb_index_retract", "x123_cdc_index_retract",
+    "x124_grouped_sample_ledger")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,10 +136,11 @@ object Bench {
     // band (~0.21-0.26 s, BASELINE.md) as the precheck reference
     val ScanPrecheckCleanSec = 0.22
     var precheckAttempts = 0
-    // disabled (tries=0) must not read as a verified window: the JSON
-    // emits a distinct "disabled" marker instead of true (round-11
-    // advisory — precheck_clean:true with attempts:0 was vacuous and
-    // indistinguishable from a genuinely probed window).
+    // disabled (tries=0) must not read as a verified window (round-11
+    // advisory — precheck_clean:true with attempts:0 was vacuous): the
+    // JSON keeps precheck_clean=false and adds precheck_enabled=false
+    // so the distinction stays machine-readable without a union type
+    // (round-12 ADVICE).
     var precheckClean = false
     if (precheckTries > 0) {
       // JIT throwaways so attempt 1 measures the window, not compilation
@@ -205,25 +242,18 @@ object Bench {
           (if (scanSamples.size % 2 == 0) f", shuffle ${midShuffleSamples.last}%.3f s" else ""))
         // round-12 (from the r11 verdict): under ABORT=1, a window that
         // goes dirty mid-run costs a partial run, not a full dirty
-        // artifact. CALIBRATED against a traced full run (the probe-
-        // series lines above exist because the first calibration was
-        // blind): the first ~3 in-run scan probes are systematically hot
-        // (0.22-0.28 s — run JIT/GC settle, NOT steal; they aborted
-        // three otherwise-live runs), settling to the 0.16 warm floor
-        // from probe 4 — so the abort median SKIPS the settle samples
-        // and uses band 1.25 (clear steal reads 1.3-1.6×; the end-of-run
-        // gate at 1.15 over ALL samples stays authoritative — the abort
-        // is an optimization, a missed abort just quarantines). The
-        // mid-run SHUFFLE probes read ~1.6 s even on quiet windows
-        // (interleaved probes fight the run's GC/JIT state; the 1.00 s
-        // baseline holds only at the run's idle edges), so they carry NO
-        // abort band — they are traced for triage only.
-        if (abortMode && scanSamples.size >= 6) {
-          val settled = scanSamples.drop(3)
-          val scanMedFac = medianOf(settled.toSeq) / ScanCleanSec
-          if (scanMedFac > 1.25) {
-            System.err.println(f"[bench] MID-RUN WINDOW BREACH (abort mode): settled scan " +
-              f"median factor $scanMedFac%.2f over ${settled.size} probes — " +
+        // artifact. Decision logic + calibration rationale live in
+        // scanAbortReason (pure, BenchSensorSpec-pinned): settle-sample
+        // skip, 1.25 median band, and the round-13 trailing-window
+        // sensor for late-run bursts (the r12 driver run went dirty in
+        // the TAIL and still paid the full ~7 minutes). The mid-run
+        // SHUFFLE probes read ~1.6 s even on quiet windows (interleaved
+        // probes fight the run's GC/JIT state; the 1.00 s baseline holds
+        // only at the run's idle edges), so they carry NO abort band —
+        // they are traced for triage only.
+        if (abortMode) {
+          scanAbortReason(scanSamples.toSeq, ScanCleanSec).foreach { reason =>
+            System.err.println(s"[bench] MID-RUN WINDOW BREACH (abort mode): $reason — " +
               "aborting, no artifact written")
             spark.stop()
             sys.exit(3)
@@ -245,7 +275,15 @@ object Bench {
           val t0 = System.nanoTime()
           SparkEntry.queries(AnchorName)(spark, sfDir).write.mode("overwrite").format("noop").save()
           (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => 0.0 }
+        } catch { case e: Throwable =>
+          // a FAILED confirm run is non-exonerating (round-12 ADVICE:
+          // mapping it to 0.0 suppressed the abort precisely when the
+          // re-run died under the same contention being detected) — the
+          // hot first sample stands, and the failure is named
+          System.err.println(s"[bench] anchor confirm re-run failed " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}) — treating as non-exonerating")
+          Double.MaxValue
+        }
         math.min(sample, again) > 1.25 * AnchorCleanSec
       }
     val p1 = names.map { n =>
@@ -336,8 +374,6 @@ object Bench {
     val subtotalRelational = ok.filter(_._1.startsWith("q")).map(_._2).sum
     val subtotalStreaming = ok.filter(kv => StreamingContractQueries(kv._1)).map(_._2).sum
     val subtotalExtension = total - subtotalRelational - subtotalStreaming
-    val precheckCleanJson =
-      if (precheckTries == 0) "\"disabled\"" else precheckClean.toString
     val anchorFields =
       s""""anchor":"$AnchorName","anchor_sec":${fmt(anchorSec)},""" +
       s""""anchor_clean_sec":${fmt(AnchorCleanSec)},"host_factor":${fmt(hostFactor)},""" +
@@ -347,7 +383,12 @@ object Bench {
       s""""subtotal_relational":${fmt(subtotalRelational)},""" +
       s""""subtotal_extension":${fmt(subtotalExtension)},""" +
       s""""subtotal_streaming_contract":${fmt(subtotalStreaming)},""" +
-      s""""precheck_attempts":$precheckAttempts,"precheck_clean":$precheckCleanJson"""
+      // precheck_clean stays a BOOLEAN (round-12 ADVICE: the r12 build
+      // emitted the string "disabled" at tries=0, a union type that
+      // breaks any consumer parsing it as bool); a disabled precheck
+      // reads clean=false (not verified) + enabled=false (why)
+      s""""precheck_attempts":$precheckAttempts,""" +
+      s""""precheck_enabled":${precheckTries > 0},"precheck_clean":$precheckClean"""
     // Embedded movers audit (round-11, from the r10 verdict): the
     // round-close drift-vs-regression triage (tools/movers.py) now
     // lands IN the bench JSON, so a judge or the driver reads the

@@ -248,16 +248,32 @@ object Similarity {
     * drops whole clusters where the center row does not exist.
     */
   /** Anchor-presence prechecks already paid, keyed by the corpus plan's
-    * semantic hash + derivation params (round-11 ADVICE): the eager
-    * distinct + left-anti collect turned these lazy builders into ones
-    * launching Spark jobs at construction, and bench paths construct
-    * them repeatedly — same corpus plan + same params ⇒ same verdict,
-    * so one paid check covers every later call this JVM. Values are only
-    * ever `true` (a failed check throws); a semantic-hash collision
-    * could at worst skip a redundant precondition, never change results.
+    * canonical-form fingerprint + derivation params (round-11 ADVICE;
+    * key strengthened round-12 ADVICE): the eager distinct + left-anti
+    * collect turned these lazy builders into ones launching Spark jobs
+    * at construction, and bench paths construct them repeatedly — same
+    * corpus plan + same params ⇒ same verdict, so one paid check covers
+    * every later call this JVM. The key is an md5 of the CANONICALIZED
+    * analyzed plan's string form, not the 32-bit `semanticHash()` — a
+    * 32-bit collision between two different corpora would have silently
+    * skipped the fail-fast for the second one, which is exactly the
+    * failure the check exists to catch; at 128 bits that path is gone.
+    * Values are only ever `true` (a failed check throws). Documented
+    * residual (accepted): a caller that MUTATES the data under an
+    * identical plan (same path, rewritten files) re-uses the verdict —
+    * the transform's output is still correct, but a newly-missing
+    * anchor row fails lazily (silently smaller corpus) instead of via
+    * the named require. Bench/registry corpora are immutable testdata,
+    * and a mutating caller can construct from a fresh path to re-arm.
     */
   private val anchorsChecked =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Int, Long, Long)]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int, Long, Long)]()
+
+  private def planFingerprint(df: DataFrame): String = {
+    val canon = df.queryExecution.analyzed.canonicalized.toString
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 
   def clusteredCorpus(emb: DataFrame, k: Int = 13, centerStride: Long = 38L,
       scale: Double = 0.3): DataFrame = {
@@ -268,7 +284,7 @@ object Similarity {
     // shrink the derived corpus instead of failing. The needed-center
     // set is ≤ k ids, so the check is one column-pruned aggregate over
     // vec_id plus a bounded collect — paid once per (corpus, params).
-    val cacheKey = (emb.queryExecution.analyzed.semanticHash(), k, centerStride, -1L)
+    val cacheKey = (planFingerprint(emb), k, centerStride, -1L)
     if (!anchorsChecked.contains(cacheKey)) {
       val needed = emb
         .select((pmod(col("vec_id"), lit(k)) * centerStride).as("__aid")).distinct()
@@ -324,7 +340,7 @@ object Similarity {
       stretchId: Long = 7L, scale: Double = 0.3): DataFrame = {
     val anchors = emb.select(col("vec_id").as("__aid"), col("embedding").as("__av"))
     val centerId = pmod(col("vec_id"), lit(k)) * centerStride
-    val cacheKey = (emb.queryExecution.analyzed.semanticHash(), k, centerStride, stretchId)
+    val cacheKey = (planFingerprint(emb), k, centerStride, stretchId)
     if (!anchorsChecked.contains(cacheKey)) {
       val needed = emb.select(centerId.as("__aid"))
         .unionByName(emb.sparkSession.range(1).select(lit(stretchId).as("__aid")))

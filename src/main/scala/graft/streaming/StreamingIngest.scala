@@ -895,8 +895,84 @@ object StreamingIngest {
     resolvedRows(spark, bandsDir, versionsDir, idCol)
       .select(col("band"), col("band_hash"), col(idCol), col("sig"))
 
+  /** The versioned-index idiom applied to the LAST similarity-family
+    * standing index that was append-only (round-13, the r12 verdict
+    * item 1): [[embeddingDedupStream]]'s vector index. A re-embedded doc
+    * re-arrives under its `idCol` with a new vector and dedup verdicts
+    * must probe ONLY the latest embedding — append-only, the stale
+    * vector keeps winning verdicts against future arrivals forever
+    * (the compaction policy at [[compactEmbeddingIndex]] even documents
+    * uniqueness-by-`vec_id`, which breaks the moment updates exist) —
+    * and a null-embedding re-arrival must remove the doc from the index
+    * entirely (its live version derives zero vector rows = retraction).
+    * Same two-log machinery, contracts, and compaction as the
+    * postings/bands indexes; `derive` buckets each live vector once
+    * ([[graft.ext.Similarity.lshBucket]]), so the resolved frame is
+    * exactly what [[graft.ext.Similarity.embeddingDedupVerdicts]]
+    * probes.
+    */
+  def embIndexUpsertStream(vectors: DataFrame, vecsDir: String,
+      versionsDir: String, checkpointDir: String, idCol: String = "vec_id",
+      maxVecFiles: Int = 64): StreamingQuery =
+    versionedIndexStream(vectors, vecsDir, versionsDir, checkpointDir,
+      idCol, maxVecFiles,
+      b => b.filter(col("embedding").isNotNull)
+        .select(col(idCol),
+          graft.ext.Similarity.lshBucket(col("embedding")).as("bucket"),
+          col("embedding")))
+
+  /** Read side of [[embIndexUpsertStream]]: the LIVE
+    * (idCol, bucket, embedding) rows — the standing-index frame
+    * [[graft.ext.Similarity.embeddingDedupVerdicts]] probes.
+    */
+  def resolvedVectors(spark: SparkSession, vecsDir: String,
+      versionsDir: String, idCol: String = "vec_id"): DataFrame =
+    resolvedRows(spark, vecsDir, versionsDir, idCol)
+      .select(col(idCol), col("bucket"), col("embedding"))
+
+  /** Doc retraction for the standing CDC chunk-hash index (round-13,
+    * the r12 verdict item 2). [[cdcNoveltyStream]]'s index is keyed by
+    * content hash `h` ALONE, so a doc update/deletion cannot retract
+    * its chunks — an updated doc's obsolete chunks permanently suppress
+    * `novel_chars` for future arrivals. Unlike postings or bands, chunk
+    * hashes are SHARED across docs, so retraction needs doc attribution:
+    * this index stores per-doc versioned `(idCol, h)` rows (distinct h
+    * per doc version), and the LIVE chunk-hash set is the union over
+    * live doc versions — an updated doc's EXCLUSIVE chunks leave the
+    * index while chunks shared with any live doc survive through that
+    * doc's rows. The trade vs the attribution-free index: size is
+    * O(live (doc, chunk) pairs) rather than O(distinct content); the
+    * probe side collapses to distinct `h` before the equi-join
+    * ([[graft.ext.TextDedup.cdcIncrementalAgainstIndex]] does exactly
+    * that), so probe cost is unchanged. Same two-log machinery,
+    * contracts, and compaction as the postings/bands/vector indexes;
+    * a null-text re-arrival derives zero chunk rows = total retraction.
+    * `chunker` defaults to the gear-hash fast path; pass the portable
+    * [[graft.ext.TextDedup.cdcChunks]] when an oracle reads the index.
+    */
+  def cdcIndexUpsertStream(docs: DataFrame, chunksDir: String,
+      versionsDir: String, checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text", maxChunkFiles: Int = 64,
+      chunker: DataFrame => DataFrame = graft.ext.TextDedup.cdcChunksFast(_)): StreamingQuery =
+    versionedIndexStream(docs, chunksDir, versionsDir, checkpointDir,
+      idCol, maxChunkFiles,
+      b => chunker(b.filter(col(textCol).isNotNull))
+        .select(col(idCol), col("h")).distinct())
+
+  /** Read side of [[cdcIndexUpsertStream]]: the LIVE (idCol, h) chunk
+    * rows. Feed it to
+    * [[graft.ext.TextDedup.cdcIncrementalAgainstIndex]] — only `h` is
+    * read there, and its index-side distinct collapses the shared-chunk
+    * multiplicity this layout carries for retraction's sake.
+    */
+  def resolvedChunks(spark: SparkSession, chunksDir: String,
+      versionsDir: String, idCol: String = "doc_id"): DataFrame =
+    resolvedRows(spark, chunksDir, versionsDir, idCol)
+      .select(col(idCol), col("h"))
+
   /** The shared versioned-index maintenance loop (postings: x117,
-    * bands: x120): per micro-batch, resolve intra-batch duplicate
+    * bands: x120, vectors: x122, chunks: x123): per micro-batch, resolve
+    * intra-batch duplicate
     * versions deterministically (min full-row xxhash64 — the
     * weightedSampleStream rule without a priority column; the intended
     * producer contract is at most one version per id per batch), append
@@ -947,9 +1023,10 @@ object StreamingIngest {
   }
 
   /** Compaction for a versioned data log ([[bm25IndexUpsertStream]] /
-    * [[bandIndexUpsertStream]]): when the data log exceeds `maxFiles`
-    * data files, rewrite it keeping only live-version rows and shrink
-    * the version log to one max-seq row per id. Each rewrite is the
+    * [[bandIndexUpsertStream]] / [[embIndexUpsertStream]] /
+    * [[cdcIndexUpsertStream]]): when EITHER log exceeds `maxFiles`
+    * data files, rewrite the data log keeping only live-version rows and
+    * shrink the version log to one max-seq row per id. Each rewrite is the
     * crash-safe [[swapRewrite]] swap, and the two are INDEPENDENTLY
     * safe in either crash order: resolution only ever compares data
     * seqs against the version log's per-id max, which both rewrites
@@ -958,17 +1035,26 @@ object StreamingIngest {
   def maybeCompactVersioned(spark: SparkSession, dataDir: String,
       versionsDir: String, maxFiles: Int = 64,
       idCol: String = "doc_id"): Boolean = {
-    val fragmented = pathExists(spark, dataDir) &&
-      cdcIndexFileCount(spark, dataDir) > maxFiles
+    // EITHER log's fragmentation triggers the joint rewrite (round-12
+    // ADVICE): a deletion-heavy or small-derive workload appends one
+    // version-log file per batch while the data log stays small, so a
+    // data-log-only gate never fires and the per-read max-seq aggregate
+    // scans an ever-growing version log.
+    val fragmented =
+      (pathExists(spark, dataDir) &&
+        cdcIndexFileCount(spark, dataDir) > maxFiles) ||
+      (pathExists(spark, versionsDir) &&
+        cdcIndexFileCount(spark, versionsDir) > maxFiles)
     if (fragmented) {
       val latest = spark.read.parquet(versionsDir)
         .groupBy(col(idCol)).agg(max(col("ingest_seq")).as("__vmax"))
         .localCheckpoint(false) // both rewrites read it; versionsDir is about to be swapped
-      swapRewrite(spark, dataDir,
-        spark.read.parquet(dataDir)
-          .join(latest, Seq(idCol))
-          .filter(col("ingest_seq") === col("__vmax"))
-          .drop("__vmax"))
+      if (pathExists(spark, dataDir))
+        swapRewrite(spark, dataDir,
+          spark.read.parquet(dataDir)
+            .join(latest, Seq(idCol))
+            .filter(col("ingest_seq") === col("__vmax"))
+            .drop("__vmax"))
       swapRewrite(spark, versionsDir,
         latest.select(col(idCol), col("__vmax").as("ingest_seq")))
     }
@@ -1015,14 +1101,27 @@ object StreamingIngest {
     * should route through a keyed dedup upstream or rebuild the
     * affected groups batch-side.
     *
-    * Standing state: O(groups × n) rows forever; per batch one
-    * group-keyed shuffle of O(batch + groups·n) — the corpus is never
-    * re-scanned. New groups simply appear with their own budget.
+    * `ledger` (round-13, the r12 verdict item 3) BOUNDS both caveats
+    * instead of accepting them outright: the standing state keeps the
+    * top n+ledger rows per group — the `ledger` rows past the published
+    * budget are exactly the last-`ledger`-dropped-per-group versions, so
+    * a boundary-dropped version within that horizon (1) backfills a
+    * vacated slot immediately and (2) still OPPOSES a later worse
+    * re-arrival of its id (x121's `regressed` column reads all-zero on
+    * its exact script at ledger ≥ 3 — x124 pins that as oracle data).
+    * State grows to O(groups × (n+ledger)); the published sample is the
+    * rk ≤ n prefix (the trailing rows carry rk in (n, n+ledger] — filter
+    * on read). Versions dropped BEYOND the ledger horizon keep the
+    * original caveats — the overflow case is itself spec-pinned.
+    *
+    * Standing state: O(groups × (n+ledger)) rows forever; per batch one
+    * group-keyed shuffle of O(batch + groups·(n+ledger)) — the corpus is
+    * never re-scanned. New groups simply appear with their own budget.
     */
   def groupedWeightedSampleStream(docs: DataFrame, groupCol: String,
       weightColName: String, n: Int, sampleDir: String,
       checkpointDir: String, idCol: String = "doc_id",
-      salt: String = "pps"): StreamingQuery = {
+      salt: String = "pps", ledger: Int = 0): StreamingQuery = {
     import graft.ext.TextStats
     import graft.pipeline.ManifestTable
     val q = docs.writeStream
@@ -1050,7 +1149,7 @@ object StreamingIngest {
           .orderBy(col("priority").asc, col(idCol).asc)
         val next = resolvePerId(standing.unionByName(batchPri), idCol)
           .withColumn("rk", row_number().over(perGroup).cast("long"))
-          .filter(col("rk") <= n)
+          .filter(col("rk") <= n + ledger)
           .localCheckpoint(false) // pin: commit must not re-read the table it replaces
         ManifestTable.commit(spark, sampleDir, next, replace = true)
         ()

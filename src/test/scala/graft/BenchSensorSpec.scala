@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The mid-run scan-probe abort decision (round-13, r12 verdict item 4)
+  * as a pure function — pinned against the shapes of the traced r12
+  * probe series: the settle-hot head must never abort, sustained steal
+  * must, and a late-run burst must trip the trailing-window sensor that
+  * the median alone missed (the r12 driver run paid a full ~7-minute
+  * dirty run because only its TAIL was stolen).
+  */
+class BenchSensorSpec extends AnyFunSuite {
+  private val clean = 0.16
+
+  test("too few probes: no decision") {
+    assert(Bench.scanAbortReason(Seq(0.5, 0.5, 0.5, 0.5, 0.5), clean).isEmpty)
+  }
+
+  test("the settle-hot head alone never aborts (r12 calibration: probes 1-3 read 0.22-0.28 on live runs)") {
+    assert(Bench.scanAbortReason(
+      Seq(0.28, 0.25, 0.22, 0.16, 0.17, 0.16, 0.16), clean).isEmpty)
+  }
+
+  test("sustained steal trips the settled-median sensor") {
+    val r = Bench.scanAbortReason(Seq(0.28, 0.25, 0.22, 0.24, 0.25, 0.26), clean)
+    assert(r.exists(_.contains("median")), s"expected median breach, got $r")
+  }
+
+  test("a late-run burst trips the TRAILING-window sensor while the median stays in band (the r12 steal-tail shape)") {
+    // 9 settled probes at the warm floor, then the tail goes 1.4-1.6x:
+    // median over settled = 0.16 (in band), last 3 all breach
+    val series = Seq(0.28, 0.25, 0.22) ++ Seq.fill(9)(0.16) ++ Seq(0.23, 0.25, 0.24)
+    val r = Bench.scanAbortReason(series, clean)
+    assert(r.exists(_.contains("trailing")), s"expected trailing breach, got $r")
+  }
+
+  test("a SINGLE tail spike does not abort (GC/compaction one-offs)") {
+    val series = Seq(0.28, 0.25, 0.22) ++ Seq.fill(9)(0.16) ++ Seq(0.16, 0.45, 0.16)
+    assert(Bench.scanAbortReason(series, clean).isEmpty)
+    // nor two of three
+    val series2 = Seq(0.28, 0.25, 0.22) ++ Seq.fill(9)(0.16) ++ Seq(0.45, 0.16, 0.45)
+    assert(Bench.scanAbortReason(series2, clean).isEmpty)
+  }
+
+  test("a clean full-run series stays live end to end") {
+    val series = Seq(0.28, 0.25, 0.22) ++ Seq.fill(20)(0.17)
+    (6 to series.size).foreach { n =>
+      assert(Bench.scanAbortReason(series.take(n), clean).isEmpty,
+        s"clean series aborted at probe $n")
+    }
+  }
+}

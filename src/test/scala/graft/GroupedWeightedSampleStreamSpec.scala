@@ -24,13 +24,14 @@ class GroupedWeightedSampleStreamSpec extends SparkSuite {
       col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
 
-  private def run(src: String, sample: String, ckpt: String): Unit = {
+  private def run(src: String, sample: String, ckpt: String,
+      ledger: Int = 0): Unit = {
     val docs = spark.readStream
       .schema("doc_id LONG, source STRING, n_tokens LONG")
       .option("maxFilesPerTrigger", 1)
       .parquet(src + "/*")
     StreamingIngest.groupedWeightedSampleStream(docs, "source", "n_tokens",
-      N, sample, ckpt)
+      N, sample, ckpt, ledger = ledger)
   }
 
   private def asSet(df: DataFrame): Set[(Long, String, Long, Long, Long)] =
@@ -125,5 +126,61 @@ class GroupedWeightedSampleStreamSpec extends SparkSuite {
     assert(standing3.count(_._2 == "srcA") == N, "re-delivery must backfill srcA")
     assert(standing3.filter(r => movers(r._1)).forall(_._2 == "srcB"),
       "re-delivered old-group rows must lose per-id resolution to the x100-weight movers")
+  }
+
+  test("dropped-version LEDGER (round-13, r12 verdict item 3): within the horizon, vacated slots backfill immediately from ledger rows") {
+    // 30 srcA docs, ledger 3: the standing state keeps rk 1..13. Moving
+    // the top-3 away must NOT underfill — the 3 ledger rows promote into
+    // the published budget in the same batch (contrast: the no-ledger
+    // test above pins srcA == N-3 on the same script).
+    val root = tempDir("graft-gwledger1")
+    val wave1 = (0L until 30L).map(u => (u, "srcA", u % 7 + 1))
+    writeWaveTo(root + "/src", 0, wave1.toDF("doc_id", "source", "n_tokens"))
+    run(root + "/src", root + "/sample", root + "/ckpt", ledger = 3)
+    val m1 = ManifestTable.read(spark, root + "/sample")
+    assert(m1.count() == N + 3, "standing state must hold n+ledger rows")
+    val pub1 = asSet(m1.filter(col("rk") <= N))
+    assert(pub1.size == N && pub1.forall(_._2 == "srcA"))
+    val movers = pub1.toSeq.sortBy(_._5).take(3).map(_._1).toSet
+    writeWaveTo(root + "/src", 1,
+      movers.toSeq.sorted.map(u => (u, "srcB", (u % 7 + 1) * 100))
+        .toDF("doc_id", "source", "n_tokens"))
+    run(root + "/src", root + "/sample", root + "/ckpt", ledger = 3)
+    val pub2 = asSet(ManifestTable.read(spark, root + "/sample")
+      .filter(col("rk") <= N))
+    assert(pub2.count(_._2 == "srcB") == 3, "movers must land in srcB")
+    assert(pub2.count(_._2 == "srcA") == N,
+      "the ledger must backfill vacated slots in the same batch — no underfill window")
+  }
+
+  test("ledger OVERFLOW caveat (spec-pinned, x124's scaladoc): a version dropped BEYOND the ledger horizon still cannot oppose a worse re-arrival; within the horizon it does") {
+    // 14 docs at weight 5, n=10, ledger=1: standing = rk 1..11 (the rk-11
+    // row is the ONE ledger slot); ranks 12..14 are dropped beyond the
+    // horizon. Move the top-3 away, then re-deliver the rk-11 id and one
+    // dropped id, both at weight 1 (strictly worse priority).
+    val root = tempDir("graft-gwledger2")
+    val ids = (0L until 14L)
+    writeWaveTo(root + "/src", 0,
+      ids.map(u => (u, "srcA", 5L)).toDF("doc_id", "source", "n_tokens"))
+    run(root + "/src", root + "/sample", root + "/ckpt", ledger = 1)
+    val m1 = ManifestTable.read(spark, root + "/sample")
+    assert(m1.count() == N + 1)
+    val byRk = m1.collect().map(r =>
+      r.getAs[Long]("rk") -> r.getAs[Long]("doc_id")).toMap
+    val ledgered = byRk(11L)
+    val forgotten = (ids.toSet -- byRk.values).head
+    writeWaveTo(root + "/src", 1,
+      Seq(byRk(1L), byRk(2L), byRk(3L)).map(u => (u, "srcB", 500L))
+        .toDF("doc_id", "source", "n_tokens"))
+    writeWaveTo(root + "/src", 2,
+      Seq((ledgered, "srcA", 1L), (forgotten, "srcA", 1L))
+        .toDF("doc_id", "source", "n_tokens"))
+    run(root + "/src", root + "/sample", root + "/ckpt", ledger = 1)
+    val rows = ManifestTable.read(spark, root + "/sample").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("w")).toMap
+    assert(rows(ledgered) == 5L,
+      "a ledger-retained version must oppose its worse re-arrival (kept weight 5)")
+    assert(rows(forgotten) == 1L,
+      "beyond the ledger horizon the x121 caveat stands: the worse re-arrival wins unopposed")
   }
 }
