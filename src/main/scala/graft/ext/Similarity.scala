@@ -253,11 +253,14 @@ object Similarity {
     * collect turned these lazy builders into ones launching Spark jobs
     * at construction, and bench paths construct them repeatedly — same
     * corpus plan + same params ⇒ same verdict, so one paid check covers
-    * every later call this JVM. The key is an md5 of the CANONICALIZED
-    * analyzed plan's string form, not the 32-bit `semanticHash()` — a
-    * 32-bit collision between two different corpora would have silently
+    * every later call this JVM. The key combines an md5 of the
+    * CANONICALIZED analyzed plan's string form WITH the 32-bit
+    * `semanticHash()` (rationale at [[planFingerprint]]) — a 32-bit
+    * collision between two different corpora would have silently
     * skipped the fail-fast for the second one, which is exactly the
-    * failure the check exists to catch; at 128 bits that path is gone.
+    * failure the check exists to catch; at 128+32 bits that path is
+    * gone for file-backed plans, and the structural hash still pins
+    * in-memory relations whose string form omits their data.
     * Values are only ever `true` (a failed check throws). Documented
     * residual (accepted): a caller that MUTATES the data under an
     * identical plan (same path, rewritten files) re-uses the verdict —
@@ -270,9 +273,18 @@ object Similarity {
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int, Long, Long)]()
 
   private def planFingerprint(df: DataFrame): String = {
-    val canon = df.queryExecution.analyzed.canonicalized.toString
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // BOTH components on purpose: the md5 of the canonicalized string
+    // form widens the 32-bit hash to 128 bits for file-backed plans
+    // (path, schema, filters are all in the string), but a
+    // LocalRelation's toString OMITS its data — two in-memory corpora
+    // with different rows print identically — while semanticHash is the
+    // structural case-class hash that DOES include LocalRelation data.
+    // Either alone mis-caches a case the other pins.
+    val analyzed = df.queryExecution.analyzed
+    val canonMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(analyzed.canonicalized.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    canonMd5 + ":" + analyzed.semanticHash()
   }
 
   def clusteredCorpus(emb: DataFrame, k: Int = 13, centerStride: Long = 38L,

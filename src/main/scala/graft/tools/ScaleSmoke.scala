@@ -186,7 +186,18 @@ object ScaleSmoke {
     // x116's per-wave tokenize + append and the read-back's df/stats
     // re-aggregation are all postings-linear; query-term scoring joins
     // stay O(query-term postings)
-    "x116_bm25_index_stream")
+    "x116_bm25_index_stream",
+    // round-13: x122 is the x120 profile on the vector index — per-wave
+    // bucketing is corpus-linear, the resolve join O(live vectors), the
+    // probe one bucket equi-join over a 2x-corpus probe set. x123's
+    // per-wave chunking is corpus-linear on the PORTABLE md5-per-position
+    // form (the oracle's chunker — the production gear-hash path is the
+    // 5x-cheaper one CdcBench measures); the resolve join is doc-keyed,
+    // the probe O(eval chunks). x124 is x121's profile with the
+    // per-group trim at n+ledger — same per-wave priority passes,
+    // standing state O(sources x 13).
+    "x122_emb_index_retract", "x123_cdc_index_retract",
+    "x124_grouped_sample_ledger")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

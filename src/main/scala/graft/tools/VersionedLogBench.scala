@@ -1,0 +1,108 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Quantifies the LSM trade on the versioned index logs (round-13, the
+  * r12 verdict item 6): the `maxPostingFiles = 64` compaction default
+  * was chosen with the read-amplification claim made in prose — this
+  * measures it. For a postings log fragmented into B per-batch file
+  * groups (each micro-batch append = one file group, the streaming
+  * loop's shape; 25% of batches re-deliver earlier docs so the resolve
+  * join really filters stale versions):
+  *
+  *   - resolve cost FRAGMENTED: full `resolvedPostings` pass (the
+  *     max-seq aggregate over the version log + the doc-keyed join)
+  *     with B file groups on both logs;
+  *   - the compaction rewrite itself (`maybeCompactVersioned` forced);
+  *   - resolve cost COMPACTED: the same pass over one file group per
+  *     log, live rows only.
+  *
+  * Rows print per (factor, B): the knob's trade is (fragmented −
+  * compacted) read tax per query vs the one-off rewrite cost, and the
+  * 64-file default is justified (or re-tuned) from where the tax curve
+  * crosses the rewrite amortization.
+  *
+  *   sbt 'runMain graft.tools.VersionedLogBench /root/testdata/sf0.1 10 16 64 256'
+  */
+object VersionedLogBench {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-versioned-log-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.registerAll(spark)
+
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val batchCounts = {
+      val bs = args.drop(2).map(_.toInt)
+      if (bs.nonEmpty) bs.toSeq else Seq(16, 64, 256)
+    }
+
+    // amplified corpus, one scratch write (the ScaleSmoke shift)
+    val base = spark.read.parquet(s"$srcDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val docs = (0 until factor).map(i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+      .reduce(_ unionAll _)
+      .localCheckpoint(true)
+    val nDocs = docs.count()
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    batchCounts.foreach { b =>
+      val root = graft.util.Scratch.tempDir(s"graft-vlog-x$factor-b$b")
+      val (postingsDir, versionsDir) = (root + "/postings", root + "/versions")
+      // B micro-batch appends, one file group each (coalesce(1) per
+      // append — the small-batch streaming shape). The last quarter of
+      // batches RE-DELIVER the first quarter's docs (doc updates), so
+      // ~25% of postings rows are stale at read time.
+      val bb = math.max(4, b)
+      (0 until bb).foreach { i =>
+        val slice =
+          if (i >= bb - bb / 4) pmod(col("doc_id"), lit(bb.toLong)) === (i - (bb - bb / 4)).toLong
+          else pmod(col("doc_id"), lit(bb.toLong)) === i.toLong
+        val batch = docs.filter(slice)
+        graft.pipeline.Ingest.appendWithSeq(
+          batch.select(col("doc_id")).coalesce(1), versionsDir, i.toLong)
+        graft.pipeline.Ingest.appendWithSeq(
+          graft.ext.TextRank.postings(batch).coalesce(1), postingsDir, i.toLong)
+      }
+      import graft.streaming.StreamingIngest.{cdcIndexFileCount, maybeCompactVersioned, resolvedPostings}
+      def resolveCost(): Double = {
+        val (_, s) = timed {
+          resolvedPostings(spark, postingsDir, versionsDir)
+            .agg(count(lit(1)), sum(col("tf")))
+            .write.mode("overwrite").format("noop").save()
+        }
+        s
+      }
+      val filesData = cdcIndexFileCount(spark, postingsDir)
+      val filesVers = cdcIndexFileCount(spark, versionsDir)
+      // two passes each, min (the Bench noise rationale)
+      val fragSec = math.min(resolveCost(), resolveCost())
+      val (_, compactSec) = timed {
+        require(maybeCompactVersioned(spark, postingsDir, versionsDir, maxFiles = 0),
+          "forced compaction did not trigger")
+      }
+      val compSec = math.min(resolveCost(), resolveCost())
+      val liveRows = spark.read.parquet(postingsDir).count()
+      println(f"[vlog] x$factor%-4d B=$bb%-4d files=$filesData%d/$filesVers%d " +
+        f"docs=$nDocs%d live_rows=$liveRows%d " +
+        f"resolve_frag=$fragSec%.2fs compact=$compactSec%.2fs resolve_comp=$compSec%.2fs")
+    }
+    spark.stop()
+  }
+}

@@ -16,18 +16,21 @@ package graft.util
 object Scratch {
   private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
 
-  Runtime.getRuntime.addShutdownHook(new Thread(() => {
-    // never recurse through a symlink (round-11 ADVICE): listFiles on a
-    // symlinked directory enumerates the TARGET's children, so a link
-    // inside a scratch dir would have its target's contents deleted —
-    // unlink the link itself and stop.
-    def rm(f: java.io.File): Unit = {
-      if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
-        val kids = f.listFiles()
-        if (kids != null) kids.foreach(rm)
-      }
-      f.delete(); ()
+  // never recurse through a symlink (round-11 ADVICE): listFiles on a
+  // symlinked directory enumerates the TARGET's children, so a link
+  // inside a scratch dir would have its target's contents deleted —
+  // unlink the link itself and stop. Package-visible so the contract is
+  // spec-pinned (ScratchSpec) instead of living untestable inside the
+  // shutdown hook (round-13, r12 verdict item 7).
+  private[graft] def rm(f: java.io.File): Unit = {
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
     }
+    f.delete(); ()
+  }
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
     var d = dirs.poll()
     while (d != null) {
       try rm(d) catch { case _: Throwable => () }

@@ -49,4 +49,31 @@ class BenchSensorSpec extends AnyFunSuite {
         s"clean series aborted at probe $n")
     }
   }
+
+  // ---- movers-audit reference parse (round-12 advisory, pinned r13) ----
+
+  test("refQueries extracts the per-query map from a one-line bench JSON") {
+    val line = """{"metric":"total","value":9.0,"unit":"sec","queries":{"q01":1.5,"x02":7.5},"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.refQueries(line) == Map("q01" -> 1.5, "x02" -> 7.5))
+  }
+
+  test("refQueries parses the REAL full-line format — audit object (nested braces) before queries, failed sentinels inside") {
+    val line = """{"metric":"total","value":9.0,"unit":"sec","anchor":"q41","window_clean":true,""" +
+      """"audit":{"ref":"bench_reference.json","common_n":2,"common_sum_ratio":1.001,"movers":{"q05":[1.000,2.000]}},""" +
+      """"failed":["x99"],"queries":{"q01":1.5,"x02":7.5,"x99":-1.0},"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.refQueries(line) == Map("q01" -> 1.5, "x02" -> 7.5, "x99" -> -1.0))
+  }
+
+  test("a malformed reference line throws (the caller logs it by name instead of silently erasing the audit)") {
+    intercept[IllegalArgumentException] { Bench.refQueries("{}") }
+  }
+
+  test("precheck_clean is always a boolean; disabled reads clean=false + enabled=false (round-12 advisory)") {
+    assert(Bench.precheckFields(0, 0, clean = false) ==
+      """"precheck_attempts":0,"precheck_enabled":false,"precheck_clean":false""")
+    // even a (vacuously) true flag cannot leak through a disabled precheck
+    assert(Bench.precheckFields(0, 0, clean = true).endsWith("\"precheck_clean\":false"))
+    assert(Bench.precheckFields(12, 3, clean = true) ==
+      """"precheck_attempts":3,"precheck_enabled":true,"precheck_clean":true""")
+  }
 }

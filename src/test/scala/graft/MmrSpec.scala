@@ -136,4 +136,25 @@ class MmrSpec extends SparkSuite {
     // so it outranks id 11 (0.9 > 0.8)
     assert(out == Set((1L, 1, 10L), (1L, 2, 11L)))
   }
+
+  test("same-id-same-rel tie keeps the float-bit-min VECTOR regardless of arrival order (round-12 advisory: the allocation-free bit compare preserves the hex-string order)") {
+    // the degenerate case the buffer's trailing vec key exists for: two
+    // entries per id identical in (id, rel), different vectors — the
+    // kept vector feeds the diversity term, so it must not depend on
+    // which partition's partial merges first
+    val v1 = Array(0.5f, -2.0f, 1.0f)
+    val v2 = Array(0.5f, 3.0f, 1.0f)
+    def keptVec(first: Array[Float], second: Array[Float]): Seq[Float] = {
+      val b = new graft.functions.MmrBuffer(4)
+      b.push(10L, 0.9, first)
+      b.push(10L, 0.9, second)
+      b.sorted.head._3.toSeq
+    }
+    val a = keptVec(v1, v2)
+    assert(a == keptVec(v2, v1), "kept vector depends on arrival order")
+    // and the order is the documented one: unsigned float-bit
+    // lexicographic (positives before negatives at the sign bit)
+    assert(a == v2.toSeq,
+      "bit-compare order drifted from the zero-padded-hex encoding it replaced")
+  }
 }

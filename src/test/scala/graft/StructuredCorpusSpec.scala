@@ -32,6 +32,24 @@ class StructuredCorpusSpec extends SparkSuite {
       s"wrong failure: ${e.getMessage}")
   }
 
+  test("the precheck cache never leaks a verdict across corpora (round-12 ADVICE: the key is a 128-bit plan fingerprint, not a 32-bit hash)") {
+    // pay the check on the full corpus first, then a DIFFERENT corpus
+    // missing an anchor must still fail named — a cache hit here would
+    // be exactly the silently-dropped-cluster failure the require
+    // exists to catch
+    Similarity.structuredCorpus(raw).count()
+    val holed = raw.filter(col("vec_id") =!= 38L) // a center anchor
+    val e = intercept[IllegalArgumentException] {
+      Similarity.structuredCorpus(holed).count()
+    }
+    assert(e.getMessage.contains("anchor rows missing"),
+      s"wrong failure: ${e.getMessage}")
+    // and the SAME corpus+params re-uses the paid verdict (construction
+    // is job-free the second time — observable as plan equality here;
+    // the cost property is the bench paths' concern)
+    assert(Similarity.structuredCorpus(raw).count() == raw.count())
+  }
+
   test("fitted residual codebooks BEAT the init sample on the structured corpus (and lose on the isotropic one) at shortlist 12") {
     def recallPair(emb0: org.apache.spark.sql.DataFrame): (Double, Double) = {
       val emb = emb0.localCheckpoint(false)
