@@ -44,13 +44,19 @@ object Bench {
     * (the first 3 in-run probes are JIT/GC-settle, systematically hot,
     * and excluded — the round-12 calibration):
     *   - settled MEDIAN factor > 1.25: sustained steal across the run;
-    *   - min of the LAST 3 settled probes > 1.25 (round-13, r12 verdict
+    *   - min of the LAST 3 settled probes > 1.40 (round-13, r12 verdict
     *     item 4): a LATE-run burst — the r12 driver run went dirty in
     *     the tail, stayed under the median band for ~7 minutes, and
-    *     still paid the full run before quarantine. Requiring ALL of the
-    *     trailing 3 to breach keeps a single GC/compaction spike from
-    *     aborting a live run (the median sensor's one-hot tolerance,
-    *     applied to the tail).
+    *     still paid the full run before quarantine. Requiring ALL of
+    *     the trailing 3 to breach keeps a single GC/compaction spike
+    *     from aborting a live run, and the tail band sits ABOVE the
+    *     median's 1.25 on purpose (round-13 review): single interleaved
+    *     probes read up to ~1.35× from run-local GC pressure even on
+    *     probe-clean windows (the r13 clean run's probe 11 read 0.216 s
+    *     = 1.35×), so a 1.25 tail band could kill a live run near the
+    *     heavy streaming-query cluster — clear steal reads 1.4-1.6×+
+    *     sustained, which the 1.40 band still catches in 3 probes
+    *     (~75 queries ≈ 2 min into the burst).
     * Returns the reason to abort, or None. The end-of-run windowClean
     * gate (1.15 over ALL samples) stays authoritative — these sensors
     * are an optimization; a missed abort just quarantines.
@@ -64,7 +70,7 @@ object Bench {
       val tailMinFac = tail3.min / cleanSec
       if (medFac > 1.25)
         Some(f"settled scan median factor $medFac%.2f over ${settled.size} probes")
-      else if (tailMinFac > 1.25)
+      else if (tailMinFac > 1.40)
         Some(f"trailing-window breach: last 3 settled scan probes all above band " +
           f"(min factor $tailMinFac%.2f)")
       else None

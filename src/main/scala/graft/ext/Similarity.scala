@@ -272,17 +272,32 @@ object Similarity {
   private val anchorsChecked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int, Long, Long)]()
 
-  private def planFingerprint(df: DataFrame): String = {
-    // BOTH components on purpose: the md5 of the canonicalized string
-    // form widens the 32-bit hash to 128 bits for file-backed plans
-    // (path, schema, filters are all in the string), but a
-    // LocalRelation's toString OMITS its data — two in-memory corpora
-    // with different rows print identically — while semanticHash is the
-    // structural case-class hash that DOES include LocalRelation data.
-    // Either alone mis-caches a case the other pins.
+  private[ext] def planFingerprint(df: DataFrame): String = {
+    // ALL THREE components on purpose (round-13 review): the md5 of the
+    // canonicalized string form widens the 32-bit hash to 128 bits for
+    // plan STRUCTURE (operators, filters, schema) — but a
+    // LogicalRelation's string form does NOT name its file paths (they
+    // enter plan equality only through the file index's 32-bit
+    // hashCode) and a LocalRelation's string form omits its DATA, so
+    // the digest explicitly folds in every leaf relation's root paths,
+    // and the structural semanticHash (which does cover LocalRelation
+    // data) rides along. Any one alone mis-caches a case the others pin:
+    // same-schema corpora at different paths collide in the bare string,
+    // different in-memory corpora collide in string+paths, and 32 bits
+    // alone is the collision window the round-12 ADVICE flagged.
     val analyzed = df.queryExecution.analyzed
+    val leafPaths = analyzed.collectLeaves().flatMap {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      case _ => Nil
+    }
     val canonMd5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(analyzed.canonicalized.toString.getBytes("UTF-8"))
+      .digest((analyzed.canonicalized.toString + " " +
+        leafPaths.mkString("|")).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     canonMd5 + ":" + analyzed.semanticHash()
   }

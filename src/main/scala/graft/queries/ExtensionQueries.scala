@@ -506,6 +506,108 @@ object ExtensionQueries {
       |              FROM documents) t0) t
       |  WHERE NOT (is_corpus AND hh % 4 = 2))""".stripMargin)
 
+  // Shared x121/x124 machinery (round-13 review): the two entries differ
+  // ONLY in the per-group trim the fold keeps — 10 for the bounded fold
+  // whose forgotten-version regression x121 pins, n+ledger = 13 for the
+  // x124 ledger variant that zeroes it — so the ~40-line wave replay and
+  // the ~45-line wave script live ONCE, parameterized, instead of as two
+  // drift-prone copies (the cdcIncrementalOracleOver move). The publish
+  // cut is rk <= 10 in both; for trim = 10 it is vacuous by construction.
+  private def groupedSampleForgottenOracle(trim: Int): String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+       |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'pps'),1,15))::BIGINT AS h
+       |  FROM documents),
+       |v AS (SELECT doc_id, source, w, h, h // w AS priority FROM t WHERE w > 0),
+       |r0 AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY priority ASC, doc_id ASC) AS rk
+       |  FROM v),
+       |s0 AS (SELECT doc_id, source, w, h, priority FROM r0 WHERE rk <= $trim),
+       |w1 AS (SELECT doc_id, 'moved' AS source, w * 1000 AS w, h, h // (w * 1000) AS priority
+       |       FROM r0 WHERE source = 'src1' AND rk <= 5),
+       |w2 AS (SELECT doc_id, source, GREATEST(1, w // 2) AS w, h, h // GREATEST(1, w // 2) AS priority
+       |       FROM r0 WHERE source = 'src1' AND rk BETWEEN 11 AND 13
+       |       UNION ALL
+       |       SELECT doc_id, source, GREATEST(1, w // 2) AS w, h, h // GREATEST(1, w // 2) AS priority
+       |       FROM r0 WHERE source = 'src1' AND rk = 6),
+       |u1 AS (SELECT doc_id, source, w, h, priority FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY priority ASC, w ASC) AS vn
+       |  FROM (SELECT * FROM s0 UNION ALL SELECT * FROM w1) uu) z WHERE vn = 1),
+       |s1 AS (SELECT doc_id, source, w, h, priority FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY priority ASC, doc_id ASC) AS rk
+       |  FROM u1) z WHERE rk <= $trim),
+       |u2 AS (SELECT doc_id, source, w, h, priority FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY priority ASC, w ASC) AS vn
+       |  FROM (SELECT * FROM s1 UNION ALL SELECT * FROM w2) uu) z WHERE vn = 1),
+       |s2 AS (SELECT doc_id, source, w, priority, rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY priority ASC, doc_id ASC) AS rk
+       |  FROM u2) z WHERE rk <= $trim),
+       |best AS (SELECT doc_id, MIN(priority) AS p FROM (
+       |  SELECT doc_id, priority FROM v
+       |  UNION ALL SELECT doc_id, priority FROM w1
+       |  UNION ALL SELECT doc_id, priority FROM w2) dd GROUP BY doc_id)
+       |SELECT s2.doc_id, s2.source AS source, s2.w, s2.priority,
+       |       CAST(s2.rk AS BIGINT) AS rk,
+       |       CAST(CASE WHEN s2.priority > best.p THEN 1 ELSE 0 END AS INT) AS regressed
+       |FROM s2 JOIN best ON best.doc_id = s2.doc_id
+       |WHERE s2.rk <= 10
+       |ORDER BY s2.source, rk""".stripMargin
+
+  private def groupedSampleForgottenQuery(ledger: Int): (
+      org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+    (s, d) => {
+      import graft.ext.TextStats
+      val feats = Tables.documents(s, d).select(
+          col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .localCheckpoint(false)
+      // full per-group ranking to depth 15 — the wave script needs the
+      // boundary rk 11..13 band the n=10 fold (ledger 0) discards
+      val r0 = TextStats.weightedSamplePerGroup(feats, "source", col("n_tokens"), 15)
+        .localCheckpoint(false)
+      val halved = greatest(lit(1L), expr("w div 2"))
+      val root = scratchTempDir(s"graft-x12x-forgotten-l$ledger")
+      writeStreamWave(root, 0, feats)
+      writeStreamWave(root, 1,
+        r0.filter(col("source") === "src1" && col("rk") <= 5)
+          .select(col("doc_id"), lit("moved").as("source"),
+            (col("w") * 1000L).as("n_tokens")))
+      writeStreamWave(root, 2,
+        r0.filter(col("source") === "src1" && col("rk").between(11, 13))
+          .select(col("doc_id"), col("source"), halved.as("n_tokens"))
+          .unionByName(
+            r0.filter(col("source") === "src1" && col("rk") === 6)
+              .select(col("doc_id"), col("source"), halved.as("n_tokens"))))
+      val docs = s.readStream
+        .schema("doc_id LONG, source STRING, n_tokens LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root + "/src/*")
+      graft.streaming.StreamingIngest.groupedWeightedSampleStream(docs,
+        "source", "n_tokens", 10, root + "/sample", root + "/ckpt",
+        ledger = ledger)
+      // best priority ever DELIVERED per id (originals + both update
+      // waves) — the full-history contrast the bounded fold cannot see
+      val delivered = TextStats.prioritize(feats, col("n_tokens"), "doc_id", "pps")
+        .select(col("doc_id"), col("priority"))
+        .unionByName(TextStats.prioritize(
+            r0.filter(col("source") === "src1" && col("rk") <= 5)
+              .select(col("doc_id"), (col("w") * 1000L).as("n_tokens")),
+            col("n_tokens"), "doc_id", "pps")
+          .select(col("doc_id"), col("priority")))
+        .unionByName(TextStats.prioritize(
+            r0.filter(col("source") === "src1" &&
+                (col("rk").between(11, 13) || col("rk") === 6))
+              .select(col("doc_id"), halved.as("n_tokens")),
+            col("n_tokens"), "doc_id", "pps")
+          .select(col("doc_id"), col("priority")))
+        .groupBy(col("doc_id")).agg(min(col("priority")).as("__best"))
+      graft.pipeline.ManifestTable.read(s, root + "/sample")
+        .filter(col("rk") <= 10) // the published prefix (vacuous at ledger 0)
+        .join(delivered, Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("w"), col("priority"),
+          col("rk"),
+          (col("priority") > col("__best")).cast("int").as("regressed"))
+    }
+
   // ---- vector-space oracle fragments --------------------------------------
   // Bit-exact SQL twins of the Spark double kernels: explicit
   // left-associated sums (the fold order of VectorKernels.cosineFloat and
@@ -4500,93 +4602,8 @@ object ExtensionQueries {
         "wave (the x119 idiom) plus one min-over-delivered-versions frame; weight " +
         "changes keep (priority, w) distinct so resolution never reaches the " +
         "engine-side hash tie-break.",
-      Some("""WITH t AS (SELECT doc_id, source,
-             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
-             |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'pps'),1,15))::BIGINT AS h
-             |  FROM documents),
-             |v AS (SELECT doc_id, source, w, h, h // w AS priority FROM t WHERE w > 0),
-             |r0 AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY priority ASC, doc_id ASC) AS rk
-             |  FROM v),
-             |s0 AS (SELECT doc_id, source, w, h, priority FROM r0 WHERE rk <= 10),
-             |w1 AS (SELECT doc_id, 'moved' AS source, w * 1000 AS w, h, h // (w * 1000) AS priority
-             |       FROM r0 WHERE source = 'src1' AND rk <= 5),
-             |w2 AS (SELECT doc_id, source, GREATEST(1, w // 2) AS w, h, h // GREATEST(1, w // 2) AS priority
-             |       FROM r0 WHERE source = 'src1' AND rk BETWEEN 11 AND 13
-             |       UNION ALL
-             |       SELECT doc_id, source, GREATEST(1, w // 2) AS w, h, h // GREATEST(1, w // 2) AS priority
-             |       FROM r0 WHERE source = 'src1' AND rk = 6),
-             |u1 AS (SELECT doc_id, source, w, h, priority FROM (
-             |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY priority ASC, w ASC) AS vn
-             |  FROM (SELECT * FROM s0 UNION ALL SELECT * FROM w1) uu) z WHERE vn = 1),
-             |s1 AS (SELECT doc_id, source, w, h, priority FROM (
-             |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY priority ASC, doc_id ASC) AS rk
-             |  FROM u1) z WHERE rk <= 10),
-             |u2 AS (SELECT doc_id, source, w, h, priority FROM (
-             |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY priority ASC, w ASC) AS vn
-             |  FROM (SELECT * FROM s1 UNION ALL SELECT * FROM w2) uu) z WHERE vn = 1),
-             |s2 AS (SELECT doc_id, source, w, priority, rk FROM (
-             |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY priority ASC, doc_id ASC) AS rk
-             |  FROM u2) z WHERE rk <= 10),
-             |best AS (SELECT doc_id, MIN(priority) AS p FROM (
-             |  SELECT doc_id, priority FROM v
-             |  UNION ALL SELECT doc_id, priority FROM w1
-             |  UNION ALL SELECT doc_id, priority FROM w2) dd GROUP BY doc_id)
-             |SELECT s2.doc_id, s2.source AS source, s2.w, s2.priority,
-             |       CAST(s2.rk AS BIGINT) AS rk,
-             |       CAST(CASE WHEN s2.priority > best.p THEN 1 ELSE 0 END AS INT) AS regressed
-             |FROM s2 JOIN best ON best.doc_id = s2.doc_id
-             |ORDER BY s2.source, rk""".stripMargin),
-      (s, d) => {
-        import graft.ext.TextStats
-        val feats = Tables.documents(s, d).select(
-            col("doc_id"), col("source"),
-            size(split(col("text"), " ")).cast("long").as("n_tokens"))
-          .localCheckpoint(false)
-        // full per-group ranking to depth 15 — the wave script needs the
-        // boundary-dropped rk 11..13 band the n=10 fold discards
-        val r0 = TextStats.weightedSamplePerGroup(feats, "source", col("n_tokens"), 15)
-          .localCheckpoint(false)
-        val halved = greatest(lit(1L), expr("w div 2"))
-        val root = scratchTempDir("graft-x121-forgotten")
-        writeStreamWave(root, 0, feats)
-        writeStreamWave(root, 1,
-          r0.filter(col("source") === "src1" && col("rk") <= 5)
-            .select(col("doc_id"), lit("moved").as("source"),
-              (col("w") * 1000L).as("n_tokens")))
-        writeStreamWave(root, 2,
-          r0.filter(col("source") === "src1" && col("rk").between(11, 13))
-            .select(col("doc_id"), col("source"), halved.as("n_tokens"))
-            .unionByName(
-              r0.filter(col("source") === "src1" && col("rk") === 6)
-                .select(col("doc_id"), col("source"), halved.as("n_tokens"))))
-        val docs = s.readStream
-          .schema("doc_id LONG, source STRING, n_tokens LONG")
-          .option("maxFilesPerTrigger", 1)
-          .parquet(root + "/src/*")
-        graft.streaming.StreamingIngest.groupedWeightedSampleStream(docs,
-          "source", "n_tokens", 10, root + "/sample", root + "/ckpt")
-        // best priority ever DELIVERED per id (originals + both update
-        // waves) — the full-history contrast the bounded fold cannot see
-        val delivered = TextStats.prioritize(feats, col("n_tokens"), "doc_id", "pps")
-          .select(col("doc_id"), col("priority"))
-          .unionByName(TextStats.prioritize(
-              r0.filter(col("source") === "src1" && col("rk") <= 5)
-                .select(col("doc_id"), (col("w") * 1000L).as("n_tokens")),
-              col("n_tokens"), "doc_id", "pps")
-            .select(col("doc_id"), col("priority")))
-          .unionByName(TextStats.prioritize(
-              r0.filter(col("source") === "src1" &&
-                  (col("rk").between(11, 13) || col("rk") === 6))
-                .select(col("doc_id"), halved.as("n_tokens")),
-              col("n_tokens"), "doc_id", "pps")
-            .select(col("doc_id"), col("priority")))
-          .groupBy(col("doc_id")).agg(min(col("priority")).as("__best"))
-        graft.pipeline.ManifestTable.read(s, root + "/sample")
-          .join(delivered, Seq("doc_id"))
-          .select(col("doc_id"), col("source"), col("w"), col("priority"),
-            col("rk"),
-            (col("priority") > col("__best")).cast("int").as("regressed"))
-      }),
+      Some(groupedSampleForgottenOracle(trim = 10)),
+      groupedSampleForgottenQuery(ledger = 0)),
 
     Q("x122_emb_index_retract",
       "DOC UPDATE/RETRACTION for the standing embedding-LSH vector index (round-13, the " +
@@ -4715,90 +4732,6 @@ object ExtensionQueries {
         "GroupedWeightedSampleStreamSpec. Oracle replays the fold wave by wave with " +
         "trims at n+ledger and publishes the rk<=10 prefix, plus x121's " +
         "min-over-delivered-versions frame.",
-      Some("""WITH t AS (SELECT doc_id, source,
-             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
-             |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'pps'),1,15))::BIGINT AS h
-             |  FROM documents),
-             |v AS (SELECT doc_id, source, w, h, h // w AS priority FROM t WHERE w > 0),
-             |r0 AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY priority ASC, doc_id ASC) AS rk
-             |  FROM v),
-             |s0 AS (SELECT doc_id, source, w, h, priority FROM r0 WHERE rk <= 13),
-             |w1 AS (SELECT doc_id, 'moved' AS source, w * 1000 AS w, h, h // (w * 1000) AS priority
-             |       FROM r0 WHERE source = 'src1' AND rk <= 5),
-             |w2 AS (SELECT doc_id, source, GREATEST(1, w // 2) AS w, h, h // GREATEST(1, w // 2) AS priority
-             |       FROM r0 WHERE source = 'src1' AND rk BETWEEN 11 AND 13
-             |       UNION ALL
-             |       SELECT doc_id, source, GREATEST(1, w // 2) AS w, h, h // GREATEST(1, w // 2) AS priority
-             |       FROM r0 WHERE source = 'src1' AND rk = 6),
-             |u1 AS (SELECT doc_id, source, w, h, priority FROM (
-             |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY priority ASC, w ASC) AS vn
-             |  FROM (SELECT * FROM s0 UNION ALL SELECT * FROM w1) uu) z WHERE vn = 1),
-             |s1 AS (SELECT doc_id, source, w, h, priority FROM (
-             |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY priority ASC, doc_id ASC) AS rk
-             |  FROM u1) z WHERE rk <= 13),
-             |u2 AS (SELECT doc_id, source, w, h, priority FROM (
-             |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY priority ASC, w ASC) AS vn
-             |  FROM (SELECT * FROM s1 UNION ALL SELECT * FROM w2) uu) z WHERE vn = 1),
-             |s2 AS (SELECT doc_id, source, w, priority, rk FROM (
-             |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY priority ASC, doc_id ASC) AS rk
-             |  FROM u2) z WHERE rk <= 13),
-             |best AS (SELECT doc_id, MIN(priority) AS p FROM (
-             |  SELECT doc_id, priority FROM v
-             |  UNION ALL SELECT doc_id, priority FROM w1
-             |  UNION ALL SELECT doc_id, priority FROM w2) dd GROUP BY doc_id)
-             |SELECT s2.doc_id, s2.source AS source, s2.w, s2.priority,
-             |       CAST(s2.rk AS BIGINT) AS rk,
-             |       CAST(CASE WHEN s2.priority > best.p THEN 1 ELSE 0 END AS INT) AS regressed
-             |FROM s2 JOIN best ON best.doc_id = s2.doc_id
-             |WHERE s2.rk <= 10
-             |ORDER BY s2.source, rk""".stripMargin),
-      (s, d) => {
-        import graft.ext.TextStats
-        val feats = Tables.documents(s, d).select(
-            col("doc_id"), col("source"),
-            size(split(col("text"), " ")).cast("long").as("n_tokens"))
-          .localCheckpoint(false)
-        val r0 = TextStats.weightedSamplePerGroup(feats, "source", col("n_tokens"), 15)
-          .localCheckpoint(false)
-        val halved = greatest(lit(1L), expr("w div 2"))
-        val root = scratchTempDir("graft-x124-ledger")
-        writeStreamWave(root, 0, feats)
-        writeStreamWave(root, 1,
-          r0.filter(col("source") === "src1" && col("rk") <= 5)
-            .select(col("doc_id"), lit("moved").as("source"),
-              (col("w") * 1000L).as("n_tokens")))
-        writeStreamWave(root, 2,
-          r0.filter(col("source") === "src1" && col("rk").between(11, 13))
-            .select(col("doc_id"), col("source"), halved.as("n_tokens"))
-            .unionByName(
-              r0.filter(col("source") === "src1" && col("rk") === 6)
-                .select(col("doc_id"), col("source"), halved.as("n_tokens"))))
-        val docs = s.readStream
-          .schema("doc_id LONG, source STRING, n_tokens LONG")
-          .option("maxFilesPerTrigger", 1)
-          .parquet(root + "/src/*")
-        graft.streaming.StreamingIngest.groupedWeightedSampleStream(docs,
-          "source", "n_tokens", 10, root + "/sample", root + "/ckpt",
-          ledger = 3)
-        val delivered = TextStats.prioritize(feats, col("n_tokens"), "doc_id", "pps")
-          .select(col("doc_id"), col("priority"))
-          .unionByName(TextStats.prioritize(
-              r0.filter(col("source") === "src1" && col("rk") <= 5)
-                .select(col("doc_id"), (col("w") * 1000L).as("n_tokens")),
-              col("n_tokens"), "doc_id", "pps")
-            .select(col("doc_id"), col("priority")))
-          .unionByName(TextStats.prioritize(
-              r0.filter(col("source") === "src1" &&
-                  (col("rk").between(11, 13) || col("rk") === 6))
-                .select(col("doc_id"), halved.as("n_tokens")),
-              col("n_tokens"), "doc_id", "pps")
-            .select(col("doc_id"), col("priority")))
-          .groupBy(col("doc_id")).agg(min(col("priority")).as("__best"))
-        graft.pipeline.ManifestTable.read(s, root + "/sample")
-          .filter(col("rk") <= 10) // the published prefix; (10, 13] is the ledger
-          .join(delivered, Seq("doc_id"))
-          .select(col("doc_id"), col("source"), col("w"), col("priority"),
-            col("rk"),
-            (col("priority") > col("__best")).cast("int").as("regressed"))
-      }))
+      Some(groupedSampleForgottenOracle(trim = 13)),
+      groupedSampleForgottenQuery(ledger = 3)))
 }

@@ -1039,12 +1039,14 @@ object StreamingIngest {
     // ADVICE): a deletion-heavy or small-derive workload appends one
     // version-log file per batch while the data log stays small, so a
     // data-log-only gate never fires and the per-read max-seq aggregate
-    // scans an ever-growing version log.
-    val fragmented =
+    // scans an ever-growing version log. The version log must EXIST for
+    // any rewrite (liveness is defined by it — round-13 review: a
+    // public-API caller pointing at a data-only log must get `false`,
+    // not a mid-batch read crash).
+    val fragmented = pathExists(spark, versionsDir) && (
       (pathExists(spark, dataDir) &&
         cdcIndexFileCount(spark, dataDir) > maxFiles) ||
-      (pathExists(spark, versionsDir) &&
-        cdcIndexFileCount(spark, versionsDir) > maxFiles)
+      cdcIndexFileCount(spark, versionsDir) > maxFiles)
     if (fragmented) {
       val latest = spark.read.parquet(versionsDir)
         .groupBy(col(idCol)).agg(max(col("ingest_seq")).as("__vmax"))

@@ -6,14 +6,15 @@ import org.apache.spark.sql.functions._
 /** Quantifies the LSM trade on the versioned index logs (round-13, the
   * r12 verdict item 6): the `maxPostingFiles = 64` compaction default
   * was chosen with the read-amplification claim made in prose — this
-  * measures it. For a postings log fragmented into B per-batch file
-  * groups (each micro-batch append = one file group, the streaming
-  * loop's shape; 25% of batches re-deliver earlier docs so the resolve
-  * join really filters stale versions):
+  * measures it. For a postings log fragmented into B+B/4 per-batch
+  * file groups (each micro-batch append = one file group, the
+  * streaming loop's shape; B batches deliver the WHOLE corpus, then
+  * B/4 update batches re-deliver the first quarter's docs so the
+  * resolve join really filters stale versions — ~20% of rows):
   *
   *   - resolve cost FRAGMENTED: full `resolvedPostings` pass (the
   *     max-seq aggregate over the version log + the doc-keyed join)
-  *     with B file groups on both logs;
+  *     with B+B/4 file groups on both logs;
   *   - the compaction rewrite itself (`maybeCompactVersioned` forced);
   *   - resolve cost COMPACTED: the same pass over one file group per
   *     log, live rows only.
@@ -65,16 +66,16 @@ object VersionedLogBench {
     batchCounts.foreach { b =>
       val root = graft.util.Scratch.tempDir(s"graft-vlog-x$factor-b$b")
       val (postingsDir, versionsDir) = (root + "/postings", root + "/versions")
-      // B micro-batch appends, one file group each (coalesce(1) per
-      // append — the small-batch streaming shape). The last quarter of
-      // batches RE-DELIVER the first quarter's docs (doc updates), so
-      // ~25% of postings rows are stale at read time.
+      // Micro-batch appends, one file group each (coalesce(1) per
+      // append — the small-batch streaming shape): B data batches
+      // deliver EVERY doc (residue i of B), then B/4 additional update
+      // batches RE-DELIVER the first quarter's residues (doc updates),
+      // so the whole corpus is in the logs and ~20% of postings rows
+      // are stale at read time. Total file groups per log: B + B/4.
       val bb = math.max(4, b)
-      (0 until bb).foreach { i =>
-        val slice =
-          if (i >= bb - bb / 4) pmod(col("doc_id"), lit(bb.toLong)) === (i - (bb - bb / 4)).toLong
-          else pmod(col("doc_id"), lit(bb.toLong)) === i.toLong
-        val batch = docs.filter(slice)
+      (0 until bb + bb / 4).foreach { i =>
+        val residue = if (i < bb) i.toLong else (i - bb).toLong
+        val batch = docs.filter(pmod(col("doc_id"), lit(bb.toLong)) === residue)
         graft.pipeline.Ingest.appendWithSeq(
           batch.select(col("doc_id")).coalesce(1), versionsDir, i.toLong)
         graft.pipeline.Ingest.appendWithSeq(

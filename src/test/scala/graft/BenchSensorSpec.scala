@@ -27,9 +27,10 @@ class BenchSensorSpec extends AnyFunSuite {
   }
 
   test("a late-run burst trips the TRAILING-window sensor while the median stays in band (the r12 steal-tail shape)") {
-    // 9 settled probes at the warm floor, then the tail goes 1.4-1.6x:
-    // median over settled = 0.16 (in band), last 3 all breach
-    val series = Seq(0.28, 0.25, 0.22) ++ Seq.fill(9)(0.16) ++ Seq(0.23, 0.25, 0.24)
+    // 9 settled probes at the warm floor, then the tail goes 1.5-1.6x:
+    // median over settled = 0.16 (in band), last 3 all breach the 1.40
+    // tail band
+    val series = Seq(0.28, 0.25, 0.22) ++ Seq.fill(9)(0.16) ++ Seq(0.24, 0.26, 0.25)
     val r = Bench.scanAbortReason(series, clean)
     assert(r.exists(_.contains("trailing")), s"expected trailing breach, got $r")
   }
@@ -40,6 +41,14 @@ class BenchSensorSpec extends AnyFunSuite {
     // nor two of three
     val series2 = Seq(0.28, 0.25, 0.22) ++ Seq.fill(9)(0.16) ++ Seq(0.45, 0.16, 0.45)
     assert(Bench.scanAbortReason(series2, clean).isEmpty)
+  }
+
+  test("three consecutive MILDLY-hot tail probes (<=1.4x, the GC-adjacent clean shape) stay live — the tail band sits above the median band on purpose") {
+    // the r13 clean run read a 1.35x single probe near the heavy
+    // streaming cluster; a sustained ~1.3x tail from run-local GC must
+    // not kill a live run the end-of-run gate would pass
+    val series = Seq(0.28, 0.25, 0.22) ++ Seq.fill(9)(0.16) ++ Seq(0.21, 0.22, 0.21)
+    assert(Bench.scanAbortReason(series, clean).isEmpty)
   }
 
   test("a clean full-run series stays live end to end") {
