@@ -129,7 +129,7 @@ object Bench {
     "x117_bm25_retract_stream", "x118_ann_production_ladder", "x119_grouped_sample_rekey",
     "x120_dedup_index_retract", "x121_grouped_sample_forgotten",
     "x122_emb_index_retract", "x123_cdc_index_retract",
-    "x124_grouped_sample_ledger")
+    "x124_grouped_sample_ledger", "x125_dedup_stream_retract")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

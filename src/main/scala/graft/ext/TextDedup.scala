@@ -226,7 +226,13 @@ object TextDedup {
     * loop calls per batch.
     */
   def incrementalCandidatesBanded(indexBands: DataFrame, batchSigs: DataFrame,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket, excludeSelf: Boolean = false): DataFrame = {
+    // excludeSelf (round-13, x125): under a VERSIONED index the same
+    // doc_id legitimately exists on both sides — a doc UPDATE probes an
+    // index that still serves its own previous version, and "you are a
+    // near-duplicate of your own last crawl" is not a dedup signal. The
+    // x51 contract (disjoint ids) keeps the default false, where the
+    // filter is vacuous.
     val ib = indexBands
     val nb = signatureBands(batchSigs)
     val keys = nb.select(col("band"), col("band_hash")).distinct()
@@ -244,6 +250,7 @@ object TextDedup {
     val newOld = capped
       .join(nb.select(col("band"), col("band_hash"),
         col("doc_id").as("new_id"), col("sig").as("nsig")), Seq("band", "band_hash"))
+      .filter(if (excludeSelf) col("doc_id") =!= col("new_id") else lit(true))
       .select(col("new_id"), col("doc_id").as("match_id"),
         estJaccard(col("nsig"), col("sig")).as("est_jaccard"),
         lit("corpus").as("origin"))
@@ -272,8 +279,9 @@ object TextDedup {
     * calls per batch; see [[incrementalCandidatesBanded]].
     */
   def incrementalDedupBanded(indexBands: DataFrame, batchSigs: DataFrame,
-      threshold: Double = 0.5, maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val hits = incrementalCandidatesBanded(indexBands, batchSigs, maxBucket)
+      threshold: Double = 0.5, maxBucket: Int = DefaultMaxBucket,
+      excludeSelf: Boolean = false): DataFrame = {
+    val hits = incrementalCandidatesBanded(indexBands, batchSigs, maxBucket, excludeSelf)
       .filter(col("est_jaccard") >= threshold)
       .groupBy(col("new_id").as("doc_id"))
       .agg(count_if(col("origin") === "corpus").as("n_corpus_hits"),

@@ -395,11 +395,19 @@ object ExtensionQueries {
   // Parameterized over the split-corpus CTE (round-12): x51 reads the
   // raw documents table under the 80/20 hash split; x120 reads the
   // LATEST-VERSION train corpus (updates applied, retractions dropped).
-  // `spCte` must produce (doc_id, text, split).
-  private def incrementalDedupOracleOver(spCte: String): String = {
+  // `spCte` must produce (doc_id, text, split). Round-13 (x125):
+  // `selfExclude` drops same-doc_id corpus matches (the versioned-index
+  // regime where a doc's update probes an index still serving its own
+  // previous version) and `waveCol` prefixes a literal wave column so
+  // per-wave instantiations can UNION — both default to the byte-
+  // identical x51/x120 form.
+  private def incrementalDedupOracleOver(spCte: String,
+      selfExclude: Boolean = false, waveCol: Option[Int] = None): String = {
     val cap = graft.ext.TextDedup.DefaultMaxBucket
     // est_jaccard >= 0.5 over 16 components == at least 8 equal
     val minEq = math.ceil(0.5 * graft.ext.TextDedup.NumHashes).toInt
+    val selfSql = if (selfExclude) " AND n.doc_id <> c.doc_id" else ""
+    val waveSql = waveCol.map(w => s"CAST($w AS BIGINT) AS wave,\n  ").getOrElse("")
     s"""WITH sp AS ($spCte),
        |sh AS (SELECT doc_id, split,
        |    unnest(list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)])) AS shingle
@@ -416,12 +424,12 @@ object ExtensionQueries {
        |co AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS match_id
        |       FROM nb n JOIN cb c ON n.band = c.band AND n.bkey = c.bkey
        |       JOIN cok k ON n.band = k.band AND n.bkey = k.bkey
-       |       WHERE ${eqCountSql("n", "c")} >= $minEq),
+       |       WHERE ${eqCountSql("n", "c")} >= $minEq$selfSql),
        |bp AS (SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS match_id
        |       FROM nb a JOIN nb b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
        |       JOIN nok k ON a.band = k.band AND a.bkey = k.bkey
        |       WHERE ${eqCountSql("a", "b")} >= $minEq)
-       |SELECT s.doc_id,
+       |SELECT ${waveSql}s.doc_id,
        |  CAST(COALESCE(ch.n, 0) AS BIGINT) AS n_corpus_hits,
        |  CAST(COALESCE(bh.n, 0) AS BIGINT) AS n_batch_rivals,
        |  CAST(CASE WHEN COALESCE(ch.n, 0) = 0 AND COALESCE(bh.n, 0) = 0
@@ -505,6 +513,59 @@ object ExtensionQueries {
       |                ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS hh
       |              FROM documents) t0) t
       |  WHERE NOT (is_corpus AND hh % 4 = 2))""".stripMargin)
+
+  // x125's oracle: the per-wave dedup verdicts REPLAYED in closed form —
+  // for each wave k, the live index is the latest version of everything
+  // that arrived in waves < k (the x117 update script: wave 1 delivers
+  // h4==1 doubled + h4==3 '+alpha', wave 2 delivers h4==2 null-text and
+  // h4==3 reverted) as the 'train' side and wave k's arrivals as the
+  // 'eval' side, with SELF-matches excluded (a doc's update probes an
+  // index still serving its own previous version). Each wave is one
+  // instantiation of the x51 verdict SQL; the union is blind to the
+  // version log, the stamped appends, and compaction. Wave 2's h4==2
+  // null-text arrivals shingle to nothing on both engines, so they have
+  // no verdict row — their effect is pure retraction, visible in later
+  // waves' n_corpus_hits.
+  private val dedupStreamRetractOracle: String = {
+    val baseCte =
+      """(SELECT doc_id, text,
+        |   ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 4 AS h4
+        | FROM documents)""".stripMargin
+    val wave0 = incrementalDedupOracleOver(
+      s"SELECT doc_id, text, 'eval' AS split FROM documents",
+      selfExclude = true, waveCol = Some(0))
+    val wave1 = incrementalDedupOracleOver(
+      s"""SELECT doc_id, text, 'train' AS split FROM documents
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    CASE WHEN h4 = 1 THEN text || ' ' || text ELSE text || ' alpha' END AS text,
+         |    'eval' AS split
+         |  FROM $baseCte t WHERE h4 IN (1, 3)""".stripMargin,
+      selfExclude = true, waveCol = Some(1))
+    val wave2 = incrementalDedupOracleOver(
+      s"""SELECT doc_id,
+         |    CASE WHEN h4 = 1 THEN text || ' ' || text
+         |         WHEN h4 = 3 THEN text || ' alpha'
+         |         ELSE text END AS text,
+         |    'train' AS split
+         |  FROM $baseCte t
+         |  UNION ALL
+         |  SELECT doc_id, text, 'eval' AS split FROM $baseCte t2 WHERE h4 = 3""".stripMargin,
+      selfExclude = true, waveCol = Some(2))
+    s"""SELECT * FROM (
+       |SELECT * FROM (
+       |$wave0
+       |) w0
+       |UNION ALL
+       |SELECT * FROM (
+       |$wave1
+       |) w1
+       |UNION ALL
+       |SELECT * FROM (
+       |$wave2
+       |) w2
+       |) u ORDER BY wave, doc_id""".stripMargin
+  }
 
   // Shared x121/x124 machinery (round-13 review): the two entries differ
   // ONLY in the per-group trim the fold keeps — 10 for the bounded fold
@@ -4733,5 +4794,51 @@ object ExtensionQueries {
         "trims at n+ledger and publishes the rk<=10 prefix, plus x121's " +
         "min-over-delivered-versions frame.",
       Some(groupedSampleForgottenOracle(trim = 13)),
-      groupedSampleForgottenQuery(ledger = 3)))
+      groupedSampleForgottenQuery(ledger = 3)),
+
+    Q("x125_dedup_stream_retract",
+      "The PRODUCTION continuous-dedup loop over a RETRACTABLE index (round-13) — the " +
+        "composition x51/x120 prove piecewise, fused and run as one stream " +
+        "(streaming.bandIndexUpsertDedupStream): every arriving doc VERSION gets a dedup " +
+        "verdict against the LIVE index of strictly-prior waves (updates applied, " +
+        "retractions invisible — a stale band can neither convict nor exonerate), with " +
+        "SELF-matches excluded (a doc's update probes an index still serving its own " +
+        "previous version; 'near-dup of your own last crawl' is not a dedup signal), " +
+        "then enters the versioned index as its doc's newest version. Script: the x117 " +
+        "waves (full corpus; h4==1 doubled + h4==3 '+alpha' in wave 1; h4==2 null-text " +
+        "= retraction + h4==3 reverted in wave 2). Output = the verdict LOG, one row " +
+        "per signed arrival per wave. The oracle replays each wave's verdicts in closed " +
+        "form — x51's SQL instantiated per wave with (live-corpus-at-k, wave-k batch) " +
+        "and self-exclusion, unioned — blind to the version log, the stamped appends, " +
+        "and compaction. One signature pass per batch feeds both the probe and the " +
+        "band append; the probe stays O(batch x touched buckets) after the doc-keyed " +
+        "resolve join.",
+      Some(dedupStreamRetractOracle),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("h4", pmod(graft.ext.TextDedup.portableHashBuiltin(
+            col("doc_id").cast("string"), ""), lit(4L)))
+          .localCheckpoint(false) // one corpus pass feeds all three waves
+        val root = scratchTempDir("graft-x125-dedupstream")
+        writeStreamWave(root, 0, docs.drop("h4"))
+        writeStreamWave(root, 1,
+          docs.filter(col("h4") === 1)
+            .withColumn("text", concat(col("text"), lit(" "), col("text"))).drop("h4")
+            .unionByName(docs.filter(col("h4") === 3)
+              .withColumn("text", concat(col("text"), lit(" alpha"))).drop("h4")))
+        writeStreamWave(root, 2,
+          docs.filter(col("h4") === 2)
+            .withColumn("text", lit(null).cast("string")).drop("h4")
+            .unionByName(docs.filter(col("h4") === 3).drop("h4")))
+        val stream = s.readStream
+          .schema(Tables.documents(s, d).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(root + "/src/*")
+        graft.streaming.StreamingIngest.bandIndexUpsertDedupStream(stream,
+          root + "/bands", root + "/versions", root + "/verdicts", root + "/ckpt",
+          signer = df => TextDedup.minhashSignaturesPortable(df))
+        s.read.parquet(root + "/verdicts")
+          .select(col("ingest_seq").as("wave"), col("doc_id"),
+            col("n_corpus_hits"), col("n_batch_rivals"), col("keep"))
+      }))
 }

@@ -970,6 +970,87 @@ object StreamingIngest {
     resolvedRows(spark, chunksDir, versionsDir, idCol)
       .select(col(idCol), col("h"))
 
+  /** The PRODUCTION continuous-dedup loop over a RETRACTABLE index
+    * (round-13, x125) — [[dedupedCorpusStream]]'s verdict step fused
+    * with [[bandIndexUpsertStream]]'s versioned maintenance, which is
+    * the composition a real update-capable ingest runs: every arriving
+    * doc version gets a dedup VERDICT against the live index of
+    * strictly-prior batches (updates/retractions applied — a stale band
+    * can neither convict nor exonerate), and then enters the versioned
+    * index as its doc's newest version (null-text arrival = retraction,
+    * derives no bands). Self-matches are EXCLUDED from verdicts
+    * (`excludeSelf` — a doc's update probes an index still serving its
+    * own previous version, and "near-dup of your own last crawl" is not
+    * a dedup signal); in-batch smaller-id rivals still count.
+    *
+    * Deliberately NOT composed from the two existing streams: the
+    * verdict probe and the band append share ONE signature pass per
+    * batch (`sigs`), and the probe must cap BOTH logs at
+    * `ingest_seq < batchId` — a replayed batch must not see the crashed
+    * attempt's own appends (the dedupedCorpusStream idiom applied to
+    * the resolve). Exactly-once: the verdict append lands FIRST under
+    * its own landedSeq guard, so a replay that finds it landed skips
+    * recomputation entirely; if it hasn't landed, no later batch ran
+    * (AvailableNow is ordered), the previous batch's compaction kept
+    * exactly the per-id max-seq rows ≤ batchId-1 — the state the probe
+    * needs — and the recomputation is deterministic.
+    *
+    * Per-batch cost: one O(batch) signature pass + the bucketed index
+    * probe (O(batch × touched buckets) after the doc-keyed resolve
+    * join) + three stamped appends; compaction amortizes the resolve
+    * back to O(live bands).
+    */
+  def bandIndexUpsertDedupStream(docs: DataFrame, bandsDir: String,
+      versionsDir: String, verdictsDir: String, checkpointDir: String,
+      idCol: String = "doc_id", maxBandFiles: Int = 64,
+      signer: DataFrame => DataFrame = graft.ext.TextDedup.minhashSignatures(_),
+      threshold: Double = 0.5,
+      maxBucket: Int = graft.ext.TextDedup.DefaultMaxBucket): StreamingQuery = {
+    import graft.ext.TextDedup
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val raw = batch.toDF()
+        // intra-batch duplicate-version resolution: the shared
+        // versionedIndexStream rule (min full-row xxhash64)
+        val perId = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol))
+          .orderBy(xxhash64(raw.columns.map(col).toIndexedSeq: _*).asc)
+        val b = raw.withColumn("__v", row_number().over(perId))
+          .filter(col("__v") === 1).drop("__v")
+          .localCheckpoint(false)
+        val sigs = signer(b).localCheckpoint(false) // feeds verdicts AND bands
+        val live =
+          if (pathExists(spark, bandsDir) && pathExists(spark, versionsDir)) {
+            val latest = spark.read.parquet(versionsDir)
+              .filter(col("ingest_seq") < batchId)
+              .groupBy(col(idCol)).agg(max(col("ingest_seq")).as("__vmax"))
+            spark.read.parquet(bandsDir)
+              .filter(col("ingest_seq") < batchId)
+              .join(latest, Seq(idCol))
+              .filter(col("ingest_seq") === col("__vmax"))
+              .select(col("band"), col("band_hash"), col(idCol), col("sig"))
+          } else TextDedup.signatureBands(sigs).limit(0)
+        if (!landedSeq(spark, verdictsDir, batchId))
+          graft.pipeline.Ingest.appendWithSeq(
+            TextDedup.incrementalDedupBanded(live, sigs, threshold, maxBucket,
+              excludeSelf = true),
+            verdictsDir, batchId)
+        if (!landedSeq(spark, versionsDir, batchId))
+          graft.pipeline.Ingest.appendWithSeq(b.select(col(idCol)), versionsDir, batchId)
+        if (!landedSeq(spark, bandsDir, batchId))
+          graft.pipeline.Ingest.appendWithSeq(
+            TextDedup.signatureBands(sigs), bandsDir, batchId)
+        maybeCompactVersioned(spark, bandsDir, versionsDir, maxBandFiles, idCol)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** The shared versioned-index maintenance loop (postings: x117,
     * bands: x120, vectors: x122, chunks: x123): per micro-batch, resolve
     * intra-batch duplicate

@@ -197,7 +197,11 @@ object ScaleSmoke {
     // per-group trim at n+ledger — same per-wave priority passes,
     // standing state O(sources x 13).
     "x122_emb_index_retract", "x123_cdc_index_retract",
-    "x124_grouped_sample_ledger")
+    // x125 fuses x51's verdict probe with x120's versioned maintenance:
+    // per-wave portable-md5 signing is the corpus-linear term (shared by
+    // probe and append — one pass), the resolve join O(live bands), the
+    // probe O(batch x touched buckets)
+    "x124_grouped_sample_ledger", "x125_dedup_stream_retract")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
