@@ -464,13 +464,35 @@ object Similarity {
     * (EmbDedupStreamSpec locks the plan contrast, the
     * IncrementalDedupSpec pattern).
     * Output: `vec_id, bucket, embedding, keep` (1 = survivor).
+    *
+    * Round-13 `excludeSelf`: under the versioned-index regime a doc's
+    * UPDATE probes an index still serving its own previous version, and
+    * "near-dup of your own last crawl" is not a dedup signal — when
+    * true, index matches with the batch row's own `vec_id` are dropped
+    * (the `incrementalDedupBanded` flag; the index frame must then
+    * carry `vec_id`). Default false keeps the byte-identical original
+    * plan: the index side stays a BARE (bucket, embedding) scan so a
+    * bucketed standing index still avoids the per-batch re-shuffle.
     */
   def embeddingDedupVerdicts(indexVectors: DataFrame, batch: DataFrame,
-      threshold: Double): DataFrame = {
-    val bucketed = batch.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding")).as("bucket"))
-    val corpusDups = indexVectors.select(col("bucket"), col("embedding").as("vx"))
-      .join(bucketed, Seq("bucket"))
+      threshold: Double, excludeSelf: Boolean = false): DataFrame = {
+    // reuse a caller-materialized bucket column when present (the fused
+    // streaming loop checkpoints ONE bucketing pass for both the probe
+    // and the index append); otherwise bucket here
+    val bucketed =
+      if (batch.columns.contains("bucket"))
+        batch.select(col("vec_id"), col("embedding"), col("bucket"))
+      else batch.select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding")).as("bucket"))
+    val corpusSide =
+      if (excludeSelf)
+        indexVectors.select(col("bucket"), col("embedding").as("vx"),
+          col("vec_id").as("__id_x"))
+      else indexVectors.select(col("bucket"), col("embedding").as("vx"))
+    val corpusJoined = corpusSide.join(bucketed, Seq("bucket"))
+    val corpusDups =
+      (if (excludeSelf) corpusJoined.filter(col("__id_x") =!= col("vec_id"))
+       else corpusJoined)
       .filter(cosine_similarity(col("embedding"), col("vx")) >= threshold)
       .select(col("vec_id"))
     val rivalDups = bucketed.join(

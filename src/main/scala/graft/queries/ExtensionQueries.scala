@@ -466,8 +466,14 @@ object ExtensionQueries {
   // documents table under the 80/20 hash split; x123 reads the
   // LATEST-VERSION corpus (updates applied, retractions dropped). `rel`
   // must be a parenthesized subquery with columns (doc_id, text,
-  // is_corpus). Body is x71's original SQL verbatim below the d CTE.
-  private def cdcIncrementalOracleOver(rel: String): String =
+  // is_corpus) — doc_id MAY repeat across the two sides (x127 probes a
+  // live index that still holds the doc's own previous version). Body is
+  // x71's original SQL verbatim below the d CTE. `waveCol` prefixes a
+  // literal wave column so per-wave instantiations can UNION (the
+  // incrementalDedupOracleOver move).
+  private def cdcIncrementalOracleOver(rel: String,
+      waveCol: Option[Int] = None): String = {
+    val waveSql = waveCol.map(w => s"CAST($w AS BIGINT) AS wave,\n  ").getOrElse("")
     s"""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len, is_corpus
        |           FROM $rel),
        |c AS (SELECT doc_id, is_corpus, text, len,
@@ -483,12 +489,13 @@ object ExtensionQueries {
        |       FROM seg, unnest(range(1, len(starts) + 1)) u(i)),
        |idx AS (SELECT DISTINCT h FROM ch WHERE is_corpus),
        |nb AS (SELECT doc_id, clen, h FROM ch WHERE NOT is_corpus)
-       |SELECT nb.doc_id,
+       |SELECT ${waveSql}nb.doc_id,
        |  CAST(count(*) AS BIGINT) AS n_chunks,
        |  CAST(SUM(CASE WHEN idx.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus_hits,
        |  CAST(SUM(CASE WHEN idx.h IS NULL THEN nb.clen ELSE 0 END) AS BIGINT) AS novel_chars
        |FROM nb LEFT JOIN idx ON nb.h = idx.h
        |GROUP BY nb.doc_id ORDER BY doc_id""".stripMargin
+  }
 
   private val cdcIncrementalOracle: String = cdcIncrementalOracleOver(
     """(SELECT doc_id, text,
@@ -773,6 +780,172 @@ object ExtensionQueries {
        |FROM pb LEFT JOIN cd ON pb.vec_id = cd.vec_id
        |LEFT JOIN rd ON pb.vec_id = rd.vec_id
        |ORDER BY pb.vec_id""".stripMargin
+
+  // ---- x126 fused embedding-dedup-stream oracle ----------------------------
+  // One wave of embeddingDedupVerdicts in closed form (the embRetractOracle
+  // fragments parameterized the incrementalDedupOracleOver way): `liveSql`
+  // is the latest-version index BEFORE the wave, `batchSql` the wave's
+  // non-null arrivals; corpus matches exclude the batch row's own vec_id
+  // (excludeSelf — a doc's update probes an index still serving its own
+  // previous version), in-batch rivals keep the smaller-id rule.
+  private def embDedupWaveSql(liveSql: String, batchSql: String, wave: Int): String =
+    s"""WITH lv AS ($liveSql),
+       |lb AS MATERIALIZED (SELECT vec_id, e, ${bucketSql("e")} AS bucket,
+       |       sqrt(${dotSql("e", "e")}) AS nr FROM lv),
+       |bt AS ($batchSql),
+       |pb AS MATERIALIZED (SELECT vec_id, e, ${bucketSql("e")} AS bucket,
+       |       sqrt(${dotSql("e", "e")}) AS nr FROM bt),
+       |cd AS (SELECT DISTINCT pb.vec_id FROM pb JOIN lb ON pb.bucket = lb.bucket
+       |       WHERE lb.vec_id <> pb.vec_id
+       |         AND (${dotSql("pb.e", "lb.e")} / (pb.nr * lb.nr)) >= 0.9),
+       |rd AS (SELECT DISTINCT b.vec_id FROM pb a JOIN pb b
+       |         ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |       WHERE (${dotSql("b.e", "a.e")} / (b.nr * a.nr)) >= 0.9)
+       |SELECT CAST($wave AS BIGINT) AS wave, pb.vec_id, CAST(pb.bucket AS INT) AS bucket,
+       |  CAST(CASE WHEN cd.vec_id IS NOT NULL OR rd.vec_id IS NOT NULL
+       |       THEN 0 ELSE 1 END AS INT) AS keep
+       |FROM pb LEFT JOIN cd ON pb.vec_id = cd.vec_id
+       |LEFT JOIN rd ON pb.vec_id = rd.vec_id""".stripMargin
+
+  // x126's oracle: the per-wave verdict replay (the x125 idiom in vector
+  // space). Wave 1's h4==0 IDENTICAL re-arrival pins self-exclusion as
+  // data (cos == 1 with its own live version — keep stays 1 ONLY because
+  // same-id matches are excluded); wave 3's paired original/negated
+  // probes pin the full update/retraction truth table against the live
+  // index AFTER wave 2 (+1e6 originals convict only where the original
+  // is live — h4 0 and the reverted 3; +2e6 negations only where the
+  // negated version is live — h4 1; every h4==2 probe keeps: retraction
+  // exonerated). Blind to the version log, the stamped appends, and
+  // compaction.
+  private val embDedupStreamOracle: String = {
+    val baseE =
+      """(SELECT vec_id, embedding,
+        |   ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT % 4 AS h4
+        | FROM embeddings)""".stripMargin
+    val negE = "list_transform(embedding, x -> -x)"
+    val w0 = embDedupWaveSql(
+      "SELECT vec_id, embedding AS e FROM embeddings WHERE FALSE",
+      "SELECT vec_id, embedding AS e FROM embeddings", 0)
+    val w1 = embDedupWaveSql(
+      "SELECT vec_id, embedding AS e FROM embeddings",
+      s"""SELECT vec_id, CASE WHEN h4 = 0 THEN embedding ELSE $negE END AS e
+         |  FROM $baseE t WHERE h4 IN (0, 1, 3)""".stripMargin, 1)
+    val w2 = embDedupWaveSql(
+      s"SELECT vec_id, CASE WHEN h4 IN (1, 3) THEN $negE ELSE embedding END AS e FROM $baseE t",
+      s"SELECT vec_id, embedding AS e FROM $baseE t WHERE h4 = 3", 2)
+    val w3 = embDedupWaveSql(
+      s"SELECT vec_id, CASE WHEN h4 = 1 THEN $negE ELSE embedding END AS e FROM $baseE t WHERE h4 <> 2",
+      s"""SELECT vec_id + 1000000 AS vec_id, embedding AS e FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 2000000 AS vec_id, $negE AS e FROM embeddings""".stripMargin, 3)
+    s"""SELECT * FROM (
+       |SELECT * FROM ($w0) w0
+       |UNION ALL
+       |SELECT * FROM ($w1) w1
+       |UNION ALL
+       |SELECT * FROM ($w2) w2
+       |UNION ALL
+       |SELECT * FROM ($w3) w3
+       |) u ORDER BY wave, vec_id""".stripMargin
+  }
+
+  // x127's oracle: per-wave CDC novelty replay — each wave is one
+  // cdcIncrementalOracleOver instantiation whose relation unions the
+  // LIVE latest-version corpus (is_corpus = true) with the wave's
+  // non-null arrivals (is_corpus = false; doc_id may repeat across the
+  // sides — self is INCLUDED, the content-store semantic). The x127
+  // split halves the corpus on an independent salt so all four h4
+  // classes stay populated.
+  private val cdcNoveltyStreamOracle: String = {
+    val baseD =
+      """(SELECT doc_id, text,
+        |   ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 4 AS h4
+        | FROM documents
+        | WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'x127'),1,15))::BIGINT % 2 = 0)""".stripMargin
+    val w0 = cdcIncrementalOracleOver(
+      s"(SELECT doc_id, text, FALSE AS is_corpus FROM $baseD t)", Some(0))
+    val w1 = cdcIncrementalOracleOver(
+      s"""(SELECT doc_id, text, TRUE AS is_corpus FROM $baseD t
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    CASE WHEN h4 = 1 THEN replace(text, 'e', '#') ELSE text || ' alpha' END AS text,
+         |    FALSE AS is_corpus
+         |  FROM $baseD t2 WHERE h4 IN (1, 3))""".stripMargin, Some(1))
+    val w2 = cdcIncrementalOracleOver(
+      s"""(SELECT doc_id,
+         |    CASE WHEN h4 = 1 THEN replace(text, 'e', '#')
+         |         WHEN h4 = 3 THEN text || ' alpha'
+         |         ELSE text END AS text,
+         |    TRUE AS is_corpus
+         |  FROM $baseD t
+         |  UNION ALL
+         |  SELECT doc_id, text, FALSE AS is_corpus FROM $baseD t2 WHERE h4 = 3)""".stripMargin,
+      Some(2))
+    val w3 = cdcIncrementalOracleOver(
+      s"""(SELECT doc_id,
+         |    CASE WHEN h4 = 1 THEN replace(text, 'e', '#') ELSE text END AS text,
+         |    TRUE AS is_corpus
+         |  FROM $baseD t WHERE h4 <> 2
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text, FALSE AS is_corpus FROM $baseD t2)""".stripMargin,
+      Some(3))
+    s"""SELECT * FROM (
+       |SELECT * FROM ($w0) w0
+       |UNION ALL
+       |SELECT * FROM ($w1) w1
+       |UNION ALL
+       |SELECT * FROM ($w2) w2
+       |UNION ALL
+       |SELECT * FROM ($w3) w3
+       |) u ORDER BY wave, doc_id""".stripMargin
+  }
+
+  // x128's oracle: the PROVEN x14 IVF chain (bn/cent/assign/probes/s)
+  // with the corpus CTE swapped for the latest-version live index —
+  // cell structure stays pinned to the ORIGINAL corpus stride sample
+  // (the serving posture: structure refresh is a rare offline event,
+  // membership churn is continuous), assignment re-derived in closed
+  // form over live vectors (assignment is a pure function of
+  // (vector, centroids), so per-arrival assignment in the stream and
+  // whole-corpus assignment here agree exactly), queries stay the
+  // original probe vectors.
+  private val ivfUpsertOracle: String = {
+    val baseE =
+      """(SELECT vec_id, embedding,
+        |   ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT % 4 AS h4
+        | FROM embeddings)""".stripMargin
+    s"""WITH base AS (SELECT * FROM $baseE t0),
+       |live AS (SELECT vec_id,
+       |    CASE WHEN h4 = 1 THEN list_transform(embedding, x -> -x) ELSE embedding END AS embedding
+       |  FROM base WHERE h4 <> 2),
+       |bn AS MATERIALIZED (SELECT vec_id, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nr FROM live),
+       |cent AS MATERIALIZED (SELECT vec_id AS cell_id, embedding AS cv,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS cnr
+       |  FROM embeddings WHERE vec_id % 62 = 0 AND vec_id < 992),
+       |assign AS MATERIALIZED (SELECT vec_id, embedding, nr, cell_id FROM (
+       |  SELECT e.vec_id, e.embedding, e.nr, c.cell_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY (${dotSql("e.embedding", "c.cv")} / (e.nr * c.cnr)) DESC, c.cell_id) AS rn
+       |  FROM bn e, cent c) t WHERE rn = 1),
+       |qn AS MATERIALIZED (SELECT vec_id, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nr FROM embeddings WHERE vec_id < 10),
+       |probes AS (SELECT qid, cell_id FROM (
+       |  SELECT e.vec_id AS qid, c.cell_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY (${dotSql("e.embedding", "c.cv")} / (e.nr * c.cnr)) DESC, c.cell_id) AS rn
+       |  FROM qn e, cent c) t WHERE rn <= 4),
+       |s AS (SELECT p.qid, a.vec_id AS neighbor_id,
+       |             (${dotSql("q.embedding", "a.embedding")} / (q.nr * a.nr)) AS sim
+       |      FROM probes p JOIN assign a ON a.cell_id = p.cell_id
+       |      JOIN qn q ON q.vec_id = p.qid
+       |      WHERE a.vec_id != p.qid)
+       |SELECT qid, rank, neighbor_id FROM (
+       |  SELECT qid, neighbor_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM s) t
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
 
   // ---- MMR re-rank oracle (x103) ------------------------------------------
   // The greedy loop unrolled to k CTE steps over the same generated-SQL
@@ -4840,5 +5013,172 @@ object ExtensionQueries {
         s.read.parquet(root + "/verdicts")
           .select(col("ingest_seq").as("wave"), col("doc_id"),
             col("n_corpus_hits"), col("n_batch_rivals"), col("keep"))
+      }),
+
+    Q("x126_emb_dedup_stream_retract",
+      "The x125 fusion applied to the VECTOR index (round-13) — the production " +
+        "continuous embedding-dedup loop over a RETRACTABLE index " +
+        "(streaming.embIndexUpsertDedupStream): every arriving embedding VERSION gets a " +
+        "dedup verdict against the LIVE vector index of strictly-prior waves (updates " +
+        "applied, retractions invisible — a stale vector can neither convict nor " +
+        "exonerate), with SELF-matches excluded, then enters the versioned index as its " +
+        "doc's newest version; null-embedding arrival = retraction (advances the version " +
+        "log, no vector row, no verdict row). Script: corpus arrives; wave 1 re-delivers " +
+        "h4==0 IDENTICAL (cos==1 with its own live version — keep stays 1 ONLY via " +
+        "self-exclusion, the flag pinned as data) and h4==1/h4==3 NEGATED; wave 2 " +
+        "retracts h4==2 (null) and REVERTS h4==3; wave 3 probes the post-retraction " +
+        "index with every original at vec_id+1e6 and every negation at vec_id+2e6 — the " +
+        "full 8-cell update/retraction truth table as keep bits through the FUSED loop " +
+        "(originals convict only h4 0/3, negations only h4 1, every h4==2 probe keeps). " +
+        "Output = the verdict LOG, one row per signed non-null arrival per wave. Oracle " +
+        "replays each wave's verdicts in closed form (the x122 SQL fragments " +
+        "instantiated per wave with live-at-k and wave-k arrivals, self-excluded, " +
+        "unioned) — blind to the version log, the stamped appends, and compaction. One " +
+        "bucketing pass per batch feeds both probe and append; the probe stays one " +
+        "bucket equi-join after the doc-keyed resolve.",
+      Some(embDedupStreamOracle),
+      (s, d) => {
+        val base = Tables.embeddings(s, d)
+          .withColumn("h4", pmod(TextDedup.portableHashBuiltin(
+            col("vec_id").cast("string"), ""), lit(4L)))
+          .select(col("vec_id"), col("embedding"), col("h4"))
+          .localCheckpoint(false) // one corpus pass feeds all four waves
+        val neg = transform(col("embedding"), x => -x)
+        def w(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("vec_id"), col("embedding"))
+        val root = scratchTempDir("graft-x126-embdedupstream")
+        writeStreamWave(root, 0, w(base))
+        writeStreamWave(root, 1,
+          w(base.filter(col("h4") === 0))
+            .unionByName(w(base.filter(col("h4") === 1).withColumn("embedding", neg)))
+            .unionByName(w(base.filter(col("h4") === 3).withColumn("embedding", neg))))
+        writeStreamWave(root, 2,
+          w(base.filter(col("h4") === 2)
+              .withColumn("embedding", lit(null).cast("array<float>")))
+            .unionByName(w(base.filter(col("h4") === 3))))
+        writeStreamWave(root, 3,
+          base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+            .unionByName(base.select((col("vec_id") + 2000000L).as("vec_id"),
+              neg.as("embedding"))))
+        val stream = s.readStream
+          .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(root + "/src/*")
+        graft.streaming.StreamingIngest.embIndexUpsertDedupStream(stream,
+          root + "/vecs", root + "/versions", root + "/verdicts", root + "/ckpt")
+        s.read.parquet(root + "/verdicts")
+          .select(col("ingest_seq").as("wave"), col("vec_id"), col("bucket"),
+            col("keep"))
+      }),
+
+    Q("x127_cdc_novelty_stream_retract",
+      "The production fusion for the CHUNK index (round-13) — per-arrival CDC novelty " +
+        "accounting over the doc-attributed retractable index " +
+        "(streaming.cdcIndexUpsertNoveltyStream): every arriving doc version gets " +
+        "chunks/corpus-hits/novel-chars against the LIVE chunk set of strictly-prior " +
+        "waves, then its chunks enter the index as the doc's newest version. Unlike the " +
+        "dedup fusions, SELF is INCLUDED — the index is the content store and the doc's " +
+        "own previous version is still stored at probe time, so an update's re-used " +
+        "chunks are exactly the bytes a content-addressable store would not write " +
+        "again; the retraction win is about OTHERS' stale chunks no longer suppressing " +
+        "novelty. Script (on an independent-salt half of the corpus so every h4 class " +
+        "stays populated): corpus arrives (wave 0 = everything novel against an empty " +
+        "store); wave 1 re-delivers h4==1 with every 'e' replaced (high novelty vs its " +
+        "own stored version) and h4==3 '+alpha' (low novelty — CDC shift-invariance); " +
+        "wave 2 retracts h4==2 (null) and reverts h4==3 (~zero novelty vs its own " +
+        "'+alpha' version); wave 3 probes with every ORIGINAL text at doc_id+1e6 — " +
+        "h4==0/3 copies read ~0 novel (original live), h4==1 copies read HIGH novel " +
+        "(only the translated version is stored — under the append-only index the stale " +
+        "original would zero this), h4==2 copies read fully novel (retracted). Output = " +
+        "the stats LOG. Oracle: per-wave cdcIncrementalOracleOver instantiations " +
+        "(live-at-k union wave-k arrivals), unioned — blind to all machinery.",
+      Some(cdcNoveltyStreamOracle),
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .filter(pmod(TextDedup.portableHashBuiltin(
+            col("doc_id").cast("string"), "x127"), lit(2L)) === 0)
+          .withColumn("h4", pmod(TextDedup.portableHashBuiltin(
+            col("doc_id").cast("string"), ""), lit(4L)))
+          .select(col("doc_id"), col("text"), col("h4"))
+          .localCheckpoint(false) // one corpus pass feeds all four waves
+        def w(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), col("text"))
+        val root = scratchTempDir("graft-x127-cdcnovelty")
+        writeStreamWave(root, 0, w(base))
+        writeStreamWave(root, 1,
+          w(base.filter(col("h4") === 1)
+              .withColumn("text", translate(col("text"), "e", "#")))
+            .unionByName(w(base.filter(col("h4") === 3)
+              .withColumn("text", concat(col("text"), lit(" alpha"))))))
+        writeStreamWave(root, 2,
+          w(base.filter(col("h4") === 2).withColumn("text", lit(null).cast("string")))
+            .unionByName(w(base.filter(col("h4") === 3))))
+        writeStreamWave(root, 3,
+          base.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        val stream = s.readStream
+          .schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(root + "/src/*")
+        graft.streaming.StreamingIngest.cdcIndexUpsertNoveltyStream(stream,
+          root + "/chunks", root + "/versions", root + "/stats", root + "/ckpt",
+          chunker = df => TextDedup.cdcChunks(df))
+        s.read.parquet(root + "/stats")
+          .select(col("ingest_seq").as("wave"), col("doc_id"),
+            col("n_chunks"), col("n_corpus_hits"), col("novel_chars"))
+      }),
+
+    Q("x128_ivf_index_upsert",
+      "The versioned-index idiom applied to the ANN SERVING structure (round-13) — an " +
+        "incrementally-maintained IVF index (streaming.ivfIndexUpsertStream + " +
+        "resolvedIvfVectors): the cell structure is PINNED (the x14 stride-sample " +
+        "centroids — fit once, broadcast-sized; the standard production posture where " +
+        "structure refresh is a rare offline event and membership churn is continuous) " +
+        "and each arriving vector version is assigned to its nearest pinned cell at " +
+        "arrival time, O(batch x C), never O(corpus). Updates MOVE a doc's live row to " +
+        "the new vector's cell; a null-embedding re-arrival advances the version log " +
+        "with zero rows — the doc leaves the served index (batch IVF re-assigns the " +
+        "world per run and can do neither without a full rebuild). Script: the x122 " +
+        "waves (corpus; h4==1/3 negated; h4==2 deleted + h4==3 reverted); then the " +
+        "query side serves knnIvf DIRECTLY off the resolved live rows (assignedOpt — " +
+        "the stored assignment IS the inverted file) with the original ten probe " +
+        "vectors. Oracle = the proven x14 IVF chain with its corpus CTE swapped for " +
+        "the latest-version live index in closed form (assignment is a pure function " +
+        "of (vector, centroids), so per-arrival and whole-corpus assignment agree " +
+        "exactly) — any stale, missing, or mis-celled vector changes a candidate set " +
+        "and the hash.",
+      Some(ivfUpsertOracle),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val base = emb
+          .withColumn("h4", pmod(TextDedup.portableHashBuiltin(
+            col("vec_id").cast("string"), ""), lit(4L)))
+          .select(col("vec_id"), col("embedding"), col("h4"))
+          .localCheckpoint(false) // one corpus pass feeds all three waves + queries
+        val neg = transform(col("embedding"), x => -x)
+        def w(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("vec_id"), col("embedding"))
+        val root = scratchTempDir("graft-x128-ivfidx")
+        writeStreamWave(root, 0, w(base))
+        writeStreamWave(root, 1,
+          w(base.filter(col("h4") === 1).withColumn("embedding", neg))
+            .unionByName(w(base.filter(col("h4") === 3).withColumn("embedding", neg))))
+        writeStreamWave(root, 2,
+          w(base.filter(col("h4") === 2)
+              .withColumn("embedding", lit(null).cast("array<float>")))
+            .unionByName(w(base.filter(col("h4") === 3))))
+        // the pinned cell structure: the x14 stride sample, materialized
+        // once — it is re-read every micro-batch of the maintenance loop
+        val centroids = Similarity.strideCentroids(emb, 16).localCheckpoint(false)
+        val stream = s.readStream
+          .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(root + "/src/*")
+        graft.streaming.StreamingIngest.ivfIndexUpsertStream(stream,
+          root + "/vecs", root + "/versions", root + "/ckpt", centroids)
+        val live = graft.streaming.StreamingIngest.resolvedIvfVectors(
+          s, root + "/vecs", root + "/versions").localCheckpoint(false)
+        Similarity.knnIvf(
+          base.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+          live, centroids, 5, 4, assignedOpt = Some(live))
       }))
 }

@@ -930,6 +930,44 @@ object StreamingIngest {
     resolvedRows(spark, vecsDir, versionsDir, idCol)
       .select(col(idCol), col("bucket"), col("embedding"))
 
+  /** The versioned-index idiom applied to the ANN SERVING structure
+    * (round-13, x128): an incrementally-maintained IVF index. The batch
+    * IVF path ([[graft.ext.Similarity.knnIvf]]) fits centroids once and
+    * assigns the whole corpus per run — at 100 TB the corpus cannot be
+    * re-assigned on every arrival, and without retraction a re-embedded
+    * doc would keep being SERVED from its stale cell forever. Here the
+    * cell structure is PINNED (`centroids` — fit once, broadcast-sized;
+    * the standard IVF production posture: structure refresh is a rare
+    * offline event, membership churn is continuous) and each arriving
+    * vector version is assigned to its nearest pinned cell at arrival
+    * time, O(batch × C) — never O(corpus). Updates move a doc's live
+    * row to the new vector's cell; a null-embedding re-arrival advances
+    * the version log with zero rows = the doc leaves the served index.
+    * Serving reads [[resolvedIvfVectors]] straight into
+    * [[graft.ext.Similarity.knnIvf]]'s `assignedOpt` — the stored
+    * assignment IS the inverted file, so queries pay only nprobe-cell
+    * candidate generation. `centroids` must be (vec_id, embedding),
+    * pre-materialized by the caller (it is re-read every micro-batch).
+    */
+  def ivfIndexUpsertStream(vectors: DataFrame, vecsDir: String,
+      versionsDir: String, checkpointDir: String, centroids: DataFrame,
+      idCol: String = "vec_id", maxVecFiles: Int = 64): StreamingQuery =
+    versionedIndexStream(vectors, vecsDir, versionsDir, checkpointDir,
+      idCol, maxVecFiles,
+      b => graft.ext.Similarity.ivfAssign(
+          b.filter(col("embedding").isNotNull)
+            .select(col(idCol).as("vec_id"), col("embedding")), centroids)
+        .select(col("vec_id").as(idCol), col("cell_id"), col("embedding")))
+
+  /** Read side of [[ivfIndexUpsertStream]]: the LIVE
+    * (idCol, cell_id, embedding) rows — exactly the inverted-file frame
+    * [[graft.ext.Similarity.knnIvf]] accepts as `assignedOpt`.
+    */
+  def resolvedIvfVectors(spark: SparkSession, vecsDir: String,
+      versionsDir: String, idCol: String = "vec_id"): DataFrame =
+    resolvedRows(spark, vecsDir, versionsDir, idCol)
+      .select(col(idCol), col("cell_id"), col("embedding"))
+
   /** Doc retraction for the standing CDC chunk-hash index (round-13,
     * the r12 verdict item 2). [[cdcNoveltyStream]]'s index is keyed by
     * content hash `h` ALONE, so a doc update/deletion cannot retract
@@ -1011,27 +1049,11 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val raw = batch.toDF()
-        // intra-batch duplicate-version resolution: the shared
-        // versionedIndexStream rule (min full-row xxhash64)
-        val perId = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(idCol))
-          .orderBy(xxhash64(raw.columns.map(col).toIndexedSeq: _*).asc)
-        val b = raw.withColumn("__v", row_number().over(perId))
-          .filter(col("__v") === 1).drop("__v")
-          .localCheckpoint(false)
+        val b = resolveBatchVersions(batch.toDF(), idCol)
         val sigs = signer(b).localCheckpoint(false) // feeds verdicts AND bands
-        val live =
-          if (pathExists(spark, bandsDir) && pathExists(spark, versionsDir)) {
-            val latest = spark.read.parquet(versionsDir)
-              .filter(col("ingest_seq") < batchId)
-              .groupBy(col(idCol)).agg(max(col("ingest_seq")).as("__vmax"))
-            spark.read.parquet(bandsDir)
-              .filter(col("ingest_seq") < batchId)
-              .join(latest, Seq(idCol))
-              .filter(col("ingest_seq") === col("__vmax"))
-              .select(col("band"), col("band_hash"), col(idCol), col("sig"))
-          } else TextDedup.signatureBands(sigs).limit(0)
+        val live = liveRowsBefore(spark, bandsDir, versionsDir, idCol, batchId)
+          .map(_.select(col("band"), col("band_hash"), col(idCol), col("sig")))
+          .getOrElse(TextDedup.signatureBands(sigs).limit(0))
         if (!landedSeq(spark, verdictsDir, batchId))
           graft.pipeline.Ingest.appendWithSeq(
             TextDedup.incrementalDedupBanded(live, sigs, threshold, maxBucket,
@@ -1051,12 +1073,171 @@ object StreamingIngest {
     q
   }
 
+  /** The [[bandIndexUpsertDedupStream]] fusion applied to the VECTOR
+    * index (round-13, x126) — [[embeddingDedupStream]]'s verdict step
+    * over [[embIndexUpsertStream]]'s versioned maintenance: every
+    * arriving embedding VERSION gets a dedup verdict against the live
+    * vector index of strictly-prior batches (updates applied,
+    * retractions invisible — a stale vector can neither convict nor
+    * exonerate), then enters the versioned index as its doc's newest
+    * version. Null-embedding arrival = retraction: it advances the
+    * version log, derives no vector row, and gets NO verdict row (it
+    * has no bucket to probe). Self-matches are EXCLUDED
+    * ([[graft.ext.Similarity.embeddingDedupVerdicts]]'s `excludeSelf` —
+    * a re-embedded doc probes an index still serving its own previous
+    * vector, and "near-dup of your own last embedding" is not a dedup
+    * signal); in-batch smaller-id rivals still count.
+    *
+    * Same exactly-once choreography as the band fusion: the verdict
+    * append lands FIRST under its own landedSeq guard, both logs are
+    * capped at `ingest_seq < batchId` so a replayed batch never sees
+    * the crashed attempt's own appends, and the recomputation is
+    * deterministic (cosine is the fused kernel's fixed left-to-right
+    * accumulation). One bucketing pass per batch feeds both the probe
+    * and the vector append. Per-batch cost: O(batch) bucketing + the
+    * bucket equi-join probe (O(batch × touched buckets) after the
+    * doc-keyed resolve join) + three stamped appends; compaction
+    * amortizes the resolve back to O(live vectors). The verdict kernel
+    * reads the id column as `vec_id`, so `idCol` must be "vec_id".
+    */
+  def embIndexUpsertDedupStream(vectors: DataFrame, vecsDir: String,
+      versionsDir: String, verdictsDir: String, checkpointDir: String,
+      idCol: String = "vec_id", maxVecFiles: Int = 64,
+      threshold: Double = 0.9): StreamingQuery = {
+    import graft.ext.Similarity
+    val q = vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = resolveBatchVersions(batch.toDF(), idCol)
+        // one bucketing pass feeds verdicts AND the index append (the
+        // verdict kernel reuses a caller-materialized bucket column)
+        val arrivals = b.filter(col("embedding").isNotNull)
+          .select(col(idCol),
+            Similarity.lshBucket(col("embedding")).as("bucket"),
+            col("embedding"))
+          .localCheckpoint(false)
+        val live = liveRowsBefore(spark, vecsDir, versionsDir, idCol, batchId)
+          .map(_.select(col(idCol), col("bucket"), col("embedding")))
+          .getOrElse(arrivals.limit(0))
+        if (!landedSeq(spark, verdictsDir, batchId))
+          graft.pipeline.Ingest.appendWithSeq(
+            Similarity.embeddingDedupVerdicts(live, arrivals, threshold,
+                excludeSelf = true)
+              .select(col(idCol), col("bucket"), col("keep")),
+            verdictsDir, batchId)
+        if (!landedSeq(spark, versionsDir, batchId))
+          graft.pipeline.Ingest.appendWithSeq(b.select(col(idCol)), versionsDir, batchId)
+        if (!landedSeq(spark, vecsDir, batchId))
+          graft.pipeline.Ingest.appendWithSeq(arrivals, vecsDir, batchId)
+        maybeCompactVersioned(spark, vecsDir, versionsDir, maxVecFiles, idCol)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** The production fusion for the CHUNK index (round-13, x127) —
+    * [[cdcNoveltyStream]]'s per-arrival novelty accounting over
+    * [[cdcIndexUpsertStream]]'s doc-attributed versioned maintenance:
+    * every arriving doc version gets CDC novelty stats (chunks / corpus
+    * hits / novel chars) against the live chunk set of strictly-prior
+    * batches, then its chunks enter the index as the doc's newest
+    * version (null-text arrival = total retraction, derives no chunks
+    * and no stats row). Unlike the dedup fusions, SELF is INCLUDED: the
+    * live index is the content store, and at probe time the doc's own
+    * previous version is still stored — an update's re-used chunks are
+    * exactly the bytes a content-addressable store would NOT write
+    * again, so they are not novel. The retraction win is about OTHERS:
+    * a third doc's stale chunks no longer suppress novelty once that
+    * doc was updated or deleted.
+    *
+    * One chunking pass per batch feeds both the stats probe and the
+    * index append; the probe collapses the live index to distinct `h`
+    * before its equi-join, so probe cost matches the attribution-free
+    * [[cdcNoveltyStream]]. Exactly-once: stats land first under their
+    * own landedSeq guard, both logs capped at `ingest_seq < batchId`.
+    * `chunker` defaults to the gear-hash fast path; pass the portable
+    * [[graft.ext.TextDedup.cdcChunks]] when an oracle replays the run.
+    */
+  def cdcIndexUpsertNoveltyStream(docs: DataFrame, chunksDir: String,
+      versionsDir: String, statsDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxChunkFiles: Int = 64,
+      chunker: DataFrame => DataFrame = graft.ext.TextDedup.cdcChunksFast(_)): StreamingQuery = {
+    import graft.ext.TextDedup
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = resolveBatchVersions(batch.toDF(), idCol)
+        val chunks = chunker(b.filter(col(textCol).isNotNull))
+          .localCheckpoint(false) // one chunk pass feeds stats AND the index append
+        val live = liveRowsBefore(spark, chunksDir, versionsDir, idCol, batchId)
+          .map(_.select(col("h")))
+          .getOrElse(chunks.select(col("h")).limit(0))
+        if (!landedSeq(spark, statsDir, batchId))
+          graft.pipeline.Ingest.appendWithSeq(
+            TextDedup.cdcIncrementalAgainstIndex(live, chunks, idCol),
+            statsDir, batchId)
+        if (!landedSeq(spark, versionsDir, batchId))
+          graft.pipeline.Ingest.appendWithSeq(b.select(col(idCol)), versionsDir, batchId)
+        if (!landedSeq(spark, chunksDir, batchId))
+          graft.pipeline.Ingest.appendWithSeq(
+            chunks.select(col(idCol), col("h")).distinct(), chunksDir, batchId)
+        maybeCompactVersioned(spark, chunksDir, versionsDir, maxChunkFiles, idCol)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Intra-batch duplicate-version resolution shared by every
+    * versioned-index loop: at most one version per id survives a batch,
+    * chosen deterministically (min full-row xxhash64 — the
+    * weightedSampleStream rule without a priority column; the intended
+    * producer contract is one version per id per batch anyway). The
+    * result is localCheckpointed: every caller feeds it to at least two
+    * stamped appends.
+    */
+  private def resolveBatchVersions(raw: DataFrame, idCol: String): DataFrame = {
+    val perId = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(xxhash64(raw.columns.map(col).toIndexedSeq: _*).asc)
+    raw.withColumn("__v", row_number().over(perId))
+      .filter(col("__v") === 1).drop("__v")
+      .localCheckpoint(false)
+  }
+
+  /** The batchId-capped live-index resolve shared by the production
+    * fusions ([[bandIndexUpsertDedupStream]] /
+    * [[embIndexUpsertDedupStream]] / [[cdcIndexUpsertNoveltyStream]]):
+    * each id's data rows stamped with its max version-log seq, BOTH
+    * logs capped at `ingest_seq < batchId` — a replayed batch must not
+    * see the crashed attempt's own appends (the dedupedCorpusStream
+    * idiom applied to the resolve). None when either log does not
+    * exist yet (first batch); callers select their index columns.
+    */
+  private def liveRowsBefore(spark: SparkSession, dataDir: String,
+      versionsDir: String, idCol: String, batchId: Long): Option[DataFrame] =
+    if (pathExists(spark, dataDir) && pathExists(spark, versionsDir)) {
+      val latest = spark.read.parquet(versionsDir)
+        .filter(col("ingest_seq") < batchId)
+        .groupBy(col(idCol)).agg(max(col("ingest_seq")).as("__vmax"))
+      Some(spark.read.parquet(dataDir)
+        .filter(col("ingest_seq") < batchId)
+        .join(latest, Seq(idCol))
+        .filter(col("ingest_seq") === col("__vmax"))
+        .drop("__vmax"))
+    } else None
+
   /** The shared versioned-index maintenance loop (postings: x117,
     * bands: x120, vectors: x122, chunks: x123): per micro-batch, resolve
-    * intra-batch duplicate
-    * versions deterministically (min full-row xxhash64 — the
-    * weightedSampleStream rule without a priority column; the intended
-    * producer contract is at most one version per id per batch), append
+    * intra-batch duplicate versions ([[resolveBatchVersions]]), append
     * (idCol, seq) to the version log and `derive(batch)` rows to the
     * data log — both landedSeq-guarded stamped appends — then compact
     * when fragmented. A doc's LIVE rows are the ones stamped with its
@@ -1070,13 +1251,7 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val raw = batch.toDF()
-        val perId = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(idCol))
-          .orderBy(xxhash64(raw.columns.map(col).toIndexedSeq: _*).asc)
-        val b = raw.withColumn("__v", row_number().over(perId))
-          .filter(col("__v") === 1).drop("__v")
-          .localCheckpoint(false) // feeds both log appends, one pass
+        val b = resolveBatchVersions(batch.toDF(), idCol) // feeds both log appends, one pass
         if (!landedSeq(spark, versionsDir, batchId))
           graft.pipeline.Ingest.appendWithSeq(b.select(col(idCol)), versionsDir, batchId)
         if (!landedSeq(spark, dataDir, batchId))

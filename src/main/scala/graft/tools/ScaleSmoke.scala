@@ -201,7 +201,16 @@ object ScaleSmoke {
     // per-wave portable-md5 signing is the corpus-linear term (shared by
     // probe and append — one pass), the resolve join O(live bands), the
     // probe O(batch x touched buckets)
-    "x124_grouped_sample_ledger", "x125_dedup_stream_retract")
+    "x124_grouped_sample_ledger", "x125_dedup_stream_retract",
+    // round-13 late additions: x126 fuses embedding-dedup verdicts with
+    // the versioned vector index (per-wave LSH bucketing corpus-linear,
+    // 2x-corpus probe wave by design); x127 fuses CDC novelty with the
+    // doc-attributed chunk index (portable chunker — the x123 caveat
+    // applies to its x100); x128 maintains the IVF serving index
+    // incrementally (per-wave assignment O(batch x C), serve off the
+    // resolved inverted file)
+    "x126_emb_dedup_stream_retract", "x127_cdc_novelty_stream_retract",
+    "x128_ivf_index_upsert")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

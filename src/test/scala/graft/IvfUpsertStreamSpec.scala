@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+import graft.streaming.StreamingIngest
+
+/** The incrementally-maintained IVF serving index (round-13, x128):
+  * per-arrival assignment to pinned cells equals the batch whole-corpus
+  * assignment over the latest versions, an update MOVES the live row's
+  * cell, a deletion removes the doc from the served index, serving off
+  * the resolved rows equals batch knnIvf over the latest corpus, and
+  * replay/compaction are invisible.
+  */
+class IvfUpsertStreamSpec extends SparkSuite {
+
+  private lazy val emb = graft.sources.Tables.embeddings(spark, sf)
+    .filter(col("vec_id") < 200).select(col("vec_id"), col("embedding"))
+    .withColumn("h4", pmod(graft.ext.TextDedup.portableHashBuiltin(
+      col("vec_id").cast("string"), ""), lit(4L)))
+    .localCheckpoint(false)
+
+  // pinned cell structure: a 5-centroid stride sample of the ORIGINAL
+  // corpus (strideCentroids' 1000-row stride leaves too few hits on the
+  // 200-row spec slice)
+  private lazy val centroids = emb.filter(pmod(col("vec_id"), lit(40L)) === 0)
+    .select(col("vec_id"), col("embedding")).localCheckpoint(false)
+
+  private def writeWaves(root: String): DataFrame = {
+    val neg = transform(col("embedding"), x => -x)
+    def w(df: DataFrame) = df.select(col("vec_id"), col("embedding"))
+    writeWaveTo(root + "/src", 0, w(emb))
+    writeWaveTo(root + "/src", 1,
+      w(emb.filter(col("h4") === 1).withColumn("embedding", neg))
+        .unionByName(w(emb.filter(col("h4") === 3).withColumn("embedding", neg))))
+    writeWaveTo(root + "/src", 2,
+      w(emb.filter(col("h4") === 2)
+          .withColumn("embedding", lit(null).cast("array<float>")))
+        .unionByName(w(emb.filter(col("h4") === 3))))
+    // the latest-version corpus in closed form
+    emb.filter(col("h4") === 1).withColumn("embedding", neg).drop("h4")
+      .unionByName(emb.filter(col("h4") === 0 || col("h4") === 3).drop("h4"))
+  }
+
+  private def run(root: String, ckpt: String, maxVecFiles: Int = 64): Unit = {
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(root + "/src/*")
+    StreamingIngest.ivfIndexUpsertStream(stream, root + "/vecs",
+      root + "/versions", root + s"/$ckpt", centroids,
+      maxVecFiles = maxVecFiles)
+  }
+
+  test("live assignment equals batch ivfAssign over latest versions; updates move cells; deletions leave") {
+    val root = tempDir("graft-ivfus1")
+    val latest = writeWaves(root)
+    run(root, "ckpt")
+    val live = StreamingIngest.resolvedIvfVectors(spark, root + "/vecs", root + "/versions")
+    val liveCells = live.select(col("vec_id"), col("cell_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchCells = Similarity.ivfAssign(latest, centroids)
+      .select(col("vec_id"), col("cell_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(liveCells == batchCells,
+      "per-arrival assignment diverged from whole-corpus assignment over latest versions")
+    // deletions: no h4==2 id is served
+    val deleted = emb.filter(col("h4") === 2).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(liveCells.forall(t => !deleted.contains(t._1)), "a deleted doc is still served")
+    // updates moved cells: at least one negated doc changed assignment
+    val before = Similarity.ivfAssign(emb.drop("h4"), centroids)
+      .select(col("vec_id"), col("cell_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val negIds = emb.filter(col("h4") === 1).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(negIds.exists(id => liveCells.contains((id, before(id))) == false),
+      "no negated vector moved cell — the update path is untested")
+  }
+
+  test("serving off the resolved rows equals batch knnIvf over the latest corpus") {
+    val root = tempDir("graft-ivfus2")
+    val latest = writeWaves(root)
+    run(root, "ckpt")
+    val live = StreamingIngest.resolvedIvfVectors(spark, root + "/vecs", root + "/versions")
+      .localCheckpoint(false)
+    val queries = emb.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+    def ranks(df: DataFrame): Set[(Long, Int, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val served = ranks(Similarity.knnIvf(queries, live, centroids, 5, 2,
+      assignedOpt = Some(live)))
+    val batch = ranks(Similarity.knnIvf(queries, latest, centroids, 5, 2))
+    assert(served == batch, "served results diverged from batch IVF over latest corpus")
+  }
+
+  test("replay is a no-op; per-batch compaction keeps only live versions") {
+    val root = tempDir("graft-ivfus3")
+    writeWaves(root)
+    run(root, "ckpt", maxVecFiles = 1) // compaction fires every batch
+    val live = StreamingIngest.resolvedIvfVectors(spark, root + "/vecs", root + "/versions")
+      .collect().map(_.getLong(0)).toSet
+    run(root, "ckpt2") // full replay with original batchIds
+    val after = StreamingIngest.resolvedIvfVectors(spark, root + "/vecs", root + "/versions")
+      .collect().map(_.getLong(0)).toSet
+    assert(after == live, "replay changed the served id set")
+    val stale = spark.read.parquet(root + "/vecs")
+      .groupBy(col("vec_id")).agg(countDistinct(col("ingest_seq")).as("nv"))
+      .filter(col("nv") > 1)
+    assert(stale.count() == 0, "superseded vector versions survived compaction")
+  }
+}

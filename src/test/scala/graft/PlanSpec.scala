@@ -320,7 +320,11 @@ class PlanSpec extends SparkSuite {
       // round-12: x117 is the same scoring tail off the RESOLVED index
       // (the 1-row stats pin again); x118 is x114's recall shape at the
       // auto shortlist — bounded query-set / centroid-set pins
-      "x117_bm25_retract_stream", "x118_ann_production_ladder")
+      "x117_bm25_retract_stream", "x118_ann_production_ladder",
+      // round-13: x128 serves knnIvf off the resolved live index — the
+      // same bounded centroid-set (9-row stride sample) / query-set
+      // pins as x14
+      "x128_ivf_index_upsert")
     SparkEntry.registry.foreach { q =>
       val p = plan(q.build(spark, sf))
       val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
