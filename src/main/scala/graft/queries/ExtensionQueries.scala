@@ -854,14 +854,16 @@ object ExtensionQueries {
   // LIVE latest-version corpus (is_corpus = true) with the wave's
   // non-null arrivals (is_corpus = false; doc_id may repeat across the
   // sides — self is INCLUDED, the content-store semantic). The x127
-  // split halves the corpus on an independent salt so all four h4
-  // classes stay populated.
+  // split keeps a THIRD of the corpus on an independent salt (all four
+  // h4 classes stay populated; the portable md5-per-position chunker is
+  // the cost driver, so the split IS the knob — 1/2 read ~10 s in-bench,
+  // 1/3 reads proportionally less with identical semantics).
   private val cdcNoveltyStreamOracle: String = {
     val baseD =
       """(SELECT doc_id, text,
         |   ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 4 AS h4
         | FROM documents
-        | WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'x127'),1,15))::BIGINT % 2 = 0)""".stripMargin
+        | WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'x127'),1,15))::BIGINT % 3 = 0)""".stripMargin
     val w0 = cdcIncrementalOracleOver(
       s"(SELECT doc_id, text, FALSE AS is_corpus FROM $baseD t)", Some(0))
     val w1 = cdcIncrementalOracleOver(
@@ -5081,8 +5083,9 @@ object ExtensionQueries {
         "own previous version is still stored at probe time, so an update's re-used " +
         "chunks are exactly the bytes a content-addressable store would not write " +
         "again; the retraction win is about OTHERS' stale chunks no longer suppressing " +
-        "novelty. Script (on an independent-salt half of the corpus so every h4 class " +
-        "stays populated): corpus arrives (wave 0 = everything novel against an empty " +
+        "novelty. Script (on an independent-salt third of the corpus so every h4 class " +
+        "stays populated — the portable chunker is the cost driver and the split is the " +
+        "knob): corpus arrives (wave 0 = everything novel against an empty " +
         "store); wave 1 re-delivers h4==1 with every 'e' replaced (high novelty vs its " +
         "own stored version) and h4==3 '+alpha' (low novelty — CDC shift-invariance); " +
         "wave 2 retracts h4==2 (null) and reverts h4==3 (~zero novelty vs its own " +
@@ -5096,7 +5099,7 @@ object ExtensionQueries {
       (s, d) => {
         val base = Tables.documents(s, d)
           .filter(pmod(TextDedup.portableHashBuiltin(
-            col("doc_id").cast("string"), "x127"), lit(2L)) === 0)
+            col("doc_id").cast("string"), "x127"), lit(3L)) === 0)
           .withColumn("h4", pmod(TextDedup.portableHashBuiltin(
             col("doc_id").cast("string"), ""), lit(4L)))
           .select(col("doc_id"), col("text"), col("h4"))
