@@ -949,6 +949,64 @@ object ExtensionQueries {
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
+  // x129's oracle: brute truth + TWO IVF chains (pinned vs refit cell
+  // structure) over the same live corpus, joined into per-query recall
+  // counts (the x78 recall-join tail). The arm builder is the x14 chain
+  // parameterized by centroid relation and CTE tag; every float is the
+  // shared left-associated fragments, every tie-break (csim DESC,
+  // cell_id) / (sim DESC, neighbor_id) the proven x14/x06 rules.
+  private val ivfDriftRecallOracle: String = {
+    val baseE =
+      """(SELECT vec_id, embedding,
+        |   ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT % 4 AS h4
+        | FROM embeddings)""".stripMargin
+    def ivfArm(centSql: String, tag: String): String =
+      s"""cent_$tag AS MATERIALIZED ($centSql),
+         |assign_$tag AS MATERIALIZED (SELECT vec_id, embedding, nr, cell_id FROM (
+         |  SELECT e.vec_id, e.embedding, e.nr, c.cell_id,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY (${dotSql("e.embedding", "c.cv")} / (e.nr * c.cnr)) DESC, c.cell_id) AS rn
+         |  FROM bn e, cent_$tag c) t WHERE rn = 1),
+         |probes_$tag AS (SELECT qid, cell_id FROM (
+         |  SELECT e.vec_id AS qid, c.cell_id,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY (${dotSql("e.embedding", "c.cv")} / (e.nr * c.cnr)) DESC, c.cell_id) AS rn
+         |  FROM qn e, cent_$tag c) t WHERE rn <= 4),
+         |s_$tag AS (SELECT p.qid, a.vec_id AS neighbor_id,
+         |             (${dotSql("q.embedding", "a.embedding")} / (q.nr * a.nr)) AS sim
+         |      FROM probes_$tag p JOIN assign_$tag a ON a.cell_id = p.cell_id
+         |      JOIN qn q ON q.vec_id = p.qid
+         |      WHERE a.vec_id != p.qid),
+         |top_$tag AS (SELECT qid, neighbor_id FROM (
+         |  SELECT qid, neighbor_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM s_$tag) t WHERE rank <= 5)""".stripMargin
+    s"""WITH base AS (SELECT * FROM $baseE t0),
+       |live AS (SELECT vec_id,
+       |    CASE WHEN h4 = 1 THEN list_transform(embedding, x -> -x) ELSE embedding END AS embedding
+       |  FROM base WHERE h4 <> 2),
+       |bn AS MATERIALIZED (SELECT vec_id, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nr FROM live),
+       |qn AS MATERIALIZED (SELECT vec_id, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nr FROM embeddings WHERE vec_id < 10),
+       |brute AS (SELECT qid, neighbor_id FROM (
+       |  SELECT q.vec_id AS qid, e.vec_id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |                            ORDER BY (${dotSql("q.embedding", "e.embedding")} / (q.nr * e.nr)) DESC, e.vec_id) AS rank
+       |  FROM qn q JOIN bn e ON e.vec_id != q.vec_id) t WHERE rank <= 5),
+       |${ivfArm(s"SELECT vec_id AS cell_id, embedding AS cv, sqrt(${dotSql("embedding", "embedding")}) AS cnr FROM embeddings WHERE vec_id % 62 = 0 AND vec_id < 992", "p")},
+       |${ivfArm(s"SELECT vec_id AS cell_id, embedding AS cv, sqrt(${dotSql("embedding", "embedding")}) AS cnr FROM live WHERE vec_id % 62 = 0 AND vec_id < 992", "r")}
+       |SELECT brute.qid, CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(count(tp.neighbor_id) AS BIGINT) AS n_hits_pinned,
+       |  CAST(count(tp.neighbor_id) * 10000 // count(*) AS BIGINT) AS recall_bp_pinned,
+       |  CAST(count(tr.neighbor_id) AS BIGINT) AS n_hits_refit,
+       |  CAST(count(tr.neighbor_id) * 10000 // count(*) AS BIGINT) AS recall_bp_refit
+       |FROM brute
+       |LEFT JOIN top_p tp ON brute.qid = tp.qid AND brute.neighbor_id = tp.neighbor_id
+       |LEFT JOIN top_r tr ON brute.qid = tr.qid AND brute.neighbor_id = tr.neighbor_id
+       |GROUP BY brute.qid ORDER BY brute.qid""".stripMargin
+  }
+
   // ---- MMR re-rank oracle (x103) ------------------------------------------
   // The greedy loop unrolled to k CTE steps over the same generated-SQL
   // cosines (norm precompute per row — the x88 bitwise-neutral trick), so
@@ -5183,5 +5241,48 @@ object ExtensionQueries {
         Similarity.knnIvf(
           base.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
           live, centroids, 5, 4, assignedOpt = Some(live))
+      }),
+
+    Q("x129_ivf_drift_recall",
+      "The 'when must I refit?' question for the incrementally-maintained IVF index " +
+        "(round-13, annotating x128) as recall DATA: after x128's churn script (h4==1 " +
+        "re-embedded to the complement direction, h4==2 deleted), how much recall@5 does " +
+        "the PINNED cell structure still serve vs the same stride policy REFIT on the " +
+        "live corpus, both measured against brute truth over the latest versions? One " +
+        "row per query: n_hits/recall_bp for the pinned arm (the x128 serving posture — " +
+        "structure fit once, membership churned per arrival) and the refit arm (the rare " +
+        "offline event). All three rankings are closed-form over the live corpus (x06's " +
+        "brute, two x14 chains differing only in the centroid relation), the recall join " +
+        "is x78's exact-integer tail — no float leaves the plan. The churned corpus is " +
+        "the adversarial case for a pinned structure: a quarter of the live vectors " +
+        "moved to directions the original centroid sample never saw.",
+      Some(ivfDriftRecallOracle),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val base = emb
+          .withColumn("h4", pmod(TextDedup.portableHashBuiltin(
+            col("vec_id").cast("string"), ""), lit(4L)))
+          .select(col("vec_id"), col("embedding"), col("h4"))
+          .localCheckpoint(false)
+        val neg = transform(col("embedding"), x => -x)
+        // the latest-version corpus in closed form (x128's post-churn state)
+        val live = base.filter(col("h4") === 1).withColumn("embedding", neg)
+          .unionByName(base.filter(col("h4") === 0 || col("h4") === 3))
+          .drop("h4").localCheckpoint(false)
+        val queries = base.filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("embedding"))
+        val pinned = Similarity.strideCentroids(base.drop("h4"), 16).localCheckpoint(false)
+        val refit = Similarity.strideCentroids(live, 16).localCheckpoint(false)
+        val truth = Similarity.knnBrute(queries, live, 5).localCheckpoint(false)
+        def arm(cents: org.apache.spark.sql.DataFrame) =
+          Similarity.knnIvf(queries, live, cents, 5, 4)
+        Similarity.annRecall(truth, arm(pinned))
+          .select(col("qid"), col("n_true"),
+            col("n_hits").as("n_hits_pinned"),
+            col("recall_bp").as("recall_bp_pinned"))
+          .join(Similarity.annRecall(truth, arm(refit))
+            .select(col("qid"),
+              col("n_hits").as("n_hits_refit"),
+              col("recall_bp").as("recall_bp_refit")), Seq("qid"))
       }))
 }

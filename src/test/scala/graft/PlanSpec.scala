@@ -323,8 +323,10 @@ class PlanSpec extends SparkSuite {
       "x117_bm25_retract_stream", "x118_ann_production_ladder",
       // round-13: x128 serves knnIvf off the resolved live index — the
       // same bounded centroid-set (9-row stride sample) / query-set
-      // pins as x14
-      "x128_ivf_index_upsert")
+      // pins as x14; x129 additionally carries x06's brute side (10-row
+      // query-set BNL) as the exact truth its two recall arms measure
+      // against — the x78/x89 class
+      "x128_ivf_index_upsert", "x129_ivf_drift_recall")
     SparkEntry.registry.foreach { q =>
       val p = plan(q.build(spark, sf))
       val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
