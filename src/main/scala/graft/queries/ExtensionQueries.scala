@@ -1007,6 +1007,49 @@ object ExtensionQueries {
        |GROUP BY brute.qid ORDER BY brute.qid""".stripMargin
   }
 
+  // x130's oracle: the x14 chain with BOTH the corpus and the centroid
+  // relation swapped for the latest-version live index — exactly x129's
+  // refit arm, standalone. The refit-and-swap OPERATION on the standing
+  // log (re-assign live rows, drop superseded versions, shrink the
+  // version log) must be hash-invisible next to this closed form.
+  private val ivfRefitOracle: String = {
+    val baseE =
+      """(SELECT vec_id, embedding,
+        |   ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT % 4 AS h4
+        | FROM embeddings)""".stripMargin
+    s"""WITH base AS (SELECT * FROM $baseE t0),
+       |live AS (SELECT vec_id,
+       |    CASE WHEN h4 = 1 THEN list_transform(embedding, x -> -x) ELSE embedding END AS embedding
+       |  FROM base WHERE h4 <> 2),
+       |bn AS MATERIALIZED (SELECT vec_id, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nr FROM live),
+       |cent AS MATERIALIZED (SELECT vec_id AS cell_id, embedding AS cv,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS cnr
+       |  FROM live WHERE vec_id % 62 = 0 AND vec_id < 992),
+       |assign AS MATERIALIZED (SELECT vec_id, embedding, nr, cell_id FROM (
+       |  SELECT e.vec_id, e.embedding, e.nr, c.cell_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY (${dotSql("e.embedding", "c.cv")} / (e.nr * c.cnr)) DESC, c.cell_id) AS rn
+       |  FROM bn e, cent c) t WHERE rn = 1),
+       |qn AS MATERIALIZED (SELECT vec_id, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nr FROM embeddings WHERE vec_id < 10),
+       |probes AS (SELECT qid, cell_id FROM (
+       |  SELECT e.vec_id AS qid, c.cell_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY (${dotSql("e.embedding", "c.cv")} / (e.nr * c.cnr)) DESC, c.cell_id) AS rn
+       |  FROM qn e, cent c) t WHERE rn <= 4),
+       |s AS (SELECT p.qid, a.vec_id AS neighbor_id,
+       |             (${dotSql("q.embedding", "a.embedding")} / (q.nr * a.nr)) AS sim
+       |      FROM probes p JOIN assign a ON a.cell_id = p.cell_id
+       |      JOIN qn q ON q.vec_id = p.qid
+       |      WHERE a.vec_id != p.qid)
+       |SELECT qid, rank, neighbor_id FROM (
+       |  SELECT qid, neighbor_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM s) t
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
   // ---- MMR re-rank oracle (x103) ------------------------------------------
   // The greedy loop unrolled to k CTE steps over the same generated-SQL
   // cosines (norm precompute per row — the x88 bitwise-neutral trick), so
@@ -5284,5 +5327,57 @@ object ExtensionQueries {
             .select(col("qid"),
               col("n_hits").as("n_hits_refit"),
               col("recall_bp").as("recall_bp_refit")), Seq("qid"))
+      }),
+
+    Q("x130_ivf_refit_swap",
+      "The refit-and-swap OPERATION closing the IVF serving lifecycle (round-13: x128 " +
+        "maintains membership per arrival against pinned cells, x129 measures what the " +
+        "pin costs in recall as the corpus churns, x130 refits when that cost is no " +
+        "longer acceptable): streaming.ivfRefitSwap derives a fresh centroid set from " +
+        "the LIVE corpus with the caller's policy, re-assigns every live vector once — " +
+        "the only whole-corpus pass anywhere in the lifecycle — and swaps the standing " +
+        "data log in place (crash-safe in either swap order; every surviving row keeps " +
+        "its ingest_seq stamp so resolution, replay guards, and later stream batches " +
+        "are oblivious). The refit IS a compaction: superseded versions drop in the " +
+        "same rewrite and the version log shrinks to one max-seq row per id. Script: " +
+        "x128's churn waves build the index, then refit-and-swap, then serve knnIvf " +
+        "off the swapped log with the returned centroids. Oracle = the x14 chain with " +
+        "BOTH corpus and centroid relations swapped for the latest-version live corpus " +
+        "(exactly x129's refit arm) — any row the swap dropped, mis-celled, or " +
+        "re-stamped changes a candidate set and the hash.",
+      Some(ivfRefitOracle),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val base = emb
+          .withColumn("h4", pmod(TextDedup.portableHashBuiltin(
+            col("vec_id").cast("string"), ""), lit(4L)))
+          .select(col("vec_id"), col("embedding"), col("h4"))
+          .localCheckpoint(false)
+        val neg = transform(col("embedding"), x => -x)
+        def w(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("vec_id"), col("embedding"))
+        val root = scratchTempDir("graft-x130-ivfrefit")
+        writeStreamWave(root, 0, w(base))
+        writeStreamWave(root, 1,
+          w(base.filter(col("h4") === 1).withColumn("embedding", neg))
+            .unionByName(w(base.filter(col("h4") === 3).withColumn("embedding", neg))))
+        writeStreamWave(root, 2,
+          w(base.filter(col("h4") === 2)
+              .withColumn("embedding", lit(null).cast("array<float>")))
+            .unionByName(w(base.filter(col("h4") === 3))))
+        val pinned = Similarity.strideCentroids(emb, 16).localCheckpoint(false)
+        val stream = s.readStream
+          .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(root + "/src/*")
+        graft.streaming.StreamingIngest.ivfIndexUpsertStream(stream,
+          root + "/vecs", root + "/versions", root + "/ckpt", pinned)
+        val refitCents = graft.streaming.StreamingIngest.ivfRefitSwap(
+          s, root + "/vecs", root + "/versions")
+        val live = graft.streaming.StreamingIngest.resolvedIvfVectors(
+          s, root + "/vecs", root + "/versions").localCheckpoint(false)
+        Similarity.knnIvf(
+          base.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+          live, refitCents, 5, 4, assignedOpt = Some(live))
       }))
 }

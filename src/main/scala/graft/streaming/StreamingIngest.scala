@@ -968,6 +968,50 @@ object StreamingIngest {
     resolvedRows(spark, vecsDir, versionsDir, idCol)
       .select(col(idCol), col("cell_id"), col("embedding"))
 
+  /** The RARE-OFFLINE-EVENT half of the IVF serving lifecycle (x130).
+    * [[ivfIndexUpsertStream]] maintains membership per arrival against
+    * a pinned cell structure; x129 measures what that pin costs in
+    * recall as the corpus churns; this REFITS when the cost is no
+    * longer acceptable: derive a fresh centroid set from the LIVE
+    * corpus with the caller's policy, re-assign every live vector once
+    * — the only whole-corpus pass anywhere in the lifecycle — and swap
+    * the data log in place. The refit IS a compaction: superseded
+    * versions are dropped by the rewrite and the version log shrinks to
+    * one max-seq row per id (the [[maybeCompactVersioned]] move), so a
+    * fragmented log and a stale structure are fixed by the same pass.
+    * Crash-safe in either swap order: every surviving data row keeps
+    * its original `ingest_seq` stamp, so resolution reads max-seq rows
+    * correctly whether the version-log shrink landed or not, and
+    * [[swapRewrite]]'s bak dance leaves each log current or restored.
+    * Returns the new centroid frame (localCheckpointed) — the caller
+    * MUST feed it to subsequent [[ivfIndexUpsertStream]] batches:
+    * assignment policy is a parameter, not hidden state. Precondition:
+    * both logs exist (an index that has ingested at least one batch).
+    */
+  def ivfRefitSwap(spark: SparkSession, vecsDir: String, versionsDir: String,
+      centroidPolicy: DataFrame => DataFrame =
+        graft.ext.Similarity.strideCentroids(_, 16),
+      idCol: String = "vec_id"): DataFrame = {
+    val latest = spark.read.parquet(versionsDir)
+      .groupBy(col(idCol)).agg(max(col("ingest_seq")).as("__vmax"))
+      .localCheckpoint(false) // read before either log is swapped
+    val live = spark.read.parquet(vecsDir)
+      .join(latest.withColumnRenamed("__vmax", "ingest_seq"), Seq(idCol, "ingest_seq"))
+      .select(col(idCol), col("embedding"), col("ingest_seq"))
+      .localCheckpoint(false) // feeds the policy, the re-assign, and the stamp join
+    val cents = centroidPolicy(
+      live.select(col(idCol).as("vec_id"), col("embedding")))
+      .localCheckpoint(false) // survives the swap; returned to the caller
+    val reassigned = graft.ext.Similarity.ivfAssign(
+        live.select(col(idCol).as("vec_id"), col("embedding")), cents)
+      .select(col("vec_id").as(idCol), col("cell_id"), col("embedding"))
+      .join(live.select(col(idCol), col("ingest_seq")), Seq(idCol))
+    swapRewrite(spark, vecsDir, reassigned)
+    swapRewrite(spark, versionsDir,
+      latest.select(col(idCol), col("__vmax").as("ingest_seq")))
+    cents
+  }
+
   /** Doc retraction for the standing CDC chunk-hash index (round-13,
     * the r12 verdict item 2). [[cdcNoveltyStream]]'s index is keyed by
     * content hash `h` ALONE, so a doc update/deletion cannot retract

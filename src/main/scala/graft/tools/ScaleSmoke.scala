@@ -210,7 +210,11 @@ object ScaleSmoke {
     // incrementally (per-wave assignment O(batch x C), serve off the
     // resolved inverted file)
     "x126_emb_dedup_stream_retract", "x127_cdc_novelty_stream_retract",
-    "x128_ivf_index_upsert")
+    "x128_ivf_index_upsert",
+    // x130 is the rare-offline-event whole-corpus pass (refit + reassign
+    // + swap) — corpus-linear BY DESIGN; the row quantifies what the
+    // event costs next to the per-arrival loop it amortizes against
+    "x130_ivf_refit_swap")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

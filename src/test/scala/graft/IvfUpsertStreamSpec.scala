@@ -94,6 +94,63 @@ class IvfUpsertStreamSpec extends SparkSuite {
     assert(served == batch, "served results diverged from batch IVF over latest corpus")
   }
 
+  test("refit-and-swap: new structure served, stamps preserved, superseded versions dropped, stream continues") {
+    val root = tempDir("graft-ivfus4")
+    val latest = writeWaves(root)
+    run(root, "ckpt")
+    val refitCents = StreamingIngest.ivfRefitSwap(spark, root + "/vecs", root + "/versions",
+      centroidPolicy = df => df.filter(pmod(col("vec_id"), lit(40L)) === 0)
+        .select(col("vec_id"), col("embedding")))
+    // the refit policy ran on the LIVE corpus: deleted stride ids are
+    // not centroids anymore
+    val deleted = emb.filter(col("h4") === 2).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val centIds = refitCents.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(centIds.forall(id => !deleted.contains(id)))
+    // served state equals batch assignment over latest versions with the
+    // refit centroids
+    val live = StreamingIngest.resolvedIvfVectors(spark, root + "/vecs", root + "/versions")
+    val liveCells = live.select(col("vec_id"), col("cell_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchCells = Similarity.ivfAssign(latest, refitCents)
+      .select(col("vec_id"), col("cell_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(liveCells == batchCells, "refit-swapped assignment diverged from batch over refit centroids")
+    // the refit IS a compaction: no superseded versions remain, and
+    // surviving rows keep their ORIGINAL seq stamps (resolution + the
+    // landedSeq replay guards stay oblivious to the swap)
+    val vecs = spark.read.parquet(root + "/vecs")
+    assert(vecs.groupBy(col("vec_id")).agg(countDistinct(col("ingest_seq")).as("nv"))
+      .filter(col("nv") > 1).count() == 0, "superseded versions survived the refit rewrite")
+    val negSeqs = vecs.filter(col("vec_id").isin(
+        emb.filter(col("h4") === 1).select("vec_id").collect().map(_.getLong(0)).toSeq: _*))
+      .select("ingest_seq").distinct().collect().map(_.getLong(0)).toSet
+    assert(negSeqs == Set(1L), s"updated docs' live rows must keep their wave-1 stamp: $negSeqs")
+    // a post-refit wave flows through the SAME checkpoint with the new
+    // centroids: a fresh doc enters a refit cell, an updated doc moves
+    val extra = emb.filter(col("h4") === 0).limit(0) // schema donor
+    writeWaveTo(root + "/src", 3,
+      emb.filter(col("h4") === 0)
+        .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+        .unionByName(extra.select(col("vec_id"), col("embedding")).limit(0)))
+    val stream2 = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(root + "/src/*")
+    StreamingIngest.ivfIndexUpsertStream(stream2, root + "/vecs",
+      root + "/versions", root + "/ckpt", refitCents)
+    val after = StreamingIngest.resolvedIvfVectors(spark, root + "/vecs", root + "/versions")
+      .select(col("vec_id"), col("cell_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = Similarity.ivfAssign(
+        latest.unionByName(emb.filter(col("h4") === 0)
+          .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))),
+        refitCents)
+      .select(col("vec_id"), col("cell_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == expect, "post-refit arrivals diverged from batch assignment over refit centroids")
+  }
+
   test("replay is a no-op; per-batch compaction keeps only live versions") {
     val root = tempDir("graft-ivfus3")
     writeWaves(root)

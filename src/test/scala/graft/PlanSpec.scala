@@ -326,7 +326,9 @@ class PlanSpec extends SparkSuite {
       // pins as x14; x129 additionally carries x06's brute side (10-row
       // query-set BNL) as the exact truth its two recall arms measure
       // against — the x78/x89 class
-      "x128_ivf_index_upsert", "x129_ivf_drift_recall")
+      "x128_ivf_index_upsert", "x129_ivf_drift_recall",
+      // x130 serves the same knnIvf shape off the refit-swapped log
+      "x130_ivf_refit_swap")
     SparkEntry.registry.foreach { q =>
       val p = plan(q.build(spark, sf))
       val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
