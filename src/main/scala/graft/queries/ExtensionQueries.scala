@@ -1050,6 +1050,44 @@ object ExtensionQueries {
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
+  // x131's oracle: three assignment chains (fit-time snapshot, pinned
+  // structure now, refit structure now) with the assigned cosine KEPT,
+  // folded to per-cell exact-integer mass (count + SUM(floor(cs*1e6)) —
+  // the kmeansInertia fixed-point idiom, so no float leaves the plan).
+  // Each arm parameterizes corpus AND centroid relation; one UNION.
+  private val ivfDriftGaugeOracle: String = {
+    val baseE =
+      """(SELECT vec_id, embedding,
+        |   ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT % 4 AS h4
+        | FROM embeddings)""".stripMargin
+    def arm(corpusN: String, centSql: String, tag: String, label: String): String =
+      s"""cent_$tag AS MATERIALIZED ($centSql),
+         |a_$tag AS (SELECT vec_id, cell_id, cs FROM (
+         |  SELECT e.vec_id, c.cell_id,
+         |         (${dotSql("e.embedding", "c.cv")} / (e.nr * c.cnr)) AS cs,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY (${dotSql("e.embedding", "c.cv")} / (e.nr * c.cnr)) DESC, c.cell_id) AS rn
+         |  FROM $corpusN e, cent_$tag c) t WHERE rn = 1),
+         |g_$tag AS (SELECT '$label' AS arm, cell_id,
+         |  CAST(count(*) AS BIGINT) AS n_live,
+         |  CAST(SUM(CAST(floor(cs * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_csim_micro
+         |  FROM a_$tag GROUP BY cell_id)""".stripMargin
+    val pinnedCent = s"SELECT vec_id AS cell_id, embedding AS cv, sqrt(${dotSql("embedding", "embedding")}) AS cnr FROM embeddings WHERE vec_id % 62 = 0 AND vec_id < 992"
+    s"""WITH base AS (SELECT * FROM $baseE t0),
+       |live AS (SELECT vec_id,
+       |    CASE WHEN h4 = 1 THEN list_transform(embedding, x -> -x) ELSE embedding END AS embedding
+       |  FROM base WHERE h4 <> 2),
+       |bn AS MATERIALIZED (SELECT vec_id, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nr FROM live),
+       |fn AS MATERIALIZED (SELECT vec_id, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nr FROM embeddings),
+       |${arm("fn", pinnedCent, "f", "fit")},
+       |${arm("bn", pinnedCent, "p", "pinned")},
+       |${arm("bn", s"SELECT vec_id AS cell_id, embedding AS cv, sqrt(${dotSql("embedding", "embedding")}) AS cnr FROM live WHERE vec_id % 62 = 0 AND vec_id < 992", "r", "refit")}
+       |SELECT * FROM g_f UNION ALL SELECT * FROM g_p UNION ALL SELECT * FROM g_r
+       |ORDER BY arm, cell_id""".stripMargin
+  }
+
   // ---- MMR re-rank oracle (x103) ------------------------------------------
   // The greedy loop unrolled to k CTE steps over the same generated-SQL
   // cosines (norm precompute per row — the x88 bitwise-neutral trick), so
@@ -5379,5 +5417,58 @@ object ExtensionQueries {
         Similarity.knnIvf(
           base.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
           live, refitCents, 5, 4, assignedOpt = Some(live))
+      }),
+
+    Q("x131_ivf_drift_gauge",
+      "The AFFORDABLE drift gauge completing the IVF lifecycle's control loop " +
+        "(round-13): x129's recall truth needs a brute pass no production system can " +
+        "run per epoch; this is the O(live x C) statistic it calibrates — per cell, " +
+        "live occupancy and the exact-integer mass of assigned cosines " +
+        "(SUM(floor(cs*1e6)), the kmeansInertia fixed-point idiom), in THREE arms over " +
+        "one row shape: the FIT-time snapshot (pinned cells, original corpus), the " +
+        "pinned structure NOW (post-churn live corpus), and the refit structure NOW. " +
+        "The drift signal is fit-vs-pinned-now PER STRUCTURE: the corpus shrinks " +
+        "500 to 362 live, occupancy re-skews, and a churn-loaded cell's mean csim falls " +
+        "~20% from its fit-time value — watched without ever computing a true " +
+        "neighbor, cheap enough to fold into every x128 maintenance cycle. The data " +
+        "also pins the TRAP (the x115 idiom): the naive cross-structure reading is " +
+        "backwards — the refit arm shows LOWER mean csim over FEWER cells (two stride " +
+        "centroids were deleted/negated by the churn, coarsening the partition) while " +
+        "serving HIGHER recall in x129, so csim mass compares a structure against its " +
+        "own fit-time self, never one structure against another. Oracle = three " +
+        "assignment chains with the assigned cosine kept, folded per cell.",
+      Some(ivfDriftGaugeOracle),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val base = emb
+          .withColumn("h4", pmod(TextDedup.portableHashBuiltin(
+            col("vec_id").cast("string"), ""), lit(4L)))
+          .select(col("vec_id"), col("embedding"), col("h4"))
+          .localCheckpoint(false)
+        val neg = transform(col("embedding"), x => -x)
+        val live = base.filter(col("h4") === 1).withColumn("embedding", neg)
+          .unionByName(base.filter(col("h4") === 0 || col("h4") === 3))
+          .drop("h4").localCheckpoint(false)
+        def gauge(corpus: org.apache.spark.sql.DataFrame,
+            cents: org.apache.spark.sql.DataFrame, label: String) = {
+          val cells = cents.select(col("vec_id").as("cell_id"), col("embedding").as("cv"))
+          corpus.join(broadcast(cells))
+            .withColumn("csim", graft.functions.cosine_similarity(col("embedding"), col("cv")))
+            .groupBy(col("vec_id"))
+            .agg(graft.functions.top_k_by(col("csim"), col("cell_id"), 1).as("top"))
+            .select(col("top").getItem(0).getField("id").as("cell_id"),
+              col("top").getItem(0).getField("score").as("cs"))
+            .groupBy(col("cell_id"))
+            .agg(count(lit(1)).as("n_live"),
+              sum(floor(col("cs") * lit(1000000.0)).cast("long")).as("sum_csim_micro"))
+            .select(lit(label).as("arm"), col("cell_id"), col("n_live"),
+              col("sum_csim_micro"))
+        }
+        val original = base.drop("h4")
+        val pinned = Similarity.strideCentroids(original, 16).localCheckpoint(false)
+        gauge(original, pinned, "fit")
+          .unionByName(gauge(live, pinned, "pinned"))
+          .unionByName(gauge(live,
+            Similarity.strideCentroids(live, 16).localCheckpoint(false), "refit"))
       }))
 }

@@ -327,8 +327,9 @@ class PlanSpec extends SparkSuite {
       // query-set BNL) as the exact truth its two recall arms measure
       // against — the x78/x89 class
       "x128_ivf_index_upsert", "x129_ivf_drift_recall",
-      // x130 serves the same knnIvf shape off the refit-swapped log
-      "x130_ivf_refit_swap")
+      // x130 serves the same knnIvf shape off the refit-swapped log;
+      // x131 is the two bounded-centroid-set assignment broadcasts
+      "x130_ivf_refit_swap", "x131_ivf_drift_gauge")
     SparkEntry.registry.foreach { q =>
       val p = plan(q.build(spark, sf))
       val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
