@@ -5470,5 +5470,166 @@ object ExtensionQueries {
           .unionByName(gauge(live, pinned, "pinned"))
           .unionByName(gauge(live,
             Similarity.strideCentroids(live, 16).localCheckpoint(false), "refit"))
+      }),
+
+    Q("x132_asof_snapshot",
+      "AS-OF (time-travel) resolution over the versioned logs — the training-run " +
+        "REPRODUCIBILITY read the whole retraction regime earns (round-13): 'rebuild the " +
+        "exact corpus snapshot batch S saw' is one generic read " +
+        "(streaming.resolvedRowsAsOf — each id's data rows stamped with its max " +
+        "version-log seq AMONG seqs <= S), serving every versioned family because the " +
+        "logs share one layout (DocStoreAsOfSpec pins it on the postings log too). Script: " +
+        "the x117 update waves over the versioned DOC STORE (docStoreStream — the corpus " +
+        "itself as a retractable standing table): wave 0 the full corpus, wave 1 h4==1 " +
+        "doubled + h4==3 '+alpha', wave 2 h4==2 deleted + h4==3 reverted. Output: " +
+        "per-(arm, h4) doc counts and char sums for as-of snapshots s0/s1/s2 — each " +
+        "arm hash-matching the closed-form wave-k corpus, blind to the log machinery — " +
+        "PLUS the fidelity bound pinned as data: the s0_compacted arm re-reads as-of(0) " +
+        "AFTER maybeCompactVersioned destroyed superseded versions, and only the " +
+        "never-touched h4==0 bucket survives into the reconstruction (updated and " +
+        "deleted ids silently vanish from history — the LSM trade: history retention " +
+        "and read amplification are the same maxFiles knob). Cost: each arm is the " +
+        "live-read shape — one id-keyed equi-join against the capped max-seq aggregate, " +
+        "never a corpus re-scan.",
+      Some("""WITH t AS (SELECT doc_id, text,
+             |       ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 4 AS h4
+             |     FROM documents),
+             |u AS (
+             |  SELECT 's0' AS arm, h4, text FROM t
+             |  UNION ALL
+             |  SELECT 's1', h4, CASE WHEN h4 = 1 THEN text || ' ' || text
+             |                        WHEN h4 = 3 THEN text || ' alpha'
+             |                        ELSE text END FROM t
+             |  UNION ALL
+             |  SELECT 's2', h4, CASE WHEN h4 = 1 THEN text || ' ' || text ELSE text END
+             |  FROM t WHERE h4 <> 2
+             |  UNION ALL
+             |  SELECT 's0_compacted', h4, text FROM t WHERE h4 = 0)
+             |SELECT arm, h4, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(len(text)) AS BIGINT) AS chars
+             |FROM u GROUP BY arm, h4 ORDER BY arm, h4""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("h4", pmod(TextDedup.portableHashBuiltin(
+            col("doc_id").cast("string"), ""), lit(4L)))
+          .localCheckpoint(false) // one corpus pass feeds all three waves
+        val root = scratchTempDir("graft-x132-asof")
+        writeStreamWave(root, 0, docs.drop("h4"))
+        writeStreamWave(root, 1,
+          docs.filter(col("h4") === 1)
+            .withColumn("text", concat(col("text"), lit(" "), col("text"))).drop("h4")
+            .unionByName(docs.filter(col("h4") === 3)
+              .withColumn("text", concat(col("text"), lit(" alpha"))).drop("h4")))
+        writeStreamWave(root, 2,
+          docs.filter(col("h4") === 2)
+            .withColumn("text", lit(null).cast("string")).drop("h4")
+            .unionByName(docs.filter(col("h4") === 3).drop("h4")))
+        val stream = s.readStream
+          .schema(Tables.documents(s, d).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(root + "/src/*")
+        graft.streaming.StreamingIngest.docStoreStream(stream,
+          root + "/docs", root + "/versions", root + "/ckpt")
+        def arm(name: String, seq: Long) =
+          graft.streaming.StreamingIngest.resolvedRowsAsOf(
+              s, root + "/docs", root + "/versions", "doc_id", seq)
+            .withColumn("h4", pmod(TextDedup.portableHashBuiltin(
+              col("doc_id").cast("string"), ""), lit(4L)))
+            .groupBy(col("h4"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(length(col("text"))).cast("long").as("chars"))
+            .withColumn("arm", lit(name))
+        // EAGER checkpoint: the pre-compaction arms must be pinned
+        // before compaction destroys the superseded versions they read
+        val pre = arm("s0", 0).unionByName(arm("s1", 1)).unionByName(arm("s2", 2))
+          .localCheckpoint()
+        graft.streaming.StreamingIngest.maybeCompactVersioned(
+          s, root + "/docs", root + "/versions", 0, "doc_id")
+        pre.unionByName(arm("s0_compacted", 0))
+          .select(col("arm"), col("h4"), col("n_docs"), col("chars"))
+      }),
+
+    Q("x133_sketch_rebuild",
+      "Sketches CANNOT forget — the retraction regime's boundary, pinned as data, with " +
+        "the rebuild-from-versioned-log remedy (round-13). HLL registers are MONOTONE " +
+        "(merge = per-register max: associative, commutative, idempotent), so a standing " +
+        "streamed sketch equals the one-shot sketch over everything it ever absorbed — " +
+        "deletions and updates included forever; no tombstone idiom applies, unlike the " +
+        "four versioned index families. Script: the x117 waves through docStoreStream, " +
+        "then per-source distinct-text accounting in three arms: the standing sketch's " +
+        "absorbed multiset (every version in the data log), the live corpus, and a " +
+        "sketch REBUILT from the resolved live corpus — the remedy the versioned store " +
+        "makes possible (O(live), paid only at rebuild; the same move as ivfRefitSwap). " +
+        "Output pins n_seen vs n_live exactly (churn drives them ~2x apart) and three " +
+        "x13-style contract bits: standing_ok=1 (the sketch tracks what it absorbed, " +
+        "within its 5% bound), rebuilt_ok=1 (the rebuilt sketch tracks the live " +
+        "corpus), standing_tracks_live=0 (the standing sketch provably does NOT track " +
+        "the live corpus after churn — the bit the monotonicity makes certain). " +
+        "Aggregates follow x13's split (exact and sketch in separate aggregates joined " +
+        "on the tiny group key — one Expand otherwise).",
+      Some("""WITH t AS (SELECT doc_id, source, text,
+             |       ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 4 AS h4
+             |     FROM documents),
+             |seen AS (SELECT source, text FROM t
+             |  UNION ALL SELECT source, text || ' ' || text FROM t WHERE h4 = 1
+             |  UNION ALL SELECT source, text || ' alpha' FROM t WHERE h4 = 3),
+             |live AS (SELECT source,
+             |    CASE WHEN h4 = 1 THEN text || ' ' || text ELSE text END AS text
+             |  FROM t WHERE h4 <> 2),
+             |a AS (SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS n_seen
+             |      FROM seen GROUP BY source),
+             |b AS (SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS n_live
+             |      FROM live GROUP BY source)
+             |SELECT a.source AS source, n_seen, n_live,
+             |       CAST(1 AS INT) AS standing_ok, CAST(1 AS INT) AS rebuilt_ok,
+             |       CAST(0 AS INT) AS standing_tracks_live
+             |FROM a JOIN b ON a.source = b.source ORDER BY source""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("h4", pmod(TextDedup.portableHashBuiltin(
+            col("doc_id").cast("string"), ""), lit(4L)))
+          .localCheckpoint(false) // one corpus pass feeds all three waves
+        val root = scratchTempDir("graft-x133-sketch")
+        writeStreamWave(root, 0, docs.drop("h4"))
+        writeStreamWave(root, 1,
+          docs.filter(col("h4") === 1)
+            .withColumn("text", concat(col("text"), lit(" "), col("text"))).drop("h4")
+            .unionByName(docs.filter(col("h4") === 3)
+              .withColumn("text", concat(col("text"), lit(" alpha"))).drop("h4")))
+        writeStreamWave(root, 2,
+          docs.filter(col("h4") === 2)
+            .withColumn("text", lit(null).cast("string")).drop("h4")
+            .unionByName(docs.filter(col("h4") === 3).drop("h4")))
+        val stream = s.readStream
+          .schema(Tables.documents(s, d).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(root + "/src/*")
+        graft.streaming.StreamingIngest.docStoreStream(stream,
+          root + "/docs", root + "/versions", root + "/ckpt")
+        // the absorbed multiset: every version the data log retained —
+        // by register-monotonicity, exactly what a standing merged
+        // sketch has converged to
+        val seen = s.read.parquet(root + "/docs")
+        val live = graft.streaming.StreamingIngest.resolvedDocs(
+          s, root + "/docs", root + "/versions")
+        val seenExact = seen.groupBy(col("source"))
+          .agg(countDistinct(col("text")).as("n_seen"))
+        val seenEst = seen.groupBy(col("source").as("src_a"))
+          .agg(approx_count_distinct(col("text"), 0.01).as("est_standing"))
+        val liveExact = live.groupBy(col("source").as("src_b"))
+          .agg(countDistinct(col("text")).as("n_live"))
+        val liveEst = live.groupBy(col("source").as("src_c"))
+          .agg(approx_count_distinct(col("text"), 0.01).as("est_rebuilt"))
+        seenExact
+          .join(seenEst, col("source") <=> col("src_a"))
+          .join(liveExact, col("source") <=> col("src_b"))
+          .join(liveEst, col("source") <=> col("src_c"))
+          .select(col("source"), col("n_seen"), col("n_live"),
+            (abs(col("est_standing") - col("n_seen")) <= col("n_seen") * 0.05)
+              .cast("int").as("standing_ok"),
+            (abs(col("est_rebuilt") - col("n_live")) <= col("n_live") * 0.05)
+              .cast("int").as("rebuilt_ok"),
+            (abs(col("est_standing") - col("n_live")) <= col("n_live") * 0.05)
+              .cast("int").as("standing_tracks_live"))
       }))
 }

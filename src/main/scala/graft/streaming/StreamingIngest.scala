@@ -1052,6 +1052,66 @@ object StreamingIngest {
     resolvedRows(spark, chunksDir, versionsDir, idCol)
       .select(col(idCol), col("h"))
 
+  /** The versioned-index idiom applied to the CORPUS ITSELF (round-13,
+    * x132): a last-write-wins document STORE with retraction and as-of
+    * reads — the lineage-bearing raw table every derived index (postings,
+    * bands, vectors, chunks) hangs off. `derive` is the arrival rows
+    * themselves, so the data log retains every version verbatim until
+    * compaction: [[resolvedDocs]] is the live corpus and
+    * [[resolvedRowsAsOf]] reconstructs any historical snapshot — which
+    * is what makes a training run REPRODUCIBLE ("rebuild the exact
+    * corpus batch S saw") and what the monotone-sketch rebuild remedy
+    * (x133) reads. A null-`textCol` re-arrival derives zero rows =
+    * deletion. Same two-log machinery, exactly-once contracts, and
+    * compaction as every other versioned family.
+    */
+  def docStoreStream(docs: DataFrame, docsDir: String, versionsDir: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text", maxFiles: Int = 64): StreamingQuery =
+    versionedIndexStream(docs, docsDir, versionsDir, checkpointDir,
+      idCol, maxFiles, b => b.filter(col(textCol).isNotNull))
+
+  /** Read side of [[docStoreStream]]: the LIVE corpus — each doc's
+    * latest-version row, deletions absent (all arrival columns,
+    * `ingest_seq` dropped).
+    */
+  def resolvedDocs(spark: SparkSession, docsDir: String,
+      versionsDir: String, idCol: String = "doc_id"): DataFrame =
+    resolvedRows(spark, docsDir, versionsDir, idCol)
+
+  /** AS-OF (time-travel) resolution of a versioned data log — the
+    * training-run reproducibility read (round-13, x132): "the exact
+    * index/corpus snapshot batch `asOfSeq` saw" is each id's data rows
+    * stamped with its max version-log seq AMONG seqs <= `asOfSeq`. Ids
+    * first arriving later do not exist yet; ids whose version at that
+    * point derived zero rows (null text, deleted) are absent — exactly
+    * the state [[resolvedRows]] served the moment batch `asOfSeq`
+    * committed. GENERIC over every versioned family (doc store,
+    * postings, bands, vectors, chunks, IVF cells): the logs share one
+    * layout, so one read serves all — DocStoreAsOfSpec pins it against the
+    * postings log too. Same cost shape as the live read: one id-keyed
+    * equi-join of the data log against the capped max-seq aggregate.
+    *
+    * FIDELITY BOUND (pinned as data by x132's s0_compacted arm):
+    * [[maybeCompactVersioned]] and [[ivfRefitSwap]] destroy superseded
+    * versions, so an as-of read OLDER than the last rewrite silently
+    * loses every id updated or deleted since — only never-touched ids
+    * survive into the reconstruction. A snapshot that must outlive
+    * compaction is a parquet-dir copy of both logs taken before it;
+    * at 100 TB that is the familiar LSM trade — history retention and
+    * read amplification are the same knob (`maxFiles`).
+    */
+  def resolvedRowsAsOf(spark: SparkSession, dataDir: String,
+      versionsDir: String, idCol: String, asOfSeq: Long): DataFrame = {
+    val latest = spark.read.parquet(versionsDir)
+      .filter(col("ingest_seq") <= asOfSeq)
+      .groupBy(col(idCol)).agg(max(col("ingest_seq")).as("__vmax"))
+    spark.read.parquet(dataDir)
+      .join(latest, Seq(idCol))
+      .filter(col("ingest_seq") === col("__vmax"))
+      .drop("__vmax", "ingest_seq")
+  }
+
   /** The PRODUCTION continuous-dedup loop over a RETRACTABLE index
     * (round-13, x125) — [[dedupedCorpusStream]]'s verdict step fused
     * with [[bandIndexUpsertStream]]'s versioned maintenance, which is

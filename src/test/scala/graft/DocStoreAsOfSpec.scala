@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingIngest
+
+/** The versioned DOC STORE and the generic AS-OF read (round-13, x132):
+  * resolvedRowsAsOf reconstructs the exact snapshot any batch saw —
+  * late-arriving ids absent before their first arrival, deletions
+  * absent after theirs — equals the live read at the max seq, serves
+  * the postings log through the same code path (one log layout for
+  * every family), and loses exactly the touched ids when compaction
+  * destroys superseded versions (the fidelity bound x132 pins as data).
+  */
+class DocStoreAsOfSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = graft.sources.Tables.documents(spark, sf)
+    .localCheckpoint(false)
+
+  private lazy val h4docs = docs.withColumn("h4",
+      pmod(graft.ext.TextDedup.portableHashBuiltin(col("doc_id").cast("string"), ""), lit(4L)))
+    .localCheckpoint(false)
+
+  private def doubled(d: DataFrame): DataFrame =
+    d.withColumn("text", concat(col("text"), lit(" "), col("text")))
+
+  // the x117 update script (waves share it with Bm25UpsertStreamSpec)
+  private def waves(root: String): Unit = {
+    writeWaveTo(root + "/src", 0, h4docs.drop("h4"))
+    writeWaveTo(root + "/src", 1,
+      doubled(h4docs.filter(col("h4") === 1)).drop("h4")
+        .unionByName(h4docs.filter(col("h4") === 3)
+          .withColumn("text", concat(col("text"), lit(" alpha"))).drop("h4")))
+    writeWaveTo(root + "/src", 2,
+      h4docs.filter(col("h4") === 2)
+        .withColumn("text", lit(null).cast("string")).drop("h4")
+        .unionByName(h4docs.filter(col("h4") === 3).drop("h4")))
+  }
+
+  private def run(root: String): Unit = {
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(root + "/src/*")
+    StreamingIngest.docStoreStream(stream, root + "/docs",
+      root + "/versions", root + "/ckpt")
+    ()
+  }
+
+  private def asOf(root: String, seq: Long): DataFrame =
+    StreamingIngest.resolvedRowsAsOf(spark, root + "/docs",
+      root + "/versions", "doc_id", seq)
+
+  private def idText(d: DataFrame): Set[(Long, String)] =
+    d.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  // closed-form snapshot corpora
+  private def wave1Corpus: DataFrame =
+    doubled(h4docs.filter(col("h4") === 1))
+      .unionByName(h4docs.filter(col("h4") === 3)
+        .withColumn("text", concat(col("text"), lit(" alpha"))))
+      .unionByName(h4docs.filter(col("h4") === 0 || col("h4") === 2))
+      .drop("h4")
+  private def latestCorpus: DataFrame =
+    doubled(h4docs.filter(col("h4") === 1))
+      .unionByName(h4docs.filter(col("h4") === 0 || col("h4") === 3))
+      .drop("h4")
+
+  test("as-of reconstructs each snapshot on a hand-built lifecycle (late arrival, update, delete)") {
+    val root = tempDir("graft-asof-tiny")
+    val mk = (rows: Seq[(Long, String)]) => rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+    writeWaveTo(root + "/src", 0, mk(Seq(1L -> "one v0", 2L -> "two v0")))
+    writeWaveTo(root + "/src", 1, mk(Seq(1L -> "one v1", 3L -> "three v1")))
+    writeWaveTo(root + "/src", 2,
+      mk(Seq(2L -> "x")).withColumn("text", lit(null).cast("string")))
+    run(root)
+    assert(idText(asOf(root, 0)) == Set(1L -> "one v0", 2L -> "two v0"),
+      "as-of(0) != wave-0 snapshot (doc 3 must not exist yet)")
+    assert(idText(asOf(root, 1)) == Set(1L -> "one v1", 2L -> "two v0", 3L -> "three v1"),
+      "as-of(1) != wave-1 snapshot")
+    assert(idText(asOf(root, 2)) == Set(1L -> "one v1", 3L -> "three v1"),
+      "as-of(2) must drop the deleted doc 2")
+    assert(idText(asOf(root, 2)) == idText(
+        StreamingIngest.resolvedDocs(spark, root + "/docs", root + "/versions")),
+      "as-of at the max seq != the live read")
+  }
+
+  test("as-of over the corpus update script equals the closed-form wave corpora") {
+    val root = tempDir("graft-asof-sf")
+    waves(root)
+    run(root)
+    assert(idText(asOf(root, 0)) == idText(docs), "as-of(0) != the original corpus")
+    assert(idText(asOf(root, 1)) == idText(wave1Corpus), "as-of(1) != the wave-1 corpus")
+    assert(idText(asOf(root, 2)) == idText(latestCorpus), "as-of(2) != the latest corpus")
+  }
+
+  test("compaction destroys superseded history: old as-of keeps only never-touched ids, the live read is invariant") {
+    val root = tempDir("graft-asof-compact")
+    waves(root)
+    run(root)
+    val liveBefore = idText(StreamingIngest.resolvedDocs(spark, root + "/docs", root + "/versions"))
+    assert(StreamingIngest.maybeCompactVersioned(
+      spark, root + "/docs", root + "/versions", 0, "doc_id"), "forced compaction did not run")
+    assert(idText(asOf(root, 0)) ==
+        idText(h4docs.filter(col("h4") === 0).drop("h4")),
+      "post-compaction as-of(0) must shrink to the never-touched bucket")
+    assert(idText(StreamingIngest.resolvedDocs(spark, root + "/docs", root + "/versions")) == liveBefore,
+      "compaction changed the live read")
+  }
+
+  test("the as-of read is generic: the postings log resolves to batch postings over the wave-1 corpus") {
+    val root = tempDir("graft-asof-postings")
+    waves(root)
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(root + "/src/*")
+    StreamingIngest.bm25IndexUpsertStream(stream, root + "/postings",
+      root + "/versions", root + "/ckpt")
+    def rows(d: DataFrame): Set[(Long, String, Long, Long)] =
+      d.select(col("doc_id"), col("term"),
+          col("tf").cast("long").as("tf"), col("dl").cast("long").as("dl"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val got = rows(StreamingIngest.resolvedRowsAsOf(spark, root + "/postings",
+      root + "/versions", "doc_id", 1L))
+    val want = rows(graft.ext.TextRank.postings(wave1Corpus))
+    assert(got == want, "postings-log as-of(1) != batch postings over the wave-1 corpus")
+  }
+}
