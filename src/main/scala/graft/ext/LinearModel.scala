@@ -78,6 +78,39 @@ object LinearModel {
   def mergeStats(standing: DataFrame, arrival: DataFrame, d: Int): DataFrame =
     foldStats(standing.unionByName(arrival), d)
 
+  /** Subtraction arm of a RETRACTABLE stats fold (round-13, x134): a
+    * superseded doc version's contribution leaves the standing
+    * statistics EXACTLY by folding in its negation — integer sums have
+    * an inverse, the precise contrast to x133's monotone sketch
+    * registers, which do not. The guard maxes are the monotone part
+    * HERE: max has no inverse either, so they go to 0 in this arm and
+    * the fold keeps the HISTORICAL per-feature max — a CONSERVATIVE
+    * overflow guard (may fail sooner than the live corpus requires,
+    * never later; correctness of the solve never depends on m).
+    */
+  def negateStats(stats: DataFrame, d: Int): DataFrame = {
+    val cells =
+      (for (i <- 0 until d; j <- i until d)
+        yield (-col(s"a${i}_$j")).as(s"a${i}_$j")) ++
+      (0 until d).map(i => (-col(s"b$i")).as(s"b$i")) ++
+      (0 until d).map(i => lit(0L).as(s"m$i"))
+    stats.select(cells: _*)
+  }
+
+  /** Score `docs` with the model solved from an externally-maintained
+    * sufficient-statistics row (the x134 standing fold): the
+    * [[weakLabelClassifier]] decision path with the fit aggregate
+    * replaced by the caller's statistics. Null cells (a fold whose
+    * every term skipped a column) read as 0.
+    */
+  def scoreWithStats(stats: DataFrame, docs: DataFrame,
+      features: Seq[Column], label: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val d = features.size + 1
+    scoreFromStats(stats.na.fill(0L).collect()(0),
+      featFrame(docs, features, label, idCol), d, idCol)
+  }
+
   /** Fit on `features` (small non-negative integer columns; an intercept
     * is prepended) against 0/1 `label`, then score every row: output
     * (idCol, y, yhat, margin_sign) where margin_sign ∈ {-1,0,1} is the

@@ -1153,8 +1153,10 @@ object ExtensionQueries {
   private def classifierWeakLabel: org.apache.spark.sql.Column =
     expr("cast(substring(source, 4) as int) % 2 = 0")
 
-  // returns (per-doc decision SQL — x102/x104, per-source audit SQL — x105)
-  private lazy val (x102Oracle: String, x105Oracle: String) = {
+  // returns (per-doc decision SQL — x102/x104/x134, per-source audit SQL
+  // — x105), generated over any corpus relation with (doc_id, source,
+  // text) — x134 instantiates it over the latest-version corpus
+  private def classifierOraclesOver(rel: String): (String, String) = {
     val d = 4
     def cell(i: Int, j: Int) = s"a${math.min(i, j)}_${math.max(i, j)}"
     def detSql(col: Int => (Int => String)): String =
@@ -1182,7 +1184,7 @@ object ExtensionQueries {
          |    CAST(len(string_split(text,' ')) AS BIGINT) AS x1,
          |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS x2,
          |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['the','a','data'], t))) AS BIGINT) AS x3
-         |  FROM documents),
+         |  FROM $rel),
          |g AS (SELECT
          |  $gramCells,
          |  $bCells
@@ -1206,6 +1208,20 @@ object ExtensionQueries {
         |  CAST(sum(y*(1-yhat)) AS BIGINT) AS fn
         |FROM scored GROUP BY source""".stripMargin)
   }
+
+  private lazy val (x102Oracle: String, x105Oracle: String) =
+    classifierOraclesOver("documents")
+
+  // x134: the classifier fit over x117's latest-version corpus in closed
+  // form (the bm25UpsertOracle relation, with `source` carried through
+  // for the label)
+  private lazy val x134Oracle: String = classifierOraclesOver(
+    """(SELECT doc_id, source,
+      |        CASE WHEN h4 = 1 THEN text || ' ' || text ELSE text END AS text
+      |   FROM (SELECT doc_id, source, text,
+      |           ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 4 AS h4
+      |         FROM documents) t
+      |   WHERE h4 <> 2)""".stripMargin)._1
 
   private val knnLshOracle: String =
     s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
@@ -5631,5 +5647,58 @@ object ExtensionQueries {
               .cast("int").as("rebuilt_ok"),
             (abs(col("est_standing") - col("n_live")) <= col("n_live") * 0.05)
               .cast("int").as("standing_tracks_live"))
+      }),
+
+    Q("x134_classifier_retract",
+      "The quality classifier maintained EXACTLY under doc update/retraction (round-13) " +
+        "— x133's counterpart on the other side of the forgettability line: HLL " +
+        "registers are monotone and need the rebuild remedy, but normal-equation " +
+        "sufficient statistics are SUBTRACTABLE, so the model can stay bit-consistent " +
+        "with the live corpus at O(batch) per arrival, never re-aggregating history. " +
+        "Machinery (streaming.classifierRetractStream, the x125 fusion posture over " +
+        "docStoreStream): per batch, each arriving id's previous live version is read " +
+        "from the versioned store (capped at ingest_seq < batchId), its stats " +
+        "contribution leaves as negated rows while the new version's enters as added " +
+        "rows (null-text arrival adds nothing = deletion), and the arrivals enter the " +
+        "doc store; the refit folds the stats log and scores the resolved live corpus. " +
+        "Script: the x117 waves (doubled/intermediate-update/delete/revert). The " +
+        "oracle is x102's generated Leibniz-expansion SQL instantiated over the " +
+        "latest-version corpus in closed form — blind to the streaming, the " +
+        "subtraction, and the arrival order; any stats drift that moves a decision " +
+        "moves the hash. Guard maxes are the one monotone part (max has no inverse): " +
+        "the fold keeps the historical max — a conservative overflow guard, " +
+        "spec-pinned (ClassifierRetractStreamSpec) along with exact a/b-cell equality " +
+        "and the stats-log compaction/replay boundary.",
+      Some(x134Oracle),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("h4", pmod(TextDedup.portableHashBuiltin(
+            col("doc_id").cast("string"), ""), lit(4L)))
+          .localCheckpoint(false) // one corpus pass feeds all three waves
+        val root = scratchTempDir("graft-x134-clfret")
+        writeStreamWave(root, 0, docs.drop("h4"))
+        writeStreamWave(root, 1,
+          docs.filter(col("h4") === 1)
+            .withColumn("text", concat(col("text"), lit(" "), col("text"))).drop("h4")
+            .unionByName(docs.filter(col("h4") === 3)
+              .withColumn("text", concat(col("text"), lit(" alpha"))).drop("h4")))
+        writeStreamWave(root, 2,
+          docs.filter(col("h4") === 2)
+            .withColumn("text", lit(null).cast("string")).drop("h4")
+            .unionByName(docs.filter(col("h4") === 3).drop("h4")))
+        val stream = s.readStream
+          .schema(Tables.documents(s, d).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(root + "/src/*")
+        graft.streaming.StreamingIngest.classifierRetractStream(stream,
+          root + "/docs", root + "/versions", root + "/stats", root + "/ckpt",
+          classifierFeatures, classifierWeakLabel)
+        // production cadence: the logs are fold/resolve-sized either way;
+        // compacting here exercises the max-seq stamp on the read path
+        graft.streaming.StreamingIngest.maybeCompactStats(s, root + "/stats", 0)
+        graft.streaming.StreamingIngest.classifierFromStatsLog(s, root + "/stats",
+          graft.streaming.StreamingIngest.resolvedDocs(s, root + "/docs", root + "/versions"),
+          classifierFeatures, classifierWeakLabel)
+          .select(col("doc_id"), col("y"), col("yhat"), col("margin_sign"))
       }))
 }

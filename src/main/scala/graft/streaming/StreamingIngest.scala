@@ -2012,6 +2012,114 @@ object StreamingIngest {
       d: Int): DataFrame =
     graft.ext.LinearModel.foldStats(spark.read.parquet(statsDir), d)
 
+  /** [[classifierStatsStream]] with RETRACTION (round-13, x134): the
+    * classifier stays EXACTLY consistent with the live corpus as docs
+    * update and delete, because normal-equation sufficient statistics
+    * are SUBTRACTABLE — integer sums forget a superseded version by
+    * folding in its negation ([[graft.ext.LinearModel.negateStats]]) —
+    * the precise contrast to x133's monotone sketch registers, which
+    * cannot forget and need the rebuild remedy. Fused with
+    * [[docStoreStream]]'s versioned maintenance (the x125 posture):
+    * per batch, each arriving id's PREVIOUS live version is read from
+    * the standing store (both logs capped at `ingest_seq < batchId` —
+    * a replay must not see its own appends), its stats contribution
+    * leaves as negated rows while the new version's enters as added
+    * rows (a null-`textCol` arrival adds nothing = deletion), then the
+    * arrivals enter the doc store as their ids' newest versions.
+    * O(batch) work per arrival — the corpus is never re-aggregated;
+    * the refit is [[classifierFromStatsLog]].
+    *
+    * Exactly-once boundary (documented, spec-pinned): the stats log's
+    * landed-seq guard covers the streaming replay window — the last
+    * uncommitted batch, whose own seq always survives
+    * [[maybeCompactStats]] (the folded row is stamped with the max
+    * seq: the version-log argument). A FULL-log replay (a fresh
+    * checkpoint over existing logs) is a no-op only until the first
+    * stats compaction — folded-away seqs answer "not landed" and
+    * re-append, and unlike the versioned logs there is no read-side
+    * resolution to ignore them (sums are not idempotent). Compact on
+    * the production cadence (`maxFiles`), never right before a
+    * deliberate full replay; ClassifierRetractStreamSpec pins the
+    * boundary from both sides.
+    */
+  def classifierRetractStream(docs: DataFrame, docsDir: String,
+      versionsDir: String, statsDir: String, checkpointDir: String,
+      features: Seq[org.apache.spark.sql.Column],
+      label: org.apache.spark.sql.Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxFiles: Int = 64): StreamingQuery = {
+    import graft.ext.LinearModel
+    val d = features.size + 1
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = resolveBatchVersions(batch.toDF(), idCol)
+        if (!landedSeq(spark, statsDir, batchId)) {
+          val add = LinearModel.fitStats(LinearModel.featFrame(
+            b.filter(col(textCol).isNotNull), features, label, idCol), d)
+          val delta = liveRowsBefore(spark, docsDir, versionsDir, idCol, batchId)
+            .map(_.join(b.select(col(idCol)), Seq(idCol), "left_semi"))
+            .map(prev => add.unionByName(LinearModel.negateStats(
+              LinearModel.fitStats(
+                LinearModel.featFrame(prev, features, label, idCol), d), d)))
+            .getOrElse(add)
+          graft.pipeline.Ingest.appendWithSeq(delta, statsDir, batchId)
+        }
+        if (!landedSeq(spark, versionsDir, batchId))
+          graft.pipeline.Ingest.appendWithSeq(b.select(col(idCol)), versionsDir, batchId)
+        if (!landedSeq(spark, docsDir, batchId))
+          graft.pipeline.Ingest.appendWithSeq(
+            b.filter(col(textCol).isNotNull), docsDir, batchId)
+        maybeCompactVersioned(spark, docsDir, versionsDir, maxFiles, idCol)
+        maybeCompactStats(spark, statsDir, maxFiles)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Compaction for a mergeable-stats log: fold every landed row into
+    * one (the read does this anyway), stamped with the log's MAX seq so
+    * the streaming replay window's landed-seq guard still answers
+    * "landed" — only the last batch can replay, and its seq is the max
+    * (the version-log argument). `d` is recovered from the schema.
+    */
+  def maybeCompactStats(spark: SparkSession, statsDir: String,
+      maxFiles: Int = 64): Boolean = {
+    val fragmented = pathExists(spark, statsDir) &&
+      cdcIndexFileCount(spark, statsDir) > maxFiles
+    if (fragmented) {
+      val log = spark.read.parquet(statsDir).localCheckpoint(false)
+      val d = log.columns.count(_.startsWith("b"))
+      val maxSeq = log.agg(max(col("ingest_seq"))).head().getLong(0)
+      swapRewrite(spark, statsDir,
+        graft.ext.LinearModel.foldStats(log.drop("ingest_seq"), d)
+          .withColumn("ingest_seq", lit(maxSeq)))
+    }
+    fragmented
+  }
+
+  /** Model refit + live-corpus scoring off [[classifierRetractStream]]'s
+    * logs: fold the stats log, solve driver-side, score `liveDocs`
+    * (usually [[resolvedDocs]]). Decisions equal the batch
+    * [[graft.ext.LinearModel.weakLabelClassifier]] over the live corpus
+    * because the folded sums are bit-equal to the one-shot aggregate —
+    * the x104 invariance carried through churn.
+    */
+  def classifierFromStatsLog(spark: SparkSession, statsDir: String,
+      liveDocs: DataFrame, features: Seq[org.apache.spark.sql.Column],
+      label: org.apache.spark.sql.Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val d = features.size + 1
+    graft.ext.LinearModel.scoreWithStats(
+      graft.ext.LinearModel.foldStats(
+        spark.read.parquet(statsDir).drop("ingest_seq"), d),
+      liveDocs, features, label, idCol)
+  }
+
   /** Stream-static enrichment: each micro-batch joins the (small, slowly
     * changing) dimension read as a plain batch table — the streaming
     * rendering of the reference's token-metadata join. The static side

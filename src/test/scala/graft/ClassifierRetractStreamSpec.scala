@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.LinearModel
+import graft.streaming.StreamingIngest
+
+/** The retractable classifier fold (round-13, x134): sufficient
+  * statistics SUBTRACT exactly under doc update/deletion — the standing
+  * fold stays bit-equal to the batch fit over the latest-version corpus
+  * (a/b cells), the guard maxes are conservative (monotone — the x133
+  * boundary costing only guard slack here), and the stats log's
+  * exactly-once boundary holds through the streaming replay window and
+  * breaks, documented, on a full-log replay after compaction.
+  */
+class ClassifierRetractStreamSpec extends SparkSuite {
+
+  private val d = 4
+
+  private lazy val docs = graft.sources.Tables.documents(spark, sf)
+    .localCheckpoint(false)
+
+  private lazy val h4docs = docs.withColumn("h4",
+      pmod(graft.ext.TextDedup.portableHashBuiltin(col("doc_id").cast("string"), ""), lit(4L)))
+    .localCheckpoint(false)
+
+  // the x102 classifier design (features + even-source proxy label)
+  private def features = {
+    val words = split(col("text"), " ")
+    Seq(size(words).cast("long"),
+      size(array_distinct(words)).cast("long"),
+      size(filter(words, w => w.isin("the", "a", "data"))).cast("long"))
+  }
+  private def label = expr("cast(substring(source, 4) as int) % 2 = 0")
+
+  private def doubled(f: DataFrame): DataFrame =
+    f.withColumn("text", concat(col("text"), lit(" "), col("text")))
+
+  // the x117 update script
+  private def waves(root: String): Unit = {
+    writeWaveTo(root + "/src", 0, h4docs.drop("h4"))
+    writeWaveTo(root + "/src", 1,
+      doubled(h4docs.filter(col("h4") === 1)).drop("h4")
+        .unionByName(h4docs.filter(col("h4") === 3)
+          .withColumn("text", concat(col("text"), lit(" alpha"))).drop("h4")))
+    writeWaveTo(root + "/src", 2,
+      h4docs.filter(col("h4") === 2)
+        .withColumn("text", lit(null).cast("string")).drop("h4")
+        .unionByName(h4docs.filter(col("h4") === 3).drop("h4")))
+  }
+
+  private lazy val latestCorpus =
+    doubled(h4docs.filter(col("h4") === 1))
+      .unionByName(h4docs.filter(col("h4") === 0 || col("h4") === 3))
+      .drop("h4").localCheckpoint(false)
+
+  private def run(root: String, ckpt: String = "ckpt"): Unit = {
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(root + "/src/*")
+    StreamingIngest.classifierRetractStream(stream, root + "/docs",
+      root + "/versions", root + "/stats", root + s"/$ckpt",
+      features, label)
+    ()
+  }
+
+  private def folded(root: String): org.apache.spark.sql.Row =
+    StreamingIngest.classifierStatsFromPartials(spark, root + "/stats", d)
+      .na.fill(0L).head()
+
+  private def decisions(root: String): Set[(Long, Int, Int, Int)] =
+    StreamingIngest.classifierFromStatsLog(spark, root + "/stats",
+        StreamingIngest.resolvedDocs(spark, root + "/docs", root + "/versions"),
+        features, label)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+
+  private def batchDecisions: Set[(Long, Int, Int, Int)] =
+    LinearModel.weakLabelClassifier(latestCorpus, features, label)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+
+  private def cells(r: org.apache.spark.sql.Row, prefix: String): Map[String, Long] =
+    r.schema.fieldNames.filter(_.startsWith(prefix))
+      .map(n => n -> r.getAs[Long](n)).toMap
+
+  test("standing stats equal the batch fit over the latest corpus exactly; guard maxes are conservative") {
+    val root = tempDir("graft-clfret")
+    waves(root)
+    run(root)
+    val got = folded(root)
+    val want = LinearModel.fitStats(
+      LinearModel.featFrame(latestCorpus, features, label, "doc_id"), d).head()
+    assert(cells(got, "a") == cells(want, "a"), "Gram cells drifted from the latest-corpus fit")
+    assert(cells(got, "b") == cells(want, "b"), "moment cells drifted from the latest-corpus fit")
+    // maxes are monotone: historical >= live (strictly greater is possible
+    // — h4==3's superseded '+alpha' version had one more token)
+    (0 until d).foreach { i =>
+      assert(got.getAs[Long](s"m$i") >= want.getAs[Long](s"m$i"),
+        s"guard max m$i below the live corpus max — the guard would under-protect")
+    }
+    assert(decisions(root) == batchDecisions,
+      "streamed-fold decisions != batch classifier over the latest corpus")
+  }
+
+  test("full-log replay before compaction is a no-op (landed-seq guards on all three logs)") {
+    val root = tempDir("graft-clfret2")
+    waves(root)
+    run(root)
+    val before = folded(root)
+    val rowsBefore = spark.read.parquet(root + "/stats").count()
+    run(root, "ckpt2") // fresh checkpoint: every batch replays against landed logs
+    assert(spark.read.parquet(root + "/stats").count() == rowsBefore,
+      "replay re-appended stats deltas")
+    assert(folded(root) == before, "replay changed the folded statistics")
+  }
+
+  test("stats compaction preserves the fold; a full-log replay AFTER it re-appends — the documented boundary") {
+    val root = tempDir("graft-clfret3")
+    waves(root)
+    run(root)
+    val before = folded(root)
+    assert(StreamingIngest.maybeCompactStats(spark, root + "/stats", 0),
+      "forced stats compaction did not run")
+    assert(spark.read.parquet(root + "/stats").count() == 1,
+      "compaction left more than the folded row")
+    assert(folded(root) == before, "compaction changed the folded statistics")
+    assert(decisions(root) == batchDecisions,
+      "post-compaction decisions != batch classifier")
+    // the boundary: folded-away seqs answer "not landed" on a fresh
+    // checkpoint, and sums have no read-side resolution to ignore the
+    // re-appended deltas (a0_0 = live row count strictly grows)
+    run(root, "ckpt2")
+    assert(folded(root).getAs[Long]("a0_0") > before.getAs[Long]("a0_0"),
+      "expected the post-compaction full replay to double-count (the spec-pinned caveat)")
+  }
+}
