@@ -5504,7 +5504,11 @@ object ExtensionQueries {
         "AFTER maybeCompactVersioned destroyed superseded versions, and only the " +
         "never-touched h4==0 bucket survives into the reconstruction (updated and " +
         "deleted ids silently vanish from history — the LSM trade: history retention " +
-        "and read amplification are the same maxFiles knob). Cost: each arm is the " +
+        "and read amplification are the same maxFiles knob). The stream runs with " +
+        "retention pinned (maxFiles=MaxValue): the x100 sweep caught the default-64 " +
+        "cadence compacting MID-STREAM once per-append file counts grow past what AQE " +
+        "coalesces at small scale — an as-of consumer must own the knob, which is the " +
+        "hazard this query's caveat arm exists to demonstrate. Cost: each arm is the " +
         "live-read shape — one id-keyed equi-join against the capped max-seq aggregate, " +
         "never a corpus re-scan.",
       Some("""WITH t AS (SELECT doc_id, text,
@@ -5544,8 +5548,16 @@ object ExtensionQueries {
           .schema(Tables.documents(s, d).schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(root + "/src/*")
+        // retention pinned OFF the automatic cadence: an as-of consumer
+        // must own the compaction knob — the x100 sweep caught the
+        // default-64 gate firing MID-STREAM there (32 shuffle-partition
+        // files per append once AQE stops coalescing) and compacting
+        // away the very history the arms read; at sf0.01/0.1 AQE's 1-2
+        // files per append never trip it, which is exactly the silent
+        // scale hazard the explicit knob removes
         graft.streaming.StreamingIngest.docStoreStream(stream,
-          root + "/docs", root + "/versions", root + "/ckpt")
+          root + "/docs", root + "/versions", root + "/ckpt",
+          maxFiles = Int.MaxValue)
         def arm(name: String, seq: Long) =
           graft.streaming.StreamingIngest.resolvedRowsAsOf(
               s, root + "/docs", root + "/versions", "doc_id", seq)
@@ -5581,8 +5593,10 @@ object ExtensionQueries {
         "within its 5% bound), rebuilt_ok=1 (the rebuilt sketch tracks the live " +
         "corpus), standing_tracks_live=0 (the standing sketch provably does NOT track " +
         "the live corpus after churn — the bit the monotonicity makes certain). " +
-        "Aggregates follow x13's split (exact and sketch in separate aggregates joined " +
-        "on the tiny group key — one Expand otherwise).",
+        "Retention is pinned (maxFiles=MaxValue, the x132 note): the absorbed-multiset " +
+        "read needs every retained version. Aggregates follow x13's split (exact and " +
+        "sketch in separate aggregates joined on the tiny group key — one Expand " +
+        "otherwise).",
       Some("""WITH t AS (SELECT doc_id, source, text,
              |       ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 4 AS h4
              |     FROM documents),
@@ -5620,8 +5634,11 @@ object ExtensionQueries {
           .schema(Tables.documents(s, d).schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(root + "/src/*")
+        // retention pinned off the automatic cadence (the x132 note):
+        // the absorbed-multiset read below NEEDS every retained version
         graft.streaming.StreamingIngest.docStoreStream(stream,
-          root + "/docs", root + "/versions", root + "/ckpt")
+          root + "/docs", root + "/versions", root + "/ckpt",
+          maxFiles = Int.MaxValue)
         // the absorbed multiset: every version the data log retained —
         // by register-monotonicity, exactly what a standing merged
         // sketch has converged to
@@ -5700,5 +5717,86 @@ object ExtensionQueries {
           graft.streaming.StreamingIngest.resolvedDocs(s, root + "/docs", root + "/versions"),
           classifierFeatures, classifierWeakLabel)
           .select(col("doc_id"), col("y"), col("yhat"), col("margin_sign"))
+      }),
+
+    Q("x135_epoch_allocation",
+      "Token-budget EPOCH planning with a max-epoch cap — the UPSAMPLING mix the " +
+        "downsample-only pair x48/x55 cannot express (round-13): given a training " +
+        "budget (2x the corpus' tokens), per-source mixture weights (graded 1..20 by " +
+        "source suffix), and an epoch cap (3 — no source repeats more than thrice), " +
+        "allocate tokens proportionally to weight EXCEPT where that exceeds the cap, " +
+        "redistributing capped sources' unused share among the rest — the recipe step " +
+        "that decides how many epochs of each source a run actually sees. The " +
+        "cap-redistribute fixpoint is computed in its WATER-FILLING closed form, not a " +
+        "loop: sort sources by headroom ratio cap*avail/w (one IEEE division, " +
+        "bit-portable), and the binding set is the prefix where the cross-multiplied " +
+        "integer test (budget - cap*A_prev)*w >= cap*avail*(W - w_prev) holds under a " +
+        "running min (ratios ascend, so once the test fails it fails forever) — every " +
+        "comparison and allocation in exact BIGINT products/DIV, epochs as exact basis " +
+        "points (capped rows pin to 30000). Scale shape: ONE corpus pass (the " +
+        "per-source token aggregate); everything downstream — sort, prefix sums, " +
+        "cutoff, redistribution — is |sources|-sized, with the two 1-row totals " +
+        "attached as broadcast scalars.",
+      Some("""WITH s AS (SELECT source,
+             |       CAST(sum(len(string_split(text,' '))) AS BIGINT) AS avail,
+             |       CAST(CAST(substr(source,4) AS INT) + 1 AS BIGINT) AS w
+             |     FROM documents GROUP BY source),
+             |t AS (SELECT CAST(sum(avail) AS BIGINT) AS tot,
+             |             CAST(sum(w) AS BIGINT) AS wtot FROM s),
+             |o AS (SELECT s.*, t.wtot, 2*t.tot AS budget,
+             |        CAST(3*avail AS DOUBLE)/CAST(w AS DOUBLE) AS ratio
+             |      FROM s, t),
+             |p AS (SELECT *,
+             |        COALESCE(SUM(avail) OVER (ORDER BY ratio, source
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0) AS a_prev,
+             |        COALESCE(SUM(w) OVER (ORDER BY ratio, source
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0) AS w_prev
+             |      FROM o),
+             |c AS (SELECT *, CASE WHEN (budget - 3*a_prev)*w >= 3*avail*(wtot - w_prev)
+             |                     THEN 1 ELSE 0 END AS cond FROM p),
+             |k AS (SELECT *, MIN(cond) OVER (ORDER BY ratio, source
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped FROM c),
+             |g AS (SELECT CAST(COALESCE(SUM(CASE WHEN capped=1 THEN avail END),0) AS BIGINT) AS a_cap,
+             |             CAST(COALESCE(SUM(CASE WHEN capped=0 THEN w END),0) AS BIGINT) AS w_unc FROM k)
+             |SELECT k.source, k.avail, k.w, CAST(k.capped AS INT) AS capped,
+             |  CAST(CASE WHEN k.capped=1 THEN 3*k.avail
+             |            ELSE (k.budget - 3*g.a_cap)*k.w // g.w_unc END AS BIGINT) AS alloc,
+             |  CAST(CASE WHEN k.capped=1 THEN 30000
+             |            ELSE ((k.budget - 3*g.a_cap)*k.w // g.w_unc)*10000 // k.avail
+             |       END AS BIGINT) AS epochs_bp
+             |FROM k, g ORDER BY k.source""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byRatio = Window.orderBy(col("ratio").asc, col("source").asc)
+        val perSrc = Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(sum(size(split(col("text"), " ")).cast("long")).as("avail"))
+          .withColumn("w", expr("cast(substring(source, 4) as bigint) + 1"))
+        val tot = perSrc.agg(sum(col("avail")).as("tot"), sum(col("w")).as("wtot"))
+        // 1-row scalar attach (the established broadcast pattern); the
+        // sort/window below run on |sources| rows, never the corpus
+        val o = perSrc.crossJoin(broadcast(tot))
+          .withColumn("budget", col("tot") * 2L)
+          .withColumn("ratio",
+            (col("avail") * 3L).cast("double") / col("w").cast("double"))
+        val prev = byRatio.rowsBetween(Window.unboundedPreceding, -1)
+        val run = byRatio.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val k = o
+          .withColumn("a_prev", coalesce(sum(col("avail")).over(prev), lit(0L)))
+          .withColumn("w_prev", coalesce(sum(col("w")).over(prev), lit(0L)))
+          .withColumn("cond",
+            ((col("budget") - col("a_prev") * 3L) * col("w") >=
+              (col("avail") * 3L) * (col("wtot") - col("w_prev"))).cast("int"))
+          .withColumn("capped", min(col("cond")).over(run))
+        val g = k.agg(
+          coalesce(sum(when(col("capped") === 1, col("avail"))), lit(0L)).as("a_cap"),
+          coalesce(sum(when(col("capped") === 0, col("w"))), lit(0L)).as("w_unc"))
+        k.crossJoin(broadcast(g))
+          .withColumn("alloc", when(col("capped") === 1, col("avail") * 3L)
+            .otherwise(expr("((budget - 3*a_cap) * w) DIV w_unc")))
+          .withColumn("epochs_bp", when(col("capped") === 1, lit(30000L))
+            .otherwise(expr("(((budget - 3*a_cap) * w) DIV w_unc) * 10000 DIV avail")))
+          .select(col("source"), col("avail"), col("w"), col("capped"),
+            col("alloc"), col("epochs_bp"))
       }))
 }

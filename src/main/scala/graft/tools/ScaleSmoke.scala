@@ -214,7 +214,20 @@ object ScaleSmoke {
     // x130 is the rare-offline-event whole-corpus pass (refit + reassign
     // + swap) — corpus-linear BY DESIGN; the row quantifies what the
     // event costs next to the per-arrival loop it amortizes against
-    "x130_ivf_refit_swap")
+    "x130_ivf_refit_swap",
+    // x132: doc-store waves are corpus-linear appends; each as-of arm is
+    // the live-read shape (one id-keyed equi-join against the capped
+    // max-seq aggregate) — four arms, no corpus re-scan. x133: the
+    // distinct-text aggregates are corpus-linear scans of the retained
+    // log (~1.5x corpus) and the live resolve. x134 adds to the wave
+    // appends one fit aggregate per batch over O(batch) rows plus the
+    // id-keyed previous-version read; the refit solve is driver-side
+    // O(d^3) on a 1-row collect.
+    "x132_asof_snapshot", "x133_sketch_rebuild", "x134_classifier_retract",
+    // x135 is one corpus-linear per-source token aggregate; the whole
+    // water-filling scan (sort, prefix sums, cutoff, redistribution)
+    // runs on |sources| rows with two 1-row broadcast scalar attaches
+    "x135_epoch_allocation")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

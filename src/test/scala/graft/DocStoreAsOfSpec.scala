@@ -39,13 +39,13 @@ class DocStoreAsOfSpec extends SparkSuite {
         .unionByName(h4docs.filter(col("h4") === 3).drop("h4")))
   }
 
-  private def run(root: String): Unit = {
+  private def run(root: String, maxFiles: Int = 64): Unit = {
     val stream = spark.readStream
       .schema(docs.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(root + "/src/*")
     StreamingIngest.docStoreStream(stream, root + "/docs",
-      root + "/versions", root + "/ckpt")
+      root + "/versions", root + "/ckpt", maxFiles = maxFiles)
     ()
   }
 
@@ -111,6 +111,24 @@ class DocStoreAsOfSpec extends SparkSuite {
       "post-compaction as-of(0) must shrink to the never-touched bucket")
     assert(idText(StreamingIngest.resolvedDocs(spark, root + "/docs", root + "/versions")) == liveBefore,
       "compaction changed the live read")
+  }
+
+  test("the IN-STREAM compaction cadence destroys as-of history too — retention is the maxFiles knob, a history consumer must own it") {
+    // the x100-sweep finding: per-append file counts grow with scale
+    // (AQE stops coalescing), the default cadence trips mid-stream, and
+    // the as-of arms silently read compacted state. maxFiles=0 forces
+    // that regime at any scale: every batch compacts, so after the run
+    // only never-touched ids reconstruct at seq 0 — while the LIVE read
+    // stays exactly right (compaction keeps live versions by contract).
+    val root = tempDir("graft-asof-midstream")
+    waves(root)
+    run(root, maxFiles = 0)
+    assert(idText(asOf(root, 0)) ==
+        idText(h4docs.filter(col("h4") === 0).drop("h4")),
+      "mid-stream compaction should have destroyed the touched ids' seq-0 history")
+    assert(idText(StreamingIngest.resolvedDocs(spark, root + "/docs", root + "/versions")) ==
+        idText(latestCorpus),
+      "the live read must survive any compaction cadence")
   }
 
   test("the as-of read is generic: the postings log resolves to batch postings over the wave-1 corpus") {

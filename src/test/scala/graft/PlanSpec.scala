@@ -329,7 +329,10 @@ class PlanSpec extends SparkSuite {
       "x128_ivf_index_upsert", "x129_ivf_drift_recall",
       // x130 serves the same knnIvf shape off the refit-swapped log;
       // x131 is the two bounded-centroid-set assignment broadcasts
-      "x130_ivf_refit_swap", "x131_ivf_drift_gauge")
+      "x130_ivf_refit_swap", "x131_ivf_drift_gauge",
+      // x135's two cross attaches are 1-row scalar totals (corpus token
+      // sum + capped-set sums) broadcast onto the |sources|-row frame
+      "x135_epoch_allocation")
     SparkEntry.registry.foreach { q =>
       val p = plan(q.build(spark, sf))
       val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
