@@ -5737,27 +5737,7 @@ object ExtensionQueries {
         "per-source token aggregate); everything downstream — sort, prefix sums, " +
         "cutoff, redistribution — is |sources|-sized, with the two 1-row totals " +
         "attached as broadcast scalars.",
-      Some("""WITH s AS (SELECT source,
-             |       CAST(sum(len(string_split(text,' '))) AS BIGINT) AS avail,
-             |       CAST(CAST(substr(source,4) AS INT) + 1 AS BIGINT) AS w
-             |     FROM documents GROUP BY source),
-             |t AS (SELECT CAST(sum(avail) AS BIGINT) AS tot,
-             |             CAST(sum(w) AS BIGINT) AS wtot FROM s),
-             |o AS (SELECT s.*, t.wtot, 2*t.tot AS budget,
-             |        CAST(3*avail AS DOUBLE)/CAST(w AS DOUBLE) AS ratio
-             |      FROM s, t),
-             |p AS (SELECT *,
-             |        COALESCE(SUM(avail) OVER (ORDER BY ratio, source
-             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0) AS a_prev,
-             |        COALESCE(SUM(w) OVER (ORDER BY ratio, source
-             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0) AS w_prev
-             |      FROM o),
-             |c AS (SELECT *, CASE WHEN (budget - 3*a_prev)*w >= 3*avail*(wtot - w_prev)
-             |                     THEN 1 ELSE 0 END AS cond FROM p),
-             |k AS (SELECT *, MIN(cond) OVER (ORDER BY ratio, source
-             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped FROM c),
-             |g AS (SELECT CAST(COALESCE(SUM(CASE WHEN capped=1 THEN avail END),0) AS BIGINT) AS a_cap,
-             |             CAST(COALESCE(SUM(CASE WHEN capped=0 THEN w END),0) AS BIGINT) AS w_unc FROM k)
+      Some(s"""$epochAllocCtes
              |SELECT k.source, k.avail, k.w, CAST(k.capped AS INT) AS capped,
              |  CAST(CASE WHEN k.capped=1 THEN 3*k.avail
              |            ELSE (k.budget - 3*g.a_cap)*k.w // g.w_unc END AS BIGINT) AS alloc,
@@ -5765,38 +5745,127 @@ object ExtensionQueries {
              |            ELSE ((k.budget - 3*g.a_cap)*k.w // g.w_unc)*10000 // k.avail
              |       END AS BIGINT) AS epochs_bp
              |FROM k, g ORDER BY k.source""".stripMargin),
+      (s, d) => epochAllocation(s, d)),
+
+    Q("x136_epoch_realize",
+      "How a LOADER deterministically realizes x135's fractional epochs (round-13) — " +
+        "the plan-to-data bridge that closes the mixing story: a source allocated " +
+        "2.37 epochs repeats every doc twice and gives an extra pass to a " +
+        "hash-selected 37% of docs — integer full epochs from epochs_bp DIV 10000 " +
+        "plus a portable-hash Bernoulli (salt 'epoch', threshold epochs_bp mod 10000 " +
+        "basis points) for the fraction, so re-runs, retries, and both engines pick " +
+        "the SAME extra-pass docs (the x48/x34 RNG-free determinism applied to " +
+        "upsampling). Output per source: the planned allocation, realized " +
+        "tokens/docs, and the realization drift |realized - alloc| in basis points " +
+        "(the hash-thinning quantization error — small but nonzero, pinned exactly). " +
+        "Cost: the x135 plan (one corpus aggregate + a 20-row scan) plus ONE " +
+        "corpus pass under a broadcast 20-row plan join — copies are counted " +
+        "arithmetically, never materialized.",
+      Some(s"""$epochAllocCtes,
+             |plan AS (SELECT k.source,
+             |  CAST(CASE WHEN k.capped=1 THEN 3*k.avail
+             |            ELSE (k.budget - 3*g.a_cap)*k.w // g.w_unc END AS BIGINT) AS alloc,
+             |  CAST(CASE WHEN k.capped=1 THEN 30000
+             |            ELSE ((k.budget - 3*g.a_cap)*k.w // g.w_unc)*10000 // k.avail
+             |       END AS BIGINT) AS epochs_bp
+             |  FROM k, g),
+             |r AS (SELECT dd.source,
+             |  CAST(sum(CAST(len(string_split(dd.text,' ')) AS BIGINT) *
+             |    (p.epochs_bp // 10000 + CASE WHEN
+             |       ('0x'||substr(md5(CAST(dd.doc_id AS VARCHAR)||'epoch'),1,15))::BIGINT % 10000
+             |         < p.epochs_bp % 10000 THEN 1 ELSE 0 END)) AS BIGINT) AS realized_tokens,
+             |  CAST(sum(p.epochs_bp // 10000 + CASE WHEN
+             |       ('0x'||substr(md5(CAST(dd.doc_id AS VARCHAR)||'epoch'),1,15))::BIGINT % 10000
+             |         < p.epochs_bp % 10000 THEN 1 ELSE 0 END) AS BIGINT) AS realized_docs
+             |  FROM documents dd JOIN plan p ON dd.source = p.source GROUP BY dd.source)
+             |SELECT r.source, p.alloc, r.realized_tokens, r.realized_docs,
+             |  CAST(abs(r.realized_tokens - p.alloc)*10000 // p.alloc AS BIGINT) AS adrift_bp
+             |FROM r JOIN plan p ON r.source = p.source ORDER BY r.source""".stripMargin),
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val byRatio = Window.orderBy(col("ratio").asc, col("source").asc)
-        val perSrc = Tables.documents(s, d)
+        val plan = epochAllocation(s, d).select(
+          col("source"), col("alloc"), col("epochs_bp"))
+        val extra = (pmod(TextDedup.portableHashBuiltin(
+            col("doc_id").cast("string"), "epoch"), lit(10000L)) <
+          col("epochs_bp") % 10000L).cast("long")
+        // DIV, not `/`: long`/`long is DOUBLE division in Spark
+        val copies = expr("epochs_bp DIV 10000") + extra
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .join(broadcast(plan), Seq("source"))
           .groupBy(col("source"))
-          .agg(sum(size(split(col("text"), " ")).cast("long")).as("avail"))
-          .withColumn("w", expr("cast(substring(source, 4) as bigint) + 1"))
-        val tot = perSrc.agg(sum(col("avail")).as("tot"), sum(col("w")).as("wtot"))
-        // 1-row scalar attach (the established broadcast pattern); the
-        // sort/window below run on |sources| rows, never the corpus
-        val o = perSrc.crossJoin(broadcast(tot))
-          .withColumn("budget", col("tot") * 2L)
-          .withColumn("ratio",
-            (col("avail") * 3L).cast("double") / col("w").cast("double"))
-        val prev = byRatio.rowsBetween(Window.unboundedPreceding, -1)
-        val run = byRatio.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val k = o
-          .withColumn("a_prev", coalesce(sum(col("avail")).over(prev), lit(0L)))
-          .withColumn("w_prev", coalesce(sum(col("w")).over(prev), lit(0L)))
-          .withColumn("cond",
-            ((col("budget") - col("a_prev") * 3L) * col("w") >=
-              (col("avail") * 3L) * (col("wtot") - col("w_prev"))).cast("int"))
-          .withColumn("capped", min(col("cond")).over(run))
-        val g = k.agg(
-          coalesce(sum(when(col("capped") === 1, col("avail"))), lit(0L)).as("a_cap"),
-          coalesce(sum(when(col("capped") === 0, col("w"))), lit(0L)).as("w_unc"))
-        k.crossJoin(broadcast(g))
-          .withColumn("alloc", when(col("capped") === 1, col("avail") * 3L)
-            .otherwise(expr("((budget - 3*a_cap) * w) DIV w_unc")))
-          .withColumn("epochs_bp", when(col("capped") === 1, lit(30000L))
-            .otherwise(expr("(((budget - 3*a_cap) * w) DIV w_unc) * 10000 DIV avail")))
-          .select(col("source"), col("avail"), col("w"), col("capped"),
-            col("alloc"), col("epochs_bp"))
+          .agg(sum(col("toks") * copies).as("realized_tokens"),
+            sum(copies).as("realized_docs"),
+            first(col("alloc")).as("alloc"))
+          .select(col("source"), col("alloc"), col("realized_tokens"),
+            col("realized_docs"),
+            expr("(abs(realized_tokens - alloc) * 10000) DIV alloc")
+              .as("adrift_bp"))
       }))
+
+  // the x135 water-filling CTE stack (through `k` = cutoff-flagged rows
+  // and `g` = capped-set sums), shared by the x135 and x136 oracles.
+  // LAZY: declared below `defs`, which interpolates it at its own
+  // (lazy) evaluation — a strict val here would read null
+  private lazy val epochAllocCtes: String =
+    """WITH s AS (SELECT source,
+      |       CAST(sum(len(string_split(text,' '))) AS BIGINT) AS avail,
+      |       CAST(CAST(substr(source,4) AS INT) + 1 AS BIGINT) AS w
+      |     FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(avail) AS BIGINT) AS tot,
+      |             CAST(sum(w) AS BIGINT) AS wtot FROM s),
+      |o AS (SELECT s.*, t.wtot, 2*t.tot AS budget,
+      |        CAST(3*avail AS DOUBLE)/CAST(w AS DOUBLE) AS ratio
+      |      FROM s, t),
+      |p AS (SELECT *,
+      |        COALESCE(SUM(avail) OVER (ORDER BY ratio, source
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0) AS a_prev,
+      |        COALESCE(SUM(w) OVER (ORDER BY ratio, source
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0) AS w_prev
+      |      FROM o),
+      |c AS (SELECT *, CASE WHEN (budget - 3*a_prev)*w >= 3*avail*(wtot - w_prev)
+      |                     THEN 1 ELSE 0 END AS cond FROM p),
+      |k AS (SELECT *, MIN(cond) OVER (ORDER BY ratio, source
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped FROM c),
+      |g AS (SELECT CAST(COALESCE(SUM(CASE WHEN capped=1 THEN avail END),0) AS BIGINT) AS a_cap,
+      |             CAST(COALESCE(SUM(CASE WHEN capped=0 THEN w END),0) AS BIGINT) AS w_unc FROM k)""".stripMargin
+
+  /** The x135 water-filling allocation chain, shared with x136's
+    * realization: (source, avail, w, capped, alloc, epochs_bp).
+    */
+  private def epochAllocation(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byRatio = Window.orderBy(col("ratio").asc, col("source").asc)
+    val perSrc = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("avail"))
+      .withColumn("w", expr("cast(substring(source, 4) as bigint) + 1"))
+    val tot = perSrc.agg(sum(col("avail")).as("tot"), sum(col("w")).as("wtot"))
+    // 1-row scalar attach (the established broadcast pattern); the
+    // sort/window below run on |sources| rows, never the corpus
+    val o = perSrc.crossJoin(broadcast(tot))
+      .withColumn("budget", col("tot") * 2L)
+      .withColumn("ratio",
+        (col("avail") * 3L).cast("double") / col("w").cast("double"))
+    val prev = byRatio.rowsBetween(Window.unboundedPreceding, -1)
+    val run = byRatio.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val k = o
+      .withColumn("a_prev", coalesce(sum(col("avail")).over(prev), lit(0L)))
+      .withColumn("w_prev", coalesce(sum(col("w")).over(prev), lit(0L)))
+      .withColumn("cond",
+        ((col("budget") - col("a_prev") * 3L) * col("w") >=
+          (col("avail") * 3L) * (col("wtot") - col("w_prev"))).cast("int"))
+      .withColumn("capped", min(col("cond")).over(run))
+    val g = k.agg(
+      coalesce(sum(when(col("capped") === 1, col("avail"))), lit(0L)).as("a_cap"),
+      coalesce(sum(when(col("capped") === 0, col("w"))), lit(0L)).as("w_unc"))
+    k.crossJoin(broadcast(g))
+      .withColumn("alloc", when(col("capped") === 1, col("avail") * 3L)
+        .otherwise(expr("((budget - 3*a_cap) * w) DIV w_unc")))
+      .withColumn("epochs_bp", when(col("capped") === 1, lit(30000L))
+        .otherwise(expr("(((budget - 3*a_cap) * w) DIV w_unc) * 10000 DIV avail")))
+      .select(col("source"), col("avail"), col("w"), col("capped"),
+        col("alloc"), col("epochs_bp"))
+  }
 }

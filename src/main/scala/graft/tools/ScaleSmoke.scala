@@ -227,7 +227,10 @@ object ScaleSmoke {
     // x135 is one corpus-linear per-source token aggregate; the whole
     // water-filling scan (sort, prefix sums, cutoff, redistribution)
     // runs on |sources| rows with two 1-row broadcast scalar attaches
-    "x135_epoch_allocation")
+    "x135_epoch_allocation",
+    // x136 adds to x135 ONE corpus pass under a broadcast 20-row plan
+    // join (copies counted arithmetically, never materialized)
+    "x136_epoch_realize")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

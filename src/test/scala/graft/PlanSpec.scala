@@ -331,8 +331,9 @@ class PlanSpec extends SparkSuite {
       // x131 is the two bounded-centroid-set assignment broadcasts
       "x130_ivf_refit_swap", "x131_ivf_drift_gauge",
       // x135's two cross attaches are 1-row scalar totals (corpus token
-      // sum + capped-set sums) broadcast onto the |sources|-row frame
-      "x135_epoch_allocation")
+      // sum + capped-set sums) broadcast onto the |sources|-row frame;
+      // x136 runs the same plan chain under its realization pass
+      "x135_epoch_allocation", "x136_epoch_realize")
     SparkEntry.registry.foreach { q =>
       val p = plan(q.build(spark, sf))
       val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
