@@ -2036,6 +2036,12 @@ object ExtensionQueries {
   private val quantizeCodeTerms: Seq[String] =
     (1 to Dim).map(i => s"floor(CAST(embedding[$i] AS DOUBLE) * scale)")
 
+  // x137: dot over int8 code arrays (DOUBLE-typed integral values ≤127,
+  // so every product and partial sum is exact — association-free)
+  private def codeDotSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"$a[$i]*$b[$i]")
+      .mkString("(CAST(0.0 AS DOUBLE) + ", " + ", ")")
+
   private val quantizeInt8Oracle: String =
     s"""WITH m AS (SELECT vec_id, embedding,
        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS max_abs
@@ -5801,6 +5807,73 @@ object ExtensionQueries {
             col("realized_docs"),
             expr("(abs(realized_tokens - alloc) * 10000) DIV alloc")
               .as("adrift_bp"))
+      }),
+
+    Q("x137_int8_knn",
+      "KNN served off INT8-QUANTIZED vectors with the retrieval quality pinned against " +
+        "fp truth (round-13) — the production serving format (x37 quantizes, this " +
+        "SEARCHES it): per-vector max-abs scales CANCEL in cosine, so the quantized " +
+        "ranking needs only dot(q,c)/sqrt(dot(c,c)) over the integer codes — every " +
+        "product and partial sum is an exact integral double (|code| <= 127, " +
+        "association-free), and the sort key is one correctly-rounded sqrt plus one " +
+        "division, bit-portable cross-engine (the x06 boundary handled by " +
+        "construction, not by rank-only output). Output: the int8 top-5 per query " +
+        "with a hit bit against the fp brute truth (x06's chain verbatim) — the " +
+        "measured answer to 'what does 4x memory compression cost in retrieval " +
+        "quality', per query, as data. Cost shape: the x06 brute class (10-row query " +
+        "side broadcast; at corpus scale the candidate side swaps for any indexed " +
+        "generator — the ranking arithmetic is what this query pins).",
+      Some(s"""WITH m AS (SELECT vec_id, embedding,
+             |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS max_abs
+             |  FROM embeddings),
+             |sc AS (SELECT vec_id, embedding,
+             |    CASE WHEN max_abs = 0 THEN CAST(0.0 AS DOUBLE) ELSE 127.0 / max_abs END AS scale
+             |  FROM m),
+             |codes AS (SELECT vec_id,
+             |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * scale)) AS c
+             |  FROM sc),
+             |qr AS (SELECT qid, neighbor_id, rank FROM (
+             |  SELECT q.vec_id AS qid, e.vec_id AS neighbor_id,
+             |         row_number() OVER (PARTITION BY q.vec_id
+             |           ORDER BY ${codeDotSql("q.c", "e.c")} / sqrt(${codeDotSql("e.c", "e.c")}) DESC,
+             |                    e.vec_id) AS rank
+             |  FROM codes q JOIN codes e ON e.vec_id != q.vec_id
+             |  WHERE q.vec_id < 10) t WHERE rank <= 5),
+             |tr AS (SELECT qid, neighbor_id FROM (
+             |  SELECT q.vec_id AS qid, e.vec_id AS neighbor_id,
+             |         row_number() OVER (PARTITION BY q.vec_id
+             |           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rank
+             |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+             |  WHERE q.vec_id < 10) t WHERE rank <= 5)
+             |SELECT qr.qid, CAST(qr.rank AS INT) AS rank, qr.neighbor_id,
+             |  CAST(CASE WHEN tr.neighbor_id IS NULL THEN 0 ELSE 1 END AS INT) AS hit
+             |FROM qr LEFT JOIN tr ON qr.qid = tr.qid AND qr.neighbor_id = tr.neighbor_id
+             |ORDER BY qr.qid, qr.rank""".stripMargin),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val codes = Similarity.quantizeInt8(emb)
+          .select(col("vec_id"), col("codes"))
+          .localCheckpoint(false) // one quantize pass feeds queries and candidates
+        val q = codes.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("codes").as("qc"))
+        val c = codes.select(col("vec_id").as("cid"), col("codes").as("cc"))
+        val dot = aggregate(zip_with(col("qc"), col("cc"), (a, b) => a * b),
+          lit(0.0), (acc, v) => acc + v)
+        val norm = aggregate(transform(col("cc"), x => x * x),
+          lit(0.0), (acc, v) => acc + v)
+        val top = q.join(c, col("qid") =!= col("cid"))
+          .withColumn("sim", dot / sqrt(norm))
+          .groupBy(col("qid"))
+          .agg(graft.functions.top_k_by(col("sim"), col("cid"), 5).as("top"))
+          .select(col("qid"), posexplode(col("top")))
+          .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+            col("col.id").as("neighbor_id"))
+        val truth = Similarity.knnBrute(emb.filter(col("vec_id") < 10), emb, 5)
+          .select(col("qid").as("tq"), col("neighbor_id").as("tn"))
+        top.join(truth,
+            col("qid") === col("tq") && col("neighbor_id") === col("tn"), "left")
+          .select(col("qid"), col("rank"), col("neighbor_id"),
+            col("tn").isNotNull.cast("int").as("hit"))
       }))
 
   // the x135 water-filling CTE stack (through `k` = cutoff-flagged rows

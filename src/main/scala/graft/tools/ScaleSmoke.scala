@@ -230,7 +230,10 @@ object ScaleSmoke {
     "x135_epoch_allocation",
     // x136 adds to x135 ONE corpus pass under a broadcast 20-row plan
     // join (copies counted arithmetically, never materialized)
-    "x136_epoch_realize")
+    "x136_epoch_realize",
+    // x137's quantize pass and both candidate sides scan the amplified
+    // embeddings (queries stay 10, ranks bounded — the x06 brute class)
+    "x137_int8_knn")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

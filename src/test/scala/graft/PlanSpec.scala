@@ -333,7 +333,10 @@ class PlanSpec extends SparkSuite {
       // x135's two cross attaches are 1-row scalar totals (corpus token
       // sum + capped-set sums) broadcast onto the |sources|-row frame;
       // x136 runs the same plan chain under its realization pass
-      "x135_epoch_allocation", "x136_epoch_realize")
+      "x135_epoch_allocation", "x136_epoch_realize",
+      // x137 is the x06 brute class: the 10-row quantized query side
+      // broadcast under the non-equi candidate join, plus x06's truth
+      "x137_int8_knn")
     SparkEntry.registry.foreach { q =>
       val p = plan(q.build(spark, sf))
       val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
