@@ -43,6 +43,37 @@ object ExtensionQueries {
       df: org.apache.spark.sql.DataFrame): Unit =
     graft.util.FileWaves.write(root + "/src", b, df)
 
+  /** The shared x117 doc-update wave script: the full corpus arrives in
+    * wave 0; portable-md5 bucket h4==1 re-arrives DOUBLED in wave 1 and
+    * h4==3 takes an intermediate '+alpha' update; h4==2 re-arrives
+    * null-text (= deletion) and h4==3 reverts in wave 2. Writes the
+    * three waves under `root/src` and returns the file-stream frame.
+    * ONE definition (round-13 self-review): five queries share the
+    * closed-form latest-version oracles this script implies, so the
+    * script must not be able to drift per query.
+    */
+  private def docUpdateWaveStream(s: org.apache.spark.sql.SparkSession,
+      d: String, root: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("h4", pmod(graft.ext.TextDedup.portableHashBuiltin(
+        col("doc_id").cast("string"), ""), lit(4L)))
+      .localCheckpoint(false) // one corpus pass feeds all three waves
+    writeStreamWave(root, 0, docs.drop("h4"))
+    writeStreamWave(root, 1,
+      docs.filter(col("h4") === 1)
+        .withColumn("text", concat(col("text"), lit(" "), col("text"))).drop("h4")
+        .unionByName(docs.filter(col("h4") === 3)
+          .withColumn("text", concat(col("text"), lit(" alpha"))).drop("h4")))
+    writeStreamWave(root, 2,
+      docs.filter(col("h4") === 2)
+        .withColumn("text", lit(null).cast("string")).drop("h4")
+        .unionByName(docs.filter(col("h4") === 3).drop("h4")))
+    s.readStream
+      .schema(Tables.documents(s, d).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(root + "/src/*")
+  }
+
   // ---- portable minhash/simhash oracle fragments --------------------------
 
   // DuckDB renderings of the portable md5 hash family (TextDedup.portableHash
@@ -1141,16 +1172,19 @@ object ExtensionQueries {
   // Leibniz expansion of the 4x4 Cramer determinants over the aggregated
   // HUGEINT normal-equation cells — the same integers LinearModel collects,
   // so driver-side BigInt Cramer and this SQL agree exactly.
-  // the classifier family's shared design (x102/x104/x105): integer
+  // the classifier family's shared design (x102/x104/x105/x134): integer
   // per-doc features + the even-source proxy label, mirrored cell for
-  // cell in the f CTE of the generated oracle below
-  private def classifierFeatures: Seq[org.apache.spark.sql.Column] = {
+  // cell in the f CTE of the generated oracle below. private[graft]:
+  // ClassifierRetractStreamSpec asserts against the SAME definition the
+  // oracle is generated from (round-13 self-review — a spec-local copy
+  // could drift and stay green)
+  private[graft] def classifierFeatures: Seq[org.apache.spark.sql.Column] = {
     val words = split(col("text"), " ")
     Seq(size(words).cast("long"),
       size(array_distinct(words)).cast("long"),
       size(filter(words, w => w.isin("the", "a", "data"))).cast("long"))
   }
-  private def classifierWeakLabel: org.apache.spark.sql.Column =
+  private[graft] def classifierWeakLabel: org.apache.spark.sql.Column =
     expr("cast(substring(source, 4) as int) % 2 = 0")
 
   // returns (per-doc decision SQL — x102/x104/x134, per-source audit SQL
@@ -4772,25 +4806,8 @@ object ExtensionQueries {
         "O(query-term postings).",
       Some(bm25UpsertOracle),
       (s, d) => {
-        val docs = Tables.documents(s, d)
-          .withColumn("h4", pmod(graft.ext.TextDedup.portableHashBuiltin(
-            col("doc_id").cast("string"), ""), lit(4L)))
-          .localCheckpoint(false) // one corpus pass feeds all three waves
         val root = scratchTempDir("graft-x117-bm25ups")
-        writeStreamWave(root, 0, docs.drop("h4"))
-        writeStreamWave(root, 1,
-          docs.filter(col("h4") === 1)
-            .withColumn("text", concat(col("text"), lit(" "), col("text"))).drop("h4")
-            .unionByName(docs.filter(col("h4") === 3)
-              .withColumn("text", concat(col("text"), lit(" alpha"))).drop("h4")))
-        writeStreamWave(root, 2,
-          docs.filter(col("h4") === 2)
-            .withColumn("text", lit(null).cast("string")).drop("h4")
-            .unionByName(docs.filter(col("h4") === 3).drop("h4")))
-        val stream = s.readStream
-          .schema(Tables.documents(s, d).schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(root + "/src/*")
+        val stream = docUpdateWaveStream(s, d, root)
         graft.streaming.StreamingIngest.bm25IndexUpsertStream(stream,
           root + "/postings", root + "/versions", root + "/ckpt")
         val tf = graft.streaming.StreamingIngest.resolvedPostings(
@@ -5151,25 +5168,8 @@ object ExtensionQueries {
         "resolve join.",
       Some(dedupStreamRetractOracle),
       (s, d) => {
-        val docs = Tables.documents(s, d)
-          .withColumn("h4", pmod(graft.ext.TextDedup.portableHashBuiltin(
-            col("doc_id").cast("string"), ""), lit(4L)))
-          .localCheckpoint(false) // one corpus pass feeds all three waves
         val root = scratchTempDir("graft-x125-dedupstream")
-        writeStreamWave(root, 0, docs.drop("h4"))
-        writeStreamWave(root, 1,
-          docs.filter(col("h4") === 1)
-            .withColumn("text", concat(col("text"), lit(" "), col("text"))).drop("h4")
-            .unionByName(docs.filter(col("h4") === 3)
-              .withColumn("text", concat(col("text"), lit(" alpha"))).drop("h4")))
-        writeStreamWave(root, 2,
-          docs.filter(col("h4") === 2)
-            .withColumn("text", lit(null).cast("string")).drop("h4")
-            .unionByName(docs.filter(col("h4") === 3).drop("h4")))
-        val stream = s.readStream
-          .schema(Tables.documents(s, d).schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(root + "/src/*")
+        val stream = docUpdateWaveStream(s, d, root)
         graft.streaming.StreamingIngest.bandIndexUpsertDedupStream(stream,
           root + "/bands", root + "/versions", root + "/verdicts", root + "/ckpt",
           signer = df => TextDedup.minhashSignaturesPortable(df))
@@ -5535,25 +5535,8 @@ object ExtensionQueries {
              |       CAST(SUM(len(text)) AS BIGINT) AS chars
              |FROM u GROUP BY arm, h4 ORDER BY arm, h4""".stripMargin),
       (s, d) => {
-        val docs = Tables.documents(s, d)
-          .withColumn("h4", pmod(TextDedup.portableHashBuiltin(
-            col("doc_id").cast("string"), ""), lit(4L)))
-          .localCheckpoint(false) // one corpus pass feeds all three waves
         val root = scratchTempDir("graft-x132-asof")
-        writeStreamWave(root, 0, docs.drop("h4"))
-        writeStreamWave(root, 1,
-          docs.filter(col("h4") === 1)
-            .withColumn("text", concat(col("text"), lit(" "), col("text"))).drop("h4")
-            .unionByName(docs.filter(col("h4") === 3)
-              .withColumn("text", concat(col("text"), lit(" alpha"))).drop("h4")))
-        writeStreamWave(root, 2,
-          docs.filter(col("h4") === 2)
-            .withColumn("text", lit(null).cast("string")).drop("h4")
-            .unionByName(docs.filter(col("h4") === 3).drop("h4")))
-        val stream = s.readStream
-          .schema(Tables.documents(s, d).schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(root + "/src/*")
+        val stream = docUpdateWaveStream(s, d, root)
         // retention pinned OFF the automatic cadence: an as-of consumer
         // must own the compaction knob — the x100 sweep caught the
         // default-64 gate firing MID-STREAM there (32 shuffle-partition
@@ -5621,25 +5604,8 @@ object ExtensionQueries {
              |       CAST(0 AS INT) AS standing_tracks_live
              |FROM a JOIN b ON a.source = b.source ORDER BY source""".stripMargin),
       (s, d) => {
-        val docs = Tables.documents(s, d)
-          .withColumn("h4", pmod(TextDedup.portableHashBuiltin(
-            col("doc_id").cast("string"), ""), lit(4L)))
-          .localCheckpoint(false) // one corpus pass feeds all three waves
         val root = scratchTempDir("graft-x133-sketch")
-        writeStreamWave(root, 0, docs.drop("h4"))
-        writeStreamWave(root, 1,
-          docs.filter(col("h4") === 1)
-            .withColumn("text", concat(col("text"), lit(" "), col("text"))).drop("h4")
-            .unionByName(docs.filter(col("h4") === 3)
-              .withColumn("text", concat(col("text"), lit(" alpha"))).drop("h4")))
-        writeStreamWave(root, 2,
-          docs.filter(col("h4") === 2)
-            .withColumn("text", lit(null).cast("string")).drop("h4")
-            .unionByName(docs.filter(col("h4") === 3).drop("h4")))
-        val stream = s.readStream
-          .schema(Tables.documents(s, d).schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(root + "/src/*")
+        val stream = docUpdateWaveStream(s, d, root)
         // retention pinned off the automatic cadence (the x132 note):
         // the absorbed-multiset read below NEEDS every retained version
         graft.streaming.StreamingIngest.docStoreStream(stream,
@@ -5694,25 +5660,8 @@ object ExtensionQueries {
         "and the stats-log compaction/replay boundary.",
       Some(x134Oracle),
       (s, d) => {
-        val docs = Tables.documents(s, d)
-          .withColumn("h4", pmod(TextDedup.portableHashBuiltin(
-            col("doc_id").cast("string"), ""), lit(4L)))
-          .localCheckpoint(false) // one corpus pass feeds all three waves
         val root = scratchTempDir("graft-x134-clfret")
-        writeStreamWave(root, 0, docs.drop("h4"))
-        writeStreamWave(root, 1,
-          docs.filter(col("h4") === 1)
-            .withColumn("text", concat(col("text"), lit(" "), col("text"))).drop("h4")
-            .unionByName(docs.filter(col("h4") === 3)
-              .withColumn("text", concat(col("text"), lit(" alpha"))).drop("h4")))
-        writeStreamWave(root, 2,
-          docs.filter(col("h4") === 2)
-            .withColumn("text", lit(null).cast("string")).drop("h4")
-            .unionByName(docs.filter(col("h4") === 3).drop("h4")))
-        val stream = s.readStream
-          .schema(Tables.documents(s, d).schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(root + "/src/*")
+        val stream = docUpdateWaveStream(s, d, root)
         graft.streaming.StreamingIngest.classifierRetractStream(stream,
           root + "/docs", root + "/versions", root + "/stats", root + "/ckpt",
           classifierFeatures, classifierWeakLabel)
@@ -5861,7 +5810,12 @@ object ExtensionQueries {
           lit(0.0), (acc, v) => acc + v)
         val norm = aggregate(transform(col("cc"), x => x * x),
           lit(0.0), (acc, v) => acc + v)
-        val top = q.join(c, col("qid") =!= col("cid"))
+        // candidate side LEFT, 10-row query side explicitly broadcast —
+        // the Similarity.scoredCandidates convention; without the hint a
+        // stats tie between two projections of the same checkpointed
+        // frame lets Spark build-broadcast the CORPUS side (round-13
+        // self-review)
+        val top = c.join(broadcast(q), col("qid") =!= col("cid"))
           .withColumn("sim", dot / sqrt(norm))
           .groupBy(col("qid"))
           .agg(graft.functions.top_k_by(col("sim"), col("cid"), 5).as("top"))

@@ -2115,8 +2115,7 @@ object StreamingIngest {
       idCol: String = "doc_id"): DataFrame = {
     val d = features.size + 1
     graft.ext.LinearModel.scoreWithStats(
-      graft.ext.LinearModel.foldStats(
-        spark.read.parquet(statsDir).drop("ingest_seq"), d),
+      classifierStatsFromPartials(spark, statsDir, d),
       liveDocs, features, label, idCol)
   }
 

@@ -25,14 +25,10 @@ class ClassifierRetractStreamSpec extends SparkSuite {
       pmod(graft.ext.TextDedup.portableHashBuiltin(col("doc_id").cast("string"), ""), lit(4L)))
     .localCheckpoint(false)
 
-  // the x102 classifier design (features + even-source proxy label)
-  private def features = {
-    val words = split(col("text"), " ")
-    Seq(size(words).cast("long"),
-      size(array_distinct(words)).cast("long"),
-      size(filter(words, w => w.isin("the", "a", "data"))).cast("long"))
-  }
-  private def label = expr("cast(substring(source, 4) as int) % 2 = 0")
+  // the x102 classifier design — the SAME definition the x134 oracle is
+  // generated from, not a spec-local copy (round-13 self-review)
+  private def features = graft.queries.ExtensionQueries.classifierFeatures
+  private def label = graft.queries.ExtensionQueries.classifierWeakLabel
 
   private def doubled(f: DataFrame): DataFrame =
     f.withColumn("text", concat(col("text"), lit(" "), col("text")))
