@@ -1257,6 +1257,18 @@ object ExtensionQueries {
       |         FROM documents) t
       |   WHERE h4 <> 2)""".stripMargin)._1
 
+  // x138: the same generated SQL over the WAVE-1 snapshot corpus in
+  // closed form (h4==1 doubled, h4==3 '+alpha', h4==2 still original —
+  // its deletion lands only in wave 2)
+  private lazy val x138Oracle: String = classifierOraclesOver(
+    """(SELECT doc_id, source,
+      |        CASE WHEN h4 = 1 THEN text || ' ' || text
+      |             WHEN h4 = 3 THEN text || ' alpha'
+      |             ELSE text END AS text
+      |   FROM (SELECT doc_id, source, text,
+      |           ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 4 AS h4
+      |         FROM documents) t)""".stripMargin)._1
+
   private val knnLshOracle: String =
     s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
        |s AS (SELECT q.vec_id AS qid, c.vec_id AS neighbor_id, q.bucket AS bucket,
@@ -5756,6 +5768,36 @@ object ExtensionQueries {
             col("realized_docs"),
             expr("(abs(realized_tokens - alloc) * 10000) DIV alloc")
               .as("adrift_bp"))
+      }),
+
+    Q("x138_model_asof",
+      "TRAINING-RUN reproducibility end to end (round-13): the classifier EXACTLY as " +
+        "it stood when batch S committed, scored over the corpus exactly as batch S " +
+        "saw it — model time travel (classifierStatsAsOf: the stats log's deltas are " +
+        "stamped once per batch, so the historical sufficient statistics are the fold " +
+        "over stamps <= S) aligned with corpus time travel (resolvedRowsAsOf, x132), " +
+        "both off the logs ONE stream already maintains (classifierRetractStream). " +
+        "Script: the shared x117 waves; S = 1 (after the update wave, before the " +
+        "deletion wave). The oracle is the x102 generated SQL over the wave-1 corpus " +
+        "in closed form — a model whose fold missed wave 1's subtractions, or a " +
+        "corpus arm off by one version, moves decisions and the hash. Same fidelity " +
+        "bound as every as-of read: compaction folds history away, so model time " +
+        "travel reaches back only to the last rewrite (the x132 retention-knob note " +
+        "applies to the stats log verbatim).",
+      Some(x138Oracle),
+      (s, d) => {
+        val root = scratchTempDir("graft-x138-modelasof")
+        val stream = docUpdateWaveStream(s, d, root)
+        graft.streaming.StreamingIngest.classifierRetractStream(stream,
+          root + "/docs", root + "/versions", root + "/stats", root + "/ckpt",
+          classifierFeatures, classifierWeakLabel, maxFiles = Int.MaxValue)
+        val statsAt1 = graft.streaming.StreamingIngest.classifierStatsAsOf(
+          s, root + "/stats", classifierFeatures.size + 1, 1L)
+        val corpusAt1 = graft.streaming.StreamingIngest.resolvedRowsAsOf(
+          s, root + "/docs", root + "/versions", "doc_id", 1L)
+        graft.ext.LinearModel.scoreWithStats(statsAt1, corpusAt1,
+            classifierFeatures, classifierWeakLabel)
+          .select(col("doc_id"), col("y"), col("yhat"), col("margin_sign"))
       }),
 
     Q("x137_int8_knn",

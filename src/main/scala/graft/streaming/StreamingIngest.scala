@@ -2102,6 +2102,22 @@ object StreamingIngest {
     fragmented
   }
 
+  /** AS-OF fold of a mergeable-stats log (round-13, x138): the model's
+    * sufficient statistics EXACTLY as they stood when batch `asOfSeq`
+    * committed — deltas are stamped once per batch, so the historical
+    * state is the fold over stamps <= `asOfSeq`. Paired with
+    * [[resolvedRowsAsOf]] on the doc store this reproduces a historical
+    * training run end to end: the model as-of S scored over the corpus
+    * as-of S, off the same logs. Same fidelity bound as every as-of
+    * read: [[maybeCompactStats]] folds history away (the single
+    * compacted row carries the max seq), so model time travel reaches
+    * back only to the last compaction.
+    */
+  def classifierStatsAsOf(spark: SparkSession, statsDir: String,
+      d: Int, asOfSeq: Long): DataFrame =
+    graft.ext.LinearModel.foldStats(
+      spark.read.parquet(statsDir).filter(col("ingest_seq") <= asOfSeq), d)
+
   /** Model refit + live-corpus scoring off [[classifierRetractStream]]'s
     * logs: fold the stats log, solve driver-side, score `liveDocs`
     * (usually [[resolvedDocs]]). Decisions equal the batch

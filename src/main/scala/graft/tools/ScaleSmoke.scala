@@ -233,7 +233,10 @@ object ScaleSmoke {
     "x136_epoch_realize",
     // x137's quantize pass and both candidate sides scan the amplified
     // embeddings (queries stay 10, ranks bounded — the x06 brute class)
-    "x137_int8_knn")
+    "x137_int8_knn",
+    // x138 is x134's wave profile plus one capped fold and one as-of
+    // resolve — both log-sized, the scoring pass corpus-linear
+    "x138_model_asof")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
