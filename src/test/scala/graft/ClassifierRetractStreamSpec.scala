@@ -97,6 +97,10 @@ class ClassifierRetractStreamSpec extends SparkSuite {
     }
     assert(decisions(root) == batchDecisions,
       "streamed-fold decisions != batch classifier over the latest corpus")
+    // the as-of fold at the max seq IS the full fold (x138's read)
+    assert(StreamingIngest.classifierStatsAsOf(spark, root + "/stats", d, 2L)
+        .na.fill(0L).head() == got,
+      "classifierStatsAsOf at the max seq != the full fold")
   }
 
   test("full-log replay before compaction is a no-op (landed-seq guards on all three logs)") {
