@@ -5800,6 +5800,47 @@ object ExtensionQueries {
           .select(col("doc_id"), col("y"), col("yhat"), col("margin_sign"))
       }),
 
+    Q("x139_rollup_ivm",
+      "INCREMENTAL VIEW MAINTENANCE for additive rollups (round-13) — the capability " +
+        "Spark itself lacks, realized by the subtraction idiom: maintain an exact " +
+        "GROUP BY view (per (source, lang): row count, token sum, char sum) over a " +
+        "churning corpus at O(batch) per arrival — arriving versions add, each " +
+        "arriving id's previous live version subtracts (read back from the fused doc " +
+        "store), the standing view is ONE group-keyed sum over the delta log. " +
+        "Bit-equal to the batch rollup over the live corpus because integer addition " +
+        "has an inverse — the forgettability taxonomy's subtractable class at " +
+        "WAREHOUSE granularity (x134 was model granularity); measures must be " +
+        "additive, min/max/distinct are the monotone class and need the " +
+        "versioned-log rebuild instead. Script: the shared x117 waves; a group whose " +
+        "docs all leave disappears (row count 0). Oracle = the closed-form " +
+        "latest-version corpus rolled up in SQL, blind to deltas, streaming, and " +
+        "arrival order. IvmRollupSpec pins batch equality, group disappearance, " +
+        "replay no-op, and compaction invariance.",
+      Some("""WITH live AS (
+             |  SELECT doc_id, source, lang,
+             |         CASE WHEN h4 = 1 THEN text || ' ' || text ELSE text END AS text
+             |    FROM (SELECT doc_id, source, lang, text,
+             |            ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 4 AS h4
+             |          FROM documents) t
+             |    WHERE h4 <> 2)
+             |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
+             |       CAST(SUM(len(text)) AS BIGINT) AS n_chars
+             |FROM live GROUP BY source, lang ORDER BY source, lang""".stripMargin),
+      (s, d) => {
+        val root = scratchTempDir("graft-x139-ivm")
+        val stream = docUpdateWaveStream(s, d, root)
+        graft.streaming.StreamingIngest.ivmRollupStream(stream,
+          root + "/docs", root + "/versions", root + "/rollup", root + "/ckpt",
+          Seq("source", "lang"),
+          Seq("n_tokens" -> size(split(col("text"), " ")).cast("long"),
+            "n_chars" -> length(col("text")).cast("long")))
+        graft.streaming.StreamingIngest.resolvedRollup(
+            s, root + "/rollup", Seq("source", "lang"))
+          .select(col("source"), col("lang"), col("n_rows"),
+            col("n_tokens"), col("n_chars"))
+      }),
+
     Q("x137_int8_knn",
       "KNN served off INT8-QUANTIZED vectors with the retrieval quality pinned against " +
         "fp truth (round-13) — the production serving format (x37 quantizes, this " +

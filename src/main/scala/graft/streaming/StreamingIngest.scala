@@ -2081,6 +2081,105 @@ object StreamingIngest {
     q
   }
 
+  /** INCREMENTAL VIEW MAINTENANCE for additive rollups (round-13, x139)
+    * — the [[classifierRetractStream]] subtraction idiom generalized
+    * from model statistics to ANY additive GROUP BY view: maintain an
+    * exact rollup table (group -> SUM measures + row count) over a
+    * churning corpus at O(batch) per arrival, never re-aggregating
+    * history. Per batch, arriving versions contribute +measures and
+    * each arriving id's previous live version contributes -measures
+    * (read back from the fused doc store, both logs capped at
+    * `ingest_seq < batchId`); the standing view is one group-keyed sum
+    * over the delta log ([[resolvedRollup]]) — bit-equal to the batch
+    * rollup over the live corpus because integer addition has an
+    * inverse (the forgettability taxonomy's subtractable class; README
+    * Scale posture). A null-`textCol` arrival contributes
+    * subtract-only = deletion; a group whose last doc leaves sums to
+    * row count 0 and disappears from the read. Measures must be
+    * ADDITIVE (sums of per-row expressions) — that is the class with
+    * an inverse; min/max/distinct belong to the monotone class and
+    * need the versioned-log rebuild instead.
+    *
+    * Exactly-once boundary: identical to the stats log
+    * ([[classifierRetractStream]]'s note) — the landed-seq guard covers
+    * the streaming replay window, and [[maybeCompactRollup]] stamps the
+    * folded rows with the max seq.
+    */
+  def ivmRollupStream(docs: DataFrame, docsDir: String, versionsDir: String,
+      rollupDir: String, checkpointDir: String, groupCols: Seq[String],
+      measures: Seq[(String, org.apache.spark.sql.Column)],
+      idCol: String = "doc_id", textCol: String = "text",
+      maxFiles: Int = 64): StreamingQuery = {
+    def delta(f: DataFrame, sign: Int): DataFrame = {
+      val m = sum(lit(sign.toLong)).as("n_rows") +:
+        measures.map { case (n, e) => sum(e * lit(sign.toLong)).as(n) }
+      f.groupBy(groupCols.map(col): _*).agg(m.head, m.tail: _*)
+    }
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = resolveBatchVersions(batch.toDF(), idCol)
+        if (!landedSeq(spark, rollupDir, batchId)) {
+          val add = delta(b.filter(col(textCol).isNotNull), 1)
+          val deltas = liveRowsBefore(spark, docsDir, versionsDir, idCol, batchId)
+            .map(_.join(b.select(col(idCol)), Seq(idCol), "left_semi"))
+            .map(prev => add.unionByName(delta(prev, -1)))
+            .getOrElse(add)
+          graft.pipeline.Ingest.appendWithSeq(deltas, rollupDir, batchId)
+        }
+        if (!landedSeq(spark, versionsDir, batchId))
+          graft.pipeline.Ingest.appendWithSeq(b.select(col(idCol)), versionsDir, batchId)
+        if (!landedSeq(spark, docsDir, batchId))
+          graft.pipeline.Ingest.appendWithSeq(
+            b.filter(col(textCol).isNotNull), docsDir, batchId)
+        maybeCompactVersioned(spark, docsDir, versionsDir, maxFiles, idCol)
+        maybeCompactRollup(spark, rollupDir, groupCols, maxFiles)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Read side of [[ivmRollupStream]]: one group-keyed sum over the
+    * delta log; groups whose docs have all left (row count 0) are
+    * absent, exactly as in the batch rollup over the live corpus.
+    */
+  def resolvedRollup(spark: SparkSession, rollupDir: String,
+      groupCols: Seq[String]): DataFrame = {
+    val log = spark.read.parquet(rollupDir).drop("ingest_seq")
+    val mcols = log.columns.filterNot(groupCols.contains)
+    log.groupBy(groupCols.map(col): _*)
+      .agg(sum(col(mcols.head)).as(mcols.head),
+        mcols.tail.map(c => sum(col(c)).as(c)): _*)
+      .filter(col("n_rows") > 0)
+  }
+
+  /** Compaction for a rollup delta log: fold to one row per group
+    * stamped with the log's max seq (the stats-log argument), dropping
+    * fully-retracted groups (row count 0 — pure garbage, and a read
+    * filters them anyway).
+    */
+  def maybeCompactRollup(spark: SparkSession, rollupDir: String,
+      groupCols: Seq[String], maxFiles: Int = 64): Boolean = {
+    val fragmented = pathExists(spark, rollupDir) &&
+      cdcIndexFileCount(spark, rollupDir) > maxFiles
+    if (fragmented) {
+      val log = spark.read.parquet(rollupDir).localCheckpoint(false)
+      val maxSeq = log.agg(max(col("ingest_seq"))).head().getLong(0)
+      val mcols = log.columns.filterNot(c => groupCols.contains(c) || c == "ingest_seq")
+      swapRewrite(spark, rollupDir,
+        log.groupBy(groupCols.map(col): _*)
+          .agg(sum(col(mcols.head)).as(mcols.head),
+            mcols.tail.map(c => sum(col(c)).as(c)): _*)
+          .filter(col("n_rows") =!= 0)
+          .withColumn("ingest_seq", lit(maxSeq)))
+    }
+    fragmented
+  }
+
   /** Compaction for a mergeable-stats log: fold every landed row into
     * one (the read does this anyway), stamped with the log's MAX seq so
     * the streaming replay window's landed-seq guard still answers

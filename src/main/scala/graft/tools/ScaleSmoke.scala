@@ -236,7 +236,10 @@ object ScaleSmoke {
     "x137_int8_knn",
     // x138 is x134's wave profile plus one capped fold and one as-of
     // resolve — both log-sized, the scoring pass corpus-linear
-    "x138_model_asof")
+    "x138_model_asof",
+    // x139's per-wave delta aggregates are O(batch) map-side sums; the
+    // read is one group-keyed sum over the delta log (groups-sized)
+    "x139_rollup_ivm")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingIngest
+
+/** Incremental view maintenance for additive rollups (round-13, x139):
+  * the maintained GROUP BY view stays bit-equal to the batch rollup
+  * over the live corpus under update/deletion, fully-retracted groups
+  * disappear, replay is a no-op, and compaction preserves the fold.
+  */
+class IvmRollupSpec extends SparkSuite {
+
+  private val groups = Seq("source", "lang")
+  private def measures = Seq(
+    "n_tokens" -> size(split(col("text"), " ")).cast("long"),
+    "n_chars" -> length(col("text")).cast("long"))
+
+  private def mk(rows: Seq[(Long, String, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "source", "lang", "text")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
+  private def run(root: String, ckpt: String = "ckpt"): Unit = {
+    val stream = spark.readStream
+      .schema(mk(Seq((0L, "s", "l", "t"))).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(root + "/src/*")
+    StreamingIngest.ivmRollupStream(stream, root + "/docs",
+      root + "/versions", root + "/rollup", root + s"/$ckpt",
+      groups, measures)
+    ()
+  }
+
+  private def view(root: String): Set[(String, String, Long, Long, Long)] =
+    StreamingIngest.resolvedRollup(spark, root + "/rollup", groups)
+      .select(col("source"), col("lang"), col("n_rows"),
+        col("n_tokens"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+
+  private def batchView(live: DataFrame): Set[(String, String, Long, Long, Long)] =
+    live.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+
+  // wave 0: two groups; wave 1: doc 1 updated (longer text), doc 3
+  // moves content; wave 2: group g2 FULLY deleted + doc 1 deleted
+  private def waves(root: String): Unit = {
+    writeWaveTo(root + "/src", 0, mk(Seq(
+      (1L, "g1", "en", "one one"), (2L, "g1", "en", "two"),
+      (3L, "g2", "de", "drei drei drei"))))
+    writeWaveTo(root + "/src", 1, mk(Seq(
+      (1L, "g1", "en", "one one longer now"),
+      (3L, "g2", "de", "vier"))))
+    writeWaveTo(root + "/src", 2,
+      mk(Seq((3L, "g2", "de", "x"), (1L, "g1", "en", "x")))
+        .withColumn("text", lit(null).cast("string")))
+  }
+
+  private def liveCorpus: DataFrame =
+    mk(Seq((2L, "g1", "en", "two")))
+
+  test("the maintained view equals the batch rollup over the live corpus; a fully-retracted group disappears") {
+    val root = tempDir("graft-ivm")
+    waves(root)
+    run(root)
+    assert(view(root) == batchView(liveCorpus),
+      "maintained rollup != batch rollup over the live corpus")
+    assert(!view(root).exists(_._1 == "g2"),
+      "the fully-deleted group must disappear from the view")
+  }
+
+  test("full-log replay before compaction is a no-op; compaction preserves the view and drops retracted groups") {
+    val root = tempDir("graft-ivm2")
+    waves(root)
+    run(root)
+    val before = view(root)
+    run(root, "ckpt2") // fresh checkpoint: all batches replay against landed logs
+    assert(view(root) == before, "replay changed the maintained view")
+    assert(StreamingIngest.maybeCompactRollup(spark, root + "/rollup", groups, 0),
+      "forced rollup compaction did not run")
+    assert(view(root) == before, "compaction changed the maintained view")
+    val raw = spark.read.parquet(root + "/rollup")
+    assert(raw.count() == before.size,
+      s"compaction must keep one row per live group, got ${raw.count()}")
+  }
+}
