@@ -2160,7 +2160,16 @@ object StreamingIngest {
   /** Compaction for a rollup delta log: fold to one row per group
     * stamped with the log's max seq (the stats-log argument), dropping
     * fully-retracted groups (row count 0 — pure garbage, and a read
-    * filters them anyway).
+    * filters them anyway). Boundary: when EVERY group has been fully
+    * retracted the rewrite must not leave an empty log — that would
+    * destroy the max-seq stamp [[landedSeq]] reads to guard the
+    * streaming replay window, so a crash-replay of the last batch
+    * would re-append its delta (a re-added doc then nets to n_rows 0
+    * and is silently hidden). Keep one all-null-group, all-zero
+    * sentinel row stamped with maxSeq instead, mirroring
+    * [[maybeCompactStats]] which always retains one folded row; the
+    * read's `n_rows > 0` filter never surfaces it, and a later
+    * compaction with live groups folds it away again.
     */
   def maybeCompactRollup(spark: SparkSession, rollupDir: String,
       groupCols: Seq[String], maxFiles: Int = 64): Boolean = {
@@ -2170,12 +2179,21 @@ object StreamingIngest {
       val log = spark.read.parquet(rollupDir).localCheckpoint(false)
       val maxSeq = log.agg(max(col("ingest_seq"))).head().getLong(0)
       val mcols = log.columns.filterNot(c => groupCols.contains(c) || c == "ingest_seq")
-      swapRewrite(spark, rollupDir,
-        log.groupBy(groupCols.map(col): _*)
-          .agg(sum(col(mcols.head)).as(mcols.head),
-            mcols.tail.map(c => sum(col(c)).as(c)): _*)
-          .filter(col("n_rows") =!= 0)
-          .withColumn("ingest_seq", lit(maxSeq)))
+      val folded = log.groupBy(groupCols.map(col): _*)
+        .agg(sum(col(mcols.head)).as(mcols.head),
+          mcols.tail.map(c => sum(col(c)).as(c)): _*)
+        .filter(col("n_rows") =!= 0)
+        .withColumn("ingest_seq", lit(maxSeq))
+        .localCheckpoint(false)
+      val survivors =
+        if (folded.isEmpty)
+          log.limit(1).select(log.schema.fields.map { f =>
+            if (f.name == "ingest_seq") lit(maxSeq).cast(f.dataType).as(f.name)
+            else if (groupCols.contains(f.name)) lit(null).cast(f.dataType).as(f.name)
+            else lit(0).cast(f.dataType).as(f.name)
+          }: _*)
+        else folded
+      swapRewrite(spark, rollupDir, survivors)
     }
     fragmented
   }

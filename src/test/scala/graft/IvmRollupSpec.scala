@@ -91,4 +91,34 @@ class IvmRollupSpec extends SparkSuite {
     assert(raw.count() == before.size,
       s"compaction must keep one row per live group, got ${raw.count()}")
   }
+
+  test("compaction with every group fully retracted keeps a max-seq sentinel row; a later re-add lands once and reads back correctly") {
+    val root = tempDir("graft-ivm3")
+    // wave 0 adds two docs in one group; wave 1 deletes both -> every
+    // group nets to n_rows 0.
+    writeWaveTo(root + "/src", 0, mk(Seq(
+      (1L, "g1", "en", "one one"), (2L, "g1", "en", "two"))))
+    writeWaveTo(root + "/src", 1,
+      mk(Seq((1L, "g1", "en", "x"), (2L, "g1", "en", "x")))
+        .withColumn("text", lit(null).cast("string")))
+    run(root)
+    val preMaxSeq = spark.read.parquet(root + "/rollup")
+      .agg(max(col("ingest_seq"))).head().getLong(0)
+    assert(StreamingIngest.maybeCompactRollup(spark, root + "/rollup", groups, 0),
+      "forced rollup compaction did not run")
+    val raw = spark.read.parquet(root + "/rollup")
+    // The ADVICE boundary: the rewrite must NOT leave an empty log —
+    // the landed-seq replay guard reads the max stamp from it.
+    assert(raw.count() == 1L,
+      s"all-retracted compaction must keep exactly one sentinel row, got ${raw.count()}")
+    assert(raw.agg(max(col("ingest_seq"))).head().getLong(0) == preMaxSeq,
+      "the sentinel must carry the pre-compaction max seq")
+    assert(view(root).isEmpty, "the sentinel must be invisible to reads")
+    // Continue the SAME checkpoint: the re-add is batch 2, appends once,
+    // and the view equals the batch rollup over the one live doc.
+    writeWaveTo(root + "/src", 2, mk(Seq((1L, "g1", "en", "one again"))))
+    run(root)
+    assert(view(root) == batchView(mk(Seq((1L, "g1", "en", "one again")))),
+      "re-added doc after all-retracted compaction must surface correctly")
+  }
 }
