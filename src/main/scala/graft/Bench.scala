@@ -101,6 +101,54 @@ object Bench {
     }.toMap
   }
 
+  /** Common-query subtotal ratio between two per-query timing maps:
+    * cand-sum / ref-sum over the keys both carry with positive times
+    * (failed queries land as -1.0 sentinels and must not poison the
+    * subtotal). None when the common set is empty — a link that cannot
+    * be computed must not silently read 1.0.
+    */
+  def commonSumRatio(ref: Map[String, Double], cand: Map[String, Double]): Option[Double] = {
+    val common = ref.keySet.intersect(cand.keySet)
+      .filter(k => ref(k) > 0 && cand(k) > 0).toSeq
+    if (common.isEmpty) None
+    else Some(common.map(cand).sum / common.map(ref).sum)
+  }
+
+  /** Phase-corrected position vs the persistent anchor (round-14, r13
+    * verdict item 1). Round 13 proved an ~8% probe-blind host phase —
+    * two all-clean windows read 177.60 s and 192.50 s on identical
+    * code — so RAW totals are not a valid cross-round signal. The
+    * valid comparator is the CHAIN of common-query subtotal ratios
+    * through every promoted clean reference: each link compares two
+    * profiles over the queries BOTH ran (newcomers never pollute an
+    * earlier link), and the product walks the current run back to the
+    * anchor row (the r12-final 127.53 s/172 profile in
+    * bench_chain.jsonl). `chain` is the ordered node list (anchor
+    * first, current promoted reference last); the final link is
+    * chain.last vs `current`. None if the chain is empty or any link's
+    * common set is — a partial chain must not report a number.
+    */
+  def chainedRatioVsAnchor(chain: Seq[Map[String, Double]],
+      current: Map[String, Double]): Option[Double] = {
+    if (chain.isEmpty) None
+    else (chain :+ current).sliding(2).foldLeft(Option(1.0)) {
+      case (acc, Seq(a, b)) => for (x <- acc; r <- commonSumRatio(a, b)) yield x * r
+      case (acc, _) => acc
+    }
+  }
+
+  /** Full-line artifact path (round-14, r13 verdict item 6): the
+    * driver's per-round invocation transiently displaced the committed
+    * bench_full_last.json even on a clean run. When
+    * SPARK_GRAFT_BENCH_OUT is set, BOTH clean and dirty output land
+    * there (the caller owns the side file; the committed artifacts are
+    * never touched); unset keeps the quarantine split — clean runs own
+    * bench_full_last.json, dirty runs land in bench_full_dirty.json.
+    */
+  def benchOutFile(envOut: Option[String], windowClean: Boolean): String =
+    envOut.filter(_.nonEmpty).getOrElse(
+      if (windowClean) "bench_full_last.json" else "bench_full_dirty.json")
+
   /** The precheck JSON fragment. `precheck_clean` is ALWAYS a boolean
     * (round-12 ADVICE: the prior build emitted the string "disabled" at
     * tries=0 — a union type that broke any consumer parsing it as
@@ -462,8 +510,35 @@ object Bench {
       System.err.println(s"[bench] movers audit unavailable: ${e.getClass.getSimpleName}: ${e.getMessage}")
       ""
     }
+    // Chained comparator vs the persistent anchor (round-14, r13
+    // verdict item 1): compose common-subtotal ratios through
+    // bench_chain.jsonl (anchor-first ordered clean references; the
+    // LAST line must stay in sync with bench_reference.json — append
+    // the new line whenever a reference is promoted) and close with
+    // the current run. Same-sf lines only; failures disable the field
+    // by name rather than emitting a wrong number.
+    val chainFields: String = try {
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("bench_chain.jsonl")).toArray.map(_.toString)
+        .map(_.trim).filter(_.startsWith("{"))
+      val sameSf = lines.filter { l =>
+        "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(l).map(_.group(1)).contains(sfDir)
+      }
+      if (sameSf.length != lines.length)
+        throw new IllegalStateException(s"chain sf mismatch (${lines.length - sameSf.length} foreign-sf lines)")
+      val chain = sameSf.toSeq.map(refQueries)
+      val candQ = results.toMap -- errors
+      chainedRatioVsAnchor(chain, candQ) match {
+        case Some(r) =>
+          s""","chain_len":${chain.size},"chained_ratio_vs_anchor":${fmt(r)}"""
+        case None => throw new IllegalStateException("empty chain or empty common set on a link")
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] chained anchor ratio unavailable: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      ""
+    }
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$anchorFields$audit,""" +
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$anchorFields$audit$chainFields,""" +
       s""""failed":$failedArr,"queries":$qs,"sf":"$sfDir"}"""
     println(fullLine)
     // The registry outgrew the driver's fixed-size stdout tail: at 110
@@ -480,8 +555,11 @@ object Bench {
     // working tree's bench_full_last.json with stolen-window numbers.
     // Clean runs own bench_full_last.json; dirty runs write their full
     // output to bench_full_dirty.json and leave the clean file alone.
-    val fullFile = if (windowClean) "bench_full_last.json" else "bench_full_dirty.json"
-    if (!windowClean)
+    val fullFile = benchOutFile(sys.env.get("SPARK_GRAFT_BENCH_OUT"), windowClean)
+    if (sys.env.get("SPARK_GRAFT_BENCH_OUT").exists(_.nonEmpty))
+      System.err.println(s"[bench] SPARK_GRAFT_BENCH_OUT set: full output redirected to $fullFile " +
+        "(committed artifacts untouched)")
+    else if (!windowClean)
       System.err.println(s"[bench] dirty window: full output quarantined to $fullFile " +
         "(bench_full_last.json untouched)")
     try {
@@ -496,7 +574,7 @@ object Bench {
       .findFirstMatchIn(audit).map(m => s""","audit_ratio":${m.group(1)}""").getOrElse("")
     val head = new StringBuilder(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
-      s""""n_errors":${errors.size},"failed":$failedArr,$anchorFields$auditRatio,""" +
+      s""""n_errors":${errors.size},"failed":$failedArr,$anchorFields$auditRatio$chainFields,""" +
       s""""full":"$fullFile","queries":{""")
     val tailBudget = 1600 // chars for the compact line, incl. closing
     var first = true

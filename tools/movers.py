@@ -11,6 +11,18 @@ across windows while the ratio doesn't explain it).
 
 Accepts either the full bench line or the compact top-slowest line
 (the audit then covers the intersection and says so).
+
+Chain mode (round-14, r13 verdict item 1): pass the committed
+bench_chain.jsonl (anchor-first ordered clean references) as the
+reference to print every link's common-subtotal ratio plus the
+composed chained_ratio_vs_anchor — the phase-corrected position of the
+candidate vs the persistent r12 anchor, the same arithmetic Bench
+embeds in its JSON (MoversChainSpec pins both):
+
+  python3 tools/movers.py bench_chain.jsonl <candidate.json> [floor_sec]
+
+The pairwise movers report then runs against the chain's LAST node
+(the current promoted reference).
 """
 import json
 import sys
@@ -25,10 +37,58 @@ def load(path):
     raise SystemExit(f"no JSON line in {path}")
 
 
+def load_chain(path):
+    nodes = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("{"):
+                nodes.append(json.loads(line))
+    if not nodes:
+        raise SystemExit(f"no JSON lines in {path}")
+    return nodes
+
+
+def common_sum_ratio(ref_q, cand_q):
+    """Bench.commonSumRatio: shared positive-time keys only (failed
+    queries carry -1.0 sentinels)."""
+    common = [k for k in ref_q if k in cand_q
+              and ref_q[k] > 0 and cand_q[k] > 0]
+    if not common:
+        return None, []
+    return (sum(cand_q[k] for k in common) / sum(ref_q[k] for k in common),
+            common)
+
+
+def print_chain(nodes, cand):
+    composed = 1.0
+    profiles = [n["queries"] for n in nodes] + [cand["queries"]]
+    labels = [f"chain[{i}] {n.get('value', '?')}s/{len(n['queries'])}"
+              for i, n in enumerate(nodes)] + [
+        f"candidate {cand.get('value', '?')}s/{len(cand['queries'])}"]
+    for i in range(len(profiles) - 1):
+        ratio, common = common_sum_ratio(profiles[i], profiles[i + 1])
+        if ratio is None:
+            raise SystemExit(
+                f"broken chain link {labels[i]} -> {labels[i + 1]}: empty common set")
+        composed *= ratio
+        print(f"link {labels[i]} -> {labels[i + 1]}: "
+              f"common {len(common)} ratio {ratio:.4f}")
+    print(f"chained_ratio_vs_anchor: {composed:.4f} "
+          f"(candidate vs {labels[0]}, phase-corrected)")
+
+
 def main():
     if len(sys.argv) < 3:
         raise SystemExit(__doc__)
-    ref, cand = load(sys.argv[1]), load(sys.argv[2])
+    cand = load(sys.argv[2])
+    if sys.argv[1].endswith(".jsonl"):
+        nodes = load_chain(sys.argv[1])
+        print_chain(nodes, cand)
+        print()
+        ref = nodes[-1]  # pairwise movers vs the current promoted reference
+    else:
+        ref = load(sys.argv[1])
     floor = float(sys.argv[3]) if len(sys.argv) > 3 else 0.3
     qr, qc = ref["queries"], cand["queries"]
     common = sorted(set(qr) & set(qc))
