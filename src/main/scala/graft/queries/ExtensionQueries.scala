@@ -1119,6 +1119,118 @@ object ExtensionQueries {
        |ORDER BY arm, cell_id""".stripMargin
   }
 
+  // x140's oracle: the gauge-triggered refit policy's whole history in
+  // closed form. Corpus states l0..l3 are the wave script's live
+  // corpora; occupancy arms are rn=1 assignment chains (the proven
+  // x128/x131 argmax with the csim DESC, cell_id tie-break) GROUPed to
+  // per-cell counts; the gauge is pure BIGINT total-variation
+  // arithmetic (no float ever enters it); fired bits are computed
+  // (tv > threshold), not baked in — if the engine fired on a
+  // different wave its stored assignments, gauge rows, and serve
+  // candidates all diverge and the hash catches it. The serve tail is
+  // x129's recall join over the final corpus vs the refit structure.
+  private val ivfPolicyOracle: String = {
+    val baseE =
+      """(SELECT vec_id, embedding,
+        |   ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT % 4 AS h4
+        | FROM embeddings)""".stripMargin
+    // indexed lambda, not list_resize: DuckDB 1.0.0's list_resize dies
+    // with std::bad_array_new_length on table-sourced lists
+    val ax = "list_transform(embedding, (x,i) -> CASE WHEN i = 1 THEN x ELSE CAST(0 AS FLOAT) END)"
+    def bnCte(tag: String, corpus: String) =
+      s"""bn_$tag AS MATERIALIZED (SELECT vec_id, embedding,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nr FROM $corpus)""".stripMargin
+    def centCte(tag: String, rel: String) =
+      s"""cent_$tag AS MATERIALIZED (SELECT vec_id AS cell_id, embedding AS cv,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS cnr
+         |  FROM $rel WHERE vec_id % 62 = 0 AND vec_id < 992)""".stripMargin
+    // MATERIALIZED occupancy/total/gauge CTEs composed via single-row
+    // CROSS JOINs — scalar subqueries inside the aggregates sent DuckDB
+    // 1.0.0 into a bad-allocation death spiral once the full 10-view
+    // catalog was registered (plan-shape dependent; the x129/x131
+    // materialized-CTE idiom never hits it)
+    def occCte(tag: String, corpusTag: String, centTag: String) =
+      s"""o_$tag AS MATERIALIZED (SELECT cell_id, CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT e.vec_id, c.cell_id,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY (${dotSql("e.embedding", "c.cv")} / (e.nr * c.cnr)) DESC, c.cell_id) AS rn
+         |  FROM bn_$corpusTag e, cent_$centTag c) t WHERE rn = 1 GROUP BY cell_id),
+         |t_$tag AS MATERIALIZED (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM o_$tag)""".stripMargin
+    def tvCte(tag: String, nowTag: String, fitTag: String) =
+      s"""g_$tag AS MATERIALIZED (
+         |  SELECT CAST(SUM(ABS(COALESCE(nw.n,0)*tf.tot - COALESCE(ft.n,0)*tn.tot)) * 10000
+         |    // (2*tn.tot*tf.tot) AS BIGINT) AS tv
+         |  FROM o_$nowTag nw FULL JOIN o_$fitTag ft USING (cell_id)
+         |  CROSS JOIN t_$nowTag tn CROSS JOIN t_$fitTag tf
+         |  GROUP BY tn.tot, tf.tot)""".stripMargin
+    s"""WITH base AS (SELECT * FROM $baseE t0),
+       |l1 AS (SELECT vec_id, CASE WHEN h4 = 3 THEN $ax ELSE embedding END AS embedding FROM base),
+       |l2 AS (SELECT vec_id, CASE WHEN h4 IN (1,3) THEN $ax ELSE embedding END AS embedding
+       |       FROM base WHERE h4 <> 2),
+       |l3 AS (SELECT vec_id, CASE WHEN h4 IN (1,3) THEN $ax ELSE embedding END AS embedding FROM base),
+       |${bnCte("0", "embeddings")},
+       |${bnCte("1", "l1")},
+       |${bnCte("2", "l2")},
+       |${bnCte("3", "l3")},
+       |${centCte("p", "embeddings")},
+       |${centCte("r", "l2")},
+       |${occCte("0", "0", "p")},
+       |${occCte("1", "1", "p")},
+       |${occCte("2", "2", "p")},
+       |${occCte("2r", "2", "r")},
+       |${occCte("3", "3", "r")},
+       |${tvCte("1", "1", "0")},
+       |${tvCte("2", "2", "0")},
+       |${tvCte("3", "3", "2r")},
+       |qn AS MATERIALIZED (SELECT vec_id, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nr FROM embeddings WHERE vec_id < 10),
+       |brute AS (SELECT qid, neighbor_id FROM (
+       |  SELECT q.vec_id AS qid, e.vec_id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |                            ORDER BY (${dotSql("q.embedding", "e.embedding")} / (q.nr * e.nr)) DESC, e.vec_id) AS rank
+       |  FROM qn q JOIN bn_3 e ON e.vec_id != q.vec_id) t WHERE rank <= 5),
+       |a_3 AS MATERIALIZED (SELECT vec_id, embedding, nr, cell_id FROM (
+       |  SELECT e.vec_id, e.embedding, e.nr, c.cell_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY (${dotSql("e.embedding", "c.cv")} / (e.nr * c.cnr)) DESC, c.cell_id) AS rn
+       |  FROM bn_3 e, cent_r c) t WHERE rn = 1),
+       |probes AS (SELECT qid, cell_id FROM (
+       |  SELECT e.vec_id AS qid, c.cell_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY (${dotSql("e.embedding", "c.cv")} / (e.nr * c.cnr)) DESC, c.cell_id) AS rn
+       |  FROM qn e, cent_r c) t WHERE rn <= 4),
+       |sct AS (SELECT p.qid, a.vec_id AS neighbor_id,
+       |             (${dotSql("q.embedding", "a.embedding")} / (q.nr * a.nr)) AS sim
+       |      FROM probes p JOIN a_3 a ON a.cell_id = p.cell_id
+       |      JOIN qn q ON q.vec_id = p.qid
+       |      WHERE a.vec_id != p.qid),
+       |top_r AS (SELECT qid, neighbor_id FROM (
+       |  SELECT qid, neighbor_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM sct) t WHERE rank <= 5),
+       |serve AS (SELECT 'serve' AS section, brute.qid AS k,
+       |  CAST(count(*) AS BIGINT) AS a,
+       |  CAST(count(tp.neighbor_id) AS BIGINT) AS b,
+       |  CAST(count(tp.neighbor_id) * 10000 // count(*) AS BIGINT) AS c
+       |  FROM brute LEFT JOIN top_r tp
+       |    ON brute.qid = tp.qid AND brute.neighbor_id = tp.neighbor_id
+       |  GROUP BY brute.qid)
+       |SELECT section, k, a, b, c FROM (
+       |  SELECT 'gauge' AS section, CAST(0 AS BIGINT) AS k, tn.tot AS a,
+       |         CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS c FROM t_0 tn
+       |  UNION ALL SELECT 'gauge', CAST(1 AS BIGINT), tn.tot, g.tv,
+       |    CAST(CASE WHEN g.tv > 3000 THEN 1 ELSE 0 END AS BIGINT)
+       |    FROM t_1 tn CROSS JOIN g_1 g
+       |  UNION ALL SELECT 'gauge', CAST(2 AS BIGINT), tn.tot, g.tv,
+       |    CAST(CASE WHEN g.tv > 3000 THEN 1 ELSE 0 END AS BIGINT)
+       |    FROM t_2 tn CROSS JOIN g_2 g
+       |  UNION ALL SELECT 'gauge', CAST(3 AS BIGINT), tn.tot, g.tv,
+       |    CAST(CASE WHEN g.tv > 3000 THEN 1 ELSE 0 END AS BIGINT)
+       |    FROM t_3 tn CROSS JOIN g_3 g
+       |  UNION ALL SELECT * FROM serve) u
+       |ORDER BY section, k""".stripMargin
+  }
+
   // ---- MMR re-rank oracle (x103) ------------------------------------------
   // The greedy loop unrolled to k CTE steps over the same generated-SQL
   // cosines (norm precompute per row — the x88 bitwise-neutral trick), so
@@ -5839,6 +5951,83 @@ object ExtensionQueries {
             s, root + "/rollup", Seq("source", "lang"))
           .select(col("source"), col("lang"), col("n_rows"),
             col("n_tokens"), col("n_chars"))
+      }),
+
+    Q("x140_ivf_policy_loop",
+      "The GAUGE-TRIGGERED REFIT POLICY composing the IVF serving lifecycle into one " +
+        "closed control loop (round-14; x128 maintains membership, x131 showed drift " +
+        "is affordably gaugeable, x130 refits — this decides WHEN): " +
+        "streaming.ivfPolicyStream maintains the index per wave, reads the " +
+        "occupancy-drift gauge (occupancyDriftBp — total-variation distance in basis " +
+        "points between the structure's fit-time cell-occupancy distribution and the " +
+        "current one; pure BIGINT arithmetic off the STORED assignments, O(live) with " +
+        "zero float work, strictly cheaper than x131's O(live x C) csim arms), " +
+        "appends the reading to a standing policy log, and fires ivfRefitSwap exactly " +
+        "when the reading crosses the threshold (3000 bp here; strict >, the " +
+        "IvfUpsertStreamSpec boundary). Script: wave 0 the corpus (install — tv 0 by " +
+        "definition); wave 1 re-embeds h4==3 onto its first axis (~2000 bp, holds); " +
+        "wave 2 re-embeds h4==1 likewise and deletes h4==2 (~5100-5600 bp, FIRES — " +
+        "the refit re-derives cells from the live corpus and re-stamps the inverted " +
+        "file); wave 3 re-adds h4==2 (~700-1200 bp against the NEW structure's fit, " +
+        "holds). Output pins the whole policy history as data — (wave, n_live, tv_bp, " +
+        "fired) per cycle — plus the x129 recall join of post-policy serving (knnIvf " +
+        "off the swapped log + current structure) against brute truth over the final " +
+        "corpus. Oracle = closed-form occupancy chains + BIGINT TV arithmetic with " +
+        "COMPUTED fired bits (tv > threshold, never baked in) + x129's recall SQL: if " +
+        "the engine fired on any other wave, its assignments, gauge rows, and serve " +
+        "candidates all diverge from the closed form and the hash catches it.",
+      Some(ivfPolicyOracle),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val base = emb
+          .withColumn("h4", pmod(TextDedup.portableHashBuiltin(
+            col("vec_id").cast("string"), ""), lit(4L)))
+          .select(col("vec_id"), col("embedding"), col("h4"))
+          .localCheckpoint(false) // one corpus pass feeds all four waves + queries
+        // axis-collapse re-embedding: [v0, 0, ..., 0] — float-exact on
+        // both engines (63 exact-zero product terms; norm = |v0|)
+        val axis = concat(slice(col("embedding"), 1, 1),
+          array_repeat(lit(0.0f), Dim - 1))
+        def w(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("vec_id"), col("embedding"))
+        val root = scratchTempDir("graft-x140-ivfpolicy")
+        writeStreamWave(root, 0, w(base))
+        writeStreamWave(root, 1,
+          w(base.filter(col("h4") === 3).withColumn("embedding", axis)))
+        writeStreamWave(root, 2,
+          w(base.filter(col("h4") === 1).withColumn("embedding", axis))
+            .unionByName(w(base.filter(col("h4") === 2)
+              .withColumn("embedding", lit(null).cast("array<float>")))))
+        writeStreamWave(root, 3, w(base.filter(col("h4") === 2)))
+        val pinned = Similarity.strideCentroids(emb, 16).localCheckpoint(false)
+        val stream = s.readStream
+          .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(root + "/src/*")
+        graft.streaming.StreamingIngest.ivfPolicyStream(stream,
+          root + "/vecs", root + "/versions", root + "/ckpt", pinned,
+          root + "/cents", root + "/fit", root + "/gauge", 3000L)
+        val gauge = graft.streaming.StreamingIngest.ivfPolicyLog(s, root + "/gauge")
+          .select(lit("gauge").as("section"), col("wave").as("k"),
+            col("n_live").as("a"), col("tv_bp").as("b"),
+            col("fired").cast("long").as("c"))
+        // serving continues off whichever structure is current: centsDir
+        // holds it (the refit swapped it at wave 2), the stored
+        // assignment IS the inverted file
+        val cents = s.read.parquet(root + "/cents").localCheckpoint(false)
+        val live = graft.streaming.StreamingIngest.resolvedIvfVectors(
+          s, root + "/vecs", root + "/versions").localCheckpoint(false)
+        val queries = base.filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("embedding"))
+        val approx = Similarity.knnIvf(queries, live, cents, 5, 4,
+          assignedOpt = Some(live))
+        val truth = Similarity.knnBrute(queries,
+          live.select(col("vec_id"), col("embedding")), 5)
+        val serve = Similarity.annRecall(truth, approx)
+          .select(lit("serve").as("section"), col("qid").as("k"),
+            col("n_true").as("a"), col("n_hits").as("b"),
+            col("recall_bp").as("c"))
+        gauge.unionByName(serve)
       }),
 
     Q("x137_int8_knn",

@@ -1012,6 +1012,175 @@ object StreamingIngest {
     cents
   }
 
+  /** Occupancy-drift statistic for the gauge-triggered refit policy
+    * (round-14, x140): the total-variation distance, in basis points,
+    * between the structure's FIT-TIME cell-occupancy distribution and
+    * the current one — `floor(Σ_cells |n_now·N_fit − n_fit·N_now| ·
+    * 10000 / (2·N_now·N_fit))`. Pure integer arithmetic end to end, so
+    * the reading is bit-identical cross-engine (no cosine ever enters
+    * the gauge — x131's csim-mass arms need float sums; occupancy
+    * re-skew is the drift dimension that needs none). Cost: the counts
+    * come from ONE group-by over the stored assignments — O(live) with
+    * zero float work, strictly cheaper than x131's O(live × C)
+    * re-assignment. Maps are model-sized (≤ C cells) by construction.
+    * Conventions: an empty CURRENT corpus reads 10000 (total drift —
+    * nothing the fit distribution described remains) and an empty FIT
+    * map reads 10000 symmetrically; both are degenerate states the
+    * policy layer must decide on (x140's loop never refits an empty
+    * corpus — there is nothing to fit). Overflow bound: the products
+    * stay under 2^63 while `Σn · 10000 · Σn` does — beyond ~10^7
+    * vectors per side, divide counts through by a common factor first
+    * (documented, not silently rescaled).
+    */
+  def occupancyDriftBp(now: Map[Long, Long], fit: Map[Long, Long]): Long = {
+    val nNow = now.values.sum
+    val nFit = fit.values.sum
+    if (nNow == 0L || nFit == 0L) 10000L
+    else {
+      val num = (now.keySet ++ fit.keySet).toSeq.map { c =>
+        math.abs(now.getOrElse(c, 0L) * nFit - fit.getOrElse(c, 0L) * nNow)
+      }.sum
+      num * 10000L / (2L * nNow * nFit)
+    }
+  }
+
+  /** The refit-trigger decision, strict-greater by contract: a gauge
+    * reading EXACTLY at the threshold does not fire (the boundary
+    * IvfUpsertStreamSpec pins — "threshold" names the highest tolerated
+    * drift, not the first intolerable one).
+    */
+  def ivfDriftFired(tvBp: Long, thresholdBp: Long): Boolean = tvBp > thresholdBp
+
+  /** The gauge-triggered refit POLICY composing the whole IVF serving
+    * lifecycle into one loop (round-14, x140; r13 verdict item 2):
+    * x128 maintains membership per arrival against the current
+    * structure, x131 showed drift can be gauged affordably, x130
+    * executes the refit — this closes the control loop: per
+    * micro-batch, maintain the index, read the occupancy-drift gauge
+    * ([[occupancyDriftBp]] — O(live), integer-exact, off the STORED
+    * assignments), append the reading to a standing policy log, and
+    * fire [[ivfRefitSwap]] exactly when the reading crosses
+    * `thresholdBp` ([[ivfDriftFired]], strict >). Serving continues
+    * off whichever structure is current: `centsDir` always holds it
+    * (installed from `initialCentroids` on the first batch, swapped by
+    * each refit), so a serving read is always
+    * ([[resolvedIvfVectors]], read centsDir) with no coordination.
+    *
+    * State beyond the x128 logs: `centsDir` (current structure, C
+    * rows), `fitDir` (the structure's fit-time occupancy, ≤ C rows,
+    * every row stamped `fit_seq` = the batch that installed it),
+    * `gaugeDir` (the policy log: one stamped row per batch —
+    * n_live, tv_bp, fired). Exactly-once: both gauge append and index
+    * appends are landed-seq guarded; the refit itself is IDEMPOTENT
+    * (a pure function of the live corpus, which the refit does not
+    * change — replaying it rewrites the same rows), and a crash
+    * BETWEEN the gauge append and the refit is healed on the next
+    * batch: a landed `fired` row newer than fitDir's `fit_seq` means
+    * the chosen refit never landed, so it runs before the new batch
+    * assigns (the batch must see the structure the policy already
+    * committed to). The install batch pins tv_bp = 0 / fired = false
+    * by definition — the corpus it gauges IS the fit corpus.
+    * 100 TB posture: per-batch cost is O(batch × C) assignment +
+    * O(live) gauge; the refit remains the lifecycle's only
+    * whole-corpus pass and fires only when the gauge says the pin is
+    * no longer serving the corpus that exists.
+    */
+  def ivfPolicyStream(vectors: DataFrame, vecsDir: String,
+      versionsDir: String, checkpointDir: String,
+      initialCentroids: DataFrame, centsDir: String, fitDir: String,
+      gaugeDir: String, thresholdBp: Long = 3000L,
+      centroidPolicy: DataFrame => DataFrame =
+        graft.ext.Similarity.strideCentroids(_, 16),
+      idCol: String = "vec_id", maxVecFiles: Int = 64): StreamingQuery = {
+    def occupancy(spark: SparkSession): Map[Long, Long] =
+      resolvedRows(spark, vecsDir, versionsDir, idCol)
+        .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def fitState(spark: SparkSession): (Map[Long, Long], Long) = {
+      val rows = spark.read.parquet(fitDir).collect()
+      (rows.map(r => r.getAs[Long]("cell_id") -> r.getAs[Long]("n_fit")).toMap,
+        rows.headOption.map(_.getAs[Long]("fit_seq")).getOrElse(-1L))
+    }
+    def writeFit(spark: SparkSession, occ: Map[Long, Long], seq: Long): Unit = {
+      import spark.implicits._
+      val df = occ.toSeq.toDF("cell_id", "n_fit").withColumn("fit_seq", lit(seq))
+      if (pathExists(spark, fitDir)) swapRewrite(spark, fitDir, df)
+      else df.write.mode("overwrite").parquet(fitDir)
+    }
+    def doRefit(spark: SparkSession, seq: Long): Unit = {
+      val newCents = ivfRefitSwap(spark, vecsDir, versionsDir, centroidPolicy, idCol)
+      swapRewrite(spark, centsDir,
+        newCents.select(col("vec_id"), col("embedding")))
+      writeFit(spark, occupancy(spark), seq)
+    }
+    val q = vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!pathExists(spark, centsDir))
+          initialCentroids.select(col("vec_id"), col("embedding"))
+            .write.mode("overwrite").parquet(centsDir)
+        // heal a crash between a landed fired-row and its refit BEFORE
+        // assigning this batch — the batch must see the structure the
+        // policy already committed to
+        if (pathExists(spark, gaugeDir) && pathExists(spark, fitDir)) {
+          val last = spark.read.parquet(gaugeDir)
+            .orderBy(col("ingest_seq").desc).limit(1).collect()
+          val fitSeq = fitState(spark)._2
+          if (last.nonEmpty && last(0).getAs[Boolean]("fired") &&
+              last(0).getAs[Long]("ingest_seq") > fitSeq)
+            doRefit(spark, last(0).getAs[Long]("ingest_seq"))
+        }
+        val b = resolveBatchVersions(batch.toDF(), idCol)
+        if (!landedSeq(spark, versionsDir, batchId))
+          graft.pipeline.Ingest.appendWithSeq(b.select(col(idCol)), versionsDir, batchId)
+        if (!landedSeq(spark, vecsDir, batchId))
+          graft.pipeline.Ingest.appendWithSeq(
+            graft.ext.Similarity.ivfAssign(
+                b.filter(col("embedding").isNotNull)
+                  .select(col(idCol).as("vec_id"), col("embedding")),
+                spark.read.parquet(centsDir))
+              .select(col("vec_id").as(idCol), col("cell_id"), col("embedding")),
+            vecsDir, batchId)
+        maybeCompactVersioned(spark, vecsDir, versionsDir, maxVecFiles, idCol)
+        val occ = occupancy(spark)
+        val nLive = occ.values.sum
+        if (!pathExists(spark, fitDir)) {
+          writeFit(spark, occ, batchId)
+          if (!landedSeq(spark, gaugeDir, batchId)) {
+            import spark.implicits._
+            graft.pipeline.Ingest.appendWithSeq(
+              Seq((nLive, 0L, false)).toDF("n_live", "tv_bp", "fired"),
+              gaugeDir, batchId)
+          }
+        } else {
+          val (fit, _) = fitState(spark)
+          val tvBp = occupancyDriftBp(occ, fit)
+          val fired = nLive > 0L && ivfDriftFired(tvBp, thresholdBp)
+          if (!landedSeq(spark, gaugeDir, batchId)) {
+            import spark.implicits._
+            graft.pipeline.Ingest.appendWithSeq(
+              Seq((nLive, tvBp, fired)).toDF("n_live", "tv_bp", "fired"),
+              gaugeDir, batchId)
+          }
+          if (fired) doRefit(spark, batchId)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Read side of [[ivfPolicyStream]]'s policy log: one row per
+    * maintenance cycle — (wave, n_live, tv_bp, fired).
+    */
+  def ivfPolicyLog(spark: SparkSession, gaugeDir: String): DataFrame =
+    spark.read.parquet(gaugeDir)
+      .select(col("ingest_seq").as("wave"), col("n_live"), col("tv_bp"),
+        col("fired"))
+
   /** Doc retraction for the standing CDC chunk-hash index (round-13,
     * the r12 verdict item 2). [[cdcNoveltyStream]]'s index is keyed by
     * content hash `h` ALONE, so a doc update/deletion cannot retract

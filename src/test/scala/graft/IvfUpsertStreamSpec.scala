@@ -151,6 +151,103 @@ class IvfUpsertStreamSpec extends SparkSuite {
     assert(after == expect, "post-refit arrivals diverged from batch assignment over refit centroids")
   }
 
+  // ---- the gauge-triggered refit policy (round-14, x140) -----------------
+  // Controlled occupancy geometry: two axis centroids, four unit
+  // vectors, one update that moves exactly one vector's cell. The
+  // occupancy shift is then EXACTLY (|1·4−2·4| + |3·4−2·4|)·10000 /
+  // (2·4·4) = 2500 bp — the trigger boundary is exercised with the
+  // gauge reading precisely AT the threshold, not near it.
+  private def axisVec(i: Int): Array[Float] = {
+    val a = Array.fill(8)(0f); a(i) = 1f; a
+  }
+
+  private def policyWaves(root: String): Unit = {
+    import spark.implicits._
+    writeWaveTo(root + "/src", 0, Seq(
+      (1L, axisVec(0)), (2L, axisVec(0)),
+      (3L, axisVec(1)), (4L, axisVec(1))).toDF("vec_id", "embedding"))
+    writeWaveTo(root + "/src", 1,
+      Seq((1L, axisVec(1))).toDF("vec_id", "embedding"))
+  }
+
+  private def runPolicy(root: String, thresholdBp: Long): Unit = {
+    import spark.implicits._
+    val initCents = Seq((100L, axisVec(0)), (101L, axisVec(1)))
+      .toDF("vec_id", "embedding").localCheckpoint(false)
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(root + "/src/*")
+    StreamingIngest.ivfPolicyStream(stream, root + "/vecs",
+      root + "/versions", root + "/ckpt", initCents, root + "/cents",
+      root + "/fit", root + "/gauge", thresholdBp,
+      centroidPolicy = df => df.filter(col("vec_id").isin(2L, 3L))
+        .select(col("vec_id"), col("embedding")))
+  }
+
+  private def gaugeRows(root: String): Seq[(Long, Long, Long, Boolean)] =
+    StreamingIngest.ivfPolicyLog(spark, root + "/gauge")
+      .orderBy(col("wave"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+
+  test("occupancyDriftBp: exact TV arithmetic and degenerate-state conventions") {
+    assert(StreamingIngest.occupancyDriftBp(
+      Map(0L -> 1L, 1L -> 3L), Map(0L -> 2L, 1L -> 2L)) == 2500L)
+    assert(StreamingIngest.occupancyDriftBp(
+      Map(0L -> 2L, 1L -> 2L), Map(0L -> 2L, 1L -> 2L)) == 0L)
+    // disjoint cell sets = total drift
+    assert(StreamingIngest.occupancyDriftBp(
+      Map(0L -> 5L), Map(1L -> 5L)) == 10000L)
+    // empty corpus / empty fit read as total drift, never divide by zero
+    assert(StreamingIngest.occupancyDriftBp(Map.empty, Map(0L -> 2L)) == 10000L)
+    assert(StreamingIngest.occupancyDriftBp(Map(0L -> 2L), Map.empty) == 10000L)
+    // strict-greater trigger: at the threshold does NOT fire
+    assert(!StreamingIngest.ivfDriftFired(2500L, 2500L))
+    assert(StreamingIngest.ivfDriftFired(2501L, 2500L))
+  }
+
+  test("policy loop: a gauge reading EXACTLY at the threshold does not fire — the structure stays pinned") {
+    val root = tempDir("graft-ivfpol1")
+    policyWaves(root)
+    runPolicy(root, thresholdBp = 2500L)
+    assert(gaugeRows(root) == Seq((0L, 4L, 0L, false), (1L, 4L, 2500L, false)),
+      s"gauge history wrong: ${gaugeRows(root)}")
+    val centIds = spark.read.parquet(root + "/cents")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(centIds == Set(100L, 101L), "the structure must stay the installed one")
+    assert(spark.read.parquet(root + "/fit")
+      .select("fit_seq").head().getLong(0) == 0L,
+      "the fit reference must still be the install-time one")
+  }
+
+  test("policy loop: one bp below the threshold fires — refit swaps the structure and the fit reference") {
+    val root = tempDir("graft-ivfpol2")
+    policyWaves(root)
+    runPolicy(root, thresholdBp = 2499L)
+    assert(gaugeRows(root) == Seq((0L, 4L, 0L, false), (1L, 4L, 2500L, true)),
+      s"gauge history wrong: ${gaugeRows(root)}")
+    val centIds = spark.read.parquet(root + "/cents")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(centIds == Set(2L, 3L), "the refit must install the policy's new structure")
+    // served state equals batch assignment of the live corpus against
+    // the NEW structure, and the fit reference moved to the refit batch
+    val live = StreamingIngest.resolvedIvfVectors(spark, root + "/vecs", root + "/versions")
+      .select(col("vec_id"), col("cell_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    import spark.implicits._
+    val latest = Seq((1L, axisVec(1)), (2L, axisVec(0)),
+      (3L, axisVec(1)), (4L, axisVec(1))).toDF("vec_id", "embedding")
+    val newCents = Seq((2L, axisVec(0)), (3L, axisVec(1))).toDF("vec_id", "embedding")
+    val expect = Similarity.ivfAssign(latest, newCents)
+      .select(col("vec_id"), col("cell_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(live == expect, "post-refit serving diverged from batch assignment over the new structure")
+    val fit = spark.read.parquet(root + "/fit").collect()
+    assert(fit.head.getAs[Long]("fit_seq") == 1L, "fit reference must be re-stamped by the refit")
+    assert(fit.map(r => r.getAs[Long]("cell_id") -> r.getAs[Long]("n_fit")).toMap
+      == Map(2L -> 1L, 3L -> 3L), "the new structure's fit occupancy is wrong")
+  }
+
   test("replay is a no-op; per-batch compaction keeps only live versions") {
     val root = tempDir("graft-ivfus3")
     writeWaves(root)
