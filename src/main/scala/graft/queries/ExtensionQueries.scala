@@ -52,26 +52,36 @@ object ExtensionQueries {
     * closed-form latest-version oracles this script implies, so the
     * script must not be able to drift per query.
     */
-  private def docUpdateWaveStream(s: org.apache.spark.sql.SparkSession,
-      d: String, root: String): org.apache.spark.sql.DataFrame = {
+  private def docUpdateWaveFrames(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[org.apache.spark.sql.DataFrame] = {
     val docs = Tables.documents(s, d)
       .withColumn("h4", pmod(graft.ext.TextDedup.portableHashBuiltin(
         col("doc_id").cast("string"), ""), lit(4L)))
       .localCheckpoint(false) // one corpus pass feeds all three waves
-    writeStreamWave(root, 0, docs.drop("h4"))
-    writeStreamWave(root, 1,
+    Seq(
+      docs.drop("h4"),
       docs.filter(col("h4") === 1)
         .withColumn("text", concat(col("text"), lit(" "), col("text"))).drop("h4")
         .unionByName(docs.filter(col("h4") === 3)
-          .withColumn("text", concat(col("text"), lit(" alpha"))).drop("h4")))
-    writeStreamWave(root, 2,
+          .withColumn("text", concat(col("text"), lit(" alpha"))).drop("h4")),
       docs.filter(col("h4") === 2)
         .withColumn("text", lit(null).cast("string")).drop("h4")
         .unionByName(docs.filter(col("h4") === 3).drop("h4")))
+  }
+
+  private def docUpdateStreamFrame(s: org.apache.spark.sql.SparkSession,
+      d: String, root: String): org.apache.spark.sql.DataFrame =
     s.readStream
       .schema(Tables.documents(s, d).schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(root + "/src/*")
+
+  private def docUpdateWaveStream(s: org.apache.spark.sql.SparkSession,
+      d: String, root: String): org.apache.spark.sql.DataFrame = {
+    docUpdateWaveFrames(s, d).zipWithIndex.foreach { case (w, i) =>
+      writeStreamWave(root, i, w)
+    }
+    docUpdateStreamFrame(s, d, root)
   }
 
   // ---- portable minhash/simhash oracle fragments --------------------------
@@ -6028,6 +6038,74 @@ object ExtensionQueries {
             col("n_true").as("a"), col("n_hits").as("b"),
             col("recall_bp").as("c"))
         gauge.unionByName(serve)
+      }),
+
+    Q("x141_floor_compaction",
+      "HISTORY-PRESERVING compaction for the as-of logs (round-14; closing x132's " +
+        "fidelity caveat): streaming.compactVersionedKeepAfter folds only versions " +
+        "stamped <= a caller-supplied floor to each id's at-or-below-floor survivor " +
+        "and retains everything above the floor VERBATIM, so the log stays compact " +
+        "AND as-of-capable at any seq >= floor — reproducibility and read " +
+        "amplification stop being the same knob (the x132 consumer had to pin " +
+        "maxFiles=MaxValue and fragment forever). The floor is RECORDED next to the " +
+        "version log and resolvedRowsAsOfChecked fails BY NAME below it instead of " +
+        "answering wrong (x132's s0_compacted arm showed what 'wrong' looks like: " +
+        "updated ids silently vanish from history). Script: the shared x117 waves " +
+        "split across two stream runs — waves 0-1 land, the floor-1 compaction fires " +
+        "MID-SCRIPT (destroying wave-0 versions of the h4 1/3 ids it folds), wave 2 " +
+        "lands on the compacted log through the same checkpoint. Output: the s1/s2 " +
+        "as-of snapshots read through the CHECKED api off the floor-compacted log — " +
+        "hash-equal to the closed-form wave corpora, proving the fold lost nothing " +
+        "at or above the floor — plus the floor contract as data (recorded floor, " +
+        "as-of-0-allowed bit = 0). Crash-safety of the partial rewrite (either swap " +
+        "order) and the exact floor boundary are DocStoreAsOfSpec's pins.",
+      Some("""WITH t AS (SELECT doc_id, text,
+             |       ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 4 AS h4
+             |     FROM documents),
+             |u AS (
+             |  SELECT 's1' AS arm, h4, CASE WHEN h4 = 1 THEN text || ' ' || text
+             |                        WHEN h4 = 3 THEN text || ' alpha'
+             |                        ELSE text END AS text FROM t
+             |  UNION ALL
+             |  SELECT 's2', h4, CASE WHEN h4 = 1 THEN text || ' ' || text ELSE text END
+             |  FROM t WHERE h4 <> 2)
+             |SELECT arm, h4, n_docs, chars FROM (
+             |  SELECT arm, h4, CAST(count(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(len(text)) AS BIGINT) AS chars
+             |  FROM u GROUP BY arm, h4
+             |  UNION ALL
+             |  SELECT 'floor', CAST(-1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+             |) v ORDER BY arm, h4""".stripMargin),
+      (s, d) => {
+        val SI = graft.streaming.StreamingIngest
+        val root = scratchTempDir("graft-x141-floor")
+        val waves = docUpdateWaveFrames(s, d)
+        writeStreamWave(root, 0, waves(0))
+        writeStreamWave(root, 1, waves(1))
+        // retention pinned off the automatic cadence (the x132 posture):
+        // the FLOOR compaction is the retention policy here
+        SI.docStoreStream(docUpdateStreamFrame(s, d, root),
+          root + "/docs", root + "/versions", root + "/ckpt",
+          maxFiles = Int.MaxValue)
+        SI.compactVersionedKeepAfter(s, root + "/docs", root + "/versions", 1L)
+        writeStreamWave(root, 2, waves(2))
+        SI.docStoreStream(docUpdateStreamFrame(s, d, root),
+          root + "/docs", root + "/versions", root + "/ckpt",
+          maxFiles = Int.MaxValue)
+        def arm(name: String, asOf: Long) =
+          SI.resolvedRowsAsOfChecked(s, root + "/docs", root + "/versions",
+              "doc_id", asOf)
+            .withColumn("h4", pmod(TextDedup.portableHashBuiltin(
+              col("doc_id").cast("string"), ""), lit(4L)))
+            .groupBy(col("h4"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(length(col("text")).cast("long")).as("chars"))
+            .select(lit(name).as("arm"), col("h4"), col("n_docs"), col("chars"))
+        val floor = SI.asOfFloorSeq(s, root + "/versions")
+        val floorRow = s.range(1).select(lit("floor").as("arm"),
+          lit(-1L).as("h4"), lit(floor).as("n_docs"),
+          lit(if (0L >= floor) 1L else 0L).as("chars"))
+        arm("s1", 1L).unionByName(arm("s2", 2L)).unionByName(floorRow)
       }),
 
     Q("x137_int8_knn",

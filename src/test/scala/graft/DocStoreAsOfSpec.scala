@@ -131,6 +131,101 @@ class DocStoreAsOfSpec extends SparkSuite {
       "the live read must survive any compaction cadence")
   }
 
+  // ---- history-preserving floor compaction (round-14, x141) --------------
+
+  private def copyDir(from: String, to: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(from)
+    val dst = new org.apache.hadoop.fs.Path(to)
+    org.apache.hadoop.fs.FileUtil.copy(
+      src.getFileSystem(conf), src, dst.getFileSystem(conf), dst, false, conf)
+    ()
+  }
+
+  test("floor compaction: as-of at and above the floor is bit-equal to the uncompacted twin; below it the checked read refuses by name") {
+    val root = tempDir("graft-asof-floor")
+    waves(root)
+    run(root, maxFiles = Int.MaxValue)
+    val twin0 = idText(asOf(root, 0))
+    val twin1 = idText(asOf(root, 1))
+    val twin2 = idText(asOf(root, 2))
+    StreamingIngest.compactVersionedKeepAfter(
+      spark, root + "/docs", root + "/versions", 1L)
+    // the fold genuinely destroyed below-floor history: wave-0 versions
+    // of the updated h4 1/3 ids are gone from the data log
+    assert(idText(asOf(root, 0)) != twin0,
+      "floor-1 compaction should have folded away the updated ids' seq-0 versions")
+    // AT the floor and above: exact
+    assert(idText(asOf(root, 1)) == twin1, "as-of(floor) diverged from the uncompacted twin")
+    assert(idText(asOf(root, 2)) == twin2, "as-of(floor+1) diverged from the uncompacted twin")
+    // the checked read serves >= floor and refuses < floor by name
+    assert(idText(StreamingIngest.resolvedRowsAsOfChecked(
+        spark, root + "/docs", root + "/versions", "doc_id", 1L)) == twin1)
+    val e = intercept[IllegalArgumentException] {
+      StreamingIngest.resolvedRowsAsOfChecked(
+        spark, root + "/docs", root + "/versions", "doc_id", 0L)
+    }
+    assert(e.getMessage.contains("compaction floor"),
+      s"the refusal must name the floor contract: ${e.getMessage}")
+    // floors only rise: a lower re-floor must not lower the marker
+    StreamingIngest.compactVersionedKeepAfter(
+      spark, root + "/docs", root + "/versions", 0L)
+    assert(StreamingIngest.asOfFloorSeq(spark, root + "/versions") == 1L,
+      "a lower floor must not regress the recorded marker")
+  }
+
+  test("floor compaction is crash-safe in either swap order: both partial states serve exact as-of >= floor and the live read") {
+    val root = tempDir("graft-asof-floorcrash")
+    waves(root)
+    run(root, maxFiles = Int.MaxValue)
+    val twin1 = idText(asOf(root, 1))
+    val twin2 = idText(asOf(root, 2))
+    // full compaction on side copies gives the two swapped halves
+    copyDir(root + "/docs", root + "/c/docs")
+    copyDir(root + "/versions", root + "/c/versions")
+    StreamingIngest.compactVersionedKeepAfter(
+      spark, root + "/c/docs", root + "/c/versions", 1L)
+    // partial state A: data log swapped, version log still original
+    copyDir(root + "/c/docs", root + "/pa/docs")
+    copyDir(root + "/versions", root + "/pa/versions")
+    // partial state B: version log swapped, data log still original
+    copyDir(root + "/docs", root + "/pb/docs")
+    copyDir(root + "/c/versions", root + "/pb/versions")
+    for ((p, label) <- Seq("pa" -> "data-first", "pb" -> "versions-first")) {
+      assert(idText(StreamingIngest.resolvedRowsAsOf(spark, root + s"/$p/docs",
+          root + s"/$p/versions", "doc_id", 1L)) == twin1,
+        s"$label partial state broke as-of(floor)")
+      assert(idText(StreamingIngest.resolvedRowsAsOf(spark, root + s"/$p/docs",
+          root + s"/$p/versions", "doc_id", 2L)) == twin2,
+        s"$label partial state broke as-of(floor+1)")
+      assert(idText(StreamingIngest.resolvedDocs(spark, root + s"/$p/docs",
+          root + s"/$p/versions")) == twin2,
+        s"$label partial state broke the live read")
+    }
+  }
+
+  test("the stream continues over a floor-compacted log through the same checkpoint (the x141 mid-script shape)") {
+    val root = tempDir("graft-asof-floormid")
+    // waves 0 and 1 only, then floor-compact, then wave 2 arrives
+    writeWaveTo(root + "/src", 0, h4docs.drop("h4"))
+    writeWaveTo(root + "/src", 1,
+      doubled(h4docs.filter(col("h4") === 1)).drop("h4")
+        .unionByName(h4docs.filter(col("h4") === 3)
+          .withColumn("text", concat(col("text"), lit(" alpha"))).drop("h4")))
+    run(root, maxFiles = Int.MaxValue)
+    StreamingIngest.compactVersionedKeepAfter(
+      spark, root + "/docs", root + "/versions", 1L)
+    writeWaveTo(root + "/src", 2,
+      h4docs.filter(col("h4") === 2)
+        .withColumn("text", lit(null).cast("string")).drop("h4")
+        .unionByName(h4docs.filter(col("h4") === 3).drop("h4")))
+    run(root, maxFiles = Int.MaxValue)
+    assert(idText(asOf(root, 1)) == idText(wave1Corpus),
+      "as-of(floor) after the post-compaction wave diverged from the wave-1 corpus")
+    assert(idText(asOf(root, 2)) == idText(latestCorpus),
+      "as-of over the post-compaction wave diverged from the latest corpus")
+  }
+
   test("the as-of read is generic: the postings log resolves to batch postings over the wave-1 corpus") {
     val root = tempDir("graft-asof-postings")
     waves(root)
