@@ -6108,6 +6108,69 @@ object ExtensionQueries {
         arm("s1", 1L).unionByName(arm("s2", 2L)).unionByName(floorRow)
       }),
 
+    Q("x142_ivm_contrast",
+      "The forgettability taxonomy's COST CONTRAST as oracle data (round-14; x139 " +
+        "proved the subtractable class, x133 the rebuild remedy — the contrast " +
+        "between them lived only in README prose): over the SAME wave script, an " +
+        "ADDITIVE view (per (source, lang) count/token-sum/char-sum) is maintained " +
+        "by x139's subtraction idiom at O(batch) per arrival with ZERO rebuilds, " +
+        "while a MONOTONE view (per-group count/min-chars/max-chars — min/max have " +
+        "no inverse) runs streaming.monotoneRollupStream's two-tier policy: " +
+        "insert-only batches fold monotonically (O(batch) merged into the " +
+        "group-sized view), any batch carrying an update or deletion pays the " +
+        "corpus-linear REBUILD off the fused doc store. Output: both views' rows " +
+        "over the live corpus plus each policy's rebuild count as a pinned column — " +
+        "wave 0 folds, waves 1 and 2 both retract, so the monotone ledger reads " +
+        "exactly 2 (engine-counted off the stamped rebuild log, hash-checked; the " +
+        "additive ledger is structurally 0). Oracle = the closed-form latest corpus " +
+        "rolled up both ways, blind to deltas, folds, and rebuilds. The SCALING.md " +
+        "row shows the rebuild term is the corpus-linear one.",
+      Some("""WITH live AS (
+             |  SELECT doc_id, source, lang,
+             |         CASE WHEN h4 = 1 THEN text || ' ' || text ELSE text END AS text
+             |    FROM (SELECT doc_id, source, lang, text,
+             |            ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 4 AS h4
+             |          FROM documents) t
+             |    WHERE h4 <> 2)
+             |SELECT 'additive' AS view, source, lang,
+             |       CAST(count(*) AS BIGINT) AS v1,
+             |       CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS v2,
+             |       CAST(SUM(len(text)) AS BIGINT) AS v3,
+             |       CAST(0 AS BIGINT) AS rebuilds
+             |FROM live GROUP BY source, lang
+             |UNION ALL
+             |SELECT 'monotone', source, lang,
+             |       CAST(count(*) AS BIGINT),
+             |       CAST(MIN(len(text)) AS BIGINT),
+             |       CAST(MAX(len(text)) AS BIGINT),
+             |       CAST(2 AS BIGINT)
+             |FROM live GROUP BY source, lang
+             |ORDER BY view, source, lang""".stripMargin),
+      (s, d) => {
+        val SI = graft.streaming.StreamingIngest
+        val root = scratchTempDir("graft-x142-contrast")
+        SI.ivmRollupStream(docUpdateWaveStream(s, d, root),
+          root + "/a/docs", root + "/a/versions", root + "/a/rollup",
+          root + "/a/ckpt", Seq("source", "lang"),
+          Seq("n_tokens" -> size(split(col("text"), " ")).cast("long"),
+            "n_chars" -> length(col("text")).cast("long")))
+        // the monotone twin consumes the SAME wave files through its own
+        // checkpoint and logs — one script, two maintenance regimes
+        SI.monotoneRollupStream(docUpdateStreamFrame(s, d, root),
+          root + "/m/docs", root + "/m/versions", root + "/m/view",
+          root + "/m/rebuilds", root + "/m/ckpt", Seq("source", "lang"))
+        val additive = SI.resolvedRollup(s, root + "/a/rollup", Seq("source", "lang"))
+          .select(lit("additive").as("view"), col("source"), col("lang"),
+            col("n_rows").as("v1"), col("n_tokens").as("v2"),
+            col("n_chars").as("v3"), lit(0L).as("rebuilds"))
+        val monotone = SI.resolvedMonotoneRollup(s, root + "/m/view")
+          .select(lit("monotone").as("view"), col("source"), col("lang"),
+            col("n_rows").as("v1"), col("min_chars").as("v2"),
+            col("max_chars").as("v3"),
+            lit(SI.monotoneRebuildCount(s, root + "/m/rebuilds")).as("rebuilds"))
+        additive.unionByName(monotone)
+      }),
+
     Q("x137_int8_knn",
       "KNN served off INT8-QUANTIZED vectors with the retrieval quality pinned against " +
         "fp truth (round-13) — the production serving format (x37 quantizes, this " +

@@ -2393,6 +2393,126 @@ object StreamingIngest {
     q
   }
 
+  /** MONOTONE-class view maintenance — the rebuild-remedy half of the
+    * forgettability taxonomy's cost CONTRAST (round-14, x142; x139 is
+    * the subtractable half). A min/max view cannot forget by
+    * subtraction: deleting the group's extremal row leaves no way to
+    * derive the new extremum from the old value and the delta (min/max
+    * have no inverse), so the maintenance policy is two-tier —
+    * INSERT-ONLY batches fold monotonically (min'=min(min,Δ),
+    * max'=max(max,Δ), count'=count+Δ: one O(batch) aggregate merged
+    * into the group-sized standing view), while any batch carrying an
+    * UPDATE or DELETION (an arriving id with a prior version, or a
+    * null-`textCol` arrival) triggers a REBUILD: one full group-by
+    * over the live corpus ([[resolvedDocs]] off the fused doc-store
+    * logs this stream maintains anyway). Each rebuild appends a
+    * stamped marker row, so the policy's cost history is DATA
+    * ([[monotoneRebuildCount]]) — x142 pins it against the wave
+    * script, and the contrast with [[ivmRollupStream]]'s zero-rebuild
+    * delta maintenance is the taxonomy's cost table made measurable:
+    * the rebuild term is the corpus-linear one (SCALING.md row).
+    * Exactly-once: the view is wholly rewritten per batch with every
+    * row stamped `ingest_seq = batchId` — the landed-seq guard makes a
+    * replayed fold a no-op (a re-fold into an already-folded view
+    * would double-count), and the rebuild marker append is guarded the
+    * same way. The view read is `viewDir` minus the stamp.
+    */
+  def monotoneRollupStream(docs: DataFrame, docsDir: String,
+      versionsDir: String, viewDir: String, rebuildsDir: String,
+      checkpointDir: String, groupCols: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text",
+      maxFiles: Int = 64): StreamingQuery = {
+    val charLen = length(col(textCol)).cast("long")
+    def rollup(rows: DataFrame): DataFrame =
+      rows.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n_rows"), min(charLen).as("min_chars"),
+          max(charLen).as("max_chars"))
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = resolveBatchVersions(batch.toDF(), idCol)
+          .localCheckpoint(false) // read for the policy test, both appends, and the fold
+        // retraction sensor: a prior-version arrival or an explicit
+        // deletion means this batch can LOWER a group's extremum
+        val hasRetraction =
+          b.filter(col(textCol).isNull).limit(1).count() > 0 ||
+          (pathExists(spark, versionsDir) &&
+            spark.read.parquet(versionsDir).filter(col("ingest_seq") < batchId)
+              .join(b.select(col(idCol)), Seq(idCol), "left_semi")
+              .limit(1).count() > 0)
+        if (!landedSeq(spark, versionsDir, batchId))
+          graft.pipeline.Ingest.appendWithSeq(b.select(col(idCol)), versionsDir, batchId)
+        if (!landedSeq(spark, docsDir, batchId))
+          graft.pipeline.Ingest.appendWithSeq(
+            b.filter(col(textCol).isNotNull), docsDir, batchId)
+        // the view is wholly rewritten each batch, so only the LAST
+        // stamp survives — the landed guard is therefore max-stamp >=
+        // batchId, which is exact because AvailableNow batches are
+        // ordered (and it makes a full fresh-checkpoint replay a no-op,
+        // where an exact-seq probe would re-fold early batches into the
+        // final view and double-count)
+        val viewLanded = pathExists(spark, viewDir) &&
+          spark.read.parquet(viewDir).agg(max(col("ingest_seq")))
+            .head().getLong(0) >= batchId
+        if (!viewLanded) {
+          val view =
+            if (hasRetraction) {
+              if (!landedSeq(spark, rebuildsDir, batchId)) {
+                import spark.implicits._
+                graft.pipeline.Ingest.appendWithSeq(
+                  Seq(1L).toDF("rebuild"), rebuildsDir, batchId)
+              }
+              rollup(resolvedDocs(spark, docsDir, versionsDir, idCol))
+            } else {
+              val delta = rollup(b.filter(col(textCol).isNotNull))
+              if (!pathExists(spark, viewDir)) delta
+              else spark.read.parquet(viewDir).drop("ingest_seq")
+                .filter(col("n_rows") > 0) // never fold the stamp sentinel
+                .unionByName(delta)
+                .groupBy(groupCols.map(col): _*)
+                .agg(sum(col("n_rows")).as("n_rows"),
+                  min(col("min_chars")).as("min_chars"),
+                  max(col("max_chars")).as("max_chars"))
+            }
+          val folded = view.withColumn("ingest_seq", lit(batchId))
+            .localCheckpoint(false) // the rewrite reads viewDir itself
+          // an empty view must still carry the batch stamp (the
+          // maybeCompactRollup boundary): keep one all-zero sentinel
+          // row the n_rows>0 read never surfaces
+          val stamped =
+            if (folded.isEmpty)
+              spark.range(1).select(folded.schema.fields.map { f =>
+                if (f.name == "ingest_seq") lit(batchId).cast(f.dataType).as(f.name)
+                else if (f.name == "n_rows") lit(0L).cast(f.dataType).as(f.name)
+                else lit(null).cast(f.dataType).as(f.name)
+              }: _*)
+            else folded
+          if (pathExists(spark, viewDir)) swapRewrite(spark, viewDir, stamped)
+          else stamped.write.mode("overwrite").parquet(viewDir)
+        }
+        maybeCompactVersioned(spark, docsDir, versionsDir, maxFiles, idCol)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Read side of [[monotoneRollupStream]]'s standing view (the
+    * n_rows > 0 filter hides the empty-view stamp sentinel).
+    */
+  def resolvedMonotoneRollup(spark: SparkSession, viewDir: String): DataFrame =
+    spark.read.parquet(viewDir).drop("ingest_seq").filter(col("n_rows") > 0)
+
+  /** How many times [[monotoneRollupStream]]'s policy paid the
+    * corpus-linear rebuild — the taxonomy's cost contrast as data.
+    */
+  def monotoneRebuildCount(spark: SparkSession, rebuildsDir: String): Long =
+    if (pathExists(spark, rebuildsDir)) spark.read.parquet(rebuildsDir).count()
+    else 0L
+
   /** Read side of [[ivmRollupStream]]: one group-keyed sum over the
     * delta log; groups whose docs have all left (row count 0) are
     * absent, exactly as in the batch rollup over the live corpus.

@@ -121,4 +121,82 @@ class IvmRollupSpec extends SparkSuite {
     assert(view(root) == batchView(mk(Seq((1L, "g1", "en", "one again")))),
       "re-added doc after all-retracted compaction must surface correctly")
   }
+
+  // ---- the monotone twin (round-14, x142) --------------------------------
+
+  private def runMono(root: String, ckpt: String = "mckpt"): Unit = {
+    val stream = spark.readStream
+      .schema(mk(Seq((0L, "s", "l", "t"))).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(root + "/src/*")
+    StreamingIngest.monotoneRollupStream(stream, root + "/mdocs",
+      root + "/mversions", root + "/mview", root + "/mrebuilds",
+      root + s"/$ckpt", groups)
+    ()
+  }
+
+  private def monoView(root: String): Set[(String, String, Long, Long, Long)] =
+    StreamingIngest.resolvedMonotoneRollup(spark, root + "/mview")
+      .select(col("source"), col("lang"), col("n_rows"),
+        col("min_chars"), col("max_chars"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+
+  private def monoBatch(live: DataFrame): Set[(String, String, Long, Long, Long)] =
+    live.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(length(col("text")).cast("long")).as("min_chars"),
+        max(length(col("text")).cast("long")).as("max_chars"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+
+  test("monotone view: insert-only waves fold with zero rebuilds; update and delete waves each pay one rebuild; view equals batch rollup") {
+    val root = tempDir("graft-ivm-mono")
+    writeWaveTo(root + "/src", 0, mk(Seq(
+      (1L, "g1", "en", "aaaa"), (2L, "g1", "en", "bb"), (3L, "g2", "de", "cccccc"))))
+    writeWaveTo(root + "/src", 1, mk(Seq((4L, "g1", "en", "dddddddd")))) // insert-only
+    writeWaveTo(root + "/src", 2, mk(Seq((2L, "g1", "en", "b"))))        // update (new min)
+    writeWaveTo(root + "/src", 3,                                        // delete the g2 doc
+      mk(Seq((3L, "g2", "de", "x"))).withColumn("text", lit(null).cast("string")))
+    runMono(root)
+    assert(StreamingIngest.monotoneRebuildCount(spark, root + "/mrebuilds") == 2L,
+      "exactly the update and delete waves must pay the rebuild")
+    val live = mk(Seq((1L, "g1", "en", "aaaa"), (2L, "g1", "en", "b"),
+      (4L, "g1", "en", "dddddddd")))
+    assert(monoView(root) == monoBatch(live),
+      "monotone view != batch rollup over the live corpus")
+    assert(!monoView(root).exists(_._1 == "g2"),
+      "the fully-deleted group must disappear via the rebuild")
+  }
+
+  test("monotone view: full-log replay is a no-op (the max-stamp guard) and the rebuild ledger does not grow") {
+    val root = tempDir("graft-ivm-mono2")
+    writeWaveTo(root + "/src", 0, mk(Seq(
+      (1L, "g1", "en", "aaaa"), (2L, "g1", "en", "bb"))))
+    writeWaveTo(root + "/src", 1, mk(Seq((1L, "g1", "en", "a")))) // update
+    runMono(root)
+    val before = monoView(root)
+    val rebuildsBefore = StreamingIngest.monotoneRebuildCount(spark, root + "/mrebuilds")
+    runMono(root, "mckpt2") // fresh checkpoint: all batches replay
+    assert(monoView(root) == before,
+      "a replayed fold double-counted into the standing view")
+    assert(StreamingIngest.monotoneRebuildCount(spark, root + "/mrebuilds") == rebuildsBefore,
+      "replay must not re-append rebuild markers")
+  }
+
+  test("monotone view: a rebuild that empties the view keeps a stamp sentinel invisible to reads, and a later re-add lands once") {
+    val root = tempDir("graft-ivm-mono3")
+    writeWaveTo(root + "/src", 0, mk(Seq((1L, "g1", "en", "aaaa"))))
+    writeWaveTo(root + "/src", 1,
+      mk(Seq((1L, "g1", "en", "x"))).withColumn("text", lit(null).cast("string")))
+    runMono(root)
+    assert(monoView(root).isEmpty, "the emptied view must read as empty")
+    val raw = spark.read.parquet(root + "/mview")
+    assert(raw.count() == 1L && raw.agg(max(col("ingest_seq"))).head().getLong(0) == 1L,
+      "the empty view must keep exactly one max-stamp sentinel row")
+    writeWaveTo(root + "/src", 2, mk(Seq((1L, "g1", "en", "back"))))
+    runMono(root)
+    assert(monoView(root) == monoBatch(mk(Seq((1L, "g1", "en", "back")))),
+      "a re-added doc after the view emptied must surface exactly once")
+  }
 }
