@@ -26,4 +26,100 @@ object Bucketing {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
     }.size
   }
+
+  // ---- bucketed VERSIONED-LOG layout (round-14, r13 verdict item 5) ------
+  // Every `resolvedRows` read joins the full data log against the
+  // version log's per-id max-seq aggregate — on flat parquet dirs that
+  // is two shuffles (agg + join) scanning every file group of both
+  // logs, which at 100 TB is the dominant recurring cost of every
+  // standing-index read. Writing BOTH logs as tables bucketed by the id
+  // column ([[graft.pipeline.Ingest.appendBucketedWithSeq]] — its
+  // repartition caps each append at `buckets` files) removes all of it:
+  // the bucketed scan reports HashPartitioning(id), so the max-seq
+  // aggregate needs no exchange, the doc-keyed join co-partitions
+  // bucket-to-bucket, and a single-doc probe (the x117-class per-doc
+  // read) prunes to one bucket per log (SelectedBucketsCount in the
+  // scan). Stamped appends keep the landed-seq replay contract.
+
+  /** The landed-seq replay guard over a bucketed log table (the
+    * [[graft.pipeline.Ingest.appendBucketedWithSeq]] writer keeps the
+    * same stamp column as the flat logs).
+    */
+  def landedSeqBucketed(spark: SparkSession, table: String, seq: Long): Boolean =
+    spark.catalog.tableExists(table) && spark.table(table)
+      .filter(org.apache.spark.sql.functions.col("ingest_seq") === seq)
+      .limit(1).count() > 0
+
+  /** In-place bucketed rewrite keeping only `survivors` — the
+    * tmp-table/rename dance of
+    * [[graft.pipeline.Ingest.compactBucketed]] generalized to a
+    * caller-supplied survivor frame (versioned data logs are NOT
+    * last-write-wins per key: postings keep many rows per doc, so the
+    * survivor set is "rows stamped with the id's live seq", not "one
+    * row per id"). Same crash window and recovery: between DROP and
+    * RENAME the name dangles; a re-run that finds the live name gone
+    * but the tmp present completes the rename instead of dropping the
+    * sole surviving copy.
+    */
+  def rewriteBucketed(spark: SparkSession, table: String,
+      survivors: DataFrame, bucketCol: String, buckets: Int): Unit = {
+    val tmp = table + "_compact_tmp"
+    val cat = spark.catalog
+    if (!cat.tableExists(table)) {
+      if (cat.tableExists(tmp)) { spark.sql(s"ALTER TABLE $tmp RENAME TO $table"); return }
+      sys.error(s"rewriteBucketed: neither $table nor $tmp exists")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    survivors.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol).saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
+  /** Compaction for a bucketed versioned log pair — the
+    * [[graft.streaming.StreamingIngest.maybeCompactVersioned]] move on
+    * the table layout: the data log keeps live-version rows (original
+    * stamps), the version log shrinks to one max-seq row per id. Both
+    * rewrites ride the buckets (no exchange) and the pair stays
+    * resolvable between the two swaps in either order, because
+    * resolution only compares data stamps against the version log's
+    * per-id max, which both rewrites preserve.
+    */
+  def compactVersionedBucketed(spark: SparkSession, dataTable: String,
+      versionsTable: String, idCol: String, buckets: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, max}
+    val latest = spark.table(versionsTable)
+      .groupBy(col(idCol)).agg(max(col("ingest_seq")).as("__vmax"))
+      .localCheckpoint(false) // survives both table swaps
+    rewriteBucketed(spark, dataTable,
+      spark.table(dataTable).join(latest, Seq(idCol))
+        .filter(col("ingest_seq") - col("__vmax") === 0).drop("__vmax")
+        .localCheckpoint(false),
+      idCol, buckets)
+    rewriteBucketed(spark, versionsTable,
+      latest.select(col(idCol), col("__vmax").as("ingest_seq")),
+      idCol, buckets)
+  }
+
+  /** Live rows of a bucketed versioned log pair — row-identical to the
+    * flat [[graft.streaming.StreamingIngest]] resolve, planned with
+    * ZERO shuffle exchanges (BucketingSpec locks both).
+    */
+  def resolvedBucketed(spark: SparkSession, dataTable: String,
+      versionsTable: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max}
+    val latest = spark.table(versionsTable)
+      .groupBy(col(idCol)).agg(max(col("ingest_seq")).as("__vmax"))
+    spark.table(dataTable)
+      .join(latest, Seq(idCol))
+      // `seq - vmax === 0`, NOT `seq === vmax`: a bare cross-side
+      // equality is extracted into the equi-join KEYS, and with
+      // requireAllClusterKeysForCoPartition (default true) a join keyed
+      // on (id, seq) refuses the buckets' id-only partitioning — both
+      // sides re-shuffle and the layout buys nothing. The subtraction
+      // form stays a post-match condition, the join keys stay [idCol],
+      // and the plan keeps zero exchanges (BucketingSpec locks it).
+      .filter(col("ingest_seq") - col("__vmax") === 0)
+      .drop("__vmax", "ingest_seq")
+  }
 }

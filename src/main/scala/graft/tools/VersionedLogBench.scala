@@ -33,6 +33,10 @@ object VersionedLogBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-versioned-log-bench")
+      // the bucketed twin uses catalog tables — keep the warehouse out
+      // of the repo working tree
+      .config("spark.sql.warehouse.dir",
+        graft.util.Scratch.tempDir("graft-vlog-warehouse") + "/warehouse")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -81,6 +85,26 @@ object VersionedLogBench {
         graft.pipeline.Ingest.appendWithSeq(
           graft.ext.TextRank.postings(batch).coalesce(1), postingsDir, i.toLong)
       }
+      // BUCKETED twin (round-14, r13 verdict item 5): the same
+      // micro-batch history appended as id-bucketed tables, so the
+      // resolve's max-seq aggregate + doc-keyed join ride the bucket
+      // partitioning with zero exchanges (BucketingSpec locks the plan;
+      // this measures what the removed shuffles are worth at each
+      // fragmentation level). Same per-batch coalesce(1) discipline —
+      // appendBucketedWithSeq's repartition then caps files at
+      // `buckets` per append.
+      val (bDocsT, bVersT) = (s"vlog_docs_x${factor}_b$b", s"vlog_vers_x${factor}_b$b")
+      spark.sql(s"DROP TABLE IF EXISTS $bDocsT")
+      spark.sql(s"DROP TABLE IF EXISTS $bVersT")
+      val buckets = 16
+      (0 until bb + bb / 4).foreach { i =>
+        val residue = if (i < bb) i.toLong else (i - bb).toLong
+        val batch = docs.filter(pmod(col("doc_id"), lit(bb.toLong)) === residue)
+        graft.pipeline.Ingest.appendBucketedWithSeq(
+          batch.select(col("doc_id")), bVersT, "doc_id", buckets, i.toLong)
+        graft.pipeline.Ingest.appendBucketedWithSeq(
+          graft.ext.TextRank.postings(batch), bDocsT, "doc_id", buckets, i.toLong)
+      }
       import graft.streaming.StreamingIngest.{cdcIndexFileCount, maybeCompactVersioned, resolvedPostings}
       def resolveCost(): Double = {
         val (_, s) = timed {
@@ -90,19 +114,39 @@ object VersionedLogBench {
         }
         s
       }
+      def resolveBucketedCost(): Double = {
+        val (_, s) = timed {
+          graft.pipeline.Bucketing.resolvedBucketed(spark, bDocsT, bVersT, "doc_id")
+            .agg(count(lit(1)), sum(col("tf")))
+            .write.mode("overwrite").format("noop").save()
+        }
+        s
+      }
       val filesData = cdcIndexFileCount(spark, postingsDir)
       val filesVers = cdcIndexFileCount(spark, versionsDir)
       // two passes each, min (the Bench noise rationale)
       val fragSec = math.min(resolveCost(), resolveCost())
+      val bucketSec = math.min(resolveBucketedCost(), resolveBucketedCost())
+      val bucketExch = graft.pipeline.Bucketing.countExchanges(
+        graft.pipeline.Bucketing.resolvedBucketed(spark, bDocsT, bVersT, "doc_id"))
       val (_, compactSec) = timed {
         require(maybeCompactVersioned(spark, postingsDir, versionsDir, maxFiles = 0),
           "forced compaction did not trigger")
       }
       val compSec = math.min(resolveCost(), resolveCost())
+      val (_, bCompactSec) = timed {
+        graft.pipeline.Bucketing.compactVersionedBucketed(
+          spark, bDocsT, bVersT, "doc_id", buckets)
+      }
+      val bCompSec = math.min(resolveBucketedCost(), resolveBucketedCost())
       val liveRows = spark.read.parquet(postingsDir).count()
+      spark.sql(s"DROP TABLE IF EXISTS $bDocsT")
+      spark.sql(s"DROP TABLE IF EXISTS $bVersT")
       println(f"[vlog] x$factor%-4d B=$bb%-4d files=$filesData%d/$filesVers%d " +
         f"docs=$nDocs%d live_rows=$liveRows%d " +
-        f"resolve_frag=$fragSec%.2fs compact=$compactSec%.2fs resolve_comp=$compSec%.2fs")
+        f"resolve_frag=$fragSec%.2fs resolve_bucketed=$bucketSec%.2fs " +
+        f"(exchanges=$bucketExch) compact=$compactSec%.2fs resolve_comp=$compSec%.2fs " +
+        f"bcompact=$bCompactSec%.2fs resolve_bucketed_comp=$bCompSec%.2fs")
     }
     spark.stop()
   }
