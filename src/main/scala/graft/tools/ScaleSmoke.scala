@@ -239,7 +239,19 @@ object ScaleSmoke {
     "x138_model_asof",
     // x139's per-wave delta aggregates are O(batch) map-side sums; the
     // read is one group-keyed sum over the delta log (groups-sized)
-    "x139_rollup_ivm")
+    "x139_rollup_ivm",
+    // round-14: x140 is the x128 maintenance profile plus an O(live)
+    // occupancy gauge per wave (one group-by over the stored
+    // assignments, no cosine) and, on the firing wave, the x130
+    // whole-corpus refit; the serve tail is x129's recall join. x141 is
+    // the x132 doc-store wave profile split across two stream runs with
+    // one below-floor fold (id-keyed, below-floor slice only) between
+    // them; the as-of arms stay the live-read shape. x142 runs BOTH
+    // maintenance regimes over the same waves: the additive deltas are
+    // O(batch), the monotone policy pays the corpus-linear rebuild on
+    // each of the two retraction waves — the rebuild term IS the
+    // measured contrast.
+    "x140_ivf_policy_loop", "x141_floor_compaction", "x142_ivm_contrast")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
