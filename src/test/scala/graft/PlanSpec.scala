@@ -336,7 +336,12 @@ class PlanSpec extends SparkSuite {
       "x135_epoch_allocation", "x136_epoch_realize",
       // x137 is the x06 brute class: the 10-row quantized query side
       // broadcast under the non-equi candidate join, plus x06's truth
-      "x137_int8_knn")
+      "x137_int8_knn",
+      // round-14: x140's serve tail is x128's knnIvf (bounded
+      // centroid-set / 10-row query-set pins) plus x129's brute truth
+      // side — the policy loop itself (gauge + refit) broadcasts
+      // nothing data-sized
+      "x140_ivf_policy_loop")
     SparkEntry.registry.foreach { q =>
       val p = plan(q.build(spark, sf))
       val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
