@@ -177,7 +177,17 @@ object Bench {
     "x117_bm25_retract_stream", "x118_ann_production_ladder", "x119_grouped_sample_rekey",
     "x120_dedup_index_retract", "x121_grouped_sample_forgotten",
     "x122_emb_index_retract", "x123_cdc_index_retract",
-    "x124_grouped_sample_ledger", "x125_dedup_stream_retract")
+    "x124_grouped_sample_ledger", "x125_dedup_stream_retract",
+    // round-13 stream/wave queries (back-filled round-14 — the set's
+    // own contract says new stream queries join it at registration;
+    // these were registered without the membership update, so the r13
+    // subtotal under-counted the contract family)
+    "x126_emb_dedup_stream_retract", "x127_cdc_novelty_stream_retract",
+    "x128_ivf_index_upsert", "x130_ivf_refit_swap", "x132_asof_snapshot",
+    "x133_sketch_rebuild", "x134_classifier_retract", "x138_model_asof",
+    "x139_rollup_ivm",
+    // round-14 stream/wave queries
+    "x140_ivf_policy_loop", "x141_floor_compaction", "x142_ivm_contrast")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -99,13 +99,18 @@ class MoversChainSpec extends AnyFunSuite {
     assert(chain.last == ref,
       "bench_chain.jsonl's last line must stay in sync with bench_reference.json " +
         "(append the new line whenever a reference is promoted)")
-    val direct = Bench.chainedRatioVsAnchor(Seq(chain.head), ref).get
+    // the current reference composed through the chain equals the
+    // composition through the chain's prefix (the final link is a
+    // self-link of ratio exactly 1)
+    val viaPrefix = Bench.chainedRatioVsAnchor(chain.dropRight(1), ref).get
     val composed = Bench.chainedRatioVsAnchor(chain, ref).get
-    assert(math.abs(composed - direct) < 1e-9,
-      s"self-link through the chain must be ratio-preserving: $composed vs $direct")
-    // the r12->r13 fast-phase link, pinned to the measured value
-    assert(math.abs(direct - 0.9213) < 0.001,
-      s"anchor->reference link drifted from the measured 0.9213: $direct")
+    assert(math.abs(composed - viaPrefix) < 1e-9,
+      s"the reference's self-link must be ratio-preserving: $composed vs $viaPrefix")
+    // the chain's FIRST link (r12 anchor -> r13 reference), pinned to
+    // the measured value — a stable historical fact
+    val firstLink = Bench.chainedRatioVsAnchor(Seq(chain.head), chain(1)).get
+    assert(math.abs(firstLink - 0.9213) < 0.001,
+      s"the r12->r13 link drifted from the measured 0.9213: $firstLink")
   }
 
   test("benchOutFile: the driver redirect owns both clean and dirty output; unset keeps the quarantine split") {
