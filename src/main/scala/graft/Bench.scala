@@ -101,6 +101,49 @@ object Bench {
     }.toMap
   }
 
+  /** Memory-BANDWIDTH probe (round-14, the r13 verdict item-1 stretch):
+    * the ~8% fast/normal host phase proven by round 13's ABAB runs is
+    * INVISIBLE to all three existing probes (CPU anchor, shuffle,
+    * scan) — two probe-pristine same-code windows read 177.60 and
+    * 192.50 s. The ABAB movers (wide aggregates, codec passes) point
+    * at memory bandwidth / turbo residency as the hidden dimension, so
+    * this kernel measures it directly: `threads` striding summers over
+    * one shared 256 MB long array (sequential scan per thread —
+    * bandwidth-bound, not cache-bound; the array is allocated once and
+    * reused). Returns aggregate READ GB/s; the max of a few samples is
+    * the window's ceiling. RECORDED, not gated: until a few rounds of
+    * (membw, total) pairs exist there is no clean band to enforce —
+    * the field exists so the next cross-round comparison can test the
+    * bandwidth hypothesis against data instead of movers-audit
+    * inference.
+    */
+  def membwProbeGBps(threads: Int = 8): Double = {
+    val a = MembwArray
+    val per = a.length / threads
+    val sink = new java.util.concurrent.atomic.AtomicLong
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      val th = new Thread { override def run(): Unit = {
+        var s = 0L
+        var i = t * per
+        val end = i + per
+        while (i < end) { s += a(i); i += 1 }
+        sink.addAndGet(s)
+        ()
+      } }
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (sink.get() == Long.MinValue) System.err.println("") // keep the sum live
+    (a.length.toDouble * 8 / (1L << 30)) / sec
+  }
+  private lazy val MembwArray: Array[Long] = {
+    val a = new Array[Long](256 * 1024 * 1024 / 8)
+    java.util.Arrays.fill(a, 1L)
+    a
+  }
+
   /** Common-query subtotal ratio between two per-query timing maps:
     * cand-sum / ref-sum over the keys both carry with positive times
     * (failed queries land as -1.0 sentinels and must not poison the
@@ -187,7 +230,8 @@ object Bench {
     "x133_sketch_rebuild", "x134_classifier_retract", "x138_model_asof",
     "x139_rollup_ivm",
     // round-14 stream/wave queries
-    "x140_ivf_policy_loop", "x141_floor_compaction", "x142_ivm_contrast")
+    "x140_ivf_policy_loop", "x141_floor_compaction", "x142_ivm_contrast",
+    "x143_bucketed_resolve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -197,6 +241,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // bucketed-log queries (x143) use catalog tables — keep the
+      // warehouse out of the repo working tree
+      .config("spark.sql.warehouse.dir",
+        graft.util.Scratch.tempDir("graft-bench-wh") + "/warehouse")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
@@ -314,6 +362,11 @@ object Bench {
     // contention makes edge-of-run samples meaningless — the median
     // over the run is the window sensor); one closing shuffle sample.
     shuffleProbeSec(spark) // JIT throwaway
+    // membw: one JIT/page-touch throwaway, then max of 3 (the phase
+    // sensor candidate — recorded, not gated)
+    membwProbeGBps()
+    val membwStart = (1 to 3).map(_ => membwProbeGBps()).max
+    System.err.println(f"[bench] membw probe (start): $membwStart%.1f GB/s")
     val shuffleSamples = scala.collection.mutable.ArrayBuffer(shuffleProbeSec(spark))
     val scanSamples = scala.collection.mutable.ArrayBuffer[Double]()
     // mid-run shuffle samples (every other scan probe): the round-11
@@ -398,6 +451,8 @@ object Bench {
     }.toMap
     val p2 = names.reverse.map { n => maybeScanProbe(); n -> time(n) }.toMap
     shuffleSamples += shuffleProbeSec(spark)
+    val membwEnd = (1 to 3).map(_ => membwProbeGBps()).max
+    System.err.println(f"[bench] membw probe (end): $membwEnd%.1f GB/s")
     val results = names.map { name =>
       val (a, b) = (p1(name), p2(name))
       val best = math.min(a, b)
@@ -478,6 +533,7 @@ object Bench {
       s""""anchor_clean_sec":${fmt(AnchorCleanSec)},"host_factor":${fmt(hostFactor)},""" +
       s""""shuffle_anchor_sec":${fmt(shuffleSec)},"shuffle_factor":${fmt(shuffleFactor)},""" +
       s""""scan_anchor_med":${fmt(scanMed)},"scan_factor":${fmt(scanFactor)},""" +
+      s""""membw_start_gbps":${fmt(membwStart)},"membw_end_gbps":${fmt(membwEnd)},""" +
       s""""window_clean":$windowClean,"adj_value_lower_bound":${fmt(total / hostFactor)},""" +
       s""""subtotal_relational":${fmt(subtotalRelational)},""" +
       s""""subtotal_extension":${fmt(subtotalExtension)},""" +

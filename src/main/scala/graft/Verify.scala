@@ -16,6 +16,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bucketed-log queries (x143) use catalog tables — keep the
+      // warehouse out of the repo working tree
+      .config("spark.sql.warehouse.dir",
+        graft.util.Scratch.tempDir("graft-verify-wh") + "/warehouse")
       // corpus events.ts is parquet TIMESTAMP(NANOS); read as long ns
       // (graft.sources.Tables.events converts to µs TimestampType)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

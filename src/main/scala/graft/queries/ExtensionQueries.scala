@@ -6171,6 +6171,58 @@ object ExtensionQueries {
         additive.unionByName(monotone)
       }),
 
+    Q("x143_bucketed_resolve",
+      "The BUCKETED standing-log layout under the correctness gate (round-14; r13 " +
+        "verdict item 5): the shared x117 update waves run through " +
+        "streaming.docStoreStreamBucketed — both logs land as id-bucketed catalog " +
+        "tables (each append capped at `buckets` files by the pre-write " +
+        "repartition) — and the serving read is Bucketing.resolvedBucketed, whose " +
+        "plan carries ZERO shuffle exchanges: the version log's per-id max-seq " +
+        "aggregate and the doc-keyed join both ride the bucket partitioning (the " +
+        "seq-match is a post-join condition by construction — a bare equality would " +
+        "be extracted into the join keys and force a re-shuffle). The exchange count " +
+        "of the resolve plan is emitted AS A COLUMN and hash-checked against the " +
+        "oracle's literal 0, putting the no-shuffle property itself under the " +
+        "correctness gate rather than only under PlanSpec; the rollup rows pin that " +
+        "the bucketed stream + resolve serve exactly the closed-form latest corpus. " +
+        "At 100 TB this is the difference between a standing-index read that " +
+        "re-shuffles the data log every query and one that is bucket-local " +
+        "(SCALING.md's bucketed-vs-flat table: 2-3.4x at x100 and widening).",
+      Some("""WITH live AS (
+             |  SELECT doc_id, h4,
+             |         CASE WHEN h4 = 1 THEN text || ' ' || text ELSE text END AS text
+             |    FROM (SELECT doc_id, text,
+             |            ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 4 AS h4
+             |          FROM documents) t
+             |    WHERE h4 <> 2)
+             |SELECT h4, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(len(text)) AS BIGINT) AS chars,
+             |       CAST(0 AS BIGINT) AS exchanges
+             |FROM live GROUP BY h4 ORDER BY h4""".stripMargin),
+      (s, d) => {
+        val root = scratchTempDir("graft-x143-bucketed")
+        // catalog table names must be unique per build (Bench evaluates
+        // each query in several passes within one session)
+        val tag = root.split('/').last.replaceAll("[^a-zA-Z0-9]", "_")
+        docUpdateWaveFrames(s, d).zipWithIndex.foreach { case (w, i) =>
+          writeStreamWave(root, i, w)
+        }
+        graft.streaming.StreamingIngest.docStoreStreamBucketed(
+          docUpdateStreamFrame(s, d, root),
+          s"x143_docs_$tag", s"x143_vers_$tag", root + "/ckpt", buckets = 8)
+        val resolved = graft.pipeline.Bucketing.resolvedBucketed(
+          s, s"x143_docs_$tag", s"x143_vers_$tag", "doc_id")
+        val exchanges = graft.pipeline.Bucketing.countExchanges(resolved)
+        resolved
+          .withColumn("h4", pmod(TextDedup.portableHashBuiltin(
+            col("doc_id").cast("string"), ""), lit(4L)))
+          .groupBy(col("h4"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast("long")).as("chars"))
+          .select(col("h4"), col("n_docs"), col("chars"),
+            lit(exchanges.toLong).as("exchanges"))
+      }),
+
     Q("x137_int8_knn",
       "KNN served off INT8-QUANTIZED vectors with the retrieval quality pinned against " +
         "fp truth (round-13) — the production serving format (x37 quantizes, this " +

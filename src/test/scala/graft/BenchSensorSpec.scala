@@ -85,4 +85,13 @@ class BenchSensorSpec extends AnyFunSuite {
     assert(Bench.precheckFields(12, 3, clean = true) ==
       """"precheck_attempts":3,"precheck_enabled":true,"precheck_clean":true""")
   }
+
+  test("membw probe: returns a sane aggregate bandwidth and is repeatable within an order of magnitude") {
+    Bench.membwProbeGBps() // JIT/page-touch throwaway
+    val a = Bench.membwProbeGBps()
+    val b = Bench.membwProbeGBps()
+    assert(a > 1.0 && a < 2000.0, s"implausible bandwidth reading: $a GB/s")
+    assert(math.max(a, b) / math.min(a, b) < 10.0,
+      s"membw samples unstable beyond an order of magnitude: $a vs $b")
+  }
 }
