@@ -1260,7 +1260,25 @@ object StreamingIngest {
     */
   def docStoreStreamBucketed(docs: DataFrame, dataTable: String,
       versionsTable: String, checkpointDir: String, idCol: String = "doc_id",
-      textCol: String = "text", buckets: Int = 32): StreamingQuery = {
+      textCol: String = "text", buckets: Int = 32): StreamingQuery =
+    versionedIndexStreamBucketed(docs, dataTable, versionsTable,
+      checkpointDir, idCol, buckets, b => b.filter(col(textCol).isNotNull))
+
+  /** The GENERIC bucketed versioned-index maintenance loop — the
+    * [[versionedIndexStream]] contract (per-batch intra-batch version
+    * resolve, two stamped landed-seq-guarded appends, zero-row derive =
+    * retraction) on the bucketed table layout, serving every derived
+    * family the flat loop serves (postings, bands, vectors, chunks:
+    * pass the same `derive`). What changes is only WHERE the rows land
+    * and what the read plans: [[graft.pipeline.Bucketing.resolvedBucketed]]
+    * resolves with zero shuffle exchanges. No automatic compaction
+    * cadence yet — [[graft.pipeline.Bucketing.compactVersionedBucketed]]
+    * is the caller-owned rewrite (the bucketed layout targets logs
+    * whose read path dominates their rewrite path).
+    */
+  def versionedIndexStreamBucketed(docs: DataFrame, dataTable: String,
+      versionsTable: String, checkpointDir: String, idCol: String,
+      buckets: Int, derive: DataFrame => DataFrame): StreamingQuery = {
     import graft.pipeline.{Bucketing, Ingest}
     val q = docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -1271,7 +1289,7 @@ object StreamingIngest {
           Ingest.appendBucketedWithSeq(b.select(col(idCol)),
             versionsTable, idCol, buckets, batchId)
         if (!Bucketing.landedSeqBucketed(spark, dataTable, batchId))
-          Ingest.appendBucketedWithSeq(b.filter(col(textCol).isNotNull),
+          Ingest.appendBucketedWithSeq(derive(b),
             dataTable, idCol, buckets, batchId)
         ()
       }
@@ -1280,6 +1298,17 @@ object StreamingIngest {
     q.awaitTermination()
     q
   }
+
+  /** [[bm25IndexUpsertStream]] on the bucketed layout: per-doc versioned
+    * postings rows in an id-bucketed table pair, resolve shuffle-free.
+    */
+  def bm25IndexUpsertStreamBucketed(docs: DataFrame, postingsTable: String,
+      versionsTable: String, checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text", buckets: Int = 32): StreamingQuery =
+    versionedIndexStreamBucketed(docs, postingsTable, versionsTable,
+      checkpointDir, idCol, buckets,
+      b => graft.ext.TextRank.postings(
+        b.filter(col(textCol).isNotNull), idCol, textCol))
 
   /** Read side of [[docStoreStream]]: the LIVE corpus — each doc's
     * latest-version row, deletions absent (all arrival columns,

@@ -157,6 +157,48 @@ class BucketingSpec extends SparkSuite {
     }
   }
 
+  test("the bucketed loop is generic: the postings family resolves row-identical to the flat stream, shuffle-free") {
+    import graft.streaming.StreamingIngest
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.sql("DROP TABLE IF EXISTS bp_postings")
+      spark.sql("DROP TABLE IF EXISTS bp_versions")
+      val root = tempDir("graft-bucketed-postings")
+      val mk = (rows: Seq[(Long, String)]) => rows.toDF("doc_id", "text")
+      writeWaveTo(root + "/src", 0, mk(Seq(
+        1L -> "alpha beta beta", 2L -> "beta gamma", 3L -> "delta")))
+      writeWaveTo(root + "/src", 1, mk(Seq(1L -> "alpha only now")))
+      writeWaveTo(root + "/src", 2,
+        mk(Seq(3L -> "x")).withColumn("text", lit(null).cast("string")))
+      def stream() = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
+      StreamingIngest.bm25IndexUpsertStreamBucketed(stream(),
+        "bp_postings", "bp_versions", root + "/bckpt", buckets = 4)
+      StreamingIngest.bm25IndexUpsertStream(stream(),
+        root + "/postings", root + "/versions", root + "/fckpt")
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("doc_id"), col("term"), col("tf").cast("long"), col("dl").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val bucketed = Bucketing.resolvedBucketed(spark, "bp_postings", "bp_versions", "doc_id")
+      val flat = StreamingIngest.resolvedPostings(spark, root + "/postings", root + "/versions")
+      assert(rows(bucketed) == rows(flat),
+        "bucketed postings resolve diverged from the flat stream")
+      assert(Bucketing.countExchanges(bucketed) == 0,
+        s"bucketed postings resolve must be shuffle-free:\n${bucketed.queryExecution.executedPlan}")
+      // the update replaced doc 1's postings, the deletion removed doc 3
+      assert(!rows(bucketed).exists { case (id, t, _, _) => id == 1L && t == "beta" })
+      assert(!rows(bucketed).exists(_._1 == 3L))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS bp_postings")
+      spark.sql("DROP TABLE IF EXISTS bp_versions")
+    }
+  }
+
   test("compactBucketed re-run after a crash between DROP and RENAME recovers, not destroys") {
     import graft.pipeline.Ingest
     try {
