@@ -1692,6 +1692,19 @@ object StreamingIngest {
     */
   def compactVersionedKeepAfter(spark: SparkSession, dataDir: String,
       versionsDir: String, floorSeq: Long, idCol: String = "doc_id"): Unit = {
+    // the marker lands FIRST (round-14 self-review): a crash between
+    // the log swaps and a marker-last write would leave folded history
+    // with no recorded floor, and the checked read would silently
+    // answer wrong below it. Marker-first fails in the SAFE direction —
+    // a crash before the swaps refuses below-floor reads that were
+    // still answerable, which is a lost capability, never a wrong
+    // answer (and the re-run completes the fold).
+    import spark.implicits._
+    val marker = Seq(math.max(floorSeq, asOfFloorSeq(spark, versionsDir)))
+      .toDF("floor_seq")
+    val floorDir = asOfFloorDir(versionsDir)
+    if (pathExists(spark, floorDir)) swapRewrite(spark, floorDir, marker)
+    else marker.write.mode("overwrite").parquet(floorDir)
     val versions = spark.read.parquet(versionsDir).localCheckpoint(false)
     val below = versions.filter(col("ingest_seq") <= floorSeq)
       .groupBy(col(idCol)).agg(max(col("ingest_seq")).as("__vmax"))
@@ -1704,12 +1717,6 @@ object StreamingIngest {
     swapRewrite(spark, versionsDir,
       versions.filter(col("ingest_seq") > floorSeq)
         .unionByName(below.select(col(idCol), col("__vmax").as("ingest_seq"))))
-    import spark.implicits._
-    val marker = Seq(math.max(floorSeq, asOfFloorSeq(spark, versionsDir)))
-      .toDF("floor_seq")
-    val floorDir = asOfFloorDir(versionsDir)
-    if (pathExists(spark, floorDir)) swapRewrite(spark, floorDir, marker)
-    else marker.write.mode("overwrite").parquet(floorDir)
   }
 
   private def asOfFloorDir(versionsDir: String): String =

@@ -174,6 +174,33 @@ class DocStoreAsOfSpec extends SparkSuite {
       "a lower floor must not regress the recorded marker")
   }
 
+  test("marker-first crash state: a recorded floor with the fold not yet landed refuses below-floor reads but answers them nowhere wrong") {
+    val root = tempDir("graft-asof-floormarker")
+    waves(root)
+    run(root, maxFiles = Int.MaxValue)
+    val twin1 = idText(asOf(root, 1))
+    // simulate the crash window: marker landed, swaps did not — build
+    // the marker exactly as the compaction's first step does
+    import spark.implicits._
+    Seq(1L).toDF("floor_seq").write.mode("overwrite")
+      .parquet(root + "/versions_asof_floor")
+    assert(StreamingIngest.asOfFloorSeq(spark, root + "/versions") == 1L)
+    // below-floor: refused by name (the history is actually still there
+    // — a lost capability, never a wrong answer)
+    intercept[IllegalArgumentException] {
+      StreamingIngest.resolvedRowsAsOfChecked(
+        spark, root + "/docs", root + "/versions", "doc_id", 0L)
+    }
+    // at/above the floor: exact, fold landed or not
+    assert(idText(StreamingIngest.resolvedRowsAsOfChecked(
+      spark, root + "/docs", root + "/versions", "doc_id", 1L)) == twin1)
+    // the re-run completes the fold and nothing changes at/above
+    StreamingIngest.compactVersionedKeepAfter(
+      spark, root + "/docs", root + "/versions", 1L)
+    assert(idText(StreamingIngest.resolvedRowsAsOfChecked(
+      spark, root + "/docs", root + "/versions", "doc_id", 1L)) == twin1)
+  }
+
   test("floor compaction is crash-safe in either swap order: both partial states serve exact as-of >= floor and the live read") {
     val root = tempDir("graft-asof-floorcrash")
     waves(root)
