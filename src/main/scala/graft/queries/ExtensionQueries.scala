@@ -5922,6 +5922,50 @@ object ExtensionQueries {
           .select(col("doc_id"), col("y"), col("yhat"), col("margin_sign"))
       }),
 
+    Q("x144_training_cut",
+      "The TRAINING CUT manifest (round-14) — reproducibility lifted from one log to " +
+        "the published recipe over all of them: a training run needs the corpus as-of " +
+        "S_c AND the model stats as-of S_m as one CONSISTENT, atomically-published " +
+        "cut (streaming.publishTrainingCut — a (log_name, as_of_seq) table committed " +
+        "through the ManifestTable replace-flip, so a consumer sees the whole cut or " +
+        "the previous one, never half, and historical cuts stay readable by manifest " +
+        "version). Script: the shared x117 waves through classifierRetractStream " +
+        "(one stream maintains corpus + version + stats logs); the cut (corpus 1, " +
+        "stats 1) is published, then read BACK from the artifact and every as-of " +
+        "resolves through the recorded seqs (the corpus arm through the x141 checked " +
+        "read). Output = x138's historical scoring frame reproduced through the " +
+        "manifest indirection, plus the cut itself as columns (manifest_v, " +
+        "corpus_seq, stats_seq) — a wrong recorded seq, a half-published cut, or a " +
+        "manifest read that failed over to defaults moves both the constants and " +
+        "the scores, and the hash catches it. Oracle = x138's closed-form wave-1 " +
+        "classifier SQL with the cut constants appended.",
+      Some(s"""SELECT doc_id, y, yhat, margin_sign,
+             |  CAST(0 AS BIGINT) AS manifest_v,
+             |  CAST(1 AS BIGINT) AS corpus_seq,
+             |  CAST(1 AS BIGINT) AS stats_seq
+             |FROM ($x138Oracle) t""".stripMargin),
+      (s, d) => {
+        val SI = graft.streaming.StreamingIngest
+        val root = scratchTempDir("graft-x144-cut")
+        SI.classifierRetractStream(docUpdateWaveStream(s, d, root),
+          root + "/docs", root + "/versions", root + "/stats", root + "/ckpt",
+          classifierFeatures, classifierWeakLabel, maxFiles = Int.MaxValue)
+        val mroot = root + "/cut"
+        val v = SI.publishTrainingCut(s, mroot,
+          Seq("corpus" -> 1L, "stats" -> 1L))
+        val cut = SI.readTrainingCut(s, mroot)
+        val statsAt = SI.classifierStatsAsOf(
+          s, root + "/stats", classifierFeatures.size + 1, cut("stats"))
+        val corpusAt = SI.resolvedRowsAsOfChecked(
+          s, root + "/docs", root + "/versions", "doc_id", cut("corpus"))
+        graft.ext.LinearModel.scoreWithStats(statsAt, corpusAt,
+            classifierFeatures, classifierWeakLabel)
+          .select(col("doc_id"), col("y"), col("yhat"), col("margin_sign"),
+            lit(v).as("manifest_v"),
+            lit(cut("corpus")).as("corpus_seq"),
+            lit(cut("stats")).as("stats_seq"))
+      }),
+
     Q("x139_rollup_ivm",
       "INCREMENTAL VIEW MAINTENANCE for additive rollups (round-13) — the capability " +
         "Spark itself lacks, realized by the subtraction idiom: maintain an exact " +

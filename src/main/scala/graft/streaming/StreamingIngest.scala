@@ -1750,6 +1750,41 @@ object StreamingIngest {
     resolvedRowsAsOf(spark, dataDir, versionsDir, idCol, asOfSeq)
   }
 
+  /** TRAINING CUT manifest (round-14, x144): a reproducible training
+    * run needs one CONSISTENT cut across several independently-seq'd
+    * versioned logs — "the corpus as-of S_c, the model stats as-of
+    * S_m, together" — published atomically so a training job either
+    * sees the whole cut or the previous one, never half. The cut is a
+    * tiny (log_name, as_of_seq) table committed through
+    * [[graft.pipeline.ManifestTable]] (replace-commit: one manifest
+    * flip makes it current; readers mid-resolve keep their version;
+    * optimistic concurrency refuses forked history), so cuts are
+    * themselves VERSIONED — `readTrainingCut(version = Some(v))`
+    * reproduces any historical cut, and every consumer read goes
+    * through [[resolvedRowsAsOfChecked]]-class as-ofs whose fidelity
+    * the x141 floor contract governs. This is the x132/x138 time
+    * travel lifted from "one log" to "the published, atomic,
+    * versioned RECIPE over all of them".
+    */
+  def publishTrainingCut(spark: SparkSession, manifestRoot: String,
+      cut: Seq[(String, Long)]): Long = {
+    import spark.implicits._
+    graft.pipeline.ManifestTable.commit(spark, manifestRoot,
+      cut.toDF("log_name", "as_of_seq"), replace = true)
+  }
+
+  /** The cut as committed — current manifest version, or any historical
+    * one. Model-sized by construction (one row per participating log).
+    */
+  def readTrainingCut(spark: SparkSession, manifestRoot: String,
+      version: Option[Long] = None): Map[String, Long] = {
+    val df = version
+      .map(v => graft.pipeline.ManifestTable.readVersion(spark, manifestRoot, v))
+      .getOrElse(graft.pipeline.ManifestTable.read(spark, manifestRoot))
+    df.select(col("log_name"), col("as_of_seq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   /** Streaming GROUPED pps sample — the [[weightedSampleStream]] fold
     * applied per group (the x101 batch form made continuous): the
     * standing state is exactly-n rows PER GROUP, each micro-batch

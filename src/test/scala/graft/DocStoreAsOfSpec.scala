@@ -253,6 +253,36 @@ class DocStoreAsOfSpec extends SparkSuite {
       "as-of over the post-compaction wave diverged from the latest corpus")
   }
 
+  // ---- the training-cut manifest (round-14, x144) ------------------------
+
+  test("training cuts are atomic and versioned: the current cut reads whole, historical cuts stay readable, and composed reads match direct as-ofs") {
+    val root = tempDir("graft-asof-cut")
+    waves(root)
+    run(root, maxFiles = Int.MaxValue)
+    val mroot = root + "/cut"
+    val v0 = StreamingIngest.publishTrainingCut(spark, mroot,
+      Seq("corpus" -> 1L, "aux" -> 1L))
+    val v1 = StreamingIngest.publishTrainingCut(spark, mroot,
+      Seq("corpus" -> 2L, "aux" -> 2L))
+    assert(v0 == 0L && v1 == 1L, s"manifest versions must advance: $v0, $v1")
+    // current = the newest whole cut; history by version
+    assert(StreamingIngest.readTrainingCut(spark, mroot)
+      == Map("corpus" -> 2L, "aux" -> 2L))
+    assert(StreamingIngest.readTrainingCut(spark, mroot, Some(0L))
+      == Map("corpus" -> 1L, "aux" -> 1L))
+    // a read composed through the historical cut equals the direct as-of
+    val cut0 = StreamingIngest.readTrainingCut(spark, mroot, Some(0L))
+    assert(idText(StreamingIngest.resolvedRowsAsOfChecked(
+        spark, root + "/docs", root + "/versions", "doc_id", cut0("corpus")))
+      == idText(asOf(root, 1L)),
+      "the cut-composed corpus read diverged from the direct as-of")
+    // the current cut resolves the latest corpus
+    val cut1 = StreamingIngest.readTrainingCut(spark, mroot)
+    assert(idText(StreamingIngest.resolvedRowsAsOfChecked(
+        spark, root + "/docs", root + "/versions", "doc_id", cut1("corpus")))
+      == idText(StreamingIngest.resolvedDocs(spark, root + "/docs", root + "/versions")))
+  }
+
   test("the as-of read is generic: the postings log resolves to batch postings over the wave-1 corpus") {
     val root = tempDir("graft-asof-postings")
     waves(root)
