@@ -251,7 +251,12 @@ object ScaleSmoke {
     // O(batch), the monotone policy pays the corpus-linear rebuild on
     // each of the two retraction waves — the rebuild term IS the
     // measured contrast.
-    "x140_ivf_policy_loop", "x141_floor_compaction", "x142_ivm_contrast")
+    "x140_ivf_policy_loop", "x141_floor_compaction", "x142_ivm_contrast",
+    // x143 is the x132 wave profile on the bucketed table layout (each
+    // append repartitions the batch to `buckets` tasks); the resolve is
+    // the shuffle-free bucket-local join. x144 is x138's profile (wave
+    // appends + stats folds) plus one model-sized manifest commit/read.
+    "x143_bucketed_resolve", "x144_training_cut")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
