@@ -76,6 +76,25 @@ object Bucketing {
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
 
+  /** The automatic cadence over [[compactVersionedBucketed]] — the
+    * [[graft.streaming.StreamingIngest.maybeCompactVersioned]] gate on
+    * the table layout: when EITHER table holds more than `maxFiles`
+    * data files (the version log fragments on deletion-heavy workloads
+    * while the data log stays small — the round-12 lesson applies
+    * verbatim), rewrite the pair. Returns whether it compacted.
+    */
+  def maybeCompactVersionedBucketed(spark: SparkSession, dataTable: String,
+      versionsTable: String, idCol: String, buckets: Int,
+      maxFiles: Int = 64): Boolean = {
+    val fragmented = spark.catalog.tableExists(versionsTable) &&
+      spark.catalog.tableExists(dataTable) &&
+      (spark.table(dataTable).inputFiles.length > maxFiles ||
+        spark.table(versionsTable).inputFiles.length > maxFiles)
+    if (fragmented)
+      compactVersionedBucketed(spark, dataTable, versionsTable, idCol, buckets)
+    fragmented
+  }
+
   /** Compaction for a bucketed versioned log pair — the
     * [[graft.streaming.StreamingIngest.maybeCompactVersioned]] move on
     * the table layout: the data log keeps live-version rows (original

@@ -1260,9 +1260,11 @@ object StreamingIngest {
     */
   def docStoreStreamBucketed(docs: DataFrame, dataTable: String,
       versionsTable: String, checkpointDir: String, idCol: String = "doc_id",
-      textCol: String = "text", buckets: Int = 32): StreamingQuery =
+      textCol: String = "text", buckets: Int = 32,
+      maxFiles: Int = 64): StreamingQuery =
     versionedIndexStreamBucketed(docs, dataTable, versionsTable,
-      checkpointDir, idCol, buckets, b => b.filter(col(textCol).isNotNull))
+      checkpointDir, idCol, buckets, b => b.filter(col(textCol).isNotNull),
+      maxFiles)
 
   /** The GENERIC bucketed versioned-index maintenance loop — the
     * [[versionedIndexStream]] contract (per-batch intra-batch version
@@ -1278,7 +1280,8 @@ object StreamingIngest {
     */
   def versionedIndexStreamBucketed(docs: DataFrame, dataTable: String,
       versionsTable: String, checkpointDir: String, idCol: String,
-      buckets: Int, derive: DataFrame => DataFrame): StreamingQuery = {
+      buckets: Int, derive: DataFrame => DataFrame,
+      maxFiles: Int = 64): StreamingQuery = {
     import graft.pipeline.{Bucketing, Ingest}
     val q = docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -1291,6 +1294,8 @@ object StreamingIngest {
         if (!Bucketing.landedSeqBucketed(spark, dataTable, batchId))
           Ingest.appendBucketedWithSeq(derive(b),
             dataTable, idCol, buckets, batchId)
+        Bucketing.maybeCompactVersionedBucketed(spark, dataTable,
+          versionsTable, idCol, buckets, maxFiles)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -1304,11 +1309,13 @@ object StreamingIngest {
     */
   def bm25IndexUpsertStreamBucketed(docs: DataFrame, postingsTable: String,
       versionsTable: String, checkpointDir: String, idCol: String = "doc_id",
-      textCol: String = "text", buckets: Int = 32): StreamingQuery =
+      textCol: String = "text", buckets: Int = 32,
+      maxFiles: Int = 64): StreamingQuery =
     versionedIndexStreamBucketed(docs, postingsTable, versionsTable,
       checkpointDir, idCol, buckets,
       b => graft.ext.TextRank.postings(
-        b.filter(col(textCol).isNotNull), idCol, textCol))
+        b.filter(col(textCol).isNotNull), idCol, textCol),
+      maxFiles)
 
   /** Read side of [[docStoreStream]]: the LIVE corpus — each doc's
     * latest-version row, deletions absent (all arrival columns,

@@ -199,6 +199,43 @@ class BucketingSpec extends SparkSuite {
     }
   }
 
+  test("the bucketed loop's automatic compaction cadence: maxFiles=0 compacts every batch, resolve unchanged and shuffle-free") {
+    import graft.streaming.StreamingIngest
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.sql("DROP TABLE IF EXISTS bc_docs")
+      spark.sql("DROP TABLE IF EXISTS bc_versions")
+      val root = tempDir("graft-bucketed-cadence")
+      val mk = (rows: Seq[(Long, String)]) => rows.toDF("doc_id", "text")
+      writeWaveTo(root + "/src", 0, mk(Seq(1L -> "one v0", 2L -> "two v0")))
+      writeWaveTo(root + "/src", 1, mk(Seq(1L -> "one v1")))
+      writeWaveTo(root + "/src", 2,
+        mk(Seq(2L -> "x")).withColumn("text", lit(null).cast("string")))
+      val stream = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
+      StreamingIngest.docStoreStreamBucketed(stream, "bc_docs", "bc_versions",
+        root + "/ckpt", buckets = 2, maxFiles = 0)
+      // superseded versions dropped by the in-loop cadence
+      assert(spark.table("bc_docs").groupBy(col("doc_id"))
+        .agg(countDistinct(col("ingest_seq")).as("nv")).filter(col("nv") > 1).count() == 0,
+        "superseded versions survived the bucketed cadence")
+      val resolved = Bucketing.resolvedBucketed(spark, "bc_docs", "bc_versions", "doc_id")
+      assert(resolved.select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet == Set(1L -> "one v1"),
+        "post-cadence resolve served the wrong corpus")
+      assert(Bucketing.countExchanges(resolved) == 0,
+        "the compacted pair lost the bucketed layout")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS bc_docs")
+      spark.sql("DROP TABLE IF EXISTS bc_versions")
+    }
+  }
+
   test("compactBucketed re-run after a crash between DROP and RENAME recovers, not destroys") {
     import graft.pipeline.Ingest
     try {
