@@ -376,6 +376,12 @@ object Bench {
     // the abort decision, never the end-of-run windowClean gate (whose
     // min-of-edges semantics stay as documented).
     val midShuffleSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    // mid-run membw samples (every scan-probe cycle): the round-14
+    // attempt-3 run read 14.8 GB/s at start vs 39.4 at end — the phase
+    // candidate SWINGS within a run, so edge samples alone cannot
+    // characterize a window; one probe costs ~10-30 ms. Traced to
+    // stderr and summarized as a median field; never gated.
+    val membwSamples = scala.collection.mutable.ArrayBuffer[Double]()
     def medianOf(xs: Seq[Double]): Double = {
       val s = xs.sorted; if (s.isEmpty) 0.0 else s(s.size / 2)
     }
@@ -387,11 +393,13 @@ object Bench {
         sinceProbe = 0
         scanSamples += scanProbeSec(spark, sfDir)
         if (scanSamples.size % 2 == 0) midShuffleSamples += shuffleProbeSec(spark)
+        membwSamples += membwProbeGBps()
         // per-sample trace: mid-run drift triage needs the SERIES, not
         // just the end-of-run median (the round-12 abort calibration
         // was blind without it)
         System.err.println(f"[bench] probe ${scanSamples.size}: scan ${scanSamples.last}%.3f s" +
-          (if (scanSamples.size % 2 == 0) f", shuffle ${midShuffleSamples.last}%.3f s" else ""))
+          (if (scanSamples.size % 2 == 0) f", shuffle ${midShuffleSamples.last}%.3f s" else "") +
+          f", membw ${membwSamples.last}%.1f GB/s")
         // round-12 (from the r11 verdict): under ABORT=1, a window that
         // goes dirty mid-run costs a partial run, not a full dirty
         // artifact. Decision logic + calibration rationale live in
@@ -534,6 +542,7 @@ object Bench {
       s""""shuffle_anchor_sec":${fmt(shuffleSec)},"shuffle_factor":${fmt(shuffleFactor)},""" +
       s""""scan_anchor_med":${fmt(scanMed)},"scan_factor":${fmt(scanFactor)},""" +
       s""""membw_start_gbps":${fmt(membwStart)},"membw_end_gbps":${fmt(membwEnd)},""" +
+      s""""membw_med_gbps":${fmt(medianOf(membwSamples.toSeq))},""" +
       s""""window_clean":$windowClean,"adj_value_lower_bound":${fmt(total / hostFactor)},""" +
       s""""subtotal_relational":${fmt(subtotalRelational)},""" +
       s""""subtotal_extension":${fmt(subtotalExtension)},""" +

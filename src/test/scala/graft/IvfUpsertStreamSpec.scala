@@ -248,6 +248,49 @@ class IvfUpsertStreamSpec extends SparkSuite {
       == Map(2L -> 1L, 3L -> 3L), "the new structure's fit occupancy is wrong")
   }
 
+  test("policy loop heals a crash between the landed fired-row and its refit: the next batch refits FIRST, then assigns") {
+    val root = tempDir("graft-ivfpol3")
+    import spark.implicits._
+    // build a non-firing history (threshold high), so centsDir holds
+    // the installed structure and fitDir is stamped at install
+    policyWaves(root)
+    runPolicy(root, thresholdBp = 9999L)
+    assert(spark.read.parquet(root + "/cents")
+      .select("vec_id").collect().map(_.getLong(0)).toSet == Set(100L, 101L))
+    // simulate the crash window: a FIRED gauge row landed (stamped past
+    // everything), but the refit never ran — fitDir still carries the
+    // install stamp
+    graft.pipeline.Ingest.appendWithSeq(
+      Seq((4L, 9000L, true)).toDF("n_live", "tv_bp", "fired"),
+      root + "/gauge", 7L)
+    assert(spark.read.parquet(root + "/fit")
+      .select("fit_seq").head().getLong(0) == 0L)
+    // the next batch must heal BEFORE assigning: write one fresh vector
+    // and continue the same checkpoint
+    writeWaveTo(root + "/src", 2, Seq((5L, axisVec(1))).toDF("vec_id", "embedding"))
+    runPolicy(root, thresholdBp = 9999L)
+    // the refit ran with the policy's centroidPolicy (ids 2 and 3) and
+    // re-stamped the fit reference at the fired row's seq
+    val centIds = spark.read.parquet(root + "/cents")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(centIds == Set(2L, 3L), s"the healed refit must install the policy structure: $centIds")
+    assert(spark.read.parquet(root + "/fit")
+      .select("fit_seq").head().getLong(0) == 7L,
+      "the fit reference must be re-stamped at the fired row's seq")
+    // the new arrival was assigned against the HEALED structure, and the
+    // whole live set matches batch assignment over it
+    val live = StreamingIngest.resolvedIvfVectors(spark, root + "/vecs", root + "/versions")
+      .select(col("vec_id"), col("cell_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val latest = Seq((1L, axisVec(1)), (2L, axisVec(0)), (3L, axisVec(1)),
+      (4L, axisVec(1)), (5L, axisVec(1))).toDF("vec_id", "embedding")
+    val newCents = Seq((2L, axisVec(0)), (3L, axisVec(1))).toDF("vec_id", "embedding")
+    val expect = Similarity.ivfAssign(latest, newCents)
+      .select(col("vec_id"), col("cell_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(live == expect, "post-heal serving diverged from batch assignment over the healed structure")
+  }
+
   test("replay is a no-op; per-batch compaction keeps only live versions") {
     val root = tempDir("graft-ivfus3")
     writeWaves(root)
