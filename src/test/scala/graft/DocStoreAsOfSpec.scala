@@ -253,6 +253,39 @@ class DocStoreAsOfSpec extends SparkSuite {
       "as-of over the post-compaction wave diverged from the latest corpus")
   }
 
+  test("the floor fold is generic: on the postings log (many rows per id) the surviving version keeps ALL its rows") {
+    val root = tempDir("graft-asof-floorpostings")
+    waves(root)
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(root + "/src/*")
+    StreamingIngest.bm25IndexUpsertStream(stream, root + "/postings",
+      root + "/versions", root + "/ckpt", maxPostingFiles = Int.MaxValue)
+    def rows(d: DataFrame): Set[(Long, String, Long)] =
+      d.select(col("doc_id"), col("term"), col("tf").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val twin1 = rows(StreamingIngest.resolvedRowsAsOf(spark, root + "/postings",
+      root + "/versions", "doc_id", 1L))
+    val twin2 = rows(StreamingIngest.resolvedRowsAsOf(spark, root + "/postings",
+      root + "/versions", "doc_id", 2L))
+    StreamingIngest.compactVersionedKeepAfter(
+      spark, root + "/postings", root + "/versions", 1L)
+    assert(rows(StreamingIngest.resolvedRowsAsOfChecked(spark, root + "/postings",
+      root + "/versions", "doc_id", 1L)) == twin1,
+      "the postings floor fold dropped or duplicated rows of a surviving version")
+    assert(rows(StreamingIngest.resolvedRowsAsOfChecked(spark, root + "/postings",
+      root + "/versions", "doc_id", 2L)) == twin2,
+      "above-floor postings changed under the fold")
+    // multiplicity check: a multi-term doc's surviving version keeps one
+    // row per term, exactly
+    val perDoc = spark.read.parquet(root + "/postings")
+      .groupBy(col("doc_id"), col("ingest_seq"))
+      .agg(countDistinct(col("term")).as("nt"), count(lit(1)).as("nr"))
+      .filter(col("nt") =!= col("nr"))
+    assert(perDoc.count() == 0, "duplicate (doc, term) posting rows after the fold")
+  }
+
   // ---- the training-cut manifest (round-14, x144) ------------------------
 
   test("training cuts are atomic and versioned: the current cut reads whole, historical cuts stay readable, and composed reads match direct as-ofs") {
