@@ -1,0 +1,136 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingIngest
+
+/** Seeded lifecycle fuzz for the gauge-triggered IVF refit policy
+  * (round-14, x140): random re-embed/delete scripts replayed against an
+  * INDEPENDENT in-memory reimplementation of the whole loop —
+  * per-arrival assignment against the then-current structure, install
+  * fit, integer TV gauge, strict-> trigger, refit (deterministic
+  * policy: the two smallest live ids), re-assignment, fit re-stamp.
+  * The engine's policy log, final structure, and final stored
+  * assignments must all match the replay exactly. The designed x140
+  * script fires on one known wave; this pins arbitrary firing
+  * patterns, including none and several.
+  */
+class IvfPolicyPropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val Dim = 8
+  private val NDocs = 6
+  private val NWaves = 4
+  private val ThresholdBp = 2500L
+
+  private def vec(rnd: scala.util.Random): Array[Float] =
+    Array.fill(Dim)((rnd.nextDouble() * 2 - 1).toFloat)
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < Dim) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def argmaxCell(v: Array[Float], cents: Seq[(Long, Array[Float])]): Long = {
+    val scored = cents.map { case (id, c) => id -> cos(v, c) }
+    val best = scored.maxBy(_._2)._2
+    // refuse near-ties: a 1-ulp engine-vs-replay difference must not be
+    // able to flip the assignment this test compares
+    val sorted = scored.map(_._2).sorted.reverse
+    if (sorted.size > 1)
+      assert(sorted.head - sorted(1) > 1e-9, "degenerate near-tie in the fuzz corpus — reseed")
+    scored.filter(_._2 == best).map(_._1).min
+  }
+
+  private def tvBp(now: Map[Long, Long], fit: Map[Long, Long]): Long = {
+    val (nn, nf) = (now.values.sum, fit.values.sum)
+    if (nn == 0L || nf == 0L) 10000L
+    else (now.keySet ++ fit.keySet).toSeq
+      .map(c => math.abs(now.getOrElse(c, 0L) * nf - fit.getOrElse(c, 0L) * nn))
+      .sum * 10000L / (2L * nn * nf)
+  }
+
+  private def runSeed(seed: Long): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val initCents = Seq(100L -> vec(rnd), 101L -> vec(rnd))
+    val waves: Seq[Seq[(Long, Option[Array[Float]])]] = (0 until NWaves).map { w =>
+      val actions = (0L until NDocs).flatMap { id =>
+        val r = rnd.nextDouble()
+        if (w == 0 || r < 0.35) Some(id -> Some(vec(rnd)))
+        else if (r < 0.5) Some(id -> None)
+        else None
+      }
+      if (actions.nonEmpty) actions else Seq(0L -> Some(vec(rnd)))
+    }
+
+    // ---- independent replay ------------------------------------------
+    val liveVec = mutable.Map[Long, Array[Float]]()
+    val liveCell = mutable.Map[Long, Long]()
+    var cents = initCents
+    var fit: Option[Map[Long, Long]] = None
+    var fitSeq = -1L
+    val expectedLog = mutable.Buffer[(Long, Long, Long, Boolean)]()
+    waves.zipWithIndex.foreach { case (w, b) =>
+      w.foreach {
+        case (id, Some(v)) =>
+          liveVec(id) = v; liveCell(id) = argmaxCell(v, cents)
+        case (id, None) =>
+          liveVec.remove(id); liveCell.remove(id)
+      }
+      val occ = liveCell.values.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }.toMap
+      val nLive = occ.values.sum
+      if (fit.isEmpty) {
+        fit = Some(occ); fitSeq = b.toLong
+        expectedLog += ((b.toLong, nLive, 0L, false))
+      } else {
+        val tv = tvBp(occ, fit.get)
+        val fired = nLive > 0 && tv > ThresholdBp
+        expectedLog += ((b.toLong, nLive, tv, fired))
+        if (fired) {
+          cents = liveVec.keys.toSeq.sorted.take(2).map(id => id -> liveVec(id))
+          liveVec.foreach { case (id, v) => liveCell(id) = argmaxCell(v, cents) }
+          fit = Some(liveCell.values.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }.toMap)
+          fitSeq = b.toLong
+        }
+      }
+    }
+
+    // ---- engine run ---------------------------------------------------
+    val root = tempDir(s"graft-ivfpol-prop$seed")
+    waves.zipWithIndex.foreach { case (w, i) =>
+      writeWaveTo(root + "/src", i,
+        w.map { case (id, v) => (id, v.orNull) }.toDF("vec_id", "embedding"))
+    }
+    val stream = spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
+    StreamingIngest.ivfPolicyStream(stream, root + "/vecs", root + "/versions",
+      root + "/ckpt", initCents.toDF("vec_id", "embedding"),
+      root + "/cents", root + "/fit", root + "/gauge", ThresholdBp,
+      centroidPolicy = df => df.orderBy(col("vec_id")).limit(2)
+        .select(col("vec_id"), col("embedding")))
+    val gotLog = StreamingIngest.ivfPolicyLog(spark, root + "/gauge")
+      .orderBy(col("wave")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(gotLog == expectedLog.toSeq,
+      s"seed $seed: policy log diverged\n engine: $gotLog\n replay: ${expectedLog.toSeq}")
+    val gotCents = spark.read.parquet(root + "/cents")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(gotCents == cents.map(_._1).toSet,
+      s"seed $seed: final structure diverged (engine $gotCents, replay ${cents.map(_._1).toSet})")
+    val gotCells = StreamingIngest.resolvedIvfVectors(spark, root + "/vecs", root + "/versions")
+      .select(col("vec_id"), col("cell_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotCells == liveCell.toMap,
+      s"seed $seed: final stored assignments diverged")
+    assert(spark.read.parquet(root + "/fit").select("fit_seq").head().getLong(0) == fitSeq,
+      s"seed $seed: fit reference stamped at the wrong seq")
+  }
+
+  test("seeded random churn: the engine's policy log, structure, and assignments match an independent replay of the whole control loop") {
+    Seq(5L, 23L, 404L).foreach(runSeed)
+  }
+}
