@@ -144,6 +144,58 @@ object Bench {
     a
   }
 
+  /** Memory-LATENCY probe (round-14, second phase-sensor candidate):
+    * the bandwidth kernel was EXCLUDED by same-field data (medians flat
+    * to ~2% across windows whose totals spread 6.5% — BASELINE.md), so
+    * the next candidates target the dimensions bandwidth doesn't: this
+    * one is a serial pointer chase over a 64 MB single-cycle random
+    * permutation (Sattolo) — every load depends on the previous one, so
+    * the reading is pure cache-miss LATENCY in ns/hop, insensitive to
+    * bandwidth and parallelism. 2M hops ≈ 150-250 ms per sample.
+    * Recorded, not gated (the membw protocol).
+    */
+  def memlatProbeNs(): Double = {
+    val a = MemlatArray
+    val hops = 2000000
+    var i = 0
+    var p = 0
+    val t0 = System.nanoTime()
+    while (i < hops) { p = a(p); i += 1 }
+    val ns = System.nanoTime() - t0
+    if (p == -1) System.err.println("") // keep the chase live
+    ns.toDouble / hops
+  }
+  private lazy val MemlatArray: Array[Int] = {
+    val n = 16 * 1024 * 1024 // 64 MB of ints — past any L3 on this host
+    val a = Array.tabulate(n)(identity)
+    val rnd = new java.util.Random(12345L)
+    var i = n - 1
+    while (i > 0) { // Sattolo: a uniformly random SINGLE-cycle permutation
+      val j = rnd.nextInt(i)
+      val t = a(i); a(i) = a(j); a(j) = t
+      i -= 1
+    }
+    a
+  }
+
+  /** Single-core TURBO probe (round-14, third phase-sensor candidate):
+    * one serially-dependent integer multiply-add chain — no memory, no
+    * parallelism — so the reading is effective single-core clock in
+    * Mops/s; a host phase driven by turbo residency or hypervisor
+    * frequency capping shows here and nowhere else. ~50 ms per sample.
+    * Recorded, not gated.
+    */
+  def turboProbeMops(): Double = {
+    val iters = 100000000
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < iters) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (x == 0L) System.err.println("") // keep the chain live
+    iters / sec / 1e6
+  }
+
   /** Common-query subtotal ratio between two per-query timing maps:
     * cand-sum / ref-sum over the keys both carry with positive times
     * (failed queries land as -1.0 sentinels and must not poison the
@@ -382,6 +434,8 @@ object Bench {
     // characterize a window; one probe costs ~10-30 ms. Traced to
     // stderr and summarized as a median field; never gated.
     val membwSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    val memlatSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    val turboSamples = scala.collection.mutable.ArrayBuffer[Double]()
     def medianOf(xs: Seq[Double]): Double = {
       val s = xs.sorted; if (s.isEmpty) 0.0 else s(s.size / 2)
     }
@@ -394,12 +448,15 @@ object Bench {
         scanSamples += scanProbeSec(spark, sfDir)
         if (scanSamples.size % 2 == 0) midShuffleSamples += shuffleProbeSec(spark)
         membwSamples += membwProbeGBps()
+        memlatSamples += memlatProbeNs()
+        turboSamples += turboProbeMops()
         // per-sample trace: mid-run drift triage needs the SERIES, not
         // just the end-of-run median (the round-12 abort calibration
         // was blind without it)
         System.err.println(f"[bench] probe ${scanSamples.size}: scan ${scanSamples.last}%.3f s" +
           (if (scanSamples.size % 2 == 0) f", shuffle ${midShuffleSamples.last}%.3f s" else "") +
-          f", membw ${membwSamples.last}%.1f GB/s")
+          f", membw ${membwSamples.last}%.1f GB/s" +
+          f", memlat ${memlatSamples.last}%.0f ns, turbo ${turboSamples.last}%.0f Mops")
         // round-12 (from the r11 verdict): under ABORT=1, a window that
         // goes dirty mid-run costs a partial run, not a full dirty
         // artifact. Decision logic + calibration rationale live in
@@ -543,6 +600,8 @@ object Bench {
       s""""scan_anchor_med":${fmt(scanMed)},"scan_factor":${fmt(scanFactor)},""" +
       s""""membw_start_gbps":${fmt(membwStart)},"membw_end_gbps":${fmt(membwEnd)},""" +
       s""""membw_med_gbps":${fmt(medianOf(membwSamples.toSeq))},""" +
+      s""""memlat_med_ns":${fmt(medianOf(memlatSamples.toSeq))},""" +
+      s""""turbo_med_mops":${fmt(medianOf(turboSamples.toSeq))},""" +
       s""""window_clean":$windowClean,"adj_value_lower_bound":${fmt(total / hostFactor)},""" +
       s""""subtotal_relational":${fmt(subtotalRelational)},""" +
       s""""subtotal_extension":${fmt(subtotalExtension)},""" +

@@ -86,6 +86,16 @@ class BenchSensorSpec extends AnyFunSuite {
       """"precheck_attempts":3,"precheck_enabled":true,"precheck_clean":true""")
   }
 
+  test("memlat and turbo probes: sane readings, repeatable within an order of magnitude") {
+    Bench.memlatProbeNs(); Bench.turboProbeMops() // JIT throwaways
+    val l1 = Bench.memlatProbeNs(); val l2 = Bench.memlatProbeNs()
+    assert(l1 > 5.0 && l1 < 2000.0, s"implausible latency reading: $l1 ns/hop")
+    assert(math.max(l1, l2) / math.min(l1, l2) < 10.0, s"memlat unstable: $l1 vs $l2")
+    val t1 = Bench.turboProbeMops(); val t2 = Bench.turboProbeMops()
+    assert(t1 > 10.0 && t1 < 100000.0, s"implausible turbo reading: $t1 Mops")
+    assert(math.max(t1, t2) / math.min(t1, t2) < 10.0, s"turbo unstable: $t1 vs $t2")
+  }
+
   test("membw probe: returns a sane aggregate bandwidth and is repeatable within an order of magnitude") {
     Bench.membwProbeGBps() // JIT/page-touch throwaway
     val a = Bench.membwProbeGBps()
