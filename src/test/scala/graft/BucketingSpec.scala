@@ -236,6 +236,51 @@ class BucketingSpec extends SparkSuite {
     }
   }
 
+  test("a restarted bucketed stream heals the rewriteBucketed crash window instead of orphaning the history (r14 ADVICE)") {
+    import graft.streaming.StreamingIngest
+    try {
+      spark.sql("DROP TABLE IF EXISTS hb_docs")
+      spark.sql("DROP TABLE IF EXISTS hb_versions")
+      val root = tempDir("graft-bucketed-heal")
+      val mk = (rows: Seq[(Long, String)]) => rows.toDF("doc_id", "text")
+      writeWaveTo(root + "/src", 0, mk(Seq(1L -> "one v0", 2L -> "two v0")))
+      writeWaveTo(root + "/src", 1, mk(Seq(3L -> "three v1")))
+      def stream() = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
+      StreamingIngest.docStoreStreamBucketed(stream(), "hb_docs", "hb_versions",
+        root + "/ckpt", buckets = 4)
+      // simulate the rewriteBucketed crash window on the DATA log: the
+      // full rewrite sits under the tmp name, the live name is gone
+      spark.sql("ALTER TABLE hb_docs RENAME TO hb_docs_compact_tmp")
+      // healBucketedSwap is the primitive: dangling heals (true),
+      // healthy and never-created are no-ops (false)
+      assert(Bucketing.healBucketedSwap(spark, "hb_docs"))
+      assert(!Bucketing.healBucketedSwap(spark, "hb_docs"))
+      assert(!Bucketing.healBucketedSwap(spark, "hb_no_such_table"))
+      // crash again, then let the RESTARTED STREAM hit it: without the
+      // heal, landedSeqBucketed reads "nothing landed", the append
+      // recreates the table with only wave 2, and waves 0-1 are lost
+      spark.sql("ALTER TABLE hb_docs RENAME TO hb_docs_compact_tmp")
+      writeWaveTo(root + "/src", 2, mk(Seq(2L -> "two v2")))
+      StreamingIngest.docStoreStreamBucketed(stream(), "hb_docs", "hb_versions",
+        root + "/ckpt", buckets = 4)
+      val live = Bucketing.resolvedBucketed(spark, "hb_docs", "hb_versions", "doc_id")
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(live == Set(1L -> "one v0", 2L -> "two v2", 3L -> "three v1"),
+        s"history lost across the healed restart: $live")
+      // the replay guard itself reads the healed history: wave-0 stamps
+      // are visible even when the guard is the first touch after a crash
+      spark.sql("ALTER TABLE hb_docs RENAME TO hb_docs_compact_tmp")
+      assert(Bucketing.landedSeqBucketed(spark, "hb_docs", 0L),
+        "landedSeqBucketed must heal the dangling name before answering")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS hb_docs")
+      spark.sql("DROP TABLE IF EXISTS hb_docs_compact_tmp")
+      spark.sql("DROP TABLE IF EXISTS hb_versions")
+    }
+  }
+
   test("compactBucketed re-run after a crash between DROP and RENAME recovers, not destroys") {
     import graft.pipeline.Ingest
     try {

@@ -291,6 +291,31 @@ class IvfUpsertStreamSpec extends SparkSuite {
     assert(live == expect, "post-heal serving diverged from batch assignment over the healed structure")
   }
 
+  test("policy loop heals the fired-without-refit crash AT STREAM START: a restart with NO new arrivals still converges the structure (r14 ADVICE)") {
+    val root = tempDir("graft-ivfpol4")
+    import spark.implicits._
+    policyWaves(root)
+    runPolicy(root, thresholdBp = 9999L)
+    // crash window: fired row landed, refit never ran
+    graft.pipeline.Ingest.appendWithSeq(
+      Seq((4L, 9000L, true)).toDF("n_live", "tv_bp", "fired"),
+      root + "/gauge", 7L)
+    assert(spark.read.parquet(root + "/fit")
+      .select("fit_seq").head().getLong(0) == 0L)
+    // restart through the SAME checkpoint with nothing new in the
+    // source: AvailableNow executes zero batches, so only the
+    // stream-start heal can run the committed refit — before round 15,
+    // serving continued indefinitely on the superseded structure
+    runPolicy(root, thresholdBp = 9999L)
+    val centIds = spark.read.parquet(root + "/cents")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(centIds == Set(2L, 3L),
+      s"a no-new-arrivals restart must still execute the committed refit: $centIds")
+    assert(spark.read.parquet(root + "/fit")
+      .select("fit_seq").head().getLong(0) == 7L,
+      "the fit reference must be re-stamped at the fired row's seq")
+  }
+
   test("replay is a no-op; per-batch compaction keeps only live versions") {
     val root = tempDir("graft-ivfus3")
     writeWaves(root)

@@ -113,12 +113,18 @@ class MoversChainSpec extends AnyFunSuite {
       s"the r12->r13 link drifted from the measured 0.9213: $firstLink")
   }
 
-  test("benchOutFile: the driver redirect owns both clean and dirty output; unset keeps the quarantine split") {
+  test("benchOutFile: opt-out default (round-15, r14 verdict item 6) — no default invocation can displace the committed artifact") {
+    // an explicit env claim owns the output, clean or dirty (the
+    // builder's promote step claims bench_full_last.json this way)
     assert(Bench.benchOutFile(Some("/tmp/side.json"), windowClean = true) == "/tmp/side.json")
     assert(Bench.benchOutFile(Some("/tmp/side.json"), windowClean = false) == "/tmp/side.json")
-    assert(Bench.benchOutFile(None, windowClean = true) == "bench_full_last.json")
+    assert(Bench.benchOutFile(Some("bench_full_last.json"), windowClean = true) == "bench_full_last.json")
+    // DEFAULT (driver-style invocation, env unset): a clean run lands
+    // in the uncommitted side file, a dirty run in the quarantine file —
+    // bench_full_last.json is never a default target
+    assert(Bench.benchOutFile(None, windowClean = true) == "bench_full_run.json")
     assert(Bench.benchOutFile(None, windowClean = false) == "bench_full_dirty.json")
     // an empty env value is unset, not a redirect to ""
-    assert(Bench.benchOutFile(Some(""), windowClean = true) == "bench_full_last.json")
+    assert(Bench.benchOutFile(Some(""), windowClean = true) == "bench_full_run.json")
   }
 }
