@@ -5090,12 +5090,15 @@ object ExtensionQueries {
         "signature changes, the stale bands must stop matching; h4==3 takes an " +
         "intermediate update then REVERTS; h4==2 re-arrives null-text — retracted), " +
         "then the untouched eval side probes the LIVE index through x51's verdict path " +
-        "(incrementalDedupBanded over resolvedBands, portable md5 signatures). The " +
+        "(incrementalDedupBanded over the resolved bands, portable md5 signatures). The " +
         "oracle is x51's SQL over the latest-version train corpus in CLOSED FORM — " +
         "blind to the version log, the batching, and the arrival order; any stale or " +
         "missing band row changes n_corpus_hits/keep and the hash. Costs are x51's plus " +
-        "one doc-keyed resolve join (O(index log), amortized to O(live bands) by " +
-        "compaction); the probe stays O(batch x touched buckets).",
+        "one doc-keyed resolve join; the probe stays O(batch x touched buckets). " +
+        "Round-15 (r14 verdict item 1): the index rides the BUCKETED log layout x143 " +
+        "proved (bandIndexUpsertStreamBucketed / resolvedBandsBucketed) — the serving " +
+        "resolve plans ZERO shuffle exchanges instead of re-shuffling the band log " +
+        "every read; rows and hashes unchanged.",
       Some(dedupRetractOracle),
       (s, d) => {
         val h = graft.ext.TextDedup.portableHashBuiltin(col("doc_id").cast("string"), "")
@@ -5121,11 +5124,13 @@ object ExtensionQueries {
           .schema(Tables.documents(s, d).schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(root + "/src/*")
-        graft.streaming.StreamingIngest.bandIndexUpsertStream(stream,
-          root + "/bands", root + "/versions", root + "/ckpt",
+        // catalog table names unique per build (the x143 convention)
+        val tag = root.split('/').last.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.streaming.StreamingIngest.bandIndexUpsertStreamBucketed(stream,
+          s"x120_bands_$tag", s"x120_vers_$tag", root + "/ckpt", buckets = 8,
           signer = df => TextDedup.minhashSignaturesPortable(df))
-        val live = graft.streaming.StreamingIngest.resolvedBands(
-          s, root + "/bands", root + "/versions")
+        val live = graft.streaming.StreamingIngest.resolvedBandsBucketed(
+          s, s"x120_bands_$tag", s"x120_vers_$tag")
         TextDedup.incrementalDedupBanded(live,
           TextDedup.minhashSignaturesPortable(
             base.filter(col("split") === "eval").drop("h4", "split"))
@@ -5173,8 +5178,10 @@ object ExtensionQueries {
         "keep=1 — any stale or missing vector row flips a keep bit and the hash. Oracle " +
         "is the latest-version index in CLOSED FORM (the q08 composition over x15's " +
         "vector fragments), blind to the version log, the batching, and the arrival " +
-        "order. Read adds ONE doc-keyed resolve join (O(log), amortized to O(live " +
-        "vectors) by compaction); the probe stays one bucket equi-join.",
+        "order. Read adds ONE doc-keyed resolve join; the probe stays one bucket " +
+        "equi-join. Round-15 (r14 verdict item 1): the index rides the BUCKETED log " +
+        "layout (embIndexUpsertStreamBucketed / resolvedVectorsBucketed) — the serving " +
+        "resolve plans ZERO shuffle exchanges; rows and hashes unchanged.",
       Some(embRetractOracle),
       (s, d) => {
         val base = Tables.embeddings(s, d)
@@ -5198,10 +5205,12 @@ object ExtensionQueries {
           .schema("vec_id LONG, embedding ARRAY<FLOAT>")
           .option("maxFilesPerTrigger", 1)
           .parquet(root + "/src/*")
-        graft.streaming.StreamingIngest.embIndexUpsertStream(stream,
-          root + "/vecs", root + "/versions", root + "/ckpt")
-        val live = graft.streaming.StreamingIngest.resolvedVectors(
-          s, root + "/vecs", root + "/versions")
+        // catalog table names unique per build (the x143 convention)
+        val tag = root.split('/').last.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.streaming.StreamingIngest.embIndexUpsertStreamBucketed(stream,
+          s"x122_vecs_$tag", s"x122_vers_$tag", root + "/ckpt", buckets = 8)
+        val live = graft.streaming.StreamingIngest.resolvedVectorsBucketed(
+          s, s"x122_vecs_$tag", s"x122_vers_$tag")
         val probes = base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
           .unionByName(base.select((col("vec_id") + 2000000L).as("vec_id"),
             neg.as("embedding")))
@@ -5225,10 +5234,12 @@ object ExtensionQueries {
         "retraction hash-invisible) and h4==3 takes an intermediate update, then h4==2 " +
         "re-arrives null-text (= total retraction) and h4==3 reverts. The untouched eval " +
         "side then probes the LIVE index through x71's path (cdcIncrementalAgainstIndex " +
-        "over resolvedChunks, portable md5 chunking): per eval doc, chunks / corpus hits " +
-        "/ novel chars. Oracle is x71's SQL over the latest-version train corpus in " +
+        "over the resolved chunks, portable md5 chunking): per eval doc, chunks / corpus " +
+        "hits / novel chars. Oracle is x71's SQL over the latest-version train corpus in " +
         "CLOSED FORM — any stale or missing chunk row changes n_corpus_hits/novel_chars " +
-        "and the hash.",
+        "and the hash. Round-15 (r14 verdict item 1): the index rides the BUCKETED log " +
+        "layout (cdcIndexUpsertStreamBucketed / resolvedChunksBucketed) — the serving " +
+        "resolve plans ZERO shuffle exchanges; rows and hashes unchanged.",
       Some(cdcRetractOracle),
       (s, d) => {
         val h = TextDedup.portableHashBuiltin(col("doc_id").cast("string"), "")
@@ -5254,11 +5265,13 @@ object ExtensionQueries {
           .schema(Tables.documents(s, d).schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(root + "/src/*")
-        graft.streaming.StreamingIngest.cdcIndexUpsertStream(stream,
-          root + "/chunks", root + "/versions", root + "/ckpt",
+        // catalog table names unique per build (the x143 convention)
+        val tag = root.split('/').last.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.streaming.StreamingIngest.cdcIndexUpsertStreamBucketed(stream,
+          s"x123_chunks_$tag", s"x123_vers_$tag", root + "/ckpt", buckets = 8,
           chunker = df => TextDedup.cdcChunks(df))
-        val live = graft.streaming.StreamingIngest.resolvedChunks(
-          s, root + "/chunks", root + "/versions")
+        val live = graft.streaming.StreamingIngest.resolvedChunksBucketed(
+          s, s"x123_chunks_$tag", s"x123_vers_$tag")
         TextDedup.cdcIncrementalAgainstIndex(live,
           TextDedup.cdcChunks(base.filter(col("split") === "eval").drop("h4", "split")))
       }),
@@ -5299,14 +5312,20 @@ object ExtensionQueries {
         "and self-exclusion, unioned — blind to the version log, the stamped appends, " +
         "and compaction. One signature pass per batch feeds both the probe and the " +
         "band append; the probe stays O(batch x touched buckets) after the doc-keyed " +
-        "resolve join.",
+        "resolve join. Round-15 (r14 verdict item 1): the fused loop rides the " +
+        "BUCKETED log layout (bandIndexUpsertDedupStreamBucketed) — the PER-BATCH " +
+        "probe resolve, the fusion's recurring cost, plans ZERO shuffle exchanges " +
+        "instead of re-shuffling the band log every wave; verdicts and hashes " +
+        "unchanged.",
       Some(dedupStreamRetractOracle),
       (s, d) => {
         val root = scratchTempDir("graft-x125-dedupstream")
         val stream = docUpdateWaveStream(s, d, root)
-        graft.streaming.StreamingIngest.bandIndexUpsertDedupStream(stream,
-          root + "/bands", root + "/versions", root + "/verdicts", root + "/ckpt",
-          signer = df => TextDedup.minhashSignaturesPortable(df))
+        // catalog table names unique per build (the x143 convention)
+        val tag = root.split('/').last.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.streaming.StreamingIngest.bandIndexUpsertDedupStreamBucketed(stream,
+          s"x125_bands_$tag", s"x125_vers_$tag", root + "/verdicts", root + "/ckpt",
+          buckets = 8, signer = df => TextDedup.minhashSignaturesPortable(df))
         s.read.parquet(root + "/verdicts")
           .select(col("ingest_seq").as("wave"), col("doc_id"),
             col("n_corpus_hits"), col("n_batch_rivals"), col("keep"))
@@ -5332,7 +5351,9 @@ object ExtensionQueries {
         "instantiated per wave with live-at-k and wave-k arrivals, self-excluded, " +
         "unioned) — blind to the version log, the stamped appends, and compaction. One " +
         "bucketing pass per batch feeds both probe and append; the probe stays one " +
-        "bucket equi-join after the doc-keyed resolve.",
+        "bucket equi-join after the doc-keyed resolve. Round-15: the fused loop rides " +
+        "the BUCKETED log layout (embIndexUpsertDedupStreamBucketed) — the per-batch " +
+        "probe resolve plans zero exchanges; verdicts and hashes unchanged.",
       Some(embDedupStreamOracle),
       (s, d) => {
         val base = Tables.embeddings(s, d)
@@ -5361,8 +5382,10 @@ object ExtensionQueries {
           .schema("vec_id LONG, embedding ARRAY<FLOAT>")
           .option("maxFilesPerTrigger", 1)
           .parquet(root + "/src/*")
-        graft.streaming.StreamingIngest.embIndexUpsertDedupStream(stream,
-          root + "/vecs", root + "/versions", root + "/verdicts", root + "/ckpt")
+        val tag = root.split('/').last.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.streaming.StreamingIngest.embIndexUpsertDedupStreamBucketed(stream,
+          s"x126_vecs_$tag", s"x126_vers_$tag", root + "/verdicts", root + "/ckpt",
+          buckets = 8)
         s.read.parquet(root + "/verdicts")
           .select(col("ingest_seq").as("wave"), col("vec_id"), col("bucket"),
             col("keep"))
@@ -5389,7 +5412,10 @@ object ExtensionQueries {
         "(only the translated version is stored — under the append-only index the stale " +
         "original would zero this), h4==2 copies read fully novel (retracted). Output = " +
         "the stats LOG. Oracle: per-wave cdcIncrementalOracleOver instantiations " +
-        "(live-at-k union wave-k arrivals), unioned — blind to all machinery.",
+        "(live-at-k union wave-k arrivals), unioned — blind to all machinery. " +
+        "Round-15: the fused loop rides the BUCKETED log layout " +
+        "(cdcIndexUpsertNoveltyStreamBucketed) — the per-batch probe resolve plans " +
+        "zero exchanges; stats and hashes unchanged.",
       Some(cdcNoveltyStreamOracle),
       (s, d) => {
         val base = Tables.documents(s, d)
@@ -5417,9 +5443,10 @@ object ExtensionQueries {
           .schema("doc_id LONG, text STRING")
           .option("maxFilesPerTrigger", 1)
           .parquet(root + "/src/*")
-        graft.streaming.StreamingIngest.cdcIndexUpsertNoveltyStream(stream,
-          root + "/chunks", root + "/versions", root + "/stats", root + "/ckpt",
-          chunker = df => TextDedup.cdcChunks(df))
+        val tag = root.split('/').last.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.streaming.StreamingIngest.cdcIndexUpsertNoveltyStreamBucketed(stream,
+          s"x127_chunks_$tag", s"x127_vers_$tag", root + "/stats", root + "/ckpt",
+          buckets = 8, chunker = df => TextDedup.cdcChunks(df))
         s.read.parquet(root + "/stats")
           .select(col("ingest_seq").as("wave"), col("doc_id"),
             col("n_chunks"), col("n_corpus_hits"), col("novel_chars"))
@@ -5443,7 +5470,9 @@ object ExtensionQueries {
         "the latest-version live index in closed form (assignment is a pure function " +
         "of (vector, centroids), so per-arrival and whole-corpus assignment agree " +
         "exactly) — any stale, missing, or mis-celled vector changes a candidate set " +
-        "and the hash.",
+        "and the hash. Round-15: the inverted file rides the BUCKETED log layout " +
+        "(ivfIndexUpsertStreamBucketed / resolvedIvfVectorsBucketed) — the serving " +
+        "resolve plans zero exchanges; candidates and hashes unchanged.",
       Some(ivfUpsertOracle),
       (s, d) => {
         val emb = Tables.embeddings(s, d)
@@ -5471,10 +5500,12 @@ object ExtensionQueries {
           .schema("vec_id LONG, embedding ARRAY<FLOAT>")
           .option("maxFilesPerTrigger", 1)
           .parquet(root + "/src/*")
-        graft.streaming.StreamingIngest.ivfIndexUpsertStream(stream,
-          root + "/vecs", root + "/versions", root + "/ckpt", centroids)
-        val live = graft.streaming.StreamingIngest.resolvedIvfVectors(
-          s, root + "/vecs", root + "/versions").localCheckpoint(false)
+        val tag = root.split('/').last.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.streaming.StreamingIngest.ivfIndexUpsertStreamBucketed(stream,
+          s"x128_vecs_$tag", s"x128_vers_$tag", root + "/ckpt", centroids,
+          buckets = 8)
+        val live = graft.streaming.StreamingIngest.resolvedIvfVectorsBucketed(
+          s, s"x128_vecs_$tag", s"x128_vers_$tag").localCheckpoint(false)
         Similarity.knnIvf(
           base.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
           live, centroids, 5, 4, assignedOpt = Some(live))

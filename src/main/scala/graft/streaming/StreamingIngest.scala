@@ -1336,6 +1336,214 @@ object StreamingIngest {
         b.filter(col(textCol).isNotNull), idCol, textCol),
       maxFiles)
 
+  // ---- round-15 (r14 verdict item 1): the HEAVY standing-index families
+  // migrate to the bucketed layout x143 proved. Their registry rows were
+  // the slowest precisely because every serving read re-shuffled the
+  // data log (two exchanges: the per-id max-seq aggregate + the
+  // doc-keyed join) — SCALING.md's bucketed-vs-flat table put the flat
+  // resolve at 2-3.4× at ×100 and widening. The bucketed twins below
+  // are the SAME derive functions over versionedIndexStreamBucketed,
+  // so the resolved rows are bit-identical to the flat streams
+  // (CORRECTNESS hashes unchanged — the r15 gate pins it); what changes
+  // is only the plan: zero exchanges, bucket-pruned point probes.
+
+  /** [[bandIndexUpsertStream]] on the bucketed layout: per-doc versioned
+    * band rows in an id-bucketed table pair, resolve shuffle-free.
+    */
+  def bandIndexUpsertStreamBucketed(docs: DataFrame, bandsTable: String,
+      versionsTable: String, checkpointDir: String, idCol: String = "doc_id",
+      buckets: Int = 32, maxFiles: Int = 64,
+      signer: DataFrame => DataFrame = graft.ext.TextDedup.minhashSignatures(_)): StreamingQuery =
+    versionedIndexStreamBucketed(docs, bandsTable, versionsTable,
+      checkpointDir, idCol, buckets,
+      b => graft.ext.TextDedup.signatureBands(signer(b)), maxFiles)
+
+  /** Read side of [[bandIndexUpsertStreamBucketed]] — the
+    * [[resolvedBands]] frame off the shuffle-free bucketed resolve.
+    */
+  def resolvedBandsBucketed(spark: SparkSession, bandsTable: String,
+      versionsTable: String, idCol: String = "doc_id"): DataFrame =
+    graft.pipeline.Bucketing.resolvedBucketed(spark, bandsTable, versionsTable, idCol)
+      .select(col("band"), col("band_hash"), col(idCol), col("sig"))
+
+  /** [[embIndexUpsertStream]] on the bucketed layout. */
+  def embIndexUpsertStreamBucketed(vectors: DataFrame, vecsTable: String,
+      versionsTable: String, checkpointDir: String, idCol: String = "vec_id",
+      buckets: Int = 32, maxFiles: Int = 64): StreamingQuery =
+    versionedIndexStreamBucketed(vectors, vecsTable, versionsTable,
+      checkpointDir, idCol, buckets,
+      b => b.filter(col("embedding").isNotNull)
+        .select(col(idCol),
+          graft.ext.Similarity.lshBucket(col("embedding")).as("bucket"),
+          col("embedding")),
+      maxFiles)
+
+  /** Read side of [[embIndexUpsertStreamBucketed]] — the
+    * [[resolvedVectors]] frame off the shuffle-free bucketed resolve.
+    */
+  def resolvedVectorsBucketed(spark: SparkSession, vecsTable: String,
+      versionsTable: String, idCol: String = "vec_id"): DataFrame =
+    graft.pipeline.Bucketing.resolvedBucketed(spark, vecsTable, versionsTable, idCol)
+      .select(col(idCol), col("bucket"), col("embedding"))
+
+  /** [[cdcIndexUpsertStream]] on the bucketed layout. */
+  def cdcIndexUpsertStreamBucketed(docs: DataFrame, chunksTable: String,
+      versionsTable: String, checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text", buckets: Int = 32, maxFiles: Int = 64,
+      chunker: DataFrame => DataFrame = graft.ext.TextDedup.cdcChunksFast(_)): StreamingQuery =
+    versionedIndexStreamBucketed(docs, chunksTable, versionsTable,
+      checkpointDir, idCol, buckets,
+      b => chunker(b.filter(col(textCol).isNotNull))
+        .select(col(idCol), col("h")).distinct(),
+      maxFiles)
+
+  /** Read side of [[cdcIndexUpsertStreamBucketed]] — the
+    * [[resolvedChunks]] frame off the shuffle-free bucketed resolve.
+    */
+  def resolvedChunksBucketed(spark: SparkSession, chunksTable: String,
+      versionsTable: String, idCol: String = "doc_id"): DataFrame =
+    graft.pipeline.Bucketing.resolvedBucketed(spark, chunksTable, versionsTable, idCol)
+      .select(col(idCol), col("h"))
+
+  /** [[ivfIndexUpsertStream]] on the bucketed layout: the stored
+    * assignment (the inverted file) lands id-bucketed, so the serving
+    * resolve is shuffle-free and a per-doc membership probe prunes to
+    * one bucket.
+    */
+  def ivfIndexUpsertStreamBucketed(vectors: DataFrame, vecsTable: String,
+      versionsTable: String, checkpointDir: String, centroids: DataFrame,
+      idCol: String = "vec_id", buckets: Int = 32,
+      maxFiles: Int = 64): StreamingQuery =
+    versionedIndexStreamBucketed(vectors, vecsTable, versionsTable,
+      checkpointDir, idCol, buckets,
+      b => graft.ext.Similarity.ivfAssign(
+          b.filter(col("embedding").isNotNull)
+            .select(col(idCol).as("vec_id"), col("embedding")), centroids)
+        .select(col("vec_id").as(idCol), col("cell_id"), col("embedding")),
+      maxFiles)
+
+  /** Read side of [[ivfIndexUpsertStreamBucketed]] — the
+    * [[resolvedIvfVectors]] frame off the shuffle-free bucketed resolve.
+    */
+  def resolvedIvfVectorsBucketed(spark: SparkSession, vecsTable: String,
+      versionsTable: String, idCol: String = "vec_id"): DataFrame =
+    graft.pipeline.Bucketing.resolvedBucketed(spark, vecsTable, versionsTable, idCol)
+      .select(col(idCol), col("cell_id"), col("embedding"))
+
+  /** The shared PRODUCTION-FUSION loop on the bucketed layout — the
+    * [[bandIndexUpsertDedupStream]] choreography (verdict/stats append
+    * FIRST under its own landedSeq guard; both log reads capped at
+    * `ingest_seq < batchId` so a replayed batch never sees the crashed
+    * attempt's own appends; recomputation deterministic) with the two
+    * versioned logs landing as id-bucketed tables. The per-batch probe
+    * resolve ([[liveRowsBeforeBucketed]]) is where this earns its keep:
+    * the flat fusions re-shuffle the data log on EVERY micro-batch to
+    * resolve the live index the probe needs — two exchanges per batch,
+    * forever — while here the capped aggregate and the id join both
+    * ride the bucket partitioning (zero exchanges; the cap is a
+    * non-key predicate). The side log (verdicts/novelty stats) stays a
+    * flat stamped parquet dir: it is append-only data that is never
+    * key-joined back, so a bucketed layout would buy it nothing.
+    * `perBatch(resolvedBatch, liveBefore)` returns (side rows,
+    * data-log rows); `liveBefore` is None on the first batch.
+    */
+  private def fusedUpsertStreamBucketed(docs: DataFrame, dataTable: String,
+      versionsTable: String, sideDir: String, checkpointDir: String,
+      idCol: String, buckets: Int, maxFiles: Int,
+      perBatch: (DataFrame, Option[DataFrame]) => (DataFrame, DataFrame)): StreamingQuery = {
+    import graft.pipeline.{Bucketing, Ingest}
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = resolveBatchVersions(batch.toDF(), idCol)
+        val (sideRows, dataRows) =
+          perBatch(b, liveRowsBeforeBucketed(spark, dataTable, versionsTable, idCol, batchId))
+        if (!landedSeq(spark, sideDir, batchId))
+          Ingest.appendWithSeq(sideRows, sideDir, batchId)
+        if (!Bucketing.landedSeqBucketed(spark, versionsTable, batchId))
+          Ingest.appendBucketedWithSeq(b.select(col(idCol)),
+            versionsTable, idCol, buckets, batchId)
+        if (!Bucketing.landedSeqBucketed(spark, dataTable, batchId))
+          Ingest.appendBucketedWithSeq(dataRows, dataTable, idCol, buckets, batchId)
+        Bucketing.maybeCompactVersionedBucketed(spark, dataTable,
+          versionsTable, idCol, buckets, maxFiles)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** [[bandIndexUpsertDedupStream]] on the bucketed layout (semantics
+    * verbatim — verdicts against the live index of strictly-prior
+    * batches, self-matches excluded, null-text arrival = retraction).
+    */
+  def bandIndexUpsertDedupStreamBucketed(docs: DataFrame, bandsTable: String,
+      versionsTable: String, verdictsDir: String, checkpointDir: String,
+      idCol: String = "doc_id", buckets: Int = 32, maxFiles: Int = 64,
+      signer: DataFrame => DataFrame = graft.ext.TextDedup.minhashSignatures(_),
+      threshold: Double = 0.5,
+      maxBucket: Int = graft.ext.TextDedup.DefaultMaxBucket): StreamingQuery = {
+    import graft.ext.TextDedup
+    fusedUpsertStreamBucketed(docs, bandsTable, versionsTable, verdictsDir,
+      checkpointDir, idCol, buckets, maxFiles, { (b, liveOpt) =>
+        val sigs = signer(b).localCheckpoint(false) // feeds verdicts AND bands
+        val live = liveOpt
+          .map(_.select(col("band"), col("band_hash"), col(idCol), col("sig")))
+          .getOrElse(TextDedup.signatureBands(sigs).limit(0))
+        (TextDedup.incrementalDedupBanded(live, sigs, threshold, maxBucket,
+          excludeSelf = true),
+          TextDedup.signatureBands(sigs))
+      })
+  }
+
+  /** [[embIndexUpsertDedupStream]] on the bucketed layout (semantics
+    * verbatim; `idCol` must be "vec_id" — the verdict kernel's name).
+    */
+  def embIndexUpsertDedupStreamBucketed(vectors: DataFrame, vecsTable: String,
+      versionsTable: String, verdictsDir: String, checkpointDir: String,
+      idCol: String = "vec_id", buckets: Int = 32, maxFiles: Int = 64,
+      threshold: Double = 0.9): StreamingQuery = {
+    import graft.ext.Similarity
+    fusedUpsertStreamBucketed(vectors, vecsTable, versionsTable, verdictsDir,
+      checkpointDir, idCol, buckets, maxFiles, { (b, liveOpt) =>
+        val arrivals = b.filter(col("embedding").isNotNull)
+          .select(col(idCol),
+            Similarity.lshBucket(col("embedding")).as("bucket"),
+            col("embedding"))
+          .localCheckpoint(false) // one bucketing pass feeds verdicts AND the append
+        val live = liveOpt
+          .map(_.select(col(idCol), col("bucket"), col("embedding")))
+          .getOrElse(arrivals.limit(0))
+        (Similarity.embeddingDedupVerdicts(live, arrivals, threshold,
+            excludeSelf = true)
+          .select(col(idCol), col("bucket"), col("keep")),
+          arrivals)
+      })
+  }
+
+  /** [[cdcIndexUpsertNoveltyStream]] on the bucketed layout (semantics
+    * verbatim — self INCLUDED in the live content store at probe time).
+    */
+  def cdcIndexUpsertNoveltyStreamBucketed(docs: DataFrame, chunksTable: String,
+      versionsTable: String, statsDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 32, maxFiles: Int = 64,
+      chunker: DataFrame => DataFrame = graft.ext.TextDedup.cdcChunksFast(_)): StreamingQuery = {
+    import graft.ext.TextDedup
+    fusedUpsertStreamBucketed(docs, chunksTable, versionsTable, statsDir,
+      checkpointDir, idCol, buckets, maxFiles, { (b, liveOpt) =>
+        val chunks = chunker(b.filter(col(textCol).isNotNull))
+          .localCheckpoint(false) // one chunk pass feeds stats AND the append
+        val live = liveOpt.map(_.select(col("h")))
+          .getOrElse(chunks.select(col("h")).limit(0))
+        (TextDedup.cdcIncrementalAgainstIndex(live, chunks, idCol),
+          chunks.select(col(idCol), col("h")).distinct())
+      })
+  }
+
   /** Read side of [[docStoreStream]]: the LIVE corpus — each doc's
     * latest-version row, deletions absent (all arrival columns,
     * `ingest_seq` dropped).
@@ -1591,7 +1799,7 @@ object StreamingIngest {
     * idiom applied to the resolve). None when either log does not
     * exist yet (first batch); callers select their index columns.
     */
-  private def liveRowsBefore(spark: SparkSession, dataDir: String,
+  private[graft] def liveRowsBefore(spark: SparkSession, dataDir: String,
       versionsDir: String, idCol: String, batchId: Long): Option[DataFrame] =
     if (pathExists(spark, dataDir) && pathExists(spark, versionsDir)) {
       val latest = spark.read.parquet(versionsDir)
@@ -1603,6 +1811,33 @@ object StreamingIngest {
         .filter(col("ingest_seq") === col("__vmax"))
         .drop("__vmax"))
     } else None
+
+  /** [[liveRowsBefore]] on the bucketed table layout (round-15): the
+    * batchId cap is a non-key predicate, so BOTH the capped max-seq
+    * aggregate and the id-keyed join still ride the buckets'
+    * HashPartitioning — the per-batch probe resolve of the fused
+    * production loops plans with ZERO shuffle exchanges, which is where
+    * the flat fusions paid two exchanges per micro-batch forever. The
+    * seq-match stays the subtraction form ([[graft.pipeline.Bucketing
+    * .resolvedBucketed]]'s rationale: a bare cross-side equality is
+    * extracted into the join KEYS and refuses the id-only bucket
+    * partitioning). Heals the rewrite crash window before reading.
+    */
+  private[graft] def liveRowsBeforeBucketed(spark: SparkSession, dataTable: String,
+      versionsTable: String, idCol: String, batchId: Long): Option[DataFrame] = {
+    graft.pipeline.Bucketing.healBucketedSwap(spark, dataTable)
+    graft.pipeline.Bucketing.healBucketedSwap(spark, versionsTable)
+    if (spark.catalog.tableExists(dataTable) && spark.catalog.tableExists(versionsTable)) {
+      val latest = spark.table(versionsTable)
+        .filter(col("ingest_seq") < batchId)
+        .groupBy(col(idCol)).agg(max(col("ingest_seq")).as("__vmax"))
+      Some(spark.table(dataTable)
+        .filter(col("ingest_seq") < batchId)
+        .join(latest, Seq(idCol))
+        .filter(col("ingest_seq") - col("__vmax") === 0)
+        .drop("__vmax"))
+    } else None
+  }
 
   /** The shared versioned-index maintenance loop (postings: x117,
     * bands: x120, vectors: x122, chunks: x123): per micro-batch, resolve

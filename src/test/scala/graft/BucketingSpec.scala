@@ -236,6 +236,60 @@ class BucketingSpec extends SparkSuite {
     }
   }
 
+  test("round-15 migration: the fused loops' capped probe resolve and the family resolves ride the buckets — zero exchanges, rows identical to flat") {
+    import graft.streaming.StreamingIngest
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Seq("mb_vecs", "mb_vers").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val root = tempDir("graft-bucketed-mig")
+      def v(seed: Int) = Array.tabulate(64)(i => (seed * 64 + i + 1).toFloat)
+      val mk = (rows: Seq[(Long, Array[Float])]) => rows.toDF("vec_id", "embedding")
+      writeWaveTo(root + "/src", 0, mk(Seq(1L -> v(1), 2L -> v(2), 3L -> v(3))))
+      writeWaveTo(root + "/src", 1, mk(Seq(1L -> v(4))))
+      writeWaveTo(root + "/src", 2,
+        mk(Seq(2L -> v(0))).withColumn("embedding", lit(null).cast("array<float>")))
+      def stream() = spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
+      StreamingIngest.embIndexUpsertStreamBucketed(stream(), "mb_vecs", "mb_vers",
+        root + "/bckpt", buckets = 4)
+      StreamingIngest.embIndexUpsertStream(stream(), root + "/vecs", root + "/versions",
+        root + "/fckpt")
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("vec_id"), col("bucket")).collect()
+          .map(r => (r.getLong(0), r.getAs[Number](1).longValue())).toSet
+      // the family resolve: row-identical to flat, shuffle-free
+      val bres = StreamingIngest.resolvedVectorsBucketed(spark, "mb_vecs", "mb_vers")
+      assert(rows(bres) == rows(StreamingIngest.resolvedVectors(
+        spark, root + "/vecs", root + "/versions")),
+        "bucketed vector resolve diverged from the flat resolve")
+      assert(Bucketing.countExchanges(bres) == 0,
+        s"bucketed vector resolve must be shuffle-free:\n${bres.queryExecution.executedPlan}")
+      // the fused loops' per-batch CAPPED resolve (ingest_seq < batchId):
+      // the cap is a non-key predicate, so it must not cost the layout —
+      // this is the plan every fused micro-batch pays, forever
+      val bcap = StreamingIngest.liveRowsBeforeBucketed(
+        spark, "mb_vecs", "mb_vers", "vec_id", 2L).get
+      val fcap = StreamingIngest.liveRowsBefore(
+        spark, root + "/vecs", root + "/versions", "vec_id", 2L).get
+      assert(rows(bcap) == rows(fcap),
+        "bucketed capped probe resolve diverged from the flat cap")
+      assert(rows(bcap).map(_._1) == Set(1L, 2L, 3L),
+        "the cap at batch 2 must serve exactly the pre-wave-2 live ids " +
+          "(id 2's deletion lands at seq 2, so the capped probe still sees it)")
+      assert(Bucketing.countExchanges(bcap) == 0,
+        s"capped probe resolve must be shuffle-free:\n${bcap.queryExecution.executedPlan}")
+      assert(Bucketing.countExchanges(fcap) > 0,
+        "the flat capped resolve should shuffle — if it stopped, re-examine the contrast")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      Seq("mb_vecs", "mb_vers").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("a restarted bucketed stream heals the rewriteBucketed crash window instead of orphaning the history (r14 ADVICE)") {
     import graft.streaming.StreamingIngest
     try {
