@@ -150,6 +150,112 @@ object Bucketing {
       idCol, buckets)
   }
 
+  // ---- bucketed FLOOR compaction + as-of (round-15, r14 verdict item 4)
+  // x141 proved history-preserving compaction on the flat logs and x143
+  // proved the shuffle-free bucketed resolve; composing them lets ONE
+  // log layout hold both properties a 100 TB doc store needs — a
+  // serving read with zero exchanges AND reproducible as-of snapshots
+  // at any seq >= the recorded floor. The floor marker is itself a
+  // (1-row, 1-bucket) catalog table swapped through the same crash-safe
+  // tmp/rename dance as the logs, marker-FIRST like the flat twin: a
+  // crash before the swaps refuses below-floor reads that were still
+  // answerable (lost capability, never a wrong answer).
+
+  private def asOfFloorTable(versionsTable: String): String =
+    versionsTable + "_asof_floor"
+
+  /** The recorded history floor of a bucketed versioned log pair —
+    * the [[graft.streaming.StreamingIngest.asOfFloorSeq]] contract on
+    * the table layout. Long.MinValue when no floor compaction ever ran.
+    */
+  def asOfFloorSeqBucketed(spark: SparkSession, versionsTable: String): Long = {
+    import org.apache.spark.sql.functions.{col, max}
+    val t = asOfFloorTable(versionsTable)
+    healBucketedSwap(spark, t)
+    if (spark.catalog.tableExists(t))
+      spark.table(t).agg(max(col("floor_seq"))).head().getLong(0)
+    else Long.MinValue
+  }
+
+  /** HISTORY-PRESERVING compaction for a bucketed versioned log pair —
+    * [[graft.streaming.StreamingIngest.compactVersionedKeepAfter]] on
+    * the table layout: versions stamped <= `floorSeq` collapse to each
+    * id's at-or-below-floor survivor rows, versions above the floor are
+    * retained VERBATIM, and the marker records the highest floor applied
+    * (floors only rise). Both log rewrites ride the buckets (the fold's
+    * max-seq aggregate and id-join need no exchange) and swap through
+    * [[rewriteBucketed]], crash-safe in either order for the same
+    * reason as the flat twin: as-of resolution at S >= floor only
+    * compares data stamps against the version log's capped per-id max,
+    * which both partial states preserve.
+    */
+  def compactVersionedBucketedKeepAfter(spark: SparkSession, dataTable: String,
+      versionsTable: String, idCol: String, buckets: Int, floorSeq: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, max}
+    import spark.implicits._
+    healBucketedSwap(spark, dataTable)
+    healBucketedSwap(spark, versionsTable)
+    // marker FIRST (the x141 rationale — fails in the safe direction)
+    val floorTable = asOfFloorTable(versionsTable)
+    val marker = Seq(math.max(floorSeq, asOfFloorSeqBucketed(spark, versionsTable)))
+      .toDF("floor_seq")
+    if (spark.catalog.tableExists(floorTable))
+      rewriteBucketed(spark, floorTable, marker, "floor_seq", 1)
+    else marker.write.mode("overwrite")
+      .bucketBy(1, "floor_seq").sortBy("floor_seq").saveAsTable(floorTable)
+    val versions = spark.table(versionsTable).localCheckpoint(false)
+    val below = versions.filter(col("ingest_seq") <= floorSeq)
+      .groupBy(col(idCol)).agg(max(col("ingest_seq")).as("__vmax"))
+      .localCheckpoint(false) // both rewrites read it across the swaps
+    val data = spark.table(dataTable).localCheckpoint(false)
+    rewriteBucketed(spark, dataTable,
+      data.filter(col("ingest_seq") > floorSeq)
+        .unionByName(data.join(below, Seq(idCol))
+          .filter(col("ingest_seq") - col("__vmax") === 0).drop("__vmax")),
+      idCol, buckets)
+    rewriteBucketed(spark, versionsTable,
+      versions.filter(col("ingest_seq") > floorSeq)
+        .unionByName(below.select(col(idCol), col("__vmax").as("ingest_seq"))),
+      idCol, buckets)
+  }
+
+  /** AS-OF resolution of a bucketed versioned log pair — row-identical
+    * to [[graft.streaming.StreamingIngest.resolvedRowsAsOf]], planned
+    * with ZERO shuffle exchanges: the seq caps are non-key predicates,
+    * so the capped max-seq aggregate and the id-keyed join both ride the
+    * bucket partitioning (the data-side cap is a strict optimization —
+    * a data row above the cap can never match a capped __vmax).
+    */
+  def resolvedBucketedAsOf(spark: SparkSession, dataTable: String,
+      versionsTable: String, idCol: String, asOfSeq: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max}
+    healBucketedSwap(spark, dataTable)
+    healBucketedSwap(spark, versionsTable)
+    val latest = spark.table(versionsTable)
+      .filter(col("ingest_seq") <= asOfSeq)
+      .groupBy(col(idCol)).agg(max(col("ingest_seq")).as("__vmax"))
+    spark.table(dataTable)
+      .filter(col("ingest_seq") <= asOfSeq)
+      .join(latest, Seq(idCol))
+      .filter(col("ingest_seq") - col("__vmax") === 0)
+      .drop("__vmax", "ingest_seq")
+  }
+
+  /** [[resolvedBucketedAsOf]] with the x141 floor contract enforced:
+    * an as-of below the recorded floor fails BY NAME instead of
+    * silently losing every id updated or deleted between it and the
+    * floor.
+    */
+  def resolvedBucketedAsOfChecked(spark: SparkSession, dataTable: String,
+      versionsTable: String, idCol: String, asOfSeq: Long): DataFrame = {
+    val floor = asOfFloorSeqBucketed(spark, versionsTable)
+    require(asOfSeq >= floor,
+      s"as-of $asOfSeq is below the recorded compaction floor $floor: " +
+        "history at or below the floor was folded away " +
+        "(compactVersionedBucketedKeepAfter contract — re-ingest or raise the as-of)")
+    resolvedBucketedAsOf(spark, dataTable, versionsTable, idCol, asOfSeq)
+  }
+
   /** Live rows of a bucketed versioned log pair — row-identical to the
     * flat [[graft.streaming.StreamingIngest]] resolve, planned with
     * ZERO shuffle exchanges (BucketingSpec locks both).

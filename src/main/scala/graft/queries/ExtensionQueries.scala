@@ -6298,6 +6298,85 @@ object ExtensionQueries {
             lit(exchanges.toLong).as("exchanges"))
       }),
 
+    Q("x145_bucketed_asof_floor",
+      "FLOOR compaction COMPOSED with the bucketed log layout (round-15; r14 verdict " +
+        "item 4): x141 proved history-preserving retention on flat logs and x143 the " +
+        "shuffle-free bucketed resolve — this closes the composition, so one layout " +
+        "holds both properties a 100 TB doc store needs: a serving/as-of read with " +
+        "ZERO shuffle exchanges AND reproducible snapshots at any seq >= the recorded " +
+        "floor. Machinery: Bucketing.compactVersionedBucketedKeepAfter (marker-first " +
+        "— the floor lands as a 1-row bucketed table swapped through the same " +
+        "crash-safe tmp/rename dance as the logs; floors only rise) + " +
+        "resolvedBucketedAsOfChecked (refuses below-floor BY NAME; the seq caps are " +
+        "non-key predicates, so the capped max-seq aggregate and the id-join both " +
+        "ride the buckets). Script is x141's VERBATIM on the bucketed store: waves " +
+        "0-1 land, the floor-1 fold fires MID-SCRIPT (destroying wave-0 versions of " +
+        "the folded h4 1/3 ids), wave 2 lands through the same checkpoint. Output: " +
+        "the s1/s2 as-of snapshots read through the checked api — hash-equal to the " +
+        "closed-form wave corpora, proving the fold lost nothing at or above the " +
+        "floor — plus the floor contract as data (recorded floor, as-of-0-allowed " +
+        "bit = 0) and the as-of resolve's EXCHANGE COUNT as a column hash-pinned to " +
+        "the oracle's literal 0 (the x143 idiom: the no-shuffle property itself " +
+        "under the correctness gate). DocStoreAsOfSpec pins the below-floor refusal " +
+        "and the spec-level zero-exchange plan with broadcast disabled.",
+      Some("""WITH t AS (SELECT doc_id, text,
+             |       ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 4 AS h4
+             |     FROM documents),
+             |u AS (
+             |  SELECT 's1' AS arm, h4, CASE WHEN h4 = 1 THEN text || ' ' || text
+             |                        WHEN h4 = 3 THEN text || ' alpha'
+             |                        ELSE text END AS text FROM t
+             |  UNION ALL
+             |  SELECT 's2', h4, CASE WHEN h4 = 1 THEN text || ' ' || text ELSE text END
+             |  FROM t WHERE h4 <> 2)
+             |SELECT arm, h4, n_docs, chars, exchanges FROM (
+             |  SELECT arm, h4, CAST(count(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(len(text)) AS BIGINT) AS chars,
+             |         CAST(0 AS BIGINT) AS exchanges
+             |  FROM u GROUP BY arm, h4
+             |  UNION ALL
+             |  SELECT 'floor', CAST(-1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+             |         CAST(0 AS BIGINT)
+             |) v ORDER BY arm, h4""".stripMargin),
+      (s, d) => {
+        val SI = graft.streaming.StreamingIngest
+        val B = graft.pipeline.Bucketing
+        val root = scratchTempDir("graft-x145-floorbucketed")
+        val tag = root.split('/').last.replaceAll("[^a-zA-Z0-9]", "_")
+        val (dt, vt) = (s"x145_docs_$tag", s"x145_vers_$tag")
+        val waves = docUpdateWaveFrames(s, d)
+        writeStreamWave(root, 0, waves(0))
+        writeStreamWave(root, 1, waves(1))
+        // retention pinned off the automatic cadence — the FLOOR is the
+        // retention policy here (the x141 posture on the table layout)
+        SI.docStoreStreamBucketed(docUpdateStreamFrame(s, d, root),
+          dt, vt, root + "/ckpt", buckets = 8, maxFiles = Int.MaxValue)
+        B.compactVersionedBucketedKeepAfter(s, dt, vt, "doc_id", 8, 1L)
+        writeStreamWave(root, 2, waves(2))
+        SI.docStoreStreamBucketed(docUpdateStreamFrame(s, d, root),
+          dt, vt, root + "/ckpt", buckets = 8, maxFiles = Int.MaxValue)
+        // the exchange count is measured on the as-of RESOLVE plans (the
+        // serving shape the layout exists for), worst case of both arms
+        val exchanges = math.max(
+          B.countExchanges(B.resolvedBucketedAsOfChecked(s, dt, vt, "doc_id", 1L)),
+          B.countExchanges(B.resolvedBucketedAsOfChecked(s, dt, vt, "doc_id", 2L))).toLong
+        def arm(name: String, asOf: Long) =
+          B.resolvedBucketedAsOfChecked(s, dt, vt, "doc_id", asOf)
+            .withColumn("h4", pmod(TextDedup.portableHashBuiltin(
+              col("doc_id").cast("string"), ""), lit(4L)))
+            .groupBy(col("h4"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(length(col("text")).cast("long")).as("chars"))
+            .select(lit(name).as("arm"), col("h4"), col("n_docs"),
+              col("chars"), lit(exchanges).as("exchanges"))
+        val floor = B.asOfFloorSeqBucketed(s, vt)
+        val floorRow = s.range(1).select(lit("floor").as("arm"),
+          lit(-1L).as("h4"), lit(floor).as("n_docs"),
+          lit(if (0L >= floor) 1L else 0L).as("chars"),
+          lit(exchanges).as("exchanges"))
+        arm("s1", 1L).unionByName(arm("s2", 2L)).unionByName(floorRow)
+      }),
+
     Q("x137_int8_knn",
       "KNN served off INT8-QUANTIZED vectors with the retrieval quality pinned against " +
         "fp truth (round-13) — the production serving format (x37 quantizes, this " +

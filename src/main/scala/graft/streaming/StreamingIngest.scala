@@ -1058,6 +1058,52 @@ object StreamingIngest {
     */
   def ivfDriftFired(tvBp: Long, thresholdBp: Long): Boolean = tvBp > thresholdBp
 
+  // ---- standing occupancy view (round-15, r14 verdict item 5) -------------
+  // x140's gauge re-aggregated the full live corpus every wave — an
+  // O(live) group-by per micro-batch that is exactly the shape x139's
+  // additive IVM maintains at O(batch): cell counts are SUBTRACTABLE
+  // sufficient statistics. The view is a tiny (cell_id, n) parquet dir
+  // next to the vectors log (≤ C data rows + one null-cell marker row
+  // that keeps `occ_seq` readable when the corpus empties), stamped
+  // with the last applied batch for exactly-once under replay. Per
+  // wave the maintenance is O(batch): subtract each arriving id's
+  // PREVIOUS live cell (read via the batchId-capped resolve, which is
+  // why the update is ordered BEFORE compaction — a replayed batch
+  // must still see the superseded rows it subtracts), add the batch's
+  // landed assignments. Only the refit — corpus-linear by nature —
+  // resets the view from a full group-by. Bit-equality with the
+  // O(live) group-by is pinned every wave by IvfPolicyPropertySpec and
+  // IvfUpsertStreamSpec; x140's gauge history hashes are unchanged.
+
+  private[graft] def occViewDir(vecsDir: String): String =
+    vecsDir.stripSuffix("/") + "_occ_view"
+
+  /** The standing view's state: (per-cell live counts, last applied
+    * seq); None when never written.
+    */
+  private[graft] def readOccView(spark: SparkSession,
+      vecsDir: String): Option[(Map[Long, Long], Long)] = {
+    val dir = occViewDir(vecsDir)
+    if (!pathExists(spark, dir)) None
+    else {
+      val rows = spark.read.parquet(dir).collect()
+      val seq = rows.map(_.getAs[Long]("occ_seq")).max
+      Some((rows.filter(!_.isNullAt(0))
+        .map(r => r.getAs[Long]("cell_id") -> r.getAs[Long]("n")).toMap, seq))
+    }
+  }
+
+  private def writeOccView(spark: SparkSession, vecsDir: String,
+      occ: Map[Long, Long], seq: Long): Unit = {
+    import spark.implicits._
+    val df = (Seq((Option.empty[Long], 0L)) ++
+        occ.toSeq.map { case (c, n) => (Some(c), n) })
+      .toDF("cell_id", "n").withColumn("occ_seq", lit(seq))
+    val dir = occViewDir(vecsDir)
+    if (pathExists(spark, dir)) swapRewrite(spark, dir, df)
+    else df.write.mode("overwrite").parquet(dir)
+  }
+
   /** The gauge-triggered refit POLICY composing the whole IVF serving
     * lifecycle into one loop (round-14, x140; r13 verdict item 2):
     * x128 maintains membership per arrival against the current
@@ -1087,10 +1133,14 @@ object StreamingIngest {
     * assigns (the batch must see the structure the policy already
     * committed to). The install batch pins tv_bp = 0 / fired = false
     * by definition — the corpus it gauges IS the fit corpus.
-    * 100 TB posture: per-batch cost is O(batch × C) assignment +
-    * O(live) gauge; the refit remains the lifecycle's only
-    * whole-corpus pass and fires only when the gauge says the pin is
-    * no longer serving the corpus that exists.
+    * 100 TB posture (round-15, r14 verdict item 5): per-batch cost is
+    * O(batch × C) assignment + O(batch) view maintenance — the gauge
+    * reads a standing ≤ C-row additive occupancy view ([[readOccView]];
+    * cell counts are subtractable sufficient statistics, x139's class)
+    * instead of re-aggregating the live corpus every wave. The refit
+    * remains the lifecycle's only whole-corpus pass (it also resets the
+    * view) and fires only when the gauge says the pin is no longer
+    * serving the corpus that exists.
     */
   def ivfPolicyStream(vectors: DataFrame, vecsDir: String,
       versionsDir: String, checkpointDir: String,
@@ -1118,7 +1168,43 @@ object StreamingIngest {
       val newCents = ivfRefitSwap(spark, vecsDir, versionsDir, centroidPolicy, idCol)
       swapRewrite(spark, centsDir,
         newCents.select(col("vec_id"), col("embedding")))
-      writeFit(spark, occupancy(spark), seq)
+      // the refit re-assigned the whole corpus, so the standing view is
+      // reset from the same full group-by that stamps the fit reference
+      // — the lifecycle's one corpus-linear pass pays for both
+      val occ = occupancy(spark)
+      writeFit(spark, occ, seq)
+      writeOccView(spark, vecsDir, occ, seq)
+    }
+    // O(batch) maintenance of the standing occupancy view (round-15,
+    // r14 verdict item 5 — rationale at [[readOccView]]): subtract the
+    // batch ids' previous live cells, add the batch's landed
+    // assignments. Replay-exact: a view already stamped >= batchId is
+    // returned as-is; otherwise the subtraction side reads the
+    // batchId-capped resolve (this runs BEFORE compaction, so the
+    // superseded rows are still present even on a replay) and the
+    // addition side reads the batch's landed stamped rows.
+    def updateOccView(spark: SparkSession, b: DataFrame, batchId: Long): Map[Long, Long] = {
+      val cur = readOccView(spark, vecsDir)
+      if (cur.exists(_._2 >= batchId)) cur.get._1
+      else {
+        val base = cur.map(_._1).getOrElse(Map.empty[Long, Long])
+        val old = liveRowsBefore(spark, vecsDir, versionsDir, idCol, batchId)
+          .map(_.join(b.select(col(idCol)), Seq(idCol))
+            .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+          .getOrElse(Map.empty[Long, Long])
+        val fresh = spark.read.parquet(vecsDir)
+          .filter(col("ingest_seq") === batchId)
+          .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val merged = (base.keySet ++ old.keySet ++ fresh.keySet).toSeq.map { c =>
+          c -> (base.getOrElse(c, 0L) - old.getOrElse(c, 0L) + fresh.getOrElse(c, 0L))
+        }.filter(_._2 != 0L).toMap
+        require(merged.values.forall(_ > 0L),
+          s"occupancy view went negative at batch $batchId — delta accounting broke")
+        writeOccView(spark, vecsDir, merged, batchId)
+        merged
+      }
     }
     // heal a crash between a landed fired-row and its refit: a gauge row
     // with fired=true newer than fitDir's fit_seq means the chosen refit
@@ -1161,8 +1247,11 @@ object StreamingIngest {
                 spark.read.parquet(centsDir))
               .select(col("vec_id").as(idCol), col("cell_id"), col("embedding")),
             vecsDir, batchId)
+        // view update BEFORE compaction (it must still see the
+        // superseded rows it subtracts); the gauge then reads the
+        // ≤ C-row view instead of re-aggregating the live corpus
+        val occ = updateOccView(spark, b, batchId)
         maybeCompactVersioned(spark, vecsDir, versionsDir, maxVecFiles, idCol)
-        val occ = occupancy(spark)
         val nLive = occ.values.sum
         if (!pathExists(spark, fitDir)) {
           writeFit(spark, occ, batchId)

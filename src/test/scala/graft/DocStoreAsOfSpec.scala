@@ -174,6 +174,64 @@ class DocStoreAsOfSpec extends SparkSuite {
       "a lower floor must not regress the recorded marker")
   }
 
+  test("BUCKETED floor compaction (round-15, r14 verdict item 4): as-of >= floor bit-equal, below-floor refused by name, zero exchanges in the as-of plan") {
+    import graft.pipeline.Bucketing
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val tables = Seq("fb_docs", "fb_vers", "fb_vers_asof_floor")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val root = tempDir("graft-asof-floorbucketed")
+      waves(root)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
+      // retention pinned off the automatic cadence — the FLOOR is the
+      // retention policy here (the x141 posture on the table layout)
+      StreamingIngest.docStoreStreamBucketed(stream, "fb_docs", "fb_vers",
+        root + "/ckpt", buckets = 4, maxFiles = Int.MaxValue)
+      def asOfB(seq: Long) = Bucketing.resolvedBucketedAsOfChecked(
+        spark, "fb_docs", "fb_vers", "doc_id", seq)
+      val twin1 = idText(asOfB(1))
+      val twin2 = idText(asOfB(2))
+      assert(twin1 == idText(wave1Corpus), "bucketed as-of(1) != the wave-1 corpus")
+      assert(twin2 == idText(latestCorpus), "bucketed as-of(2) != the latest corpus")
+      Bucketing.compactVersionedBucketedKeepAfter(
+        spark, "fb_docs", "fb_vers", "doc_id", 4, 1L)
+      // AT the floor and above: bit-equal to the uncompacted twin
+      assert(idText(asOfB(1)) == twin1,
+        "bucketed as-of(floor) diverged across the floor fold")
+      assert(idText(asOfB(2)) == twin2,
+        "bucketed as-of(floor+1) diverged across the floor fold")
+      // THE composition point: the as-of read keeps the layout's
+      // zero-exchange plan — history-preserving retention did not cost
+      // the shuffle-free serving read
+      val plan = asOfB(1)
+      assert(Bucketing.countExchanges(plan) == 0,
+        s"bucketed as-of must stay shuffle-free:\n${plan.queryExecution.executedPlan}")
+      // below the floor: refused BY NAME
+      val e = intercept[IllegalArgumentException] { asOfB(0) }
+      assert(e.getMessage.contains("compaction floor"),
+        s"the refusal must name the floor contract: ${e.getMessage}")
+      // the marker is recorded and floors only rise
+      assert(Bucketing.asOfFloorSeqBucketed(spark, "fb_vers") == 1L)
+      Bucketing.compactVersionedBucketedKeepAfter(
+        spark, "fb_docs", "fb_vers", "doc_id", 4, 0L)
+      assert(Bucketing.asOfFloorSeqBucketed(spark, "fb_vers") == 1L,
+        "a lower floor must not regress the recorded marker")
+      // the live read is invariant across the fold and still shuffle-free
+      val live = Bucketing.resolvedBucketed(spark, "fb_docs", "fb_vers", "doc_id")
+      assert(idText(live) == idText(latestCorpus),
+        "the live read changed across the floor fold")
+      assert(Bucketing.countExchanges(live) == 0)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("marker-first crash state: a recorded floor with the fold not yet landed refuses below-floor reads but answers them nowhere wrong") {
     val root = tempDir("graft-asof-floormarker")
     waves(root)

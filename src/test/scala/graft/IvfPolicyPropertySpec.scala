@@ -128,6 +128,21 @@ class IvfPolicyPropertySpec extends SparkSuite {
       s"seed $seed: final stored assignments diverged")
     assert(spark.read.parquet(root + "/fit").select("fit_seq").head().getLong(0) == fitSeq,
       s"seed $seed: fit reference stamped at the wrong seq")
+    // round-15 (r14 verdict item 5): the standing additive occupancy
+    // view the gauge now reads must be bit-equal to the O(live)
+    // group-by it replaced — under arbitrary churn INCLUDING refits
+    // (which reset it) and deletions (subtract-only waves)
+    val viewOcc = StreamingIngest.readOccView(spark, root + "/vecs").get._1
+    val groupByOcc = StreamingIngest.resolvedIvfVectors(
+        spark, root + "/vecs", root + "/versions")
+      .groupBy(col("cell_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viewOcc == groupByOcc,
+      s"seed $seed: occupancy view diverged from the O(live) group-by " +
+        s"(view $viewOcc, truth $groupByOcc)")
+    assert(viewOcc == liveCell.values.groupBy(identity)
+        .map { case (c, xs) => c -> xs.size.toLong }.toMap,
+      s"seed $seed: occupancy view diverged from the replay")
   }
 
   test("seeded random churn: the engine's policy log, structure, and assignments match an independent replay of the whole control loop") {
