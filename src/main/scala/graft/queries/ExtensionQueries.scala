@@ -69,6 +69,20 @@ object ExtensionQueries {
         .unionByName(docs.filter(col("h4") === 3).drop("h4")))
   }
 
+  /** Bucket count for the bucketed-log queries: the session's shuffle
+    * parallelism, NOT a constant (round-15). The bucketed layout's
+    * whole point is trading exchanges for bucket-local work, but bucket
+    * count also CAPS the parallelism of every bucket-preserving stage —
+    * the ×100 ScaleSmoke sweep measured the migrated fused loops 2-3×
+    * SLOWER with 8 buckets on 32 cores (resolve and append strangled to
+    * 8 tasks) and the cap lifted exactly when buckets matched the
+    * session's width. On a real cluster this is the standard posture:
+    * buckets ≈ total cores (or a small multiple), a layout decision
+    * made once per table for the cluster, not per corpus.
+    */
+  private def sessionBuckets(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.get("spark.sql.shuffle.partitions").toInt
+
   private def docUpdateStreamFrame(s: org.apache.spark.sql.SparkSession,
       d: String, root: String): org.apache.spark.sql.DataFrame =
     s.readStream
@@ -5127,7 +5141,7 @@ object ExtensionQueries {
         // catalog table names unique per build (the x143 convention)
         val tag = root.split('/').last.replaceAll("[^a-zA-Z0-9]", "_")
         graft.streaming.StreamingIngest.bandIndexUpsertStreamBucketed(stream,
-          s"x120_bands_$tag", s"x120_vers_$tag", root + "/ckpt", buckets = 8,
+          s"x120_bands_$tag", s"x120_vers_$tag", root + "/ckpt", buckets = sessionBuckets(s),
           signer = df => TextDedup.minhashSignaturesPortable(df))
         val live = graft.streaming.StreamingIngest.resolvedBandsBucketed(
           s, s"x120_bands_$tag", s"x120_vers_$tag")
@@ -5208,7 +5222,7 @@ object ExtensionQueries {
         // catalog table names unique per build (the x143 convention)
         val tag = root.split('/').last.replaceAll("[^a-zA-Z0-9]", "_")
         graft.streaming.StreamingIngest.embIndexUpsertStreamBucketed(stream,
-          s"x122_vecs_$tag", s"x122_vers_$tag", root + "/ckpt", buckets = 8)
+          s"x122_vecs_$tag", s"x122_vers_$tag", root + "/ckpt", buckets = sessionBuckets(s))
         val live = graft.streaming.StreamingIngest.resolvedVectorsBucketed(
           s, s"x122_vecs_$tag", s"x122_vers_$tag")
         val probes = base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
@@ -5268,7 +5282,7 @@ object ExtensionQueries {
         // catalog table names unique per build (the x143 convention)
         val tag = root.split('/').last.replaceAll("[^a-zA-Z0-9]", "_")
         graft.streaming.StreamingIngest.cdcIndexUpsertStreamBucketed(stream,
-          s"x123_chunks_$tag", s"x123_vers_$tag", root + "/ckpt", buckets = 8,
+          s"x123_chunks_$tag", s"x123_vers_$tag", root + "/ckpt", buckets = sessionBuckets(s),
           chunker = df => TextDedup.cdcChunks(df))
         val live = graft.streaming.StreamingIngest.resolvedChunksBucketed(
           s, s"x123_chunks_$tag", s"x123_vers_$tag")
@@ -5325,7 +5339,7 @@ object ExtensionQueries {
         val tag = root.split('/').last.replaceAll("[^a-zA-Z0-9]", "_")
         graft.streaming.StreamingIngest.bandIndexUpsertDedupStreamBucketed(stream,
           s"x125_bands_$tag", s"x125_vers_$tag", root + "/verdicts", root + "/ckpt",
-          buckets = 8, signer = df => TextDedup.minhashSignaturesPortable(df))
+          buckets = sessionBuckets(s), signer = df => TextDedup.minhashSignaturesPortable(df))
         s.read.parquet(root + "/verdicts")
           .select(col("ingest_seq").as("wave"), col("doc_id"),
             col("n_corpus_hits"), col("n_batch_rivals"), col("keep"))
@@ -5385,7 +5399,7 @@ object ExtensionQueries {
         val tag = root.split('/').last.replaceAll("[^a-zA-Z0-9]", "_")
         graft.streaming.StreamingIngest.embIndexUpsertDedupStreamBucketed(stream,
           s"x126_vecs_$tag", s"x126_vers_$tag", root + "/verdicts", root + "/ckpt",
-          buckets = 8)
+          buckets = sessionBuckets(s))
         s.read.parquet(root + "/verdicts")
           .select(col("ingest_seq").as("wave"), col("vec_id"), col("bucket"),
             col("keep"))
@@ -5446,7 +5460,7 @@ object ExtensionQueries {
         val tag = root.split('/').last.replaceAll("[^a-zA-Z0-9]", "_")
         graft.streaming.StreamingIngest.cdcIndexUpsertNoveltyStreamBucketed(stream,
           s"x127_chunks_$tag", s"x127_vers_$tag", root + "/stats", root + "/ckpt",
-          buckets = 8, chunker = df => TextDedup.cdcChunks(df))
+          buckets = sessionBuckets(s), chunker = df => TextDedup.cdcChunks(df))
         s.read.parquet(root + "/stats")
           .select(col("ingest_seq").as("wave"), col("doc_id"),
             col("n_chunks"), col("n_corpus_hits"), col("novel_chars"))
@@ -5503,7 +5517,7 @@ object ExtensionQueries {
         val tag = root.split('/').last.replaceAll("[^a-zA-Z0-9]", "_")
         graft.streaming.StreamingIngest.ivfIndexUpsertStreamBucketed(stream,
           s"x128_vecs_$tag", s"x128_vers_$tag", root + "/ckpt", centroids,
-          buckets = 8)
+          buckets = sessionBuckets(s))
         val live = graft.streaming.StreamingIngest.resolvedIvfVectorsBucketed(
           s, s"x128_vecs_$tag", s"x128_vers_$tag").localCheckpoint(false)
         Similarity.knnIvf(
@@ -6060,7 +6074,12 @@ object ExtensionQueries {
         "corpus. Oracle = closed-form occupancy chains + BIGINT TV arithmetic with " +
         "COMPUTED fired bits (tv > threshold, never baked in) + x129's recall SQL: if " +
         "the engine fired on any other wave, its assignments, gauge rows, and serve " +
-        "candidates all diverge from the closed form and the hash catches it.",
+        "candidates all diverge from the closed form and the hash catches it. " +
+        "Round-15: the loop rides the BUCKETED log layout (ivfPolicyStreamBucketed — " +
+        "serving resolve, view subtraction probe, and refit reads all bucket-local) " +
+        "and the gauge reads a standing O(batch)-maintained additive occupancy view " +
+        "instead of an O(live) group-by per wave (r14 verdict item 5) — history and " +
+        "hashes unchanged.",
       Some(ivfPolicyOracle),
       (s, d) => {
         val emb = Tables.embeddings(s, d)
@@ -6089,9 +6108,11 @@ object ExtensionQueries {
           .schema("vec_id LONG, embedding ARRAY<FLOAT>")
           .option("maxFilesPerTrigger", 1)
           .parquet(root + "/src/*")
-        graft.streaming.StreamingIngest.ivfPolicyStream(stream,
-          root + "/vecs", root + "/versions", root + "/ckpt", pinned,
-          root + "/cents", root + "/fit", root + "/gauge", 3000L)
+        val tag = root.split('/').last.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.streaming.StreamingIngest.ivfPolicyStreamBucketed(stream,
+          s"x140_vecs_$tag", s"x140_vers_$tag", root + "/ckpt", pinned,
+          root + "/cents", root + "/fit", root + "/gauge", 3000L,
+          buckets = sessionBuckets(s))
         val gauge = graft.streaming.StreamingIngest.ivfPolicyLog(s, root + "/gauge")
           .select(lit("gauge").as("section"), col("wave").as("k"),
             col("n_live").as("a"), col("tv_bp").as("b"),
@@ -6100,8 +6121,8 @@ object ExtensionQueries {
         // holds it (the refit swapped it at wave 2), the stored
         // assignment IS the inverted file
         val cents = s.read.parquet(root + "/cents").localCheckpoint(false)
-        val live = graft.streaming.StreamingIngest.resolvedIvfVectors(
-          s, root + "/vecs", root + "/versions").localCheckpoint(false)
+        val live = graft.streaming.StreamingIngest.resolvedIvfVectorsBucketed(
+          s, s"x140_vecs_$tag", s"x140_vers_$tag").localCheckpoint(false)
         val queries = base.filter(col("vec_id") < 10)
           .select(col("vec_id"), col("embedding"))
         val approx = Similarity.knnIvf(queries, live, cents, 5, 4,
@@ -6284,7 +6305,7 @@ object ExtensionQueries {
         }
         graft.streaming.StreamingIngest.docStoreStreamBucketed(
           docUpdateStreamFrame(s, d, root),
-          s"x143_docs_$tag", s"x143_vers_$tag", root + "/ckpt", buckets = 8)
+          s"x143_docs_$tag", s"x143_vers_$tag", root + "/ckpt", buckets = sessionBuckets(s))
         val resolved = graft.pipeline.Bucketing.resolvedBucketed(
           s, s"x143_docs_$tag", s"x143_vers_$tag", "doc_id")
         val exchanges = graft.pipeline.Bucketing.countExchanges(resolved)
@@ -6350,11 +6371,11 @@ object ExtensionQueries {
         // retention pinned off the automatic cadence — the FLOOR is the
         // retention policy here (the x141 posture on the table layout)
         SI.docStoreStreamBucketed(docUpdateStreamFrame(s, d, root),
-          dt, vt, root + "/ckpt", buckets = 8, maxFiles = Int.MaxValue)
-        B.compactVersionedBucketedKeepAfter(s, dt, vt, "doc_id", 8, 1L)
+          dt, vt, root + "/ckpt", buckets = sessionBuckets(s), maxFiles = Int.MaxValue)
+        B.compactVersionedBucketedKeepAfter(s, dt, vt, "doc_id", sessionBuckets(s), 1L)
         writeStreamWave(root, 2, waves(2))
         SI.docStoreStreamBucketed(docUpdateStreamFrame(s, d, root),
-          dt, vt, root + "/ckpt", buckets = 8, maxFiles = Int.MaxValue)
+          dt, vt, root + "/ckpt", buckets = sessionBuckets(s), maxFiles = Int.MaxValue)
         // the exchange count is measured on the as-of RESOLVE plans (the
         // serving shape the layout exists for), worst case of both arms
         val exchanges = math.max(

@@ -1012,6 +1012,43 @@ object StreamingIngest {
     cents
   }
 
+  /** [[ivfRefitSwap]] on the bucketed table layout (round-15): the same
+    * whole-corpus refit event — derive fresh centroids from the live
+    * corpus, re-assign, re-stamp — with both rewrites landing through
+    * [[graft.pipeline.Bucketing.rewriteBucketed]]'s crash-safe
+    * tmp/rename dance, so the pair keeps its id-bucketed layout across
+    * the structure swap and the serving resolve stays shuffle-free
+    * afterwards. The refit itself is corpus-linear by nature; the
+    * layout is preserved for the READS that follow it.
+    */
+  def ivfRefitSwapBucketed(spark: SparkSession, vecsTable: String,
+      versionsTable: String,
+      centroidPolicy: DataFrame => DataFrame =
+        graft.ext.Similarity.strideCentroids(_, 16),
+      idCol: String = "vec_id", buckets: Int = 32): DataFrame = {
+    import graft.pipeline.Bucketing
+    Bucketing.healBucketedSwap(spark, vecsTable)
+    Bucketing.healBucketedSwap(spark, versionsTable)
+    val latest = spark.table(versionsTable)
+      .groupBy(col(idCol)).agg(max(col("ingest_seq")).as("__vmax"))
+      .localCheckpoint(false) // read before either log is swapped
+    val live = spark.table(vecsTable)
+      .join(latest.withColumnRenamed("__vmax", "ingest_seq"), Seq(idCol, "ingest_seq"))
+      .select(col(idCol), col("embedding"), col("ingest_seq"))
+      .localCheckpoint(false) // feeds the policy, the re-assign, and the stamp join
+    val cents = centroidPolicy(
+      live.select(col(idCol).as("vec_id"), col("embedding")))
+      .localCheckpoint(false) // survives the swap; returned to the caller
+    val reassigned = graft.ext.Similarity.ivfAssign(
+        live.select(col(idCol).as("vec_id"), col("embedding")), cents)
+      .select(col("vec_id").as(idCol), col("cell_id"), col("embedding"))
+      .join(live.select(col(idCol), col("ingest_seq")), Seq(idCol))
+    Bucketing.rewriteBucketed(spark, vecsTable, reassigned, idCol, buckets)
+    Bucketing.rewriteBucketed(spark, versionsTable,
+      latest.select(col(idCol), col("__vmax").as("ingest_seq")), idCol, buckets)
+    cents
+  }
+
   /** Occupancy-drift statistic for the gauge-triggered refit policy
     * (round-14, x140): the total-variation distance, in basis points,
     * between the structure's FIT-TIME cell-occupancy distribution and
@@ -1075,8 +1112,25 @@ object StreamingIngest {
   // O(live) group-by is pinned every wave by IvfPolicyPropertySpec and
   // IvfUpsertStreamSpec; x140's gauge history hashes are unchanged.
 
-  private[graft] def occViewDir(vecsDir: String): String =
-    vecsDir.stripSuffix("/") + "_occ_view"
+  private[graft] def occViewDir(baseDir: String): String =
+    baseDir.stripSuffix("/") + "_occ_view"
+
+  /** Fit-reference state shared by the flat and bucketed policy loops:
+    * (fit-time cell occupancy, the seq that installed it).
+    */
+  private def ivfFitState(spark: SparkSession, fitDir: String): (Map[Long, Long], Long) = {
+    val rows = spark.read.parquet(fitDir).collect()
+    (rows.map(r => r.getAs[Long]("cell_id") -> r.getAs[Long]("n_fit")).toMap,
+      rows.headOption.map(_.getAs[Long]("fit_seq")).getOrElse(-1L))
+  }
+
+  private def ivfWriteFit(spark: SparkSession, fitDir: String,
+      occ: Map[Long, Long], seq: Long): Unit = {
+    import spark.implicits._
+    val df = occ.toSeq.toDF("cell_id", "n_fit").withColumn("fit_seq", lit(seq))
+    if (pathExists(spark, fitDir)) swapRewrite(spark, fitDir, df)
+    else df.write.mode("overwrite").parquet(fitDir)
+  }
 
   /** The standing view's state: (per-cell live counts, last applied
     * seq); None when never written.
@@ -1153,17 +1207,10 @@ object StreamingIngest {
       resolvedRows(spark, vecsDir, versionsDir, idCol)
         .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    def fitState(spark: SparkSession): (Map[Long, Long], Long) = {
-      val rows = spark.read.parquet(fitDir).collect()
-      (rows.map(r => r.getAs[Long]("cell_id") -> r.getAs[Long]("n_fit")).toMap,
-        rows.headOption.map(_.getAs[Long]("fit_seq")).getOrElse(-1L))
-    }
-    def writeFit(spark: SparkSession, occ: Map[Long, Long], seq: Long): Unit = {
-      import spark.implicits._
-      val df = occ.toSeq.toDF("cell_id", "n_fit").withColumn("fit_seq", lit(seq))
-      if (pathExists(spark, fitDir)) swapRewrite(spark, fitDir, df)
-      else df.write.mode("overwrite").parquet(fitDir)
-    }
+    def fitState(spark: SparkSession): (Map[Long, Long], Long) =
+      ivfFitState(spark, fitDir)
+    def writeFit(spark: SparkSession, occ: Map[Long, Long], seq: Long): Unit =
+      ivfWriteFit(spark, fitDir, occ, seq)
     def doRefit(spark: SparkSession, seq: Long): Unit = {
       val newCents = ivfRefitSwap(spark, vecsDir, versionsDir, centroidPolicy, idCol)
       swapRewrite(spark, centsDir,
@@ -1288,6 +1335,127 @@ object StreamingIngest {
     spark.read.parquet(gaugeDir)
       .select(col("ingest_seq").as("wave"), col("n_live"), col("tv_bp"),
         col("fired"))
+
+  /** [[ivfPolicyStream]] on the BUCKETED log layout (round-15, closing
+    * the r14 verdict item-1 family list): the x128 logs land as
+    * id-bucketed table pairs, so every read the loop repeats — the
+    * serving resolve, the occupancy view's subtraction side (the
+    * batch-ids' previous live cells), and the refit's live-corpus
+    * read — rides the bucket partitioning: zero exchanges, and the
+    * per-batch subtraction probe prunes to the arriving ids' buckets
+    * instead of scanning the whole data log. Policy semantics,
+    * exactly-once contracts, heal paths, and the gauge/fit/cents/view
+    * sidecar dirs are the flat loop's verbatim (the sidecars are
+    * model-sized — a bucketed layout would buy them nothing); the
+    * occupancy view keys off `gaugeDir` here since the logs are tables.
+    */
+  def ivfPolicyStreamBucketed(vectors: DataFrame, vecsTable: String,
+      versionsTable: String, checkpointDir: String,
+      initialCentroids: DataFrame, centsDir: String, fitDir: String,
+      gaugeDir: String, thresholdBp: Long = 3000L,
+      centroidPolicy: DataFrame => DataFrame =
+        graft.ext.Similarity.strideCentroids(_, 16),
+      idCol: String = "vec_id", buckets: Int = 32,
+      maxVecFiles: Int = 64): StreamingQuery = {
+    import graft.pipeline.{Bucketing, Ingest}
+    val occDir = occViewDir(gaugeDir)
+    def occupancy(spark: SparkSession): Map[Long, Long] =
+      resolvedIvfVectorsBucketed(spark, vecsTable, versionsTable, idCol)
+        .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def doRefit(spark: SparkSession, seq: Long): Unit = {
+      val newCents = ivfRefitSwapBucketed(spark, vecsTable, versionsTable,
+        centroidPolicy, idCol, buckets)
+      swapRewrite(spark, centsDir,
+        newCents.select(col("vec_id"), col("embedding")))
+      val occ = occupancy(spark)
+      ivfWriteFit(spark, fitDir, occ, seq)
+      writeOccView(spark, gaugeDir, occ, seq)
+    }
+    def healFiredWithoutRefit(spark: SparkSession): Unit =
+      if (pathExists(spark, gaugeDir) && pathExists(spark, fitDir)) {
+        val last = spark.read.parquet(gaugeDir)
+          .orderBy(col("ingest_seq").desc).limit(1).collect()
+        val fitSeq = ivfFitState(spark, fitDir)._2
+        if (last.nonEmpty && last(0).getAs[Boolean]("fired") &&
+            last(0).getAs[Long]("ingest_seq") > fitSeq)
+          doRefit(spark, last(0).getAs[Long]("ingest_seq"))
+      }
+    def updateOccView(spark: SparkSession, b: DataFrame, batchId: Long): Map[Long, Long] = {
+      val cur = readOccView(spark, gaugeDir)
+      if (cur.exists(_._2 >= batchId)) cur.get._1
+      else {
+        val base = cur.map(_._1).getOrElse(Map.empty[Long, Long])
+        val old = liveRowsBeforeBucketed(spark, vecsTable, versionsTable, idCol, batchId)
+          .map(_.join(b.select(col(idCol)), Seq(idCol))
+            .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+          .getOrElse(Map.empty[Long, Long])
+        val fresh = spark.table(vecsTable)
+          .filter(col("ingest_seq") === batchId)
+          .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val merged = (base.keySet ++ old.keySet ++ fresh.keySet).toSeq.map { c =>
+          c -> (base.getOrElse(c, 0L) - old.getOrElse(c, 0L) + fresh.getOrElse(c, 0L))
+        }.filter(_._2 != 0L).toMap
+        require(merged.values.forall(_ > 0L),
+          s"occupancy view went negative at batch $batchId — delta accounting broke")
+        writeOccView(spark, gaugeDir, merged, batchId)
+        merged
+      }
+    }
+    healFiredWithoutRefit(vectors.sparkSession)
+    val q = vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!pathExists(spark, centsDir))
+          initialCentroids.select(col("vec_id"), col("embedding"))
+            .write.mode("overwrite").parquet(centsDir)
+        healFiredWithoutRefit(spark)
+        val b = resolveBatchVersions(batch.toDF(), idCol)
+        if (!Bucketing.landedSeqBucketed(spark, versionsTable, batchId))
+          Ingest.appendBucketedWithSeq(b.select(col(idCol)),
+            versionsTable, idCol, buckets, batchId)
+        if (!Bucketing.landedSeqBucketed(spark, vecsTable, batchId))
+          Ingest.appendBucketedWithSeq(
+            graft.ext.Similarity.ivfAssign(
+                b.filter(col("embedding").isNotNull)
+                  .select(col(idCol).as("vec_id"), col("embedding")),
+                spark.read.parquet(centsDir))
+              .select(col("vec_id").as(idCol), col("cell_id"), col("embedding")),
+            vecsTable, idCol, buckets, batchId)
+        val occ = updateOccView(spark, b, batchId)
+        Bucketing.maybeCompactVersionedBucketed(spark, vecsTable,
+          versionsTable, idCol, buckets, maxVecFiles)
+        val nLive = occ.values.sum
+        if (!pathExists(spark, fitDir)) {
+          ivfWriteFit(spark, fitDir, occ, batchId)
+          if (!landedSeq(spark, gaugeDir, batchId)) {
+            import spark.implicits._
+            Ingest.appendWithSeq(
+              Seq((nLive, 0L, false)).toDF("n_live", "tv_bp", "fired"),
+              gaugeDir, batchId)
+          }
+        } else {
+          val (fit, _) = ivfFitState(spark, fitDir)
+          val tvBp = occupancyDriftBp(occ, fit)
+          val fired = nLive > 0L && ivfDriftFired(tvBp, thresholdBp)
+          if (!landedSeq(spark, gaugeDir, batchId)) {
+            import spark.implicits._
+            Ingest.appendWithSeq(
+              Seq((nLive, tvBp, fired)).toDF("n_live", "tv_bp", "fired"),
+              gaugeDir, batchId)
+          }
+          if (fired) doRefit(spark, batchId)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
 
   /** Doc retraction for the standing CDC chunk-hash index (round-13,
     * the r12 verdict item 2). [[cdcNoveltyStream]]'s index is keyed by

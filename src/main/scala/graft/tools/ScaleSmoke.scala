@@ -256,13 +256,22 @@ object ScaleSmoke {
     // append repartitions the batch to `buckets` tasks); the resolve is
     // the shuffle-free bucket-local join. x144 is x138's profile (wave
     // appends + stats folds) plus one model-sized manifest commit/read.
-    "x143_bucketed_resolve", "x144_training_cut")
+    "x143_bucketed_resolve", "x144_training_cut",
+    // round-15: x140's gauge is now the O(batch) standing-view update
+    // (the comment above predates the r14-verdict-item-5 migration);
+    // x145 is x141's floor-compaction profile on the bucketed layout —
+    // the as-of arms are the shuffle-free bucket-local join.
+    "x145_bucketed_asof_floor")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scale-smoke")
+      // the bucketed-log queries (x120/x122/x123/x125-x128/x143/x145)
+      // land catalog tables — keep the warehouse out of the working tree
+      .config("spark.sql.warehouse.dir",
+        graft.util.Scratch.tempDir("graft-scale-wh") + "/warehouse")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

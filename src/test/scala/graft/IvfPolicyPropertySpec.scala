@@ -143,6 +143,39 @@ class IvfPolicyPropertySpec extends SparkSuite {
     assert(viewOcc == liveCell.values.groupBy(identity)
         .map { case (c, xs) => c -> xs.size.toLong }.toMap,
       s"seed $seed: occupancy view diverged from the replay")
+
+    // ---- bucketed twin (round-15): the SAME waves through
+    // ivfPolicyStreamBucketed must match the SAME replay — policy log,
+    // final structure, stored assignments, and the occupancy view
+    val tag = root.split('/').last.replaceAll("[^a-zA-Z0-9]", "_")
+    val (vt, vv) = (s"ivfpb_${tag}_vecs", s"ivfpb_${tag}_vers")
+    try {
+      val bstream = spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
+      StreamingIngest.ivfPolicyStreamBucketed(bstream, vt, vv, root + "/bckpt",
+        initCents.toDF("vec_id", "embedding"),
+        root + "/bcents", root + "/bfit", root + "/bgauge", ThresholdBp,
+        centroidPolicy = df => df.orderBy(col("vec_id")).limit(2)
+          .select(col("vec_id"), col("embedding")),
+        buckets = 4)
+      val bLog = StreamingIngest.ivfPolicyLog(spark, root + "/bgauge")
+        .orderBy(col("wave")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+      assert(bLog == expectedLog.toSeq,
+        s"seed $seed: BUCKETED policy log diverged\n engine: $bLog\n replay: ${expectedLog.toSeq}")
+      assert(spark.read.parquet(root + "/bcents")
+        .select("vec_id").collect().map(_.getLong(0)).toSet == cents.map(_._1).toSet,
+        s"seed $seed: bucketed final structure diverged")
+      assert(StreamingIngest.resolvedIvfVectorsBucketed(spark, vt, vv)
+        .select(col("vec_id"), col("cell_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap == liveCell.toMap,
+        s"seed $seed: bucketed final stored assignments diverged")
+      assert(StreamingIngest.readOccView(spark, root + "/bgauge").get._1
+        == viewOcc, s"seed $seed: bucketed occupancy view diverged")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $vt")
+      spark.sql(s"DROP TABLE IF EXISTS $vv")
+    }
   }
 
   test("seeded random churn: the engine's policy log, structure, and assignments match an independent replay of the whole control loop") {
