@@ -588,16 +588,16 @@ object ExtensionQueries {
   // null-text arrivals shingle to nothing on both engines, so they have
   // no verdict row — their effect is pure retraction, visible in later
   // waves' n_corpus_hits.
-  private val dedupStreamRetractOracle: String = {
+  private def dedupStreamRetractOracleOver(rel: String): String = {
     val baseCte =
-      """(SELECT doc_id, text,
+      s"""(SELECT doc_id, text,
         |   ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 4 AS h4
-        | FROM documents)""".stripMargin
+        | FROM $rel __r)""".stripMargin
     val wave0 = incrementalDedupOracleOver(
-      s"SELECT doc_id, text, 'eval' AS split FROM documents",
+      s"SELECT doc_id, text, 'eval' AS split FROM $rel __r0",
       selfExclude = true, waveCol = Some(0))
     val wave1 = incrementalDedupOracleOver(
-      s"""SELECT doc_id, text, 'train' AS split FROM documents
+      s"""SELECT doc_id, text, 'train' AS split FROM $rel __r1
          |  UNION ALL
          |  SELECT doc_id,
          |    CASE WHEN h4 = 1 THEN text || ' ' || text ELSE text || ' alpha' END AS text,
@@ -628,6 +628,9 @@ object ExtensionQueries {
        |) w2
        |) u ORDER BY wave, doc_id""".stripMargin
   }
+
+  private val dedupStreamRetractOracle: String =
+    dedupStreamRetractOracleOver("documents")
 
   // Shared x121/x124 machinery (round-13 review): the two entries differ
   // ONLY in the per-group trim the fold keeps — 10 for the bounded fold
@@ -6396,6 +6399,74 @@ object ExtensionQueries {
           lit(if (0L >= floor) 1L else 0L).as("chars"),
           lit(exchanges).as("exchanges"))
         arm("s1", 1L).unionByName(arm("s2", 2L)).unionByName(floorRow)
+      }),
+
+    Q("x146_fused_probe_exchanges",
+      "The fused production loop's PER-BATCH probe-resolve plan under the hash gate " +
+        "(round-15): x143/x145 pin the one-shot serving and as-of resolves at zero " +
+        "exchanges, but the cost the bucketed layout removes from a CONTINUOUS " +
+        "ingest is the resolve every micro-batch pays to probe the live index — " +
+        "bandIndexUpsertDedupStreamBucketed now records that plan's " +
+        "shuffle-exchange count per batch into a stamped side log " +
+        "(fusedUpsertStreamBucketed's probePlanDir; the x143 idiom applied to the " +
+        "recurring plan), and this query hash-checks the whole per-wave series " +
+        "against the oracle's literal 0 alongside the wave's verdict rollup. " +
+        "Script: the shared x117 update waves on an independent-salt 1/8 corpus " +
+        "slice (the x127 knob — the portable-md5 signer is the cost driver) through " +
+        "the fused bucketed loop; output per wave = (n_verdicts, n_keep, " +
+        "probe_exchanges). Oracle = the x125 closed-form per-wave verdict replay " +
+        "instantiated over the slice and aggregated, with probe_exchanges a " +
+        "literal 0 — a plan regression that re-introduces a shuffle into the " +
+        "recurring probe read now moves a hashed column, not just a spec.",
+      Some("""SELECT wave, CAST(count(*) AS BIGINT) AS n_verdicts,
+             |       CAST(sum(keep) AS BIGINT) AS n_keep,
+             |       CAST(0 AS BIGINT) AS probe_exchanges
+             |FROM (""".stripMargin +
+        dedupStreamRetractOracleOver(
+          """(SELECT doc_id, text FROM documents
+            |   WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'x146'),1,15))::BIGINT % 8 = 0)""".stripMargin) +
+        "\n) v GROUP BY wave ORDER BY wave"),
+      (s, d) => {
+        val slice = Tables.documents(s, d)
+          .filter(pmod(TextDedup.portableHashBuiltin(
+            col("doc_id").cast("string"), "x146"), lit(8L)) === 0)
+          .withColumn("h4", pmod(TextDedup.portableHashBuiltin(
+            col("doc_id").cast("string"), ""), lit(4L)))
+          .select(col("doc_id"), col("text"), col("h4"))
+          .localCheckpoint(false) // one corpus pass feeds all three waves
+        def w(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), col("text"))
+        val root = scratchTempDir("graft-x146-fusedprobe")
+        writeStreamWave(root, 0, w(slice))
+        writeStreamWave(root, 1,
+          w(slice.filter(col("h4") === 1)
+              .withColumn("text", concat(col("text"), lit(" "), col("text"))))
+            .unionByName(w(slice.filter(col("h4") === 3)
+              .withColumn("text", concat(col("text"), lit(" alpha"))))))
+        writeStreamWave(root, 2,
+          w(slice.filter(col("h4") === 2)
+              .withColumn("text", lit(null).cast("string")))
+            .unionByName(w(slice.filter(col("h4") === 3))))
+        val stream = s.readStream
+          .schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(root + "/src/*")
+        val tag = root.split('/').last.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.streaming.StreamingIngest.bandIndexUpsertDedupStreamBucketed(stream,
+          s"x146_bands_$tag", s"x146_vers_$tag", root + "/verdicts", root + "/ckpt",
+          buckets = sessionBuckets(s),
+          signer = df => TextDedup.minhashSignaturesPortable(df),
+          probePlanDir = Some(root + "/probeplan"))
+        val verd = s.read.parquet(root + "/verdicts")
+          .select(col("ingest_seq").as("wave"), col("keep"))
+          .groupBy(col("wave"))
+          .agg(count(lit(1)).as("n_verdicts"),
+            sum(col("keep").cast("long")).as("n_keep"))
+        val probes = s.read.parquet(root + "/probeplan")
+          .select(col("ingest_seq").as("wave"), col("probe_exchanges"))
+        verd.join(probes, Seq("wave"))
+          .select(col("wave"), col("n_verdicts"), col("n_keep"),
+            col("probe_exchanges"))
       }),
 
     Q("x137_int8_knn",

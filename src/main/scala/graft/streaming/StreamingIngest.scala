@@ -1703,19 +1703,35 @@ object StreamingIngest {
     * key-joined back, so a bucketed layout would buy it nothing.
     * `perBatch(resolvedBatch, liveBefore)` returns (side rows,
     * data-log rows); `liveBefore` is None on the first batch.
+    * `probePlanDir`, when set, records ONE row per batch — the probe
+    * resolve's shuffle-exchange count — into a stamped side log, so
+    * the no-shuffle property of the loop's recurring read can sit
+    * under the correctness gate itself (the x143 idiom applied to the
+    * FUSED per-batch plan; x146 hash-pins it to 0). A batch with no
+    * prior index records 0 (vacuously shuffle-free).
     */
   private def fusedUpsertStreamBucketed(docs: DataFrame, dataTable: String,
       versionsTable: String, sideDir: String, checkpointDir: String,
       idCol: String, buckets: Int, maxFiles: Int,
-      perBatch: (DataFrame, Option[DataFrame]) => (DataFrame, DataFrame)): StreamingQuery = {
+      perBatch: (DataFrame, Option[DataFrame]) => (DataFrame, DataFrame),
+      probePlanDir: Option[String] = None): StreamingQuery = {
     import graft.pipeline.{Bucketing, Ingest}
     val q = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val b = resolveBatchVersions(batch.toDF(), idCol)
-        val (sideRows, dataRows) =
-          perBatch(b, liveRowsBeforeBucketed(spark, dataTable, versionsTable, idCol, batchId))
+        val live = liveRowsBeforeBucketed(spark, dataTable, versionsTable, idCol, batchId)
+        probePlanDir.foreach { dir =>
+          if (!landedSeq(spark, dir, batchId)) {
+            import spark.implicits._
+            Ingest.appendWithSeq(
+              Seq(live.map(Bucketing.countExchanges).getOrElse(0).toLong)
+                .toDF("probe_exchanges"),
+              dir, batchId)
+          }
+        }
+        val (sideRows, dataRows) = perBatch(b, live)
         if (!landedSeq(spark, sideDir, batchId))
           Ingest.appendWithSeq(sideRows, sideDir, batchId)
         if (!Bucketing.landedSeqBucketed(spark, versionsTable, batchId))
@@ -1742,7 +1758,8 @@ object StreamingIngest {
       idCol: String = "doc_id", buckets: Int = 32, maxFiles: Int = 64,
       signer: DataFrame => DataFrame = graft.ext.TextDedup.minhashSignatures(_),
       threshold: Double = 0.5,
-      maxBucket: Int = graft.ext.TextDedup.DefaultMaxBucket): StreamingQuery = {
+      maxBucket: Int = graft.ext.TextDedup.DefaultMaxBucket,
+      probePlanDir: Option[String] = None): StreamingQuery = {
     import graft.ext.TextDedup
     fusedUpsertStreamBucketed(docs, bandsTable, versionsTable, verdictsDir,
       checkpointDir, idCol, buckets, maxFiles, { (b, liveOpt) =>
@@ -1753,7 +1770,7 @@ object StreamingIngest {
         (TextDedup.incrementalDedupBanded(live, sigs, threshold, maxBucket,
           excludeSelf = true),
           TextDedup.signatureBands(sigs))
-      })
+      }, probePlanDir)
   }
 
   /** [[embIndexUpsertDedupStream]] on the bucketed layout (semantics

@@ -260,8 +260,10 @@ object ScaleSmoke {
     // round-15: x140's gauge is now the O(batch) standing-view update
     // (the comment above predates the r14-verdict-item-5 migration);
     // x145 is x141's floor-compaction profile on the bucketed layout —
-    // the as-of arms are the shuffle-free bucket-local join.
-    "x145_bucketed_asof_floor")
+    // the as-of arms are the shuffle-free bucket-local join. x146 is
+    // the x125 fusion on a 1/8 slice with the per-batch probe plan
+    // recorded — the exchange series itself is the measured object.
+    "x145_bucketed_asof_floor", "x146_fused_probe_exchanges")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
