@@ -614,6 +614,53 @@ object TextStats {
     * placement depends on every bin's remaining room), which is why
     * production packers use exactly this prefix-sum relaxation.
     */
+  /** GLOBAL concat-and-chunk packing (round-15): the dominant
+    * pretraining batching strategy — concatenate the whole corpus into
+    * ONE deterministic token stream (ordered by (source, doc_id)) and
+    * split it at exact `budget`-token boundaries, documents spanning
+    * chunk boundaries allowed. Per doc: the chunk containing its first
+    * token, the chunk containing its last, and thereby whether it
+    * spans a boundary — the accounting a packing pipeline needs to
+    * size attention-mask segments and measure boundary fragmentation.
+    * [[packBins]] is the per-GROUP variant (independent streams per
+    * source); this is the single-stream global form.
+    *
+    * Scale shape: the naive formulation is one GLOBAL window cumsum —
+    * a single-partition sort of the corpus, the exact anti-pattern at
+    * 100 TB. This computes the same numbers with a TWO-LEVEL cumsum:
+    * per-source token subtotals roll up map-side to a sources-sized
+    * frame whose running offsets are a |sources|-row window (the x135
+    * pattern), broadcast back; the per-doc cumsum then rides ONE
+    * source-keyed shuffle (each source's docs sort within their own
+    * partition). Bit-identical to the global window — integer token
+    * counts, DIV arithmetic, unique (source, doc_id) order — which is
+    * exactly what the DuckDB oracle computes with the naive global
+    * form (x147).
+    */
+  def concatChunkPack(docs: DataFrame, budget: Int,
+      sourceCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), col(sourceCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .localCheckpoint(false) // one tokenize pass feeds offsets AND the per-doc cumsum
+    val wSrc = Window.orderBy(col(sourceCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy(col(sourceCol))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("src_offset", coalesce(sum(col("src_tokens")).over(wSrc), lit(0L)))
+      .select(col(sourceCol), col("src_offset"))
+    val wDoc = Window.partitionBy(col(sourceCol)).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(broadcast(offsets), Seq(sourceCol))
+      .withColumn("cum_prev",
+        col("src_offset") + coalesce(sum(col("n_tokens")).over(wDoc), lit(0L)))
+      .withColumn("first_chunk", expr(s"cum_prev DIV $budget"))
+      .withColumn("last_chunk", expr(s"(cum_prev + n_tokens - 1) DIV $budget"))
+      .select(col(idCol), col(sourceCol), col("n_tokens"),
+        col("first_chunk"), col("last_chunk"))
+  }
+
   def packBins(docs: DataFrame, groupCol: String, budget: Int,
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -6469,6 +6469,47 @@ object ExtensionQueries {
             col("probe_exchanges"))
       }),
 
+    Q("x147_concat_chunk_pack",
+      "GLOBAL concat-and-chunk sequence packing (round-15) — the dominant " +
+        "pretraining batching strategy: the whole corpus concatenated into ONE " +
+        "deterministic token stream (ordered by (source, doc_id)) and split at " +
+        "exact 512-token boundaries, docs spanning boundaries allowed " +
+        "(TextStats.concatChunkPack; x82/packBins cover the per-group and " +
+        "padded-bucket variants — this is the single-stream form with the " +
+        "boundary-spanning accounting an attention-mask/segmenting pipeline " +
+        "needs). THE SCALE POINT: the naive form is one GLOBAL window cumsum — a " +
+        "single-partition sort of the corpus, the canonical 100 TB anti-pattern — " +
+        "while the engine computes the same numbers with a TWO-LEVEL cumsum " +
+        "(per-source subtotals -> |sources|-row running offsets, broadcast back; " +
+        "per-doc cumsum rides ONE source-keyed shuffle). The ORACLE runs the naive " +
+        "global window, so the hash check IS the proof that the decomposed " +
+        "dataflow equals the sequential semantics bit-for-bit (integer tokens, DIV " +
+        "chunk ids, unique order — no float anywhere). Output: per-source packing " +
+        "rollup — docs, tokens, first/last chunk touched, and the count of " +
+        "boundary-spanning docs (the fragmentation metric).",
+      Some("""WITH t AS (SELECT doc_id, source,
+             |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |     FROM documents),
+             |c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (ORDER BY source, doc_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+             |      FROM t)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             |       CAST(MIN(cum_prev // 512) AS BIGINT) AS first_chunk,
+             |       CAST(MAX((cum_prev + n_tokens - 1) // 512) AS BIGINT) AS last_chunk,
+             |       CAST(SUM(CASE WHEN (cum_prev + n_tokens - 1) // 512 > cum_prev // 512
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+             |FROM c GROUP BY source ORDER BY source""".stripMargin),
+      (s, d) => TextStats.concatChunkPack(Tables.documents(s, d), 512)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          min(col("first_chunk")).as("first_chunk"),
+          max(col("last_chunk")).as("last_chunk"),
+          sum((col("last_chunk") > col("first_chunk")).cast("long")).as("n_spanning"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("first_chunk"), col("last_chunk"), col("n_spanning"))),
+
     Q("x137_int8_knn",
       "KNN served off INT8-QUANTIZED vectors with the retrieval quality pinned against " +
         "fp truth (round-13) — the production serving format (x37 quantizes, this " +

@@ -263,7 +263,11 @@ object ScaleSmoke {
     // the as-of arms are the shuffle-free bucket-local join. x146 is
     // the x125 fusion on a 1/8 slice with the per-batch probe plan
     // recorded — the exchange series itself is the measured object.
-    "x145_bucketed_asof_floor", "x146_fused_probe_exchanges")
+    "x145_bucketed_asof_floor", "x146_fused_probe_exchanges",
+    // x147 is one tokenize pass + a sources-sized offsets window + ONE
+    // source-keyed window shuffle — the two-level cumsum; the naive
+    // global-window form it replaces would single-partition the corpus
+    "x147_concat_chunk_pack")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -17,6 +17,47 @@ class ExtSpec extends SparkSuite {
     (3L, "the quick brown fox jumps over the lazy dog near the river bank", "en")  // exact dup of 0
   ).toDF("doc_id", "text", "lang")
 
+  test("concatChunkPack: two-level cumsum equals the sequential global stream; span bits exact") {
+    // hand-checkable stream at budget 10, two sources:
+    //   srcA: d1 (4 tok) d2 (8 tok)  -> offsets 0, 4
+    //   srcB: d3 (6 tok) d4 (2 tok)  -> offsets 12, 18
+    // chunk ids: d1 [0..3]->0/0; d2 [4..11]->0/1 SPANS; d3 [12..17]->1/1;
+    // d4 [18..19]->1/1
+    val df = Seq(
+      (1L, "srcA", "a b c d"),
+      (2L, "srcA", "a b c d e f g h"),
+      (3L, "srcB", "a b c d e f"),
+      (4L, "srcB", "a b")
+    ).toDF("doc_id", "source", "text")
+    val got = TextStats.concatChunkPack(df, 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      1L -> ((4L, 0L, 0L)), 2L -> ((8L, 0L, 1L)),
+      3L -> ((6L, 1L, 1L)), 4L -> ((2L, 1L, 1L))),
+      s"packing diverged from the hand stream: $got")
+    // the decomposed form equals a naive single-window global cumsum on
+    // a larger random-ish frame (the oracle's formulation)
+    val big = (1L to 200L).map(i => (i, s"src${i % 7}",
+      Seq.fill((i % 13 + 1).toInt)("w").mkString(" "))).toDF("doc_id", "source", "text")
+    val naive = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("source").asc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      big.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum_prev", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), expr("cum_prev DIV 32").as("f"),
+          expr("(cum_prev + n_tokens - 1) DIV 32").as("l"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val decomposed = TextStats.concatChunkPack(big, 32)
+      .select(col("doc_id"), col("first_chunk"), col("last_chunk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(decomposed == naive,
+      "two-level cumsum diverged from the sequential global window")
+  }
+
   test("exactGroups collapses exact duplicates") {
     val g = TextDedup.exactGroups(docs).collect()
     assert(g.length == 3)
