@@ -6510,6 +6510,49 @@ object ExtensionQueries {
         .select(col("source"), col("n_docs"), col("n_tokens"),
           col("first_chunk"), col("last_chunk"), col("n_spanning"))),
 
+    Q("x148_chunk_segment_histogram",
+      "The packed stream's PER-CHUNK view (round-15, x147's inverse): each " +
+        "512-token chunk of the concatenated corpus holds 1..k document SEGMENTS " +
+        "(docs are contiguous in the stream, so segments-in-chunk = docs " +
+        "overlapping it), and the distribution of k is the attention-mask " +
+        "fragmentation a packed-pretraining run actually trains under — chunks " +
+        "with many tiny segments waste attention span, chunks with one segment " +
+        "are the ideal. Engine: concatChunkPack's per-doc (first_chunk, " +
+        "last_chunk) exploded via sequence() into (chunk, doc) incidences (most " +
+        "docs span 1-2 chunks, so the explode is ~corpus-sized), per-chunk " +
+        "segment counts, then the histogram over k with the started-doc tally " +
+        "riding along. All integer arithmetic over the same two-level cumsum " +
+        "x147 proved against the sequential oracle. Output: (n_segments, " +
+        "n_chunks, n_docs_started) — model-sized. Oracle: the naive global-window " +
+        "cumsum with generate-series unnesting, aggregated identically.",
+      Some("""WITH t AS (SELECT doc_id, source,
+             |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |     FROM documents),
+             |c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (ORDER BY source, doc_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+             |      FROM t),
+             |seg AS (SELECT doc_id, CAST(cum_prev // 512 AS BIGINT) AS fc,
+             |               CAST((cum_prev + n_tokens - 1) // 512 AS BIGINT) AS lc FROM c),
+             |e AS (SELECT doc_id, fc, r.chunk_id
+             |      FROM seg, unnest(generate_series(seg.fc, seg.lc)) AS r(chunk_id)),
+             |p AS (SELECT chunk_id, count(*) AS n_segments,
+             |             SUM(CASE WHEN fc = chunk_id THEN 1 ELSE 0 END) AS n_started
+             |      FROM e GROUP BY chunk_id)
+             |SELECT CAST(n_segments AS BIGINT) AS n_segments,
+             |       CAST(count(*) AS BIGINT) AS n_chunks,
+             |       CAST(sum(n_started) AS BIGINT) AS n_docs_started
+             |FROM p GROUP BY n_segments ORDER BY n_segments""".stripMargin),
+      (s, d) => TextStats.concatChunkPack(Tables.documents(s, d), 512)
+        .select(col("first_chunk"),
+          explode(sequence(col("first_chunk"), col("last_chunk"))).as("chunk_id"))
+        .groupBy(col("chunk_id"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum((col("first_chunk") === col("chunk_id")).cast("long")).as("n_started"))
+        .groupBy(col("n_segments"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_started")).as("n_docs_started"))
+        .select(col("n_segments"), col("n_chunks"), col("n_docs_started"))),
+
     Q("x137_int8_knn",
       "KNN served off INT8-QUANTIZED vectors with the retrieval quality pinned against " +
         "fp truth (round-13) — the production serving format (x37 quantizes, this " +

@@ -267,7 +267,10 @@ object ScaleSmoke {
     // x147 is one tokenize pass + a sources-sized offsets window + ONE
     // source-keyed window shuffle — the two-level cumsum; the naive
     // global-window form it replaces would single-partition the corpus
-    "x147_concat_chunk_pack")
+    "x147_concat_chunk_pack",
+    // x148 adds one ~corpus-sized explode + two bounded aggregations on
+    // top of x147's dataflow; output stays model-sized (the histogram)
+    "x148_chunk_segment_histogram")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
