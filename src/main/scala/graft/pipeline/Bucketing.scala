@@ -19,12 +19,40 @@ object Bucketing {
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
 
-  /** Count shuffle exchanges in a plan — 0 for a co-located join. */
+  /** Count shuffle exchanges in a plan — 0 for a co-located join.
+    * SEES THROUGH AQE (round-15 self-review): `AdaptiveSparkPlanExec`
+    * is a LEAF node, so the naive collect over `executedPlan` returned
+    * 0 for ANY plan whenever adaptive execution was enabled — which is
+    * the Verify/Bench default, making the x143-class hash-pinned
+    * exchange counts vacuous (AqeProbe demonstrates: a plainly
+    * shuffling aggregate read (AdaptiveSparkPlanExec, 0) with AQE on
+    * and (WholeStageCodegenExec, 1) with it off). The fix recurses into
+    * the wrapper's `inputPlan` — the initial physical plan AFTER
+    * EnsureRequirements placed every exchange. That is the
+    * CONSERVATIVE side for a zero-exchange gate: AQE's runtime
+    * re-planning can only remove exchanges (e.g. SMJ→BHJ), never add
+    * one, so inputPlan=0 implies final=0, while a plan that shuffles
+    * reads its true count whether or not AQE wraps it.
+    *
+    * Two AQE-internal wrinkles make the naive recursion read 0 anyway
+    * (AqeProbe pinned both): the wrapper's `inputPlan` field is the
+    * plan BEFORE EnsureRequirements (no exchanges placed yet), so the
+    * recursion targets its `executedPlan` — initially the
+    * exchange-ensured initial plan, later the evolving adaptive one —
+    * and in an already-executed adaptive plan every materialized
+    * shuffle appears as a `ShuffleQueryStageExec` LEAF (its exchange
+    * hidden under `.plan`), so query stages recurse too.
+    */
   def countExchanges(df: DataFrame): Int = {
-    val plan = df.queryExecution.executedPlan
-    plan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
-    }.size
+    def count(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          count(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          count(q.plan)
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
+      }.sum
+    count(df.queryExecution.executedPlan)
   }
 
   // ---- bucketed VERSIONED-LOG layout (round-14, r13 verdict item 5) ------

@@ -335,6 +335,27 @@ class BucketingSpec extends SparkSuite {
     }
   }
 
+  test("countExchanges sees through AQE (round-15 self-review): a shuffling plan reads its true count with adaptive on, pre- and post-execution") {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      // pre-execution: the adaptive wrapper's initial plan carries the
+      // ensured exchange — the naive leaf-stopping collect read 0 here,
+      // which made every hash-pinned exchange count vacuous under the
+      // Verify/Bench sessions (AQE is their default)
+      def agg() = spark.range(0, 10000, 1, 4)
+        .groupBy((col("id") % 97).as("k")).count()
+      assert(Bucketing.countExchanges(agg()) >= 1,
+        "a shuffling aggregate must count its exchange under AQE")
+      // post-execution: the materialized shuffle is a query-stage LEAF
+      val ran = agg(); ran.collect()
+      assert(Bucketing.countExchanges(ran) >= 1,
+        "an executed adaptive plan must still count its materialized shuffle stage")
+      // and a genuinely exchange-free plan still reads 0
+      assert(Bucketing.countExchanges(spark.range(10).select(col("id") + 1)) == 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("compactBucketed re-run after a crash between DROP and RENAME recovers, not destroys") {
     import graft.pipeline.Ingest
     try {
