@@ -232,6 +232,48 @@ class DocStoreAsOfSpec extends SparkSuite {
     }
   }
 
+  test("BUCKETED floor compaction is crash-safe in either swap order: cross-read of folded/unfolded table pairs serves exact as-of >= floor and the live read") {
+    import graft.pipeline.Bucketing
+    val tables = Seq("pbx_docs", "pbx_vers", "cbx_docs", "cbx_vers",
+      "cbx_vers_asof_floor")
+    try {
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val root = tempDir("graft-asof-floorcrash-b")
+      waves(root)
+      def runB(dt: String, vt: String, ckpt: String): Unit = {
+        val stream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
+        StreamingIngest.docStoreStreamBucketed(stream, dt, vt,
+          root + s"/$ckpt", buckets = 4, maxFiles = Int.MaxValue)
+        ()
+      }
+      // two identical pairs off the same waves (deterministic stamps),
+      // one then floor-folded — a mixed read of (folded, unfolded) IS
+      // the crash-partial state, no copying needed on the table layout
+      runB("pbx_docs", "pbx_vers", "ckpt-p")
+      runB("cbx_docs", "cbx_vers", "ckpt-c")
+      val twin1 = idText(Bucketing.resolvedBucketedAsOf(
+        spark, "pbx_docs", "pbx_vers", "doc_id", 1L))
+      val twin2 = idText(Bucketing.resolvedBucketedAsOf(
+        spark, "pbx_docs", "pbx_vers", "doc_id", 2L))
+      Bucketing.compactVersionedBucketedKeepAfter(
+        spark, "cbx_docs", "cbx_vers", "doc_id", 4, 1L)
+      for (((dt, vt), label) <- Seq(
+        ("cbx_docs", "pbx_vers") -> "data-first",
+        ("pbx_docs", "cbx_vers") -> "versions-first")) {
+        assert(idText(Bucketing.resolvedBucketedAsOf(
+            spark, dt, vt, "doc_id", 1L)) == twin1,
+          s"$label partial state broke bucketed as-of(floor)")
+        assert(idText(Bucketing.resolvedBucketedAsOf(
+            spark, dt, vt, "doc_id", 2L)) == twin2,
+          s"$label partial state broke bucketed as-of(floor+1)")
+        assert(idText(Bucketing.resolvedBucketed(
+            spark, dt, vt, "doc_id")) == twin2,
+          s"$label partial state broke the bucketed live read")
+      }
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("marker-first crash state: a recorded floor with the fold not yet landed refuses below-floor reads but answers them nowhere wrong") {
     val root = tempDir("graft-asof-floormarker")
     waves(root)
