@@ -299,7 +299,8 @@ object Bench {
     "x140_ivf_policy_loop", "x141_floor_compaction", "x142_ivm_contrast",
     "x143_bucketed_resolve", "x144_training_cut",
     // round-15 stream/wave queries
-    "x145_bucketed_asof_floor", "x146_fused_probe_exchanges")
+    "x145_bucketed_asof_floor", "x146_fused_probe_exchanges",
+    "x149_pack_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

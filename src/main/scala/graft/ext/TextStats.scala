@@ -635,11 +635,15 @@ object TextStats {
     * partition). Bit-identical to the global window — integer token
     * counts, DIV arithmetic, unique (source, doc_id) order — which is
     * exactly what the DuckDB oracle computes with the naive global
-    * form (x147).
+    * form (x147). `baseOffset` shifts the whole stream by a token
+    * count that precedes it — the streaming packer's watermark
+    * ([[graft.streaming.StreamingIngest.packStream]]): chunk ids are a
+    * pure function of (base, batch), so assignments are PREFIX-STABLE
+    * under arrival (x149's hash proof).
     */
   def concatChunkPack(docs: DataFrame, budget: Int,
       sourceCol: String = "source", idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", baseOffset: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol), col(sourceCol),
         size(split(col(textCol), " ")).cast("long").as("n_tokens"))
@@ -654,7 +658,8 @@ object TextStats {
       .rowsBetween(Window.unboundedPreceding, -1)
     toks.join(broadcast(offsets), Seq(sourceCol))
       .withColumn("cum_prev",
-        col("src_offset") + coalesce(sum(col("n_tokens")).over(wDoc), lit(0L)))
+        lit(baseOffset) + col("src_offset") +
+          coalesce(sum(col("n_tokens")).over(wDoc), lit(0L)))
       .withColumn("first_chunk", expr(s"cum_prev DIV $budget"))
       .withColumn("last_chunk", expr(s"(cum_prev + n_tokens - 1) DIV $budget"))
       .select(col(idCol), col(sourceCol), col("n_tokens"),

@@ -6553,6 +6553,64 @@ object ExtensionQueries {
           sum(col("n_started")).as("n_docs_started"))
         .select(col("n_segments"), col("n_chunks"), col("n_docs_started"))),
 
+    Q("x149_pack_stream",
+      "Packing as a CONTINUOUS ingest op (round-15, x147's streaming twin): " +
+        "streaming.packStream keeps one TOKEN-OFFSET WATERMARK (total tokens packed " +
+        "so far, derived replay-exactly from the landed rows stamped < batchId) and " +
+        "assigns each arriving batch chunk ids via the batch-local two-level cumsum " +
+        "shifted by that base. Concat-chunk assignment is a pure function of (tokens " +
+        "before me, my tokens), so it is PREFIX-STABLE: a doc's chunk ids never " +
+        "change once written, whatever arrives later — the packed log is write-once " +
+        "training data (updates/retractions belong upstream, in the versioned doc " +
+        "store). Script: the corpus arrives in three waves by an independent salt " +
+        "(md5%3); the oracle is the CLOSED-FORM x147 cumsum over the single " +
+        "concatenated ordering (wave, source, doc_id) — blind to batching, the " +
+        "watermark, and the stamped appends — so the hash proves stream-batch " +
+        "EQUIVALENCE: packing the corpus incrementally lands every doc in exactly " +
+        "the chunks one global batch pack would have chosen. Output: per-(wave, " +
+        "source) rollup with first/last chunk and the boundary-spanning count.",
+      Some("""WITH t AS (SELECT doc_id, source,
+             |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |       ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'x149'),1,15))::BIGINT % 3 AS wave
+             |     FROM documents),
+             |c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (ORDER BY wave, source, doc_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+             |      FROM t)
+             |SELECT wave, source, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             |       CAST(MIN(cum_prev // 512) AS BIGINT) AS first_chunk,
+             |       CAST(MAX((cum_prev + n_tokens - 1) // 512) AS BIGINT) AS last_chunk,
+             |       CAST(SUM(CASE WHEN (cum_prev + n_tokens - 1) // 512 > cum_prev // 512
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+             |FROM c GROUP BY wave, source ORDER BY wave, source""".stripMargin),
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .withColumn("wave", pmod(TextDedup.portableHashBuiltin(
+            col("doc_id").cast("string"), "x149"), lit(3L)))
+          .select(col("doc_id"), col("source"), col("text"), col("wave"))
+          .localCheckpoint(false) // one corpus pass feeds all three waves
+        val root = scratchTempDir("graft-x149-packstream")
+        (0 until 3).foreach { k =>
+          writeStreamWave(root, k,
+            base.filter(col("wave") === k.toLong).drop("wave"))
+        }
+        val stream = s.readStream
+          .schema("doc_id LONG, source STRING, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(root + "/src/*")
+        graft.streaming.StreamingIngest.packStream(stream,
+          root + "/pack", root + "/ckpt", 512)
+        s.read.parquet(root + "/pack")
+          .groupBy(col("ingest_seq").as("wave"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            min(col("first_chunk")).as("first_chunk"),
+            max(col("last_chunk")).as("last_chunk"),
+            sum((col("last_chunk") > col("first_chunk")).cast("long")).as("n_spanning"))
+          .select(col("wave"), col("source"), col("n_docs"), col("n_tokens"),
+            col("first_chunk"), col("last_chunk"), col("n_spanning"))
+      }),
+
     Q("x137_int8_knn",
       "KNN served off INT8-QUANTIZED vectors with the retrieval quality pinned against " +
         "fp truth (round-13) — the production serving format (x37 quantizes, this " +

@@ -2047,6 +2047,52 @@ object StreamingIngest {
     q
   }
 
+  /** Streaming GLOBAL concat-chunk packing (round-15, x149) — x147's
+    * packer as a CONTINUOUS ingest op: the standing state is one
+    * TOKEN-OFFSET WATERMARK (the total token count of everything
+    * packed so far), and each arriving batch is assigned chunk ids by
+    * the batch-local two-level cumsum shifted by that base
+    * ([[graft.ext.TextStats.concatChunkPack]]'s `baseOffset`). Because
+    * concat-chunk assignment is a pure function of (tokens before me,
+    * my tokens), the assignment is PREFIX-STABLE: a doc's chunk ids
+    * never change once written, no matter how much later data arrives
+    * — which is what makes the packed log WRITE-ONCE training data (a
+    * re-pack is a new log; updates/retractions belong UPSTREAM of
+    * packing, in the versioned doc store). Exactly-once: the append is
+    * landed-seq guarded, and the base is derived from the landed rows
+    * stamped `< batchId` — replay-exact by construction (the capped-
+    * read idiom). 100 TB posture: the base derivation is one map-side
+    * sum over the pack log per batch — the x139 delta-log read shape;
+    * the sum is an additive scalar, so a standing scalar view amortizes
+    * it to O(1) when the log outgrows the scan (same remedy, same
+    * trade).
+    */
+  def packStream(docs: DataFrame, packDir: String, checkpointDir: String,
+      budget: Int, sourceCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): StreamingQuery = {
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!landedSeq(spark, packDir, batchId)) {
+          val base =
+            if (!pathExists(spark, packDir)) 0L
+            else spark.read.parquet(packDir)
+              .filter(col("ingest_seq") < batchId)
+              .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+          graft.pipeline.Ingest.appendWithSeq(
+            graft.ext.TextStats.concatChunkPack(batch.toDF(), budget,
+              sourceCol, idCol, textCol, base),
+            packDir, batchId)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Intra-batch duplicate-version resolution shared by every
     * versioned-index loop: at most one version per id survives a batch,
     * chosen deterministically (min full-row xxhash64 — the
@@ -3129,7 +3175,7 @@ object StreamingIngest {
           // row the n_rows>0 read never surfaces
           val stamped =
             if (folded.isEmpty)
-              spark.range(1).select(folded.schema.fields.map { f =>
+              spark.range(1).select(folded.schema.fields.toIndexedSeq.map { f =>
                 if (f.name == "ingest_seq") lit(batchId).cast(f.dataType).as(f.name)
                 else if (f.name == "n_rows") lit(0L).cast(f.dataType).as(f.name)
                 else lit(null).cast(f.dataType).as(f.name)
@@ -3170,7 +3216,7 @@ object StreamingIngest {
     val mcols = log.columns.filterNot(groupCols.contains)
     log.groupBy(groupCols.map(col): _*)
       .agg(sum(col(mcols.head)).as(mcols.head),
-        mcols.tail.map(c => sum(col(c)).as(c)): _*)
+        mcols.tail.toIndexedSeq.map(c => sum(col(c)).as(c)): _*)
       .filter(col("n_rows") > 0)
   }
 
@@ -3198,13 +3244,13 @@ object StreamingIngest {
       val mcols = log.columns.filterNot(c => groupCols.contains(c) || c == "ingest_seq")
       val folded = log.groupBy(groupCols.map(col): _*)
         .agg(sum(col(mcols.head)).as(mcols.head),
-          mcols.tail.map(c => sum(col(c)).as(c)): _*)
+          mcols.tail.toIndexedSeq.map(c => sum(col(c)).as(c)): _*)
         .filter(col("n_rows") =!= 0)
         .withColumn("ingest_seq", lit(maxSeq))
         .localCheckpoint(false)
       val survivors =
         if (folded.isEmpty)
-          log.limit(1).select(log.schema.fields.map { f =>
+          log.limit(1).select(log.schema.fields.toIndexedSeq.map { f =>
             if (f.name == "ingest_seq") lit(maxSeq).cast(f.dataType).as(f.name)
             else if (groupCols.contains(f.name)) lit(null).cast(f.dataType).as(f.name)
             else lit(0).cast(f.dataType).as(f.name)

@@ -270,7 +270,10 @@ object ScaleSmoke {
     "x147_concat_chunk_pack",
     // x148 adds one ~corpus-sized explode + two bounded aggregations on
     // top of x147's dataflow; output stays model-sized (the histogram)
-    "x148_chunk_segment_histogram")
+    "x148_chunk_segment_histogram",
+    // x149 is x147 run incrementally: per wave one batch cumsum + one
+    // map-side sum over the pack log (the watermark read)
+    "x149_pack_stream")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

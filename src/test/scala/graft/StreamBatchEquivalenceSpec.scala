@@ -247,4 +247,53 @@ class StreamBatchEquivalenceSpec extends SparkSuite {
     assert(log.forall { case (a, b) => a % 7 != 0 && b % 7 != 0 },
       "stale tombstone-adjacent edges survived the per-batch compaction")
   }
+
+  test("packStream: prefix-stable chunk ids (late arrivals never move packed docs), stream equals global batch pack, replay is a no-op") {
+    import spark.implicits._
+    import graft.ext.TextStats
+    import graft.streaming.StreamingIngest
+    val root = tempDir("graft-packstream")
+    val mk = (rows: Seq[(Long, String, String)]) =>
+      rows.toDF("doc_id", "source", "text")
+    val w0 = mk(Seq((1L, "a", "x y z"), (2L, "a", "p q r s t"), (10L, "b", "u v")))
+    val w1 = mk(Seq((3L, "a", "h i j k"), (11L, "b", "m n o")))
+    val w2 = mk(Seq((4L, "a", "d e"), (12L, "b", "f g h i j k l")))
+    def stream() = spark.readStream
+      .schema("doc_id LONG, source STRING, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
+    def packed(): Map[Long, (Long, Long)] =
+      spark.read.parquet(root + "/pack").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("first_chunk"), r.getAs[Long]("last_chunk"))).toMap
+    writeWaveTo(root + "/src", 0, w0)
+    writeWaveTo(root + "/src", 1, w1)
+    StreamingIngest.packStream(stream(), root + "/pack", root + "/ckpt", 4)
+    val before = packed()
+    // a LATE wave through the SAME checkpoint: everything already packed
+    // must keep its chunk ids bit-for-bit (prefix stability)
+    writeWaveTo(root + "/src", 2, w2)
+    StreamingIngest.packStream(stream(), root + "/pack", root + "/ckpt", 4)
+    val after = packed()
+    assert(before.forall { case (id, span) => after(id) == span },
+      "a late arrival moved an already-packed doc's chunks")
+    // the streamed assignment equals ONE global batch pack over the
+    // concatenated arrival order (waves are disjoint by construction;
+    // within a wave the packer orders by (source, doc_id), so the
+    // global order is wave-major — reproduce it with a synthetic
+    // wave-major source key)
+    val allWaves = Seq(w0, w1, w2).zipWithIndex
+      .map { case (w, i) => w.withColumn("source",
+        concat(lit(s"$i/"), col("source"))) }
+      .reduce(_ unionByName _)
+    val batch = TextStats.concatChunkPack(allWaves, 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("first_chunk"), r.getAs[Long]("last_chunk"))).toMap
+    assert(after == batch,
+      s"streamed pack diverged from the global batch pack\n stream: $after\n batch: $batch")
+    // replay through a fresh checkpoint is a no-op (landed-seq guards)
+    StreamingIngest.packStream(stream(), root + "/pack", root + "/ckpt2", 4)
+    assert(packed() == after, "replay changed the packed log")
+    assert(spark.read.parquet(root + "/pack").count() == after.size,
+      "replay duplicated packed rows")
+  }
 }
