@@ -2059,13 +2059,15 @@ object StreamingIngest {
     * — which is what makes the packed log WRITE-ONCE training data (a
     * re-pack is a new log; updates/retractions belong UPSTREAM of
     * packing, in the versioned doc store). Exactly-once: the append is
-    * landed-seq guarded, and the base is derived from the landed rows
-    * stamped `< batchId` — replay-exact by construction (the capped-
-    * read idiom). 100 TB posture: the base derivation is one map-side
-    * sum over the pack log per batch — the x139 delta-log read shape;
-    * the sum is an additive scalar, so a standing scalar view amortizes
-    * it to O(1) when the log outgrows the scan (same remedy, same
-    * trade).
+    * landed-seq guarded, and the base ([[packWatermarkBefore]]) is
+    * view-backed O(1) on the fast path — total tokens are an additive
+    * scalar (the x139 class), maintained as a one-row standing view
+    * stamped with the last applied batch — with any staleness (first
+    * batch, crash between append and view write, deleted view) healing
+    * through the replay-exact capped sum over the landed rows stamped
+    * `< batchId`. 100 TB posture: the steady-state per-batch cost is
+    * O(batch) — one batch-local cumsum, one seq-pruned batch read, one
+    * tiny view swap; the log-wide sum is only ever the heal path.
     */
   def packStream(docs: DataFrame, packDir: String, checkpointDir: String,
       budget: Int, sourceCol: String = "source", idCol: String = "doc_id",
@@ -2074,16 +2076,22 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        if (!landedSeq(spark, packDir, batchId)) {
-          val base =
-            if (!pathExists(spark, packDir)) 0L
-            else spark.read.parquet(packDir)
-              .filter(col("ingest_seq") < batchId)
-              .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+        if (!landedSeq(spark, packDir, batchId))
           graft.pipeline.Ingest.appendWithSeq(
             graft.ext.TextStats.concatChunkPack(batch.toDF(), budget,
-              sourceCol, idCol, textCol, base),
+              sourceCol, idCol, textCol,
+              packWatermarkBefore(spark, packDir, batchId)),
             packDir, batchId)
+        // scalar-view maintenance OUTSIDE the landed guard (idempotent,
+        // seq-stamped): a replayed batch whose rows landed still
+        // advances the view, so the next batch keeps the O(1) fast path
+        val cur = readOffsetView(spark, packDir)
+        if (!cur.exists(_._2 >= batchId)) {
+          val batchTokens = spark.read.parquet(packDir)
+            .filter(col("ingest_seq") === batchId)
+            .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+          writeOffsetView(spark, packDir,
+            packWatermarkBefore(spark, packDir, batchId) + batchTokens, batchId)
         }
         ()
       }
@@ -2092,6 +2100,59 @@ object StreamingIngest {
     q.awaitTermination()
     q
   }
+
+  private def packOffsetViewDir(packDir: String): String =
+    packDir.stripSuffix("/") + "_offset_view"
+
+  private def readOffsetView(spark: SparkSession,
+      packDir: String): Option[(Long, Long)] = {
+    val dir = packOffsetViewDir(packDir)
+    if (!pathExists(spark, dir)) None
+    else spark.read.parquet(dir).collect().headOption
+      .map(r => (r.getAs[Long]("total_tokens"), r.getAs[Long]("off_seq")))
+  }
+
+  private def writeOffsetView(spark: SparkSession, packDir: String,
+      total: Long, seq: Long): Unit = {
+    import spark.implicits._
+    val df = Seq((total, seq)).toDF("total_tokens", "off_seq")
+    val dir = packOffsetViewDir(packDir)
+    if (pathExists(spark, dir)) swapRewrite(spark, dir, df)
+    else df.write.mode("overwrite").parquet(dir)
+  }
+
+  /** The pack log's token watermark BEFORE `batchId` — the total token
+    * count of every batch stamped strictly earlier. Fast path: the
+    * standing scalar view (one row; total tokens are an additive
+    * scalar, the x139 class) when it is stamped exactly at the
+    * previous batch; any staleness — first batch, a crash between the
+    * append and the view write, a view dir someone deleted — falls
+    * back to the replay-exact capped sum over the log and the next
+    * view write heals it. Public read at `batchId = Long.MaxValue` is
+    * the CURRENT watermark ([[packWatermark]]).
+    */
+  private def packWatermarkBefore(spark: SparkSession, packDir: String,
+      batchId: Long): Long =
+    readOffsetView(spark, packDir) match {
+      case Some((total, seq)) if seq == batchId - 1 => total
+      case _ =>
+        if (!pathExists(spark, packDir)) 0L
+        else spark.read.parquet(packDir)
+          .filter(col("ingest_seq") < batchId)
+          .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+    }
+
+  /** The packed stream's current token watermark — view-backed O(1)
+    * when fresh, log-derived otherwise.
+    */
+  def packWatermark(spark: SparkSession, packDir: String): Long =
+    readOffsetView(spark, packDir) match {
+      case Some((total, _)) => total
+      case None =>
+        if (!pathExists(spark, packDir)) 0L
+        else spark.read.parquet(packDir)
+          .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+    }
 
   /** Intra-batch duplicate-version resolution shared by every
     * versioned-index loop: at most one version per id survives a batch,

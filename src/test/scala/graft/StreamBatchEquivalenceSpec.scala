@@ -295,5 +295,26 @@ class StreamBatchEquivalenceSpec extends SparkSuite {
     assert(packed() == after, "replay changed the packed log")
     assert(spark.read.parquet(root + "/pack").count() == after.size,
       "replay duplicated packed rows")
+    // the scalar watermark view: reads the full-log token total, and a
+    // DELETED view (the worst staleness) heals — the watermark and a
+    // continued stream stay exact through the log-derived slow path
+    val logTotal = spark.read.parquet(root + "/pack")
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(StreamingIngest.packWatermark(spark, root + "/pack") == logTotal,
+      "view-backed watermark diverged from the log total")
+    val fs = new org.apache.hadoop.fs.Path(root + "/pack_offset_view")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root + "/pack_offset_view"), true)
+    assert(StreamingIngest.packWatermark(spark, root + "/pack") == logTotal,
+      "watermark must heal from the log when the view is gone")
+    writeWaveTo(root + "/src", 3, mk(Seq((5L, "a", "z z z z z"))))
+    StreamingIngest.packStream(stream(), root + "/pack", root + "/ckpt", 4)
+    val cont = packed()
+    assert(after.forall { case (id, span) => cont(id) == span },
+      "the post-heal continuation moved an already-packed doc")
+    assert(cont(5L) == (logTotal / 4, (logTotal + 5 - 1) / 4),
+      s"the post-heal arrival must pack at the healed watermark: ${cont(5L)}")
+    assert(StreamingIngest.packWatermark(spark, root + "/pack") == logTotal + 5,
+      "the view must be rebuilt by the continuation")
   }
 }
