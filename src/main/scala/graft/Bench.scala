@@ -204,6 +204,26 @@ object Bench {
     iters / sec / 1e6
   }
 
+  /** PROVISIONAL host-phase self-label off the memlat median (round-15,
+    * the r14 verdict item 3): across four same-field windows the
+    * pointer-chase latency tracks window class MONOTONICALLY — 111.7
+    * ns/hop on the fast-band baseline window, 121.1/121.6/123.3 on the
+    * mid-band pair + close row, 141.2 on the warm gate-clean close
+    * window — while turbo stays within ~1.5% (close to excluded, the
+    * bandwidth precedent) and membw is already excluded. The bands
+    * split the observed clusters at their midpoints: fast < 117,
+    * normal 117-130, hot > 130; "unknown" when no mid-run samples
+    * exist. SELF-LABELING only, never gated — the label lets a future
+    * cross-round comparison bucket rows by phase without re-deriving
+    * the audit chain, and the thresholds are re-fit as the dataset
+    * grows (BASELINE.md keeps the rows).
+    */
+  def phaseBand(memlatMedNs: Double): String =
+    if (memlatMedNs <= 0) "unknown"
+    else if (memlatMedNs < 117) "fast"
+    else if (memlatMedNs <= 130) "normal"
+    else "hot"
+
   /** Common-query subtotal ratio between two per-query timing maps:
     * cand-sum / ref-sum over the keys both carry with positive times
     * (failed queries land as -1.0 sentinels and must not poison the
@@ -618,6 +638,7 @@ object Bench {
       s""""membw_start_gbps":${fmt(membwStart)},"membw_end_gbps":${fmt(membwEnd)},""" +
       s""""membw_med_gbps":${fmt(medianOf(membwSamples.toSeq))},""" +
       s""""memlat_med_ns":${fmt(medianOf(memlatSamples.toSeq))},""" +
+      s""""phase_band":"${phaseBand(medianOf(memlatSamples.toSeq))}",""" +
       s""""turbo_med_mops":${fmt(medianOf(turboSamples.toSeq))},""" +
       s""""window_clean":$windowClean,"adj_value_lower_bound":${fmt(total / hostFactor)},""" +
       s""""subtotal_relational":${fmt(subtotalRelational)},""" +

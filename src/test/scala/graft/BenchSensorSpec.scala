@@ -86,6 +86,20 @@ class BenchSensorSpec extends AnyFunSuite {
       """"precheck_attempts":3,"precheck_enabled":true,"precheck_clean":true""")
   }
 
+  test("phaseBand: provisional memlat bands split the observed clusters; unknown on no samples (round-15, r14 verdict item 3)") {
+    // the four recorded rows classify onto their documented bands
+    assert(Bench.phaseBand(111.7) == "fast")
+    assert(Bench.phaseBand(121.1) == "normal")
+    assert(Bench.phaseBand(123.3) == "normal")
+    assert(Bench.phaseBand(141.2) == "hot")
+    // boundaries and the degenerate no-sample case
+    assert(Bench.phaseBand(116.9) == "fast")
+    assert(Bench.phaseBand(117.0) == "normal")
+    assert(Bench.phaseBand(130.0) == "normal")
+    assert(Bench.phaseBand(130.1) == "hot")
+    assert(Bench.phaseBand(0.0) == "unknown")
+  }
+
   test("memlat and turbo probes: sane readings, repeatable within an order of magnitude") {
     Bench.memlatProbeNs(); Bench.turboProbeMops() // JIT throwaways
     val l1 = Bench.memlatProbeNs(); val l2 = Bench.memlatProbeNs()
