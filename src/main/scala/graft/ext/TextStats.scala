@@ -645,8 +645,19 @@ object TextStats {
       sourceCol: String = "source", idCol: String = "doc_id",
       textCol: String = "text", baseOffset: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Null text fails LOUDLY (round-16 ADVICE): `size(split(null,' '))`
+    // is -1 (or null) depending on spark.sql.legacy.sizeOfNull, so a
+    // null-text arrival — the RETRACTION marker in the sibling doc-store
+    // streams — reaching this packer would silently shift cum_prev, the
+    // chunk ids of every later doc, and the token watermark. The
+    // docstring contract is "retractions belong upstream"; this enforces
+    // it in the plan (codegen raise_error, no row-wise driver check).
     val toks = docs.select(col(idCol), col(sourceCol),
-        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+        when(col(textCol).isNotNull, size(split(col(textCol), " ")))
+          .otherwise(raise_error(concat(
+            lit("concatChunkPack: null text for doc "), col(idCol).cast("string"),
+            lit(" — retractions belong upstream of the packer"))))
+          .cast("long").as("n_tokens"))
       .localCheckpoint(false) // one tokenize pass feeds offsets AND the per-doc cumsum
     val wSrc = Window.orderBy(col(sourceCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)

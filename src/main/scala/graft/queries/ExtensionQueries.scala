@@ -81,7 +81,12 @@ object ExtensionQueries {
     * made once per table for the cluster, not per corpus.
     */
   private def sessionBuckets(s: org.apache.spark.sql.SparkSession): Int =
-    s.conf.get("spark.sql.shuffle.partitions").toInt
+    // the conf value is not guaranteed numeric ("auto" on platforms with
+    // an adaptive-partitions shim, round-16 ADVICE); a bucket-count
+    // lookup must degrade to the session's actual width, not throw
+    // before the query runs
+    s.conf.get("spark.sql.shuffle.partitions").toIntOption
+      .getOrElse(s.sparkContext.defaultParallelism)
 
   private def docUpdateStreamFrame(s: org.apache.spark.sql.SparkSession,
       d: String, root: String): org.apache.spark.sql.DataFrame =

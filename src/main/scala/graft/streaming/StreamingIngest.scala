@@ -1234,7 +1234,22 @@ object StreamingIngest {
       val cur = readOccView(spark, vecsDir)
       if (cur.exists(_._2 >= batchId)) cur.get._1
       else {
-        val base = cur.map(_._1).getOrElse(Map.empty[Long, Long])
+        // Staleness heal (round-16, the r15 ADVICE medium): the one-batch
+        // delta is only valid against a base stamped EXACTLY batchId-1.
+        // A view lost in writeOccView's swap-rename crash window, a
+        // deleted _occ_view dir, or a resume of a pre-view stream (logs
+        // present, no view) would otherwise wedge the negative-count
+        // require() on every replay — or worse, gauge against a wrong
+        // base and fire/suppress refits silently. Any other stamp
+        // rebuilds the base from the batchId-capped full group-by (the
+        // packWatermarkBefore idiom: fast path when fresh, replay-exact
+        // recompute otherwise); the write below re-heals the view.
+        val base =
+          if (cur.exists(_._2 == batchId - 1)) cur.get._1
+          else liveRowsBefore(spark, vecsDir, versionsDir, idCol, batchId)
+            .map(_.groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+            .getOrElse(Map.empty[Long, Long])
         val old = liveRowsBefore(spark, vecsDir, versionsDir, idCol, batchId)
           .map(_.join(b.select(col(idCol)), Seq(idCol))
             .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
@@ -1385,7 +1400,15 @@ object StreamingIngest {
       val cur = readOccView(spark, gaugeDir)
       if (cur.exists(_._2 >= batchId)) cur.get._1
       else {
-        val base = cur.map(_._1).getOrElse(Map.empty[Long, Long])
+        // staleness heal — the flat loop's rationale verbatim (round-16
+        // ADVICE medium): any base not stamped exactly batchId-1 rebuilds
+        // from the capped full group-by instead of trusting a stale view
+        val base =
+          if (cur.exists(_._2 == batchId - 1)) cur.get._1
+          else liveRowsBeforeBucketed(spark, vecsTable, versionsTable, idCol, batchId)
+            .map(_.groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+            .getOrElse(Map.empty[Long, Long])
         val old = liveRowsBeforeBucketed(spark, vecsTable, versionsTable, idCol, batchId)
           .map(_.join(b.select(col(idCol)), Seq(idCol))
             .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))

@@ -58,6 +58,21 @@ class ExtSpec extends SparkSuite {
       "two-level cumsum diverged from the sequential global window")
   }
 
+  test("concatChunkPack: null text fails BY NAME instead of silently shifting every later chunk id (round-16 ADVICE)") {
+    val withNull = Seq(
+      (1L, "srcA", "a b c d"),
+      (2L, "srcA", null.asInstanceOf[String]),
+      (3L, "srcB", "a b")
+    ).toDF("doc_id", "source", "text")
+    val e = intercept[Exception] {
+      TextStats.concatChunkPack(withNull, 10).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("retractions belong upstream")),
+      s"null-text failure must carry the contract by name, got: ${messages(e)}")
+  }
+
   test("exactGroups collapses exact duplicates") {
     val g = TextDedup.exactGroups(docs).collect()
     assert(g.length == 3)

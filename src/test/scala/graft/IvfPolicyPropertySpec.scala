@@ -182,6 +182,129 @@ class IvfPolicyPropertySpec extends SparkSuite {
     Seq(5L, 23L, 404L).foreach(runSeed)
   }
 
+  // ---- occ-view staleness heal (round-16, the r15 ADVICE medium) --------
+  // The one-batch delta in updateOccView is only valid against a base
+  // stamped exactly batchId-1. A view lost in the swap-rename crash
+  // window, a deleted _occ_view dir, or a resume of a pre-view stream
+  // previously fed the delta an EMPTY/stale base: subtracting a
+  // re-embedded doc's old cell then wedged the negative-count require()
+  // on every replay. The heal rebuilds the base from the batchId-capped
+  // full group-by (the packWatermarkBefore idiom). These tests drive the
+  // real streams wave-by-wave (same checkpoint, AvailableNow) and
+  // vandalize the view between invocations.
+
+  private def rmrf(p: java.io.File): Unit = {
+    if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
+    p.delete(); ()
+  }
+
+  private def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+    dst.mkdirs()
+    Option(src.listFiles()).foreach(_.foreach { f =>
+      val t = new java.io.File(dst, f.getName)
+      if (f.isDirectory) copyDir(f, t)
+      else java.nio.file.Files.copy(f.toPath, t.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    })
+  }
+
+  test("occ-view heal: a deleted view dir and a stale-stamped view both rebuild from the capped resolve instead of wedging (round-16 ADVICE)") {
+    // two far-apart centroids so a re-embed provably MOVES cells: the
+    // old code's empty-base delta then drives that cell negative
+    val e1 = Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val e2 = Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)
+    def near(base: Array[Float], eps: Float): Array[Float] =
+      base.zipWithIndex.map { case (v, i) => if (i == 7) eps else v }
+    val initCents = Seq(100L -> e1, 101L -> e2)
+    val root = tempDir("graft-ivfpol-heal")
+    val viewDir = new java.io.File(
+      StreamingIngest.occViewDir(root + "/vecs"))
+    def runWaves(): Unit = {
+      val stream = spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
+      StreamingIngest.ivfPolicyStream(stream, root + "/vecs", root + "/versions",
+        root + "/ckpt", initCents.toDF("vec_id", "embedding"),
+        root + "/cents", root + "/fit", root + "/gauge", 9999L)
+    }
+    def truthOcc(): Map[Long, Long] =
+      StreamingIngest.resolvedIvfVectors(spark, root + "/vecs", root + "/versions")
+        .groupBy(col("cell_id")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // wave 0: docs 0-2 in cell 100's basin, doc 3 in 101's
+    writeWaveTo(root + "/src", 0, Seq(
+      0L -> near(e1, 0.01f), 1L -> near(e1, 0.02f),
+      2L -> near(e1, 0.03f), 3L -> near(e2, 0.01f))
+      .toDF("vec_id", "embedding"))
+    runWaves()
+    assert(StreamingIngest.readOccView(spark, root + "/vecs").get._1 == truthOcc())
+    // CASE 1 — view dir lost entirely (pre-view resume / deleted dir):
+    // wave 1 re-embeds doc 3 across the basin boundary; the old code's
+    // empty base went {cell(101): -1} and wedged
+    rmrf(viewDir)
+    writeWaveTo(root + "/src", 1, Seq(3L -> near(e1, 0.04f))
+      .toDF("vec_id", "embedding"))
+    runWaves()
+    val afterHeal = StreamingIngest.readOccView(spark, root + "/vecs").get
+    assert(afterHeal._1 == truthOcc(),
+      s"healed view diverged from the group-by truth: $afterHeal vs ${truthOcc()}")
+    assert(afterHeal._2 == 1L, "healed view must carry the healing batch's stamp")
+    // CASE 2 — STALE view (stamp older than batchId-1): restore a copy
+    // of the stamp-1 view after wave 2 lands, then wave 3 must refuse
+    // the one-batch delta against it and rebuild
+    val staleCopy = new java.io.File(root + "/view-stale-copy")
+    copyDir(viewDir, staleCopy)
+    writeWaveTo(root + "/src", 2, Seq(0L -> near(e2, 0.05f))
+      .toDF("vec_id", "embedding"))
+    runWaves() // view now stamped 2
+    rmrf(viewDir); copyDir(staleCopy, viewDir) // view stamped 1, next batch is 3
+    writeWaveTo(root + "/src", 3, Seq(1L -> near(e2, 0.06f))
+      .toDF("vec_id", "embedding"))
+    runWaves()
+    val afterStale = StreamingIngest.readOccView(spark, root + "/vecs").get
+    assert(afterStale._1 == truthOcc(),
+      s"stale-stamp heal diverged: $afterStale vs ${truthOcc()}")
+    assert(afterStale._2 == 3L)
+  }
+
+  test("occ-view heal: bucketed loop — deleted view dir rebuilds from the bucketed capped resolve (round-16 ADVICE)") {
+    val e1 = Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val e2 = Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)
+    def near(base: Array[Float], eps: Float): Array[Float] =
+      base.zipWithIndex.map { case (v, i) => if (i == 7) eps else v }
+    val initCents = Seq(100L -> e1, 101L -> e2)
+    val root = tempDir("graft-ivfpol-healb")
+    val tag = root.split('/').last.replaceAll("[^a-zA-Z0-9]", "_")
+    val (vt, vv) = (s"ivfheal_${tag}_vecs", s"ivfheal_${tag}_vers")
+    try {
+      def runWaves(): Unit = {
+        val stream = spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
+        StreamingIngest.ivfPolicyStreamBucketed(stream, vt, vv, root + "/ckpt",
+          initCents.toDF("vec_id", "embedding"),
+          root + "/cents", root + "/fit", root + "/gauge", 9999L, buckets = 4)
+      }
+      def truthOcc(): Map[Long, Long] =
+        StreamingIngest.resolvedIvfVectorsBucketed(spark, vt, vv)
+          .groupBy(col("cell_id")).count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      writeWaveTo(root + "/src", 0, Seq(
+        0L -> near(e1, 0.01f), 1L -> near(e2, 0.02f))
+        .toDF("vec_id", "embedding"))
+      runWaves()
+      rmrf(new java.io.File(StreamingIngest.occViewDir(root + "/gauge")))
+      writeWaveTo(root + "/src", 1, Seq(1L -> near(e1, 0.03f))
+        .toDF("vec_id", "embedding"))
+      runWaves()
+      val healed = StreamingIngest.readOccView(spark, root + "/gauge").get
+      assert(healed._1 == truthOcc(),
+        s"bucketed healed view diverged: $healed vs ${truthOcc()}")
+      assert(healed._2 == 1L)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $vt")
+      spark.sql(s"DROP TABLE IF EXISTS $vv")
+    }
+  }
+
   test("occupancyDriftBp: counts past 2^31 read exactly (round-15, r14 verdict item 2 — the Long fold wrapped here and could misfire the policy)") {
     // hand-computable case whose old Long numerator provably wrapped:
     // (3/4, 1/4) vs (1/4, 3/4) at 4e9 per side — num = 1.6e19 > 2^63.
