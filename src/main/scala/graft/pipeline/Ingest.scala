@@ -87,7 +87,7 @@ object Ingest {
     * shuffled bytes).
     */
   def appendBucketedWithSeq(df: DataFrame, table: String, bucketCol: String,
-      buckets: Int, seq: Long): Unit =
+      buckets: Int, seq: Long): Unit = {
     // repartition on the bucket column first: a bucketed write emits one
     // file per (task, bucket-with-data) pair, so an unpartitioned P-task
     // micro-batch appends up to P×buckets files per call and the table
@@ -95,11 +95,121 @@ object Ingest {
     // (the same murmur3-pmod placement bucketBy uses) caps each append
     // at exactly `buckets` files for the price of shuffling one
     // micro-batch — the batch, not the table history (round-4 review).
-    df.withColumn("ingest_seq", lit(seq))
+    val stamped = df.withColumn("ingest_seq", lit(seq))
+    if (!directBucketAppend(stamped, table, bucketCol, buckets))
+      stamped
+        .repartition(buckets, col(bucketCol))
+        .write.mode("append")
+        .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+        .saveAsTable(table)
+  }
+
+  /** The DIRECT bucket-file commit path for an append into an EXISTING
+    * bucketed table (round-16, r15 verdict item 1): the catalog insert
+    * command (`saveAsTable` append) pays command planning, bucket-spec
+    * revalidation, and a staged commit-protocol publish on every call —
+    * at micro-batch sizes that fixed cost was the attributed ~1.4-1.6×
+    * sf0.1 floor on every migrated index family (ProfileAppendFloor:
+    * the catalog round-trip is ~40% of a tiny append's wall). This
+    * path writes the SAME shuffled batch as plain parquet into a
+    * dot-prefixed staging dir INSIDE the table location (invisible to
+    * readers — `InMemoryFileIndex` prunes leading-dot names; same-FS by
+    * construction so the publish renames never copy, which matters on
+    * HDFS and is the difference between rename and object-copy on S3),
+    * then renames each staging file into the table dir with the
+    * bucket-suffixed name the bucketed reader parses, and refreshes the
+    * table's file listing.
+    *
+    * CORRECTNESS invariant — placement must equal `bucketBy`'s:
+    * `repartition(buckets, col)` places a row in partition
+    * `pmod(murmur3(col), buckets)`, the exact `partitionIdExpression`
+    * bucketing uses, so staging partition index == bucket id and the
+    * bucket-pruned point probe (SelectedBucketsCount) stays correct
+    * (BucketingSpec pins a direct-path probe against a full scan).
+    *
+    * Crash parity: a crash mid-renames leaves a PARTIAL stamped batch
+    * visible — the same exposure as the commit protocol's own
+    * non-atomic multi-file publish in the `saveAsTable` path (job
+    * commit renames file-by-file); the landed-seq guard treats either
+    * as landed. A crash before any rename leaves only the dot-staging
+    * dir, which readers never see and the next append sweeps.
+    *
+    * Falls back (returns false) when the table does not exist (the
+    * catalog round-trip is what CREATES the schema + bucket spec) or
+    * when the table's bucket spec / column layout does not match the
+    * caller's — drift must surface through the catalog path's named
+    * errors, not land as silently misplaced files.
+    */
+  private def directBucketAppend(stamped: DataFrame, table: String,
+      bucketCol: String, buckets: Int): Boolean = {
+    val spark = stamped.sparkSession
+    if (!spark.catalog.tableExists(table)) return false
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val specOk = meta.bucketSpec.exists(bs =>
+      bs.numBuckets == buckets && bs.bucketColumnNames == Seq(bucketCol))
+    val schemaOk = meta.schema.fieldNames.toSeq == stamped.schema.fieldNames.toSeq
+    if (!specOk || !schemaOk) return false
+    val loc = new Path(meta.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // sweep staging leftovers from a crashed prior append (appends on
+    // one table are serial by the landed-seq loop contract, so any
+    // .graft-append-* dir here is dead)
+    fs.globStatus(new Path(loc, ".graft-append-*")) match {
+      case null => ()
+      case stale => stale.foreach(s => fs.delete(s.getPath, true))
+    }
+    val staging = new Path(loc, s".graft-append-${java.util.UUID.randomUUID()}")
+    stamped
       .repartition(buckets, col(bucketCol))
-      .write.mode("append")
-      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-      .saveAsTable(table)
+      .sortWithinPartitions(col(bucketCol))
+      .write.mode("overwrite").parquet(staging.toString)
+    val uuid = java.util.UUID.randomUUID().toString
+    fs.listStatus(staging).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).foreach { p =>
+      val name = p.getName
+      val idx = name.substring(5, 10).toInt
+      // keep the staged file's codec extension (".snappy.parquet" at the
+      // session default) — only the bucket tag before it is load-bearing
+      val c0 = name.indexOf("-c000")
+      val tail = if (c0 >= 0) name.substring(c0 + "-c000".length) else ".parquet"
+      fs.rename(p, new Path(loc,
+        f"part-$idx%05d-$uuid%s_$idx%05d.c000$tail"))
+    }
+    fs.delete(staging, true)
+    spark.catalog.refreshTable(table)
+    true
+  }
+
+  /** Both logs of a bucketed versioned pair appended CONCURRENTLY —
+    * each side is its own landed-seq-guarded [[appendBucketedWithSeq]],
+    * submitted from its own thread so the two micro-batch jobs overlap
+    * on the scheduler (round-16, r15 verdict item 1: at sf0.1 wave
+    * sizes each append underutilizes the session and the serial form
+    * pays both fixed costs end-to-end — ProfileAppendFloor measured the
+    * concurrent submit alone worth ~2× on the append phase). Replay
+    * semantics are unchanged: the guards are per-table, a crash leaves
+    * at most one side landed exactly as the serial form could, and a
+    * replayed batch re-runs only the side that never landed. Sides are
+    * DISTINCT tables by contract (concurrent appends to one table are
+    * not serialized here).
+    */
+  def appendBucketedPairWithSeq(spark: SparkSession,
+      sides: Seq[(DataFrame, String)], bucketCol: String, buckets: Int,
+      seq: Long): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ts = sides.map { case (df, table) =>
+      val t = new Thread(() =>
+        try {
+          if (!Bucketing.landedSeqBucketed(spark, table, seq))
+            appendBucketedWithSeq(df, table, bucketCol, buckets, seq)
+        } catch { case e: Throwable => errs.add(e); () })
+      t.setName(s"graft-append-$table-$seq")
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    Option(errs.peek()).foreach(throw _)
+  }
 
   /** Shuffle-free compaction of an [[appendBucketedWithSeq]] table:
     * read (bucket-local tasks) → last-write-wins aggregate (no exchange,
