@@ -643,8 +643,29 @@ object TextStats {
     */
   def concatChunkPack(docs: DataFrame, budget: Int,
       sourceCol: String = "source", idCol: String = "doc_id",
-      textCol: String = "text", baseOffset: Long = 0L): DataFrame = {
+      textCol: String = "text", baseOffset: Long = 0L,
+      bands: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // THIRD cumsum level (round-16, r15 verdict item 2): the two-level
+    // form still ran each source's per-doc cumsum in ONE partition
+    // (Window.partitionBy(source)) — and a real pretraining corpus is a
+    // handful of sources with one giant one (CommonCrawl ≈ 80-90%), so
+    // the dominant source's docs all sorted on one task. Each source is
+    // therefore range-split into `bands` CONTIGUOUS doc_id intervals
+    // (band = (doc_id - min_id) DIV ceil(span / bands) — value-banded,
+    // monotone in doc_id, so band b's docs all precede band b+1's in
+    // the stream order); band subtotals roll up to a |sources × bands|
+    // frame whose running offsets ride a small window, exactly like the
+    // source subtotals one level up. The per-doc cumsum then partitions
+    // by (source, band): the 90%-one-source corpus sorts on `bands`
+    // tasks instead of one, and the pass scales with cores, not with
+    // the largest source (SCALING.md's skew row measures it). Integer
+    // token counts and contiguous banding make the decomposition
+    // bit-equal to the sequential global stream for ANY band count
+    // (ExtSpec pins bands ∈ {1, 3, session} against the naive window).
+    // `bands` <= 0 picks the session's default parallelism.
+    val nBands = if (bands > 0) bands
+      else math.max(1, docs.sparkSession.sparkContext.defaultParallelism)
     // Null text fails LOUDLY (round-16 ADVICE): `size(split(null,' '))`
     // is -1 (or null) depending on spark.sql.legacy.sizeOfNull, so a
     // null-text arrival — the RETRACTION marker in the sibling doc-store
@@ -661,15 +682,40 @@ object TextStats {
       .localCheckpoint(false) // one tokenize pass feeds offsets AND the per-doc cumsum
     val wSrc = Window.orderBy(col(sourceCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = toks.groupBy(col(sourceCol))
-      .agg(sum(col("n_tokens")).as("src_tokens"))
+    // per-source stats: token subtotal (level-1 offsets) + id range
+    // (level-3 banding) — one small aggregate feeds both
+    val srcStats = toks.groupBy(col(sourceCol))
+      .agg(sum(col("n_tokens")).as("src_tokens"),
+        min(col(idCol)).as("__min_id"), max(col(idCol)).as("__max_id"))
       .withColumn("src_offset", coalesce(sum(col("src_tokens")).over(wSrc), lit(0L)))
-      .select(col(sourceCol), col("src_offset"))
-    val wDoc = Window.partitionBy(col(sourceCol)).orderBy(col(idCol).asc)
+      .withColumn("__band_w", // ceil(span / nBands), >= 1 — integral DIV,
+        // double division would lose exactness on wide id ranges
+        expr(s"greatest(1L, (__max_id - __min_id + ${nBands}L) DIV ${nBands}L)"))
+      .select(col(sourceCol), col("src_offset"), col("__min_id"), col("__band_w"))
+    // banding is narrow arithmetic over the checkpointed toks — cheaper
+    // to recompute for the subtotal pass and the final pass than to
+    // materialize a second corpus copy
+    def banded = toks.join(broadcast(srcStats), Seq(sourceCol))
+      .withColumn("__band",
+        expr(s"($idCol - __min_id) DIV __band_w"))
+    // level 2: band subtotals → running offsets within each source
+    // (|sources × bands| rows — the partial aggregation collapses the
+    // corpus map-side before this tiny exchange)
+    val wBand = Window.partitionBy(col(sourceCol)).orderBy(col("__band").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    toks.join(broadcast(offsets), Seq(sourceCol))
+    val bandOffsets = banded.groupBy(col(sourceCol), col("__band"))
+      .agg(sum(col("n_tokens")).as("__band_tokens"))
+      .withColumn("band_offset",
+        coalesce(sum(col("__band_tokens")).over(wBand), lit(0L)))
+      .select(col(sourceCol), col("__band"), col("band_offset"))
+    // level 3: the per-doc cumsum rides (source, band) — the dominant
+    // source's sort spreads over `bands` tasks
+    val wDoc = Window.partitionBy(col(sourceCol), col("__band"))
+      .orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    banded.join(broadcast(bandOffsets), Seq(sourceCol, "__band"))
       .withColumn("cum_prev",
-        lit(baseOffset) + col("src_offset") +
+        lit(baseOffset) + col("src_offset") + col("band_offset") +
           coalesce(sum(col("n_tokens")).over(wDoc), lit(0L)))
       .withColumn("first_chunk", expr(s"cum_prev DIV $budget"))
       .withColumn("last_chunk", expr(s"(cum_prev + n_tokens - 1) DIV $budget"))

@@ -51,11 +51,41 @@ class ExtSpec extends SparkSuite {
           expr("(cum_prev + n_tokens - 1) DIV 32").as("l"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     }
-    val decomposed = TextStats.concatChunkPack(big, 32)
-      .select(col("doc_id"), col("first_chunk"), col("last_chunk"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(decomposed == naive,
-      "two-level cumsum diverged from the sequential global window")
+    // band-count invariance (round-16, r15 verdict item 2): the
+    // three-level decomposition must be bit-equal to the sequential
+    // global stream for ANY contiguous band count — 1 (the old
+    // two-level shape), a non-divisor, and the session default
+    Seq(0, 1, 3, 7).foreach { b =>
+      val decomposed = TextStats.concatChunkPack(big, 32, bands = b)
+        .select(col("doc_id"), col("first_chunk"), col("last_chunk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(decomposed == naive,
+        s"three-level cumsum (bands=$b) diverged from the sequential global window")
+    }
+    // sparse, clustered, negative-spread ids: value-banding must stay
+    // order-preserving and exact on ugly id distributions too
+    val sparse = Seq(
+      (-1000000L, "s0", "a b c"), (5L, "s0", "a b"), (6L, "s0", "a"),
+      (7000000000L, "s0", "a b c d"), (1L, "s1", "a b"), (2L, "s1", "a b c d e"))
+      .toDF("doc_id", "source", "text")
+    val sparseNaive = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("source").asc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      sparse.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum_prev", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), expr("cum_prev DIV 4").as("f"),
+          expr("(cum_prev + n_tokens - 1) DIV 4").as("l"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    Seq(1, 4).foreach { b =>
+      val got = TextStats.concatChunkPack(sparse, 4, bands = b)
+        .select(col("doc_id"), col("first_chunk"), col("last_chunk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == sparseNaive,
+        s"sparse-id banding (bands=$b) diverged: $got vs $sparseNaive")
+    }
   }
 
   test("concatChunkPack: null text fails BY NAME instead of silently shifting every later chunk id (round-16 ADVICE)") {
