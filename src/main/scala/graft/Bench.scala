@@ -220,9 +220,34 @@ object Bench {
     */
   def phaseBand(memlatMedNs: Double): String =
     if (memlatMedNs <= 0) "unknown"
-    else if (memlatMedNs < 117) "fast"
-    else if (memlatMedNs <= 130) "normal"
+    else if (memlatMedNs < PhaseBandFastMaxNs) "fast"
+    else if (memlatMedNs <= PhaseBandNormalMaxNs) "normal"
     else "hot"
+  /** The ONE definition site of the provisional band cut-points
+    * (round-16, r15 verdict item 6): cluster midpoints from the six
+    * same-field windows recorded in BASELINE.md's phase table
+    * (fast 111.7 / normal 121.1-126.7 / hot 141.2-145.1 ns). When the
+    * dataset grows enough to re-fit them, change THESE constants —
+    * BenchSensorSpec asserts the band table against them and BASELINE.md
+    * cites them by name, so the three can no longer drift apart.
+    */
+  val PhaseBandFastMaxNs: Double = 117.0
+  val PhaseBandNormalMaxNs: Double = 130.0
+
+  /** The precheck's advisory phase line (round-16, r15 verdict item 4):
+    * predict the window's band from a handful of memlat samples BEFORE
+    * the 6-minute run, so a hot-window attempt is visible at attempt
+    * time instead of post-hoc in the self-label. NEVER gating (the
+    * phase protocol: bands are recorded and labeled, not enforced) —
+    * the returned line is printed to stderr verbatim. Pure for
+    * BenchSensorSpec.
+    */
+  def precheckBandLine(memlatSamples: Seq[Double]): String = {
+    val med = if (memlatSamples.isEmpty) 0.0
+      else memlatSamples.sorted.apply(memlatSamples.size / 2)
+    f"[bench] precheck phase (advisory, never gating): memlat $med%.1f ns -> " +
+      s"predicted band ${phaseBand(med)}"
+  }
 
   /** Common-query subtotal ratio between two per-query timing maps:
     * cand-sum / ref-sum over the keys both carry with positive times
@@ -384,6 +409,10 @@ object Bench {
       catch { case _: Throwable => () }
       shuffleProbeSec(spark)
       scanProbeSec(spark, sfDir)
+      // advisory phase prediction BEFORE the run (round-16, r15 verdict
+      // item 4): a hot window is named at attempt time; never gates
+      memlatProbeNs() // JIT/page-touch throwaway
+      System.err.println(precheckBandLine((1 to 3).map(_ => memlatProbeNs())))
       while (!precheckClean && precheckAttempts < precheckTries) {
         precheckAttempts += 1
         val cpu = try {

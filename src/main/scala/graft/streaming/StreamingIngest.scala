@@ -878,7 +878,23 @@ object StreamingIngest {
     * path by default; pass the portable variant when an oracle reads
     * the index).
     */
-  def bandIndexUpsertStream(docs: DataFrame, bandsDir: String,
+  // ---- FLAT twins of the migrated index families: DEMOTED ---------------
+  // (round-16, r15 verdict item 3.) The heavy standing-index families —
+  // bands, vectors, CDC chunks, their fused dedup/novelty loops, and the
+  // IVF upsert/refit/policy lifecycle — run the BUCKETED layout in the
+  // registry (zero-exchange resolves, bucket-pruned probes, the scale
+  // path at 100 TB). Their flat parquet-dir twins below stay for the
+  // internal contrast suites and the flat-vs-bucketed property tests,
+  // but are `private[graft]`: a library user can no longer pick the
+  // O(two-exchanges-per-read) variant by accident. The DOCUMENTED flat
+  // escape hatch for non-catalog environments (no Spark table catalog,
+  // plain object-store dirs) is the doc-store/as-of family
+  // ([[docStoreStream]], [[resolvedDocs]], [[resolvedRowsAsOfChecked]])
+  // plus the flat BM25 pair ([[bm25IndexUpsertStream]] /
+  // [[resolvedPostings]]) — the same two-log versioned contract, kept
+  // public on the flat layout because an environment without a catalog
+  // cannot host the bucketed form at all.
+  private[graft] def bandIndexUpsertStream(docs: DataFrame, bandsDir: String,
       versionsDir: String, checkpointDir: String, idCol: String = "doc_id",
       maxBandFiles: Int = 64,
       signer: DataFrame => DataFrame = graft.ext.TextDedup.minhashSignatures(_)): StreamingQuery =
@@ -890,7 +906,7 @@ object StreamingIngest {
     * [[graft.ext.TextDedup.signatureBands]] layout, ready for
     * [[graft.ext.TextDedup.incrementalDedupBanded]]'s probe.
     */
-  def resolvedBands(spark: SparkSession, bandsDir: String,
+  private[graft] def resolvedBands(spark: SparkSession, bandsDir: String,
       versionsDir: String, idCol: String = "doc_id"): DataFrame =
     resolvedRows(spark, bandsDir, versionsDir, idCol)
       .select(col("band"), col("band_hash"), col(idCol), col("sig"))
@@ -911,7 +927,7 @@ object StreamingIngest {
     * exactly what [[graft.ext.Similarity.embeddingDedupVerdicts]]
     * probes.
     */
-  def embIndexUpsertStream(vectors: DataFrame, vecsDir: String,
+  private[graft] def embIndexUpsertStream(vectors: DataFrame, vecsDir: String,
       versionsDir: String, checkpointDir: String, idCol: String = "vec_id",
       maxVecFiles: Int = 64): StreamingQuery =
     versionedIndexStream(vectors, vecsDir, versionsDir, checkpointDir,
@@ -925,7 +941,7 @@ object StreamingIngest {
     * (idCol, bucket, embedding) rows — the standing-index frame
     * [[graft.ext.Similarity.embeddingDedupVerdicts]] probes.
     */
-  def resolvedVectors(spark: SparkSession, vecsDir: String,
+  private[graft] def resolvedVectors(spark: SparkSession, vecsDir: String,
       versionsDir: String, idCol: String = "vec_id"): DataFrame =
     resolvedRows(spark, vecsDir, versionsDir, idCol)
       .select(col(idCol), col("bucket"), col("embedding"))
@@ -949,7 +965,7 @@ object StreamingIngest {
     * candidate generation. `centroids` must be (vec_id, embedding),
     * pre-materialized by the caller (it is re-read every micro-batch).
     */
-  def ivfIndexUpsertStream(vectors: DataFrame, vecsDir: String,
+  private[graft] def ivfIndexUpsertStream(vectors: DataFrame, vecsDir: String,
       versionsDir: String, checkpointDir: String, centroids: DataFrame,
       idCol: String = "vec_id", maxVecFiles: Int = 64): StreamingQuery =
     versionedIndexStream(vectors, vecsDir, versionsDir, checkpointDir,
@@ -963,7 +979,7 @@ object StreamingIngest {
     * (idCol, cell_id, embedding) rows — exactly the inverted-file frame
     * [[graft.ext.Similarity.knnIvf]] accepts as `assignedOpt`.
     */
-  def resolvedIvfVectors(spark: SparkSession, vecsDir: String,
+  private[graft] def resolvedIvfVectors(spark: SparkSession, vecsDir: String,
       versionsDir: String, idCol: String = "vec_id"): DataFrame =
     resolvedRows(spark, vecsDir, versionsDir, idCol)
       .select(col(idCol), col("cell_id"), col("embedding"))
@@ -988,7 +1004,7 @@ object StreamingIngest {
     * assignment policy is a parameter, not hidden state. Precondition:
     * both logs exist (an index that has ingested at least one batch).
     */
-  def ivfRefitSwap(spark: SparkSession, vecsDir: String, versionsDir: String,
+  private[graft] def ivfRefitSwap(spark: SparkSession, vecsDir: String, versionsDir: String,
       centroidPolicy: DataFrame => DataFrame =
         graft.ext.Similarity.strideCentroids(_, 16),
       idCol: String = "vec_id"): DataFrame = {
@@ -1196,7 +1212,7 @@ object StreamingIngest {
     * view) and fires only when the gauge says the pin is no longer
     * serving the corpus that exists.
     */
-  def ivfPolicyStream(vectors: DataFrame, vecsDir: String,
+  private[graft] def ivfPolicyStream(vectors: DataFrame, vecsDir: String,
       versionsDir: String, checkpointDir: String,
       initialCentroids: DataFrame, centsDir: String, fitDir: String,
       gaugeDir: String, thresholdBp: Long = 3000L,
@@ -1500,7 +1516,7 @@ object StreamingIngest {
     * `chunker` defaults to the gear-hash fast path; pass the portable
     * [[graft.ext.TextDedup.cdcChunks]] when an oracle reads the index.
     */
-  def cdcIndexUpsertStream(docs: DataFrame, chunksDir: String,
+  private[graft] def cdcIndexUpsertStream(docs: DataFrame, chunksDir: String,
       versionsDir: String, checkpointDir: String, idCol: String = "doc_id",
       textCol: String = "text", maxChunkFiles: Int = 64,
       chunker: DataFrame => DataFrame = graft.ext.TextDedup.cdcChunksFast(_)): StreamingQuery =
@@ -1515,7 +1531,7 @@ object StreamingIngest {
     * read there, and its index-side distinct collapses the shared-chunk
     * multiplicity this layout carries for retraction's sake.
     */
-  def resolvedChunks(spark: SparkSession, chunksDir: String,
+  private[graft] def resolvedChunks(spark: SparkSession, chunksDir: String,
       versionsDir: String, idCol: String = "doc_id"): DataFrame =
     resolvedRows(spark, chunksDir, versionsDir, idCol)
       .select(col(idCol), col("h"))
@@ -1911,7 +1927,7 @@ object StreamingIngest {
     * join) + three stamped appends; compaction amortizes the resolve
     * back to O(live bands).
     */
-  def bandIndexUpsertDedupStream(docs: DataFrame, bandsDir: String,
+  private[graft] def bandIndexUpsertDedupStream(docs: DataFrame, bandsDir: String,
       versionsDir: String, verdictsDir: String, checkpointDir: String,
       idCol: String = "doc_id", maxBandFiles: Int = 64,
       signer: DataFrame => DataFrame = graft.ext.TextDedup.minhashSignatures(_),
@@ -1973,7 +1989,7 @@ object StreamingIngest {
     * amortizes the resolve back to O(live vectors). The verdict kernel
     * reads the id column as `vec_id`, so `idCol` must be "vec_id".
     */
-  def embIndexUpsertDedupStream(vectors: DataFrame, vecsDir: String,
+  private[graft] def embIndexUpsertDedupStream(vectors: DataFrame, vecsDir: String,
       versionsDir: String, verdictsDir: String, checkpointDir: String,
       idCol: String = "vec_id", maxVecFiles: Int = 64,
       threshold: Double = 0.9): StreamingQuery = {
@@ -2035,7 +2051,7 @@ object StreamingIngest {
     * `chunker` defaults to the gear-hash fast path; pass the portable
     * [[graft.ext.TextDedup.cdcChunks]] when an oracle replays the run.
     */
-  def cdcIndexUpsertNoveltyStream(docs: DataFrame, chunksDir: String,
+  private[graft] def cdcIndexUpsertNoveltyStream(docs: DataFrame, chunksDir: String,
       versionsDir: String, statsDir: String, checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text",
       maxChunkFiles: Int = 64,

@@ -98,6 +98,24 @@ class BenchSensorSpec extends AnyFunSuite {
     assert(Bench.phaseBand(130.0) == "normal")
     assert(Bench.phaseBand(130.1) == "hot")
     assert(Bench.phaseBand(0.0) == "unknown")
+    // single definition site (round-16, r15 verdict item 6): the band
+    // table must be expressed through the named constants, so a re-fit
+    // edits one place and this spec catches any drift
+    assert(Bench.phaseBand(Bench.PhaseBandFastMaxNs - 0.1) == "fast")
+    assert(Bench.phaseBand(Bench.PhaseBandFastMaxNs) == "normal")
+    assert(Bench.phaseBand(Bench.PhaseBandNormalMaxNs) == "normal")
+    assert(Bench.phaseBand(Bench.PhaseBandNormalMaxNs + 0.1) == "hot")
+  }
+
+  test("precheckBandLine: advisory phase prediction from precheck memlat samples — never a gate, names the band (round-16, r15 verdict item 4)") {
+    assert(Bench.precheckBandLine(Seq(110.0, 112.0, 111.0))
+      .contains("predicted band fast"))
+    assert(Bench.precheckBandLine(Seq(145.0, 141.0, 150.0))
+      .contains("predicted band hot"))
+    assert(Bench.precheckBandLine(Seq(122.0)).contains("predicted band normal"))
+    assert(Bench.precheckBandLine(Nil).contains("predicted band unknown"))
+    // the line is explicit that it is advisory
+    assert(Bench.precheckBandLine(Seq(122.0)).contains("never gating"))
   }
 
   test("memlat and turbo probes: sane readings, repeatable within an order of magnitude") {
