@@ -345,7 +345,9 @@ object Bench {
     "x143_bucketed_resolve", "x144_training_cut",
     // round-15 stream/wave queries
     "x145_bucketed_asof_floor", "x146_fused_probe_exchanges",
-    "x149_pack_stream")
+    "x149_pack_stream",
+    // round-16 stream/wave queries
+    "x150_cdc_gear_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -6616,6 +6616,80 @@ object ExtensionQueries {
             col("first_chunk"), col("last_chunk"), col("n_spanning"))
       }),
 
+    Q("x150_cdc_gear_stream",
+      "The PRODUCTION CDC chunker priced under the gate (round-16, r15 verdict " +
+        "item 5): x123/x127 deliberately run the portable md5 oracle-chunker — " +
+        "cross-engine hashable, but ~5x the gear-hash cdc_cuts path on the " +
+        "chunking stage (tools.CdcBench) — so the bench never priced the path " +
+        "production runs and the x123-class SCALING rows were omitted. This is " +
+        "x123's wave script (train arrives; h4==1 re-arrives with every 'e' " +
+        "replaced; h4==3 updates then reverts; h4==2 re-arrives null-text = total " +
+        "retraction) through cdcIndexUpsertStreamBucketed's DEFAULT chunker: the " +
+        "CdcCuts codegen expression (gear table + shift + add per position) with " +
+        "xxhash64 chunk ids. Gear hashes are engine-only, so the check is the " +
+        "x143/x146 idiom split two ways: the ENGINE proves stream-equals-batch — " +
+        "the streamed index's per-doc (count, bit_xor) chunk fingerprint must " +
+        "equal a one-shot batch chunking of the final live corpus, the agreement " +
+        "landing as a hash-checked literal 1 — while the ORACLE contributes the " +
+        "LIVE DOC LIST in closed form (split membership + the h4==2 retraction), " +
+        "so a doc wrongly retracted, resurrected, or stale changes the row set " +
+        "even though DuckDB never computes a gear hash. Output: (doc_id, " +
+        "stream_equals_batch) over the live train docs.",
+      Some("""SELECT doc_id, CAST(1 AS BIGINT) AS stream_equals_batch
+             |FROM (SELECT doc_id,
+             |        ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS hh
+             |      FROM documents) t
+             |WHERE hh % 100 < 80 AND hh % 4 != 2
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val h = TextDedup.portableHashBuiltin(col("doc_id").cast("string"), "")
+        val base = Tables.documents(s, d)
+          .withColumn("h4", pmod(h, lit(4L)))
+          .withColumn("split",
+            when(pmod(h, lit(100L)) < 80, "train").otherwise("eval"))
+          .localCheckpoint(false) // feeds all three waves + the batch recompute
+        val train = base.filter(col("split") === "train")
+        def wave(df: org.apache.spark.sql.DataFrame) = df.drop("h4", "split")
+        val root = scratchTempDir("graft-x150-cdcgear")
+        writeStreamWave(root, 0, wave(train))
+        writeStreamWave(root, 1,
+          wave(train.filter(col("h4") === 1)
+            .withColumn("text", translate(col("text"), "e", "#")))
+            .unionByName(wave(train.filter(col("h4") === 3)
+              .withColumn("text", concat(col("text"), lit(" alpha"))))))
+        writeStreamWave(root, 2,
+          wave(train.filter(col("h4") === 2)
+            .withColumn("text", lit(null).cast("string")))
+            .unionByName(wave(train.filter(col("h4") === 3))))
+        val stream = s.readStream
+          .schema(Tables.documents(s, d).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(root + "/src/*")
+        val tag = root.split('/').last.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.streaming.StreamingIngest.cdcIndexUpsertStreamBucketed(stream,
+          s"x150_chunks_$tag", s"x150_vers_$tag", root + "/ckpt",
+          buckets = sessionBuckets(s)) // default chunker = the gear fast path
+        val live = graft.streaming.StreamingIngest.resolvedChunksBucketed(
+          s, s"x150_chunks_$tag", s"x150_vers_$tag")
+        // the final live corpus in closed form (h4==3's latest version is
+        // the wave-2 revert = the original text)
+        val finalCorpus = train.filter(col("h4") =!= 2)
+          .withColumn("text", when(col("h4") === 1,
+            translate(col("text"), "e", "#")).otherwise(col("text")))
+          .drop("h4", "split")
+        val batch = TextDedup.cdcChunksFast(finalCorpus)
+          .select(col("doc_id"), col("h")).distinct()
+        def fprint(df: org.apache.spark.sql.DataFrame, n: String, f: String) =
+          df.groupBy(col("doc_id"))
+            .agg(count(lit(1)).as(n), expr("bit_xor(h)").as(f))
+        fprint(live, "sn", "sf")
+          .join(fprint(batch, "bn", "bf"), Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            (col("sn").isNotNull && col("bn").isNotNull &&
+              col("sn") === col("bn") && col("sf") === col("bf") &&
+              col("sn") > 0).cast("long").as("stream_equals_batch"))
+      }),
+
     Q("x137_int8_knn",
       "KNN served off INT8-QUANTIZED vectors with the retrieval quality pinned against " +
         "fp truth (round-13) — the production serving format (x37 quantizes, this " +

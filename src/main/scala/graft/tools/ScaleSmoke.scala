@@ -273,7 +273,12 @@ object ScaleSmoke {
     "x148_chunk_segment_histogram",
     // x149 is x147 run incrementally: per wave one batch cumsum + one
     // map-side sum over the pack log (the watermark read)
-    "x149_pack_stream")
+    "x149_pack_stream",
+    // round-16: x150 is x123's wave profile on the PRODUCTION gear
+    // chunker (CdcCuts codegen + xxhash64 ids) — the path whose ×100
+    // rows the md5 oracle-chunker caveat kept out of the table — plus
+    // one batch rechunk of the final corpus for the equivalence flag
+    "x150_cdc_gear_stream")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
