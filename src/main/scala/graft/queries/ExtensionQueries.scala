@@ -6690,6 +6690,58 @@ object ExtensionQueries {
               col("sn") > 0).cast("long").as("stream_equals_batch"))
       }),
 
+    Q("x151_pack_chunk_view",
+      "The packed stream's PER-CHUNK state as a STANDING VIEW (round-16, r15 " +
+        "verdict item 7 — ROADMAP's own candidate): x148 computes " +
+        "segments-per-chunk by re-packing the whole corpus; a serving read over a " +
+        "CONTINUOUS pack (x149) should not re-pack anything. packStream now " +
+        "maintains the per-chunk rollup incrementally (the x139 delta-log idiom, " +
+        "insert-only: each batch's packed rows explode into (chunk, segment) " +
+        "incidences and partially aggregate to an O(batch) delta; prefix-stable " +
+        "assignment means arrivals only ever ADD segments and only the frontier " +
+        "chunk spans batches), folded by the rollup compaction cadence and served " +
+        "as one group-keyed sum (packChunkView). Script: x149's three-wave " +
+        "arrival (independent md5%3 salt); the ORACLE is the x148 per-chunk SQL " +
+        "over the naive GLOBAL cumsum of the single concatenated (wave, source, " +
+        "doc_id) ordering — blind to waves, the watermark, the delta log, and " +
+        "compaction — so the hash proves the incrementally-maintained view equals " +
+        "the batch recompute chunk by chunk. Output: (chunk_id, n_segments, " +
+        "n_docs_started) for every chunk of the packed stream.",
+      Some("""WITH t AS (SELECT doc_id, source,
+             |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |       ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'x151'),1,15))::BIGINT % 3 AS wave
+             |     FROM documents),
+             |c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (ORDER BY wave, source, doc_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+             |      FROM t),
+             |seg AS (SELECT CAST(cum_prev // 512 AS BIGINT) AS fc,
+             |               CAST((cum_prev + n_tokens - 1) // 512 AS BIGINT) AS lc FROM c),
+             |e AS (SELECT fc, r.chunk_id
+             |      FROM seg, unnest(generate_series(seg.fc, seg.lc)) AS r(chunk_id))
+             |SELECT chunk_id, CAST(count(*) AS BIGINT) AS n_segments,
+             |       CAST(SUM(CASE WHEN fc = chunk_id THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_started
+             |FROM e GROUP BY chunk_id ORDER BY chunk_id""".stripMargin),
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .withColumn("wave", pmod(TextDedup.portableHashBuiltin(
+            col("doc_id").cast("string"), "x151"), lit(3L)))
+          .select(col("doc_id"), col("source"), col("text"), col("wave"))
+          .localCheckpoint(false) // one corpus pass feeds all three waves
+        val root = scratchTempDir("graft-x151-packchunkview")
+        (0 until 3).foreach { k =>
+          writeStreamWave(root, k,
+            base.filter(col("wave") === k.toLong).drop("wave"))
+        }
+        val stream = s.readStream
+          .schema("doc_id LONG, source STRING, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(root + "/src/*")
+        graft.streaming.StreamingIngest.packStream(stream,
+          root + "/pack", root + "/ckpt", 512,
+          chunkViewDir = Some(root + "/chunkview"))
+        graft.streaming.StreamingIngest.packChunkView(s, root + "/chunkview")
+      }),
+
     Q("x137_int8_knn",
       "KNN served off INT8-QUANTIZED vectors with the retrieval quality pinned against " +
         "fp truth (round-13) — the production serving format (x37 quantizes, this " +

@@ -2109,7 +2109,8 @@ object StreamingIngest {
     */
   def packStream(docs: DataFrame, packDir: String, checkpointDir: String,
       budget: Int, sourceCol: String = "source", idCol: String = "doc_id",
-      textCol: String = "text"): StreamingQuery = {
+      textCol: String = "text", chunkViewDir: Option[String] = None,
+      maxViewFiles: Int = 64): StreamingQuery = {
     val q = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -2131,6 +2132,41 @@ object StreamingIngest {
           writeOffsetView(spark, packDir,
             packWatermarkBefore(spark, packDir, batchId) + batchTokens, batchId)
         }
+        // PER-CHUNK serving state (round-16, r15 verdict item 7 —
+        // ROADMAP's own candidate): x148's per-chunk view as a STANDING
+        // additive rollup keyed by chunk_id, the x139 delta-log idiom.
+        // Per batch the delta is the batch's landed packed rows exploded
+        // into (chunk, doc-segment) incidences and partially aggregated
+        // — O(batch) work; prefix-stability means arrivals only ever ADD
+        // segments (insert-only deltas, no subtraction side), and only
+        // the frontier chunk is ever touched by more than one batch.
+        // The served view ([[packChunkView]]) is the group-keyed sum
+        // over the log, folded by the rollup compaction cadence.
+        chunkViewDir.foreach { cvDir =>
+          // replay guard by MAX seq, not exact match: deltas are
+          // insert-only and land in batch order, so "max stamp >=
+          // batchId" is exactly "this batch's delta landed" — and unlike
+          // the exact-match guard it survives the rollup fold's
+          // max-seq re-stamp, so even a fresh-checkpoint FULL replay
+          // after compaction stays a no-op (spec-pinned)
+          val landed = pathExists(spark, cvDir) &&
+            spark.read.parquet(cvDir).agg(max(col("ingest_seq")))
+              .head().getLong(0) >= batchId
+          if (!landed) {
+            val delta = spark.read.parquet(packDir)
+              .filter(col("ingest_seq") === batchId)
+              .select(col("first_chunk"),
+                explode(sequence(col("first_chunk"), col("last_chunk")))
+                  .as("chunk_id"))
+              .groupBy(col("chunk_id"))
+              .agg(count(lit(1)).as("n_rows"),
+                count(lit(1)).as("n_segments"),
+                sum((col("first_chunk") === col("chunk_id")).cast("long"))
+                  .as("n_docs_started"))
+            graft.pipeline.Ingest.appendWithSeq(delta, cvDir, batchId)
+          }
+          maybeCompactRollup(spark, cvDir, Seq("chunk_id"), maxViewFiles)
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -2138,6 +2174,17 @@ object StreamingIngest {
     q.awaitTermination()
     q
   }
+
+  /** Read side of [[packStream]]'s standing per-chunk view: for every
+    * chunk of the packed stream, how many document segments it holds
+    * and how many documents START in it — x148's fragmentation
+    * accounting served incrementally (one group-keyed sum over the
+    * delta log, never a corpus re-pack; x151 pins it against the batch
+    * recompute).
+    */
+  def packChunkView(spark: SparkSession, chunkViewDir: String): DataFrame =
+    resolvedRollup(spark, chunkViewDir, Seq("chunk_id"))
+      .select(col("chunk_id"), col("n_segments"), col("n_docs_started"))
 
   private def packOffsetViewDir(packDir: String): String =
     packDir.stripSuffix("/") + "_offset_view"

@@ -278,7 +278,10 @@ object ScaleSmoke {
     // chunker (CdcCuts codegen + xxhash64 ids) — the path whose ×100
     // rows the md5 oracle-chunker caveat kept out of the table — plus
     // one batch rechunk of the final corpus for the equivalence flag
-    "x150_cdc_gear_stream")
+    "x150_cdc_gear_stream",
+    // x151 is x149's dataflow plus one O(batch) chunk-incidence delta
+    // append per wave and a rollup-log sum at read
+    "x151_pack_chunk_view")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
