@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import org.apache.hadoop.fs.Path
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Bucketed (hash-clustered) table layout — the co-located-join tool for
@@ -90,17 +92,88 @@ object Bucketing {
     dangling
   }
 
+  /** Table location on the filesystem (managed tables move their dir on
+    * RENAME, so this is always read fresh, never cached).
+    */
+  private[graft] def tableLocation(spark: SparkSession, table: String): Path =
+    new Path(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+
+  private[graft] def tableFs(spark: SparkSession, loc: Path) =
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---- landed markers (round-16): exactly-once under partial publish ----
+  // Both append paths publish a batch as a non-atomic multi-file rename
+  // sequence, and the row-based landed check read a PARTIAL batch as
+  // landed — a driver crash mid-publish silently lost the batch's
+  // remaining rows on replay. The marker protocol closes it: a batch is
+  // landed iff the table's landed marker (an empty `_graft_landed_<seq>`
+  // file inside the table dir — underscore names are invisible to the
+  // reader's file listing) has reached its seq, and the marker is
+  // written strictly AFTER the batch's files. Batches land in order
+  // (the streaming loops are serial per table), so one MAX marker per
+  // table suffices — `advanceLandedMarker` deletes lower ones. A crash
+  // anywhere before the marker write leaves seq > marker, and the
+  // replay's scrub (`Ingest.directBucketAppend` deletes this seq's
+  // tagged partial files before re-publishing) makes the re-append
+  // exact, not additive.
+
+  private[graft] def landedMarkerSeq(spark: SparkSession, table: String): Option[Long] = {
+    val loc = tableLocation(spark, table)
+    val fs = tableFs(spark, loc)
+    Option(fs.globStatus(new Path(loc, "_graft_landed_*")))
+      .getOrElse(Array.empty)
+      .flatMap(s => s.getPath.getName.stripPrefix("_graft_landed_").toLongOption)
+      .reduceOption(_ max _)
+  }
+
+  private[graft] def advanceLandedMarker(spark: SparkSession, table: String, seq: Long): Unit = {
+    val loc = tableLocation(spark, table)
+    val fs = tableFs(spark, loc)
+    fs.create(new Path(loc, s"_graft_landed_$seq"), true).close()
+    Option(fs.globStatus(new Path(loc, "_graft_landed_*")))
+      .getOrElse(Array.empty)
+      .filter(_.getPath.getName.stripPrefix("_graft_landed_")
+        .toLongOption.exists(_ < seq))
+      .foreach(s => fs.delete(s.getPath, false))
+  }
+
+  /** Copy the landed marker into a sibling dir (the compaction rewrite's
+    * tmp table) so the replay guard survives the swap.
+    */
+  private[graft] def copyLandedMarker(spark: SparkSession, fromTable: String,
+      toTable: String): Unit = {
+    val from = tableLocation(spark, fromTable)
+    val to = tableLocation(spark, toTable)
+    val fs = tableFs(spark, from)
+    Option(fs.globStatus(new Path(from, "_graft_landed_*")))
+      .getOrElse(Array.empty)
+      .foreach(s => fs.create(new Path(to, s.getPath.getName), true).close())
+  }
+
   /** The landed-seq replay guard over a bucketed log table (the
     * [[graft.pipeline.Ingest.appendBucketedWithSeq]] writer keeps the
     * same stamp column as the flat logs). Heals the [[rewriteBucketed]]
     * crash window first — a dangling name must read as its tmp-side
     * history, not as an empty log (see [[healBucketedSwap]]).
+    *
+    * Marker-first (round-16): when the table carries a landed marker,
+    * "landed" is `marker >= seq` — strictly stronger than the row probe,
+    * because a crashed PARTIAL publish has rows with this stamp but no
+    * marker (the row probe would skip the replay and silently lose the
+    * batch's missing rows). The row probe remains only as the fallback
+    * for marker-less tables (pre-round-16 layouts).
     */
   def landedSeqBucketed(spark: SparkSession, table: String, seq: Long): Boolean = {
     healBucketedSwap(spark, table)
-    spark.catalog.tableExists(table) && spark.table(table)
-      .filter(org.apache.spark.sql.functions.col("ingest_seq") === seq)
-      .limit(1).count() > 0
+    spark.catalog.tableExists(table) && {
+      landedMarkerSeq(spark, table) match {
+        case Some(m) => m >= seq
+        case None => spark.table(table)
+          .filter(org.apache.spark.sql.functions.col("ingest_seq") === seq)
+          .limit(1).count() > 0
+      }
+    }
   }
 
   /** In-place bucketed rewrite keeping only `survivors` — the
@@ -125,6 +198,12 @@ object Bucketing {
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     survivors.write.mode("overwrite")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol).saveAsTable(tmp)
+    // the landed marker must survive the swap (round-16): markers ride
+    // inside the table dir, and losing one would degrade the replay
+    // guard back to the row probe exactly when compaction re-stamped
+    // nothing (copy BEFORE the drop — a crash in the swap window then
+    // heals into a marker-carrying table either way)
+    copyLandedMarker(spark, table, tmp)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }

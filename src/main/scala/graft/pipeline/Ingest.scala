@@ -96,12 +96,16 @@ object Ingest {
     // at exactly `buckets` files for the price of shuffling one
     // micro-batch — the batch, not the table history (round-4 review).
     val stamped = df.withColumn("ingest_seq", lit(seq))
-    if (!directBucketAppend(stamped, table, bucketCol, buckets))
+    if (!directBucketAppend(stamped, table, bucketCol, buckets, seq)) {
       stamped
         .repartition(buckets, col(bucketCol))
         .write.mode("append")
         .bucketBy(buckets, bucketCol).sortBy(bucketCol)
         .saveAsTable(table)
+      // catalog-path appends advance the marker too, so every table
+      // born through this function is marker-guarded from batch one
+      Bucketing.advanceLandedMarker(df.sparkSession, table, seq)
+    }
   }
 
   /** The DIRECT bucket-file commit path for an append into an EXISTING
@@ -127,12 +131,18 @@ object Ingest {
     * bucket-pruned point probe (SelectedBucketsCount) stays correct
     * (BucketingSpec pins a direct-path probe against a full scan).
     *
-    * Crash parity: a crash mid-renames leaves a PARTIAL stamped batch
-    * visible — the same exposure as the commit protocol's own
-    * non-atomic multi-file publish in the `saveAsTable` path (job
-    * commit renames file-by-file); the landed-seq guard treats either
-    * as landed. A crash before any rename leaves only the dot-staging
-    * dir, which readers never see and the next append sweeps.
+    * Exactly-once under a crashed publish (round-16): the publish is a
+    * non-atomic multi-file rename sequence (as is the commit protocol's
+    * own job commit in the `saveAsTable` path), so a crash mid-publish
+    * leaves a PARTIAL stamped batch visible. The marker protocol
+    * ([[Bucketing.landedSeqBucketed]]) reads that state as NOT landed
+    * (the marker is written strictly after the last file), and the
+    * replay's first move here is the SCRUB: every published file
+    * carries its seq in the name (`-s<seq>` tag), so the crashed
+    * attempt's partial files are deleted by glob before the re-publish
+    * — the replay is exact, never additive. A crash before any rename
+    * leaves only the dot-staging dir, which readers never see and the
+    * next append sweeps.
     *
     * Falls back (returns false) when the table does not exist (the
     * catalog round-trip is what CREATES the schema + bucket spec) or
@@ -141,7 +151,7 @@ object Ingest {
     * errors, not land as silently misplaced files.
     */
   private def directBucketAppend(stamped: DataFrame, table: String,
-      bucketCol: String, buckets: Int): Boolean = {
+      bucketCol: String, buckets: Int, seq: Long): Boolean = {
     val spark = stamped.sparkSession
     if (!spark.catalog.tableExists(table)) return false
     val meta = spark.sessionState.catalog.getTableMetadata(
@@ -159,6 +169,12 @@ object Ingest {
       case null => ()
       case stale => stale.foreach(s => fs.delete(s.getPath, true))
     }
+    // SCRUB this seq's partial files from a crashed prior publish —
+    // reached only when the marker says the seq never landed
+    fs.globStatus(new Path(loc, s"part-*-s$seq" + "_*")) match {
+      case null => ()
+      case partial => partial.foreach(s => fs.delete(s.getPath, false))
+    }
     val staging = new Path(loc, s".graft-append-${java.util.UUID.randomUUID()}")
     stamped
       .repartition(buckets, col(bucketCol))
@@ -170,13 +186,16 @@ object Ingest {
       val name = p.getName
       val idx = name.substring(5, 10).toInt
       // keep the staged file's codec extension (".snappy.parquet" at the
-      // session default) — only the bucket tag before it is load-bearing
+      // session default); the trailing `_<idx>` bucket tag is what the
+      // bucketed reader parses, the `-s<seq>` tag is what the scrub globs
       val c0 = name.indexOf("-c000")
       val tail = if (c0 >= 0) name.substring(c0 + "-c000".length) else ".parquet"
       fs.rename(p, new Path(loc,
-        f"part-$idx%05d-$uuid%s_$idx%05d.c000$tail"))
+        f"part-$idx%05d-$uuid%s-s$seq%d_$idx%05d.c000$tail"))
     }
     fs.delete(staging, true)
+    // marker LAST: everything before this line is invisible-or-scrubbable
+    Bucketing.advanceLandedMarker(spark, table, seq)
     spark.catalog.refreshTable(table)
     true
   }
@@ -237,6 +256,9 @@ object Ingest {
       .write.mode("overwrite")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(tmp)
+    // the landed marker survives the swap (Bucketing.rewriteBucketed's
+    // round-16 rationale)
+    Bucketing.copyLandedMarker(spark, table, tmp)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }

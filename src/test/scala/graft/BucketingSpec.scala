@@ -482,6 +482,71 @@ class BucketingSpec extends SparkSuite {
     }
   }
 
+  test("landed marker: a crashed partial publish reads NOT landed and the replay scrubs it — exactly-once under mid-publish crashes (round-16)") {
+    import graft.pipeline.Ingest
+    try {
+      spark.sql("DROP TABLE IF EXISTS b_marker"); spark.sql("DROP TABLE IF EXISTS b_marker_src")
+      def batch(tag: String) = (1L to 100L).map(i => (i, s"$tag$i")).toDF("k", "v")
+      Ingest.appendBucketedWithSeq(batch("a"), "b_marker", "k", 2, seq = 1)
+      assert(Bucketing.landedSeqBucketed(spark, "b_marker", 1))
+      // simulate a crashed mid-publish of seq 2: take a real seq-2
+      // bucket file (from a twin table with the same spec) and plant it
+      // under the seq-2 tag — stamped rows visible, marker NOT advanced
+      Ingest.appendBucketedWithSeq(batch("b"), "b_marker_src", "k", 2, seq = 2)
+      Ingest.appendBucketedWithSeq(batch("b"), "b_marker_src", "k", 2, seq = 2) // no-op (landed)
+      val srcLoc = new java.io.File(
+        Bucketing.tableLocation(spark, "b_marker_src").toUri.getPath)
+      val loc = new java.io.File(
+        Bucketing.tableLocation(spark, "b_marker").toUri.getPath)
+      val srcFile = srcLoc.listFiles().filter(_.getName.startsWith("part-00000")).head
+      java.nio.file.Files.copy(srcFile.toPath,
+        new java.io.File(loc, srcFile.getName).toPath)
+      spark.catalog.refreshTable("b_marker")
+      // partial seq-2 rows ARE visible (the transient window both
+      // publish paths share)...
+      assert(spark.table("b_marker")
+        .filter(col("ingest_seq") === 2L).count() > 0)
+      // ...but the marker guard reads the batch as NOT landed — the
+      // row probe alone would have skipped the replay and lost the rest
+      assert(!Bucketing.landedSeqBucketed(spark, "b_marker", 2),
+        "a partial publish must not read as landed")
+      // the replay scrubs the crashed attempt's tagged files and
+      // re-publishes: exactly once, never additive
+      Ingest.appendBucketedWithSeq(batch("b"), "b_marker", "k", 2, seq = 2)
+      assert(spark.table("b_marker").count() == 200,
+        "replay after a partial publish duplicated or lost rows")
+      assert(spark.table("b_marker")
+        .filter(col("ingest_seq") === 2L).count() == 100)
+      assert(Bucketing.landedSeqBucketed(spark, "b_marker", 2))
+      assert(!Bucketing.landedSeqBucketed(spark, "b_marker", 3))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_marker")
+      spark.sql("DROP TABLE IF EXISTS b_marker_src")
+    }
+  }
+
+  test("landed marker survives the compaction swap; max-seq semantics keep earlier batches landed (round-16)") {
+    import graft.pipeline.Ingest
+    try {
+      spark.sql("DROP TABLE IF EXISTS b_mcomp")
+      def batch(lo: Long, hi: Long, tag: String) =
+        (lo to hi).map(i => (i, s"$tag$i")).toDF("k", "v")
+      Ingest.appendBucketedWithSeq(batch(1, 100, "a"), "b_mcomp", "k", 2, seq = 1)
+      Ingest.appendBucketedWithSeq(batch(50, 150, "b"), "b_mcomp", "k", 2, seq = 2)
+      Ingest.compactBucketed(spark, "b_mcomp", Seq("k"), "k", 2)
+      // post-compaction: every landed batch still reads landed through
+      // the surviving marker (the row probe alone could not answer for
+      // seq 1 — compaction kept only the latest rows per key)
+      assert(Bucketing.landedSeqBucketed(spark, "b_mcomp", 1))
+      assert(Bucketing.landedSeqBucketed(spark, "b_mcomp", 2))
+      assert(!Bucketing.landedSeqBucketed(spark, "b_mcomp", 3))
+      // the versioned-pair rewrite preserves it too
+      Bucketing.rewriteBucketed(spark, "b_mcomp",
+        spark.table("b_mcomp"), "k", 2)
+      assert(Bucketing.landedSeqBucketed(spark, "b_mcomp", 2))
+    } finally spark.sql("DROP TABLE IF EXISTS b_mcomp")
+  }
+
   test("compactBucketed re-run after a crash between DROP and RENAME recovers, not destroys") {
     import graft.pipeline.Ingest
     try {
