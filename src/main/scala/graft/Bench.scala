@@ -347,7 +347,7 @@ object Bench {
     "x145_bucketed_asof_floor", "x146_fused_probe_exchanges",
     "x149_pack_stream",
     // round-16 stream/wave queries
-    "x150_cdc_gear_stream", "x151_pack_chunk_view")
+    "x150_cdc_gear_stream", "x151_pack_chunk_view", "x152_bm25_bucketed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

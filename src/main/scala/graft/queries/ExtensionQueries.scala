@@ -4975,6 +4975,36 @@ object ExtensionQueries {
           statsOpt = Some(graft.ext.TextRank.statsFromPostings(tf)))
       }),
 
+    Q("x152_bm25_bucketed",
+      "x117's BM25 update/retraction lifecycle on the BUCKETED log layout " +
+        "(round-16, completing the family list the r15 migration started): the " +
+        "same three update waves through bm25IndexUpsertStreamBucketed — per-doc " +
+        "versioned postings + version log as doc_id-bucketed catalog tables, the " +
+        "round-16 direct-commit append path with landed markers — resolved " +
+        "shuffle-free (Bucketing.resolvedBucketed: the max-seq aggregate and the " +
+        "doc-keyed join both ride the buckets' HashPartitioning; the flat x117 " +
+        "read pays two exchanges per resolve forever). Retrieval and the oracle " +
+        "are x117's VERBATIM — x54's SQL over the latest-version corpus in closed " +
+        "form, blind to the layout — so the hash proves the bucketed store serves " +
+        "the identical index.",
+      Some(bm25UpsertOracle),
+      (s, d) => {
+        val root = scratchTempDir("graft-x152-bm25bkt")
+        val stream = docUpdateWaveStream(s, d, root)
+        val tag = root.split('/').last.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.streaming.StreamingIngest.bm25IndexUpsertStreamBucketed(stream,
+          s"x152_post_$tag", s"x152_vers_$tag", root + "/ckpt",
+          buckets = sessionBuckets(s))
+        val tf = graft.pipeline.Bucketing.resolvedBucketed(
+            s, s"x152_post_$tag", s"x152_vers_$tag", "doc_id")
+          .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+          .localCheckpoint(false) // the resolved index feeds df, stats, queries, scoring
+        graft.ext.TextRank.bm25(tf,
+          graft.ext.TextRank.midFrequencyQueries(tf, postingsOpt = Some(tf)),
+          postingsOpt = Some(tf),
+          statsOpt = Some(graft.ext.TextRank.statsFromPostings(tf)))
+      }),
+
     Q("x118_ann_production_ladder",
       "The COMPOSED production ANN configuration, oracle-covered end-to-end (round-12, " +
         "the r11 verdict item 3): x114 proved fitted codebooks win on anisotropic " +

@@ -281,7 +281,10 @@ object ScaleSmoke {
     "x150_cdc_gear_stream",
     // x151 is x149's dataflow plus one O(batch) chunk-incidence delta
     // append per wave and a rollup-log sum at read
-    "x151_pack_chunk_view")
+    "x151_pack_chunk_view",
+    // x152 is x117's wave profile on the bucketed table layout — the
+    // posting build is corpus-linear, the resolve shuffle-free
+    "x152_bm25_bucketed")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
