@@ -321,6 +321,9 @@ class PlanSpec extends SparkSuite {
       // (the 1-row stats pin again); x118 is x114's recall shape at the
       // auto shortlist — bounded query-set / centroid-set pins
       "x117_bm25_retract_stream", "x118_ann_production_ladder",
+      // round-16: x152 is x117's scoring tail off the BUCKETED resolved
+      // index — the identical 1-row corpus-stats cross pin
+      "x152_bm25_bucketed",
       // round-13: x128 serves knnIvf off the resolved live index — the
       // same bounded centroid-set (9-row stride sample) / query-set
       // pins as x14; x129 additionally carries x06's brute side (10-row
