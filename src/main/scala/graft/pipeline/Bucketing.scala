@@ -118,24 +118,36 @@ object Bucketing {
   // tagged partial files before re-publishing) makes the re-append
   // exact, not additive.
 
-  private[graft] def landedMarkerSeq(spark: SparkSession, table: String): Option[Long] = {
-    val loc = tableLocation(spark, table)
-    val fs = tableFs(spark, loc)
+  /** Path-based marker core (round-16 optimization round: the FLAT
+    * stamped logs adopt the same protocol — see
+    * [[graft.pipeline.Ingest.appendWithSeq]] — so the helpers take a
+    * location, and the table forms below resolve the location first).
+    */
+  private[graft] def landedMarkerSeqAt(fs: org.apache.hadoop.fs.FileSystem,
+      loc: Path): Option[Long] =
     Option(fs.globStatus(new Path(loc, "_graft_landed_*")))
       .getOrElse(Array.empty)
       .flatMap(s => s.getPath.getName.stripPrefix("_graft_landed_").toLongOption)
       .reduceOption(_ max _)
-  }
 
-  private[graft] def advanceLandedMarker(spark: SparkSession, table: String, seq: Long): Unit = {
-    val loc = tableLocation(spark, table)
-    val fs = tableFs(spark, loc)
+  private[graft] def advanceLandedMarkerAt(fs: org.apache.hadoop.fs.FileSystem,
+      loc: Path, seq: Long): Unit = {
     fs.create(new Path(loc, s"_graft_landed_$seq"), true).close()
     Option(fs.globStatus(new Path(loc, "_graft_landed_*")))
       .getOrElse(Array.empty)
       .filter(_.getPath.getName.stripPrefix("_graft_landed_")
         .toLongOption.exists(_ < seq))
       .foreach(s => fs.delete(s.getPath, false))
+  }
+
+  private[graft] def landedMarkerSeq(spark: SparkSession, table: String): Option[Long] = {
+    val loc = tableLocation(spark, table)
+    landedMarkerSeqAt(tableFs(spark, loc), loc)
+  }
+
+  private[graft] def advanceLandedMarker(spark: SparkSession, table: String, seq: Long): Unit = {
+    val loc = tableLocation(spark, table)
+    advanceLandedMarkerAt(tableFs(spark, loc), loc, seq)
   }
 
   /** Copy the landed marker into a sibling dir (the compaction rewrite's

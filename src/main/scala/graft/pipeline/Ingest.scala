@@ -46,10 +46,87 @@ object Ingest {
   def slices(r: BlockRange, size: Long): Seq[BlockRange] =
     (r.from to r.to by size).map(s => BlockRange(s, math.min(s + size - 1, r.to)))
 
-  /** Append a batch stamped with its ingest sequence (K-1/K-2 append). */
+  /** Run `f` under a thread-local Spark job description (optimization
+    * guide §1.5): the streaming lifecycle queries spend their wall in
+    * dozens of tiny per-batch jobs that all inherit the stream's START
+    * callsite, so without labels neither the UI nor the JobProfile tool
+    * can attribute a batch's cost to its phases (probe vs append vs
+    * compaction). Restores the previous description so nested labels
+    * compose.
+    */
+  private[graft] def withJobDesc[T](spark: SparkSession, desc: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    val old = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try f finally sc.setJobDescription(old)
+  }
+
+  /** Append a batch stamped with its ingest sequence (K-1/K-2 append).
+    *
+    * Round-16 optimization round: the flat stamped logs adopt the
+    * bucketed path's marker protocol ([[directBucketAppend]]'s rationale
+    * verbatim). Motivation is twofold:
+    *
+    *   - SPEED (optimization guide §1/§5 — no driver-side Spark jobs for
+    *     bookkeeping): the streaming loops' landed-seq replay guard was a
+    *     per-batch `read.parquet(dir).filter(seq).limit(1).count()` —
+    *     one full Spark job plus schema inference and footer reads per
+    *     batch PER LOG, paid on the happy path forever (JobProfile:
+    *     x142 ran 33 such probe jobs per build). With the marker the
+    *     guard is one filesystem glob.
+    *   - CORRECTNESS (ROADMAP known limit, now closed): `mode("append")`
+    *     published through the commit protocol's multi-file rename, and
+    *     the row-based landed probe read a PARTIAL batch as landed — a
+    *     driver crash mid-commit silently lost the batch's remaining
+    *     rows on replay. Here every published file carries its seq in
+    *     the name (`-s<seq>-` tag), the `_graft_landed_<seq>` marker is
+    *     written strictly AFTER the last file, and a replay of an
+    *     unlanded seq first SCRUBS its tagged partial files — the
+    *     replay is exact, never additive and never lossy.
+    *
+    * Layout compatibility: tags ride the file NAME only; marker and
+    * dot-staging names are invisible to parquet readers, so every
+    * existing reader of these dirs is unaffected. The marker encodes the
+    * MAX landed seq (appends to one log are serial with non-decreasing
+    * seqs by the streaming-loop contract — the bucketed protocol's
+    * assumption, shared here); marker-less dirs (pre-round-16 layouts)
+    * keep the row-probe fallback in the guard.
+    */
   def appendWithSeq(df: DataFrame, path: String, seq: Long): Unit =
-    df.withColumn("ingest_seq", lit(seq))
-      .write.mode("append").parquet(path)
+    withJobDesc(df.sparkSession, s"graft:append-flat s$seq") {
+      val spark = df.sparkSession
+      val loc = new Path(path)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(loc)
+      // sweep THIS seq's staging leftovers and scrub its partial publish
+      // (a crashed prior attempt); same-seq-only globs keep concurrent
+      // different-seq appenders (none today by contract) unharmed
+      fs.globStatus(new Path(loc, s".graft-append-s$seq-*")) match {
+        case null => ()
+        case stale => stale.foreach(s => fs.delete(s.getPath, true))
+      }
+      fs.globStatus(new Path(loc, s"part-*-s$seq-*")) match {
+        case null => ()
+        case partial => partial.foreach(s => fs.delete(s.getPath, false))
+      }
+      val staging = new Path(loc, s".graft-append-s$seq-${java.util.UUID.randomUUID()}")
+      df.withColumn("ingest_seq", lit(seq))
+        .write.mode("overwrite").parquet(staging.toString)
+      fs.listStatus(staging).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).foreach { p =>
+          // part-00000-<uuid>-c000.snappy.parquet ->
+          // part-00000-s<seq>-<uuid>-c000.snappy.parquet (the `-s<seq>-`
+          // tag is what the scrub globs; `-s1-` can never match `-s12-`).
+          // Insert after the task index, not at a fixed offset — the
+          // index widens past 5 digits on very wide writes.
+          val name = p.getName
+          val cut = name.indexOf('-', "part-".length)
+          fs.rename(p, new Path(loc, name.patch(cut, s"-s$seq", 0)))
+        }
+      fs.delete(staging, true)
+      // marker LAST: everything before this line is invisible or scrubbable
+      Bucketing.advanceLandedMarkerAt(fs, loc, seq)
+    }
 
   /** Same, hive-partitioned by derived columns (e.g. a date column off
     * the block timestamp). At 100 TB this is what makes the reports'
@@ -97,11 +174,13 @@ object Ingest {
     // micro-batch — the batch, not the table history (round-4 review).
     val stamped = df.withColumn("ingest_seq", lit(seq))
     if (!directBucketAppend(stamped, table, bucketCol, buckets, seq)) {
-      stamped
-        .repartition(buckets, col(bucketCol))
-        .write.mode("append")
-        .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-        .saveAsTable(table)
+      withJobDesc(df.sparkSession, s"graft:append-bucketed-catalog $table s$seq") {
+        stamped
+          .repartition(buckets, col(bucketCol))
+          .write.mode("append")
+          .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+          .saveAsTable(table)
+      }
       // catalog-path appends advance the marker too, so every table
       // born through this function is marker-guarded from batch one
       Bucketing.advanceLandedMarker(df.sparkSession, table, seq)
@@ -176,10 +255,12 @@ object Ingest {
       case partial => partial.foreach(s => fs.delete(s.getPath, false))
     }
     val staging = new Path(loc, s".graft-append-${java.util.UUID.randomUUID()}")
-    stamped
-      .repartition(buckets, col(bucketCol))
-      .sortWithinPartitions(col(bucketCol))
-      .write.mode("overwrite").parquet(staging.toString)
+    withJobDesc(spark, s"graft:append-bucketed-direct $table s$seq") {
+      stamped
+        .repartition(buckets, col(bucketCol))
+        .sortWithinPartitions(col(bucketCol))
+        .write.mode("overwrite").parquet(staging.toString)
+    }
     val uuid = java.util.UUID.randomUUID().toString
     fs.listStatus(staging).map(_.getPath)
       .filter(_.getName.startsWith("part-")).foreach { p =>
@@ -289,6 +370,12 @@ object Ingest {
       fs.rename(bak, live) // restore the old table; nothing was lost
       sys.error(s"compact: cannot publish $tmp -> $live (old table restored)")
     }
+    // landed markers ride inside the dir (round-16) — preserve them so a
+    // compacted log keeps its glob-cheap replay guard (losing one only
+    // degrades the guard to the row probe, but keep the fast path)
+    Option(fs.globStatus(new Path(bak, "_graft_landed_*")))
+      .getOrElse(Array.empty)
+      .foreach(s => fs.create(new Path(live, s.getPath.getName), true).close())
     fs.delete(bak, true)
     // any cached plan for this path now lists deleted files
     graft.sources.Tables.invalidate()

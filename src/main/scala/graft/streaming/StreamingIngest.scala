@@ -75,12 +75,32 @@ object StreamingIngest {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Replay guard for seq-stamped appends: does `dir` already hold rows
-    * of this `ingest_seq`? (See [[pathExists]] for the failure posture.)
+  /** Replay guard for seq-stamped appends: has `dir`'s append for this
+    * `ingest_seq` completed? (See [[pathExists]] for the failure
+    * posture.) Marker-first (round-16 optimization round, mirroring
+    * [[graft.pipeline.Bucketing.landedSeqBucketed]]): when the dir
+    * carries a `_graft_landed_*` marker the answer is one filesystem
+    * glob — strictly STRONGER than the row probe (a crashed partial
+    * publish has rows with this stamp but no marker) and, on the happy
+    * path, removes the one full Spark job + schema inference every
+    * batch paid per log just to re-learn that nothing crashed. The row
+    * probe remains as the fallback for marker-less dirs (pre-round-16
+    * layouts, or dirs whose marker a foreign rewrite dropped — the
+    * degradation is back to exactly the old behavior).
     */
   private def landedSeq(spark: SparkSession, dir: String, batchId: Long): Boolean =
-    pathExists(spark, dir) && spark.read.parquet(dir)
-      .filter(col("ingest_seq") === batchId).limit(1).count() > 0
+    pathExists(spark, dir) && {
+      val loc = new org.apache.hadoop.fs.Path(dir)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.pipeline.Bucketing.landedMarkerSeqAt(fs, loc) match {
+        case Some(m) => m >= batchId
+        case None =>
+          graft.pipeline.Ingest.withJobDesc(spark, s"graft:landed-probe s$batchId") {
+            spark.read.parquet(dir)
+              .filter(col("ingest_seq") === batchId).limit(1).count() > 0
+          }
+      }
+    }
 
   /** Incremental append with dedup-within-watermark — the streaming
     * answer to the reference's at-least-once redelivery (ReplacingMergeTree
@@ -3053,6 +3073,17 @@ object StreamingIngest {
       fs.rename(bak, live)
       sys.error(s"swapRewrite: cannot publish $tmp -> $live (old log restored)")
     }
+    // landed markers ride inside the log dir (round-16): copy them into
+    // the rewritten log before dropping the staged copy, else the replay
+    // guard degrades to the row probe over a COMPACTED log — which may
+    // have folded away every row of a landed seq and would re-append it.
+    // A crash between the publish rename and this copy degrades to the
+    // row probe, never to a wrong answer for live reads.
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(bak, "_graft_landed_*")))
+      .getOrElse(Array.empty)
+      .foreach { s =>
+        fs.create(new org.apache.hadoop.fs.Path(live, s.getPath.getName), true).close()
+      }
     fs.delete(bak, true)
   }
 

@@ -55,10 +55,11 @@ object Scratch {
   * deterministically.
   */
 object FileWaves {
-  def write(dir: String, b: Int, df: org.apache.spark.sql.DataFrame): Unit = {
-    val f = new java.io.File(dir, f"batch$b%03d.parquet")
-    df.coalesce(1).write.mode("overwrite").parquet(f.toString)
-    val t = 1700000000000L + b * 60000L
-    f.listFiles().foreach(_.setLastModified(t)); f.setLastModified(t)
-  }
+  def write(dir: String, b: Int, df: org.apache.spark.sql.DataFrame): Unit =
+    graft.pipeline.Ingest.withJobDesc(df.sparkSession, s"graft:wave-write b$b") {
+      val f = new java.io.File(dir, f"batch$b%03d.parquet")
+      df.coalesce(1).write.mode("overwrite").parquet(f.toString)
+      val t = 1700000000000L + b * 60000L
+      f.listFiles().foreach(_.setLastModified(t)); f.setLastModified(t)
+    }
 }

@@ -493,12 +493,22 @@ class BucketingSpec extends SparkSuite {
       // bucket file (from a twin table with the same spec) and plant it
       // under the seq-2 tag — stamped rows visible, marker NOT advanced
       Ingest.appendBucketedWithSeq(batch("b"), "b_marker_src", "k", 2, seq = 2)
-      Ingest.appendBucketedWithSeq(batch("b"), "b_marker_src", "k", 2, seq = 2) // no-op (landed)
+      // second append re-runs the DIRECT path (scrub + re-publish), so the
+      // donor table now holds seq-2 files from BOTH paths: untagged ones
+      // from the catalog-create append and `-s2_`-tagged ones from the
+      // direct re-publish
+      Ingest.appendBucketedWithSeq(batch("b"), "b_marker_src", "k", 2, seq = 2)
       val srcLoc = new java.io.File(
         Bucketing.tableLocation(spark, "b_marker_src").toUri.getPath)
       val loc = new java.io.File(
         Bucketing.tableLocation(spark, "b_marker").toUri.getPath)
-      val srcFile = srcLoc.listFiles().filter(_.getName.startsWith("part-00000")).head
+      // the planted file MUST carry the `-s2_` tag (a crashed DIRECT-path
+      // publish is the scenario; only tagged files are scrub-addressable).
+      // listFiles().head was flaky here: its order is filesystem-dependent
+      // and under load picked an untagged catalog-path file the scrub
+      // rightly ignores (inherited round-16 flake, fixed this round).
+      val srcFile = srcLoc.listFiles()
+        .filter(f => f.getName.startsWith("part-00000") && f.getName.contains("-s2_")).head
       java.nio.file.Files.copy(srcFile.toPath,
         new java.io.File(loc, srcFile.getName).toPath)
       spark.catalog.refreshTable("b_marker")

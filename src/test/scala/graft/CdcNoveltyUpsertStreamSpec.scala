@@ -121,10 +121,10 @@ class CdcNoveltyUpsertStreamSpec extends SparkSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val liveBefore = resolved()
     // NOTE this scenario leaves NO live wave-0 rows (doc 1 updated, doc 2
-    // deleted), so the replay's landedSeq guard re-appends wave 0's rows:
-    // harmless by construction (they are superseded — resolution never
-    // sees them) and removed by the next compaction, which the
-    // maxChunkFiles=1 replay run exercises.
+    // deleted). Pre-round-16 the row-probe guard re-appended wave 0's
+    // rows on replay (harmless: superseded, compacted away again); the
+    // landed MARKER now survives compaction, so the replay skips the
+    // re-append outright — either way the assertions below hold.
     run(root, "ckpt2", maxChunkFiles = 1) // full replay with original batchIds
     assert(spark.read.parquet(root + "/stats").count() == rawStats,
       "replay re-appended stats rows")

@@ -53,6 +53,73 @@ class IngestSpec extends SparkSuite {
     assert(spark.read.parquet(dir).count() == 3)
   }
 
+  test("flat landed marker: appendWithSeq tags files, advances the marker, and a replay scrubs a crashed partial publish (round-16 optimization round)") {
+    import org.apache.hadoop.fs.Path
+    val dir = tempDir("graft-flatmarker") + "/log"
+    val loc = new Path(dir)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Ingest.appendWithSeq(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, seq = 0)
+    Ingest.appendWithSeq(Seq((3L, "c")).toDF("k", "v"), dir, seq = 1)
+    // marker carries the MAX landed seq; every published file is seq-tagged
+    assert(graft.pipeline.Bucketing.landedMarkerSeqAt(fs, loc).contains(1L))
+    val files = fs.listStatus(loc).map(_.getPath.getName).filter(_.startsWith("part-"))
+    assert(files.nonEmpty && files.forall(n => n.contains("-s0-") || n.contains("-s1-")),
+      s"published files must carry their seq tag: ${files.mkString(",")}")
+    // markers and staging are invisible to readers
+    assert(spark.read.parquet(dir).count() == 3)
+    // crashed partial publish of seq 2: a tagged file lands, marker does not
+    val donor = fs.listStatus(loc).map(_.getPath)
+      .filter(_.getName.contains("-s1-")).head
+    val planted = new Path(loc, donor.getName.replace("-s1-", "-s2-"))
+    org.apache.hadoop.fs.FileUtil.copy(fs, donor, fs, planted, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(spark.read.parquet(dir).count() == 4) // partial rows ARE visible...
+    assert(graft.pipeline.Bucketing.landedMarkerSeqAt(fs, loc).contains(1L))
+    // ...and the replay scrubs them before re-publishing: exact, not additive
+    Ingest.appendWithSeq(Seq((4L, "d"), (5L, "e")).toDF("k", "v"), dir, seq = 2)
+    val got = spark.read.parquet(dir).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")),
+      s"replay after a partial publish duplicated or lost rows: $got")
+    assert(graft.pipeline.Bucketing.landedMarkerSeqAt(fs, loc).contains(2L))
+  }
+
+  test("flat landed marker survives lww compaction (round-16 optimization round)") {
+    import org.apache.hadoop.fs.Path
+    val dir = tempDir("graft-flatmarker2") + "/log"
+    val loc = new Path(dir)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Ingest.appendWithSeq(Seq((1L, "old")).toDF("k", "v"), dir, seq = 0)
+    Ingest.appendWithSeq(Seq((1L, "new")).toDF("k", "v"), dir, seq = 1)
+    Ingest.compact(spark, dir, Seq("k"))
+    assert(spark.read.parquet(dir).count() == 1)
+    // the compaction folded seq 0's row away entirely; only the preserved
+    // marker keeps the guard glob-cheap (and keeps seq 0 reading as landed)
+    assert(graft.pipeline.Bucketing.landedMarkerSeqAt(fs, loc).contains(1L),
+      "lww compaction dropped the landed marker")
+  }
+
+  test("flat landed marker survives the versioned-log swapRewrite compaction (round-16 optimization round)") {
+    import org.apache.hadoop.fs.Path
+    val root = tempDir("graft-flatmarker3")
+    val (data, vers) = (root + "/data", root + "/versions")
+    Ingest.appendWithSeq(Seq((1L, "a0")).toDF("doc_id", "payload"), data, seq = 0)
+    Ingest.appendWithSeq(Seq(1L).toDF("doc_id"), vers, seq = 0)
+    Ingest.appendWithSeq(Seq((1L, "a1")).toDF("doc_id", "payload"), data, seq = 1)
+    Ingest.appendWithSeq(Seq(1L).toDF("doc_id"), vers, seq = 1)
+    assert(graft.streaming.StreamingIngest.maybeCompactVersioned(
+      spark, data, vers, maxFiles = 1))
+    val fs = new Path(data).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(graft.pipeline.Bucketing.landedMarkerSeqAt(fs, new Path(data)).contains(1L),
+      "versioned compaction dropped the data log's landed marker")
+    assert(graft.pipeline.Bucketing.landedMarkerSeqAt(fs, new Path(vers)).contains(1L),
+      "versioned compaction dropped the version log's landed marker")
+    // and the compacted pair still resolves to the live row
+    val live = graft.streaming.StreamingIngest.resolvedDocs(spark, data, vers, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(live == Seq((1L, "a1")))
+  }
+
   test("compactPartition rewrites one hive partition, leaves the rest untouched") {
     val dir = tempDir("graft-part") + "/events"
     val day1 = Seq((1L, "a-old", "2024-01-01"), (2L, "b", "2024-01-01"))
