@@ -43,6 +43,18 @@ object ExtensionQueries {
       df: org.apache.spark.sql.DataFrame): Unit =
     graft.util.FileWaves.write(root + "/src", b, df)
 
+  /** A script's CONTIGUOUS up-front waves in one Spark job
+    * ([[graft.util.FileWaves.writeAll]] — round-16 optimization round):
+    * the per-wave write paid one plan + job + commit per wave, pure
+    * floor at micro-wave sizes, repeated by every lifecycle query.
+    * Only for waves written back-to-back BEFORE the stream starts;
+    * scripts that interleave waves with stream runs (x141/x145 shape)
+    * keep per-wave writes for the interleaved part.
+    */
+  private def writeStreamWaves(root: String,
+      waves: Seq[org.apache.spark.sql.DataFrame]): Unit =
+    graft.util.FileWaves.writeAll(root + "/src", waves)
+
   /** The shared x117 doc-update wave script: the full corpus arrives in
     * wave 0; portable-md5 bucket h4==1 re-arrives DOUBLED in wave 1 and
     * h4==3 takes an intermediate '+alpha' update; h4==2 re-arrives
@@ -97,9 +109,7 @@ object ExtensionQueries {
 
   private def docUpdateWaveStream(s: org.apache.spark.sql.SparkSession,
       d: String, root: String): org.apache.spark.sql.DataFrame = {
-    docUpdateWaveFrames(s, d).zipWithIndex.foreach { case (w, i) =>
-      writeStreamWave(root, i, w)
-    }
+    writeStreamWaves(root, docUpdateWaveFrames(s, d))
     docUpdateStreamFrame(s, d, root)
   }
 
@@ -697,17 +707,16 @@ object ExtensionQueries {
         .localCheckpoint(false)
       val halved = greatest(lit(1L), expr("w div 2"))
       val root = scratchTempDir(s"graft-x12x-forgotten-l$ledger")
-      writeStreamWave(root, 0, feats)
-      writeStreamWave(root, 1,
+      writeStreamWaves(root, Seq(
+        feats,
         r0.filter(col("source") === "src1" && col("rk") <= 5)
           .select(col("doc_id"), lit("moved").as("source"),
-            (col("w") * 1000L).as("n_tokens")))
-      writeStreamWave(root, 2,
+            (col("w") * 1000L).as("n_tokens")),
         r0.filter(col("source") === "src1" && col("rk").between(11, 13))
           .select(col("doc_id"), col("source"), halved.as("n_tokens"))
           .unionByName(
             r0.filter(col("source") === "src1" && col("rk") === 6)
-              .select(col("doc_id"), col("source"), halved.as("n_tokens"))))
+              .select(col("doc_id"), col("source"), halved.as("n_tokens")))))
       val docs = s.readStream
         .schema("doc_id LONG, source STRING, n_tokens LONG")
         .option("maxFilesPerTrigger", 1)
@@ -4730,8 +4739,6 @@ object ExtensionQueries {
             concat_ws(":", col("doc_a"), col("doc_b")), "ccstream"), lit(3L)))
           .localCheckpoint(false) // one edge build feeds all three waves
         val root = scratchTempDir("graft-x111-ccstream")
-        def writeWave(b: Int, df: org.apache.spark.sql.DataFrame): Unit =
-          writeStreamWave(root, b, df)
         def edgeWave(h: Long) = edges.filter(col("h") === h)
           .select(lit("edge").as("kind"), col("doc_a").cast("long"),
             col("doc_b").cast("long"))
@@ -4739,9 +4746,10 @@ object ExtensionQueries {
           docs.filter(col("doc_id") % 37 === 0).filter(c)
             .select(lit("forget").as("kind"), col("doc_id").cast("long").as("doc_a"),
               lit(null).cast("long").as("doc_b"))
-        writeWave(0, edgeWave(0L))
-        writeWave(1, forgetWave(col("doc_id") % 74 === 0).unionByName(edgeWave(1L)))
-        writeWave(2, forgetWave(col("doc_id") % 74 =!= 0).unionByName(edgeWave(2L)))
+        writeStreamWaves(root, Seq(
+          edgeWave(0L),
+          forgetWave(col("doc_id") % 74 === 0).unionByName(edgeWave(1L)),
+          forgetWave(col("doc_id") % 74 =!= 0).unionByName(edgeWave(2L))))
         val events = s.readStream
           .schema("kind STRING, doc_a LONG, doc_b LONG")
           .option("maxFilesPerTrigger", 1)
@@ -4805,9 +4813,8 @@ object ExtensionQueries {
           .withColumn("h", pmod(xxhash64(col("doc_id")), lit(3L)))
           .localCheckpoint(false) // one corpus pass feeds all three waves
         val root = scratchTempDir("graft-x113-gwsample")
-        def writeWave(b: Int): Unit =
-          writeStreamWave(root, b, feats.filter(col("h") === b).drop("h"))
-        (0 until 3).foreach(writeWave)
+        writeStreamWaves(root,
+          (0 until 3).map(b => feats.filter(col("h") === b).drop("h")))
         val docs = s.readStream
           .schema("doc_id LONG, source STRING, n_tokens LONG")
           .option("maxFilesPerTrigger", 1)
@@ -4923,9 +4930,8 @@ object ExtensionQueries {
           .withColumn("h", pmod(xxhash64(col("doc_id")), lit(3L)))
           .localCheckpoint(false) // one corpus pass feeds all three waves
         val root = scratchTempDir("graft-x116-bm25idx")
-        def writeWave(b: Int): Unit =
-          writeStreamWave(root, b, docs.filter(col("h") === b).drop("h"))
-        (0 until 3).foreach(writeWave)
+        writeStreamWaves(root,
+          (0 until 3).map(b => docs.filter(col("h") === b).drop("h")))
         val stream = s.readStream
           .schema(Tables.documents(s, d).schema)
           .option("maxFilesPerTrigger", 1)
@@ -5099,14 +5105,14 @@ object ExtensionQueries {
             size(split(col("text"), " ")).cast("long").as("n_tokens"))
           .localCheckpoint(false) // feeds waves 0/2 and the move derivation
         val root = scratchTempDir("graft-x119-rekey")
-        writeStreamWave(root, 0, feats)
         // the move wave derives from the SAME deterministic ranking the
         // fold computes, so the oracle can reproduce it corpus-side
-        writeStreamWave(root, 1,
+        writeStreamWaves(root, Seq(
+          feats,
           graft.ext.TextStats.weightedSamplePerGroup(feats, "source", col("n_tokens"), 10)
             .filter(col("source") === "src1" && col("rk") <= 5)
             .select(col("doc_id"), lit("moved").as("source"),
-              (col("w") * 1000L).as("n_tokens")))
+              (col("w") * 1000L).as("n_tokens"))))
         def run(): Unit = {
           val docs = s.readStream
             .schema("doc_id LONG, source STRING, n_tokens LONG")
@@ -5162,16 +5168,15 @@ object ExtensionQueries {
         val train = base.filter(col("split") === "train")
         def wave(df: org.apache.spark.sql.DataFrame) = df.drop("h4", "split")
         val root = scratchTempDir("graft-x120-dedupidx")
-        writeStreamWave(root, 0, wave(train))
-        writeStreamWave(root, 1,
+        writeStreamWaves(root, Seq(
+          wave(train),
           wave(train.filter(col("h4") === 1)
             .withColumn("text", concat(col("text"), lit(" "), col("text"))))
             .unionByName(wave(train.filter(col("h4") === 3)
-              .withColumn("text", concat(col("text"), lit(" alpha"))))))
-        writeStreamWave(root, 2,
+              .withColumn("text", concat(col("text"), lit(" alpha"))))),
           wave(train.filter(col("h4") === 2)
             .withColumn("text", lit(null).cast("string")))
-            .unionByName(wave(train.filter(col("h4") === 3))))
+            .unionByName(wave(train.filter(col("h4") === 3)))))
         val stream = s.readStream
           .schema(Tables.documents(s, d).schema)
           .option("maxFilesPerTrigger", 1)
@@ -5245,14 +5250,13 @@ object ExtensionQueries {
         def w(df: org.apache.spark.sql.DataFrame) =
           df.select(col("vec_id"), col("embedding"))
         val root = scratchTempDir("graft-x122-embidx")
-        writeStreamWave(root, 0, w(base))
-        writeStreamWave(root, 1,
+        writeStreamWaves(root, Seq(
+          w(base),
           w(base.filter(col("h4") === 1).withColumn("embedding", neg))
-            .unionByName(w(base.filter(col("h4") === 3).withColumn("embedding", neg))))
-        writeStreamWave(root, 2,
+            .unionByName(w(base.filter(col("h4") === 3).withColumn("embedding", neg))),
           w(base.filter(col("h4") === 2)
               .withColumn("embedding", lit(null).cast("array<float>")))
-            .unionByName(w(base.filter(col("h4") === 3))))
+            .unionByName(w(base.filter(col("h4") === 3)))))
         val stream = s.readStream
           .schema("vec_id LONG, embedding ARRAY<FLOAT>")
           .option("maxFilesPerTrigger", 1)
@@ -5303,16 +5307,15 @@ object ExtensionQueries {
         val train = base.filter(col("split") === "train")
         def wave(df: org.apache.spark.sql.DataFrame) = df.drop("h4", "split")
         val root = scratchTempDir("graft-x123-cdcidx")
-        writeStreamWave(root, 0, wave(train))
-        writeStreamWave(root, 1,
+        writeStreamWaves(root, Seq(
+          wave(train),
           wave(train.filter(col("h4") === 1)
             .withColumn("text", translate(col("text"), "e", "#")))
             .unionByName(wave(train.filter(col("h4") === 3)
-              .withColumn("text", concat(col("text"), lit(" alpha"))))))
-        writeStreamWave(root, 2,
+              .withColumn("text", concat(col("text"), lit(" alpha"))))),
           wave(train.filter(col("h4") === 2)
             .withColumn("text", lit(null).cast("string")))
-            .unionByName(wave(train.filter(col("h4") === 3))))
+            .unionByName(wave(train.filter(col("h4") === 3)))))
         val stream = s.readStream
           .schema(Tables.documents(s, d).schema)
           .option("maxFilesPerTrigger", 1)
@@ -5417,19 +5420,17 @@ object ExtensionQueries {
         def w(df: org.apache.spark.sql.DataFrame) =
           df.select(col("vec_id"), col("embedding"))
         val root = scratchTempDir("graft-x126-embdedupstream")
-        writeStreamWave(root, 0, w(base))
-        writeStreamWave(root, 1,
+        writeStreamWaves(root, Seq(
+          w(base),
           w(base.filter(col("h4") === 0))
             .unionByName(w(base.filter(col("h4") === 1).withColumn("embedding", neg)))
-            .unionByName(w(base.filter(col("h4") === 3).withColumn("embedding", neg))))
-        writeStreamWave(root, 2,
+            .unionByName(w(base.filter(col("h4") === 3).withColumn("embedding", neg))),
           w(base.filter(col("h4") === 2)
               .withColumn("embedding", lit(null).cast("array<float>")))
-            .unionByName(w(base.filter(col("h4") === 3))))
-        writeStreamWave(root, 3,
+            .unionByName(w(base.filter(col("h4") === 3))),
           base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
             .unionByName(base.select((col("vec_id") + 2000000L).as("vec_id"),
-              neg.as("embedding"))))
+              neg.as("embedding")))))
         val stream = s.readStream
           .schema("vec_id LONG, embedding ARRAY<FLOAT>")
           .option("maxFilesPerTrigger", 1)
@@ -5480,17 +5481,15 @@ object ExtensionQueries {
         def w(df: org.apache.spark.sql.DataFrame) =
           df.select(col("doc_id"), col("text"))
         val root = scratchTempDir("graft-x127-cdcnovelty")
-        writeStreamWave(root, 0, w(base))
-        writeStreamWave(root, 1,
+        writeStreamWaves(root, Seq(
+          w(base),
           w(base.filter(col("h4") === 1)
               .withColumn("text", translate(col("text"), "e", "#")))
             .unionByName(w(base.filter(col("h4") === 3)
-              .withColumn("text", concat(col("text"), lit(" alpha"))))))
-        writeStreamWave(root, 2,
+              .withColumn("text", concat(col("text"), lit(" alpha"))))),
           w(base.filter(col("h4") === 2).withColumn("text", lit(null).cast("string")))
-            .unionByName(w(base.filter(col("h4") === 3))))
-        writeStreamWave(root, 3,
-          base.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+            .unionByName(w(base.filter(col("h4") === 3))),
+          base.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))))
         val stream = s.readStream
           .schema("doc_id LONG, text STRING")
           .option("maxFilesPerTrigger", 1)
@@ -5537,14 +5536,13 @@ object ExtensionQueries {
         def w(df: org.apache.spark.sql.DataFrame) =
           df.select(col("vec_id"), col("embedding"))
         val root = scratchTempDir("graft-x128-ivfidx")
-        writeStreamWave(root, 0, w(base))
-        writeStreamWave(root, 1,
+        writeStreamWaves(root, Seq(
+          w(base),
           w(base.filter(col("h4") === 1).withColumn("embedding", neg))
-            .unionByName(w(base.filter(col("h4") === 3).withColumn("embedding", neg))))
-        writeStreamWave(root, 2,
+            .unionByName(w(base.filter(col("h4") === 3).withColumn("embedding", neg))),
           w(base.filter(col("h4") === 2)
               .withColumn("embedding", lit(null).cast("array<float>")))
-            .unionByName(w(base.filter(col("h4") === 3))))
+            .unionByName(w(base.filter(col("h4") === 3)))))
         // the pinned cell structure: the x14 stride sample, materialized
         // once — it is re-read every micro-batch of the maintenance loop
         val centroids = Similarity.strideCentroids(emb, 16).localCheckpoint(false)
@@ -5634,14 +5632,13 @@ object ExtensionQueries {
         def w(df: org.apache.spark.sql.DataFrame) =
           df.select(col("vec_id"), col("embedding"))
         val root = scratchTempDir("graft-x130-ivfrefit")
-        writeStreamWave(root, 0, w(base))
-        writeStreamWave(root, 1,
+        writeStreamWaves(root, Seq(
+          w(base),
           w(base.filter(col("h4") === 1).withColumn("embedding", neg))
-            .unionByName(w(base.filter(col("h4") === 3).withColumn("embedding", neg))))
-        writeStreamWave(root, 2,
+            .unionByName(w(base.filter(col("h4") === 3).withColumn("embedding", neg))),
           w(base.filter(col("h4") === 2)
               .withColumn("embedding", lit(null).cast("array<float>")))
-            .unionByName(w(base.filter(col("h4") === 3))))
+            .unionByName(w(base.filter(col("h4") === 3)))))
         val pinned = Similarity.strideCentroids(emb, 16).localCheckpoint(false)
         val stream = s.readStream
           .schema("vec_id LONG, embedding ARRAY<FLOAT>")
@@ -6133,14 +6130,13 @@ object ExtensionQueries {
         def w(df: org.apache.spark.sql.DataFrame) =
           df.select(col("vec_id"), col("embedding"))
         val root = scratchTempDir("graft-x140-ivfpolicy")
-        writeStreamWave(root, 0, w(base))
-        writeStreamWave(root, 1,
-          w(base.filter(col("h4") === 3).withColumn("embedding", axis)))
-        writeStreamWave(root, 2,
+        writeStreamWaves(root, Seq(
+          w(base),
+          w(base.filter(col("h4") === 3).withColumn("embedding", axis)),
           w(base.filter(col("h4") === 1).withColumn("embedding", axis))
             .unionByName(w(base.filter(col("h4") === 2)
-              .withColumn("embedding", lit(null).cast("array<float>")))))
-        writeStreamWave(root, 3, w(base.filter(col("h4") === 2)))
+              .withColumn("embedding", lit(null).cast("array<float>")))),
+          w(base.filter(col("h4") === 2))))
         val pinned = Similarity.strideCentroids(emb, 16).localCheckpoint(false)
         val stream = s.readStream
           .schema("vec_id LONG, embedding ARRAY<FLOAT>")
@@ -6214,8 +6210,7 @@ object ExtensionQueries {
         val SI = graft.streaming.StreamingIngest
         val root = scratchTempDir("graft-x141-floor")
         val waves = docUpdateWaveFrames(s, d)
-        writeStreamWave(root, 0, waves(0))
-        writeStreamWave(root, 1, waves(1))
+        writeStreamWaves(root, waves.take(2))
         // retention pinned off the automatic cadence (the x132 posture):
         // the FLOOR compaction is the retention policy here
         SI.docStoreStream(docUpdateStreamFrame(s, d, root),
@@ -6338,9 +6333,7 @@ object ExtensionQueries {
         // catalog table names must be unique per build (Bench evaluates
         // each query in several passes within one session)
         val tag = root.split('/').last.replaceAll("[^a-zA-Z0-9]", "_")
-        docUpdateWaveFrames(s, d).zipWithIndex.foreach { case (w, i) =>
-          writeStreamWave(root, i, w)
-        }
+        writeStreamWaves(root, docUpdateWaveFrames(s, d))
         graft.streaming.StreamingIngest.docStoreStreamBucketed(
           docUpdateStreamFrame(s, d, root),
           s"x143_docs_$tag", s"x143_vers_$tag", root + "/ckpt", buckets = sessionBuckets(s))
@@ -6404,8 +6397,7 @@ object ExtensionQueries {
         val tag = root.split('/').last.replaceAll("[^a-zA-Z0-9]", "_")
         val (dt, vt) = (s"x145_docs_$tag", s"x145_vers_$tag")
         val waves = docUpdateWaveFrames(s, d)
-        writeStreamWave(root, 0, waves(0))
-        writeStreamWave(root, 1, waves(1))
+        writeStreamWaves(root, waves.take(2))
         // retention pinned off the automatic cadence — the FLOOR is the
         // retention policy here (the x141 posture on the table layout)
         SI.docStoreStreamBucketed(docUpdateStreamFrame(s, d, root),
@@ -6472,16 +6464,15 @@ object ExtensionQueries {
         def w(df: org.apache.spark.sql.DataFrame) =
           df.select(col("doc_id"), col("text"))
         val root = scratchTempDir("graft-x146-fusedprobe")
-        writeStreamWave(root, 0, w(slice))
-        writeStreamWave(root, 1,
+        writeStreamWaves(root, Seq(
+          w(slice),
           w(slice.filter(col("h4") === 1)
               .withColumn("text", concat(col("text"), lit(" "), col("text"))))
             .unionByName(w(slice.filter(col("h4") === 3)
-              .withColumn("text", concat(col("text"), lit(" alpha"))))))
-        writeStreamWave(root, 2,
+              .withColumn("text", concat(col("text"), lit(" alpha"))))),
           w(slice.filter(col("h4") === 2)
               .withColumn("text", lit(null).cast("string")))
-            .unionByName(w(slice.filter(col("h4") === 3))))
+            .unionByName(w(slice.filter(col("h4") === 3)))))
         val stream = s.readStream
           .schema("doc_id LONG, text STRING")
           .option("maxFilesPerTrigger", 1)
@@ -6625,10 +6616,8 @@ object ExtensionQueries {
           .select(col("doc_id"), col("source"), col("text"), col("wave"))
           .localCheckpoint(false) // one corpus pass feeds all three waves
         val root = scratchTempDir("graft-x149-packstream")
-        (0 until 3).foreach { k =>
-          writeStreamWave(root, k,
-            base.filter(col("wave") === k.toLong).drop("wave"))
-        }
+        writeStreamWaves(root,
+          (0 until 3).map(k => base.filter(col("wave") === k.toLong).drop("wave")))
         val stream = s.readStream
           .schema("doc_id LONG, source STRING, text STRING")
           .option("maxFilesPerTrigger", 1)
@@ -6681,16 +6670,15 @@ object ExtensionQueries {
         val train = base.filter(col("split") === "train")
         def wave(df: org.apache.spark.sql.DataFrame) = df.drop("h4", "split")
         val root = scratchTempDir("graft-x150-cdcgear")
-        writeStreamWave(root, 0, wave(train))
-        writeStreamWave(root, 1,
+        writeStreamWaves(root, Seq(
+          wave(train),
           wave(train.filter(col("h4") === 1)
             .withColumn("text", translate(col("text"), "e", "#")))
             .unionByName(wave(train.filter(col("h4") === 3)
-              .withColumn("text", concat(col("text"), lit(" alpha"))))))
-        writeStreamWave(root, 2,
+              .withColumn("text", concat(col("text"), lit(" alpha"))))),
           wave(train.filter(col("h4") === 2)
             .withColumn("text", lit(null).cast("string")))
-            .unionByName(wave(train.filter(col("h4") === 3))))
+            .unionByName(wave(train.filter(col("h4") === 3)))))
         val stream = s.readStream
           .schema(Tables.documents(s, d).schema)
           .option("maxFilesPerTrigger", 1)
@@ -6758,10 +6746,8 @@ object ExtensionQueries {
           .select(col("doc_id"), col("source"), col("text"), col("wave"))
           .localCheckpoint(false) // one corpus pass feeds all three waves
         val root = scratchTempDir("graft-x151-packchunkview")
-        (0 until 3).foreach { k =>
-          writeStreamWave(root, k,
-            base.filter(col("wave") === k.toLong).drop("wave"))
-        }
+        writeStreamWaves(root,
+          (0 until 3).map(k => base.filter(col("wave") === k.toLong).drop("wave")))
         val stream = s.readStream
           .schema("doc_id LONG, source STRING, text STRING")
           .option("maxFilesPerTrigger", 1)

@@ -1423,14 +1423,27 @@ object StreamingIngest {
       ivfWriteFit(spark, fitDir, occ, seq)
       writeOccView(spark, gaugeDir, occ, seq)
     }
-    def healFiredWithoutRefit(spark: SparkSession): Unit =
-      if (pathExists(spark, gaugeDir) && pathExists(spark, fitDir)) {
-        val last = spark.read.parquet(gaugeDir)
-          .orderBy(col("ingest_seq").desc).limit(1).collect()
-        val fitSeq = ivfFitState(spark, fitDir)._2
-        if (last.nonEmpty && last(0).getAs[Boolean]("fired") &&
-            last(0).getAs[Long]("ingest_seq") > fitSeq)
-          doRefit(spark, last(0).getAs[Long]("ingest_seq"))
+    // Returns the fit state it settled on (None ⇔ fitDir absent), so the
+    // per-batch drift decision reuses the read instead of re-collecting
+    // fitDir a second time in the same batch (round-16 optimization
+    // round — the duplicate read was one more floor-priced job per
+    // batch). Heal semantics unchanged: a landed fired-row newer than
+    // fit_seq means the chosen refit never landed; it runs before the
+    // batch assigns.
+    def healFiredWithoutRefit(spark: SparkSession): Option[(Map[Long, Long], Long)] =
+      if (!pathExists(spark, fitDir)) None
+      else {
+        val fitState = ivfFitState(spark, fitDir)
+        if (!pathExists(spark, gaugeDir)) Some(fitState)
+        else {
+          val last = spark.read.parquet(gaugeDir)
+            .orderBy(col("ingest_seq").desc).limit(1).collect()
+          if (last.nonEmpty && last(0).getAs[Boolean]("fired") &&
+              last(0).getAs[Long]("ingest_seq") > fitState._2) {
+            doRefit(spark, last(0).getAs[Long]("ingest_seq"))
+            Some(ivfFitState(spark, fitDir))
+          } else Some(fitState)
+        }
       }
     def updateOccView(spark: SparkSession, b: DataFrame, batchId: Long): Map[Long, Long] = {
       val cur = readOccView(spark, gaugeDir)
@@ -1445,17 +1458,24 @@ object StreamingIngest {
             .map(_.groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
               .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
             .getOrElse(Map.empty[Long, Long])
-        val old = liveRowsBeforeBucketed(spark, vecsTable, versionsTable, idCol, batchId)
+        // `- departed + arrived` as ONE signed-count job (round-16
+        // optimization round): the two per-cell collects were separate
+        // tiny jobs paying the scheduling floor twice per batch; the
+        // union groups once and the sums are integer-exact, so `merged`
+        // is bit-identical to the two-map form. The join inside still
+        // rides the buckets (union happens above it).
+        val departedSgn = liveRowsBeforeBucketed(spark, vecsTable, versionsTable,
+            idCol, batchId)
           .map(_.join(b.select(col(idCol)), Seq(idCol))
-            .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
-            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
-          .getOrElse(Map.empty[Long, Long])
-        val fresh = spark.table(vecsTable)
+            .select(col("cell_id"), lit(-1L).as("sgn")))
+        val arrivedSgn = spark.table(vecsTable)
           .filter(col("ingest_seq") === batchId)
-          .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+          .select(col("cell_id"), lit(1L).as("sgn"))
+        val delta = departedSgn.map(_.unionByName(arrivedSgn)).getOrElse(arrivedSgn)
+          .groupBy(col("cell_id")).agg(sum(col("sgn")).as("d"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        val merged = (base.keySet ++ old.keySet ++ fresh.keySet).toSeq.map { c =>
-          c -> (base.getOrElse(c, 0L) - old.getOrElse(c, 0L) + fresh.getOrElse(c, 0L))
+        val merged = (base.keySet ++ delta.keySet).toSeq.map { c =>
+          c -> (base.getOrElse(c, 0L) + delta.getOrElse(c, 0L))
         }.filter(_._2 != 0L).toMap
         require(merged.values.forall(_ > 0L),
           s"occupancy view went negative at batch $batchId — delta accounting broke")
@@ -1471,7 +1491,9 @@ object StreamingIngest {
         if (!pathExists(spark, centsDir))
           initialCentroids.select(col("vec_id"), col("embedding"))
             .write.mode("overwrite").parquet(centsDir)
-        healFiredWithoutRefit(spark)
+        // the heal's fit read doubles as the batch's drift reference —
+        // nothing writes fitDir between here and the gauge decision
+        val fitState = healFiredWithoutRefit(spark)
         val b = resolveBatchVersions(batch.toDF(), idCol)
         // both log appends concurrently (round-16, r15 verdict item 1)
         Ingest.appendBucketedPairWithSeq(spark,
@@ -1488,7 +1510,7 @@ object StreamingIngest {
         Bucketing.maybeCompactVersionedBucketed(spark, vecsTable,
           versionsTable, idCol, buckets, maxVecFiles)
         val nLive = occ.values.sum
-        if (!pathExists(spark, fitDir)) {
+        if (fitState.isEmpty) {
           ivfWriteFit(spark, fitDir, occ, batchId)
           if (!landedSeq(spark, gaugeDir, batchId)) {
             import spark.implicits._
@@ -1497,7 +1519,7 @@ object StreamingIngest {
               gaugeDir, batchId)
           }
         } else {
-          val (fit, _) = ivfFitState(spark, fitDir)
+          val (fit, _) = fitState.get
           val tvBp = occupancyDriftBp(occ, fit)
           val fired = nLive > 0L && ivfDriftFired(tvBp, thresholdBp)
           if (!landedSeq(spark, gaugeDir, batchId)) {

@@ -59,7 +59,54 @@ object FileWaves {
     graft.pipeline.Ingest.withJobDesc(df.sparkSession, s"graft:wave-write b$b") {
       val f = new java.io.File(dir, f"batch$b%03d.parquet")
       df.coalesce(1).write.mode("overwrite").parquet(f.toString)
-      val t = 1700000000000L + b * 60000L
-      f.listFiles().foreach(_.setLastModified(t)); f.setLastModified(t)
+      pinMtime(f, b)
     }
+
+  private def pinMtime(f: java.io.File, b: Int): Unit = {
+    val t = 1700000000000L + b * 60000L
+    f.listFiles().foreach(_.setLastModified(t)); f.setLastModified(t)
+  }
+
+  /** All of a script's up-front waves in ONE Spark job (round-16
+    * optimization round, guide §1.2 "remove passes"): the per-wave
+    * [[write]] paid one plan + job + commit per wave — pure
+    * orchestration floor at micro-wave sizes, repeated by every
+    * streaming lifecycle query in the registry. Here the waves are
+    * unioned under a `__wave` tag, written once through a single-task
+    * dynamic-partition write (one task ⇒ exactly ONE data file per
+    * wave — the `maxFilesPerTrigger=1` trigger-ordering contract needs
+    * one file per wave), and each `__wave=N` dir is renamed to the
+    * `batchNNN.parquet` name [[write]] produces, mtimes pinned
+    * identically. Reader-visible layout, schema (the tag column is a
+    * partition column — never in the files), rows, and trigger order
+    * are byte-for-byte the [[write]] loop's (FileWavesSpec pins it).
+    * Waves whose schemas disagree, and empty waves (a zero-row
+    * dynamic-partition write emits no dir at all), fall back to the
+    * per-wave path — behavior-identical, just not fused.
+    */
+  def writeAll(dir: String, waves: Seq[org.apache.spark.sql.DataFrame]): Unit = {
+    val fuse = waves.size > 1 &&
+      waves.map(_.schema.map(f => (f.name, f.dataType)).toSeq).distinct.size == 1
+    if (!fuse) { waves.zipWithIndex.foreach { case (w, b) => write(dir, b, w) }; return }
+    import org.apache.spark.sql.functions.lit
+    graft.pipeline.Ingest.withJobDesc(waves.head.sparkSession,
+      s"graft:wave-write-all n${waves.size}") {
+      val tagged = waves.zipWithIndex
+        .map { case (w, i) => w.withColumn("__wave", lit(i)) }
+        .reduce(_ unionByName _)
+      val tmp = new java.io.File(dir, ".graft-waves-tmp")
+      tagged.coalesce(1).write.mode("overwrite").partitionBy("__wave")
+        .parquet(tmp.toString)
+      waves.indices.foreach { b =>
+        val src = new java.io.File(tmp, s"__wave=$b")
+        val dst = new java.io.File(dir, f"batch$b%03d.parquet")
+        if (src.isDirectory) {
+          Scratch.rm(dst)
+          if (!src.renameTo(dst)) sys.error(s"writeAll: cannot publish $src -> $dst")
+          pinMtime(dst, b)
+        } else write(dir, b, waves(b)) // empty wave: the unfused behavior
+      }
+      Scratch.rm(tmp)
+    }
+  }
 }
