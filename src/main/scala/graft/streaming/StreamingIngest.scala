@@ -3364,10 +3364,20 @@ object StreamingIngest {
         // batchId, which is exact because AvailableNow batches are
         // ordered (and it makes a full fresh-checkpoint replay a no-op,
         // where an exact-seq probe would re-fold early batches into the
-        // final view and double-count)
-        val viewLanded = pathExists(spark, viewDir) &&
-          spark.read.parquet(viewDir).agg(max(col("ingest_seq")))
-            .head().getLong(0) >= batchId
+        // final view and double-count). Marker fast path (round-16
+        // optimization round): the view write advances a landed marker
+        // below, so the happy path is one glob instead of a per-batch
+        // max-seq job; a crash between the write and the marker, or a
+        // pre-marker view, falls back to exactly the old row read.
+        val viewLoc = new org.apache.hadoop.fs.Path(viewDir)
+        val viewFs = viewLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val viewLanded = pathExists(spark, viewDir) && {
+          graft.pipeline.Bucketing.landedMarkerSeqAt(viewFs, viewLoc) match {
+            case Some(m) => m >= batchId
+            case None => spark.read.parquet(viewDir).agg(max(col("ingest_seq")))
+              .head().getLong(0) >= batchId
+          }
+        }
         if (!viewLanded) {
           val view =
             if (hasRetraction) {
@@ -3403,6 +3413,9 @@ object StreamingIngest {
             else folded
           if (pathExists(spark, viewDir)) swapRewrite(spark, viewDir, stamped)
           else stamped.write.mode("overwrite").parquet(viewDir)
+          // marker strictly after the write (the guard's fast path; the
+          // row-stamp fallback stays authoritative for a crash window)
+          graft.pipeline.Bucketing.advanceLandedMarkerAt(viewFs, viewLoc, batchId)
         }
         maybeCompactVersioned(spark, docsDir, versionsDir, maxFiles, idCol)
         ()
