@@ -3958,7 +3958,9 @@ object ExtensionQueries {
         // both ladders probe the same index: assign once, checkpoint,
         // share (the round-10 assignedOpt seam)
         val assigned = Similarity.ivfAssign(emb, centroids).localCheckpoint(false)
-        val brute = Similarity.knnBrute(q, emb, 5)
+        // truth table feeds BOTH recall arms: checkpoint it so the
+        // brute-force corpus scan runs once (round-16 optimization round)
+        val brute = Similarity.knnBrute(q, emb, 5).localCheckpoint(false)
         val rIvf = Similarity.annRecall(brute,
             Similarity.knnIvf(q, emb, centroids, k = 5, nprobe = 4,
               assignedOpt = Some(assigned)))
@@ -4082,7 +4084,9 @@ object ExtensionQueries {
         // both ladders probe the same index: assign once, checkpoint,
         // share (the round-10 assignedOpt seam)
         val assigned = Similarity.ivfAssign(emb, centroids).localCheckpoint(false)
-        val brute = Similarity.knnBrute(q, emb, 5)
+        // truth table feeds BOTH recall arms: checkpoint it so the
+        // brute-force corpus scan runs once (round-16 optimization round)
+        val brute = Similarity.knnBrute(q, emb, 5).localCheckpoint(false)
         val rIvf = Similarity.annRecall(brute,
             Similarity.knnIvf(q, emb, centroids, k = 5, nprobe = 4,
               assignedOpt = Some(assigned)))
@@ -4854,7 +4858,9 @@ object ExtensionQueries {
         val cbFit = Similarity.pqResidualCodebooksFitted(emb, centroids, iters = 2)
           .localCheckpoint(false) // model artifact: k*m rows
         val assigned = Similarity.ivfAssign(emb, centroids).localCheckpoint(false)
-        val brute = Similarity.knnBrute(q, emb, 5)
+        // truth table feeds BOTH recall arms: checkpoint it so the
+        // brute-force corpus scan runs once (round-16 optimization round)
+        val brute = Similarity.knnBrute(q, emb, 5).localCheckpoint(false)
         val rInit = Similarity.annRecall(brute,
             Similarity.knnIvfPq(q, emb, centroids, cbInit, k = 5, nprobe = 4,
               shortlist = 12, assignedOpt = Some(assigned)))
@@ -4891,7 +4897,9 @@ object ExtensionQueries {
         val cb = Similarity.pqResidualCodebooks(emb, centroids).localCheckpoint(false)
         val assigned = Similarity.ivfAssign(emb, centroids).localCheckpoint(false)
         val slAuto = Similarity.occupancyShortlist(assigned, nprobe = 4, k = 5)
-        val brute = Similarity.knnBrute(q, emb, 5)
+        // truth table feeds BOTH recall arms: checkpoint it so the
+        // brute-force corpus scan runs once (round-16 optimization round)
+        val brute = Similarity.knnBrute(q, emb, 5).localCheckpoint(false)
         val rFix = Similarity.annRecall(brute,
             Similarity.knnIvfPq(q, emb, centroids, cb, k = 5, nprobe = 4,
               shortlist = 12, assignedOpt = Some(assigned)))
