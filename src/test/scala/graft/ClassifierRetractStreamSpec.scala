@@ -11,8 +11,11 @@ import graft.streaming.StreamingIngest
   * fold stays bit-equal to the batch fit over the latest-version corpus
   * (a/b cells), the guard maxes are conservative (monotone — the x133
   * boundary costing only guard slack here), and the stats log's
-  * exactly-once boundary holds through the streaming replay window and
-  * breaks, documented, on a full-log replay after compaction.
+  * exactly-once boundary holds through the streaming replay window —
+  * and, since round 16's marker-carrying compaction swap, through a
+  * full-log replay after compaction too. The old double-count boundary
+  * survives only on marker-less logs (pre-round-16 layouts, or a
+  * foreign rewrite that dropped the markers), pinned below.
   */
 class ClassifierRetractStreamSpec extends SparkSuite {
 
@@ -115,7 +118,7 @@ class ClassifierRetractStreamSpec extends SparkSuite {
     assert(folded(root) == before, "replay changed the folded statistics")
   }
 
-  test("stats compaction preserves the fold; a full-log replay AFTER it re-appends — the documented boundary") {
+  test("stats compaction preserves the fold; markers keep a full-log replay a no-op; marker loss re-opens the old boundary") {
     val root = tempDir("graft-clfret3")
     waves(root)
     run(root)
@@ -127,11 +130,26 @@ class ClassifierRetractStreamSpec extends SparkSuite {
     assert(folded(root) == before, "compaction changed the folded statistics")
     assert(decisions(root) == batchDecisions,
       "post-compaction decisions != batch classifier")
-    // the boundary: folded-away seqs answer "not landed" on a fresh
-    // checkpoint, and sums have no read-side resolution to ignore the
-    // re-appended deltas (a0_0 = live row count strictly grows)
+    // round-16: landed markers ride the compaction swap, so folded-away
+    // seqs still answer "landed" and a fresh-checkpoint full replay
+    // skips every append — the pre-marker double-count boundary is
+    // CLOSED on marker-carrying logs
     run(root, "ckpt2")
+    assert(folded(root) == before,
+      "post-compaction replay re-appended despite surviving landed markers")
+    // the old boundary lives exactly where the fallback row probe runs:
+    // strip the markers (a pre-round-16 layout, or a foreign rewrite
+    // that dropped them) and the folded row carries only the MAX seq,
+    // so earlier seqs answer "not landed" and their deltas re-append
+    // (a0_0 = live row count strictly grows; sums have no read-side
+    // resolution to ignore the duplicates)
+    val statsPath = new org.apache.hadoop.fs.Path(root + "/stats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(statsPath, "_graft_landed_*")))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+      .foreach(s => fs.delete(s.getPath, false))
+    run(root, "ckpt3")
     assert(folded(root).getAs[Long]("a0_0") > before.getAs[Long]("a0_0"),
-      "expected the post-compaction full replay to double-count (the spec-pinned caveat)")
+      "expected the marker-less post-compaction replay to double-count (the documented fallback boundary)")
   }
 }
